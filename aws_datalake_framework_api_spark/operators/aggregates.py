@@ -1,0 +1,231 @@
+"""Aggregation operators (SURVEY.md §2 B4).
+
+Spark's hash aggregate is automatically two-phase (partial map-side
+combine → shuffle on the grouping key → final merge), so these all
+shuffle only the partially-aggregated state — the property that makes
+them viable at 100 TB.  Double-typed sums/avgs are rounded in BOTH
+engines because summation order is nondeterministic across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import money_avg, money_sum
+from ..registry import query
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------- TPC-H Q1
+
+
+@query(
+    "b_agg_q1",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_base_price,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS sum_disc_price,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0) AS BIGINT)) / 10000.0 AS sum_charge,
+           sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 / count(l_quantity) AS avg_qty,
+           sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 / count(l_extendedprice) AS avg_price,
+           sum(CAST(round(l_discount * 100.0) AS BIGINT)) / 100.0 / count(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING count(*) > 10
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 2 group keys, 8 aggregates, HAVING, sort."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        # All money aggregates run on exact integer units — see
+        # functions/numeric.py for why this is the only scheme that is
+        # bit-stable under Spark's nondeterministic partial-agg order.
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+            ).alias("sum_disc_price"),
+            money_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                scale=4,
+            ).alias("sum_charge"),
+            money_avg("l_quantity").alias("avg_qty"),
+            money_avg("l_extendedprice").alias("avg_price"),
+            money_avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .filter(F.col("count_order") > 10)
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------- distinct
+
+
+@query(
+    "b_agg_distinct",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(DISTINCT o_orderpriority) AS n_prios,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT DISTINCTs (Catalyst expands to a single
+    multi-phase aggregate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query("b_agg_approx")  # rows-only: approx results differ across engines by design
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for exact DISTINCT:
+    HLL++ (``approx_count_distinct``) and t-digest-style quantiles
+    (``percentile_approx``).  Validated in unit tests against exact
+    values within rsd bounds; no DuckDB oracle because approximate
+    answers are engine-specific."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------- rollup / cube
+
+
+@query(
+    "b_agg_rollup",
+    """
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+           count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total) with
+    grouping_id disambiguating the NULL rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select("r_name", "n_name", "gid", "n_cust", "total_bal")
+    )
+
+
+@query(
+    "b_agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the 2×3 flag/status grid (all 4 grouping sets)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+# ---------------------------------------------------------------- collect
+
+
+@query(
+    "b_agg_collect",
+    """
+    SELECT n_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS customers,
+           CAST(len(list(DISTINCT c_mktsegment)) AS INT) AS n_segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group → array via collect_list / collect_set.  Both are
+    order-nondeterministic, so the oracle-visible outputs are the
+    sorted-joined string and the set size; unit tests check the raw
+    arrays."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("customers"),
+            F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- pivot
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "b_agg_pivot",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS "click",
+           round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS "error",
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS "purchase",
+           round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS "signup",
+           round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS "view"
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → columns.  Explicit value list: without it
+    Spark runs an extra distinct-scan job to discover columns — never
+    acceptable on a 100 TB input."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )

@@ -1,0 +1,430 @@
+"""Join operators (SURVEY.md §2 B3).
+
+The fixtures form a TPC-H-ish star; the join inventory covers every
+strategy a lake engine needs at 100 TB:
+
+- **Broadcast hash join** for bounded dims (region=5, nation=25 rows —
+  bounded by the real world, not data volume): explicit
+  ``F.broadcast`` so the plan never degrades to a shuffle even if
+  stats are stale.
+- **Sort-merge join** for fact⋈fact (orders⋈lineitem): both sides
+  shuffle on the key once; AQE handles skew splitting.
+- Semi/anti joins express EXISTS/NOT EXISTS without materializing the
+  right side.
+- **Range join** via broadcast-nested-loop against a tiny bands table.
+- **As-of join** (Spark has no native one): composed from an
+  equi-join on the partition key + windowed latest-row filter.  At
+  100 TB the window runs per-key after a single shuffle — no O(n²).
+
+Reference parity: the reference itself has zero joins (SURVEY.md §0);
+this tier realizes the declared lake-analytics surface
+(``BASELINE.json:6``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import money_avg, money_sum
+from ..registry import query
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------- flagship
+
+
+def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: revenue by nation/month over the full star
+    (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region).
+
+    Plan shape at scale: lineitem⋈orders is the only real shuffle
+    (sort-merge on orderkey); customer is hash-joined after AQE sizes
+    it; nation/region are broadcast.  Filters on region/mktsegment/
+    date reach the parquet scans (predicate pushdown).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name", F.month("o_orderdate").alias("o_month"))
+        # Addends are rounded to the cent grid BEFORE the sum so the
+        # result is bit-identical under any partial-agg order (see
+        # functions/numeric.py) — required by the hash oracle and by
+        # run-to-run stability on a real cluster.
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name", "o_month")
+    )
+
+
+STAR_JOIN_SQL = """
+SELECT n_name,
+       CAST(month(o_orderdate) AS INT) AS o_month,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_mktsegment = 'BUILDING'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, n_name, o_month
+"""
+
+query("b_join_star", STAR_JOIN_SQL)(star_join)
+
+
+# ---------------------------------------------------------------- broadcast
+
+
+@query(
+    "b_join_bcast",
+    """
+    SELECT r_name,
+           count(*) AS n_cust,
+           sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 100.0 / count(c_acctbal) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ broadcast(nation) ⋈ broadcast(region): zero shuffles
+    on the dim side regardless of fact size."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            money_avg("c_acctbal").alias("avg_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- sort-merge
+
+
+@query(
+    "b_join_smj",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact on the natural key — hinted to sort-merge, the only
+    strategy that scales when both sides exceed memory."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.hint("merge")
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- outer
+
+
+@query(
+    "b_join_outer",
+    """
+    SELECT c_custkey,
+           c_mktsegment,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(round(o_totalprice, 2)), 0.0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: customers keep a row (n_orders=0) with no orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.coalesce(F.sum(F.round(F.col("o_totalprice"), 2)), F.lit(0.0)), 2
+            ).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "b_join_full",
+    """
+    WITH cust AS (
+      SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1
+    ), supp AS (
+      SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(cust.nk, supp.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over two aggregates: nations having customers,
+    suppliers, or either."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_cust")
+    )
+    supp = supplier.groupBy(F.col("s_nationkey").alias("snk")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return cust.join(supp, cust.nk == supp.snk, "full").select(
+        F.coalesce("nk", "snk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------- semi / anti
+
+
+@query(
+    "b_join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi: never materializes order columns."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "b_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------- range / theta
+
+PRICE_BANDS = [
+    ("low", 0.0, 20000.0),
+    ("mid", 20000.0, 45000.0),
+    ("high", 45000.0, 70000.0),
+    ("lux", 70000.0, 1e12),
+]
+
+
+@query(
+    "b_join_range",
+    """
+    SELECT band,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS band_total
+    FROM lineitem
+    JOIN (VALUES ('low', 0.0, 20000.0),
+                 ('mid', 20000.0, 45000.0),
+                 ('high', 45000.0, 70000.0),
+                 ('lux', 70000.0, 1e12)) AS b(band, lo, hi)
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join against a tiny bands table → Spark picks
+    BroadcastNestedLoopJoin; the bands side is O(1) so the 'nested
+    loop' is really a per-row band lookup — scales linearly."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        lineitem.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("band_total"),
+        )
+    )
+
+
+@query(
+    "b_join_cross",
+    """
+    SELECT r_name, s AS o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS s FROM orders)
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two bounded inputs (5 × 3)."""
+    region = load_table(spark, sf_dir, "region")
+    statuses = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus")
+    ).distinct()
+    return region.select("r_name").crossJoin(statuses)
+
+
+# ---------------------------------------------------------------- as-of
+
+ASOF_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.event_id AS purchase_id,
+         p.user_id AS user_id,
+         p.ts AS purchase_ts,
+         round(p.value, 2) AS purchase_value,
+         c.ts AS click_ts,
+         c.event_id AS click_id,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+         ) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT purchase_id, user_id, purchase_ts, purchase_value, click_ts, click_id
+FROM j WHERE rn = 1
+"""
+
+
+@query("b_join_asof", ASOF_SQL)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent click by the
+    same user at-or-before the purchase time.
+
+    Spark has no native as-of; composition = equi-join on the
+    partition key (user) with the range predicate, then keep the
+    latest match per left row via a window.  One shuffle on user_id;
+    the per-key match count is bounded by per-user activity, so this
+    survives 100 TB (skewed power-users are handled by AQE skew
+    splitting).  ``join_asof_pandas`` is the merge_asof scale variant.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("click_ts"), F.desc("click_id")
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+            "left",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id", "user_id", "purchase_ts", "purchase_value",
+            "click_ts", "click_id",
+        )
+    )
+
+
+@query("b_join_asof_pandas", ASOF_SQL)
+def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics via cogrouped ``applyInPandas`` +
+    ``pd.merge_asof`` — the scale path when per-key match lists are
+    huge (merge_asof is O(n+m) per key vs the window variant's
+    O(matches))."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("purchase_ts", kind="mergesort")
+        # merge_asof keeps the LAST right row with ts <= left ts; sort
+        # clicks by (ts, id) so ties resolve to the max click_id,
+        # matching the window variant's (ts DESC, id DESC) rank.
+        right = right.sort_values(["click_ts", "click_id"], kind="mergesort")
+        out = pd.merge_asof(
+            left,
+            right.drop(columns=["user_id"]),
+            left_on="purchase_ts",
+            right_on="click_ts",
+            direction="backward",
+        )
+        return out[
+            ["purchase_id", "user_id", "purchase_ts", "purchase_value",
+             "click_ts", "click_id"]
+        ]
+
+    schema = (
+        "purchase_id long, user_id long, purchase_ts timestamp, "
+        "purchase_value double, click_ts timestamp, click_id long"
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(lambda left, right: merge(left, right), schema)
+    )

@@ -1,0 +1,168 @@
+"""Window functions (SURVEY.md §2 B5).
+
+One shuffle on the partition key + one per-partition sort buys every
+function in the family — rank, analytic, and frames alike.  All
+orderings carry a unique tiebreak column so results are deterministic
+(required by the value-hash oracle, and good hygiene generally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------- ranking
+
+
+@query(
+    "b_win_rank",
+    """
+    SELECT c_custkey, c_nationkey,
+           round(c_acctbal, 2) AS bal,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile per nation by balance."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------- analytic
+
+
+@query(
+    "b_win_lag",
+    """
+    SELECT event_id, user_id, ts,
+           round(value, 2) AS value,
+           round(lag(value) OVER w, 2) AS prev_value,
+           round(lead(value) OVER w, 2) AS next_value,
+           round(first_value(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_value,
+           CAST(lag(ts, 1) OVER w AS TIMESTAMP) AS prev_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value over each user's event timeline."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("value"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+        F.round(F.first("value").over(wf), 2).alias("first_value"),
+        F.lag("ts", 1).over(w).alias("prev_ts"),
+    )
+
+
+# ---------------------------------------------------------------- frames
+
+
+@query(
+    "b_win_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           round(o_totalprice, 2) AS price,
+           round(sum(round(o_totalprice, 2)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(sum(round(o_totalprice, 2)) OVER w3 / count(*) OVER w3, 4) AS moving_avg3,
+           round(sum(round(o_totalprice, 2)) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum_30d
+    FROM orders
+    WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames (running total, moving avg) + a RANGE frame over a
+    day-number axis (trailing-30-day spend).  Frame sums use
+    cent-rounded addends: sliding-window aggregation (segment trees /
+    removable accumulators) re-associates float adds differently per
+    engine, so only grid-exact addends give stable cents (see
+    functions/numeric.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice"), 2)
+    w_rows = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = w_rows.rowsBetween(-2, 0)
+    day_no = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long")
+    w_range = Window.partitionBy("o_custkey").orderBy(day_no).rangeBetween(-30, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        cents.alias("price"),
+        F.round(
+            F.sum(cents).over(
+                w_rows.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+        F.round(F.sum(cents).over(w3) / F.count(F.lit(1)).over(w3), 4).alias(
+            "moving_avg3"
+        ),
+        F.round(F.sum(cents).over(w_range), 2).alias("sum_30d"),
+    )
+
+
+# ---------------------------------------------------------------- top-k per group
+
+
+@query(
+    "b_win_topk",
+    """
+    SELECT n_name, rnk, c_custkey, round(c_acctbal, 2) AS bal
+    FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             CAST(row_number() OVER (
+               PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
+             ) AS BIGINT) AS rnk
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    WHERE rnk <= 5
+    """,
+)
+def win_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers by balance per nation — the scalable top-k-per-
+    group (rank + filter pushes the limit inside each partition; AQE
+    never materializes the full sorted table)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("bal"),
+        )
+        .filter(F.col("rnk") <= 5)
+        .select("n_name", "rnk", "c_custkey", "bal")
+    )

@@ -1,0 +1,14 @@
+"""Import every operator module so their ``@query`` registrations run,
+then expose the full QUERIES/ORACLE dicts to ``__spark_entry__.py``."""
+
+from __future__ import annotations
+
+from .registry import ORACLE, QUERIES
+
+# Registration side-effect imports — order mirrors SURVEY.md §2.
+from .operators import relational as _relational  # noqa: F401  B2/B6/B7
+from .operators import joins as _joins  # noqa: F401  B3
+from .operators import aggregates as _aggregates  # noqa: F401  B4
+from .operators import windows as _windows  # noqa: F401  B5
+
+__all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line with per-query
+wall seconds.
+
+Headline set = the queries that exercise the engine's heavy paths
+(scan+filter, star join, wide agg, window, as-of, dedup, knn) — not
+every registry entry, so the number is a stable throughput signal
+rather than a coverage count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_datalake_framework_api_spark.queries_all import QUERIES  # noqa: E402
+from aws_datalake_framework_api_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "b_join_star",
+    "b_agg_q1",
+    "b_join_smj",
+    "b_join_outer",
+    "b_win_frame",
+    "b_win_topk",
+    "b_join_asof",
+    "b_dedup_exact",
+    "b_agg_rollup",
+    "b_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers once so the numbers measure the
+    # queries, not session startup
+    QUERIES["b_topk"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        fn = QUERIES[name]
+        t0 = time.time()
+        # count() forces the full plan incl. exchange/sort; cheap to sink
+        fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
