@@ -10,5 +10,6 @@ from .operators import relational as _relational  # noqa: F401  B2/B6/B7
 from .operators import joins as _joins  # noqa: F401  B3
 from .operators import aggregates as _aggregates  # noqa: F401  B4
 from .operators import windows as _windows  # noqa: F401  B5
+from .functions import families as _families  # noqa: F401  B8
 
 __all__ = ["QUERIES", "ORACLE"]
