@@ -1,0 +1,277 @@
+"""Near-duplicate detection for training corpora (SURVEY.md §2 B11):
+n-gram Jaccard (exact), MinHash + LSH banding (the 100 TB path), and
+SimHash bucketing.
+
+Pipeline shape shared by all three:
+
+    tokens (posexplode) → shingles (window ``lead`` — NOT per-row
+           array lambdas: Spark does no common-subexpression
+           elimination inside higher-order-function lambdas, so an
+           array formulation re-runs the regex tokenizer per gram;
+           measured 15x slower on the fixture)
+         → distinct (doc, shingle) pairs, document-frequency capped
+         → candidate pairs (equi-join on shingle / band hash —
+           NEVER an all-pairs cross join)
+         → count-based Jaccard (|A∩B| from the join row count;
+           |A|,|B| from per-doc counts — no array materialization,
+           no array_intersect)
+
+All similarity counts are computed over the df-CAPPED shingle
+universe: a shingle appearing in >MAX_DF documents (boilerplate)
+generates O(df²) join rows and identifies near-nothing, so scale
+pipelines drop it from both candidate generation and the similarity
+denominator.  The oracle SQL implements the identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.readers import load_table
+
+NGRAM = 3
+JACCARD_THRESHOLD = 0.5
+MAX_DF = 100  # shingle document-frequency cap (skew guard)
+
+MINHASH_BANDS = 16
+MINHASH_ROWS = 2  # 16 bands x 2 rows = 32 hashes; P(candidate | s=0.5) ≈ 0.99
+
+
+def shingle_set(docs: DataFrame) -> DataFrame:
+    """Distinct df-capped word-3-gram shingles: (doc_id, shingle).
+
+    posexplode + window-lead runs the tokenizer ONCE per document and
+    builds each gram from adjacent rows — linear work, one window
+    shuffle on doc_id, then a distinct and the df-cap aggregation on
+    the shingle key.  Shingle keys are strings that distribute well;
+    the df cap removes the only pathological-skew keys before any
+    self-join sees them."""
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = tok.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+        ).alias("shingle"),
+        F.lead("w", NGRAM - 1).over(win).isNotNull().alias("full"),
+    ).filter(F.col("full"))
+    s = grams.select("doc_id", "shingle").distinct()
+    hot = (
+        s.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_DF)
+        .select("shingle")
+    )
+    # left_anti beats an inner join on the keep-set: the hot set is
+    # tiny (it's the skew tail) and broadcastable at any scale.
+    return s.join(hot, "shingle", "left_anti")
+
+
+# DuckDB twin of shingle_set (identical tokenization + window + cap).
+_DUCK_SHINGLE_SET = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w,
+             generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+             lead(w, {NGRAM - 1}) OVER win IS NOT NULL AS is_full
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s_all AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE is_full),
+    s AS (
+      SELECT * FROM s_all WHERE shingle NOT IN (
+        SELECT shingle FROM s_all GROUP BY shingle HAVING count(*) > {MAX_DF})
+    )
+"""
+
+
+def _jaccard_pairs(s: DataFrame, cand: DataFrame | None = None) -> DataFrame:
+    """Count-based Jaccard over distinct (doc, shingle) rows:
+    |A∩B| = rows of the shingle equi-join per pair; |A|,|B| = per-doc
+    shingle counts.  ``cand`` (optional) pre-restricts the pair space
+    (the MinHash path passes its LSH candidates)."""
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if cand is not None:
+        inter = inter.join(cand, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- n-gram Jaccard
+
+
+_NGRAM_SQL = f"""
+    {_DUCK_SHINGLE_SET},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
+      SELECT doc_a, doc_b,
+             inter * 1.0 / (sa.sz + sb.sz - inter) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ) WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("b_llm_dedup_ngram", _NGRAM_SQL)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (ground truth for the
+    MinHash variant; the two are compared in tests/test_llm_ops.py).
+    Jaccard is a ratio of exact ints → bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _jaccard_pairs(shingle_set(docs))
+
+
+# ---------------------------------------------------------------- MinHash + LSH
+
+
+@query("b_llm_dedup_minhash")  # rows-only: xxhash64-based signatures have no
+# DuckDB twin; recall vs the exact b_llm_dedup_ngram ground truth is
+# asserted in tests/test_llm_ops.py.
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH-banded near-dup detection — the 100 TB shape,
+    where the exact all-shingle self-join is too wide:
+
+    1. signatures: 32 minhashes per doc = ``min(xxhash64(seed_i,
+       shingle))`` — computed as 32 aggregates in ONE groupBy over the
+       exploded shingle rows (no arrays, no per-hash pass);
+    2. banding: 16 bands × 2 rows; band hash = xxhash64 of the band's
+       two minima; docs sharing a (band, hash) become candidates —
+       P(candidate) ≈ 0.99 at Jaccard 0.5;
+    3. exact count-based Jaccard rerank restricted to candidates
+       (left-semi), so the output has NO false positives — banding
+       only affects recall, which the band parameters control.
+
+    Shuffles: the signature groupBy (doc key), the band groupBy
+    (64-bit uniform keys), the candidate semi-join.  The exact path's
+    shingle self-join is replaced by a join whose fan-out is bucket
+    occupancy — bounded by construction, not by data luck."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = shingle_set(docs)
+    n_hashes = MINHASH_BANDS * MINHASH_ROWS
+    sig = s.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col(f"h{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_pairs(s, cand)
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+# Hex-digit parity from its ascii code: digits '0'-'9' are 48-57
+# (parity = ascii%2 matches value parity); 'a'-'f' are 97-102 (value
+# 10-15: parity = (ascii+1)%2). Portable to any SQL engine with ascii().
+_PARITY = "((ascii({c}) + CASE WHEN ascii({c}) >= 97 THEN 1 ELSE 0 END) % 2)"
+
+_SIMHASH_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w,
+             len(string_split(trim(text), ' ')) AS n_tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, p.i AS pos, n_tok,
+             sum({_PARITY.format(c="substring(md5(w), p.i, 1)")}) AS ones
+      FROM tok, generate_series(1, 16) AS p(i)
+      GROUP BY doc_id, p.i, n_tok
+    )
+    SELECT doc_id, simhash,
+           count(*) OVER (PARTITION BY simhash) AS bucket_size
+    FROM (
+      SELECT doc_id,
+             sum(CASE WHEN ones * 2 > n_tok THEN CAST(pow(2, pos - 1) AS BIGINT)
+                      ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@query("b_llm_dedup_simhash", _SIMHASH_SQL)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucketing: 16-bit signature where bit i is the majority
+    vote across tokens of hex-digit-i parity of md5(token); identical
+    signatures → dup bucket (``bucket_size`` > 1 flags candidates).
+
+    Unlike MinHash (set similarity), SimHash approximates cosine on
+    the bag-of-words — robust to small edits anywhere.  All map-side
+    per doc except one groupBy(doc) and the bucket count; production
+    widens to 64 bits via xxhash64 and adds banded Hamming probes
+    without changing this plan shape.  The md5-parity construction is
+    engine-portable, which is what makes the oracle twin possible."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    parity_cols = [
+        F.expr(_PARITY.format(c=f"substring(md5(w), {i}, 1)")).alias(f"p{i}")
+        for i in range(1, 17)
+    ]
+    with_parity = tok.select("doc_id", "n_tok", *parity_cols)
+    bits = with_parity.groupBy("doc_id", "n_tok").agg(
+        *[F.sum(f"p{i}").alias(f"ones{i}") for i in range(1, 17)]
+    )
+    simhash = None
+    for i in range(1, 17):
+        term = (
+            F.when(F.col(f"ones{i}") * 2 > F.col("n_tok"), F.lit(2 ** (i - 1)))
+            .otherwise(0)
+            .cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    sh = bits.select("doc_id", simhash.alias("simhash"))
+    return sh.withColumn(
+        "bucket_size", F.count("*").over(Window.partitionBy("simhash"))
+    )

@@ -1,0 +1,155 @@
+"""Multimodal column plumbing (SURVEY.md §2 B11): image/audio/video
+payloads as opaque ``binary`` columns with typed metadata, processed
+by Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the DECODE step is
+stubbed behind ``decode_available()`` (returns a deterministic fake
+when the real codec import fails — clearly marked).  Everything
+Spark-side is real and tested: the schema contract, the binary
+payload construction, the Arrow batch shape, the partition-size
+guard, and the feature-extraction UDF signature.
+
+100 TB design notes:
+- payloads travel as parquet ``binary``; metadata (mime, width, dur…)
+  as a sibling STRUCT column so filters on metadata prune row groups
+  WITHOUT reading payload bytes (parquet column projection);
+- ``mapInPandas`` receives an ITERATOR of Arrow batches — the UDF
+  must stream batch-by-batch, never materialize the partition
+  (a partition of 128 MB payloads would OOM a pandas concat);
+- ``spark.sql.files.maxPartitionBytes`` (not row count) is the right
+  partition knob when rows are megabytes each.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import query
+from ..sources.readers import load_table
+
+# Schema contract for a multimodal asset table.
+MM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("payload_len", LongType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("payload_len", LongType(), False),
+        StructField("first_byte", IntegerType(), True),
+        StructField("byte_sum_mod", LongType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def decode_available() -> bool:
+    """True if a real image codec is importable in this environment."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: stream Arrow batches, emit one feature row
+    per payload.  The *decode* step is the stub seam: with a codec it
+    would parse payload bytes; without one it derives deterministic
+    fake features from the raw bytes (clearly marked — NOT a real
+    decode), so the plumbing (batch iteration, schema, null
+    handling) is fully exercised."""
+    have_codec = decode_available()
+    for pdf in batches:
+        if have_codec:  # pragma: no cover - codec not present in this container
+            raise NotImplementedError(
+                "real decode path: plug PIL/libav parsing here; the container "
+                "this engine is developed in ships no codecs"
+            )
+        # deterministic FAKE decode (stub): features from raw bytes
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "payload_len": pdf["payload_len"],
+                "first_byte": payloads.map(lambda b: b[0] if len(b) else None),
+                "byte_sum_mod": payloads.map(lambda b: sum(b) % 1000003),
+                "n_frames": payloads.map(lambda b: max(1, len(b) // 64)),
+            }
+        )
+
+
+def as_multimodal(docs: DataFrame) -> DataFrame:
+    """Build a multimodal asset table from the documents fixture:
+    payload = utf-8 bytes of the text (a stand-in for image bytes),
+    mime derived from the source id.  Schema matches MM_SCHEMA."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("application/x-fixture-"), F.col("source")).alias("mime"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("payload_len"),
+    )
+
+
+@query(
+    "b_mm_meta",
+    """
+    SELECT doc_id,
+           'application/x-fixture-' || source AS mime,
+           octet_length(encode(text)) AS payload_len,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only pass over a multimodal table: mime, payload
+    length, content hash — reads NO payload bytes beyond the hash
+    column's own scan.  At 100 TB this is the query pattern that must
+    prune the payload column entirely; keeping metadata in sibling
+    scalar columns (not inside the binary) is what makes that a
+    parquet column-projection, not a decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = as_multimodal(docs)
+    # md5 over the payload BYTES equals DuckDB's md5 over the utf-8
+    # string — same bytes, engine-portable.
+    return mm.select(
+        "doc_id",
+        "mime",
+        "payload_len",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+@query("b_mm_features")  # rows-only: the feature kernel is a pandas UDF
+# (no SQL twin); determinism + schema are asserted in tests/test_llm_ops.py.
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — the decode/resize/frame-sample slot.  The stub
+    kernel derives deterministic features from raw bytes (see
+    ``_extract_features``); a real deployment swaps the kernel, not
+    the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = as_multimodal(docs)
+    return mm.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)

@@ -1,0 +1,294 @@
+"""Similarity search over embedding columns (SURVEY.md §2 B11):
+brute-force cosine kNN (the correctness baseline), all-pairs cosine
+near-duplicate detection, and a random-hyperplane-LSH approximate
+variant (the 100 TB scale path).
+
+Float determinism: embeddings are ``array<float>``; both engines
+widen float32→float64 identically, and the dot/norm folds below
+accumulate LEFT-TO-RIGHT in double on both sides (Spark
+``F.aggregate``, DuckDB ``list_reduce`` with a prepended 0.0 seed),
+so cosines are bit-identical and the oracle can compare them after a
+defensive 8 dp round.  Ranking happens on the ROUNDED cosine with an
+id tie-break, so rank order can never depend on a last-ulp bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.readers import load_table
+
+# SQL fragment: sequential double fold of a float list (DuckDB side).
+_DUCK_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---------------------------------------------------------------- brute kNN
+
+
+_KNN_SQL = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+    n AS (SELECT vec_id, embedding,
+                 sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+          FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             round({_DUCK_DOT.format(a='q.embedding', b='n.embedding')}
+                   / (sqrt({_DUCK_DOT.format(a='q.embedding', b='q.embedding')}) * n.nrm),
+                   8) AS cos_sim
+      FROM q JOIN n ON q.vec_id <> n.vec_id
+    )
+    SELECT q_id, n_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+      SELECT q_id, n_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 5
+"""
+
+
+@query("b_llm_knn", _KNN_SQL)
+def llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a panel of query vectors
+    (vec_id % 25 = 0): broadcast the query panel against the corpus,
+    fold the cosine JVM-side, rank per query.
+
+    Scale shape: queries × corpus with the SMALL side broadcast — a
+    map-only pass over the corpus followed by a per-query top-k (no
+    all-pairs shuffle). This is the exact-rerank kernel the LSH
+    variant (``b_llm_knn_lsh``) reuses within buckets; at 100 TB you
+    run THAT, and this, on a sampled panel, to measure its recall.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    n = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    pairs = (
+        n.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("n_emb"))
+                / (l2_norm(F.col("q_emb")) * F.col("nrm")),
+                8,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------- near-dup pairs
+
+
+_NEARDUP_SQL = f"""
+    WITH n AS (SELECT vec_id, label, embedding,
+                      sqrt({_DUCK_DOT.format(a='embedding', b='embedding')}) AS nrm
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           a.label AS label_a, b.label AS label_b, cos_sim
+    FROM (
+      SELECT a.vec_id, b.vec_id AS b_vec_id,
+             round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+                   / (a.nrm * b.nrm), 8) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ) p
+    JOIN n a ON a.vec_id = p.vec_id
+    JOIN n b ON b.vec_id = p.b_vec_id
+    WHERE cos_sim >= 0.5
+"""
+
+
+@query("b_llm_neardup_cosine", _NEARDUP_SQL)
+def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold) with
+    their cluster labels — the semantic-dedup primitive.
+
+    This is the EXACT all-pairs form: O(n²) compare, correct at
+    corpus-audit scale (n up to ~10^5 per label-block) and the
+    ground-truth oracle for the LSH variant.  At 100 TB n²
+    is not runnable: production runs ``b_llm_knn_lsh``'s bucketing
+    first and this kernel only within buckets.  The n² here is a
+    single self-join Catalyst turns into one shuffle of the (already
+    narrow) normed vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = n.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "label_a",
+            "label_b",
+            F.round(
+                dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 8
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------- LSH ANN
+
+
+def _hyperplanes(n_tables: int, n_planes: int, dim: int) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes (seeded; no numpy needed
+    at plan time — values are baked into the plan as literals)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return rng.randn(n_tables, n_planes, dim).tolist()
+
+
+@query("b_llm_knn_lsh")  # rows-only: ANN is approximate by design; recall vs
+# the exact b_llm_knn baseline is asserted in tests/test_llm_ops.py.
+def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via random-hyperplane LSH: 4 hash tables × 6
+    sign bits → per-table 64-bucket code; candidates = corpus vectors
+    sharing a bucket with the query in ANY table; exact cosine rerank
+    within candidates; top-5.
+
+    100 TB shape: bucketing is a map-only projection (the hyperplane
+    matrix is a plan literal — broadcast by construction); the only
+    shuffle is the equi-join on (table, bucket), which replaces the
+    brute-force cross product.  Recall tunes with tables × bits;
+    cost with bucket occupancy.  The rerank kernel is shared with
+    ``b_llm_knn``, so improving one improves both."""
+    planes = _hyperplanes(4, 6, 64)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def bucket_code(vec: Column, table: int) -> Column:
+        code = F.lit(0)
+        for p_i, plane in enumerate(planes[table]):
+            lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+            bit = (dot(vec, lit_plane) > 0).cast("int")
+            code = code + bit * (2**p_i)
+        return code
+
+    # (id, table, bucket) for corpus and query panel
+    def bucketed(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+        tables = [
+            df.select(
+                F.col(id_col),
+                F.col(emb_col),
+                F.lit(t).alias("tbl"),
+                bucket_code(F.col(emb_col), t).alias("bucket"),
+            )
+            for t in range(len(planes))
+        ]
+        out = tables[0]
+        for t in tables[1:]:
+            out = out.unionByName(t)
+        return out
+
+    corpus = bucketed(
+        emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb")),
+        "n_id",
+        "n_emb",
+    )
+    queries_df = bucketed(
+        emb.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        ),
+        "q_id",
+        "q_emb",
+    )
+    cand = (
+        queries_df.join(corpus, ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "q_emb", "n_emb")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    scored = cand.select(
+        "q_id",
+        "n_id",
+        F.round(
+            cosine(F.col("q_emb"), F.col("n_emb")),
+            8,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------- modal join
+
+
+@query(
+    "b_llm_join_modal",
+    """
+    SELECT d.lang, e.label,
+           count(*) AS n_docs,
+           sum(CAST(round(sqrt({dot}) * 1000000.0) AS BIGINT)) / 1000000.0
+             / count(*) AS avg_norm,
+           sum(d.n_chars) AS total_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """.format(dot=_DUCK_DOT.format(a="e.embedding", b="e.embedding")),
+)
+def llm_join_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ embedding modality join keyed on doc id, rolled up by
+    (lang, label).  The float average uses integer-unit aggregation
+    (see functions/numeric.py): per-row norms are exact-identical
+    across engines, but a double SUM over a group is order-dependent —
+    rounding each norm to 1e-6 units and summing BIGINTs is
+    order-independent and therefore engine- and rerun-stable (the same
+    property you want for a 1000-executor metrics job)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id)
+    norm_units = F.round(l2_norm(F.col("embedding")) * 1000000.0).cast("long")
+    return joined.groupBy("lang", "label").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(norm_units) / 1000000.0 / F.count("*")).alias("avg_norm"),
+        F.sum("n_chars").alias("total_chars"),
+    )

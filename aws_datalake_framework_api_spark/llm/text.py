@@ -1,0 +1,317 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2
+B11): token counting, quality scoring, language ID, document
+fingerprinting, corpus statistics, exact dedup.
+
+Scale stance: every operator here is a narrow projection or a single
+keyed shuffle over the ``documents`` table — no Python in the hot
+path (higher-order JVM functions only), no driver-side collection.
+At 100 TB the text column dominates I/O, so each query projects only
+the columns it reads (column pruning reaches the parquet scan).
+
+These realize the data-quality surface the reference's lake fronts
+(documents land under ``init/*`` per ``cft/sourceSystem.yaml:77``;
+curation happens downstream — SURVEY.md §0 fact 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.readers import load_table
+
+# BPE-ish word/number/punctuation segmentation — one token per word,
+# number, or standalone punctuation mark (the pre-tokenizer shape GPT
+# BPEs use, minus unicode categories the fixture doesn't exercise).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Stopword list used by the quality score (public/en).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def _ws_tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on runs of spaces)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+# ---------------------------------------------------------------- token counts
+
+
+@query(
+    "b_llm_tokens",
+    """
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
+           length(text) AS n_chars,
+           round(length(text) * 1.0 / len(regexp_extract_all(
+                 text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')), 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens +
+    chars-per-token ratio (the standard "is this text token-dense
+    enough to train on" signal).  Pure JVM regexp — at 100 TB this is
+    scan-bound, exactly as it should be.
+
+    The regex char class uses a literal space (not ``\\s``) so the
+    Spark and DuckDB regex engines see byte-identical patterns; the
+    fixture has no tabs/newlines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.size(_ws_tokens(F.col("text"))).alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(F.length("text") / bpe, 6).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------- quality score
+
+
+@query(
+    "b_llm_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             length(text) AS n_chars,
+             len(string_split(trim(text), ' ')) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+             len(list_filter(string_split(trim(text), ' '),
+                 w -> list_contains(['the','a','of','and','to','in','is','on','for','with'],
+                                    lower(w)))) AS n_stop,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, n_tokens,
+           round(n_punct * 1.0 / n_tokens, 6) AS punct_ratio,
+           round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+           round(n_alpha * 1.0 / n_chars, 6) AS alpha_ratio,
+           CASE WHEN n_tokens >= 10 AND n_punct * 1.0 / n_tokens < 0.3
+                     AND n_alpha * 1.0 / n_chars > 0.5
+                THEN 1 ELSE 0 END AS keep
+    FROM t
+    """,
+)
+def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (Gopher/C4-style cheap filters): length,
+    punctuation ratio, stopword ratio, alphabetic ratio, and a
+    keep/drop verdict.  One pass, no shuffle; the ``keep`` flag is
+    what a 100 TB curation job would partition-write on."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9 ]"), F.lit(0)))
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    n_alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]"), F.lit(0)))
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct / n_tokens, 6).alias("punct_ratio"),
+        F.round(n_stop / n_tokens, 6).alias("stop_ratio"),
+        F.round(n_alpha / n_chars, 6).alias("alpha_ratio"),
+        F.when(
+            (n_tokens >= 10) & (n_punct / n_tokens < 0.3) & (n_alpha / n_chars > 0.5), 1
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------- language ID
+
+
+# Marker lexicon: (lang, marker word). In production this is a real
+# per-language stopword lexicon loaded as a table; the mechanism —
+# explode tokens, broadcast-join the lexicon, majority-vote per doc —
+# is the scalable n-gram/lexicon language-ID shape (no Python, no
+# per-row model call). Markers here are drawn from the fixture vocab
+# so the fixture exercises real tie-breaking.
+LANG_MARKERS = [
+    ("en", "the"), ("en", "a"), ("en", "value"), ("en", "table"),
+    ("de", "der"), ("de", "und"), ("de", "row"), ("de", "scan"),
+    ("es", "el"), ("es", "los"), ("es", "fast"), ("es", "slow"),
+    ("fr", "le"), ("fr", "et"), ("fr", "hash"), ("fr", "merge"),
+    ("zh", "data"), ("zh", "spark"), ("zh", "query"), ("zh", "join"),
+]
+
+_MARKER_SQL_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in LANG_MARKERS)
+
+LANGID_SQL = f"""
+    WITH markers(m_lang, m_word) AS (VALUES {_MARKER_SQL_VALUES}),
+    tok AS (
+      SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, t.lang, m.m_lang, count(*) AS n_hits
+      FROM tok t JOIN markers m ON lower(t.word) = m.m_word
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT doc_id, lang, m_lang AS predicted,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_hits DESC, m_lang) AS rn
+      FROM hits
+    )
+    SELECT lang, predicted, count(*) AS n_docs
+    FROM best WHERE rn = 1
+    GROUP BY lang, predicted
+"""
+
+
+@query("b_llm_langid", LANGID_SQL)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon language ID: explode tokens → broadcast-join a
+    (lang, marker) lexicon → count hits per (doc, lang) → argmax with
+    deterministic tie-break → confusion-matrix rollup vs the labeled
+    ``lang`` column.  The lexicon is tiny and broadcast; the token
+    explosion is map-side; the only shuffle is the per-doc argmax —
+    the right shape at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(LANG_MARKERS, ["m_lang", "m_word"])
+    tok = docs.select(
+        "doc_id", "lang", F.explode(_ws_tokens(F.col("text"))).alias("word")
+    )
+    hits = (
+        tok.join(F.broadcast(markers), F.lower(F.col("word")) == F.col("m_word"))
+        .groupBy("doc_id", "lang", "m_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("m_lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("lang", F.col("m_lang").alias("predicted"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------- fingerprint
+
+
+@query(
+    "b_llm_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(trim(text), ' '),
+                 t -> CAST(ascii(t) * 1000 + length(t) AS BIGINT))),
+             (acc, h) -> (acc * 131 + h) % 1000000007) AS fingerprint,
+           list_aggregate(
+             list_transform(string_split(trim(text), ' '),
+               t -> CAST(ascii(t) * 1000 + length(t) AS BIGINT)),
+             'min') AS min_token_hash
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: an order-SENSITIVE rolling polynomial
+    hash (reorder-detecting) plus an order-INSENSITIVE min-token-hash
+    (bag-of-words signature, the 1-permutation MinHash primitive).
+    Both fold token hashes JVM-side with ``aggregate`` — sequential,
+    mod-reduced each step so values stay far from 2^63 on arbitrarily
+    long documents.  The per-token hash (ascii*1000+len) is engine-
+    portable for the oracle; production swaps in ``xxhash64`` (used by
+    the MinHash dedup in llm/dedup.py) without changing the fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_hash = F.transform(
+        _ws_tokens(F.col("text")),
+        lambda t: (F.ascii(t) * 1000 + F.length(t)).cast("long"),
+    )
+    rolling = F.aggregate(
+        tok_hash,
+        F.lit(7).cast("long"),
+        lambda acc, h: (acc * 131 + h) % 1000000007,
+    )
+    return docs.select(
+        "doc_id",
+        rolling.alias("fingerprint"),
+        F.array_min(tok_hash).alias("min_token_hash"),
+    )
+
+
+# ---------------------------------------------------------------- corpus stats
+
+
+@query(
+    "b_llm_textstats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split(trim(text), ' '))) AS total_tokens,
+           round(avg(len(string_split(trim(text), ' '))), 6) AS avg_tokens,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics by language: doc/token counts, char extremes,
+    source diversity — the dataset-card rollup.  avg over exact int
+    token counts = one IEEE division of identical operands."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_ws_tokens(F.col("text")))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.round(F.avg(n_tok), 6).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+@query(
+    "b_llm_dedup_exact",
+    """
+    WITH hashed AS (
+      SELECT doc_id, lang, source,
+             sha256(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS text_hash
+      FROM documents
+    )
+    SELECT doc_id, lang, source, text_hash,
+           CAST(dup_count AS BIGINT) AS dup_count
+    FROM (
+      SELECT doc_id, lang, source, text_hash,
+             row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY text_hash) AS dup_count
+      FROM hashed
+    ) WHERE rn = 1
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash: normalize (lowercase,
+    trim, collapse whitespace) → sha256 → keep the lowest doc_id per
+    hash, carrying the duplicate count.  The shuffle key is the
+    256-bit hash, so the 100 TB shape is a single well-distributed
+    hash-partitioned exchange of (hash, id) pairs — the text column
+    itself never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.regexp_replace(F.col("text"), " +", " "))), 256)
+    w = Window.partitionBy("text_hash")
+    hashed = docs.select("doc_id", "lang", "source", h.alias("text_hash"))
+    return (
+        hashed.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("dup_count", F.count("*").over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "text_hash", "dup_count")
+    )

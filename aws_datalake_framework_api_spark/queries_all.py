@@ -11,5 +11,9 @@ from .operators import joins as _joins  # noqa: F401  B3
 from .operators import aggregates as _aggregates  # noqa: F401  B4
 from .operators import windows as _windows  # noqa: F401  B5
 from .functions import families as _families  # noqa: F401  B8
+from .llm import text as _llm_text  # noqa: F401  B11
+from .llm import similarity as _llm_similarity  # noqa: F401  B11
+from .llm import dedup as _llm_dedup  # noqa: F401  B11
+from .llm import multimodal as _llm_multimodal  # noqa: F401  B11
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,87 @@
+"""LLM-pipeline operator semantics that the DuckDB oracle can't
+check: approximate methods vs their exact ground truth, and the
+pandas-UDF multimodal kernel."""
+
+import pytest
+
+from aws_datalake_framework_api_spark.queries_all import QUERIES
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """LSH-banded MinHash must (a) emit NO false positives (it reranks
+    with exact Jaccard) and (b) recall ≥90% of the exact pairs at the
+    16x2 band setting (theory: ≈99% at s=0.5)."""
+    exact = _pairs(QUERIES["b_llm_dedup_ngram"](spark, sf_dir))
+    approx = _pairs(QUERIES["b_llm_dedup_minhash"](spark, sf_dir))
+    assert approx <= exact, f"false positives: {approx - exact}"
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.2f} < 0.9"
+
+
+def test_knn_lsh_recall_vs_brute(spark, sf_dir):
+    """LSH ANN: every reported neighbor must be a real corpus vector
+    with correctly-computed cosine (spot-checked via the exact top-5),
+    and union-of-4-tables recall vs brute force must be usable."""
+    exact = QUERIES["b_llm_knn"](spark, sf_dir)
+    approx = QUERIES["b_llm_knn_lsh"](spark, sf_dir)
+    e = {(r["q_id"], r["n_id"]): r["cos_sim"] for r in exact.collect()}
+    a = {(r["q_id"], r["n_id"]): r["cos_sim"] for r in approx.collect()}
+    # cosines agree exactly where the pair appears in both
+    for k in set(e) & set(a):
+        assert e[k] == a[k], f"cosine mismatch for {k}: {e[k]} vs {a[k]}"
+    recall = len(set(e) & set(a)) / len(e)
+    # random hyperplanes on random 64-dim data: recall is modest by
+    # design at 4x6 bits; this asserts the machinery works, and the
+    # bound documents the setting's floor on the fixture.
+    assert recall >= 0.15, f"ANN recall {recall:.2f} unusably low"
+
+
+def test_simhash_buckets_contain_exact_dups(spark, sf_dir):
+    """Exact duplicate texts must land in the same simhash bucket."""
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup_sets = (
+        docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in QUERIES["b_llm_dedup_simhash"](spark, sf_dir).collect()}
+    for row in dup_sets:
+        hashes = {sh[i] for i in row["ids"]}
+        assert len(hashes) == 1, f"exact dups split across buckets: {row['ids']}"
+
+
+def test_mm_features_deterministic_and_typed(spark, sf_dir):
+    """The mapInPandas kernel streams Arrow batches and returns the
+    declared schema with deterministic values across runs."""
+    df1 = QUERIES["b_mm_features"](spark, sf_dir)
+    assert [f.name for f in df1.schema.fields] == [
+        "doc_id", "mime", "payload_len", "first_byte", "byte_sum_mod", "n_frames",
+    ]
+    r1 = sorted((r["doc_id"], r["byte_sum_mod"], r["n_frames"]) for r in df1.collect())
+    r2 = sorted(
+        (r["doc_id"], r["byte_sum_mod"], r["n_frames"])
+        for r in QUERIES["b_mm_features"](spark, sf_dir).collect()
+    )
+    assert r1 == r2 and len(r1) > 0
+
+
+def test_mm_decode_stub_is_gated(spark, sf_dir):
+    """If no codec is present the stub path runs; if one IS present
+    the kernel must raise NotImplementedError rather than fake-decode
+    silently."""
+    from aws_datalake_framework_api_spark.llm import multimodal as mm
+
+    if mm.decode_available():  # pragma: no cover - no codec in container
+        with pytest.raises(Exception):
+            QUERIES["b_mm_features"](spark, sf_dir).collect()
+    else:
+        assert QUERIES["b_mm_features"](spark, sf_dir).count() > 0
