@@ -1,0 +1,167 @@
+"""File-source streaming ingestion + stateful processing (SURVEY.md
+§2 A12/B9).
+
+``b_stream_ingest`` IS the reference's ingestion topology rebuilt on
+Spark: where the reference wires S3 ``createObject`` → SNS topic →
+processing Lambda per source system (``cft/sourceSystem.yaml:29-63``,
+landing prefix ``*/init/*`` :77), Structured Streaming's file source
+watches a landing directory, discovers new files per micro-batch, and
+writes them to the curated zone exactly-once (checkpointed) — the
+whole push topology collapses into ``readStream`` → ``writeStream``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import query
+from ..sources.readers import load_table
+
+# Landing-file schema: ts arrives as raw int64 nanos (the fixture's
+# parquet TIMESTAMP(NANOS) physical type — see sources/readers.py) and
+# is converted to µs timestamps in the ingest transformation, exactly
+# like the batch reader. Explicit schema: a streaming source NEVER
+# infers (inference would race arriving files).
+LANDING_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def ingest_stream(
+    spark: SparkSession, landing_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """The engine's ingestion pipeline: watch ``landing_dir`` for
+    parquet drops, normalize timestamps, write curated parquet with
+    exactly-once checkpointing.  ``availableNow`` processes the
+    current backlog then stops — the batch-backfill trigger; a live
+    deployment uses the default micro-batch trigger instead."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(LANDING_SCHEMA)
+        .parquet(landing_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query(
+    "b_stream_ingest",
+    """
+    SELECT event_id, ts, user_id, event_type, round(value, 2) AS value, props
+    FROM events
+    """,
+)
+def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming ingest: stage the events feed as landing
+    files, run the real ``readStream`` → ``writeStream`` pipeline
+    (availableNow), read back the curated output.  The oracle is the
+    identity over the source feed — ingestion must lose and corrupt
+    nothing.  (This query does real filesystem work in a temp dir;
+    it is the one queries() entry that is a pipeline, not a plan.)"""
+    tmp = tempfile.mkdtemp(prefix="spark_graft_ingest_")
+    landing = os.path.join(tmp, "landing")
+    out = os.path.join(tmp, "curated")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(landing)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(landing, "events-000.parquet"),
+    )
+    ingest_stream(spark, landing, out, ckpt)
+    df = spark.read.parquet(out)
+    return df.select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value"), "props"
+    )
+
+
+# ---------------------------------------------------------------- stateful
+
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("event_id", LongType(), True),
+        StructField("running_total", DoubleType(), True),
+        StructField("running_n", LongType(), True),
+    ]
+)
+
+
+def _running_totals(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: per-user running totals in event order.
+    The same fold ``applyInPandasWithState`` runs incrementally in
+    streaming (state = (total, n) carried across micro-batches); the
+    batch form replays the whole history in one group."""
+    (uid,) = key
+    rows = pdf.sort_values(["ts", "event_id"])
+    run = rows["value"].cumsum()
+    return pd.DataFrame(
+        {
+            "user_id": uid,
+            "event_id": rows["event_id"],
+            "running_total": run.round(6),
+            "running_n": range(1, len(rows) + 1),
+        }
+    )
+
+
+@query(
+    "b_stream_stateful",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running_total,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS running_n
+    FROM events
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful per-key processing: running (total, count) per user in
+    event-time order — the custom-state shape (per-key accumulator) of
+    ``applyInPandasWithState``.  Implemented with the SAME pandas
+    kernel a streaming deployment uses (grouped-map, Arrow-batched);
+    the oracle twin is the cumulative window — proving the stateful
+    fold equals its relational definition.  The true incremental
+    plumbing (GroupState across micro-batches, timeout-driven
+    finalization) runs in tests/test_streaming.py.
+
+    Scale: one shuffle on user_id; state per key is O(1); pandas sees
+    one group at a time (bounded by the largest single key, the usual
+    applyInPandas constraint — salt mega-keys upstream if one user
+    exceeds executor memory)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(_running_totals, schema=STATE_SCHEMA)
+    )

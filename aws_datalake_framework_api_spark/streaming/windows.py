@@ -1,0 +1,227 @@
+"""Event-time windowing (SURVEY.md §2 B9) — realizes the reference's
+event-driven ingestion topology (S3→SNS→Lambda per
+``cft/sourceSystem.yaml:29-63``) as Structured Streaming semantics.
+
+``F.window`` / ``F.session_window`` compute IDENTICALLY on batch and
+streaming DataFrames — Spark's unified model — so the oracle checks
+the window semantics in batch mode here, and tests/test_streaming.py
+re-runs the same transformations through a real ``readStream`` →
+``writeStream`` pipeline (file source, availableNow trigger) to prove
+the streaming path end-to-end.
+
+Scale notes: windowed aggregation shuffles on (window, keys) — at
+1000 executors the window column's time-locality also gives state-store
+pruning; watermarks bound state size (without one, streaming state
+grows forever — the no-watermark variants here are batch-only
+analytics shapes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import money_sum, sql_money_sum
+from ..registry import query
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------- tumbling
+
+
+@query(
+    "b_stream_tumble",
+    f"""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS w_start,
+           time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS w_end,
+           event_type,
+           count(*) AS n,
+           {sql_money_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows: count + value sum per
+    (window, event_type).  Spark's window origin and DuckDB's
+    time_bucket are both epoch-aligned, so the buckets coincide."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 day")
+    return (
+        ev.groupBy(w, "event_type")
+        .agg(F.count("*").alias("n"), money_sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- sliding
+
+
+@query(
+    "b_stream_slide",
+    f"""
+    SELECT time_bucket(INTERVAL '6 hours', ts) - i.i * INTERVAL '6 hours' AS w_start,
+           time_bucket(INTERVAL '6 hours', ts) - i.i * INTERVAL '6 hours'
+             + INTERVAL '1 day' AS w_end,
+           count(*) AS n,
+           {sql_money_sum('value')} AS total_value
+    FROM events, generate_series(0, 3) AS i(i)
+    GROUP BY 1, 2
+    """,
+)
+def stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 day length, 6 h slide): each event belongs to
+    exactly 4 windows.  The oracle materializes the same 4 memberships
+    with a generate_series cross join — the relational definition of a
+    sliding window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 day", "6 hours")
+    return (
+        ev.groupBy(w)
+        .agg(F.count("*").alias("n"), money_sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- session
+
+
+@query(
+    "b_stream_session",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL '30 minutes' AS s_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user.  Spark's
+    ``session_window`` ends sessions at last-event + gap; the oracle
+    reproduces that with the classic gaps-and-islands construction
+    (lag → new-session flag → running sum → group), which is also
+    exactly how the session state machine behaves incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw, "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------- watermark
+
+
+@query(
+    "b_stream_watermark",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           event_type,
+           count(*) AS n,
+           {sql_money_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hourly aggregation.  ``withWatermark`` bounds
+    streaming state (late data beyond 1 h is dropped and windows
+    finalize); on a batch frame it is semantically a no-op, so the
+    oracle sees the plain hourly rollup — which is precisely the
+    unified-model contract this query pins down.  The true streaming
+    behavior (state cleanup, late-row drop) is exercised in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), money_sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- dedup
+
+
+@query(
+    "b_stream_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type, round(value, 2) AS value
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup semantics: duplicate delivery (union of the
+    feed with itself = at-least-once redelivery) collapsed back to
+    exactly-once by key.  In streaming this is
+    ``withWatermark + dropDuplicates([key])`` with state expiry; the
+    batch twin proves the collapse is exact (result == the original
+    feed)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+    redelivered = ev.unionByName(ev)
+    return redelivered.dropDuplicates(["event_id"])
+
+
+# ---------------------------------------------------------------- stream-static join
+
+
+@query(
+    "b_stream_join",
+    f"""
+    SELECT c.c_mktsegment, e.event_type,
+           count(*) AS n,
+           {sql_money_sum('e.value')} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event feed joins the
+    customer dimension (static side broadcast — in streaming, Spark
+    re-reads the static side per micro-batch, so a broadcast dim is
+    the difference between a per-batch shuffle and none)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), money_sum("value").alias("total_value"))
+    )

@@ -1,0 +1,170 @@
+"""True Structured-Streaming paths: real ``readStream`` sources,
+micro-batch triggers, stateful processing with GroupState — the
+behavior the batch-mode oracle queries can't check."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from aws_datalake_framework_api_spark.sources.readers import load_table
+from aws_datalake_framework_api_spark.streaming.ingest import (
+    LANDING_SCHEMA,
+    ingest_stream,
+)
+
+
+@pytest.fixture()
+def landing(tmp_path, sf_dir):
+    d = tmp_path / "landing"
+    d.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d / "events-000.parquet")
+    return str(d)
+
+
+def _event_stream(spark, landing_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(LANDING_SCHEMA)
+        .parquet(landing_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def test_ingest_roundtrip_exactly_once(spark, sf_dir, tmp_path, landing):
+    """File-source ingest: no rows lost or duplicated; a RE-RUN over
+    the same checkpoint must be a no-op (exactly-once)."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ingest_stream(spark, landing, out, ckpt)
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(out).count() == n_src
+    # rerun with same checkpoint: backlog already committed -> no dup rows
+    ingest_stream(spark, landing, out, ckpt)
+    assert spark.read.parquet(out).count() == n_src
+
+
+def test_streaming_windowed_agg_matches_batch(spark, sf_dir, landing):
+    """The SAME window transformation through a real stream (memory
+    sink, availableNow) equals its batch execution — the unified-model
+    contract the oracle-checked queries rely on."""
+    stream = _event_stream(spark, landing)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    want = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_static_join(spark, sf_dir, landing):
+    """Stream-static broadcast enrichment through a real micro-batch."""
+    stream = _event_stream(spark, landing)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey).select(
+        "event_id", "c_mktsegment"
+    )
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.sql("SELECT count(*) AS n FROM enriched").collect()[0]["n"]
+    want = (
+        load_table(spark, sf_dir, "events")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .count()
+    )
+    assert n == want > 0
+
+
+def test_apply_in_pandas_with_state(spark, sf_dir, landing):
+    """The REAL stateful API: per-user event counts/sums accumulated
+    in GroupState across micro-batches; final state must equal the
+    batch groupBy."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("total", DoubleType(), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("total", DoubleType(), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame({"user_id": [key[0]], "total": [total], "n": [n]})
+
+    stream = _event_stream(spark, landing).select("user_id", "value")
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        result.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("user_state")
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (round(r["total"], 4), r["n"])
+        for r in spark.sql(
+            "SELECT user_id, last(total) AS total, last(n) AS n FROM user_state GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (round(r["total"], 4), r["n"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
