@@ -1,0 +1,182 @@
+"""Tier A queries: the catalog CRUD + audit surface driven
+end-to-end against a scratch warehouse, with DuckDB oracle twins
+(SURVEY.md §2 A1/A2/A6-A9).
+
+Each query provisions a fresh temp warehouse, drives the REAL
+catalog API (create/read/update/delete with audit), and returns a
+deterministic DataFrame the oracle reproduces from the fixture
+tables — so the driver's hash compare checks actual CRUD semantics,
+not just a SELECT."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .registry import query
+from .sources.readers import load_table
+
+
+def _seeded_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Fresh warehouse seeded with one source system per nation —
+    deterministic ids/names straight from the fixture, registered via
+    the batch API (one table write; the per-call path is exercised
+    separately by the semantic probes and tests/test_catalog.py)."""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="spark_graft_wh_"))
+    rows = [
+        (int(r["n_nationkey"]), r["n_name"], f'{{"region": {int(r["n_regionkey"])}}}')
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    ]
+    res = cat.create_many("source_system", rows)
+    assert res["created"] == len(rows) and res["conflicts"] == 0
+    return cat
+
+
+@query(
+    "a6_catalog_create",
+    """
+    SELECT n_nationkey AS entity_id, n_name AS name,
+           '{"region": ' || n_regionkey || '}' AS attrs,
+           'active' AS status
+    FROM nation
+    """,
+)
+def catalog_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 create ×25 (one per nation) + duplicate-create rejection,
+    then the catalog table read back.  (Reference: ``create_source``,
+    source-system ``lambda_function.py:56-73``.)"""
+    cat = _seeded_catalog(spark, sf_dir)
+    # duplicate create must 409 and not mutate the table
+    assert cat.create("source_system", 0, "dup")["statusCode"] == 409
+    return cat.load("source_system")
+
+
+@query(
+    "a7_catalog_read",
+    """
+    SELECT n_nationkey AS entity_id, n_name AS name,
+           '{"region": ' || n_regionkey || '}' AS attrs,
+           'active' AS status
+    FROM nation WHERE n_nationkey = 7
+    """,
+)
+def catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 point lookup by id (``read_source``,
+    ``lambda_function.py:75-92``): filter pushdown to the catalog
+    parquet."""
+    cat = _seeded_catalog(spark, sf_dir)
+    return cat.read("source_system", 7)
+
+
+@query(
+    "a8_catalog_update",
+    """
+    SELECT n_nationkey AS entity_id, n_name AS name,
+           '{"region": ' || n_regionkey || '}' AS attrs,
+           CASE WHEN n_regionkey = 2 THEN 'suspended' ELSE 'active' END AS status
+    FROM nation
+    """,
+)
+def catalog_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 conditional update: suspend every region-2 system; updating
+    a nonexistent id (999) must match 0 rows and write NOTHING — the
+    reference's attribute_exists condition (``lambda_function.py:39``),
+    not an upsert."""
+    cat = _seeded_catalog(spark, sf_dir)
+    region2 = [
+        int(r["n_nationkey"])
+        for r in load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 2)
+        .collect()
+    ]
+    res = cat.update_where("source_system", region2, status="suspended")
+    assert res["matched"] == len(region2)
+    missing = cat.update("source_system", 999, status="ghost")
+    assert missing["matched"] == 0 and missing["statusCode"] == 404
+    return cat.load("source_system")
+
+
+@query(
+    "a9_catalog_delete",
+    """
+    SELECT n_nationkey AS entity_id, n_name AS name,
+           '{"region": ' || n_regionkey || '}' AS attrs,
+           'active' AS status
+    FROM nation WHERE n_regionkey <> 0
+    """,
+)
+def catalog_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 delete (anti-join rewrite): deregister region-0 systems;
+    deleting a nonexistent id 404s with matched=0."""
+    cat = _seeded_catalog(spark, sf_dir)
+    region0 = [
+        int(r["n_nationkey"])
+        for r in load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .collect()
+    ]
+    assert cat.delete_where("source_system", region0)["matched"] == len(region0)
+    assert cat.delete("source_system", 999)["statusCode"] == 404
+    return cat.load("source_system")
+
+
+@query(
+    "a1_event_append",
+    """
+    SELECT 'source_system/create' AS method_name, 'success' AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation
+    UNION ALL
+    SELECT 'source_system/create', 'failure', 1
+    UNION ALL
+    SELECT 'source_system/read', 'success', 3
+    """,
+)
+def event_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the audit log — every API call appends a record (even
+    reads, ``lambda_function.py:86``); rolled up by (method, status)
+    so the oracle can predict it exactly (25 creates succeed, the
+    duplicate fails, 3 reads)."""
+    cat = _seeded_catalog(spark, sf_dir)
+    cat.create("source_system", 0, "dup")  # -> failure row
+    for nid in (1, 2, 3):
+        cat.read("source_system", nid)
+    cat.flush_audit()
+    return (
+        cat.audit_log()
+        .groupBy("method_name", "status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "a2_event_update",
+    """
+    SELECT 'req-0' AS aws_request_id, 'source_system/create' AS method_name,
+           'delivered' AS status
+    """,
+)
+def event_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: conditional audit-status update — flip ONE existing event
+    to 'delivered' (matched=1); a nonexistent key matches 0 and
+    changes nothing.  (Reference ``update_item`` with
+    ConditionExpression, ``lambda_function.py:33-44``; its
+    UpdateExpression would actually crash on the reserved word
+    ``status`` — see SURVEY.md §1.2 — our plain column just works.)"""
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="spark_graft_wh_"))
+    cat._audit("source_system/create", None, request_id="req-0")
+    cat._audit("source_system/create", None, request_id="req-1")
+    cat.flush_audit()
+    assert cat.update_event_status("req-0", "source_system/create", "delivered") == 1
+    assert cat.update_event_status("req-missing", "source_system/create", "x") == 0
+    return (
+        cat.audit_log()
+        .filter(F.col("status") == "delivered")
+        .select("aws_request_id", "method_name", "status")
+    )

@@ -1,0 +1,103 @@
+"""Catalog + API-layer semantics (SURVEY.md A4/A5/A10 and the
+per-call CRUD paths the batch-based oracle queries don't drive)."""
+
+import pytest
+
+from aws_datalake_framework_api_spark.api import dispatch, health
+from aws_datalake_framework_api_spark.catalog import Catalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+
+def test_create_read_roundtrip(cat):
+    assert cat.create("source_system", 1, "alpha", '{"k": 1}')["statusCode"] == 200
+    rows = cat.read("source_system", 1).collect()
+    assert len(rows) == 1 and rows[0]["name"] == "alpha"
+    assert rows[0]["status"] == "active"
+
+
+def test_duplicate_create_conflicts(cat):
+    cat.create("target_system", 5, "t")
+    assert cat.create("target_system", 5, "t2")["statusCode"] == 409
+    assert cat.load("target_system").count() == 1
+
+
+def test_update_nonexistent_is_noop_not_upsert(cat):
+    cat.create("data_asset", 1, "a")
+    res = cat.update("data_asset", 42, status="ghost")
+    assert res["statusCode"] == 404 and res["matched"] == 0
+    assert cat.load("data_asset").count() == 1  # nothing created
+
+
+def test_delete_then_read_empty(cat):
+    cat.create("source_system", 9, "gone")
+    assert cat.delete("source_system", 9)["matched"] == 1
+    assert cat.read("source_system", 9).count() == 0
+
+
+def test_entities_are_isolated_per_type(cat):
+    cat.create("source_system", 1, "src")
+    cat.create("target_system", 1, "tgt")
+    assert cat.read("source_system", 1).collect()[0]["name"] == "src"
+    assert cat.read("target_system", 1).collect()[0]["name"] == "tgt"
+
+
+def test_source_system_provisions_landing_prefix(cat, tmp_path):
+    """create_source also provisions storage — the CFT's per-source
+    bucket + init/ prefix (cft/sourceSystem.yaml:20-27,77)."""
+    import os
+
+    cat.create("source_system", 7, "s7")
+    assert os.path.isdir(str(tmp_path / "wh" / "lake" / "7" / "init"))
+
+
+def test_audit_every_call_including_reads(cat):
+    cat.create("source_system", 1, "a")
+    cat.read("source_system", 1)
+    cat.read("source_system", 999)
+    cat.flush_audit()
+    log = {(r["method_name"],): r for r in cat.audit_log().collect()}
+    methods = [r["method_name"] for r in cat.audit_log().collect()]
+    assert methods.count("source_system/create") == 1
+    assert methods.count("source_system/read") == 2
+    assert all(r["api_call_type"] == "synchronous" for r in cat.audit_log().collect())
+
+
+def test_conditional_event_update(cat):
+    cat._audit("m", None, request_id="r1")
+    cat.flush_audit()
+    assert cat.update_event_status("r1", "m", "done") == 1
+    assert cat.update_event_status("nope", "m", "done") == 0
+    statuses = {r["aws_request_id"]: r["status"] for r in cat.audit_log().collect()}
+    assert statuses["r1"] == "done"
+
+
+# ---------------------------------------------------------------- dispatch
+
+
+def test_health_probe():
+    assert health() == {"statusCode": 200, "body": "API health is ok"}
+
+
+def test_dispatch_routes_and_404s(cat):
+    ok = dispatch(cat, "/sourcesystem/create",
+                  {"entity_id": 3, "name": "n3"}, tasktype="create")
+    assert ok["statusCode"] == 200
+    got = dispatch(cat, "/sourcesystem/read", {"entity_id": 3}, tasktype="read")
+    assert got["statusCode"] == 200 and got["body"][0]["name"] == "n3"
+    assert dispatch(cat, "/nosuch/create", {}, tasktype="x")["statusCode"] == 404
+    assert dispatch(cat, "/sourcesystem/frobnicate", {}, tasktype="x")["statusCode"] == 404
+    assert dispatch(cat, "/health", tasktype="x")["statusCode"] == 200
+
+
+def test_dispatch_requires_tasktype_but_routes_by_path(cat):
+    """The reference's quirk, preserved: tasktype must be PRESENT
+    (gateway validation, swagger :268-271) but routing uses the path
+    (lambda_function.py:133-141)."""
+    assert dispatch(cat, "/sourcesystem/create", {"entity_id": 1})["statusCode"] == 400
+    ok = dispatch(cat, "/sourcesystem/create",
+                  {"entity_id": 1, "name": "x"}, tasktype="NOT-the-route")
+    assert ok["statusCode"] == 200  # routed by path, not tasktype
