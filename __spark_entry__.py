@@ -18,10 +18,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # The driver may import this file by path from any cwd — make the
-# sibling package importable regardless.
+# sibling package importable regardless, and export it to executor
+# Python workers too (cloudpickled UDF kernels that reference the
+# package by module path unpickle on workers, whose sys.path comes
+# from PYTHONPATH, not from this process's sys.path).
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO_DIR not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO_DIR + (os.pathsep + _pp if _pp else "")
 
 from aws_datalake_framework_api_spark.operators.joins import star_join  # noqa: E402
 from aws_datalake_framework_api_spark.queries_all import ORACLE, QUERIES  # noqa: E402

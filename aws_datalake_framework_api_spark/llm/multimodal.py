@@ -72,32 +72,39 @@ def decode_available() -> bool:
         return False
 
 
-def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: stream Arrow batches, emit one feature row
-    per payload.  The *decode* step is the stub seam: with a codec it
-    would parse payload bytes; without one it derives deterministic
-    fake features from the raw bytes (clearly marked — NOT a real
-    decode), so the plumbing (batch iteration, schema, null
-    handling) is fully exercised."""
-    have_codec = decode_available()
-    for pdf in batches:
-        if have_codec:  # pragma: no cover - codec not present in this container
-            raise NotImplementedError(
-                "real decode path: plug PIL/libav parsing here; the container "
-                "this engine is developed in ships no codecs"
+def make_feature_kernel(have_codec: bool):
+    """Build the mapInPandas kernel: stream Arrow batches, emit one
+    feature row per payload.  The *decode* step is the stub seam:
+    with a codec it would parse payload bytes; without one it derives
+    deterministic fake features from the raw bytes (clearly marked —
+    NOT a real decode), so the plumbing (batch iteration, schema,
+    null handling) is fully exercised.
+
+    Returned as a closure (not a module-level function) so cloudpickle
+    serializes it BY VALUE — executor workers don't import this
+    package when the driver loads __spark_entry__.py by file path."""
+
+    def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if have_codec:  # pragma: no cover - codec not present in this container
+                raise NotImplementedError(
+                    "real decode path: plug PIL/libav parsing here; the container "
+                    "this engine is developed in ships no codecs"
+                )
+            # deterministic FAKE decode (stub): features from raw bytes
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "payload_len": pdf["payload_len"],
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else None),
+                    "byte_sum_mod": payloads.map(lambda b: sum(b) % 1000003),
+                    "n_frames": payloads.map(lambda b: max(1, len(b) // 64)),
+                }
             )
-        # deterministic FAKE decode (stub): features from raw bytes
-        payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "mime": pdf["mime"],
-                "payload_len": pdf["payload_len"],
-                "first_byte": payloads.map(lambda b: b[0] if len(b) else None),
-                "byte_sum_mod": payloads.map(lambda b: sum(b) % 1000003),
-                "n_frames": payloads.map(lambda b: max(1, len(b) // 64)),
-            }
-        )
+
+    return extract_features
 
 
 def as_multimodal(docs: DataFrame) -> DataFrame:
@@ -152,4 +159,5 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan."""
     docs = load_table(spark, sf_dir, "documents")
     mm = as_multimodal(docs)
-    return mm.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+    kernel = make_feature_kernel(decode_available())
+    return mm.mapInPandas(kernel, schema=FEATURE_SCHEMA)

@@ -1,0 +1,151 @@
+"""UDF / UDAF surface (SURVEY.md §2 B10) — the three Python
+extension points, each used where it's the RIGHT tool and documented
+with its cost model:
+
+- row-at-a-time ``F.udf``: ~10-100× slower than built-ins (per-row
+  pickle + GIL); exists for API completeness and genuinely scalar
+  Python logic.  The query that uses it also shows the built-in
+  expression that replaces it.
+- ``pandas_udf``: Arrow-batched, vectorized — the right Python path
+  for numeric kernels (numpy) the built-ins can't express.
+- ``applyInPandas``: grouped-map for per-group model logic
+  (normalization, fitting); one group = one pandas frame, so the
+  largest key must fit an executor (salt mega-keys upstream).
+
+Float policy: numpy reductions use pairwise summation while SQL
+engines fold sequentially, so UDF outputs are rounded at 6 dp —
+coarse enough that a last-ulp disagreement can't flip the rounding
+(see functions/numeric.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import query
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------- scalar UDF
+
+
+@query(
+    "b_udf_scalar",
+    """
+    SELECT o_orderkey,
+           o_orderstatus || ':' || split_part(o_orderpriority, '-', 1) AS label_udf,
+           o_orderstatus || ':' || split_part(o_orderpriority, '-', 1) AS label_builtin
+    FROM orders
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Python UDF next to its built-in replacement — the query
+    output proves they agree; the plan shows why the built-in wins
+    (BatchEvalPython breaks whole-stage codegen around the UDF
+    column)."""
+    # Kernel defined in-function: cloudpickle then serializes it BY
+    # VALUE, so executor workers need no importable package (the
+    # driver loads __spark_entry__.py by file path from any cwd).
+    @F.udf(returnType=StringType())
+    def priority_label(status: str, priority: str) -> str:
+        band = priority.split("-")[0]
+        return f"{status}:{band}"
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        priority_label("o_orderstatus", "o_orderpriority").alias("label_udf"),
+        F.concat_ws(
+            ":", F.col("o_orderstatus"), F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
+        ).alias("label_builtin"),
+    )
+
+
+# ---------------------------------------------------------------- pandas UDF
+
+
+@query(
+    "b_udf_pandas",
+    """
+    SELECT vec_id,
+           round(
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(embedding, x -> CAST(x AS DOUBLE))), (a,b) -> a+b)
+             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (a,b) -> a+b))
+                * sqrt(64.0)), 6) AS cos_ones
+    FROM embeddings
+    """,
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF (cosine vs the ones vector).  numpy's
+    pairwise summation differs from SQL's sequential fold in the last
+    ulp, hence the 6 dp round on both sides."""
+    @F.pandas_udf(DoubleType())
+    def cos_to_ones(emb: pd.Series) -> pd.Series:
+        # vectorized over Arrow batches - no per-row Python
+        m = np.vstack(emb.to_numpy())
+        dots = m.sum(axis=1, dtype=np.float64)
+        norms = np.sqrt((m.astype(np.float64) ** 2).sum(axis=1))
+        return pd.Series(dots / (norms * math.sqrt(m.shape[1])))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.round(cos_to_ones("embedding"), 6).alias("cos_ones"))
+
+
+# ---------------------------------------------------------------- grouped map
+
+
+_Z_SCHEMA = StructType(
+    [
+        StructField("c_custkey", LongType(), True),
+        StructField("c_mktsegment", StringType(), True),
+        StructField("zscore", DoubleType(), True),
+    ]
+)
+
+
+@query(
+    "b_udf_grouped",
+    """
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER seg)
+                 / stddev_samp(c_acctbal) OVER seg, 6) AS zscore
+    FROM customer
+    WINDOW seg AS (PARTITION BY c_mktsegment)
+    """,
+)
+def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandas`` z-score per market segment; the oracle twin
+    is the window formulation — proving the grouped-map kernel equals
+    its relational definition (same guarantee the stateful streaming
+    query pins down)."""
+    def zscore(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["c_acctbal"].astype(float)
+        mu, sd = x.mean(), x.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": key[0],
+                "zscore": ((x - mu) / sd).round(6),
+            }
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(zscore, schema=_Z_SCHEMA)
+    )

@@ -18,5 +18,7 @@ from .llm import multimodal as _llm_multimodal  # noqa: F401  B11
 from .streaming import windows as _stream_windows  # noqa: F401  B9
 from .streaming import ingest as _stream_ingest  # noqa: F401  A12/B9
 from . import catalog_queries as _catalog_queries  # noqa: F401  A1-A9
+from .operators import udfs as _udfs  # noqa: F401  B10
+from .sources import landing as _landing  # noqa: F401  B1
 
 __all__ = ["QUERIES", "ORACLE"]

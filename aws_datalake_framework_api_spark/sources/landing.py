@@ -1,0 +1,100 @@
+"""Landing-format ingestion + partitioned sinks (SURVEY.md §2 B1).
+
+The reference's sources drop UNTYPED files under ``*/init/*``
+(``cft/sourceSystem.yaml:77``) — CSV/JSON landing formats.  These
+queries run the REAL roundtrip: write the landing format to a scratch
+dir with Spark, ingest it back with an explicit schema (never
+``inferSchema`` — at 100 TB inference is an extra full pass), and
+aggregate; the oracle computes the same aggregate straight from the
+fixture, so any loss/corruption in the format roundtrip fails the
+hash compare."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import money_sum, sql_money_sum
+from ..registry import query
+from .readers import load_table
+
+_CSV_SCHEMA = (
+    "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, "
+    "c_mktsegment STRING"
+)
+
+_JSON_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+@query(
+    "b_scan_csv",
+    f"""
+    SELECT c_mktsegment, count(*) AS n, {sql_money_sum('c_acctbal')} AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV landing roundtrip: write customer as headered CSV, ingest
+    with explicit schema, aggregate.  Doubles survive because Spark
+    writes shortest-roundtrip decimal strings."""
+    tmp = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    path = os.path.join(tmp, "customer_csv")
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    back = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), money_sum("c_acctbal").alias("total_bal")
+    )
+
+
+@query(
+    "b_scan_json",
+    f"""
+    SELECT event_type, count(*) AS n, {sql_money_sum('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines landing roundtrip (events feed, µs timestamps +
+    nested JSON props carried as strings), explicit-schema ingest,
+    aggregate."""
+    tmp = tempfile.mkdtemp(prefix="spark_graft_json_")
+    path = os.path.join(tmp, "events_json")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").json(path)
+    back = spark.read.schema(_JSON_SCHEMA).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), money_sum("value").alias("total_value")
+    )
+
+
+@query(
+    "b_sink_part",
+    f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {sql_money_sum('l_extendedprice')} AS total_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink: write lineitem partitioned by
+    (l_returnflag, l_linestatus) — the layout that turns partition
+    predicates into directory pruning at read — then read back and
+    aggregate per partition.  At 100 TB, partition columns are chosen
+    for (a) bounded cardinality and (b) appearing in WHERE clauses;
+    flag/status are the fixture's analogue."""
+    tmp = tempfile.mkdtemp(prefix="spark_graft_sink_")
+    path = os.path.join(tmp, "lineitem_part")
+    load_table(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
+        "l_returnflag", "l_linestatus"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), money_sum("l_extendedprice").alias("total_price")
+    )

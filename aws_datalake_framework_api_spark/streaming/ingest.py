@@ -116,22 +116,6 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _running_totals(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map kernel: per-user running totals in event order.
-    The same fold ``applyInPandasWithState`` runs incrementally in
-    streaming (state = (total, n) carried across micro-batches); the
-    batch form replays the whole history in one group."""
-    (uid,) = key
-    rows = pdf.sort_values(["ts", "event_id"])
-    run = rows["value"].cumsum()
-    return pd.DataFrame(
-        {
-            "user_id": uid,
-            "event_id": rows["event_id"],
-            "running_total": run.round(6),
-            "running_n": range(1, len(rows) + 1),
-        }
-    )
 
 
 @query(
@@ -159,9 +143,25 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     one group at a time (bounded by the largest single key, the usual
     applyInPandas constraint — salt mega-keys upstream if one user
     exceeds executor memory)."""
+    # Kernel nested so cloudpickle serializes it by value (executor
+    # workers don't import this package when the driver loads
+    # __spark_entry__.py by file path from a foreign cwd).
+    def running_totals(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (uid,) = key
+        rows = pdf.sort_values(["ts", "event_id"])
+        run = rows["value"].cumsum()
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": rows["event_id"],
+                "running_total": run.round(6),
+                "running_n": range(1, len(rows) + 1),
+            }
+        )
+
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
-        .applyInPandas(_running_totals, schema=STATE_SCHEMA)
+        .applyInPandas(running_totals, schema=STATE_SCHEMA)
     )
