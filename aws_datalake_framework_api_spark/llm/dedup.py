@@ -206,6 +206,12 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(s, cand)
 
 
+# SURVEY.md §2 B11 names this row `b_llm_dedup_fuzzy`; MinHash+LSH is
+# that fuzzy-dedup implementation — register the same plan under the
+# survey id so the inventory check finds it line-by-line.
+query("b_llm_dedup_fuzzy")(llm_dedup_minhash)
+
+
 # ---------------------------------------------------------------- SimHash
 
 

@@ -3,17 +3,19 @@ brute-force cosine kNN (the correctness baseline), all-pairs cosine
 near-duplicate detection, and a random-hyperplane-LSH approximate
 variant (the 100 TB scale path).
 
-Float determinism: embeddings are ``array<float>``; both engines
-widen float32→float64 identically, and the dot/norm folds below
-accumulate LEFT-TO-RIGHT in double on both sides (Spark
-``F.aggregate``, DuckDB ``list_reduce`` with a prepended 0.0 seed),
-so cosines are bit-identical and the oracle can compare them after a
-defensive 8 dp round.  Ranking happens on the ROUNDED cosine with an
-id tie-break, so rank order can never depend on a last-ulp bit.
+Float determinism: embeddings are ``array<float>``; all paths widen
+float32→float64 before accumulating.  The numpy kernels sum in
+pairwise/BLAS order while the DuckDB oracle folds left-to-right, so
+cosines can differ in the last few ulps (~1e-15 relative) — far
+below the 8 dp round both sides apply before comparison.  Ranking
+happens on the ROUNDED cosine with an id tie-break, so rank order
+never depends on a last-ulp bit.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -35,6 +37,32 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+EMB_DIM = 64
+
+# NOTE on the rejected alternative: inlining the dot product as a flat
+# 64-term codegen-eligible expression makes the PAIR SCORING fast in
+# isolation, but Janino compilation of the resulting thousand-line
+# generated class takes tens of seconds and (measured) degrades JIT
+# behavior for every subsequent query in the session.  Vector math
+# belongs in Arrow-batched numpy (pandas UDF / mapInPandas): BLAS-grade
+# throughput, constant-size plans, no codegen pathology.
+
+
+def pair_dot() -> Column:
+    """Factory for a vectorized pandas UDF computing the per-row dot
+    product of two array<float> columns via a single numpy einsum per
+    Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return _dot
 
 
 def l2_norm(a: Column) -> Column:
@@ -71,35 +99,54 @@ _KNN_SQL = f"""
 @query("b_llm_knn", _KNN_SQL)
 def llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for a panel of query vectors
-    (vec_id % 25 = 0): broadcast the query panel against the corpus,
-    fold the cosine JVM-side, rank per query.
+    (vec_id % 25 = 0): one Arrow-batched numpy matmul per corpus
+    partition against the broadcast query panel, per-batch partial
+    top-k, then a tiny global rank.
 
     Scale shape: queries × corpus with the SMALL side broadcast — a
-    map-only pass over the corpus followed by a per-query top-k (no
-    all-pairs shuffle). This is the exact-rerank kernel the LSH
-    variant (``b_llm_knn_lsh``) reuses within buckets; at 100 TB you
-    run THAT, and this, on a sampled panel, to measure its recall.
+    map-only BLAS pass over the corpus; the only shuffle carries
+    partitions × queries × 6 candidate rows.  At 100 TB this is the
+    standard brute-force ANN baseline; production runs the LSH
+    variant (``b_llm_knn_lsh``) and uses this on a sampled panel to
+    measure its recall.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    # The query panel is the SMALL side by contract (a user's query
+    # batch / a recall-measurement sample) — collect it to the driver
+    # and close over it: every task gets the k×64 matrix via task
+    # broadcast, and the corpus pass stays map-only.
+    q_rows = (
+        emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding").collect()
     )
-    n = emb.select(
-        F.col("vec_id").alias("n_id"),
-        F.col("embedding").alias("n_emb"),
-        l2_norm(F.col("embedding")).alias("nrm"),
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
+    TOP_K = 5
+
+    def score(batches):
+        for pdf in batches:
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            B = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Bn = B / np.sqrt((B * B).sum(axis=1))[:, None]
+            sims = Bn @ Qn.T  # batch × queries, one BLAS call
+            # partial top-(k+1) per query within the batch (+1 absorbs a
+            # potential self-match removed below); the global top-k is a
+            # union of per-batch top-(k+1)s, so the shuffle carries
+            # partitions × queries × (k+1) rows — not batch × queries.
+            m = min(TOP_K + 1, sims.shape[0])
+            idx = np.argpartition(-sims, m - 1, axis=0)[:m]  # m × queries
+            out = {
+                "q_id": np.repeat(q_ids, m),
+                "n_id": n_ids[idx].T.reshape(-1),
+                "cos_sim": np.take_along_axis(sims, idx, axis=0).T.reshape(-1),
+            }
+            yield pd.DataFrame(out)
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        score, "q_id bigint, n_id bigint, cos_sim double"
     )
-    pairs = (
-        n.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .select(
-            "q_id",
-            "n_id",
-            F.round(
-                dot(F.col("q_emb"), F.col("n_emb"))
-                / (l2_norm(F.col("q_emb")) * F.col("nrm")),
-                8,
-            ).alias("cos_sim"),
-        )
+    pairs = partial.filter(F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", F.round("cos_sim", 8).alias("cos_sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
@@ -143,8 +190,13 @@ def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     single self-join Catalyst turns into one shuffle of the (already
     narrow) normed vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norm fold runs once per VECTOR (n rows, interpreted HOF is fine);
+    # the per-PAIR dot runs in an Arrow-batched numpy UDF below.
     n = emb.select(
-        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        "vec_id",
+        "label",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
     )
     a = n.select(
         F.col("vec_id").alias("id_a"),
@@ -158,6 +210,7 @@ def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    dot_udf = pair_dot()
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
@@ -166,7 +219,9 @@ def llm_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_a",
             "label_b",
             F.round(
-                dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 8
+                dot_udf(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                8,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.5)
@@ -203,6 +258,12 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
     def bucket_code(vec: Column, table: int) -> Column:
+        # Fold over a literal array, NOT an inlined 64-term expression:
+        # bucketing runs ONCE PER ROW map-side, so the HOF interpreter
+        # cost is negligible — while inlining 4 tables × 6 planes × 64
+        # literal terms made the serialized task binary so large that
+        # executors spent ~20 s/task just deserializing it.  The n×m
+        # pair hot paths use Arrow-batched numpy kernels instead.
         code = F.lit(0)
         for p_i, plane in enumerate(planes[table]):
             lit_plane = F.array(*[F.lit(float(v)) for v in plane])

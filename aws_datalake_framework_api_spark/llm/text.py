@@ -107,10 +107,13 @@ def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _ws_tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_tokens = F.size(toks)
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9 ]"), F.lit(0)))
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
-    n_alpha = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]"), F.lit(0)))
     n_chars = F.length("text")
+    # single-char counts via length arithmetic on regexp_replace — ONE
+    # regex pass, no per-character match array (regexp_extract_all on a
+    # 1-char class materializes an array element per matching char)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9 ]", ""))
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    n_alpha = n_chars - F.length(F.regexp_replace(F.col("text"), r"[A-Za-z]", ""))
     return docs.select(
         "doc_id",
         "lang",
@@ -179,7 +182,12 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion is map-side; the only shuffle is the per-doc argmax —
     the right shape at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    markers = spark.createDataFrame(LANG_MARKERS, ["m_lang", "m_word"])
+    # JVM-side literal lexicon (LocalRelation — no Python-worker RDD)
+    markers = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{lang}', '{w}')" for lang, w in LANG_MARKERS)
+        + " AS m(m_lang, m_word)"
+    )
     tok = docs.select(
         "doc_id", "lang", F.explode(_ws_tokens(F.col("text"))).alias("word")
     )

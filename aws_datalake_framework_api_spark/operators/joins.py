@@ -283,7 +283,11 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin; the bands side is O(1) so the 'nested
     loop' is really a per-row band lookup — scales linearly."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    # literal dim built JVM-side (LocalRelation): createDataFrame on a
+    # Python list would pickle through an RDD and spin up a Python
+    # worker per core just to materialize 4 rows (~9s of pure startup)
+    values = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+    bands = spark.sql(f"SELECT * FROM VALUES {values} AS b(band, lo, hi)")
     return (
         lineitem.join(
             F.broadcast(bands),

@@ -21,16 +21,26 @@ from aws_datalake_framework_api_spark.queries_all import QUERIES  # noqa: E402
 from aws_datalake_framework_api_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # relational core
     "b_join_star",
     "b_agg_q1",
     "b_join_smj",
     "b_join_outer",
+    "b_join_range",
     "b_win_frame",
     "b_win_topk",
     "b_join_asof",
     "b_dedup_exact",
     "b_agg_rollup",
     "b_topk",
+    # LLM-pipeline paths (dedup / similarity / text)
+    "b_llm_dedup_ngram",
+    "b_llm_dedup_minhash",
+    "b_llm_knn",
+    "b_llm_quality",
+    # streaming + python-kernel paths
+    "b_stream_session",
+    "b_udf_pandas",
 ]
 
 
@@ -48,8 +58,9 @@ def main() -> None:
             continue
         fn = QUERIES[name]
         t0 = time.time()
-        # count() forces the full plan incl. exchange/sort; cheap to sink
-        fn(spark, sf_dir).count()
+        # noop sink materializes EVERY output column — count() would let
+        # Catalyst prune the final projection and under-measure
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
         per_query[name] = round(dt, 3)
         total += dt
