@@ -56,6 +56,24 @@ from pyspark.sql.types import (
 
 ENTITY_TYPES = ("source_system", "target_system", "data_asset")
 
+
+def _local_df(spark: SparkSession, rows: list, schema: StructType) -> DataFrame:
+    """Driver-local rows (tuples or dicts) → DataFrame via pandas +
+    Arrow.  ``createDataFrame`` on a plain Python list takes the
+    pickled-RDD path: it parallelizes even a 25-row list into
+    defaultParallelism partitions and starts a Python worker per core
+    just to materialize it (~9 s of startup per call on local[32]).
+    The Arrow path converts on the driver and lands JVM-side."""
+    import pandas as pd
+
+    if not rows:
+        return spark.createDataFrame([], schema)
+    cols = [f.name for f in schema.fields]
+    pdf = pd.DataFrame(list(rows), columns=None if isinstance(rows[0], dict) else cols)
+    if isinstance(rows[0], dict):
+        pdf = pdf.reindex(columns=cols)
+    return spark.createDataFrame(pdf, schema)
+
 ENTITY_SCHEMA = StructType(
     [
         StructField("entity_id", LongType(), False),
@@ -150,7 +168,7 @@ class Catalog:
     def flush_audit(self) -> None:
         if not self._audit_rows:
             return
-        df = self.spark.createDataFrame(self._audit_rows, AUDIT_SCHEMA).withColumn(
+        df = _local_df(self.spark, self._audit_rows, AUDIT_SCHEMA).withColumn(
             "modified_ts", F.current_timestamp()
         )
         df.coalesce(1).write.mode("append").parquet(
@@ -161,7 +179,7 @@ class Catalog:
     def audit_log(self) -> DataFrame:
         d = os.path.join(self.warehouse, "api_events")
         pending = (
-            self.spark.createDataFrame(self._audit_rows, AUDIT_SCHEMA)
+            _local_df(self.spark, self._audit_rows, AUDIT_SCHEMA)
             if self._audit_rows
             else self.spark.createDataFrame([], AUDIT_SCHEMA)
         )
@@ -218,8 +236,8 @@ class Catalog:
         if existing.filter(F.col("entity_id") == entity_id).count() > 0:
             self._audit(f"{entity_type}/create", attrs, status="failure")
             return {"statusCode": 409, "body": f"{entity_type} {entity_id} exists"}
-        row = self.spark.createDataFrame(
-            [(entity_id, name, attrs, "active")], ENTITY_SCHEMA
+        row = _local_df(
+            self.spark, [(entity_id, name, attrs, "active")], ENTITY_SCHEMA
         )
         self._overwrite(entity_type, existing.unionByName(row))
         if entity_type == "source_system":
@@ -246,8 +264,8 @@ class Catalog:
         }
         fresh = [r for r in rows if r[0] not in dups]
         if fresh:
-            batch = self.spark.createDataFrame(
-                [(i, n, a, "active") for i, n, a in fresh], ENTITY_SCHEMA
+            batch = _local_df(
+                self.spark, [(i, n, a, "active") for i, n, a in fresh], ENTITY_SCHEMA
             )
             self._overwrite(entity_type, existing.unionByName(batch))
         for i, _, a in fresh:
