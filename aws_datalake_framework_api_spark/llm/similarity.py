@@ -125,6 +125,8 @@ def llm_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             B = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             Bn = B / np.sqrt((B * B).sum(axis=1))[:, None]
@@ -317,6 +319,106 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 5)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+
+@query("b_llm_knn_ivf")  # rows-only: ANN is approximate by design; recall vs
+# the exact b_llm_knn baseline is asserted in tests/test_llm_ops.py.
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse spherical k-means quantizer
+    trained driver-side on a deterministic sample partitions the
+    corpus into cells; each query probes its ``N_PROBE`` nearest
+    cells; exact cosine rerank runs only within probed cells; top-5.
+
+    100 TB shape: training reads a bounded sample (collect of ≤2048
+    rows, independent of corpus size); cell assignment + in-cell
+    scoring is ONE map-only numpy pass over the corpus (the centroid
+    matrix and query panel ride in the task closure); the only shuffle
+    carries per-(batch,cell) partial top-k candidates.  Recall tunes
+    with cells × probes; cost with average cell occupancy — the same
+    knobs as FAISS IVF-Flat.  Unlike the LSH variant
+    (``b_llm_knn_lsh``), the quantizer adapts to the data's cluster
+    structure, so recall on clustered corpora is far higher at equal
+    candidate cost."""
+    N_CELLS, N_PROBE, N_ITERS, TOP_K = 16, 6, 8, 5
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # --- train: deterministic bounded sample, first-k init, Lloyd
+    sample_rows = (
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .orderBy("vec_id")
+        .limit(2048)
+        .select("embedding")
+        .collect()
+    )
+    S = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    Sn = S / np.sqrt((S * S).sum(axis=1))[:, None]
+    C = Sn[:N_CELLS].copy()  # deterministic init: first k sample points
+    for _ in range(N_ITERS):
+        assign = np.argmax(Sn @ C.T, axis=1)
+        for c in range(N_CELLS):
+            members = Sn[assign == c]
+            if len(members):  # empty cell keeps its old centroid
+                m = members.mean(axis=0)
+                C[c] = m / np.linalg.norm(m)
+
+    # --- query panel: probe lists, driver-side (panel is small by contract)
+    q_rows = (
+        emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding").collect()
+    )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
+    probes = np.argsort(-(Qn @ C.T), axis=1)[:, :N_PROBE]  # queries × N_PROBE
+    cell_to_q: dict[int, np.ndarray] = {
+        c: np.where((probes == c).any(axis=1))[0]
+        for c in range(N_CELLS)
+        if (probes == c).any()
+    }
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            B = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Bn = B / np.sqrt((B * B).sum(axis=1))[:, None]
+            cells = np.argmax(Bn @ C.T, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(cells):
+                qidx = cell_to_q.get(int(c))
+                if qidx is None:
+                    continue
+                rows = np.where(cells == c)[0]
+                sims = Bn[rows] @ Qn[qidx].T  # cell-slab × probing-queries
+                m = min(TOP_K + 1, sims.shape[0])
+                idx = np.argpartition(-sims, m - 1, axis=0)[:m]
+                out_q.append(np.repeat(q_ids[qidx], m))
+                out_n.append(n_ids[rows][idx].T.reshape(-1))
+                out_s.append(np.take_along_axis(sims, idx, axis=0).T.reshape(-1))
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "n_id": np.concatenate(out_n),
+                        "cos_sim": np.concatenate(out_s),
+                    }
+                )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        score, "q_id bigint, n_id bigint, cos_sim double"
+    )
+    pairs = partial.filter(F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", F.round("cos_sim", 8).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id", "cos_sim", "rnk")
     )
 

@@ -41,6 +41,20 @@ def test_knn_lsh_recall_vs_brute(spark, sf_dir):
     assert recall >= 0.15, f"ANN recall {recall:.2f} unusably low"
 
 
+def test_knn_ivf_recall_vs_brute(spark, sf_dir):
+    """IVF ANN: cosines must agree exactly with brute force where a
+    pair appears in both, and recall must beat the data-agnostic LSH
+    floor — the quantizer adapts to the fixture's label clusters."""
+    exact = QUERIES["b_llm_knn"](spark, sf_dir)
+    approx = QUERIES["b_llm_knn_ivf"](spark, sf_dir)
+    e = {(r["q_id"], r["n_id"]): r["cos_sim"] for r in exact.collect()}
+    a = {(r["q_id"], r["n_id"]): r["cos_sim"] for r in approx.collect()}
+    for k in set(e) & set(a):
+        assert e[k] == a[k], f"cosine mismatch for {k}: {e[k]} vs {a[k]}"
+    recall = len(set(e) & set(a)) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below the 16x4 floor"
+
+
 def test_simhash_buckets_contain_exact_dups(spark, sf_dir):
     """Exact duplicate texts must land in the same simhash bucket."""
     from aws_datalake_framework_api_spark.sources.readers import load_table
