@@ -384,6 +384,58 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b_join_bucketed",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact via bucketing: both sides written
+    ``bucketBy(8, orderkey)`` + in-bucket sorted, so the join AND the
+    follow-on per-order aggregation run with ZERO shuffle exchanges —
+    bucket i joins bucket i in place (tests/test_plans.py asserts the
+    exchange-free plan).
+
+    This is THE strategy for repeated fact⋈fact joins at 100 TB: pay
+    the shuffle once at write time, then every subsequent join/agg on
+    the bucket key is map-side.  The bucketed copies here are written
+    to a scratch warehouse per call so the query is self-contained;
+    production buckets the curated tables at ingest."""
+    import hashlib
+    import tempfile
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    scratch = tempfile.mkdtemp(prefix="spark_graft_bkt_")
+    names = {}
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bkt_{tbl}_{suffix}"
+        (
+            load_table(spark, sf_dir, tbl)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .option("path", f"{scratch}/{name}")
+            .saveAsTable(name)
+        )
+        names[tbl] = name
+    orders = spark.table(names["orders"])
+    lineitem = spark.table(names["lineitem"])
+    return (
+        orders.hint("merge")  # keep SMJ even when a side fits broadcast
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 @query("b_join_asof_pandas", ASOF_SQL)
 def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as-of semantics via cogrouped ``applyInPandas`` +

@@ -37,6 +37,7 @@ HEADLINE = [
     "b_llm_dedup_ngram",
     "b_llm_dedup_minhash",
     "b_llm_knn",
+    "b_llm_knn_ivf",
     "b_llm_quality",
     # streaming + python-kernel paths
     "b_stream_session",

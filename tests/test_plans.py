@@ -1,0 +1,47 @@
+"""Physical-plan shape assertions — the scale story, checked in-plan.
+
+These are the properties that decide whether an operator survives a
+100× scale-up: broadcasts where a side is bounded, shuffle exchanges
+only where semantics demand one, pushdown reaching the scan.  Loose
+thresholds on purpose: AQE may re-plan, but the *class* of plan must
+hold.
+"""
+
+import contextlib
+import io
+
+from aws_datalake_framework_api_spark.queries_all import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Bucket-co-located join + bucket-key agg must be shuffle-free."""
+    plan = _plan(spark, sf_dir, "b_join_bucketed")
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """nation/region (bounded dims) must broadcast, never shuffle."""
+    plan = _plan(spark, sf_dir, "b_join_star")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_star_join_prunes_and_pushes(spark, sf_dir):
+    """Scans read only needed columns; filters reach the parquet scan."""
+    plan = _plan(spark, sf_dir, "b_join_star")
+    assert "PushedFilters: [IsNotNull" in plan
+    # lineitem has 16 columns; the star query needs 3
+    assert "l_shipdate" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_smj_is_sort_merge(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b_join_smj")
+    assert "SortMergeJoin" in plan
