@@ -56,6 +56,43 @@ from pyspark.sql.types import (
 
 ENTITY_TYPES = ("source_system", "target_system", "data_asset")
 
+# ------------------------------------------------------------------ delta probe
+
+_DELTA_PROBE: dict[int, bool] = {}  # session id -> probe result
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True iff this session can actually run Delta Lake: the
+    ``delta-spark`` Python package imports AND the io.delta jar is on
+    the JVM classpath AND a smoke write round-trips.  Probed once per
+    session; never triggers package/jar downloads.
+
+    The driver's north star names Spark SQL + Delta/Iceberg
+    connectors; in this container the probe FAILS (no ``delta`` module,
+    no io.delta jar under pyspark/jars — checked 2026-08-13), so the
+    catalog uses the parquet directory-swap fallback.  When the probe
+    passes, A2/A8-style mutations run as real ``MERGE WHEN MATCHED`` /
+    ``DELETE`` on Delta tables instead."""
+    key = id(spark)
+    if key in _DELTA_PROBE:
+        return _DELTA_PROBE[key]
+    ok = False
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+
+        # jar present? (Class.forName raises through py4j if absent)
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")  # noqa: SLF001
+        import tempfile as _tf
+
+        d = _tf.mkdtemp(prefix="delta_probe_")
+        spark.range(1).write.format("delta").mode("overwrite").save(d)
+        ok = spark.read.format("delta").load(d).count() == 1
+        shutil.rmtree(d, ignore_errors=True)
+    except Exception:  # noqa: BLE001 — any failure means "no delta here"
+        ok = False
+    _DELTA_PROBE[key] = ok
+    return ok
+
 
 def _local_df(spark: SparkSession, rows: list, schema: StructType) -> DataFrame:
     """Driver-local rows (tuples or dicts) → DataFrame via pandas +
@@ -102,11 +139,24 @@ AUDIT_SCHEMA = StructType(
 
 @dataclass
 class Catalog:
-    """A warehouse-backed entity catalog with an audit log."""
+    """A warehouse-backed entity catalog with an audit log.
+
+    ``backend`` is chosen by :func:`delta_available` at construction:
+    ``"delta"`` stores tables as Delta Lake (mutations are real ACID
+    ``update``/``delete``/transactional overwrites), ``"parquet"``
+    falls back to read-modify-write with an atomic directory swap.
+    Callers never branch — the seam is this class."""
 
     spark: SparkSession
     warehouse: str
+    backend: str = "auto"  # "auto" | "parquet" | "delta"
     _audit_rows: list = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.backend == "auto":
+            self.backend = "delta" if delta_available(self.spark) else "parquet"
+        if self.backend not in ("delta", "parquet"):
+            raise ValueError(f"unknown backend: {self.backend}")
 
     # ------------------------------------------------------------ paths
 
@@ -117,19 +167,30 @@ class Catalog:
 
     # ------------------------------------------------------------ io
 
+    def _is_table(self, d: str) -> bool:
+        if self.backend == "delta":
+            return os.path.isdir(os.path.join(d, "_delta_log"))
+        return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
+    def _read_dir(self, d: str, schema: StructType) -> DataFrame:
+        if not self._is_table(d):
+            return self.spark.createDataFrame([], schema)
+        if self.backend == "delta":
+            return self.spark.read.format("delta").load(d)
+        return self.spark.read.schema(schema).parquet(d)
+
     def load(self, entity_type: str) -> DataFrame:
-        d = self._table_dir(entity_type)
-        if not os.path.isdir(d) or not any(
-            f.endswith(".parquet") for f in os.listdir(d)
-        ):
-            return self.spark.createDataFrame([], ENTITY_SCHEMA)
-        return self.spark.read.schema(ENTITY_SCHEMA).parquet(d)
+        return self._read_dir(self._table_dir(entity_type), ENTITY_SCHEMA)
 
     def _overwrite(self, entity_type: str, df: DataFrame) -> None:
-        """Atomic-ish table swap: write to a staging dir, then rename
-        over the live dir.  (Delta/Iceberg give true ACID; this is the
-        plain-parquet seam documented in the module header.)"""
+        """Full-table replace.  Delta: a transactional overwrite commit
+        (readers see old or new, never a torn state).  Parquet: write
+        to a staging dir, then rename over the live dir — atomic at
+        the directory level on a POSIX filesystem."""
         d = self._table_dir(entity_type)
+        if self.backend == "delta":
+            df.coalesce(1).write.format("delta").mode("overwrite").save(d)
+            return
         staging = d + ".staging-" + uuid.uuid4().hex[:8]
         df.coalesce(1).write.mode("overwrite").parquet(staging)
         old = d + ".old-" + uuid.uuid4().hex[:8]
@@ -138,6 +199,25 @@ class Catalog:
         os.rename(staging, d)
         if os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
+
+    # ------------------------------------------------------------ delta mutations
+
+    def _delta_update(self, d: str, condition, assignments: dict) -> None:
+        """Real conditional UPDATE on a Delta table — the engine-native
+        form of the reference's DynamoDB ``ConditionExpression`` update
+        (source-system ``lambda_function.py:33-44``): only matched rows
+        change, in one ACID commit."""
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(self.spark, d).update(
+            condition=condition,
+            set={k: F.lit(v) for k, v in assignments.items()},
+        )
+
+    def _delta_delete(self, d: str, condition) -> None:
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(self.spark, d).delete(condition)
 
     # ------------------------------------------------------------ audit (A1)
 
@@ -171,9 +251,11 @@ class Catalog:
         df = _local_df(self.spark, self._audit_rows, AUDIT_SCHEMA).withColumn(
             "modified_ts", F.current_timestamp()
         )
-        df.coalesce(1).write.mode("append").parquet(
-            os.path.join(self.warehouse, "api_events")
-        )
+        d = os.path.join(self.warehouse, "api_events")
+        if self.backend == "delta":
+            df.coalesce(1).write.format("delta").mode("append").save(d)
+        else:
+            df.coalesce(1).write.mode("append").parquet(d)
         self._audit_rows = []
 
     def audit_log(self) -> DataFrame:
@@ -183,8 +265,8 @@ class Catalog:
             if self._audit_rows
             else self.spark.createDataFrame([], AUDIT_SCHEMA)
         )
-        if os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d)):
-            return self.spark.read.schema(AUDIT_SCHEMA).parquet(d).unionByName(pending)
+        if self._is_table(d):
+            return self._read_dir(d, AUDIT_SCHEMA).unionByName(pending)
         return pending
 
     def update_event_status(self, request_id: str, method_name: str,
@@ -201,27 +283,26 @@ class Catalog:
                 r["status"] = new_status
                 matched += 1
         d = os.path.join(self.warehouse, "api_events")
-        if os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d)):
-            df = self.spark.read.schema(AUDIT_SCHEMA).parquet(d)
-            hit = df.filter(
-                (F.col("aws_request_id") == request_id)
-                & (F.col("method_name") == method_name)
-            ).count()
+        if self._is_table(d):
+            cond = (F.col("aws_request_id") == request_id) & (
+                F.col("method_name") == method_name
+            )
+            df = self._read_dir(d, AUDIT_SCHEMA)
+            hit = df.filter(cond).count()
             if hit:
-                updated = df.withColumn(
-                    "status",
-                    F.when(
-                        (F.col("aws_request_id") == request_id)
-                        & (F.col("method_name") == method_name),
-                        F.lit(new_status),
-                    ).otherwise(F.col("status")),
-                )
-                staging = d + ".staging-" + uuid.uuid4().hex[:8]
-                updated.coalesce(1).write.mode("overwrite").parquet(staging)
-                old = d + ".old-" + uuid.uuid4().hex[:8]
-                os.rename(d, old)
-                os.rename(staging, d)
-                shutil.rmtree(old, ignore_errors=True)
+                if self.backend == "delta":
+                    self._delta_update(d, cond, {"status": new_status})
+                else:
+                    updated = df.withColumn(
+                        "status",
+                        F.when(cond, F.lit(new_status)).otherwise(F.col("status")),
+                    )
+                    staging = d + ".staging-" + uuid.uuid4().hex[:8]
+                    updated.coalesce(1).write.mode("overwrite").parquet(staging)
+                    old = d + ".old-" + uuid.uuid4().hex[:8]
+                    os.rename(d, old)
+                    os.rename(staging, d)
+                    shutil.rmtree(old, ignore_errors=True)
                 matched += hit
         return matched
 

@@ -10,6 +10,7 @@ not just a SELECT."""
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,23 +20,41 @@ from .catalog import Catalog
 from .registry import query
 from .sources.readers import load_table
 
+# Template warehouses, one per (session, sf_dir): seeding costs a
+# Spark write + collect, so pay it once and give each query a cheap
+# file-level copy of the template (queries MUTATE their warehouse —
+# a8 suspends, a9 deletes — so they can't share a live instance).
+_TEMPLATE_WH: dict[tuple[int, str], str] = {}
+
 
 def _seeded_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
     """Fresh warehouse seeded with one source system per nation —
     deterministic ids/names straight from the fixture, registered via
     the batch API (one table write; the per-call path is exercised
-    separately by the semantic probes and tests/test_catalog.py)."""
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="spark_graft_wh_"))
-    rows = [
-        (int(r["n_nationkey"]), r["n_name"], f'{{"region": {int(r["n_regionkey"])}}}')
-        for r in load_table(spark, sf_dir, "nation")
-        .select("n_nationkey", "n_name", "n_regionkey")
-        .orderBy("n_nationkey")
-        .collect()
-    ]
-    res = cat.create_many("source_system", rows)
-    assert res["created"] == len(rows) and res["conflicts"] == 0
-    return cat
+    separately by the semantic probes and tests/test_catalog.py).
+    Seeds a template once per (session, sf_dir), then clones it with
+    a directory copy per query call."""
+    key = (id(spark), sf_dir)
+    if key not in _TEMPLATE_WH:
+        tmpl = tempfile.mkdtemp(prefix="spark_graft_wh_tmpl_")
+        cat = Catalog(spark, tmpl)
+        rows = [
+            (int(r["n_nationkey"]), r["n_name"], f'{{"region": {int(r["n_regionkey"])}}}')
+            for r in load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .collect()
+        ]
+        res = cat.create_many("source_system", rows)
+        assert res["created"] == len(rows) and res["conflicts"] == 0
+        # persist the seeding audit trail INTO the template — clones get
+        # a fresh Catalog instance, so buffered audit rows wouldn't survive
+        cat.flush_audit()
+        _TEMPLATE_WH[key] = tmpl
+    wh = tempfile.mkdtemp(prefix="spark_graft_wh_")
+    shutil.rmtree(wh)
+    shutil.copytree(_TEMPLATE_WH[key], wh)
+    return Catalog(spark, wh)
 
 
 @query(

@@ -198,11 +198,12 @@ def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
            sqrt(list_aggregate(
                  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                  'sum')) AS l2_norm,
-           list_transform(list_slice(embedding, 1, 3),
-                          x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS head1,
+           round(CAST(embedding[2] AS DOUBLE), 4) AS head2,
+           round(CAST(embedding[3] AS DOUBLE), 4) AS head3,
            len(list_filter(embedding, x -> x > 0)) AS n_pos,
-           list_slice(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'DESC'),
-                      1, 2) AS top2
+           list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'DESC')[1] AS top1,
+           list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'DESC')[2] AS top2
     FROM embeddings
     """,
 )
@@ -212,9 +213,19 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates in DOUBLE left-to-right — both engines fold the list
     sequentially over identical widened floats, so the result is
     bit-identical without rounding.  This is the same fold the
-    similarity ops (B11) build their cosine on."""
+    similarity ops (B11) build their cosine on.
+
+    Output columns are all scalar: the driver's correctness harness
+    canonicalizes through a pandas sort, which cannot hash list cells
+    (CORRECTNESS_r01 ``b_fn_array`` TypeError), so the array results
+    are projected element-wise (``head1..3``, ``top1..2``) instead of
+    as array-typed columns.  Same array ops exercised, hashable shape."""
     emb = load_table(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sorted_desc = F.sort_array(as_double, asc=False)
+    head = F.transform(
+        F.slice(F.col("embedding"), 1, 3), lambda x: F.round(x.cast("double"), 4)
+    )
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
@@ -225,11 +236,12 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x,
             )
         ).alias("l2_norm"),
-        F.transform(
-            F.slice(F.col("embedding"), 1, 3), lambda x: F.round(x.cast("double"), 4)
-        ).alias("head3"),
+        head.getItem(0).alias("head1"),
+        head.getItem(1).alias("head2"),
+        head.getItem(2).alias("head3"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
-        F.slice(F.sort_array(as_double, asc=False), 1, 2).alias("top2"),
+        sorted_desc.getItem(0).alias("top1"),
+        sorted_desc.getItem(1).alias("top2"),
     )
 
 

@@ -236,8 +236,9 @@ _SIMHASH_SQL = f"""
            count(*) OVER (PARTITION BY simhash) AS bucket_size
     FROM (
       SELECT doc_id,
-             sum(CASE WHEN ones * 2 > n_tok THEN CAST(pow(2, pos - 1) AS BIGINT)
-                      ELSE 0 END) AS simhash
+             CAST(sum(CASE WHEN ones * 2 > n_tok
+                           THEN CAST(pow(2, pos - 1) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id
     )
 """

@@ -257,8 +257,8 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split(trim(text), ' '))) AS total_tokens,
-           round(avg(len(string_split(trim(text), ' '))), 6) AS avg_tokens,
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+           sum(len(string_split(trim(text), ' '))) * 1.0 / count(*) AS avg_tokens,
            min(n_chars) AS min_chars,
            max(n_chars) AS max_chars,
            count(DISTINCT source) AS n_sources
@@ -268,8 +268,11 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics by language: doc/token counts, char extremes,
-    source diversity — the dataset-card rollup.  avg over exact int
-    token counts = one IEEE division of identical operands."""
+    source diversity — the dataset-card rollup.  ``avg_tokens`` is the
+    exact-integer ratio ``sum(n_tok)*1.0/count(*)`` on BOTH engines —
+    one IEEE division of identical operands — NOT ``round(avg(...))``,
+    whose internal accumulation/rounding differs across engines
+    (CORRECTNESS_r01 hash mismatch; policy in functions/numeric.py)."""
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(_ws_tokens(F.col("text")))
     return (
@@ -277,7 +280,7 @@ def llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(n_tok).alias("total_tokens"),
-            F.round(F.avg(n_tok), 6).alias("avg_tokens"),
+            (F.sum(n_tok) * F.lit(1.0) / F.count("*")).alias("avg_tokens"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
             F.countDistinct("source").alias("n_sources"),

@@ -4,12 +4,25 @@ per-call CRUD paths the batch-based oracle queries don't drive)."""
 import pytest
 
 from aws_datalake_framework_api_spark.api import dispatch, health
-from aws_datalake_framework_api_spark.catalog import Catalog
+from aws_datalake_framework_api_spark.catalog import Catalog, delta_available
 
 
 @pytest.fixture()
 def cat(spark, tmp_path):
     return Catalog(spark, str(tmp_path / "wh"))
+
+
+def test_backend_probe_records_which_path_runs(cat, spark, capsys):
+    """The storage backend is probed, not assumed: Delta when the
+    delta-spark package + io.delta jar are genuinely present, parquet
+    directory-swap otherwise.  The chosen path is recorded so a CI log
+    shows which backend the CRUD suite actually exercised."""
+    probed = delta_available(spark)
+    assert cat.backend == ("delta" if probed else "parquet")
+    print(f"catalog-backend={cat.backend} (delta_available={probed})")
+    # whatever the backend, the seam holds: a create round-trips
+    assert cat.create("source_system", 900, "probe")["statusCode"] == 200
+    assert cat.read("source_system", 900).count() == 1
 
 
 def test_create_read_roundtrip(cat):

@@ -1,32 +1,44 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
-on DuckDB at sf0.01, then compares row count, column names, and an
-order-insensitive value comparison (sorted rows, NaN==NaN, float
-tolerance 1e-9 relative).  Exit code 1 on any mismatch.
+on DuckDB at sf0.01, then compares row count, column names, and a
+VALUE HASH computed the way the driver computes it: both results are
+canonicalized through pandas (columns sorted by name, then
+``sort_values`` over every column — list-typed cells raise TypeError
+exactly as the driver's canonicalizer did on ``b_fn_array`` in
+CORRECTNESS_r01), and the hash covers full-precision float reprs, so
+any cross-engine bit difference fails (the ``b_llm_textstats`` class
+of bug).  This gate is deliberately at-least-as-strict as the driver:
+"0 failures locally" must imply "0 failures in CORRECTNESS_r{N}".
 
 Usage: python tools/verify_local.py [query_id ...]
+       python tools/verify_local.py --selftest   # prove the gate catches
+                                                 # array cols + float ulps
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
+import hashlib
 import math
 import os
 import sys
 import time
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
-import duckdb  # noqa: E402
-
-from aws_datalake_framework_api_spark.queries_all import ORACLE, QUERIES  # noqa: E402
-from aws_datalake_framework_api_spark.session import get_spark  # noqa: E402
-from aws_datalake_framework_api_spark.sources.readers import TABLE_NAMES  # noqa: E402
-
 
 def duck_con():
+    import duckdb
+
+    from aws_datalake_framework_api_spark.sources.readers import TABLE_NAMES
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
@@ -35,70 +47,158 @@ def duck_con():
     return con
 
 
-def normalize_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
+# ---------------------------------------------------------------- canonicalize
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-shaped canonicalization: lowercase + sort columns by name,
+    then pandas ``sort_values`` over ALL columns.  Object columns go
+    through pandas' Categorical lexsort — a list/array cell raises
+    ``TypeError: unhashable type`` here, exactly like the driver."""
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _cell_str(x) -> str:
+    """Canonical string for one cell.  Floats use full-precision
+    float64 repr — a one-ulp cross-engine difference changes the hash."""
+    if x is None:
+        return "∅"
+    if isinstance(x, (float, np.floating)):
+        v = float(np.float64(x))
         if math.isnan(v):
             return "NaN"
-        return v
-    return v
+        return repr(v)
+    if isinstance(x, (bool, np.bool_)):
+        return "T" if x else "F"
+    if isinstance(x, (int, np.integer)):
+        return repr(int(x))
+    if isinstance(x, decimal.Decimal):
+        return repr(float(x))
+    if isinstance(x, (bytes, bytearray)):
+        return "0x" + bytes(x).hex()
+    if isinstance(x, pd.Timestamp):
+        if x is pd.NaT:
+            return "∅"
+        s = x.isoformat(sep=" ")
+        return s[:-9] if s.endswith(" 00:00:00") else s
+    if isinstance(x, datetime.datetime):
+        s = x.isoformat(sep=" ")
+        return s[:-9] if s.endswith(" 00:00:00") else s
+    if isinstance(x, datetime.date):
+        return x.isoformat()
+    try:
+        if pd.isna(x):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    return str(x)
 
 
-def rows_key(rows):
-    out = []
-    for r in rows:
-        out.append(tuple(normalize_cell(c) for c in r))
-    return sorted(out, key=lambda t: tuple((x is None, str(type(x)), x) if not isinstance(x, (int, float)) or isinstance(x, bool) else (x is None, "num", x) for x in t))
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    cdf = canon(df)
+    for row in cdf.itertuples(index=False, name=None):
+        h.update("\x1f".join(_cell_str(c) for c in row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
 
 
-def cells_equal(a, b) -> bool:
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) or math.isnan(fb):
-            return math.isnan(fa) and math.isnan(fb)
-        # exact: the driver compares value-hashes, so any bit difference fails
-        return fa == fb
-    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
-        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
-    return str(a) == str(b)
+# ---------------------------------------------------------------- compare
 
 
-def compare(name, spark_df, duck_rel) -> list[str]:
-    errs = []
-    s_cols = [c.lower() for c in spark_df.columns]
-    d_cols = [c.lower() for c in duck_rel.columns]
-    if sorted(s_cols) != sorted(d_cols):
-        errs.append(f"columns differ: spark={s_cols} duck={d_cols}")
-        return errs
-    # align column order by name; fetchall preserves NULL as None
-    # (.df() would coerce to NaN/NaT and create false diffs)
-    s_rows = [tuple(row[c] for c in s_cols) for row in
-              (r.asDict() for r in spark_df.collect())]
-    d_idx = [d_cols.index(c) for c in s_cols]
-    d_rows = [tuple(r[i] for i in d_idx) for r in duck_rel.fetchall()]
-    if len(s_rows) != len(d_rows):
-        errs.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
-        return errs
-    sk = rows_key(s_rows)
-    dk = rows_key(d_rows)
-    n_bad = 0
-    for i, (a, b) in enumerate(zip(sk, dk)):
-        if not all(cells_equal(x, y) for x, y in zip(a, b)):
-            if n_bad < 3:
-                errs.append(f"row {i} differs:\n  spark={a}\n  duck ={b}")
-            n_bad += 1
-    if n_bad:
-        errs.append(f"{n_bad}/{len(sk)} rows differ")
+def _spark_to_pandas(spark_df) -> pd.DataFrame:
+    # Row-by-row build (not toPandas) so NULLs stay None in object
+    # columns and array columns surface as Python lists — the shape the
+    # driver's canonicalizer sees.
+    cols = spark_df.columns
+    data = [tuple(r[c] for c in cols) for r in spark_df.collect()]
+    return pd.DataFrame(data, columns=cols)
+
+
+def compare(name: str, spark_df, duck_rel) -> list[str]:
+    errs: list[str] = []
+    sp = _spark_to_pandas(spark_df)
+    dp = duck_rel.fetchdf()
+    s_cols, d_cols = sorted(c.lower() for c in sp.columns), sorted(
+        c.lower() for c in dp.columns
+    )
+    if s_cols != d_cols:
+        return [f"columns differ: spark={s_cols} duck={d_cols}"]
+    if len(sp) != len(dp):
+        return [f"row count differs: spark={len(sp)} duck={len(dp)}"]
+    try:
+        sh = value_hash(sp)
+    except Exception as e:  # noqa: BLE001 — canonicalizer crash IS a failure
+        return [f"spark canonicalization crashed (driver would FAIL): {type(e).__name__}: {e}"]
+    try:
+        dh = value_hash(dp)
+    except Exception as e:  # noqa: BLE001
+        return [f"oracle canonicalization crashed (driver would FAIL): {type(e).__name__}: {e}"]
+    if sh != dh:
+        errs.append(f"value hash differs: spark={sh[:16]} duck={dh[:16]}")
+        # diagnostic: first few differing canonical rows
+        sc, dc = canon(sp), canon(dp)
+        shown = 0
+        for i in range(len(sc)):
+            a = tuple(_cell_str(c) for c in sc.iloc[i])
+            b = tuple(_cell_str(c) for c in dc.iloc[i])
+            if a != b:
+                errs.append(f"  row {i}:\n    spark={a}\n    duck ={b}")
+                shown += 1
+                if shown >= 3:
+                    break
     return errs
 
 
+# ---------------------------------------------------------------- selftest
+
+
+def selftest() -> None:
+    """The gate must FAIL on (a) array-typed columns and (b) a float
+    difference below 1e-6 — the two CORRECTNESS_r01 escape classes."""
+    # (a) list cells must crash canonicalization
+    arr = pd.DataFrame({"k": [2, 1], "v": [[1.0, 2.0], [3.0]]})
+    try:
+        value_hash(arr)
+        raise SystemExit("selftest FAILED: array column hashed without error")
+    except TypeError:
+        print("  ok: array column raises TypeError (driver-faithful)")
+    # (b) one-ulp float difference must change the hash
+    a = pd.DataFrame({"x": [123.456789]})
+    b = pd.DataFrame({"x": [np.nextafter(123.456789, 200.0)]})
+    if value_hash(a) == value_hash(b):
+        raise SystemExit("selftest FAILED: ulp float diff not detected")
+    print("  ok: one-ulp float difference changes the hash")
+    # (c) half-even vs half-up rounding boundary (textstats class)
+    c1 = pd.DataFrame({"x": [round(2.5)]})  # python: banker's -> 2
+    c2 = pd.DataFrame({"x": [3]})  # HALF_UP -> 3
+    if value_hash(c1) == value_hash(c2):
+        raise SystemExit("selftest FAILED: rounding-boundary diff not detected")
+    print("  ok: half-even/half-up boundary detected")
+    # (d) identical frames in different row/column order hash equal
+    d1 = pd.DataFrame({"b": [1, 2], "a": ["x", "y"]})
+    d2 = pd.DataFrame({"a": ["y", "x"], "b": [2, 1]})
+    if value_hash(d1) != value_hash(d2):
+        raise SystemExit("selftest FAILED: order-insensitivity broken")
+    print("  ok: row/column order insensitive")
+    print("selftest passed")
+
+
+# ---------------------------------------------------------------- main
+
+
 def main():
+    if "--selftest" in sys.argv:
+        selftest()
+        return
+    from aws_datalake_framework_api_spark.queries_all import ORACLE, QUERIES
+    from aws_datalake_framework_api_spark.session import get_spark
+
     only = set(sys.argv[1:])
     spark = get_spark("verify-local")
     con = duck_con()
