@@ -150,6 +150,7 @@ class Catalog:
     spark: SparkSession
     warehouse: str
     backend: str = "auto"  # "auto" | "parquet" | "delta"
+    config: "GlobalConfig | None" = None  # fm_prefix-scoped table names when set
     _audit_rows: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -160,10 +161,17 @@ class Catalog:
 
     # ------------------------------------------------------------ paths
 
+    def _name(self, table: str) -> str:
+        """Table directory name; with a GlobalConfig it is scoped as
+        ``{fm_prefix}.{table}`` — the engine-side analogue of the
+        reference's prefix-derived bucket names
+        (``config/globalConfig.json:3`` → ``cft/sourceSystem.yaml``)."""
+        return self.config.table_name(table) if self.config else table
+
     def _table_dir(self, entity_type: str) -> str:
         if entity_type not in ENTITY_TYPES:
             raise ValueError(f"unknown entity type: {entity_type}")
-        return os.path.join(self.warehouse, entity_type)
+        return os.path.join(self.warehouse, self._name(entity_type))
 
     # ------------------------------------------------------------ io
 
@@ -251,7 +259,7 @@ class Catalog:
         df = _local_df(self.spark, self._audit_rows, AUDIT_SCHEMA).withColumn(
             "modified_ts", F.current_timestamp()
         )
-        d = os.path.join(self.warehouse, "api_events")
+        d = os.path.join(self.warehouse, self._name("api_events"))
         if self.backend == "delta":
             df.coalesce(1).write.format("delta").mode("append").save(d)
         else:
@@ -259,7 +267,7 @@ class Catalog:
         self._audit_rows = []
 
     def audit_log(self) -> DataFrame:
-        d = os.path.join(self.warehouse, "api_events")
+        d = os.path.join(self.warehouse, self._name("api_events"))
         pending = (
             _local_df(self.spark, self._audit_rows, AUDIT_SCHEMA)
             if self._audit_rows
@@ -282,7 +290,7 @@ class Catalog:
             if r["aws_request_id"] == request_id and r["method_name"] == method_name:
                 r["status"] = new_status
                 matched += 1
-        d = os.path.join(self.warehouse, "api_events")
+        d = os.path.join(self.warehouse, self._name("api_events"))
         if self._is_table(d):
             cond = (F.col("aws_request_id") == request_id) & (
                 F.col("method_name") == method_name

@@ -27,7 +27,7 @@ realizes the reference's untyped JSON payload envelope
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -304,7 +304,9 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(props->>'$.k' AS BIGINT) AS k_get,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
            props->>'$.k' AS k_str,
-           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN CASE WHEN json_type(props) = 'OBJECT' THEN 1 ELSE 0 END
+                ELSE 0 END AS is_valid
     FROM events
     """,
 )
@@ -313,15 +315,30 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer to the reference's untyped JSON envelope (source-system
     ``lambda_function.py:12-14``): payloads stay strings at rest,
     parsed on demand with ``get_json_object``/``from_json`` (schema
-    projection pushed into the parse, no full materialization)."""
+    projection pushed into the parse, no full materialization).
+
+    ``is_valid`` means "parses as a JSON object": PERMISSIVE
+    ``from_json`` yields a struct of nulls (NOT a null struct) on
+    malformed input, so validity is probed through a corrupt-record
+    column — Spark fills it for anything that isn't a schema-shaped
+    object, mirrored by ``json_valid AND json_type='OBJECT'`` in the
+    oracle (ADVICE r1: ``isNotNull`` on the struct was always true)."""
     ev = load_table(spark, sf_dir, "events")
-    parsed = F.from_json(F.col("props"), "k BIGINT")
+    parsed = F.from_json(
+        F.col("props"),
+        "k BIGINT, _corrupt STRING",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_get"),
         parsed.getField("k").alias("k_parsed"),
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.when(parsed.isNotNull(), 1).otherwise(0).alias("is_valid"),
+        F.when(
+            F.col("props").isNotNull() & parsed.getField("_corrupt").isNull(), 1
+        )
+        .otherwise(0)
+        .alias("is_valid"),
     )
 
 
@@ -353,4 +370,46 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.sha2(F.lower(F.trim(F.col("c_mktsegment"))), 256), 1, 16).alias(
             "seg_mask"
         ),
+    )
+
+
+# ---------------------------------------------------------------- keyed mask
+
+
+@query(
+    "b_fn_mask",
+    """
+    SELECT c_custkey,
+           sha256('cape_privacy_key' || ':' || c_name) AS name_masked,
+           sha256('cape_privacy_key' || ':' || c_mktsegment) AS segment_masked,
+           sha256('cape_privacy_key' || ':' || CAST(c_nationkey AS VARCHAR))
+             AS nation_masked,
+           count(*) OVER (PARTITION BY
+             sha256('cape_privacy_key' || ':' || CAST(c_nationkey AS VARCHAR)))
+             AS nation_group_size
+    FROM customer
+    """,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-keyed column masking (``GlobalConfig.secret_name`` =
+    ``cape_privacy_key``, reference ``config/globalConfig.json:7`` /
+    ``cft/sourceSystem.yaml:23-26``): every PII column is replaced by
+    ``sha256(key_name || ':' || value)`` via :func:`config.mask_column`.
+    ``nation_group_size`` proves the property that matters — masking is
+    deterministic per key, so masked columns still group/join (a masked
+    100 TB lake keeps its analytics), while the raw value never leaves
+    the scan."""
+    from ..config import GlobalConfig, mask_column
+
+    key = GlobalConfig().secret_name
+    c = load_table(spark, sf_dir, "customer")
+    nation_masked = mask_column(F.col("c_nationkey"), key)
+    return c.select(
+        "c_custkey",
+        mask_column(F.col("c_name"), key).alias("name_masked"),
+        mask_column(F.col("c_mktsegment"), key).alias("segment_masked"),
+        nation_masked.alias("nation_masked"),
+        F.count("*")
+        .over(Window.partitionBy(nation_masked))
+        .alias("nation_group_size"),
     )

@@ -49,7 +49,7 @@ def shingle_set(docs: DataFrame) -> DataFrame:
     the df cap removes the only pathological-skew keys before any
     self-join sees them."""
     tok = docs.select(
-        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w")
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), " ")).alias("pos", "w")
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     grams = tok.select(
@@ -259,8 +259,8 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"),
     )
     parity_cols = [
         F.expr(_PARITY.format(c=f"substring(md5(w), {i}, 1)")).alias(f"p{i}")

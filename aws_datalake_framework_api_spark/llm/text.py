@@ -31,8 +31,12 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
 def _ws_tokens(col: Column) -> Column:
-    """Whitespace tokenization (split on runs of spaces)."""
-    return F.split(F.trim(col), r"\s+")
+    """Whitespace tokenization — split on a SINGLE LITERAL SPACE,
+    byte-identical to the DuckDB twin's ``string_split(trim(text),
+    ' ')``.  (A ``\\s+`` regex here would diverge from the oracle on
+    any document with consecutive spaces or tabs; parity must not
+    depend on the fixture being single-spaced — ADVICE r1.)"""
+    return F.split(F.trim(col), " ")
 
 
 # ---------------------------------------------------------------- token counts

@@ -38,6 +38,7 @@ from .streaming import ingest as _stream_ingest  # noqa: F401  A12/B9
 from . import catalog_queries as _catalog_queries  # noqa: F401  A1-A9
 from .operators import udfs as _udfs  # noqa: F401  B10
 from .sources import landing as _landing  # noqa: F401  B1
+from . import envelope as _envelope  # noqa: F401  A11
 
 #: Explicit export order (see module docstring).  Ids listed here but
 #: not registered are skipped; registered ids not listed append last.

@@ -114,3 +114,36 @@ def test_dispatch_requires_tasktype_but_routes_by_path(cat):
     ok = dispatch(cat, "/sourcesystem/create",
                   {"entity_id": 1, "name": "x"}, tasktype="NOT-the-route")
     assert ok["statusCode"] == 200  # routed by path, not tasktype
+
+
+def test_config_scoped_warehouse_paths(spark, tmp_path):
+    """GlobalConfig.fm_prefix namespaces every table directory
+    (reference: fm_prefix-derived bucket names, globalConfig.json:3)."""
+    from aws_datalake_framework_api_spark.config import GlobalConfig
+
+    cfg = GlobalConfig(fm_prefix="acme")
+    cat = Catalog(spark, str(tmp_path / "wh"), config=cfg)
+    assert cat.create("source_system", 1, "x")["statusCode"] == 200
+    assert (tmp_path / "wh" / "acme.source_system").is_dir()
+    cat.flush_audit()
+    assert (tmp_path / "wh" / "acme.api_events").is_dir()
+    assert cat.read("source_system", 1).count() == 1
+    # unprefixed catalog in the same warehouse doesn't collide
+    plain = Catalog(spark, str(tmp_path / "wh"))
+    assert plain.load("source_system").count() == 0
+
+
+def test_global_config_loads_reference_shape(tmp_path):
+    from aws_datalake_framework_api_spark.config import GlobalConfig
+
+    p = tmp_path / "globalConfig.json"
+    p.write_text(
+        '{"aws_account": "123", "fm_prefix": "dl-fmwrk", "primary_region": '
+        '"us-east-2", "secondary_region": "us-east-1", "log_type": "S", '
+        '"secret_name": "cape_privacy_key", "unknown_key": 1}'
+    )
+    cfg = GlobalConfig.load(str(p))
+    assert cfg.account == "123"
+    assert cfg.fm_prefix == "dl-fmwrk"
+    assert cfg.secret_name == "cape_privacy_key"
+    assert cfg.table_name("data_asset") == "dl-fmwrk.data_asset"

@@ -99,3 +99,22 @@ def test_mm_decode_stub_is_gated(spark, sf_dir):
             QUERIES["b_mm_features"](spark, sf_dir).collect()
     else:
         assert QUERIES["b_mm_features"](spark, sf_dir).count() > 0
+
+
+def test_tokenization_is_oracle_byte_identical(spark):
+    """Spark tokenization must split on a single literal space exactly
+    like the oracle's string_split — including empty tokens from runs
+    of spaces (parity must not depend on single-spaced fixtures)."""
+    import duckdb
+
+    from aws_datalake_framework_api_spark.llm.text import _ws_tokens
+    from pyspark.sql import functions as F
+
+    texts = ["a  b", " lead", "trail ", "a\tb", "one two"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r[0] for r in df.select(_ws_tokens(F.col("text"))).collect()]
+    want = [
+        duckdb.sql("SELECT string_split(trim(?), ' ')", params=[t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
