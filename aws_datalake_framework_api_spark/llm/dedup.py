@@ -206,10 +206,107 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(s, cand)
 
 
-# SURVEY.md §2 B11 names this row `b_llm_dedup_fuzzy`; MinHash+LSH is
-# that fuzzy-dedup implementation — register the same plan under the
-# survey id so the inventory check finds it line-by-line.
-query("b_llm_dedup_fuzzy")(llm_dedup_minhash)
+# SURVEY.md §2 B11 names this row `b_llm_dedup_fuzzy`: the identical
+# MinHash+LSH plan, with the signature hash swapped from xxhash64 to
+# md5 — both engines produce the same lowercase-hex md5, so the WHOLE
+# pipeline (signatures → banding → candidates → Jaccard rerank) gets
+# a DuckDB oracle twin and a driver hash check, not just rows-only.
+# xxhash64 stays the production choice (b_llm_dedup_minhash above):
+# same plan shape, cheaper hash; md5 here buys verifiability.
+
+_N_HASHES = MINHASH_BANDS * MINHASH_ROWS
+
+_FUZZY_SQL = (
+    _DUCK_SHINGLE_SET
+    + f""",
+    sig AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"min(md5(CAST({i} AS VARCHAR) || ':' || shingle)) AS h{i}"
+                 for i in range(_N_HASHES)
+             )}
+      FROM s GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id,
+             unnest([{", ".join(str(b) for b in range(MINHASH_BANDS))}]) AS band,
+             unnest([{", ".join(
+                 "md5(" + " || ':' || ".join(
+                     f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+                 ) + ")"
+                 for b in range(MINHASH_BANDS)
+             )}]) AS band_hash
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
+      SELECT i.doc_a, i.doc_b,
+             i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jac
+      FROM inter i
+      JOIN cand USING (doc_a, doc_b)
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    ) WHERE jac >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+@query("b_llm_dedup_fuzzy", _FUZZY_SQL)
+def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH fuzzy dedup, oracle-verifiable variant: identical
+    plan to :func:`llm_dedup_minhash` (one signature groupBy, banded
+    candidate join, exact Jaccard rerank — see that docstring for the
+    100 TB analysis) with md5 signatures, which DuckDB reproduces
+    byte-for-byte.  String-min over uniform hex digests is a valid
+    min-hash; only the hash family changed, not the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = shingle_set(docs)
+    sig = s.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+            ).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"h{b * MINHASH_ROWS + r}")
+                                for r in range(MINHASH_ROWS)
+                            ],
+                        )
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_pairs(s, cand)
 
 
 # ---------------------------------------------------------------- SimHash

@@ -23,6 +23,18 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
         assert recall >= 0.9, f"recall {recall:.2f} < 0.9"
 
 
+def test_fuzzy_md5_recall_vs_exact(spark, sf_dir):
+    """The oracle-verifiable md5 variant (b_llm_dedup_fuzzy) keeps the
+    same no-false-positive + recall guarantees as the xxhash64 one —
+    only the hash family differs, not the banding math."""
+    exact = _pairs(QUERIES["b_llm_dedup_ngram"](spark, sf_dir))
+    approx = _pairs(QUERIES["b_llm_dedup_fuzzy"](spark, sf_dir))
+    assert approx <= exact, f"false positives: {approx - exact}"
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.2f} < 0.9"
+
+
 def test_knn_lsh_recall_vs_brute(spark, sf_dir):
     """LSH ANN: every reported neighbor must be a real corpus vector
     with correctly-computed cosine (spot-checked via the exact top-5),
