@@ -215,17 +215,33 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same plan shape, cheaper hash; md5 here buys verifiability.
 
 _N_HASHES = MINHASH_BANDS * MINHASH_ROWS
+_SUBS_PER_MD5 = 4  # one 32-hex md5 → four independent 8-hex (32-bit) minhashes
+_N_MD5 = _N_HASHES // _SUBS_PER_MD5
+
+
+def _sub(i: int) -> tuple[int, int]:
+    """(md5 group, 1-based substring start) for subhash i."""
+    return i // _SUBS_PER_MD5, (i % _SUBS_PER_MD5) * 8 + 1
+
 
 _FUZZY_SQL = (
     _DUCK_SHINGLE_SET
     + f""",
+    hashed AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"md5(CAST({g} AS VARCHAR) || ':' || shingle) AS m{g}"
+                 for g in range(_N_MD5)
+             )}
+      FROM s
+    ),
     sig AS (
       SELECT doc_id,
              {", ".join(
-                 f"min(md5(CAST({i} AS VARCHAR) || ':' || shingle)) AS h{i}"
+                 "min(substring(m{}, {}, 8)) AS h{}".format(*_sub(i), i)
                  for i in range(_N_HASHES)
              )}
-      FROM s GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
     bands AS (
       SELECT doc_id,
@@ -269,14 +285,24 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join, exact Jaccard rerank — see that docstring for the
     100 TB analysis) with md5 signatures, which DuckDB reproduces
     byte-for-byte.  String-min over uniform hex digests is a valid
-    min-hash; only the hash family changed, not the plan."""
+    min-hash; only the hash family changed, not the plan.
+
+    Hash cost is the linear term at corpus scale, so the 32 minhashes
+    come from 8 md5 digests split into four 8-hex (32-bit) subhashes
+    each — 4× less hashing per shingle row for the same banding math
+    (32-bit mins collide at ~n²/2³³, negligible per doc)."""
     docs = load_table(spark, sf_dir, "documents")
     s = shingle_set(docs)
-    sig = s.groupBy("doc_id").agg(
+    hashed = s.select(
+        "doc_id",
         *[
-            F.min(
-                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
-            ).alias(f"h{i}")
+            F.md5(F.concat_ws(":", F.lit(str(g)), F.col("shingle"))).alias(f"m{g}")
+            for g in range(_N_MD5)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col(f"m{_sub(i)[0]}"), _sub(i)[1], 8)).alias(f"h{i}")
             for i in range(_N_HASHES)
         ]
     )
