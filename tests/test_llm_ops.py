@@ -35,6 +35,24 @@ def test_fuzzy_md5_recall_vs_exact(spark, sf_dir):
         assert recall >= 0.9, f"recall {recall:.2f} < 0.9"
 
 
+def test_neardup_lsh_vs_exact(spark, sf_dir):
+    """LSH-bucketed near-dup reranks candidates with the exact cosine
+    kernel, so emitted pairs ⊆ exact all-pairs output (precision 1.0
+    by construction); bucketing only costs recall."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["b_llm_neardup_cosine"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["b_llm_neardup_lsh"](spark, sf_dir).collect()
+    }
+    assert approx <= exact, f"false positives: {approx - exact}"
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.5, f"near-dup recall {recall:.2f} unusably low"
+
+
 def test_knn_lsh_recall_vs_brute(spark, sf_dir):
     """LSH ANN: every reported neighbor must be a real corpus vector
     with correctly-computed cosine (spot-checked via the exact top-5),
