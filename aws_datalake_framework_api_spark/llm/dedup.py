@@ -116,7 +116,7 @@ def _jaccard_pairs(s: DataFrame, cand: DataFrame | None = None) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", F.col("jac").alias("jaccard"))
     )
 
 
@@ -131,7 +131,7 @@ _NGRAM_SQL = f"""
       FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
+    SELECT doc_a, doc_b, jac AS jaccard FROM (
       SELECT doc_a, doc_b,
              inter * 1.0 / (sa.sz + sb.sz - inter) AS jac
       FROM inter
@@ -266,7 +266,7 @@ _FUZZY_SQL = (
       FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
+    SELECT doc_a, doc_b, jac AS jaccard FROM (
       SELECT i.doc_a, i.doc_b,
              i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jac
       FROM inter i

@@ -49,8 +49,8 @@ def _ws_tokens(col: Column) -> Column:
            len(string_split(trim(text), ' ')) AS ws_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
            length(text) AS n_chars,
-           round(length(text) * 1.0 / len(regexp_extract_all(
-                 text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')), 6) AS chars_per_token
+           length(text) * 1.0 / len(regexp_extract_all(
+                 text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS chars_per_token
     FROM documents
     """,
 )
@@ -71,7 +71,7 @@ def llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_ws_tokens(F.col("text"))).alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
         F.length("text").alias("n_chars"),
-        F.round(F.length("text") / bpe, 6).alias("chars_per_token"),
+        (F.length("text") / bpe).alias("chars_per_token"),
     )
 
 
