@@ -45,3 +45,21 @@ def test_star_join_prunes_and_pushes(spark, sf_dir):
 def test_smj_is_sort_merge(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_join_smj")
     assert "SortMergeJoin" in plan
+
+
+def test_fuzzy_dedup_never_cross_joins(spark, sf_dir):
+    """MinHash+LSH dedup must reach pairs via equi-joins on band/
+    shingle keys — a cartesian anywhere means the 100 TB story is
+    dead."""
+    plan = _plan(spark, sf_dir, "b_llm_dedup_fuzzy")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_neardup_lsh_never_cross_joins(spark, sf_dir):
+    """LSH-bucketed near-dup replaces the n² pair space with a
+    (tbl, bucket) equi-join; the all-pairs form is only legal in the
+    declared ground-truth query."""
+    plan = _plan(spark, sf_dir, "b_llm_neardup_lsh")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
