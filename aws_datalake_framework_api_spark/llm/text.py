@@ -93,9 +93,9 @@ def llm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, lang, source, n_chars, n_tokens,
-           round(n_punct * 1.0 / n_tokens, 6) AS punct_ratio,
-           round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
-           round(n_alpha * 1.0 / n_chars, 6) AS alpha_ratio,
+           n_punct * 1.0 / n_tokens AS punct_ratio,
+           n_stop * 1.0 / n_tokens AS stop_ratio,
+           n_alpha * 1.0 / n_chars AS alpha_ratio,
            CASE WHEN n_tokens >= 10 AND n_punct * 1.0 / n_tokens < 0.3
                      AND n_alpha * 1.0 / n_chars > 0.5
                 THEN 1 ELSE 0 END AS keep
@@ -124,9 +124,9 @@ def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(n_punct / n_tokens, 6).alias("punct_ratio"),
-        F.round(n_stop / n_tokens, 6).alias("stop_ratio"),
-        F.round(n_alpha / n_chars, 6).alias("alpha_ratio"),
+        (n_punct / n_tokens).alias("punct_ratio"),
+        (n_stop / n_tokens).alias("stop_ratio"),
+        (n_alpha / n_chars).alias("alpha_ratio"),
         F.when(
             (n_tokens >= 10) & (n_punct / n_tokens < 0.3) & (n_alpha / n_chars > 0.5), 1
         )

@@ -484,3 +484,59 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(clicks.groupBy("user_id"))
         .applyInPandas(lambda left, right: merge(left, right), schema)
     )
+
+
+# ---------------------------------------------------------------- salted join
+
+
+SALT_BUCKETS = 8
+
+
+@query(
+    "b_join_salted",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defused fact⋈dim join via key salting: the fact side gets
+    a deterministic salt in [0, SALT_BUCKETS); the build side is
+    exploded ×SALT_BUCKETS so every (key, salt) pair exists; the join
+    key becomes (user_id, salt), splitting any hot user across
+    SALT_BUCKETS reducers.  Result is row-identical to the unsalted
+    join — the oracle twin IS the plain join — because salting only
+    re-partitions the pair space; it never changes it.
+
+    100 TB notes: this is the manual form of what AQE's skew-join
+    split does at runtime; you write it when the skew is KNOWN (one
+    tenant = 30% of events) so the plan never builds the hot
+    partition in the first place.  The explode multiplies only the
+    BUILD side (dim ×8 — still broadcastable); the monetary sum uses
+    exact integer cents, so the group totals are order-independent
+    and identical on re-runs regardless of how salting moved rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    salted_fact = ev.select(
+        "user_id",
+        F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)).alias("salt"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents_row"),
+    )
+    salted_dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[F.lit(s) for s in range(SALT_BUCKETS)])).alias("salt"),
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (salted_fact.user_id == salted_dim.c_custkey)
+        & (salted_fact.salt == salted_dim.salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents_row").alias("value_cents"),
+    )

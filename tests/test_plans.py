@@ -47,6 +47,13 @@ def test_smj_is_sort_merge(spark, sf_dir):
     assert "SortMergeJoin" in plan
 
 
+def test_salted_join_broadcasts_exploded_dim(spark, sf_dir):
+    """Salting multiplies only the build side (dim ×8) — it must stay
+    small enough to broadcast, or the salt bought nothing."""
+    plan = _plan(spark, sf_dir, "b_join_salted")
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_fuzzy_dedup_never_cross_joins(spark, sf_dir):
     """MinHash+LSH dedup must reach pairs via equi-joins on band/
     shingle keys — a cartesian anywhere means the 100 TB story is
