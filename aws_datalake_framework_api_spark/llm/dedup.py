@@ -224,7 +224,7 @@ def _sub(i: int) -> tuple[int, int]:
     return i // _SUBS_PER_MD5, (i % _SUBS_PER_MD5) * 8 + 1
 
 
-_FUZZY_SQL = (
+_FUZZY_CTE = (
     _DUCK_SHINGLE_SET
     + f""",
     hashed AS (
@@ -265,17 +265,21 @@ _FUZZY_SQL = (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    fuzzy_pairs AS (
+      SELECT doc_a, doc_b, jac AS jaccard FROM (
+        SELECT i.doc_a, i.doc_b,
+               i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jac
+        FROM inter i
+        JOIN cand USING (doc_a, doc_b)
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+      ) WHERE jac >= {JACCARD_THRESHOLD}
     )
-    SELECT doc_a, doc_b, jac AS jaccard FROM (
-      SELECT i.doc_a, i.doc_b,
-             i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jac
-      FROM inter i
-      JOIN cand USING (doc_a, doc_b)
-      JOIN sizes sa ON sa.doc_id = i.doc_a
-      JOIN sizes sb ON sb.doc_id = i.doc_b
-    ) WHERE jac >= {JACCARD_THRESHOLD}
 """
 )
+
+_FUZZY_SQL = _FUZZY_CTE + "\n    SELECT doc_a, doc_b, jaccard FROM fuzzy_pairs"
 
 
 @query("b_llm_dedup_fuzzy", _FUZZY_SQL)
@@ -291,6 +295,12 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from 8 md5 digests split into four 8-hex (32-bit) subhashes
     each — 4× less hashing per shingle row for the same banding math
     (32-bit mins collide at ~n²/2³³, negligible per doc)."""
+    return _fuzzy_pairs_df(spark, sf_dir)
+
+
+def _fuzzy_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5-minhash near-dup pair DataFrame (doc_a, doc_b, jaccard)
+    — shared by ``b_llm_dedup_fuzzy`` and the cluster-formation op."""
     docs = load_table(spark, sf_dir, "documents")
     s = shingle_set(docs)
     hashed = s.select(
@@ -404,4 +414,93 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = bits.select("doc_id", simhash.alias("simhash"))
     return sh.withColumn(
         "bucket_size", F.count("*").over(Window.partitionBy("simhash"))
+    )
+
+# ------------------------------------------------------------- dedup clusters
+
+
+MAX_CC_ITERS = 15  # >= graph diameter of any near-dup cluster; asserted below
+
+_CLUSTERS_SQL = (
+    _FUZZY_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    verts AS (SELECT DISTINCT doc_id FROM documents),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM fuzzy_pairs
+      UNION
+      SELECT doc_b, doc_a FROM fuzzy_pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+    ),
+    cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_canonical
+    FROM cc
+"""
+)
+
+
+@query("b_llm_dedup_clusters", _CLUSTERS_SQL)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: connected components over the
+    fuzzy-pair graph, electing min-doc_id as each cluster's canonical
+    representative — the step that turns pairwise similarity into an
+    actual keep/drop decision (every production dedup ends here, not
+    at pairs).
+
+    Iterative min-label propagation: every vertex starts as its own
+    label; each round takes the min over neighbours' labels; fixpoint
+    = components.  Rounds needed = graph diameter, and near-dup
+    clusters are dense blobs with tiny diameters, so this converges in
+    a handful of rounds even at corpus scale (a pathological chain
+    would call for the large-star/small-star pointer-jumping variant —
+    same join shape, O(log n) rounds).  Each round is one equi-join +
+    one groupBy-min; ``localCheckpoint`` truncates the lineage so the
+    plan stays constant-size instead of doubling per round, and the
+    only driver-side data is the 1-row convergence probe.  The oracle
+    twin is a recursive-CTE transitive closure — feasible for DuckDB
+    at fixture scale, which is exactly why the closure stays in the
+    oracle and the engine runs propagation.
+    """
+    pairs = _fuzzy_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = docs.select(
+        F.col("doc_id").alias("v"), F.col("doc_id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(MAX_CC_ITERS):
+        nbr = (
+            sym.join(labels, sym.a == labels.v)
+            .select(F.col("b").alias("v"), F.col("lbl"))
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {MAX_CC_ITERS} rounds")
+    out = labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+        F.when(F.col("doc_id") == F.col("cluster_id"), 1)
+        .otherwise(0)
+        .alias("is_canonical"),
     )

@@ -148,3 +148,18 @@ def test_tokenization_is_oracle_byte_identical(spark):
         for t in texts
     ]
     assert got == want
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair must land in one cluster; canonical = the
+    min doc_id of its component; singletons are their own cluster."""
+    labels = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in QUERIES["b_llm_dedup_clusters"](spark, sf_dir).collect()
+    }
+    pairs = QUERIES["b_llm_dedup_fuzzy"](spark, sf_dir).collect()
+    for r in pairs:
+        assert labels[r["doc_a"]][0] == labels[r["doc_b"]][0]
+    for doc_id, (cluster_id, canon) in labels.items():
+        assert cluster_id <= doc_id
+        assert canon == (1 if cluster_id == doc_id else 0)
