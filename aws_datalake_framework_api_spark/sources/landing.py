@@ -98,3 +98,75 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), money_sum("l_extendedprice").alias("total_price")
     )
+
+
+# ---------------------------------------------------------------- z-order sink
+
+_ZBITS = 8  # 8 bits per dimension -> 16-bit z-value, 256x256 grid
+
+
+def _z_sql(a: str, b: str) -> str:
+    """DuckDB expression: interleave the low _ZBITS bits of a and b."""
+    terms = [
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_ZBITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "b_sink_zorder",
+    f"""
+    WITH z AS (
+      SELECT user_id % 256 AS u8,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 256 AS d8
+      FROM events
+    )
+    SELECT CAST({_z_sql('u8', 'd8')} // 4096 AS BIGINT) AS zbucket,
+           count(*) AS n,
+           CAST(min(u8) AS BIGINT) AS u_min, CAST(max(u8) AS BIGINT) AS u_max,
+           CAST(min(d8) AS BIGINT) AS d_min, CAST(max(d8) AS BIGINT) AS d_max
+    FROM z GROUP BY 1
+    """,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered sink: interleave the bits of
+    two filter dimensions (user bucket × day bucket) into one sort
+    key, range-partition + sort the write on it, and report per-z-range
+    min/max stats for BOTH dimensions.
+
+    Why a 100 TB lake cares: parquet row-group pruning works off
+    per-file min/max; a lexicographic sort gives tight bounds on the
+    FIRST key only, while the z-curve keeps both spans ~√bucket —
+    point/range predicates on EITHER dimension skip most files.  The
+    z-value is exact integer bit-interleaving (shiftleft/bitwiseAND),
+    identical in the DuckDB twin, so the whole layout computation is
+    hash-checked; the bucket stats the query emits are precisely the
+    skipping metadata a reader would consult."""
+    ev = load_table(spark, sf_dir, "events")
+    u8 = F.col("user_id") % 256
+    d8 = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 256
+    zval = None
+    for i in range(_ZBITS):
+        term = F.shiftleft(F.shiftright(F.col("u8"), i).bitwiseAND(1), 2 * i) + \
+            F.shiftleft(F.shiftright(F.col("d8"), i).bitwiseAND(1), 2 * i + 1)
+        zval = term if zval is None else zval + term
+    z = ev.select(u8.alias("u8"), d8.alias("d8")).withColumn("zval", zval)
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_zorder_")
+    path = os.path.join(tmp, "events_zorder")
+    # the layout exhibit: range-partition on the curve, sort within
+    # partitions -> each written file covers one tight z-range
+    z.repartitionByRange(16, "zval").sortWithinPartitions("zval").write.mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(
+        (F.col("zval") / 4096).cast("bigint").alias("zbucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("u8").cast("bigint").alias("u_min"),
+        F.max("u8").cast("bigint").alias("u_max"),
+        F.min("d8").cast("bigint").alias("d_min"),
+        F.max("d8").cast("bigint").alias("d_max"),
+    )
