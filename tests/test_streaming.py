@@ -168,3 +168,94 @@ def test_apply_in_pandas_with_state(spark, sf_dir, landing):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_in_pandas(spark, sf_dir, landing):
+    """Spark 4's successor state API (transformWithStateInPandas /
+    StatefulProcessor with typed ValueState): same per-user running
+    totals, final state must equal the batch groupBy.
+
+    The TWS driver worker speaks protobuf to the JVM state server;
+    this container ships a broken google.protobuf (no pip installs
+    allowed), so the test skips where the import fails — the same
+    honest-seam policy as the multimodal codec stub."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: TWS driver worker cannot start")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # transformWithState requires the RocksDB state store
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("total", DoubleType(), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                StructType(
+                    [
+                        StructField("total", DoubleType(), True),
+                        StructField("n", LongType(), True),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, n = (
+                self._state.get() if self._state.exists() else (0.0, 0)
+            )
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+                n += len(pdf)
+            self._state.update((total, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total": [total], "n": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _event_stream(spark, landing).select("user_id", "value")
+    result = stream.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        result.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("user_state_tws")
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (round(r["total"], 4), r["n"])
+        for r in spark.sql(
+            "SELECT user_id, last(total) AS total, last(n) AS n "
+            "FROM user_state_tws GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (round(r["total"], 4), r["n"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
