@@ -229,3 +229,38 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", EVENT_TYPES)
         .agg(F.round(F.sum("value"), 2))
     )
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+@query(
+    "b_agg_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS qty_p50,
+           quantile_cont(l_quantity, 0.95) AS qty_p95,
+           quantile_cont(l_extendedprice, 0.9) AS price_p90,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles: Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition
+    (pos = q·(n-1), lerp between the two neighbours), so the results
+    are bit-identical — probed, not assumed.
+
+    Scale note: EXACT percentile materializes each group's sorted
+    values, fine for bounded group counts (here: 3 flags); an
+    unbounded-cardinality or 100 TB single-group case switches to
+    ``approx_percentile`` (t-digest sketch, mergeable map-side — see
+    ``b_agg_approx`` for the sketch-op pattern and why sketches are
+    rows-only under a cross-engine oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("qty_p50"),
+        F.expr("percentile(l_quantity, 0.95)").alias("qty_p95"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"),
+        F.count("*").alias("n"),
+    )
