@@ -504,3 +504,66 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_canonical"),
     )
+
+
+# ------------------------------------------------------- intra-doc repetition
+
+
+@query(
+    "b_llm_repetition",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w,
+             generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+               AS shingle,
+             lead(w, {NGRAM - 1}) OVER win IS NOT NULL AS is_full
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id,
+           count(*) AS total_grams,
+           count(DISTINCT shingle) AS distinct_grams,
+           (count(*) - count(DISTINCT shingle)) * 1.0 / count(*) AS dup_gram_frac,
+           CASE WHEN (count(*) - count(DISTINCT shingle)) * 5
+                     > count(*) THEN 0 ELSE 1 END AS keep
+    FROM grams WHERE is_full
+    GROUP BY doc_id
+    """,
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring (the Gopher "repeated
+    n-grams" rule): fraction of word-3-gram occurrences that are
+    duplicates of an earlier gram IN THE SAME DOC; heavily looping
+    text (boilerplate, scraper glitches, degenerate generations) gets
+    dropped (``keep`` = dup fraction ≤ 20%).
+
+    Same posexplode + window-lead shingling as the dedup family
+    (``shingle_set``) but WITHOUT the distinct/df-cap — repetition
+    needs the raw occurrence counts.  One window on doc_id, one
+    groupBy(doc_id) with a distinct-count; the ratio is exact ints,
+    the threshold cross-multiplied to stay integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = tok.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+        ).alias("shingle"),
+        F.lead("w", NGRAM - 1).over(win).isNotNull().alias("full"),
+    ).filter(F.col("full"))
+    total = F.count("*")
+    distinct = F.countDistinct("shingle")
+    dup = total - distinct
+    return grams.groupBy("doc_id").agg(
+        total.alias("total_grams"),
+        distinct.alias("distinct_grams"),
+        (dup * F.lit(1.0) / total).alias("dup_gram_frac"),
+        F.when(dup * 5 > total, 0).otherwise(1).alias("keep"),
+    )

@@ -80,3 +80,71 @@ def llm_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         F.when(bucket <= keep_hi, 1).otherwise(0).alias("sampled"),
     )
+
+
+# ---------------------------------------------------------------- packing
+
+
+SEQ_LEN = 512  # token budget per packed sequence
+PACK_SHARDS = 16  # packing parallelism: sequences never cross a shard
+
+
+@query(
+    "b_llm_pack",
+    f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             len(string_split(trim(text), ' ')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tok,
+             CAST((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok)
+                  // {SEQ_LEN} AS BIGINT) AS seq_in_shard
+      FROM t
+    )
+    SELECT shard, seq_in_shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM packed
+    GROUP BY shard, seq_in_shard
+    """,
+)
+def llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget
+    training sequences by running token count — greedy first-fit in
+    stable doc_id order, the standard pretraining packing scheme.
+
+    Scale shape: a GLOBAL running sum would serialize the corpus
+    through one window partition, so packing runs per SHARD
+    (``doc_id % PACK_SHARDS``) and sequences never cross shards —
+    the same contract that lets 1000 executors pack 1000 shards
+    independently (shard count scales with the corpus; boundaries
+    stay deterministic).  One window + one groupBy, both on the shard
+    key; all outputs exact ints."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.withColumn(
+        "seq_in_shard",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / SEQ_LEN),
+    )
+    return packed.groupBy("shard", "seq_in_shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
