@@ -4,11 +4,9 @@ SimHash bucketing.
 
 Pipeline shape shared by all three:
 
-    tokens (posexplode) → shingles (window ``lead`` — NOT per-row
-           array lambdas: Spark does no common-subexpression
-           elimination inside higher-order-function lambdas, so an
-           array formulation re-runs the regex tokenizer per gram;
-           measured 15x slower on the fixture)
+    shingles (MAP-ONLY: split once, explode an index sequence, gram
+           lambda indexes the array attribute — see raw_shingles for
+           the two slower rejected formulations)
          → distinct (doc, shingle) pairs, document-frequency capped
          → candidate pairs (equi-join on shingle / band hash —
            NEVER an all-pairs cross join)
@@ -39,27 +37,41 @@ MINHASH_BANDS = 16
 MINHASH_ROWS = 2  # 16 bands x 2 rows = 32 hashes; P(candidate | s=0.5) ≈ 0.99
 
 
+def raw_shingles(docs: DataFrame) -> DataFrame:
+    """All word-3-gram occurrences as (doc_id, shingle) rows —
+    MAP-ONLY, no shuffle.
+
+    The tokenizer runs once per document (the split array is computed
+    below the ``explode`` Generate node, so the gram lambda indexes an
+    attribute, never re-evaluates the split — whole-stage codegen
+    keeps the array in-memory per input row while the index loop
+    emits rows).  Two rejected formulations, both measured: per-gram
+    ``transform`` lambdas over the raw text re-ran the tokenizer per
+    gram (no CSE inside HOF lambdas, 15× slower); posexplode +
+    window-``lead`` was linear but paid a full window SHUFFLE on
+    doc_id — 3.5× slower at sf0.1 and a whole extra stage at 100 TB."""
+    base = docs.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("a"))
+    idx = F.when(
+        F.size("a") >= NGRAM, F.sequence(F.lit(0), F.size("a") - NGRAM)
+    ).otherwise(F.array().cast("array<int>"))
+    g = base.select("doc_id", "a", F.explode(idx).alias("i"))
+    return g.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            *[F.col("a")[F.col("i") + k] for k in range(NGRAM)],
+        ).alias("shingle"),
+    )
+
+
 def shingle_set(docs: DataFrame) -> DataFrame:
     """Distinct df-capped word-3-gram shingles: (doc_id, shingle).
 
-    posexplode + window-lead runs the tokenizer ONCE per document and
-    builds each gram from adjacent rows — linear work, one window
-    shuffle on doc_id, then a distinct and the df-cap aggregation on
-    the shingle key.  Shingle keys are strings that distribute well;
-    the df cap removes the only pathological-skew keys before any
-    self-join sees them."""
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), " ")).alias("pos", "w")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    grams = tok.select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
-        ).alias("shingle"),
-        F.lead("w", NGRAM - 1).over(win).isNotNull().alias("full"),
-    ).filter(F.col("full"))
-    s = grams.select("doc_id", "shingle").distinct()
+    Map-only shingling (:func:`raw_shingles`), then a distinct and the
+    df-cap aggregation on the shingle key.  Shingle keys are strings
+    that distribute well; the df cap removes the only
+    pathological-skew keys before any self-join sees them."""
+    s = raw_shingles(docs).distinct()
     hot = (
         s.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -541,23 +553,13 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (boilerplate, scraper glitches, degenerate generations) gets
     dropped (``keep`` = dup fraction ≤ 20%).
 
-    Same posexplode + window-lead shingling as the dedup family
-    (``shingle_set``) but WITHOUT the distinct/df-cap — repetition
-    needs the raw occurrence counts.  One window on doc_id, one
-    groupBy(doc_id) with a distinct-count; the ratio is exact ints,
-    the threshold cross-multiplied to stay integer."""
+    Same map-only shingling as the dedup family (:func:`raw_shingles`)
+    but WITHOUT the distinct/df-cap — repetition needs the raw
+    occurrence counts.  One groupBy(doc_id) with a distinct-count;
+    the ratio is exact ints, the threshold cross-multiplied to stay
+    integer."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), " ")).alias("pos", "w")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    grams = tok.select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
-        ).alias("shingle"),
-        F.lead("w", NGRAM - 1).over(win).isNotNull().alias("full"),
-    ).filter(F.col("full"))
+    grams = raw_shingles(docs)
     total = F.count("*")
     distinct = F.countDistinct("shingle")
     dup = total - distinct
