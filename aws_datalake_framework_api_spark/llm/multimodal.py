@@ -161,3 +161,57 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = as_multimodal(docs)
     kernel = make_feature_kernel(decode_available())
     return mm.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+FRAME_BYTES = 64  # fixture stand-in: one "frame" per 64 payload bytes
+MAX_SAMPLED_FRAMES = 8
+
+
+@query(
+    "b_mm_framesample",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             greatest(1, octet_length(encode(text)) // {FRAME_BYTES})
+               AS n_frames
+      FROM documents
+    ),
+    strided AS (
+      SELECT doc_id, n_frames,
+             CAST(ceil(n_frames * 1.0 / {MAX_SAMPLED_FRAMES}) AS BIGINT)
+               AS stride
+      FROM f
+    )
+    SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(u.frame_idx AS BIGINT) AS frame_idx,
+           CAST(u.frame_idx * {FRAME_BYTES} AS BIGINT) AS frame_offset
+    FROM strided,
+         LATERAL (SELECT unnest(generate_series(0, n_frames - 1, stride))
+                  AS frame_idx) u
+    """,
+)
+def mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan for video-like payloads: stride-sample at
+    most MAX_SAMPLED_FRAMES frame indices per asset from the frame
+    count, emitting (frame_idx, byte offset) rows — exactly the work
+    list a decode kernel (``b_mm_features``'s mapInPandas slot) would
+    consume.  The sampling plan itself never touches payload bytes:
+    frame count is metadata arithmetic, so the 100 TB planning pass is
+    a payload-pruned scan + generator, and only the sampled (asset,
+    offset) pairs reach the expensive decode stage.  Deterministic
+    integer arithmetic end-to-end — hash-checked against the twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = as_multimodal(docs)
+    n_frames = F.greatest(F.lit(1), F.floor(F.col("payload_len") / FRAME_BYTES))
+    strided = mm.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.ceil(n_frames / MAX_SAMPLED_FRAMES).alias("stride"),
+    )
+    return strided.select(
+        "doc_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.col("stride"))
+        ).alias("frame_idx"),
+    ).withColumn("frame_offset", F.col("frame_idx") * FRAME_BYTES)
