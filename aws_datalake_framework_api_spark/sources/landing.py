@@ -170,3 +170,55 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d8").cast("bigint").alias("d_min"),
         F.max("d8").cast("bigint").alias("d_max"),
     )
+
+
+# ------------------------------------------------------------ schema evolution
+
+
+@query(
+    "b_scan_evolve",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(count(user_id) AS BIGINT) AS with_user,
+           CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS legacy_rows
+    FROM (
+      SELECT event_type, NULL::BIGINT AS user_id
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_type, user_id FROM events WHERE event_id % 2 = 1
+    )
+    GROUP BY event_type
+    """,
+)
+def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: a landing dir whose older files predate
+    a column (events written WITHOUT user_id) and newer files carry it
+    — read as ONE table via ``mergeSchema``, missing columns
+    null-backfilled.  The aggregate separates legacy from evolved rows
+    so the oracle (a UNION of the two generations) checks the backfill
+    semantics exactly.
+
+    100 TB note: ``mergeSchema`` lists+reads ALL file footers at plan
+    time, so production pins the merged schema in a catalog/table
+    format (Delta/Iceberg schema evolution) and reads with an explicit
+    schema; the null-backfill read semantics exercised here are
+    identical either way."""
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_evolve_")
+    path = os.path.join(tmp, "events_evolve")
+    # generation 1: schema without user_id (even event_ids)
+    ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "gen=1"))
+    # generation 2: adds user_id (odd event_ids)
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "user_id"
+    ).write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("user_id").alias("with_user"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("legacy_rows"),
+    )
