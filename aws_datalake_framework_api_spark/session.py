@@ -57,6 +57,10 @@ def get_spark(
         # 200-row dims (part) are far under this; keep the default 10MB
         # threshold but make the intent explicit for cluster configs.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # 128 MiB scan splits: with ~5-10x decompression/decode expansion
+        # a task peaks near 1 GiB — sized so a 4-8 GiB executor core runs
+        # several concurrent tasks without spill; raise only with memory.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
