@@ -34,6 +34,7 @@ from .llm import similarity as _llm_similarity  # noqa: F401  B11
 from .llm import dedup as _llm_dedup  # noqa: F401  B11
 from .llm import multimodal as _llm_multimodal  # noqa: F401  B11
 from .llm import sampling as _llm_sampling  # noqa: F401  B11
+from .operators import analytics as _analytics  # noqa: F401  B4/B5 compositions
 from .streaming import windows as _stream_windows  # noqa: F401  B9
 from .streaming import ingest as _stream_ingest  # noqa: F401  A12/B9
 from . import catalog_queries as _catalog_queries  # noqa: F401  A1-A9
