@@ -9,14 +9,20 @@ first 50 registration-order entries, leaving every catalog/streaming/
 UDF/landing query without a correctness row.  So the dict is rebuilt
 below with:
 
-1. the SURVEY §2 ids that had NO driver row in round 1 (catalog A1-A9,
-   streaming, UDFs, landing, fuzzy dedup, IVF, modal join) plus the
-   two round-1 FAILs (``b_fn_array``, ``b_llm_textstats``) — first;
-2. the new round-2 surface (privacy mask, A11 envelope) — next;
-3. one-per-family representatives of the already-hash-proven SURVEY
-   ids — filling the rest of the 50-entry window;
-4. the remaining proven SURVEY ids, then non-survey extras — last
-   (they were all green in CORRECTNESS_r01 / keep local coverage).
+Round-3 rotation (VERDICT r2 item #1): rounds 1+2 hash-proved 69/86
+survey ids through the driver; the window is rebuilt so that
+
+1. the 17 survey ids with NO driver row ever (r2's new operators:
+   quantiles, funnel/retention, salted join, z-order, evolve, the
+   ngram/minhash/simhash/clusters dedup family, neardup_lsh, pack,
+   repetition, sample, mm_*) plus ``b_scan_csv`` — first;
+2. ids whose code CHANGED this round (simhash64 widening, fn_json
+   semantics, dedup-family persist, catalog memo keying) — the
+   newest, riskiest code gets an external row (ADVICE r2 medium);
+3. r1-green ids never RE-checked since (window arithmetic) — next;
+4. a handful of r2-proven representatives fill the remainder;
+5. everything r2 just hash-proved and unchanged this round — last
+   (rotated out; ``tools/verify_local.py`` keeps local coverage).
 """
 
 from __future__ import annotations
@@ -45,8 +51,63 @@ from . import envelope as _envelope  # noqa: F401  A11
 #: Explicit export order (see module docstring).  Ids listed here but
 #: not registered are skipped; registered ids not listed append last.
 _ORDER = [
-    # -- 1. SURVEY ids with no round-1 driver row, + the two r1 FAILs
+    # -- 1. the 17 survey ids with no driver row in ANY round, + csv
+    "b_agg_quantiles",
+    "b_funnel",
+    "b_retention",
+    "b_join_salted",
+    "b_sink_zorder",
+    "b_scan_evolve",
+    "b_llm_dedup_ngram",
+    "b_llm_dedup_minhash",
+    "b_llm_dedup_simhash",
+    "b_llm_dedup_clusters",
+    "b_llm_neardup_lsh",
+    "b_llm_pack",
+    "b_llm_repetition",
+    "b_llm_sample",
+    "b_mm_meta",
+    "b_mm_features",
+    "b_mm_framesample",
+    "b_scan_csv",
+    # -- 2. new / changed-in-round-3 code (riskiest first: ADVICE r2)
+    "b_llm_dedup_simhash64",
+    "b_fn_json",
+    "b_llm_dedup_fuzzy",
     "a6_catalog_create",
+    # -- 3. r1-green survey ids never re-checked since round 1
+    "b_join_outer",
+    "b_join_semi",
+    "b_join_anti",
+    "b_join_cross",
+    "b_topk",
+    "b_set_intersect",
+    "b_set_except",
+    "b_agg_distinct",
+    "b_agg_cube",
+    "b_agg_collect",
+    "b_win_lag",
+    "b_win_frame",
+    "b_fn_null",
+    "b_fn_map",
+    # -- 3b. r1-green extras never re-checked since round 1
+    "b_join_full",
+    "b_join_bucketed",
+    "b_join_asof_pandas",
+    "b_agg_approx",
+    "b_fn_explode",
+    "b_llm_tokens",
+    "b_llm_quality",
+    "b_llm_langid",
+    "b_llm_fingerprint",
+    "b_llm_neardup_cosine",
+    # -- 4. r2-proven representatives (window fill to 50)
+    "b_join_star",
+    "b_agg_q1",
+    "b_fn_array",
+    "b_llm_textstats",
+    # ---- 50-entry window boundary falls here ----
+    # -- 5. r2-hash-proven, unchanged this round (rotated out)
     "a7_catalog_read",
     "a8_catalog_update",
     "a9_catalog_delete",
@@ -65,22 +126,14 @@ _ORDER = [
     "b_udf_scalar",
     "b_udf_pandas",
     "b_udf_grouped",
-    "b_llm_dedup_fuzzy",
     "b_llm_knn_ivf",
     "b_llm_join_modal",
-    "b_fn_array",
-    "b_llm_textstats",
-    # -- 2. round-2 surface (judge-requested: privacy mask, A11 envelope)
     "b_fn_mask",
     "b_envelope",
-    # -- 3. proven SURVEY ids, one-per-family first (window filler)
-    "b_join_star",
-    "b_agg_q1",
     "b_win_rank",
     "b_project",
     "b_filter_pred",
     "b_fn_string",
-    "b_fn_json",
     "b_llm_dedup_exact",
     "b_llm_knn",
     "b_llm_knn_lsh",
@@ -98,39 +151,6 @@ _ORDER = [
     "b_fn_math",
     "b_fn_hash",
     "b_case_when",
-    # ---- 50-entry window boundary falls here ----
-    # -- 4. remaining proven SURVEY ids
-    "b_join_outer",
-    "b_join_semi",
-    "b_join_anti",
-    "b_join_cross",
-    "b_topk",
-    "b_set_intersect",
-    "b_set_except",
-    "b_agg_distinct",
-    "b_agg_cube",
-    "b_agg_collect",
-    "b_win_lag",
-    "b_win_frame",
-    "b_fn_null",
-    "b_fn_map",
-    # -- 5. non-survey extras (all green where checked in round 1)
-    "b_join_full",
-    "b_join_bucketed",
-    "b_join_asof_pandas",
-    "b_agg_approx",
-    "b_fn_explode",
-    "b_llm_tokens",
-    "b_llm_quality",
-    "b_llm_langid",
-    "b_llm_fingerprint",
-    "b_llm_neardup_cosine",
-    "b_llm_dedup_ngram",
-    "b_llm_dedup_minhash",
-    "b_llm_dedup_simhash",
-    "b_mm_meta",
-    "b_mm_features",
-    "b_scan_csv",
 ]
 
 
