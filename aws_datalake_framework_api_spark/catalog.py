@@ -58,7 +58,17 @@ ENTITY_TYPES = ("source_system", "target_system", "data_asset")
 
 # ------------------------------------------------------------------ delta probe
 
-_DELTA_PROBE: dict[int, bool] = {}  # session id -> probe result
+_DELTA_PROBE: dict[tuple[str, int], bool] = {}  # session key -> probe result
+
+
+def _session_key(spark: SparkSession) -> tuple[str, int]:
+    """Stable per-SparkContext memo key.  ``id(spark)`` is unsafe: a
+    garbage-collected session's id can be REUSED by a new session,
+    silently inheriting the stale memo entry (ADVICE r2).
+    applicationId + startTime survive the Python wrapper's lifetime
+    and never collide across contexts."""
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 def delta_available(spark: SparkSession) -> bool:
@@ -73,10 +83,11 @@ def delta_available(spark: SparkSession) -> bool:
     catalog uses the parquet directory-swap fallback.  When the probe
     passes, A2/A8-style mutations run as real ``MERGE WHEN MATCHED`` /
     ``DELETE`` on Delta tables instead."""
-    key = id(spark)
+    key = _session_key(spark)
     if key in _DELTA_PROBE:
         return _DELTA_PROBE[key]
     ok = False
+    d = None
     try:
         from delta.tables import DeltaTable  # noqa: F401
 
@@ -87,9 +98,13 @@ def delta_available(spark: SparkSession) -> bool:
         d = _tf.mkdtemp(prefix="delta_probe_")
         spark.range(1).write.format("delta").mode("overwrite").save(d)
         ok = spark.read.format("delta").load(d).count() == 1
-        shutil.rmtree(d, ignore_errors=True)
     except Exception:  # noqa: BLE001 — any failure means "no delta here"
         ok = False
+    finally:
+        # always remove the probe dir, even when the smoke write died
+        # halfway through (ADVICE r2: the failure path leaked it)
+        if d is not None:
+            shutil.rmtree(d, ignore_errors=True)
     _DELTA_PROBE[key] = ok
     return ok
 

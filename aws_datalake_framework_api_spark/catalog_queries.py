@@ -10,13 +10,14 @@ not just a SELECT."""
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import Catalog
+from .catalog import Catalog, _session_key
 from .registry import query
 from .sources.readers import load_table
 
@@ -24,7 +25,18 @@ from .sources.readers import load_table
 # Spark write + collect, so pay it once and give each query a cheap
 # file-level copy of the template (queries MUTATE their warehouse —
 # a8 suspends, a9 deletes — so they can't share a live instance).
-_TEMPLATE_WH: dict[tuple[int, str], str] = {}
+# Keyed on applicationId+startTime, not id(spark): a GC'd session's
+# id() can be reused and would inherit a stale template (ADVICE r2).
+_TEMPLATE_WH: dict[tuple[tuple[str, int], str], str] = {}
+
+
+def _tracked_mkdtemp(prefix: str) -> str:
+    """mkdtemp whose dir is removed at interpreter exit — warehouse
+    templates/clones must outlive the (lazy) query DataFrames that
+    read from them, so cleanup is deferred to process end."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _seeded_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
@@ -34,9 +46,9 @@ def _seeded_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
     separately by the semantic probes and tests/test_catalog.py).
     Seeds a template once per (session, sf_dir), then clones it with
     a directory copy per query call."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _TEMPLATE_WH:
-        tmpl = tempfile.mkdtemp(prefix="spark_graft_wh_tmpl_")
+        tmpl = _tracked_mkdtemp(prefix="spark_graft_wh_tmpl_")
         cat = Catalog(spark, tmpl)
         rows = [
             (int(r["n_nationkey"]), r["n_name"], f'{{"region": {int(r["n_regionkey"])}}}')
@@ -51,7 +63,7 @@ def _seeded_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
         # a fresh Catalog instance, so buffered audit rows wouldn't survive
         cat.flush_audit()
         _TEMPLATE_WH[key] = tmpl
-    wh = tempfile.mkdtemp(prefix="spark_graft_wh_")
+    wh = _tracked_mkdtemp(prefix="spark_graft_wh_")
     shutil.rmtree(wh)
     shutil.copytree(_TEMPLATE_WH[key], wh)
     return Catalog(spark, wh)

@@ -301,12 +301,12 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b_fn_json",
     """
     SELECT event_id,
-           CAST(props->>'$.k' AS BIGINT) AS k_get,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+           TRY_CAST(props->>'$.k' AS BIGINT) AS k_get,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
            props->>'$.k' AS k_str,
            CASE WHEN props IS NOT NULL AND json_valid(props)
-                THEN CASE WHEN json_type(props) = 'OBJECT' THEN 1 ELSE 0 END
-                ELSE 0 END AS is_valid
+                     AND json_type(props) = 'OBJECT'
+                THEN 1 ELSE 0 END AS is_valid
     FROM events
     """,
 )
@@ -314,29 +314,26 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family over the ``props`` payload column — the engine's
     answer to the reference's untyped JSON envelope (source-system
     ``lambda_function.py:12-14``): payloads stay strings at rest,
-    parsed on demand with ``get_json_object``/``from_json`` (schema
-    projection pushed into the parse, no full materialization).
+    parsed on demand with ``get_json_object`` (schema projection
+    pushed into the parse, no full materialization).
 
-    ``is_valid`` means "parses as a JSON object": PERMISSIVE
-    ``from_json`` yields a struct of nulls (NOT a null struct) on
-    malformed input, so validity is probed through a corrupt-record
-    column — Spark fills it for anything that isn't a schema-shaped
-    object, mirrored by ``json_valid AND json_type='OBJECT'`` in the
-    oracle (ADVICE r1: ``isNotNull`` on the struct was always true)."""
+    ``is_valid`` means exactly "parses as a JSON OBJECT", independent
+    of any field's type: ``json_object_keys`` returns NULL for
+    malformed JSON and for valid non-objects (arrays, scalars), and
+    an array (possibly empty) only for objects — the precise mirror
+    of the oracle's ``json_valid AND json_type='OBJECT'``.  (ADVICE
+    r2: the previous corrupt-record probe was typing-sensitive — a
+    well-formed ``{"k":"x"}`` counted invalid on the Spark side only.)
+    Both ``k`` extractions go through try_cast so a non-integral
+    ``k`` degrades to NULL identically on both engines instead of
+    erroring one of them."""
     ev = load_table(spark, sf_dir, "events")
-    parsed = F.from_json(
-        F.col("props"),
-        "k BIGINT, _corrupt STRING",
-        {"columnNameOfCorruptRecord": "_corrupt"},
-    )
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_get"),
-        parsed.getField("k").alias("k_parsed"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_get"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_parsed"),
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.when(
-            F.col("props").isNotNull() & parsed.getField("_corrupt").isNull(), 1
-        )
+        F.when(F.json_object_keys(F.col("props")).isNotNull(), 1)
         .otherwise(0)
         .alias("is_valid"),
     )

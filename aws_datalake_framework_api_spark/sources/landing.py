@@ -11,7 +11,9 @@ hash compare."""
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +22,21 @@ from pyspark.sql import functions as F
 from ..functions.numeric import money_sum, sql_money_sum
 from ..registry import query
 from .readers import load_table
+
+#: Lazily created per-process scratch base for the write-then-read
+#: exhibits below.  One dir, reused across queries AND reruns (each
+#: write is mode("overwrite") into a stable subpath), removed at
+#: interpreter exit — a sweep no longer leaks one table copy per run
+#: (ADVICE r2, landing.py temp dirs).
+_SCRATCH_BASE: list[str] = []
+
+
+def _scratch(name: str) -> str:
+    if not _SCRATCH_BASE:
+        base = tempfile.mkdtemp(prefix="spark_graft_landing_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _SCRATCH_BASE.append(base)
+    return os.path.join(_SCRATCH_BASE[0], name)
 
 _CSV_SCHEMA = (
     "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, "
@@ -43,8 +60,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV landing roundtrip: write customer as headered CSV, ingest
     with explicit schema, aggregate.  Doubles survive because Spark
     writes shortest-roundtrip decimal strings."""
-    tmp = tempfile.mkdtemp(prefix="spark_graft_csv_")
-    path = os.path.join(tmp, "customer_csv")
+    path = _scratch("customer_csv")
     load_table(spark, sf_dir, "customer").write.mode("overwrite").option(
         "header", True
     ).csv(path)
@@ -65,8 +81,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines landing roundtrip (events feed, µs timestamps +
     nested JSON props carried as strings), explicit-schema ingest,
     aggregate."""
-    tmp = tempfile.mkdtemp(prefix="spark_graft_json_")
-    path = os.path.join(tmp, "events_json")
+    path = _scratch("events_json")
     load_table(spark, sf_dir, "events").write.mode("overwrite").json(path)
     back = spark.read.schema(_JSON_SCHEMA).json(path)
     return back.groupBy("event_type").agg(
@@ -89,8 +104,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per partition.  At 100 TB, partition columns are chosen
     for (a) bounded cardinality and (b) appearing in WHERE clauses;
     flag/status are the fixture's analogue."""
-    tmp = tempfile.mkdtemp(prefix="spark_graft_sink_")
-    path = os.path.join(tmp, "lineitem_part")
+    path = _scratch("lineitem_part")
     load_table(spark, sf_dir, "lineitem").write.mode("overwrite").partitionBy(
         "l_returnflag", "l_linestatus"
     ).parquet(path)
@@ -153,8 +167,7 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         zval = term if zval is None else zval + term
     z = ev.select(u8.alias("u8"), d8.alias("d8")).withColumn("zval", zval)
 
-    tmp = tempfile.mkdtemp(prefix="spark_graft_zorder_")
-    path = os.path.join(tmp, "events_zorder")
+    path = _scratch("events_zorder")
     # the layout exhibit: range-partition on the curve, sort within
     # partitions -> each written file covers one tight z-range
     z.repartitionByRange(16, "zval").sortWithinPartitions("zval").write.mode(
@@ -204,19 +217,29 @@ def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, so production pins the merged schema in a catalog/table
     format (Delta/Iceberg schema evolution) and reads with an explicit
     schema; the null-backfill read semantics exercised here are
-    identical either way."""
+    identical either way.
+
+    The generation dirs are deliberately NOT ``key=value`` names:
+    ``gen=1/gen=2`` would trigger partition DISCOVERY, which unions
+    the dirs and injects a partition column regardless of mergeSchema
+    — testing the wrong mechanism (ADVICE r2).  ``gen1/gen2`` +
+    ``recursiveFileLookup`` disables discovery entirely, so the
+    null-backfill observed here is footer-merge evolution alone."""
     ev = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="spark_graft_evolve_")
-    path = os.path.join(tmp, "events_evolve")
+    path = _scratch("events_evolve")
     # generation 1: schema without user_id (even event_ids)
     ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type").write.mode(
         "overwrite"
-    ).parquet(os.path.join(path, "gen=1"))
+    ).parquet(os.path.join(path, "gen1"))
     # generation 2: adds user_id (odd event_ids)
     ev.filter(F.col("event_id") % 2 == 1).select(
         "event_id", "event_type", "user_id"
-    ).write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
-    back = spark.read.option("mergeSchema", True).parquet(path)
+    ).write.mode("overwrite").parquet(os.path.join(path, "gen2"))
+    back = (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(path)
+    )
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.count("user_id").alias("with_user"),
