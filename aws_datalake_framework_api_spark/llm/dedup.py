@@ -485,6 +485,110 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_size", F.count("*").over(Window.partitionBy("simhash"))
     )
 
+
+SIMHASH64_BANDS = 4  # 4 × 16-bit bands over the 64-bit signature
+HAMMING_MAX = 3  # pairs emitted iff Hamming(sig_a, sig_b) <= 3
+
+
+@query("b_llm_dedup_simhash64")  # rows-only: xxhash64 signatures have no
+# DuckDB twin; precision/recall vs the exact n-gram ground truth is
+# pinned in tests/test_llm_ops.py, and the md5-parity 16-bit variant
+# above stays as the oracle-checked twin of the construction.
+def llm_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SimHash: 64-bit xxhash64 signature + banded Hamming
+    probes — the widening the 16-bit oracle variant's docstring
+    promises (round-2 verdict, next-round #5).
+
+    Signature: bit i is the majority vote across the doc's tokens
+    (bag-of-words, repeats counted) of bit i of ``xxhash64(token)``.
+    Near-dups differ in a few tokens → a few flipped minority votes →
+    small Hamming distance between signatures (Charikar 2002).
+
+    Banded probing replaces the n² signature comparison: split the 64
+    bits into 4 × 16-bit bands and equi-join docs sharing any band
+    value.  By pigeonhole, two signatures within Hamming ≤ 3 differ in
+    at most 3 of the 4 bands, so they AGREE on at least one band —
+    candidate generation is LOSSLESS for the d ≤ 3 emit threshold,
+    unlike MinHash banding (probabilistic recall).  The final
+    ``bit_count(a XOR b) <= 3`` rerank makes precision exact w.r.t.
+    the signature metric, so approximation lives only in SimHash
+    itself, and the tests measure exactly that against the n-gram
+    ground truth.
+
+    Shuffles: one groupBy(doc_id) for the 64 majority votes (map-side
+    partial aggregation does most of the work), one groupBy on uniform
+    16-bit band keys, the candidate self-join.  No all-pairs anywhere;
+    fan-out per band bucket is occupancy², and heavy buckets mean
+    actual near-dup mass, not hash skew — xxhash64 spreads distinct
+    signatures uniformly."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash64_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), 16 * b).bitwiseAND(0xFFFF)
+                    for b in range(SIMHASH64_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+def simhash64_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig): the 64-bit token-majority SimHash signature per
+    document — exposed separately so tests can brute-force the pair
+    space over collected signatures and prove the banded probe above
+    is lossless at the d ≤ 3 threshold."""
+    toks = F.split(F.trim(F.col("text")), " ")
+    tok = docs.select(
+        "doc_id",
+        F.explode(toks).alias("w"),
+        F.size(toks).alias("n_tok"),
+    )
+    h = F.xxhash64(F.col("w"))
+    bits = tok.select(
+        "doc_id",
+        "n_tok",
+        *[F.shiftrightunsigned(h, i).bitwiseAND(1).alias(f"b{i}") for i in range(64)],
+    )
+    ones = bits.groupBy("doc_id", "n_tok").agg(
+        *[F.sum(f"b{i}").alias(f"o{i}") for i in range(64)]
+    )
+    sig = None
+    for i in range(64):
+        # set bit i iff ones > n_tok/2; shiftleft(1L, 63) is the sign
+        # bit — Java shift semantics, a bit pattern, never arithmetic
+        term = (
+            F.when(
+                F.col(f"o{i}") * 2 > F.col("n_tok"),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return ones.select("doc_id", sig.alias("sig"))
+
+
 # ------------------------------------------------------------- dedup clusters
 
 

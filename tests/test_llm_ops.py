@@ -85,6 +85,73 @@ def test_knn_ivf_recall_vs_brute(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} below the 16x4 floor"
 
 
+def test_simhash64_banding_lossless_for_hamming_3(spark, sf_dir):
+    """The 4×16-bit banded probe must emit EXACTLY the pairs within
+    Hamming ≤ 3 of each other — pigeonhole makes candidate generation
+    lossless at that threshold, and the rerank makes it exact.  Proven
+    by brute-forcing the full pair space over collected signatures."""
+    from itertools import combinations
+
+    from aws_datalake_framework_api_spark.llm.dedup import (
+        HAMMING_MAX,
+        simhash64_signatures,
+    )
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = {r["doc_id"]: r["sig"] for r in simhash64_signatures(docs).collect()}
+    expect = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        for a, b in combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= HAMMING_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in QUERIES["b_llm_dedup_simhash64"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_simhash64_vs_exact_ngram(spark, sf_dir):
+    """SimHash approximates cosine on bags-of-words, a different
+    metric than 3-gram Jaccard, so against the n-gram ground truth it
+    gets usable-but-not-perfect agreement; this pins the measured
+    floor (sf0.001: recall 0.75 / precision 0.78; sf0.01: 0.60/0.88)
+    so a construction regression can't hide."""
+    exact = _pairs(QUERIES["b_llm_dedup_ngram"](spark, sf_dir))
+    sh = _pairs(QUERIES["b_llm_dedup_simhash64"](spark, sf_dir))
+    assert exact and sh
+    inter = len(exact & sh)
+    assert inter / len(exact) >= 0.5, f"recall {inter / len(exact):.2f}"
+    assert inter / len(sh) >= 0.6, f"precision {inter / len(sh):.2f}"
+
+
+def test_simhash64_exact_dups_at_hamming_zero(spark, sf_dir):
+    """Exact duplicate texts have identical signatures, so every
+    exact-dup pair must be emitted with hamming = 0."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup_sets = (
+        docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in QUERIES["b_llm_dedup_simhash64"](spark, sf_dir).collect()
+    }
+    # (vacuous when the fixture SF carries no byte-identical texts —
+    # the lossless-banding test above still pins hamming-0 behavior)
+    for row in dup_sets:
+        ids = sorted(row["ids"])
+        for a, b in zip(ids, ids[1:]):
+            assert got.get((a, b)) == 0, f"exact dups {a},{b} not at hamming 0"
+
+
 def test_simhash_buckets_contain_exact_dups(spark, sf_dir):
     """Exact duplicate texts must land in the same simhash bucket."""
     from aws_datalake_framework_api_spark.sources.readers import load_table
