@@ -12,6 +12,7 @@ whole push topology collapses into ``readStream`` → ``writeStream``.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -85,8 +86,16 @@ def stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (availableNow), read back the curated output.  The oracle is the
     identity over the source feed — ingestion must lose and corrupt
     nothing.  (This query does real filesystem work in a temp dir;
-    it is the one queries() entry that is a pipeline, not a plan.)"""
+    it is the one queries() entry that is a pipeline, not a plan.)
+
+    Exactly-once: the checkpoint's source log records which landing
+    files each committed batch read, and the parquet sink's
+    ``_spark_metadata`` commit log publishes batch output atomically —
+    kill/restart at any point resumes from the last committed batch
+    (demonstrated as data in tests/test_streaming.py: the no-op rerun
+    and the incremental checkpoint-recovery test)."""
     tmp = tempfile.mkdtemp(prefix="spark_graft_ingest_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     landing = os.path.join(tmp, "landing")
     out = os.path.join(tmp, "curated")
     ckpt = os.path.join(tmp, "ckpt")

@@ -54,6 +54,40 @@ def test_ingest_roundtrip_exactly_once(spark, sf_dir, tmp_path, landing):
     assert spark.read.parquet(out).count() == n_src
 
 
+def test_ingest_checkpoint_recovery_incremental(spark, sf_dir, tmp_path, landing):
+    """RECOVERY semantics: stop, drop a new landing file, restart over
+    the SAME checkpoint — the new file is processed, the committed one
+    is not reprocessed, every event_id lands exactly once.  This is
+    the property that makes the file source safe to kill at any point:
+    the checkpoint's source log records which files each committed
+    batch read, and the parquet sink's _spark_metadata commit log makes
+    batch output visible atomically, so a restart resumes from the
+    last committed batch instead of double-writing it."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ingest_stream(spark, landing, out, ckpt)
+    n_src = load_table(spark, sf_dir, "events").count()
+
+    # stage a second-generation file: same feed shape (raw int64-nanos
+    # ts), event_ids offset so exactly-once is observable per id
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    gen2 = (
+        spark.read.schema(LANDING_SCHEMA)
+        .parquet(landing)
+        .limit(100)
+        .withColumn("event_id", F.col("event_id") + F.lit(10**9))
+    )
+    scratch = str(tmp_path / "gen2")
+    gen2.coalesce(1).write.parquet(scratch)
+    part = next(p for p in os.listdir(scratch) if p.endswith(".parquet"))
+    shutil.copy(os.path.join(scratch, part), os.path.join(landing, "events-001.parquet"))
+
+    ingest_stream(spark, landing, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == n_src + 100
+    dup = got.groupBy("event_id").count().filter("count > 1").count()
+    assert dup == 0, "a committed file was reprocessed after restart"
+
+
 def test_streaming_windowed_agg_matches_batch(spark, sf_dir, landing):
     """The SAME window transformation through a real stream (memory
     sink, availableNow) equals its batch execution — the unified-model
