@@ -38,8 +38,8 @@ MINHASH_BANDS = 16
 MINHASH_ROWS = 2  # 16 bands x 2 rows = 32 hashes; P(candidate | s=0.5) ≈ 0.99
 
 
-def raw_shingles(docs: DataFrame) -> DataFrame:
-    """All word-3-gram occurrences as (doc_id, shingle) rows —
+def raw_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """All word-n-gram occurrences as (doc_id, shingle) rows —
     MAP-ONLY, no shuffle.
 
     The tokenizer runs once per document (the split array is computed
@@ -53,26 +53,26 @@ def raw_shingles(docs: DataFrame) -> DataFrame:
     doc_id — 3.5× slower at sf0.1 and a whole extra stage at 100 TB."""
     base = docs.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("a"))
     idx = F.when(
-        F.size("a") >= NGRAM, F.sequence(F.lit(0), F.size("a") - NGRAM)
+        F.size("a") >= n, F.sequence(F.lit(0), F.size("a") - n)
     ).otherwise(F.array().cast("array<int>"))
     g = base.select("doc_id", "a", F.explode(idx).alias("i"))
     return g.select(
         "doc_id",
         F.concat_ws(
             " ",
-            *[F.col("a")[F.col("i") + k] for k in range(NGRAM)],
+            *[F.col("a")[F.col("i") + k] for k in range(n)],
         ).alias("shingle"),
     )
 
 
-def shingle_set(docs: DataFrame) -> DataFrame:
-    """Distinct df-capped word-3-gram shingles: (doc_id, shingle).
+def shingle_set(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """Distinct df-capped word-n-gram shingles: (doc_id, shingle).
 
     Map-only shingling (:func:`raw_shingles`), then a distinct and the
     df-cap aggregation on the shingle key.  Shingle keys are strings
     that distribute well; the df cap removes the only
     pathological-skew keys before any self-join sees them."""
-    s = raw_shingles(docs).distinct()
+    s = raw_shingles(docs, n).distinct()
     hot = (
         s.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -677,6 +677,90 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_canonical"),
     )
+
+
+# ------------------------------------------------------- decontamination
+
+
+DECON_NGRAM = 8  # the GPT-3/PaLM-style collision unit: one shared 8-gram flags
+DECON_EVAL_MOD = 7  # fixture stand-in eval set: doc_id % 7 == 0
+
+_DECON_GRAM = " || ' ' || ".join(
+    ["w"] + [f"lead(w, {k}) OVER win" for k in range(1, DECON_NGRAM)]
+)
+
+_DECON_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w,
+             generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, {_DECON_GRAM} AS shingle,
+             lead(w, {DECON_NGRAM - 1}) OVER win IS NOT NULL AS is_full
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s_all AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE is_full),
+    s AS (
+      SELECT * FROM s_all WHERE shingle NOT IN (
+        SELECT shingle FROM s_all GROUP BY shingle HAVING count(*) > {MAX_DF})
+    ),
+    eval_s AS (
+      SELECT doc_id AS eval_id, shingle FROM s
+      WHERE doc_id % {DECON_EVAL_MOD} = 0
+    )
+    SELECT c.doc_id, e.eval_id, count(*) AS n_shared
+    FROM s c JOIN eval_s e
+      ON c.shingle = e.shingle AND c.doc_id <> e.eval_id
+    GROUP BY 1, 2
+"""
+
+
+def contamination_pairs(
+    docs: DataFrame, eval_docs: DataFrame, n: int = DECON_NGRAM
+) -> DataFrame:
+    """Benchmark decontamination: (corpus doc, eval doc, shared n-gram
+    count) for every corpus document sharing at least one word-n-gram
+    with an evaluation document — the training-set hygiene step that
+    keeps benchmark text out of the corpus (n-gram collision checks as
+    published for GPT-3 appendix C / PaLM; n=8 here).
+
+    Shape at 100 TB: the corpus side is the map-only df-capped shingle
+    scan; the eval side — benchmarks are n×10⁵ shingles, not corpus-
+    sized — is BROADCAST, so the join adds no corpus shuffle at all.
+    The only shuffle is the final groupBy over matched (doc, eval)
+    rows, and matches are rare by construction (decontamination exists
+    because overlap is exceptional).  Corpus docs never join each
+    other; fan-out is bounded by eval-set size, not corpus².
+
+    The df cap (shared ``MAX_DF``) drops boilerplate n-grams from the
+    corpus side; a capped shingle can't produce join rows, so capping
+    the broadcast side too would not change the result — the oracle
+    caps both sides from the same set, this function caps corpus only:
+    identical output."""
+    c = shingle_set(docs, n)
+    e = (
+        raw_shingles(eval_docs, n)
+        .distinct()
+        .select(F.col("doc_id").alias("eval_id"), "shingle")
+    )
+    return (
+        c.join(F.broadcast(e), "shingle")
+        .filter(F.col("doc_id") != F.col("eval_id"))
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@query("b_llm_decontaminate", _DECON_SQL)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination over the fixture: every 7th document stands in
+    for the benchmark/eval set; emit (doc_id, eval_id, n_shared) for
+    corpus docs colliding with it on any 8-gram.  Exact integer
+    counts → full oracle hash check of the whole pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    return contamination_pairs(docs, eval_docs, DECON_NGRAM)
 
 
 # ------------------------------------------------------- intra-doc repetition

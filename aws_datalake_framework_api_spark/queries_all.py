@@ -72,6 +72,7 @@ _ORDER = [
     "b_scan_csv",
     # -- 2. new / changed-in-round-3 code (riskiest first: ADVICE r2)
     "b_llm_dedup_simhash64",
+    "b_llm_decontaminate",
     "b_fn_json",
     "b_llm_dedup_fuzzy",
     "a6_catalog_create",
@@ -105,8 +106,8 @@ _ORDER = [
     "b_join_star",
     "b_agg_q1",
     "b_fn_array",
-    "b_llm_textstats",
     # ---- 50-entry window boundary falls here ----
+    "b_llm_textstats",
     # -- 5. r2-hash-proven, unchanged this round (rotated out)
     "a7_catalog_read",
     "a8_catalog_update",

@@ -152,6 +152,33 @@ def test_simhash64_exact_dups_at_hamming_zero(spark, sf_dir):
             assert got.get((a, b)) == 0, f"exact dups {a},{b} not at hamming 0"
 
 
+def test_decontamination_flags_planted_overlap(spark):
+    """A corpus doc embedding 10 consecutive tokens of an eval doc
+    must be flagged with exactly 3 shared 8-grams (10-8+1 windows);
+    an unrelated doc must not appear."""
+    import pandas as pd
+
+    from aws_datalake_framework_api_spark.llm.dedup import contamination_pairs
+
+    run = "a b c d e f g h i j"  # 10 tokens -> 3 distinct 8-grams
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [f"xx yy {run} zz ww", "p q r s t u v w x y z"],
+            }
+        )
+    )
+    eval_docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [f"mm {run} nn"]})
+    )
+    got = {
+        (r["doc_id"], r["eval_id"]): r["n_shared"]
+        for r in contamination_pairs(corpus, eval_docs).collect()
+    }
+    assert got == {(1, 100): 3}
+
+
 def test_simhash_buckets_contain_exact_dups(spark, sf_dir):
     """Exact duplicate texts must land in the same simhash bucket."""
     from aws_datalake_framework_api_spark.sources.readers import load_table

@@ -47,6 +47,14 @@ def test_smj_is_sort_merge(spark, sf_dir):
     assert "SortMergeJoin" in plan
 
 
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval/benchmark side must broadcast — a shuffled corpus-vs-
+    eval join would pay a full corpus shuffle for a tiny probe set."""
+    plan = _plan(spark, sf_dir, "b_llm_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_salted_join_broadcasts_exploded_dim(spark, sf_dir):
     """Salting multiplies only the build side (dim ×8) — it must stay
     small enough to broadcast, or the salt bought nothing."""
