@@ -153,18 +153,33 @@ def _jaccard_pairs(s: DataFrame, cand: DataFrame | None = None) -> DataFrame:
     """Count-based Jaccard over distinct (doc, shingle) rows:
     |A∩B| = rows of the shingle equi-join per pair; |A|,|B| = per-doc
     shingle counts.  ``cand`` (optional) pre-restricts the pair space
-    (the MinHash path passes its LSH candidates)."""
+    (the MinHash path passes its LSH candidates).
+
+    The restriction happens BEFORE the intersection join, not as a
+    semi-join after it: counting first and filtering after would run
+    the full all-shared-shingle self-join — Σ_shingle df² fan-out,
+    the exact path's whole cost — making the banding pointless (round
+    3 finding: minhash benched SLOWER than exact ngram that way).
+    Candidate-first, the fan-out is Σ_cand |A| — linear in the
+    candidate count LSH already bounded — and each candidate pair's
+    count is identical, so the output is unchanged."""
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
     if cand is not None:
-        inter = inter.join(cand, ["doc_a", "doc_b"], "left_semi")
+        inter = (
+            cand.join(a, "doc_a")  # fan candidate pairs out by A's shingles
+            .join(b, ["doc_b", "shingle"])  # keep the ones B shares
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
