@@ -656,11 +656,32 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = _fuzzy_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = connected_components(docs, pairs)
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+        F.when(F.col("doc_id") == F.col("cluster_id"), 1)
+        .otherwise(0)
+        .alias("is_canonical"),
+    )
+
+
+def connected_components(vertices: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation (the loop :func:`llm_dedup_clusters` runs;
+    see its docstring for the convergence/scale analysis).
+
+    ``vertices`` is a one-column ``doc_id`` frame, ``pairs`` has
+    ``doc_a``/``doc_b``; returns ``(doc_id, cluster_id)`` with
+    ``cluster_id`` = the component's min doc_id.  Exposed separately so
+    compositions (the curation pipeline) reuse the labels without the
+    cluster-size window."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
-    labels = docs.select(
+    labels = vertices.select(
         F.col("doc_id").alias("v"), F.col("doc_id").alias("lbl")
     ).localCheckpoint(eager=True)
     for _ in range(MAX_CC_ITERS):
@@ -683,15 +704,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:
         raise RuntimeError(f"components did not converge in {MAX_CC_ITERS} rounds")
-    out = labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
-    return out.select(
-        "doc_id",
-        "cluster_id",
-        F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
-        F.when(F.col("doc_id") == F.col("cluster_id"), 1)
-        .otherwise(0)
-        .alias("is_canonical"),
-    )
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
 # ------------------------------------------------------- decontamination

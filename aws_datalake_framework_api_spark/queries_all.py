@@ -40,6 +40,7 @@ from .llm import similarity as _llm_similarity  # noqa: F401  B11
 from .llm import dedup as _llm_dedup  # noqa: F401  B11
 from .llm import multimodal as _llm_multimodal  # noqa: F401  B11
 from .llm import sampling as _llm_sampling  # noqa: F401  B11
+from .llm import curation as _llm_curation  # noqa: F401  B11 composition
 from .operators import analytics as _analytics  # noqa: F401  B4/B5 compositions
 from .streaming import windows as _stream_windows  # noqa: F401  B9
 from .streaming import ingest as _stream_ingest  # noqa: F401  A12/B9
@@ -73,6 +74,7 @@ _ORDER = [
     # -- 2. new / changed-in-round-3 code (riskiest first: ADVICE r2)
     "b_llm_dedup_simhash64",
     "b_llm_decontaminate",
+    "b_llm_curation",
     "b_fn_json",
     "b_llm_dedup_fuzzy",
     "a6_catalog_create",
@@ -105,8 +107,8 @@ _ORDER = [
     # -- 4. r2-proven representatives (window fill to 50)
     "b_join_star",
     "b_agg_q1",
-    "b_fn_array",
     # ---- 50-entry window boundary falls here ----
+    "b_fn_array",
     "b_llm_textstats",
     # -- 5. r2-hash-proven, unchanged this round (rotated out)
     "a7_catalog_read",

@@ -257,3 +257,40 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     for doc_id, (cluster_id, canon) in labels.items():
         assert cluster_id <= doc_id
         assert canon == (1 if cluster_id == doc_id else 0)
+
+
+def test_curation_stage_consistency(spark, sf_dir):
+    """The curation composition must agree with the standalone stage
+    operators: one row per document; keep = AND of the four flags;
+    reason names the first failing stage; cluster labels match
+    b_llm_dedup_clusters; contaminated docs are exactly the distinct
+    doc_ids of b_llm_decontaminate."""
+    rows = {r["doc_id"]: r for r in QUERIES["b_llm_curation"](spark, sf_dir).collect()}
+    n_docs = QUERIES["b_llm_dedup_clusters"](spark, sf_dir).count()
+    assert len(rows) == n_docs
+
+    cluster = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["b_llm_dedup_clusters"](spark, sf_dir).collect()
+    }
+    contaminated = {
+        r["doc_id"] for r in QUERIES["b_llm_decontaminate"](spark, sf_dir).collect()
+    }
+    order = [
+        ("q_keep", "quality"),
+        ("rep_keep", "repetition"),
+        ("decon_keep", "contaminated"),
+        ("canonical", "duplicate"),
+    ]
+    for doc_id, r in rows.items():
+        flags = [r["q_keep"], r["rep_keep"], r["decon_keep"], r["canonical"]]
+        assert all(f in (0, 1) for f in flags)
+        assert r["keep"] == int(all(flags))
+        expect = next((why for col, why in order if r[col] == 0), "keep")
+        assert r["reason"] == expect
+        assert r["cluster_id"] == cluster[doc_id]
+        assert r["decon_keep"] == (0 if doc_id in contaminated else 1)
+        assert r["canonical"] == (1 if doc_id == cluster[doc_id] else 0)
+
+    kept = sum(r["keep"] for r in rows.values())
+    assert 0 < kept < n_docs  # the pass both keeps and drops at this SF
