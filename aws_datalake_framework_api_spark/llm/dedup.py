@@ -308,9 +308,9 @@ def _sub(i: int) -> tuple[int, int]:
     return i // _SUBS_PER_MD5, (i % _SUBS_PER_MD5) * 8 + 1
 
 
-_FUZZY_CTE = (
-    _DUCK_SHINGLE_SET
-    + f""",
+# md5-family signature + banding CTEs (DuckDB twin of :func:`_md5_bands`),
+# shared by the fuzzy, cluster-formation, curation, and incremental oracles.
+_MD5_BANDS_CTE = f""",
     hashed AS (
       SELECT doc_id,
              {", ".join(
@@ -337,7 +337,12 @@ _FUZZY_CTE = (
                  for b in range(MINHASH_BANDS)
              )}]) AS band_hash
       FROM sig
-    ),
+    )"""
+
+_FUZZY_CTE = (
+    _DUCK_SHINGLE_SET
+    + _MD5_BANDS_CTE
+    + f""",
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a
@@ -382,11 +387,12 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fuzzy_pairs_df(spark, sf_dir)
 
 
-def _fuzzy_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The md5-minhash near-dup pair DataFrame (doc_a, doc_b, jaccard)
-    — shared by ``b_llm_dedup_fuzzy`` and the cluster-formation op."""
-    docs = load_table(spark, sf_dir, "documents")
-    s = cached_shingle_set(docs)
+def _md5_bands(s: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) LSH band rows from md5-family minhash
+    signatures over a distinct (doc_id, shingle) frame — the
+    oracle-verifiable signature path shared by ``b_llm_dedup_fuzzy``,
+    the cluster-formation op, and the incremental arrival-vs-index
+    variant."""
     hashed = s.select(
         "doc_id",
         *[
@@ -400,7 +406,7 @@ def _fuzzy_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_N_HASHES)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -419,6 +425,14 @@ def _fuzzy_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
+
+
+def _fuzzy_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5-minhash near-dup pair DataFrame (doc_a, doc_b, jaccard)
+    — shared by ``b_llm_dedup_fuzzy`` and the cluster-formation op."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = cached_shingle_set(docs)
+    bands = _md5_bands(s)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_hash"])
@@ -427,6 +441,123 @@ def _fuzzy_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _jaccard_pairs(s, cand)
+
+
+# ----------------------------------------------------- incremental dedup
+
+INCR_ARRIVAL_MOD = 3  # fixture stand-in: doc_id % 3 == 0 is today's batch
+
+_INCR_SQL = (
+    _DUCK_SHINGLE_SET
+    + _MD5_BANDS_CTE
+    + f""",
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+      WHERE a.doc_id % {INCR_ARRIVAL_MOD} = 0
+        AND b.doc_id % {INCR_ARRIVAL_MOD} <> 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM s a JOIN s b ON a.shingle = b.shingle
+      WHERE a.doc_id % {INCR_ARRIVAL_MOD} = 0
+        AND b.doc_id % {INCR_ARRIVAL_MOD} <> 0
+      GROUP BY 1, 2
+    ),
+    matches AS (
+      SELECT doc_a FROM (
+        SELECT i.doc_a, i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jac
+        FROM inter i
+        JOIN cand USING (doc_a, doc_b)
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+      ) WHERE jac >= {JACCARD_THRESHOLD}
+    )
+    SELECT d.doc_id,
+           CAST(count(m.doc_a) AS BIGINT) AS n_dup_matches,
+           CASE WHEN count(m.doc_a) = 0 THEN 1 ELSE 0 END AS is_new
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {INCR_ARRIVAL_MOD} = 0) d
+    LEFT JOIN matches m ON m.doc_a = d.doc_id
+    GROUP BY d.doc_id
+"""
+)
+
+
+@query("b_llm_dedup_incr", _INCR_SQL)
+def llm_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (arrival-vs-index) near-dedup: today's batch
+    (``doc_id % 3 == 0`` stands in for it) is checked against the
+    historical corpus WITHOUT re-deduplicating history against itself
+    — the shape a continuously-ingesting lake actually runs, where the
+    index side's band table is a precomputed, append-only artifact.
+
+    Same md5-minhash machinery as :func:`llm_dedup_fuzzy` (shared
+    :func:`_md5_bands`), but the candidate join is arrivals ⋈ index —
+    its cost scales with |batch| · bucket occupancy, NOT |corpus|²,
+    and the history side never re-shuffles its text: signatures and
+    band rows are (id, 16 bytes) pairs, the only thing a 100 TB index
+    keeps hot.  Exact-Jaccard rerank restricted to candidates (no
+    false positives, as everywhere in this family); arrivals with no
+    match survive via the left join (``is_new = 1``).
+
+    The df-cap universe is computed over index+batch together here so
+    the DuckDB twin is exact; a production incremental run would
+    freeze the cap list with the index (a batch can't un-boilerplate
+    a shingle) — that changes no plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = cached_shingle_set(docs)
+    is_arrival = F.col("doc_id") % INCR_ARRIVAL_MOD == 0
+    bands = _md5_bands(s)
+    cand = (
+        bands.filter(is_arrival)
+        .alias("a")
+        .join(bands.filter(~is_arrival).alias("b"), ["band", "band_hash"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a_side = s.filter(is_arrival)
+    b_side = s.filter(~is_arrival)
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(a_side.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            b_side.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    matches = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a")
+    )
+    arrivals = docs.filter(is_arrival).select("doc_id")
+    return (
+        arrivals.join(
+            matches.select(F.col("doc_a").alias("doc_id"), F.lit(1).alias("m")),
+            "doc_id",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("m").alias("n_dup_matches"))
+        .select(
+            "doc_id",
+            "n_dup_matches",
+            F.when(F.col("n_dup_matches") == 0, 1).otherwise(0).alias("is_new"),
+        )
+    )
 
 
 # ---------------------------------------------------------------- SimHash

@@ -16,7 +16,7 @@ engine-specific functions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -79,6 +79,152 @@ def llm_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
         F.when(bucket <= keep_hi, 1).otherwise(0).alias("sampled"),
+    )
+
+
+# ----------------------------------------------------------- domain mixture
+
+MIX_SALT = "mix-v1"
+
+#: instr() needle shared by both engines: maps a lowercase hex char to
+#: its value+1, so ``instr(_HEX, c) - 1`` is an exact hex-digit decode
+#: with no engine-specific hex→int cast.
+_HEX = "0123456789abcdef"
+
+
+def _bucket256_sql(key_sql: str, salt: str) -> str:
+    """DuckDB twin of the 0..255 bucket decode."""
+    m = f"md5('{salt}:' || {key_sql})"
+    return (
+        f"(instr('{_HEX}', substring({m}, 1, 1)) - 1) * 16"
+        f" + instr('{_HEX}', substring({m}, 2, 1)) - 1"
+    )
+
+
+@query(
+    "b_llm_mix",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(trim(text), ' ')) AS n_tok,
+             {_bucket256_sql("CAST(doc_id AS VARCHAR)", MIX_SALT)} AS idx
+      FROM documents
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lang_tokens
+      FROM t GROUP BY lang
+    ),
+    mn AS (SELECT min(lang_tokens) AS min_tokens FROM tot)
+    SELECT t.lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN idx * lang_tokens < 256 * min_tokens
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN idx * lang_tokens < 256 * min_tokens
+                         THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM t JOIN tot USING (lang) CROSS JOIN mn
+    GROUP BY t.lang
+    """,
+)
+def llm_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample every language stratum to
+    the smallest stratum's token budget, deterministically.
+
+    The mixture knob real pretraining runs turn ("N% code, equal
+    parts per language, …") reduces to: per-stratum keep-probability
+    p_l = min_tokens / lang_tokens, applied as a salted hash-mod
+    threshold so the draw is rerun/engine/scale-stable (same argument
+    as :func:`llm_sample`).  The comparison is the exact integer
+    cross-multiplication ``bucket·lang_tokens < 256·min_tokens`` —
+    no float probability is ever materialized.
+
+    Scale shape: one map-only pass computes tokens + bucket; one
+    groupBy(lang) builds the stratum table (strata cardinality is
+    tiny — it BROADCASTS at any corpus size, so the per-doc keep
+    decision joins without shuffling the corpus); the final stats are
+    one more groupBy(lang).  The corpus is scanned once, shuffled
+    never (map-side partial aggs only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b2 = hash_bucket(F.col("doc_id").cast("string"), MIX_SALT)
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"),
+        b2.alias("bucket2"),
+    ).withColumn(
+        "idx",
+        (F.expr(f"instr('{_HEX}', substring(bucket2, 1, 1))") - 1) * 16
+        + F.expr(f"instr('{_HEX}', substring(bucket2, 2, 1))")
+        - 1,
+    )
+    tot = t.groupBy("lang").agg(F.sum("n_tok").alias("lang_tokens"))
+    mn = tot.agg(F.min("lang_tokens").alias("min_tokens"))
+    keep = F.col("idx") * F.col("lang_tokens") < 256 * F.col("min_tokens")
+    return (
+        t.join(F.broadcast(tot.crossJoin(mn)), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_tok")).otherwise(0)).alias("kept_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------------------ epoch shuffle
+
+SHUFFLE_SALT = "shuffle-epoch0"  # new epoch = new salt: a fresh permutation
+SHUFFLE_SHARDS = 16  # one hex digit; scale knob — use 2+ digits for more
+
+
+@query(
+    "b_llm_shuffle",
+    f"""
+    WITH k AS (
+      SELECT doc_id,
+             md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)) AS key,
+             instr('{_HEX}',
+                   substring(md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)),
+                             1, 1)) - 1 AS shard
+      FROM documents
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY key) - 1
+                AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def llm_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle → (shard, pos).
+
+    Pretraining wants each epoch to visit documents in a fresh
+    pseudo-random order, reproducibly.  Sorting 100 TB globally to get
+    one is the anti-pattern — a total order forces a range-partition
+    sort of the whole corpus.  The standard decomposition: the salted
+    md5 key IS the permutation; its first hex digit hash-PARTITIONS
+    docs into shards (uniform by construction, no skew possible), and
+    only WITHIN a shard is order materialized (``row_number`` per
+    shard = per-partition local sorts after one hash shuffle).  A
+    reader that interleaves shards round-robin by ``pos`` replays the
+    full permutation without any node ever seeing a global sort.
+    New epoch = new salt — no reshuffling state, nothing stored.
+
+    Scale: one hash shuffle on a perfectly uniform key + local sorts;
+    shard count is a constant knob (one more hex digit per 16×)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws(":", F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))
+    )
+    k = docs.select("doc_id", key.alias("key")).withColumn(
+        "shard",
+        (F.expr(f"instr('{_HEX}', substring(key, 1, 1))") - 1).cast("long"),
+    )
+    w = Window.partitionBy("shard").orderBy("key")
+    return k.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
 
 

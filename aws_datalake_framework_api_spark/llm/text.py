@@ -330,3 +330,58 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "text_hash", "dup_count")
     )
+
+
+# ---------------------------------------------------------- blocklist filter
+
+
+#: C4-style term blocklist ("List of Dirty, Naughty …" in the real
+#: pipeline); the terms here are fixture-vocabulary stand-ins chosen to
+#: actually occur in the synthetic corpus so every code path (count,
+#: flag, redact) is exercised and oracle-hash-checked.  Word-boundary
+#: anchored so substrings don't match ("customers" stays).
+BLOCKLIST = ("customer", "vector")
+_BLOCK_RE = r"\b(" + "|".join(BLOCKLIST) + r")\b"
+REDACTION = "[REDACTED]"
+MAX_BLOCKED = 2  # C4 drops on ANY hit; we keep a tolerance knob
+
+
+@query(
+    "b_llm_blocklist",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '{_BLOCK_RE}')) AS n_blocked,
+             regexp_replace(text, '{_BLOCK_RE}', '{REDACTION}', 'g') AS red_text
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_blocked AS BIGINT) AS n_blocked,
+           CASE WHEN n_blocked > {MAX_BLOCKED} THEN 0 ELSE 1 END AS keep,
+           red_text
+    FROM m
+    """,
+)
+def llm_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering + redaction — the C4 badwords rule, the
+    third standard text-curation filter next to quality and repetition:
+    count word-boundary blocklist hits, drop documents over the
+    tolerance, and emit the redacted text for pipelines that scrub
+    instead of drop (PII redaction is this same operator with the
+    pattern swapped for email/phone/ID regexes — the fixture corpus
+    contains none, so the term list is what a non-vacuous oracle
+    check can pin).
+
+    Map-only: one regex count + one regex rewrite per document, no
+    shuffle, no Python — at 100 TB this runs at scan speed inside
+    whole-stage codegen, and the regex (alternation of literals,
+    word-boundary anchored) is identical RE2/Java semantics, so the
+    DuckDB twin hash-matches the redacted text byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_blocked = F.regexp_count(F.col("text"), F.lit(_BLOCK_RE))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_blocked.cast("long").alias("n_blocked"),
+        F.when(n_blocked > MAX_BLOCKED, 0).otherwise(1).alias("keep"),
+        F.regexp_replace(F.col("text"), _BLOCK_RE, REDACTION).alias("red_text"),
+    )

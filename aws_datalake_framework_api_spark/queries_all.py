@@ -75,6 +75,10 @@ _ORDER = [
     "b_llm_dedup_simhash64",
     "b_llm_decontaminate",
     "b_llm_curation",
+    "b_llm_dedup_incr",
+    "b_llm_mix",
+    "b_llm_shuffle",
+    "b_llm_blocklist",
     "b_fn_json",
     "b_llm_dedup_fuzzy",
     "a6_catalog_create",
@@ -102,12 +106,12 @@ _ORDER = [
     "b_llm_tokens",
     "b_llm_quality",
     "b_llm_langid",
+    # ---- 50-entry window boundary falls here ----
+    # -- 4. r1/r2-proven, displaced by the four new round-3 ops above
     "b_llm_fingerprint",
     "b_llm_neardup_cosine",
-    # -- 4. r2-proven representatives (window fill to 50)
     "b_join_star",
     "b_agg_q1",
-    # ---- 50-entry window boundary falls here ----
     "b_fn_array",
     "b_llm_textstats",
     # -- 5. r2-hash-proven, unchanged this round (rotated out)

@@ -294,3 +294,71 @@ def test_curation_stage_consistency(spark, sf_dir):
 
     kept = sum(r["keep"] for r in rows.values())
     assert 0 < kept < n_docs  # the pass both keeps and drops at this SF
+
+
+def test_incr_dedup_consistent_with_fuzzy(spark, sf_dir):
+    """Incremental arrival-vs-index dedup must agree with the full
+    fuzzy pair set: an arrival has n_dup_matches = the number of fuzzy
+    pairs linking it to an index doc (same banding, same rerank), and
+    every arrival appears exactly once."""
+    from aws_datalake_framework_api_spark.llm.dedup import INCR_ARRIVAL_MOD
+
+    fuzzy = _pairs(QUERIES["b_llm_dedup_fuzzy"](spark, sf_dir))
+    cross = {}
+    for a, b in fuzzy:
+        for arr, idx in ((a, b), (b, a)):
+            if arr % INCR_ARRIVAL_MOD == 0 and idx % INCR_ARRIVAL_MOD != 0:
+                cross[arr] = cross.get(arr, 0) + 1
+    rows = {r["doc_id"]: r for r in QUERIES["b_llm_dedup_incr"](spark, sf_dir).collect()}
+    assert all(d % INCR_ARRIVAL_MOD == 0 for d in rows)
+    for doc_id, r in rows.items():
+        assert r["n_dup_matches"] == cross.get(doc_id, 0)
+        assert r["is_new"] == (0 if doc_id in cross else 1)
+
+
+def test_mix_rebalances_to_smallest_stratum(spark, sf_dir):
+    """Domain mixture: every stratum's kept token count lands near the
+    smallest stratum's budget (hash-mod sampling is binomial around
+    p = min/lang); the smallest stratum itself keeps everything."""
+    rows = {r["lang"]: r for r in QUERIES["b_llm_mix"](spark, sf_dir).collect()}
+    min_tok = min(r["n_tokens"] for r in rows.values())
+    for lang, r in rows.items():
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert r["kept_tokens"] <= r["n_tokens"]
+        if r["n_tokens"] == min_tok:
+            assert r["n_kept"] == r["n_docs"]  # bucket*tok < 256*tok always
+        # binomial slack: 3 sigma ≈ 3*sqrt(n*p) docs * avg doc len; be loose
+        assert abs(r["kept_tokens"] - min_tok) < 0.5 * min_tok + 200
+
+
+def test_shuffle_is_a_partitioned_permutation(spark, sf_dir):
+    """Epoch shuffle: every doc appears once, pos is dense 0..n-1 per
+    shard, and the permutation is deterministic across reruns."""
+    out1 = {(r["doc_id"], r["shard"], r["pos"])
+            for r in QUERIES["b_llm_shuffle"](spark, sf_dir).collect()}
+    out2 = {(r["doc_id"], r["shard"], r["pos"])
+            for r in QUERIES["b_llm_shuffle"](spark, sf_dir).collect()}
+    assert out1 == out2
+    docs = [t[0] for t in out1]
+    assert len(docs) == len(set(docs))
+    by_shard = {}
+    for _, shard, pos in out1:
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_blocklist_redaction_is_complete(spark, sf_dir):
+    """Redacted text must contain no word-boundary blocklist hit, and
+    n_blocked must equal the redaction count; the fixture must exercise
+    both keep=1 and keep=0 paths (non-vacuous)."""
+    import re
+
+    from aws_datalake_framework_api_spark.llm.text import BLOCKLIST, REDACTION
+
+    pat = re.compile(r"\b(" + "|".join(BLOCKLIST) + r")\b")
+    rows = QUERIES["b_llm_blocklist"](spark, sf_dir).collect()
+    assert {r["keep"] for r in rows} == {0, 1}
+    for r in rows:
+        assert not pat.search(r["red_text"]), r["doc_id"]
+        assert r["n_blocked"] == r["red_text"].count(REDACTION)
