@@ -78,3 +78,39 @@ def test_neardup_lsh_never_cross_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_llm_neardup_lsh")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mix_broadcasts_stratum_table(spark, sf_dir):
+    """The per-doc keep decision must join the (tiny) stratum totals
+    by BROADCAST — shuffling the corpus to meet a cardinality-|langs|
+    table would be the classic big-side-moves-for-small-side mistake."""
+    plan = _plan(spark, sf_dir, "b_llm_mix")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shuffle_has_single_exchange_no_global_sort(spark, sf_dir):
+    """Epoch shuffle = ONE hash-partition exchange + per-shard local
+    sorts.  A rangepartitioning exchange would mean a global sort
+    sneaked in — exactly what the operator exists to avoid."""
+    plan = _plan(spark, sf_dir, "b_llm_shuffle")
+    # formatted explain: one "Exchange (n)" tree node, hashpartitioning args
+    assert plan.count("Exchange (") == 1, plan
+    assert "hashpartitioning" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_blocklist_is_map_only(spark, sf_dir):
+    """Blocklist count + redaction runs at scan speed: no exchange,
+    no Python worker, all inside whole-stage codegen."""
+    plan = _plan(spark, sf_dir, "b_llm_blocklist")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_incr_dedup_never_cross_joins(spark, sf_dir):
+    """Incremental dedup keeps the banded equi-join discipline: no
+    cartesian path between the arrival batch and the index."""
+    plan = _plan(spark, sf_dir, "b_llm_dedup_incr")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
