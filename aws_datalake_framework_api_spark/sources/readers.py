@@ -38,18 +38,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright (PARQUET_TYPE_ILLEGAL).  Read it as a raw
-    int64 (``nanosAsLong``) and truncate to µs — exactly what DuckDB
-    does implicitly when it coerces TIMESTAMP_NS → TIMESTAMP, so both
-    engines see identical values.  ``ts DIV 1000`` is integer division
-    (float division would lose low bits at 1.7e18 ns)."""
-    from pyspark.sql import functions as F
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to session-timezone
+    TimestampType regardless of how this Spark build surfaced the
+    parquet TIMESTAMP(NANOS) physical type:
 
+    - older builds reject NANOS outright unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case
+      ``ts`` arrives as raw int64 nanos → integer-DIV to µs (float
+      division would lose low bits at 1.7e18 ns);
+    - newer builds read NANOS natively as TIMESTAMP_NTZ truncated to
+      µs (ignoring the legacy conf) → cast NTZ → TIMESTAMP, identity
+      on the wall clock under the engine's UTC session timezone.
+
+    Both land on exactly what DuckDB does when it coerces
+    TIMESTAMP_NS → TIMESTAMP, so the engines see identical values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); see normalize_event_ts
+    for the version-adaptive µs truncation."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -24,29 +24,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
 
 from ..registry import query
-from ..sources.readers import load_table
+from ..sources.readers import load_table, normalize_event_ts
 
-# Landing-file schema: ts arrives as raw int64 nanos (the fixture's
-# parquet TIMESTAMP(NANOS) physical type — see sources/readers.py) and
-# is converted to µs timestamps in the ingest transformation, exactly
-# like the batch reader. Explicit schema: a streaming source NEVER
-# infers (inference would race arriving files).
-LANDING_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
+# Landing-file ts handling: the fixture's parquet TIMESTAMP(NANOS)
+# physical type surfaces as raw int64 nanos on older Spark builds
+# (``nanosAsLong``) and as TIMESTAMP_NTZ on newer ones — see
+# sources/readers.py normalize_event_ts.  A streaming source NEVER
+# infers its schema (inference would race arriving files), so the
+# explicit schema is probed ONCE from the already-landed footers at
+# stream definition (a footer-only batch read, no data scan); a real
+# deployment pins it from the asset's registered schema instead.
+
+
+def landing_schema(spark: SparkSession, landing_dir: str):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(landing_dir).schema
 
 
 def ingest_stream(
@@ -57,11 +54,8 @@ def ingest_stream(
     exactly-once checkpointing.  ``availableNow`` processes the
     current backlog then stops — the batch-backfill trigger; a live
     deployment uses the default micro-batch trigger instead."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(LANDING_SCHEMA)
-        .parquet(landing_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(landing_schema(spark, landing_dir)).parquet(landing_dir)
     )
     q = (
         stream.writeStream.trigger(availableNow=True)

@@ -362,3 +362,30 @@ def test_blocklist_redaction_is_complete(spark, sf_dir):
     for r in rows:
         assert not pat.search(r["red_text"]), r["doc_id"]
         assert r["n_blocked"] == r["red_text"].count(REDACTION)
+
+
+def test_shingle_store_equals_recompute(spark, sf_dir, tmp_path, monkeypatch):
+    """The opt-in parquet shingle store (SPARK_GRAFT_SHINGLE_STORE,
+    the 100 TB one-corpus-pass path) must change nothing about the
+    dedup output — same pairs, same jaccards — and must materialize
+    exactly one store directory per corpus across consecutive dedup
+    queries (the reuse that makes it one pass)."""
+    import os
+
+    from aws_datalake_framework_api_spark.llm import dedup
+
+    base_ngram = _pairs(QUERIES["b_llm_dedup_ngram"](spark, sf_dir))
+    base_fuzzy = _pairs(QUERIES["b_llm_dedup_fuzzy"](spark, sf_dir))
+
+    monkeypatch.setenv("SPARK_GRAFT_SHINGLE_STORE", str(tmp_path))
+    dedup._SHINGLE_STORES.clear()
+    try:
+        stored_ngram = _pairs(QUERIES["b_llm_dedup_ngram"](spark, sf_dir))
+        stored_fuzzy = _pairs(QUERIES["b_llm_dedup_fuzzy"](spark, sf_dir))
+        stores = [d for d in os.listdir(tmp_path) if d.startswith("shingles_")]
+    finally:
+        dedup._SHINGLE_STORES.clear()
+
+    assert stored_ngram == base_ngram
+    assert stored_fuzzy == base_fuzzy
+    assert len(stores) == 1, stores

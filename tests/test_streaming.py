@@ -18,10 +18,13 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from aws_datalake_framework_api_spark.sources.readers import load_table
+from aws_datalake_framework_api_spark.sources.readers import (
+    load_table,
+    normalize_event_ts,
+)
 from aws_datalake_framework_api_spark.streaming.ingest import (
-    LANDING_SCHEMA,
     ingest_stream,
+    landing_schema,
 )
 
 
@@ -34,11 +37,8 @@ def landing(tmp_path, sf_dir):
 
 
 def _event_stream(spark, landing_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(LANDING_SCHEMA)
-        .parquet(landing_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(
+        spark.readStream.schema(landing_schema(spark, landing_dir)).parquet(landing_dir)
     )
 
 
@@ -67,11 +67,11 @@ def test_ingest_checkpoint_recovery_incremental(spark, sf_dir, tmp_path, landing
     ingest_stream(spark, landing, out, ckpt)
     n_src = load_table(spark, sf_dir, "events").count()
 
-    # stage a second-generation file: same feed shape (raw int64-nanos
-    # ts), event_ids offset so exactly-once is observable per id
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # stage a second-generation file: same feed shape (raw ts as the
+    # reader surfaces it), event_ids offset so exactly-once is
+    # observable per id
     gen2 = (
-        spark.read.schema(LANDING_SCHEMA)
+        spark.read.schema(landing_schema(spark, landing))
         .parquet(landing)
         .limit(100)
         .withColumn("event_id", F.col("event_id") + F.lit(10**9))
