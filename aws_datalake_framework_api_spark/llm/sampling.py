@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.readers import load_table
+from . import dedup as _dedup
 
 SPLIT_SALT = "split-v1"
 
@@ -293,4 +294,178 @@ def llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("seq_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------- leakage-safe split
+
+LEAKAGE_SALT = "split-leakage-v1"
+
+_LEAKAGE_SQL = (
+    _dedup._FUZZY_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    verts AS (SELECT DISTINCT doc_id FROM documents),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM fuzzy_pairs
+      UNION
+      SELECT doc_b, doc_a FROM fuzzy_pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+    ),
+    cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket <= '{TRAIN_HI}' THEN 'train'
+                WHEN bucket <= '{VAL_HI}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_id,
+             substring(md5('{LEAKAGE_SALT}:' || CAST(cluster_id AS VARCHAR)),
+                       1, 2) AS bucket
+      FROM cc
+    )
+"""
+)
+
+
+@query("b_llm_split_leakage", _LEAKAGE_SQL)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash-mod split key is the
+    near-dup CLUSTER id, not the doc id, so two near-duplicate
+    documents can never land on opposite sides of a split boundary —
+    the eval-contamination mode a doc-keyed split
+    (:func:`llm_sample`) cannot prevent, because a near-dup pair in
+    train and test leaks the answer without any id collision.
+
+    Composition: the md5-minhash pair graph (``b_llm_dedup_fuzzy``) →
+    connected components (the ``b_llm_dedup_clusters`` machinery) →
+    the SAME 80/10/10 salted-md5 bucket thresholds as the doc-keyed
+    split, applied to ``cluster_id``.  Singleton docs are their own
+    cluster, so the unclustered corpus splits exactly like
+    :func:`llm_sample` would — the cluster key only changes the
+    outcome where it must.
+
+    Scale: adds nothing beyond the cluster formation it reuses — the
+    split assignment itself is one broadcast-free map over the label
+    frame.  tests/test_llm_ops.py proves the invariant (no fuzzy pair
+    straddles splits) and that a doc-keyed split DOES straddle on the
+    same data (the exhibit is non-vacuous)."""
+    pairs = _dedup._fuzzy_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cc = _dedup.connected_components(docs, pairs)
+    bucket = hash_bucket(F.col("cluster_id").cast("string"), LEAKAGE_SALT)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket <= TRAIN_HI, "train")
+        .when(bucket <= VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ------------------------------------------------- capped-epoch upsampling
+
+EPOCH_CAP = 4  # data-constrained recipe: repeat rare strata at most 4x
+MIX_EPOCH_SALT = "mix-epochs-v1"
+
+
+@query(
+    "b_llm_mix_epochs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(trim(text), ' ')) AS n_tok,
+             {_bucket256_sql("CAST(doc_id AS VARCHAR)", MIX_EPOCH_SALT)} AS idx
+      FROM documents
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lang_tokens
+      FROM t GROUP BY lang
+    ),
+    mx AS (SELECT max(lang_tokens) AS target_tokens FROM tot),
+    e AS (
+      SELECT lang, lang_tokens,
+             CASE WHEN lang_tokens * {EPOCH_CAP} <= target_tokens
+                  THEN {EPOCH_CAP}
+                  ELSE target_tokens // lang_tokens END AS epochs,
+             target_tokens FROM tot CROSS JOIN mx
+    )
+    SELECT t.lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(max(epochs) AS BIGINT) AS epochs,
+           CAST(sum(CASE WHEN epochs < {EPOCH_CAP}
+                          AND idx * lang_tokens
+                              < 256 * (target_tokens - epochs * lang_tokens)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extra_docs,
+           CAST(max(epochs) * sum(n_tok)
+                + sum(CASE WHEN epochs < {EPOCH_CAP}
+                            AND idx * lang_tokens
+                                < 256 * (target_tokens - epochs * lang_tokens)
+                           THEN n_tok ELSE 0 END) AS BIGINT) AS emitted_tokens
+    FROM t JOIN e USING (lang)
+    GROUP BY t.lang
+    """,
+)
+def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-epoch UPSAMPLING — the mirror image of the downsampling
+    mixture (:func:`llm_mix`): bring every language stratum up toward
+    the LARGEST stratum's token budget by integer repetition (epochs),
+    capped at {EPOCH_CAP} epochs so rare domains are never memorized
+    into the model — the standard data-constrained scaling recipe.
+
+    Per stratum: ``epochs = min(CAP, target // lang_tokens)`` whole
+    passes, plus a fractional top-up epoch selected by the same
+    integer cross-multiplied hash-mod threshold as every sampler here
+    (``idx·lang_tokens < 256·(target − epochs·lang_tokens)``) — no
+    float probability, rerun/engine-stable, and the emitted token
+    total lands within one doc of the target for uncapped strata.
+
+    Scale shape: identical to :func:`llm_mix` — one map-only corpus
+    pass, a tiny broadcastable stratum table, map-side aggregation;
+    the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    b2 = hash_bucket(F.col("doc_id").cast("string"), MIX_EPOCH_SALT)
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok"),
+        b2.alias("bucket2"),
+    ).withColumn(
+        "idx",
+        (F.expr(f"instr('{_HEX}', substring(bucket2, 1, 1))") - 1) * 16
+        + F.expr(f"instr('{_HEX}', substring(bucket2, 2, 1))")
+        - 1,
+    )
+    tot = t.groupBy("lang").agg(F.sum("n_tok").alias("lang_tokens"))
+    mx = tot.agg(F.max("lang_tokens").alias("target_tokens"))
+    e = tot.crossJoin(mx).select(
+        "lang",
+        "lang_tokens",
+        "target_tokens",
+        F.when(F.col("lang_tokens") * EPOCH_CAP <= F.col("target_tokens"), EPOCH_CAP)
+        .otherwise(F.floor(F.col("target_tokens") / F.col("lang_tokens")))
+        .cast("long")
+        .alias("epochs"),
+    )
+    extra = (F.col("epochs") < EPOCH_CAP) & (
+        F.col("idx") * F.col("lang_tokens")
+        < 256 * (F.col("target_tokens") - F.col("epochs") * F.col("lang_tokens"))
+    )
+    return (
+        t.join(F.broadcast(e), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.max("epochs").alias("epochs"),
+            F.sum(F.when(extra, 1).otherwise(0)).alias("n_extra_docs"),
+            (
+                F.max("epochs") * F.sum("n_tok")
+                + F.sum(F.when(extra, F.col("n_tok")).otherwise(0))
+            ).alias("emitted_tokens"),
+        )
     )

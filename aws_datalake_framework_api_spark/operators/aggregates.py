@@ -110,6 +110,41 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("b_agg_hll_parts")  # rows-only: Datasketches HLL estimates have no
+# DuckDB twin; estimate-vs-exact error is pinned in tests/test_operators.py.
+def agg_hll_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — the PATTERN behind every
+    cross-shard distinct at 100 TB: build one HLL sketch per
+    (event_type, day) partition, then union the per-day sketches into
+    a per-event_type estimate WITHOUT re-touching the rows.
+
+    This two-level shape is what a real lake pipeline stores: daily
+    partials are tiny binary columns written with each ingest batch
+    (here: ``hll_sketch_agg``, one groupBy), and ANY later rollup —
+    per week, per type, per everything — is a union of sketches
+    (``hll_union_agg``), never a re-scan of 100 TB of history.  The
+    exact-distinct twin would re-shuffle every (type, user) pair per
+    query; the sketch path re-shuffles ~4 KB per partition.
+
+    Determinism: Datasketches HLL is a per-register max structure, so
+    the estimate depends only on the input SET, not row order or
+    partitioning — stable across reruns and cluster layouts (the same
+    property the salted-hash samplers rely on)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            F.col("event_type"), F.date_trunc("day", "ts").alias("day")
+        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- rollup / cube
 
 

@@ -79,6 +79,9 @@ _ORDER = [
     "b_llm_mix",
     "b_llm_shuffle",
     "b_llm_blocklist",
+    "b_llm_split_leakage",
+    "b_llm_mix_epochs",
+    "b_agg_hll_parts",
     "b_fn_json",
     "b_llm_dedup_fuzzy",
     "a6_catalog_create",
@@ -103,11 +106,13 @@ _ORDER = [
     "b_join_asof_pandas",
     "b_agg_approx",
     "b_fn_explode",
+    # ---- 50-entry window boundary falls here ----
+    # -- 4. r1-proven, displaced past the window by the three newest
+    #    round-3 ops (split_leakage / mix_epochs / hll_parts) in
+    #    section 2 — new code outranks re-checks of unchanged code
     "b_llm_tokens",
     "b_llm_quality",
     "b_llm_langid",
-    # ---- 50-entry window boundary falls here ----
-    # -- 4. r1/r2-proven, displaced by the four new round-3 ops above
     "b_llm_fingerprint",
     "b_llm_neardup_cosine",
     "b_join_star",

@@ -389,3 +389,79 @@ def test_shingle_store_equals_recompute(spark, sf_dir, tmp_path, monkeypatch):
     assert stored_ngram == base_ngram
     assert stored_fuzzy == base_fuzzy
     assert len(stores) == 1, stores
+
+
+def test_leakage_split_never_straddles_pairs(spark, sf_dir):
+    """The cluster-keyed split must put every fuzzy near-dup pair on
+    ONE side of the train/val/test boundary; the doc-keyed split on
+    the same data must straddle at least one pair (proving the
+    cluster key is doing real work, not vacuously agreeing)."""
+    pairs = _pairs(QUERIES["b_llm_dedup_fuzzy"](spark, sf_dir))
+    assert pairs, "fixture has no near-dup pairs; exhibit is vacuous"
+
+    safe = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["b_llm_split_leakage"](spark, sf_dir).collect()
+    }
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["b_llm_sample"](spark, sf_dir).collect()
+    }
+    straddled_safe = [(a, b) for a, b in pairs if safe[a] != safe[b]]
+    straddled_naive = [(a, b) for a, b in pairs if naive[a] != naive[b]]
+    assert straddled_safe == [], straddled_safe
+    assert straddled_naive, "doc-keyed split never straddles: test is vacuous"
+
+
+def test_mix_epochs_bounds_and_target(spark, sf_dir):
+    """Capped-epoch upsampling: every stratum repeats between 1 and
+    EPOCH_CAP whole epochs; the largest stratum is emitted exactly
+    once with no fractional top-up; uncapped strata land within one
+    document of the target token budget."""
+    from aws_datalake_framework_api_spark.llm.sampling import EPOCH_CAP
+
+    rows = {r["lang"]: r for r in QUERIES["b_llm_mix_epochs"](spark, sf_dir).collect()}
+    target = max(r["n_tokens"] for r in rows.values())
+    for lang, r in rows.items():
+        assert 1 <= r["epochs"] <= EPOCH_CAP, (lang, r)
+        assert (
+            r["emitted_tokens"] >= r["epochs"] * r["n_tokens"]
+        ), (lang, r)
+    top = max(rows.values(), key=lambda r: r["n_tokens"])
+    assert top["epochs"] == 1 and top["n_extra_docs"] == 0
+    assert top["emitted_tokens"] == top["n_tokens"]
+    for lang, r in rows.items():
+        if r["epochs"] < EPOCH_CAP:
+            # the hash-mod top-up is a per-doc Bernoulli draw at the exact
+            # remainder rate; allow binomial wobble around the target
+            assert r["emitted_tokens"] <= 2 * target, (lang, r, target)
+
+
+def test_hll_parts_union_close_to_exact(spark, sf_dir):
+    """The per-day-sketch → union estimate must land within HLL error
+    bounds of the exact per-type distinct user count (default
+    lgConfigK=12 → ~1.6% rsd; assert 5%), and must actually exercise
+    the merge path (more than one day per type)."""
+    import pyspark.sql.functions as F
+
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["b_agg_hll_parts"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, r in got.items():
+        assert r["n_days"] > 1, "union path not exercised"
+        assert abs(r["approx_users"] - exact[et]) <= max(1, 0.05 * exact[et]), (
+            et,
+            r["approx_users"],
+            exact[et],
+        )

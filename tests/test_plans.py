@@ -114,3 +114,12 @@ def test_incr_dedup_never_cross_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_llm_dedup_incr")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mix_epochs_broadcasts_stratum_table(spark, sf_dir):
+    """Same discipline as b_llm_mix: the per-doc epoch/top-up decision
+    joins a cardinality-|langs| table — broadcast, never a corpus
+    shuffle."""
+    plan = _plan(spark, sf_dir, "b_llm_mix_epochs")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
