@@ -975,3 +975,87 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dup * F.lit(1.0) / total).alias("dup_gram_frac"),
         F.when(dup * 5 > total, 0).otherwise(1).alias("keep"),
     )
+
+
+# ------------------------------------------------- intra-source boilerplate
+
+BOILER_MIN_DOCS = 3  # a shingle in >=3 docs of ONE source is template text
+BOILER_MAX_FRAC = 2  # keep iff boilerplate shingles <= 1/2 of the doc
+
+
+@query(
+    "b_llm_boilerplate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS w,
+             generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+               AS shingle,
+             lead(w, {NGRAM - 1}) OVER win IS NOT NULL AS is_full
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s AS (SELECT DISTINCT doc_id, source, shingle FROM grams WHERE is_full),
+    src_df AS (
+      SELECT source, shingle, count(*) AS df_src
+      FROM s GROUP BY source, shingle
+    )
+    SELECT s.doc_id, s.source,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df_src >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CASE WHEN sum(CASE WHEN df_src >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                     * {BOILER_MAX_FRAC} > count(*)
+                THEN 0 ELSE 1 END AS keep
+    FROM s JOIN src_df USING (source, shingle)
+    GROUP BY s.doc_id, s.source
+    """,
+)
+def llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-source boilerplate scoring — the C4-style template-removal
+    step: a word-3-gram appearing in ≥{BOILER_MIN_DOCS} distinct
+    documents of the SAME source is site template text (headers,
+    footers, nav, license banners), and a document dominated by such
+    shingles is dropped (``keep`` = boilerplate ≤ half the doc).
+
+    This is the third member of the shingle-frequency family, keyed by
+    a different scope each time: global df-cap (skew guard, corpus
+    scope), repetition filter (within-doc scope), boilerplate (
+    within-source scope) — same map-only shingling
+    (:func:`raw_shingles`), no self-join anywhere.
+
+    Scale shape: the source-df aggregation and the join back both key
+    on (source, shingle) — high-cardinality, well-distributed (the
+    global df skew that motivates MAX_DF cannot concentrate here
+    without being a real per-source template, which is exactly the
+    signal); then one groupBy(doc).  All counts exact ints; the keep
+    decision is the usual cross-multiplied integer threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        raw_shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "shingle")
+        .distinct()
+    )
+    src_df = s.groupBy("source", "shingle").agg(F.count("*").alias("df_src"))
+    is_boiler = F.col("df_src") >= BOILER_MIN_DOCS
+    return (
+        s.join(src_df, ["source", "shingle"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(is_boiler, 1).otherwise(0)).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            "n_boiler",
+            F.when(F.col("n_boiler") * BOILER_MAX_FRAC > F.col("n_shingles"), 0)
+            .otherwise(1)
+            .alias("keep"),
+        )
+    )

@@ -82,6 +82,7 @@ _ORDER = [
     "b_llm_split_leakage",
     "b_llm_mix_epochs",
     "b_agg_hll_parts",
+    "b_llm_boilerplate",
     "b_fn_json",
     "b_llm_dedup_fuzzy",
     "a6_catalog_create",
@@ -105,11 +106,12 @@ _ORDER = [
     "b_join_bucketed",
     "b_join_asof_pandas",
     "b_agg_approx",
-    "b_fn_explode",
     # ---- 50-entry window boundary falls here ----
-    # -- 4. r1-proven, displaced past the window by the three newest
-    #    round-3 ops (split_leakage / mix_epochs / hll_parts) in
-    #    section 2 — new code outranks re-checks of unchanged code
+    # -- 4. r1-proven, displaced past the window by the four newest
+    #    round-3 ops (split_leakage / mix_epochs / hll_parts /
+    #    boilerplate) in section 2 — new code outranks re-checks of
+    #    unchanged code
+    "b_fn_explode",
     "b_llm_tokens",
     "b_llm_quality",
     "b_llm_langid",
