@@ -151,7 +151,11 @@ _DUCK_SHINGLE_SET = f"""
 """
 
 
-def _jaccard_pairs(s: DataFrame, cand: DataFrame | None = None) -> DataFrame:
+def _jaccard_pairs(
+    s: DataFrame,
+    cand: DataFrame | None = None,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
     """Count-based Jaccard over distinct (doc, shingle) rows:
     |A∩B| = rows of the shingle equi-join per pair; |A|,|B| = per-doc
     shingle counts.  ``cand`` (optional) pre-restricts the pair space
@@ -164,8 +168,14 @@ def _jaccard_pairs(s: DataFrame, cand: DataFrame | None = None) -> DataFrame:
     3 finding: minhash benched SLOWER than exact ngram that way).
     Candidate-first, the fan-out is Σ_cand |A| — linear in the
     candidate count LSH already bounded — and each candidate pair's
-    count is identical, so the output is unchanged."""
-    sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    count is identical, so the output is unchanged.
+
+    ``sizes`` (optional, ``(doc_id, sz)``): the MinHash callers fold
+    the per-doc count into their signature groupBy — the same rows
+    pass through that aggregation anyway, so accepting it here saves
+    one full recompute of the shingle lineage + its shuffle."""
+    if sizes is None:
+        sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
     if cand is not None:
@@ -263,11 +273,16 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftrightunsigned(F.xxhash64(F.col("shingle")), 32).alias("h1"),
         F.shiftrightunsigned(F.xxhash64(F.lit(1), F.col("shingle")), 32).alias("h2"),
     )
+    # fold the per-doc shingle count into the signature aggregation:
+    # the exact-Jaccard rerank needs |A|,|B|, and these same rows are
+    # already flowing through this groupBy — a separate sizes pass
+    # would recompute the whole shingle lineage once more
     sig = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("sz"),
         *[
             F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
             for i in range(n_hashes)
-        ]
+        ],
     )
     bands = sig.select(
         "doc_id",
@@ -289,7 +304,7 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _jaccard_pairs(s, cand)
+    return _jaccard_pairs(s, cand, sizes=sig.select("doc_id", "sz"))
 
 
 # SURVEY.md §2 B11 names this row `b_llm_dedup_fuzzy`: the identical
@@ -389,12 +404,12 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fuzzy_pairs_df(spark, sf_dir)
 
 
-def _md5_bands(s: DataFrame) -> DataFrame:
-    """(doc_id, band, band_hash) LSH band rows from md5-family minhash
-    signatures over a distinct (doc_id, shingle) frame — the
-    oracle-verifiable signature path shared by ``b_llm_dedup_fuzzy``,
-    the cluster-formation op, and the incremental arrival-vs-index
-    variant."""
+def _md5_sig(s: DataFrame) -> DataFrame:
+    """(doc_id, sz, h0..h31): md5-family minhash signatures over a
+    distinct (doc_id, shingle) frame, with the per-doc shingle count
+    folded into the same groupBy — the rerank's |A|,|B| come for free
+    from rows this aggregation consumes anyway (one fewer recompute of
+    the shingle lineage; same trick as the xxhash64 path)."""
     hashed = s.select(
         "doc_id",
         *[
@@ -402,12 +417,23 @@ def _md5_bands(s: DataFrame) -> DataFrame:
             for g in range(_N_MD5)
         ],
     )
-    sig = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
+        F.count("*").alias("sz"),
         *[
             F.min(F.substring(F.col(f"m{_sub(i)[0]}"), _sub(i)[1], 8)).alias(f"h{i}")
             for i in range(_N_HASHES)
-        ]
+        ],
     )
+
+
+def _md5_bands(s: DataFrame, sig: DataFrame | None = None) -> DataFrame:
+    """(doc_id, band, band_hash) LSH band rows from md5-family minhash
+    signatures over a distinct (doc_id, shingle) frame — the
+    oracle-verifiable signature path shared by ``b_llm_dedup_fuzzy``,
+    the cluster-formation op, and the incremental arrival-vs-index
+    variant."""
+    if sig is None:
+        sig = _md5_sig(s)
     return sig.select(
         "doc_id",
         F.posexplode(
@@ -434,7 +460,8 @@ def _fuzzy_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     — shared by ``b_llm_dedup_fuzzy`` and the cluster-formation op."""
     docs = load_table(spark, sf_dir, "documents")
     s = shared_shingle_set(docs)
-    bands = _md5_bands(s)
+    sig = _md5_sig(s)
+    bands = _md5_bands(s, sig)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_hash"])
@@ -442,7 +469,7 @@ def _fuzzy_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _jaccard_pairs(s, cand)
+    return _jaccard_pairs(s, cand, sizes=sig.select("doc_id", "sz"))
 
 
 # ----------------------------------------------------- incremental dedup
@@ -512,7 +539,8 @@ def llm_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     s = shared_shingle_set(docs)
     is_arrival = F.col("doc_id") % INCR_ARRIVAL_MOD == 0
-    bands = _md5_bands(s)
+    sig = _md5_sig(s)
+    bands = _md5_bands(s, sig)
     cand = (
         bands.filter(is_arrival)
         .alias("a")
@@ -522,7 +550,7 @@ def llm_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a_side = s.filter(is_arrival)
     b_side = s.filter(~is_arrival)
-    sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sizes = sig.select("doc_id", "sz")
     inter = (
         cand.join(a_side.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(
