@@ -66,6 +66,30 @@ def raw_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     )
 
 
+def raw_shingles_with(docs: DataFrame, carry: list[str], n: int = NGRAM) -> DataFrame:
+    """:func:`raw_shingles` carrying extra per-doc columns through the
+    explode — used when a consumer needs doc attributes (e.g. source)
+    alongside each shingle: carrying the column through the map-only
+    Generate costs nothing, where joining it back on doc_id would
+    shuffle the entire shingle frame (measured: the join formulation
+    added 2 corpus-sized exchanges to the boilerplate plan)."""
+    base = docs.select(
+        "doc_id", *carry, F.split(F.trim(F.col("text")), " ").alias("a")
+    )
+    idx = F.when(
+        F.size("a") >= n, F.sequence(F.lit(0), F.size("a") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    g = base.select("doc_id", *carry, "a", F.explode(idx).alias("i"))
+    return g.select(
+        "doc_id",
+        *carry,
+        F.concat_ws(
+            " ",
+            *[F.col("a")[F.col("i") + k] for k in range(n)],
+        ).alias("shingle"),
+    )
+
+
 def shingle_set(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     """Distinct df-capped word-n-gram shingles: (doc_id, shingle).
 
@@ -1062,12 +1086,7 @@ def llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal); then one groupBy(doc).  All counts exact ints; the keep
     decision is the usual cross-multiplied integer threshold."""
     docs = load_table(spark, sf_dir, "documents")
-    s = (
-        raw_shingles(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("doc_id", "source", "shingle")
-        .distinct()
-    )
+    s = raw_shingles_with(docs, ["source"]).distinct()
     src_df = s.groupBy("source", "shingle").agg(F.count("*").alias("df_src"))
     is_boiler = F.col("df_src") >= BOILER_MIN_DOCS
     return (

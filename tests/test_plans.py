@@ -123,3 +123,12 @@ def test_mix_epochs_broadcasts_stratum_table(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_llm_mix_epochs")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_boilerplate_carries_source_without_join(spark, sf_dir):
+    """The per-source df computation must carry `source` through the
+    map-only shingling — a join back to documents on doc_id would
+    shuffle the whole shingle frame to attach one column."""
+    plan = _plan(spark, sf_dir, "b_llm_boilerplate")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange (") <= 5, plan
