@@ -469,3 +469,81 @@ def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("emitted_tokens"),
         )
     )
+
+
+# ------------------------------------------------ contrastive pair mining
+
+#: Knuth multiplicative constant — deterministic pseudo-random negative
+#: draw as pure BIGINT arithmetic both engines compute identically.
+_NEG_MULT = 2654435761
+_NEG_OFFSET = 12345
+
+
+_CONTRASTIVE_SQL = (
+    _dedup._FUZZY_CTE
+    + f""",
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    raw AS (
+      SELECT doc_a AS anchor, doc_b AS positive, jaccard,
+             (doc_a * {_NEG_MULT} + {_NEG_OFFSET}) % n_docs AS neg0,
+             n_docs
+      FROM fuzzy_pairs CROSS JOIN n
+    ),
+    step AS (
+      SELECT anchor, positive, jaccard, n_docs,
+             CASE WHEN neg0 = anchor OR neg0 = positive
+                  THEN (neg0 + 1) % n_docs ELSE neg0 END AS neg1
+      FROM raw
+    )
+    SELECT anchor, positive,
+           CASE WHEN neg1 = anchor OR neg1 = positive
+                THEN (neg1 + 1) % n_docs ELSE neg1 END AS negative,
+           jaccard
+    FROM step
+"""
+)
+
+
+@query("b_llm_contrastive", _CONTRASTIVE_SQL)
+def llm_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training data:
+    every near-dup pair becomes an (anchor, positive) example, and a
+    deterministic pseudo-random corpus document becomes the negative —
+    the (a, p, n) triple shape contrastive/embedding losses consume.
+
+    The negative draw is pure integer arithmetic (Knuth multiplicative
+    hash mod corpus size, with two CASE steps to walk off collisions
+    with the anchor/positive — two steps suffice because at most two
+    ids are excluded).  No ``rand()``: the triple set is
+    rerun/engine/scale-stable like every sampler here, and the oracle
+    runs the identical arithmetic.  (Production hard-negative mining
+    would rerank negatives by embedding distance — that composes with
+    the ANN ops; this op pins the deterministic-triple plumbing.)
+
+    Scale: built entirely on the fuzzy-pair output (no new corpus
+    pass); the corpus-count scalar broadcasts."""
+    pairs = _dedup._fuzzy_pairs_df(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    raw = pairs.crossJoin(F.broadcast(n_docs)).select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("positive"),
+        "jaccard",
+        ((F.col("doc_a") * _NEG_MULT + _NEG_OFFSET) % F.col("n_docs")).alias("neg0"),
+        "n_docs",
+    )
+    hit = lambda c: (F.col(c) == F.col("anchor")) | (F.col(c) == F.col("positive"))  # noqa: E731
+    step = raw.withColumn(
+        "neg1",
+        F.when(hit("neg0"), (F.col("neg0") + 1) % F.col("n_docs")).otherwise(
+            F.col("neg0")
+        ),
+    )
+    return step.select(
+        "anchor",
+        "positive",
+        F.when(hit("neg1"), (F.col("neg1") + 1) % F.col("n_docs"))
+        .otherwise(F.col("neg1"))
+        .alias("negative"),
+        "jaccard",
+    )

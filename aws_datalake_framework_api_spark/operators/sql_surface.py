@@ -1,0 +1,57 @@
+"""Raw-SQL query surface (SURVEY.md §2 Tier B; reference anchor: the
+data-lake framework fronts an analytics layer its users drive with SQL
+— `BASELINE.json:6` "Spark SQL … connectors").
+
+The engine's tables are exposed as temp views
+(``sources.readers.register_views``) and queried with ``spark.sql``
+verbatim — proving a reference user can bring their SQL unchanged
+instead of porting it to the DataFrame API.  The query string below is
+dialect-shared: the SAME text runs on Spark and on the DuckDB oracle,
+which is the strongest possible parity statement for the SQL surface
+(no translation layer to hide a semantic gap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources.readers import register_views
+
+# TPC-H Q3 shape (shipping-priority / unshipped-orders revenue),
+# adapted to the fixture's columns.  Money addends snap to a 10^-4
+# grid BEFORE the sum (bit-identical under any partial-agg order —
+# the same cent-grid rule as the flagship star join); the ORDER BY
+# carries the full key so the LIMIT is deterministic under ties.
+_Q3_SQL = """
+SELECT o_orderkey,
+       o_orderdate,
+       o_orderpriority,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT))
+         / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'MACHINERY'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("b_sql_q3", _Q3_SQL)
+def sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped pricing query executed as a raw SQL string over
+    the registered lake views — byte-identical SQL on both engines.
+
+    Plan: Catalyst gives the SQL text the same physical treatment as
+    the DataFrame flagship (pushed filters on mktsegment/dates, one
+    sort-merge shuffle for lineitem⋈orders, broadcast/hash for the
+    customer dim, TakeOrderedAndProject for the top-10) — there is no
+    separate "SQL engine" to audit, which is the point of the
+    exhibit."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)

@@ -46,6 +46,7 @@ from .streaming import windows as _stream_windows  # noqa: F401  B9
 from .streaming import ingest as _stream_ingest  # noqa: F401  A12/B9
 from . import catalog_queries as _catalog_queries  # noqa: F401  A1-A9
 from .operators import udfs as _udfs  # noqa: F401  B10
+from .operators import sql_surface as _sql_surface  # noqa: F401  SQL facade
 from .sources import landing as _landing  # noqa: F401  B1
 from . import envelope as _envelope  # noqa: F401  A11
 
@@ -83,6 +84,8 @@ _ORDER = [
     "b_llm_mix_epochs",
     "b_agg_hll_parts",
     "b_llm_boilerplate",
+    "b_sql_q3",
+    "b_llm_contrastive",
     "b_fn_json",
     "b_llm_dedup_fuzzy",
     "a6_catalog_create",
@@ -104,13 +107,13 @@ _ORDER = [
     # -- 3b. r1-green extras never re-checked since round 1
     "b_join_full",
     "b_join_bucketed",
+    # ---- 50-entry window boundary falls here ----
+    # -- 4. r1-proven, displaced past the window by the six newest
+    #    round-3 ops (split_leakage / mix_epochs / hll_parts /
+    #    boilerplate / sql_q3 / contrastive) in section 2 — new code
+    #    outranks re-checks of unchanged code
     "b_join_asof_pandas",
     "b_agg_approx",
-    # ---- 50-entry window boundary falls here ----
-    # -- 4. r1-proven, displaced past the window by the four newest
-    #    round-3 ops (split_leakage / mix_epochs / hll_parts /
-    #    boilerplate) in section 2 — new code outranks re-checks of
-    #    unchanged code
     "b_fn_explode",
     "b_llm_tokens",
     "b_llm_quality",

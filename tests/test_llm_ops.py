@@ -465,3 +465,24 @@ def test_hll_parts_union_close_to_exact(spark, sf_dir):
             r["approx_users"],
             exact[et],
         )
+
+
+def test_contrastive_triples_valid(spark, sf_dir):
+    """Every mined triple: positive is a real fuzzy pair, the negative
+    is a valid corpus doc distinct from both anchor and positive, and
+    the draw is deterministic across runs."""
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    pairs = _pairs(QUERIES["b_llm_dedup_fuzzy"](spark, sf_dir))
+    rows = QUERIES["b_llm_contrastive"](spark, sf_dir).collect()
+    assert rows, "no triples mined; exhibit vacuous"
+    for r in rows:
+        assert (r["anchor"], r["positive"]) in pairs
+        assert 0 <= r["negative"] < n_docs
+        assert r["negative"] not in (r["anchor"], r["positive"])
+    again = {
+        (r["anchor"], r["positive"], r["negative"])
+        for r in QUERIES["b_llm_contrastive"](spark, sf_dir).collect()
+    }
+    assert again == {(r["anchor"], r["positive"], r["negative"]) for r in rows}
