@@ -13,15 +13,19 @@ Stages (each independently computed, then joined on doc_id):
    ``b_llm_repetition`` (drop if >20 % of gram occurrences are
    intra-doc duplicates); documents too short to have a 3-gram pass
    vacuously.
-3. **near-dup canonical election** — MinHash+LSH pairs
+3. **boilerplate** — the intra-source template rule from
+   ``b_llm_boilerplate`` (drop if ≥half the doc's shingles appear in
+   ≥3 docs of the same source); shingle-less documents pass vacuously.
+4. **near-dup canonical election** — MinHash+LSH pairs
    (:func:`~.dedup._fuzzy_pairs_df`) → connected components
    (:func:`~.dedup.connected_components`) → only each cluster's
    min-doc_id canonical survives.
-4. **decontamination** — any document sharing a word-8-gram with the
+5. **decontamination** — any document sharing a word-8-gram with the
    eval set (:func:`~.dedup.contamination_pairs`) is dropped.
 
-``keep`` is the AND of the four stage flags; ``reason`` names the
-first failing stage (quality → repetition → contaminated → duplicate)
+``keep`` is the AND of the five stage flags; ``reason`` names the
+first failing stage (quality → repetition → boilerplate →
+contaminated → duplicate)
 so a curation run is auditable per document, not just filterable.
 Stages are deliberately independent — a duplicate of a dropped
 canonical is still reported as ``duplicate`` (production pipelines
@@ -51,6 +55,8 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources.readers import load_table
 from .dedup import (
+    BOILER_MAX_FRAC,
+    BOILER_MIN_DOCS,
     DECON_EVAL_MOD,
     DECON_NGRAM,
     MAX_DF,
@@ -60,6 +66,7 @@ from .dedup import (
     connected_components,
     contamination_pairs,
     raw_shingles,
+    raw_shingles_with,
 )
 
 # Quality thresholds (same decision surface as b_llm_quality, written
@@ -98,6 +105,22 @@ _CURATION_SQL = (
                   THEN 0 ELSE 1 END AS rep_keep
       FROM grams WHERE is_full GROUP BY doc_id
     ),
+    sb AS (
+      SELECT DISTINCT g.doc_id, d.source, g.shingle
+      FROM grams g JOIN documents d USING (doc_id) WHERE g.is_full
+    ),
+    src_df AS (
+      SELECT source, shingle, count(*) AS df_src FROM sb GROUP BY 1, 2
+    ),
+    boiler AS (
+      SELECT sb.doc_id,
+             CASE WHEN sum(CASE WHEN df_src >= {BOILER_MIN_DOCS}
+                                THEN 1 ELSE 0 END) * {BOILER_MAX_FRAC}
+                       > count(*)
+                  THEN 0 ELSE 1 END AS boiler_keep
+      FROM sb JOIN src_df USING (source, shingle)
+      GROUP BY sb.doc_id
+    ),
     tok8 AS (
       SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w,
              generate_subscripts(string_split(trim(text), ' '), 1) AS pos
@@ -122,13 +145,16 @@ _CURATION_SQL = (
            cc.cluster_id,
            q.q_keep,
            COALESCE(r.rep_keep, 1) AS rep_keep,
+           COALESCE(b.boiler_keep, 1) AS boiler_keep,
            CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END AS decon_keep,
            CASE WHEN v.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS canonical,
            CASE WHEN q.q_keep = 1 AND COALESCE(r.rep_keep, 1) = 1
+                 AND COALESCE(b.boiler_keep, 1) = 1
                  AND ct.doc_id IS NULL AND v.doc_id = cc.cluster_id
                 THEN 1 ELSE 0 END AS keep,
            CASE WHEN q.q_keep = 0 THEN 'quality'
                 WHEN COALESCE(r.rep_keep, 1) = 0 THEN 'repetition'
+                WHEN COALESCE(b.boiler_keep, 1) = 0 THEN 'boilerplate'
                 WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
                 WHEN v.doc_id <> cc.cluster_id THEN 'duplicate'
                 ELSE 'keep' END AS reason
@@ -136,6 +162,7 @@ _CURATION_SQL = (
     JOIN cc ON cc.doc_id = v.doc_id
     JOIN qual q ON q.doc_id = v.doc_id
     LEFT JOIN rep r ON r.doc_id = v.doc_id
+    LEFT JOIN boiler b ON b.doc_id = v.doc_id
     LEFT JOIN contam ct ON ct.doc_id = v.doc_id
 """
 )
@@ -143,7 +170,7 @@ _CURATION_SQL = (
 
 @query("b_llm_curation", _CURATION_SQL)
 def llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship curation pass: one row per document with all four
+    """The flagship curation pass: one row per document with all five
     stage verdicts, the final ``keep``, and the first-failure
     ``reason`` — fully oracle-checked end to end (the DuckDB twin
     recomputes every stage including the recursive-CTE components)."""
@@ -178,6 +205,27 @@ def llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rep_keep_raw")
     )
 
+    # stage 2.5: intra-source boilerplate (same decision surface as
+    # b_llm_boilerplate; shingle-less docs absent → pass via coalesce)
+    sb = raw_shingles_with(docs, ["source"]).distinct()
+    src_df = sb.groupBy("source", "shingle").agg(F.count("*").alias("df_src"))
+    boiler = (
+        sb.join(src_df, ["source", "shingle"])
+        .groupBy("doc_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("df_src") >= BOILER_MIN_DOCS, 1).otherwise(0)
+                )
+                * BOILER_MAX_FRAC
+                > F.count("*"),
+                0,
+            )
+            .otherwise(1)
+            .alias("boiler_keep_raw")
+        )
+    )
+
     # stage 3: near-dup components → canonical election
     pairs = _fuzzy_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(docs.select("doc_id"), pairs)
@@ -194,16 +242,19 @@ def llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = (
         base.join(rep, "doc_id", "left")
+        .join(boiler, "doc_id", "left")
         .join(labels, "doc_id")
         .join(contam, "doc_id", "left")
     )
     rep_keep = F.coalesce(F.col("rep_keep_raw"), F.lit(1))
+    boiler_keep = F.coalesce(F.col("boiler_keep_raw"), F.lit(1))
     decon_keep = F.when(F.col("contaminated").isNotNull(), 0).otherwise(1)
     canonical = F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
     keep = (
         F.when(
             (F.col("q_keep") == 1)
             & (rep_keep == 1)
+            & (boiler_keep == 1)
             & (F.col("contaminated").isNull())
             & (F.col("doc_id") == F.col("cluster_id")),
             1,
@@ -213,6 +264,7 @@ def llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason = (
         F.when(F.col("q_keep") == 0, "quality")
         .when(rep_keep == 0, "repetition")
+        .when(boiler_keep == 0, "boilerplate")
         .when(F.col("contaminated").isNotNull(), "contaminated")
         .when(F.col("doc_id") != F.col("cluster_id"), "duplicate")
         .otherwise("keep")
@@ -222,6 +274,7 @@ def llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         "q_keep",
         rep_keep.alias("rep_keep"),
+        boiler_keep.alias("boiler_keep"),
         decon_keep.alias("decon_keep"),
         canonical.alias("canonical"),
         keep.alias("keep"),

@@ -23,12 +23,16 @@ from ..sources.readers import register_views
 # grid BEFORE the sum (bit-identical under any partial-agg order —
 # the same cent-grid rule as the flagship star join); the ORDER BY
 # carries the full key so the LIMIT is deterministic under ties.
+# The outer CAST AS DOUBLE pins the revenue type: Spark parses the
+# 10000.0 literal as DECIMAL (so the division would yield DECIMAL)
+# while DuckDB parses it as DOUBLE — the explicit cast makes the
+# shared text produce the identical type on both engines.
 _Q3_SQL = """
 SELECT o_orderkey,
        o_orderdate,
        o_orderpriority,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT))
-         / 10000.0 AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT))
+            / 10000.0 AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM customer
 JOIN orders   ON c_custkey = o_custkey

@@ -276,14 +276,26 @@ def test_curation_stage_consistency(spark, sf_dir):
     contaminated = {
         r["doc_id"] for r in QUERIES["b_llm_decontaminate"](spark, sf_dir).collect()
     }
+    boiler_keep = {
+        r["doc_id"]: r["keep"]
+        for r in QUERIES["b_llm_boilerplate"](spark, sf_dir).collect()
+    }
     order = [
         ("q_keep", "quality"),
         ("rep_keep", "repetition"),
+        ("boiler_keep", "boilerplate"),
         ("decon_keep", "contaminated"),
         ("canonical", "duplicate"),
     ]
     for doc_id, r in rows.items():
-        flags = [r["q_keep"], r["rep_keep"], r["decon_keep"], r["canonical"]]
+        flags = [
+            r["q_keep"],
+            r["rep_keep"],
+            r["boiler_keep"],
+            r["decon_keep"],
+            r["canonical"],
+        ]
+        assert r["boiler_keep"] == boiler_keep.get(doc_id, 1)
         assert all(f in (0, 1) for f in flags)
         assert r["keep"] == int(all(flags))
         expect = next((why for col, why in order if r[col] == 0), "keep")
