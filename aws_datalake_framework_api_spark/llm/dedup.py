@@ -1106,3 +1106,62 @@ def llm_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+# --------------------------------------------------- corpus dup-rate stats
+
+
+_DUP_STATS_SQL = (
+    _FUZZY_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    verts AS (SELECT DISTINCT doc_id FROM documents),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM fuzzy_pairs
+      UNION
+      SELECT doc_b, doc_a FROM fuzzy_pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+    ),
+    cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST(GREATEST(cluster_size - 1, 0) * count(*) AS BIGINT)
+             AS n_removable
+    FROM csizes
+    GROUP BY cluster_size
+"""
+)
+
+
+@query("b_llm_dup_stats", _DUP_STATS_SQL)
+def llm_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication health report: the cluster-size histogram of
+    the near-dup graph — how many docs sit in singleton clusters (size
+    1 = unique), how many in pairs/blobs, and ``n_removable`` (docs
+    beyond each cluster's canonical) = exactly the row count a
+    canonical-only dedup pass deletes.  This is the number a data lead
+    reads before/after changing a dedup threshold, and the first
+    diagnostic when a crawl snapshot doubles.
+
+    Derived entirely from the cluster labels
+    (:func:`connected_components` over the fuzzy pairs — no new
+    corpus pass); two tiny groupBys on cluster_id and size.  Exact
+    integers end-to-end, so the whole report — including the
+    recursive-CTE components underneath — hash-checks against the
+    oracle."""
+    pairs = _fuzzy_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cc = connected_components(docs, pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
+        (F.greatest(F.col("cluster_size") - 1, F.lit(0)) * F.count("*"))
+        .cast("long")
+        .alias("n_removable"),
+    )
