@@ -547,3 +547,67 @@ def llm_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("negative"),
         "jaccard",
     )
+
+
+# ------------------------------------------------ length-bucket curriculum
+
+N_LEN_BUCKETS = 4  # quartiles; one boundary per 25%
+
+
+_LEN_BUCKETS_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT {", ".join(
+          f"quantile_cont(n_tok, {k / N_LEN_BUCKETS}) AS q{k}"
+          for k in range(1, N_LEN_BUCKETS)
+      )}
+      FROM t
+    )
+    SELECT t.doc_id, t.n_tok,
+           CASE
+             WHEN t.n_tok <= b.q1 THEN 0
+             WHEN t.n_tok <= b.q2 THEN 1
+             WHEN t.n_tok <= b.q3 THEN 2
+             ELSE 3
+           END AS bucket
+    FROM t CROSS JOIN b
+"""
+
+
+@query("b_llm_len_buckets", _LEN_BUCKETS_SQL)
+def llm_len_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum length-binning: assign every document its corpus
+    token-length quartile — the bucketing a curriculum schedule or a
+    length-balanced batch sampler consumes.
+
+    The WRONG way at scale is ``ntile`` over a global ORDER BY — a
+    full range-partition sort of the corpus to compute four labels.
+    Instead: one exact-percentile aggregation produces the 3 boundary
+    scalars (exact, not approx, because token LENGTHS have bounded
+    distinct cardinality — counting-style aggregation stays cheap at
+    any corpus size), the 1-row boundary frame broadcasts, and the
+    bucket label is a map-only CASE — the corpus is scanned once and
+    never shuffled.  Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the lerp definition (proven bit-identical
+    by ``b_agg_quantiles``), and int-vs-boundary comparisons inherit
+    that parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok")
+    )
+    b = t.agg(
+        *[
+            F.expr(f"percentile(n_tok, {k / N_LEN_BUCKETS})").alias(f"q{k}")
+            for k in range(1, N_LEN_BUCKETS)
+        ]
+    )
+    bucket = (
+        F.when(F.col("n_tok") <= F.col("q1"), 0)
+        .when(F.col("n_tok") <= F.col("q2"), 1)
+        .when(F.col("n_tok") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return t.crossJoin(F.broadcast(b)).select("doc_id", "n_tok", bucket.alias("bucket"))
