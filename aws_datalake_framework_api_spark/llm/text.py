@@ -385,3 +385,86 @@ def llm_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_blocked > MAX_BLOCKED, 0).otherwise(1).alias("keep"),
         F.regexp_replace(F.col("text"), _BLOCK_RE, REDACTION).alias("red_text"),
     )
+
+
+# ------------------------------------------------------ surprisal filter
+
+# Keep-band bounds as 20ths of a bit (integer cross-multiplication:
+# keep iff LO_X20·n_tok ≤ 20·sum_bits < HI_X20·n_tok, i.e. mean bits
+# in [4.00, 4.05) on this fixture's narrow synthetic distribution).
+# On a real corpus the band comes from the reference-corpus quantiles,
+# exactly as CCNet buckets perplexity into head/middle/tail.
+SURPRISAL_LO_X20 = 80
+SURPRISAL_HI_X20 = 81
+
+
+@query(
+    "b_llm_surprisal",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS tf FROM tok GROUP BY w),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM freq),
+    scored AS (
+      SELECT t.doc_id, length(bin(total // tf)) - 1 AS bits
+      FROM tok t JOIN freq USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tok,
+           CAST(sum(bits) AS BIGINT) AS sum_bits,
+           sum(bits) * 1.0 / count(*) AS mean_bits,
+           CASE WHEN {SURPRISAL_LO_X20} * count(*) <= 20 * sum(bits)
+                 AND 20 * sum(bits) < {SURPRISAL_HI_X20} * count(*)
+                THEN 1 ELSE 0 END AS keep
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-surprisal (perplexity-band) filter — the CCNet-style
+    quality signal: score every document by the average information
+    content of its tokens under the corpus's own unigram model, then
+    keep only the middle band (too-predictable = boilerplate/spam,
+    too-surprising = noise/garbled text).
+
+    The cross-engine trap in any LM score is the float log: libm
+    ``ln`` can differ in the last ulp between engines and a float SUM
+    is order-dependent.  Both are dodged by scoring in INTEGER BITS —
+    per-token surprisal ≈ floor(log2(total/tf)) computed as
+    ``length(bin(total DIV tf)) - 1`` (binary-string length, exact
+    integer arithmetic in both engines), summed as BIGINT
+    (order-independent), with the band test cross-multiplied.  The
+    only float is the final exact-IEEE division for the reported
+    mean.
+
+    Scale shape: the unigram table is vocab-sized (≈√corpus by
+    Heaps's law) built with one groupBy; scoring joins tokens⋈freq on
+    the token string — the standard LM-scoring shuffle, uniform keys;
+    the corpus total broadcasts as one row.  No Python, no floats in
+    decisions, no per-doc state."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("tf"))
+    tot = freq.agg(F.sum("tf").cast("long").alias("total"))
+    scored = (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (F.length(F.bin(F.expr("total DIV tf"))) - 1).alias("bits"))
+    )
+    n_tok = F.count("*")
+    sum_bits = F.sum("bits")
+    return scored.groupBy("doc_id").agg(
+        n_tok.alias("n_tok"),
+        sum_bits.cast("long").alias("sum_bits"),
+        (sum_bits * F.lit(1.0) / n_tok).alias("mean_bits"),
+        F.when(
+            (SURPRISAL_LO_X20 * n_tok <= 20 * sum_bits)
+            & (20 * sum_bits < SURPRISAL_HI_X20 * n_tok),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )

@@ -88,6 +88,7 @@ _ORDER = [
     "b_llm_contrastive",
     "b_llm_dup_stats",
     "b_llm_len_buckets",
+    "b_llm_surprisal",
     "b_fn_json",
     "b_llm_dedup_fuzzy",
     "a6_catalog_create",
@@ -105,13 +106,13 @@ _ORDER = [
     "b_win_lag",
     "b_win_frame",
     "b_fn_null",
-    "b_fn_map",
     # ---- 50-entry window boundary falls here ----
-    # -- 4. r1-proven, displaced past the window by the eight newest
+    # -- 4. r1-proven, displaced past the window by the nine newest
     #    round-3 ops (split_leakage / mix_epochs / hll_parts /
-    #    boilerplate / sql_q3 / contrastive / dup_stats / len_buckets)
-    #    in section 2 — new code outranks re-checks of unchanged code
-    # -- 3b/4. r1-green extras never re-checked since round 1
+    #    boilerplate / sql_q3 / contrastive / dup_stats / len_buckets /
+    #    surprisal) in section 2 — new code outranks re-checks of
+    #    unchanged code
+    "b_fn_map",
     "b_join_full",
     "b_join_bucketed",
     "b_join_asof_pandas",

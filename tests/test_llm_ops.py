@@ -498,3 +498,13 @@ def test_contrastive_triples_valid(spark, sf_dir):
         for r in QUERIES["b_llm_contrastive"](spark, sf_dir).collect()
     }
     assert again == {(r["anchor"], r["positive"], r["negative"]) for r in rows}
+
+
+def test_surprisal_band_non_degenerate(spark, sf_dir):
+    """The perplexity-band filter must both keep and drop at fixture
+    scale, and mean_bits must equal sum_bits/n_tok exactly."""
+    rows = QUERIES["b_llm_surprisal"](spark, sf_dir).collect()
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows), (kept, len(rows))
+    for r in rows:
+        assert r["mean_bits"] == r["sum_bits"] / r["n_tok"]
