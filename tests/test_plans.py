@@ -132,3 +132,20 @@ def test_boilerplate_carries_source_without_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_llm_boilerplate")
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange (") <= 5, plan
+
+
+def test_len_buckets_no_global_sort(spark, sf_dir):
+    """Length-binning must get its boundaries from an aggregation and
+    broadcast them — a rangepartitioning exchange would mean the op
+    degenerated into the ntile global sort it exists to avoid."""
+    plan = _plan(spark, sf_dir, "b_llm_len_buckets")
+    assert "rangepartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_surprisal_no_cartesian_no_python(spark, sf_dir):
+    """LM scoring = vocab groupBy + token⋈freq equi-join + 1-row
+    broadcast total: no cartesian blow-up, no Python worker."""
+    plan = _plan(spark, sf_dir, "b_llm_surprisal")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
