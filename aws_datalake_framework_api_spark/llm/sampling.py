@@ -611,3 +611,67 @@ def llm_len_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
     )
     return t.crossJoin(F.broadcast(b)).select("doc_id", "n_tok", bucket.alias("bucket"))
+
+
+# --------------------------------------------- exact-count stratified sample
+
+EXACT_CAP = 50  # exactly this many docs per stratum (or all, if fewer)
+EXACT_SALT = "exact-sample-v1"
+_TOPK_SHARDS = 64  # level-1 parallelism for the distributed top-K
+
+
+@query(
+    "b_llm_sample_exact",
+    f"""
+    SELECT doc_id, lang, rank FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{EXACT_SALT}:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rank
+      FROM documents
+    ) WHERE rank <= {EXACT_CAP}
+    """,
+)
+def llm_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-COUNT stratified sampling: exactly min({EXACT_CAP}, n)
+    documents per language, selected as the {EXACT_CAP} smallest
+    salted-md5 hashes — the deterministic replacement for a reservoir
+    sample when the contract is a hard per-stratum budget, which a
+    rate-based hash-mod draw (:func:`llm_sample`) only hits in
+    expectation (± binomial noise).
+
+    Scale shape — the naive form is a skew trap: ``row_number() OVER
+    (PARTITION BY lang)`` funnels each stratum through ONE reducer,
+    and at 100 TB the dominant language is most of the corpus.  So
+    the engine runs the classic two-level distributed top-K: level 1
+    takes a local top-{EXACT_CAP} within (lang, shard) across
+    {_TOPK_SHARDS} deterministic shards — {_TOPK_SHARDS}× the
+    parallelism, bounded output of shards×cap rows per stratum —
+    and level 2 re-ranks only those ≤ {_TOPK_SHARDS}·{EXACT_CAP}
+    survivors per stratum.  The result is provably the same exact
+    top-{EXACT_CAP} (any global top-K survives every local top-K
+    containing it), so the oracle can stay the one-window naive form
+    while the engine runs the skew-safe plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws(":", F.lit(EXACT_SALT), F.col("doc_id").cast("string"))
+    )
+    rows = docs.select(
+        "doc_id",
+        "lang",
+        key.alias("k"),
+        F.pmod(F.col("doc_id"), F.lit(_TOPK_SHARDS)).alias("shard"),
+    )
+    w1 = Window.partitionBy("lang", "shard").orderBy("k", "doc_id")
+    survivors = (
+        rows.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= EXACT_CAP)
+        .drop("r1", "shard")
+    )
+    w2 = Window.partitionBy("lang").orderBy("k", "doc_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= EXACT_CAP)
+        .select("doc_id", "lang", "rank")
+    )

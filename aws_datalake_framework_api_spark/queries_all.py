@@ -89,6 +89,7 @@ _ORDER = [
     "b_llm_dup_stats",
     "b_llm_len_buckets",
     "b_llm_surprisal",
+    "b_llm_sample_exact",
     "b_fn_json",
     "b_llm_dedup_fuzzy",
     "a6_catalog_create",
@@ -105,13 +106,13 @@ _ORDER = [
     "b_agg_collect",
     "b_win_lag",
     "b_win_frame",
-    "b_fn_null",
     # ---- 50-entry window boundary falls here ----
-    # -- 4. r1-proven, displaced past the window by the nine newest
+    # -- 4. r1-proven, displaced past the window by the ten newest
     #    round-3 ops (split_leakage / mix_epochs / hll_parts /
     #    boilerplate / sql_q3 / contrastive / dup_stats / len_buckets /
-    #    surprisal) in section 2 — new code outranks re-checks of
-    #    unchanged code
+    #    surprisal / sample_exact) in section 2 — new code outranks
+    #    re-checks of unchanged code
+    "b_fn_null",
     "b_fn_map",
     "b_join_full",
     "b_join_bucketed",

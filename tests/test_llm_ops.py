@@ -508,3 +508,30 @@ def test_surprisal_band_non_degenerate(spark, sf_dir):
     assert 0 < kept < len(rows), (kept, len(rows))
     for r in rows:
         assert r["mean_bits"] == r["sum_bits"] / r["n_tok"]
+
+
+def test_sample_exact_hits_per_stratum_budget(spark, sf_dir):
+    """Exact-count sampling must return exactly min(CAP, n_lang) docs
+    per language with ranks 1..k, and be identical across runs."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from aws_datalake_framework_api_spark.llm.sampling import EXACT_CAP
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = QUERIES["b_llm_sample_exact"](spark, sf_dir).collect()
+    got = Counter(r["lang"] for r in rows)
+    assert got == {l: min(EXACT_CAP, n) for l, n in totals.items()}
+    for lang in got:
+        ranks = sorted(r["rank"] for r in rows if r["lang"] == lang)
+        assert ranks == list(range(1, got[lang] + 1))
+    again = {(r["doc_id"], r["rank"]) for r in QUERIES["b_llm_sample_exact"](spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["rank"]) for r in rows}
