@@ -149,3 +149,15 @@ def test_surprisal_no_cartesian_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_llm_surprisal")
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_sample_exact_two_level_topk(spark, sf_dir):
+    """Exact-count sampling must rank in two levels: the first window
+    partitions by (lang, shard) — the skew-defusing fan-out — and only
+    the second collapses to the stratum alone, over bounded survivors."""
+    import re
+
+    plan = _plan(spark, sf_dir, "b_llm_sample_exact")
+    assert plan.count("Window (") == 2, plan
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert any("shard" in p for p in parts), parts
