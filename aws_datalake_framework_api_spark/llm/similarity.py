@@ -546,3 +546,61 @@ def llm_join_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(norm_units) / 1000000.0 / F.count("*")).alias("avg_norm"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ------------------------------------------------- int8 scalar quantization
+
+QUANT_LEVELS = 255  # uint8 code book: 0..255
+
+
+@query("b_llm_emb_quant")  # rows-only: round-mode semantics of the float
+# code assignment are engine-specific by design; exactness vs a numpy
+# reference and the half-step error bound are pinned in tests.
+def llm_emb_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the memory
+    lever that makes corpus-scale ANN serveable: per-dimension min/max
+    bounds over the corpus, each float mapped to a 0..255 code, 4×
+    smaller than float32 (16× vs float64) with a worst-case
+    reconstruction error of half a quantization step per dimension.
+    This is the SQ8 storage format IVF indexes pair with
+    (IVF-SQ8 in FAISS terms), and the natural on-disk layout for the
+    ``b_llm_knn_ivf`` cells.
+
+    Scale shape — deliberately explode-free: the bounds are computed
+    as {EMB_DIM}×2 scalar aggregates in ONE aggregation (map-side
+    partials; no posexplode to corpus×{EMB_DIM} rows, no regroup
+    shuffle to reassemble vectors), the 1-row bounds frame broadcasts,
+    and code assignment + error audit are map-only array expressions
+    inside whole-stage codegen.  The corpus is scanned once and never
+    shuffled.
+
+    Output per vector: the code array, plus ``max_abs_err`` of the
+    round-trip against the declared per-dim half-step bound — the
+    audit a storage migration records before switching the serving
+    index to quantized vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    bounds = emb.agg(
+        *[F.min(e[i]).alias(f"lo{i}") for i in range(EMB_DIM)],
+        *[F.max(e[i]).alias(f"hi{i}") for i in range(EMB_DIM)],
+    )
+
+    def code(i: int):
+        lo, hi = F.col(f"lo{i}"), F.col(f"hi{i}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        return F.round((e[i] - lo) / span * QUANT_LEVELS).cast("int")
+
+    def dequant(i: int):
+        lo, hi = F.col(f"lo{i}"), F.col(f"hi{i}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        return lo + code(i).cast("double") / QUANT_LEVELS * span
+
+    abs_errs = [F.abs(e[i] - dequant(i)) for i in range(EMB_DIM)]
+    return (
+        emb.crossJoin(F.broadcast(bounds))
+        .select(
+            "vec_id",
+            F.array(*[code(i) for i in range(EMB_DIM)]).alias("codes"),
+            F.greatest(*abs_errs).alias("max_abs_err"),
+        )
+    )

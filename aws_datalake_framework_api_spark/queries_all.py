@@ -90,6 +90,7 @@ _ORDER = [
     "b_llm_len_buckets",
     "b_llm_surprisal",
     "b_llm_sample_exact",
+    "b_llm_emb_quant",
     "b_fn_json",
     "b_llm_dedup_fuzzy",
     "a6_catalog_create",
@@ -107,11 +108,11 @@ _ORDER = [
     "b_win_lag",
     "b_win_frame",
     # ---- 50-entry window boundary falls here ----
-    # -- 4. r1-proven, displaced past the window by the ten newest
+    # -- 4. r1-proven, displaced past the window by the eleven newest
     #    round-3 ops (split_leakage / mix_epochs / hll_parts /
     #    boilerplate / sql_q3 / contrastive / dup_stats / len_buckets /
-    #    surprisal / sample_exact) in section 2 — new code outranks
-    #    re-checks of unchanged code
+    #    surprisal / sample_exact / emb_quant) in section 2 — new code
+    #    outranks re-checks of unchanged code
     "b_fn_null",
     "b_fn_map",
     "b_join_full",

@@ -535,3 +535,30 @@ def test_sample_exact_hits_per_stratum_budget(spark, sf_dir):
         assert ranks == list(range(1, got[lang] + 1))
     again = {(r["doc_id"], r["rank"]) for r in QUERIES["b_llm_sample_exact"](spark, sf_dir).collect()}
     assert again == {(r["doc_id"], r["rank"]) for r in rows}
+
+
+def test_emb_quant_matches_numpy_and_error_bound(spark, sf_dir):
+    """SQ8 quantization must reproduce the numpy reference exactly
+    (same codes) and honor the half-step reconstruction bound
+    max_abs_err <= (hi-lo)/2/255 per vector (+1 ulp slack)."""
+    import numpy as np
+
+    from aws_datalake_framework_api_spark.llm.similarity import QUANT_LEVELS
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    ids = [r["vec_id"] for r in emb]
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    want_codes = {
+        ids[j]: [int(round((X[j, i] - lo[i]) / span[i] * QUANT_LEVELS))
+                 for i in range(X.shape[1])]
+        for j in range(len(ids))
+    }
+    rows = QUERIES["b_llm_emb_quant"](spark, sf_dir).collect()
+    assert len(rows) == len(ids)
+    half_step = (span / QUANT_LEVELS / 2).max() * (1 + 1e-12)
+    for r in rows:
+        assert list(r["codes"]) == want_codes[r["vec_id"]], r["vec_id"]
+        assert 0 <= r["max_abs_err"] <= half_step, (r["vec_id"], r["max_abs_err"])
