@@ -541,9 +541,14 @@ def test_emb_quant_matches_numpy_and_error_bound(spark, sf_dir):
     """SQ8 quantization must reproduce the numpy reference exactly
     (same codes) and honor the half-step reconstruction bound
     max_abs_err <= (hi-lo)/2/255 per vector (+1 ulp slack)."""
+    import hashlib
+
     import numpy as np
 
-    from aws_datalake_framework_api_spark.llm.similarity import QUANT_LEVELS
+    from aws_datalake_framework_api_spark.llm.similarity import (
+        QUANT_LEVELS,
+        emb_quant_codes,
+    )
     from aws_datalake_framework_api_spark.sources.readers import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").collect()
@@ -552,13 +557,27 @@ def test_emb_quant_matches_numpy_and_error_bound(spark, sf_dir):
     lo, hi = X.min(axis=0), X.max(axis=0)
     span = np.where(hi > lo, hi - lo, 1.0)
     want_codes = {
-        ids[j]: [int(round((X[j, i] - lo[i]) / span[i] * QUANT_LEVELS))
+        ids[j]: [int(np.floor((X[j, i] - lo[i]) / span[i] * QUANT_LEVELS + 0.5))
                  for i in range(X.shape[1])]
         for j in range(len(ids))
     }
-    rows = QUERIES["b_llm_emb_quant"](spark, sf_dir).collect()
+    rows = emb_quant_codes(spark, sf_dir).collect()
     assert len(rows) == len(ids)
     half_step = (span / QUANT_LEVELS / 2).max() * (1 + 1e-12)
     for r in rows:
         assert list(r["codes"]) == want_codes[r["vec_id"]], r["vec_id"]
         assert 0 <= r["max_abs_err"] <= half_step, (r["vec_id"], r["max_abs_err"])
+
+    # The REGISTERED query is the canon-safe audit view: scalar columns
+    # only (no arrays — the CORRECTNESS_r03 crash class), and its
+    # codes_hash must equal md5 of the comma-joined operator codes.
+    audit = QUERIES["b_llm_emb_quant"](spark, sf_dir)
+    assert not any("array" in f.dataType.simpleString() for f in audit.schema.fields)
+    arows = {r["vec_id"]: r for r in audit.collect()}
+    assert len(arows) == len(ids)
+    probe = ids[0]
+    want_hash = hashlib.md5(
+        ",".join(str(c) for c in want_codes[probe]).encode()
+    ).hexdigest()
+    assert arows[probe]["codes_hash"] == want_hash
+    assert all(r["n_dims"] == X.shape[1] for r in arows.values())

@@ -120,6 +120,24 @@ def _spark_to_pandas(spark_df) -> pd.DataFrame:
     return pd.DataFrame(data, columns=cols)
 
 
+def check_rows_only(spark_df) -> tuple[int, str | None]:
+    """Gate for queries WITHOUT an oracle.  The driver canonicalizes
+    the Spark result even when there is nothing to compare against
+    (CORRECTNESS_r03: ``b_llm_emb_quant`` crashed with
+    ``spark_rows=null``) — so a rows-only query must survive
+    ``value_hash`` too, not just ``count()``.  Returns (row_count,
+    error-or-None)."""
+    sp = _spark_to_pandas(spark_df)
+    try:
+        value_hash(sp)
+    except Exception as e:  # noqa: BLE001 — canonicalizer crash IS a failure
+        return len(sp), (
+            "rows-only canonicalization crashed (driver would FAIL): "
+            f"{type(e).__name__}: {e}"
+        )
+    return len(sp), None
+
+
 def compare(name: str, spark_df, duck_rel) -> list[str]:
     errs: list[str] = []
     sp = _spark_to_pandas(spark_df)
@@ -180,6 +198,23 @@ def selftest() -> None:
     if value_hash(c1) == value_hash(c2):
         raise SystemExit("selftest FAILED: rounding-boundary diff not detected")
     print("  ok: half-even/half-up boundary detected")
+    # (a2) the ROWS-ONLY sweep path must reject an array-returning
+    # probe query too — the exact CORRECTNESS_r03 b_llm_emb_quant
+    # escape: verify_local passed it as rows-only, the driver crashed.
+    class _FakeArrayDF:
+        columns = ["vec_id", "codes"]
+
+        @staticmethod
+        def collect():
+            return [
+                {"vec_id": 1, "codes": [1, 2, 3]},
+                {"vec_id": 2, "codes": [4, 5]},
+            ]
+
+    n, err = check_rows_only(_FakeArrayDF())
+    if err is None:
+        raise SystemExit("selftest FAILED: rows-only path passed an array column")
+    print(f"  ok: rows-only path rejects array columns ({n} rows, driver-faithful)")
     # (d) identical frames in different row/column order hash equal
     d1 = pd.DataFrame({"b": [1, 2], "a": ["x", "y"]})
     d2 = pd.DataFrame({"a": ["y", "x"], "b": [2, 1]})
@@ -210,7 +245,12 @@ def main():
         try:
             df = fn(spark, SF_DIR)
             if name not in ORACLE:
-                n = df.count()
+                n, err = check_rows_only(df)
+                if err is not None:
+                    failed.append(name)
+                    print(f"  FAIL {name} [{time.time()-t0:.1f}s]")
+                    print(f"       {err}")
+                    continue
                 rows_only.append(name)
                 print(f"  ROWS-ONLY {name}: {n} rows [{time.time()-t0:.1f}s]")
                 continue
