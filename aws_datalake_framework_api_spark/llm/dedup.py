@@ -147,8 +147,15 @@ def shared_shingle_set(docs: DataFrame) -> DataFrame:
         return shingle_set(docs)
     key = docs.semanticHash()
     if key not in _SHINGLE_STORES:
-        path = os.path.join(root, f"shingles_{key & 0xFFFFFFFF:x}")
-        if not os.path.isdir(path):
+        # Full hash in the dir name (a 32-bit truncation invites
+        # cross-corpus collisions in a shared store root), and reuse
+        # gated on the parquet commit marker: a crash mid-write leaves
+        # no _SUCCESS, so the partial dir is rewritten, never served.
+        # NOTE the store key is the PLAN's semantic hash — regenerating
+        # fixture files at the same path keeps the same plan, so a
+        # store root must be cleared when its source data changes.
+        path = os.path.join(root, f"shingles_{key & 0xFFFFFFFFFFFFFFFF:016x}")
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
             shingle_set(docs).write.mode("overwrite").parquet(path)
         _SHINGLE_STORES[key] = docs.sparkSession.read.parquet(path)
     return _SHINGLE_STORES[key]

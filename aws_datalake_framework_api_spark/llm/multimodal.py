@@ -58,6 +58,15 @@ FEATURE_SCHEMA = StructType(
         StructField("first_byte", IntegerType(), True),
         StructField("byte_sum_mod", LongType(), True),
         StructField("n_frames", IntegerType(), True),
+        # real-decode columns: populated only for payloads an image
+        # codec can actually parse; NULL (decoded=0) otherwise.  The
+        # schema is ENVIRONMENT-STABLE: with or without PIL installed,
+        # the same columns come back — only their values differ, and on
+        # non-image payloads (this fixture) not even those.
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("px_mode", StringType(), True),
+        StructField("decoded", IntegerType(), False),
     ]
 )
 
@@ -74,25 +83,39 @@ def decode_available() -> bool:
 
 def make_feature_kernel(have_codec: bool):
     """Build the mapInPandas kernel: stream Arrow batches, emit one
-    feature row per payload.  The *decode* step is the stub seam:
-    with a codec it would parse payload bytes; without one it derives
-    deterministic fake features from the raw bytes (clearly marked —
-    NOT a real decode), so the plumbing (batch iteration, schema,
-    null handling) is fully exercised.
+    feature row per payload.  Byte-derived features (first_byte,
+    byte_sum_mod, n_frames) are computed unconditionally — they are
+    exact and codec-free.  The DECODE columns (width/height/px_mode)
+    use PIL when ``have_codec`` and the payload parses as an image;
+    any per-row decode failure degrades to NULLs + decoded=0, never an
+    executor exception (VERDICT r3 "codec landmine": the old kernel
+    raised NotImplementedError the moment PIL appeared on a cluster).
 
     Returned as a closure (not a module-level function) so cloudpickle
     serializes it BY VALUE — executor workers don't import this
     package when the driver loads __spark_entry__.py by file path."""
 
     def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = None
+        if have_codec:
+            import io
+
+            try:
+                from PIL import Image
+
+                def decode(b):  # noqa: ANN001 — bytes-like in, tuple/None out
+                    try:
+                        with Image.open(io.BytesIO(bytes(b))) as im:
+                            return int(im.size[0]), int(im.size[1]), str(im.mode)
+                    except Exception:  # noqa: BLE001 — undecodable payload row
+                        return None
+            except ImportError:
+                # Driver probed a codec the executor image lacks —
+                # degrade to the codec-free path rather than die.
+                decode = None
         for pdf in batches:
-            if have_codec:  # pragma: no cover - codec not present in this container
-                raise NotImplementedError(
-                    "real decode path: plug PIL/libav parsing here; the container "
-                    "this engine is developed in ships no codecs"
-                )
-            # deterministic FAKE decode (stub): features from raw bytes
             payloads = pdf["payload"]
+            dec = [decode(b) if decode is not None else None for b in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -101,6 +124,10 @@ def make_feature_kernel(have_codec: bool):
                     "first_byte": payloads.map(lambda b: b[0] if len(b) else None),
                     "byte_sum_mod": payloads.map(lambda b: sum(b) % 1000003),
                     "n_frames": payloads.map(lambda b: max(1, len(b) // 64)),
+                    "width": [d[0] if d else None for d in dec],
+                    "height": [d[1] if d else None for d in dec],
+                    "px_mode": [d[2] if d else None for d in dec],
+                    "decoded": [1 if d else 0 for d in dec],
                 }
             )
 
@@ -149,18 +176,61 @@ def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("b_mm_features")  # rows-only: the feature kernel is a pandas UDF
-# (no SQL twin); determinism + schema are asserted in tests/test_llm_ops.py.
+@query(
+    "b_mm_features",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             'application/x-fixture-' || source AS mime,
+             encode(text) AS b
+      FROM documents
+    )
+    SELECT doc_id, mime,
+           CAST(octet_length(b) AS BIGINT) AS payload_len,
+           coalesce(CASE WHEN octet_length(b) > 0
+                         THEN CAST(('0x' || substr(hex(b), 1, 2)) AS INT)
+                    END, -1) AS first_byte,
+           CAST(coalesce(list_aggregate(
+               list_transform(generate_series(1, octet_length(b)),
+                              i -> CAST(('0x' || substr(hex(b), 2*i-1, 2)) AS BIGINT)),
+               'sum'), 0) % 1000003 AS BIGINT) AS byte_sum_mod,
+           CAST(greatest(1, octet_length(b) // 64) AS INT) AS n_frames,
+           CAST(-1 AS INT) AS width,
+           CAST(-1 AS INT) AS height,
+           CAST('none' AS VARCHAR) AS px_mode,
+           CAST(0 AS INT) AS decoded
+    FROM t
+    """,
+)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    ``mapInPandas`` — the decode/resize/frame-sample slot.  The stub
-    kernel derives deterministic features from raw bytes (see
-    ``_extract_features``); a real deployment swaps the kernel, not
-    the plan."""
+    ``mapInPandas`` — the decode/resize/frame-sample slot.  The
+    byte-derived features are exact, so the query is ORACLE-PROVEN:
+    the DuckDB twin recomputes first_byte/byte_sum_mod from the blob's
+    hex expansion, and the decode columns are NULL/0 on this fixture
+    in ANY environment — the payloads are utf-8 text, so PIL (when
+    present) fails per-row and the kernel degrades to the same NULLs
+    the codec-free path emits.  A real deployment gets real
+    width/height/px_mode for real images from the same plan."""
     docs = load_table(spark, sf_dir, "documents")
     mm = as_multimodal(docs)
     kernel = make_feature_kernel(decode_available())
-    return mm.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    feats = mm.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    # Canon-safe projection: sentinel-fill the decode columns (an
+    # all-NULL INT column round-trips as NaN-float through the
+    # harness's pandas fetch, hashing differently from Spark's None).
+    return feats.select(
+        "doc_id",
+        "mime",
+        "payload_len",
+        F.coalesce("first_byte", F.lit(-1)).alias("first_byte"),
+        "byte_sum_mod",
+        "n_frames",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("px_mode", F.lit("none")).alias("px_mode"),
+        "decoded",
+    )
 
 
 FRAME_BYTES = 64  # fixture stand-in: one "frame" per 64 payload bytes

@@ -421,8 +421,12 @@ def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes, plus a fractional top-up epoch selected by the same
     integer cross-multiplied hash-mod threshold as every sampler here
     (``idx·lang_tokens < 256·(target − epochs·lang_tokens)``) — no
-    float probability, rerun/engine-stable, and the emitted token
-    total lands within one doc of the target for uncapped strata.
+    float probability, rerun/engine-stable.  The top-up is an
+    INDEPENDENT per-doc hash-Bernoulli draw, so for uncapped strata
+    the emitted token total matches the target in expectation with
+    binomial wobble (not within-one-doc exactness — an exact top-up
+    would need ranked cumulative token sums, the
+    ``b_llm_sample_exact`` two-level top-K machinery).
 
     Scale shape: identical to :func:`llm_mix` — one map-only corpus
     pass, a tiny broadcastable stratum table, map-side aggregation;
@@ -473,10 +477,12 @@ def llm_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ contrastive pair mining
 
-#: Knuth multiplicative constant — deterministic pseudo-random negative
-#: draw as pure BIGINT arithmetic both engines compute identically.
-_NEG_MULT = 2654435761
-_NEG_OFFSET = 12345
+#: Salt for the deterministic negative draw.  The draw is the first 15
+#: hex chars of a salted md5 (60 bits, always positive, < 2^63) taken
+#: mod corpus size — overflow-free at ANY doc_id (the previous Knuth
+#: multiply overflowed BIGINT for doc_a ≳ 3.5e9, ADVICE r3) and
+#: bit-identical in both engines.
+_NEG_SALT = "contrastive-neg-v1"
 
 
 _CONTRASTIVE_SQL = (
@@ -485,7 +491,8 @@ _CONTRASTIVE_SQL = (
     n AS (SELECT count(*) AS n_docs FROM documents),
     raw AS (
       SELECT doc_a AS anchor, doc_b AS positive, jaccard,
-             (doc_a * {_NEG_MULT} + {_NEG_OFFSET}) % n_docs AS neg0,
+             CAST(('0x' || substr(md5('{_NEG_SALT}:' || CAST(doc_a AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % n_docs AS neg0,
              n_docs
       FROM fuzzy_pairs CROSS JOIN n
     ),
@@ -511,25 +518,40 @@ def llm_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic pseudo-random corpus document becomes the negative —
     the (a, p, n) triple shape contrastive/embedding losses consume.
 
-    The negative draw is pure integer arithmetic (Knuth multiplicative
-    hash mod corpus size, with two CASE steps to walk off collisions
-    with the anchor/positive — two steps suffice because at most two
-    ids are excluded).  No ``rand()``: the triple set is
-    rerun/engine/scale-stable like every sampler here, and the oracle
-    runs the identical arithmetic.  (Production hard-negative mining
-    would rerank negatives by embedding distance — that composes with
-    the ANN ops; this op pins the deterministic-triple plumbing.)
+    The negative draw is a salted md5 prefix (60 bits, positive,
+    overflow-free at any doc_id) mod corpus size, with two CASE steps
+    to walk off collisions with the anchor/positive — two steps
+    suffice because at most two ids are excluded.  No ``rand()``: the
+    triple set is rerun/engine/scale-stable like every sampler here,
+    and the oracle runs the identical arithmetic.  (Production
+    hard-negative mining would rerank negatives by embedding distance
+    — that composes with the ANN ops; this op pins the
+    deterministic-triple plumbing.)
+
+    ASSUMPTION: doc_ids are dense 0-based (true of this fixture and
+    of the row-number ids a packing/ingest stage assigns), so a draw
+    in [0, n_docs) IS a document id.  On sparse ids, compose with a
+    rank-join (zipWithIndex-style) to map draw → id first.
 
     Scale: built entirely on the fuzzy-pair output (no new corpus
     pass); the corpus-count scalar broadcasts."""
     pairs = _dedup._fuzzy_pairs_df(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.select(F.count("*").alias("n_docs"))
+    neg_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{_NEG_SALT}:"), F.col("doc_a").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
     raw = pairs.crossJoin(F.broadcast(n_docs)).select(
         F.col("doc_a").alias("anchor"),
         F.col("doc_b").alias("positive"),
         "jaccard",
-        ((F.col("doc_a") * _NEG_MULT + _NEG_OFFSET) % F.col("n_docs")).alias("neg0"),
+        (neg_hash % F.col("n_docs")).alias("neg0"),
         "n_docs",
     )
     hit = lambda c: (F.col(c) == F.col("anchor")) | (F.col(c) == F.col("positive"))  # noqa: E731

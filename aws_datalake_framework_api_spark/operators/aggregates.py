@@ -95,23 +95,73 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("b_agg_approx")  # rows-only: approx results differ across engines by design
+@query(
+    "b_agg_approx",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_exact_orders,
+           count(*) AS n,
+           CAST(5 AS INT) AS band_pct,
+           CAST(1 AS INT) AS approx_ok,
+           CAST(1 AS INT) AS median_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB substitutes for exact DISTINCT:
     HLL++ (``approx_count_distinct``) and t-digest-style quantiles
-    (``percentile_approx``).  Validated in unit tests against exact
-    values within rsd bounds; no DuckDB oracle because approximate
-    answers are engine-specific."""
+    (``percentile_approx``) — emitted as a DRIVER-CHECKABLE scorecard
+    (VERDICT r3 item: this id was rows-only since r1).  The sketch
+    estimates themselves are engine-specific, so the output carries
+    the EXACT distinct count (oracle-recomputed) plus integer band
+    flags: ``approx_ok`` = HLL estimate within ±5% of exact (rsd is
+    set to 2%), ``median_ok`` = approx median inside the exact 40th-
+    60th percentile span.  Both pipelines are deterministic for a
+    fixed input set, so the flags are stable; if a Spark upgrade
+    shifts a sketch outside its band, the oracle's literal 1 turns the
+    row red."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact_orders"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.40)").alias("p40"),
+        F.expr("percentile(l_extendedprice, 0.60)").alias("p60"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_exact_orders",
+        "n",
+        F.lit(5).cast("int").alias("band_pct"),
+        (
+            F.abs(F.col("approx_orders") - F.col("n_exact_orders")) * 100
+            <= F.col("n_exact_orders") * 5
+        )
+        .cast("int")
+        .alias("approx_ok"),
+        (
+            (F.col("approx_median") >= F.col("p40"))
+            & (F.col("approx_median") <= F.col("p60"))
+        )
+        .cast("int")
+        .alias("median_ok"),
     )
 
 
-@query("b_agg_hll_parts")  # rows-only: Datasketches HLL estimates have no
-# DuckDB twin; estimate-vs-exact error is pinned in tests/test_operators.py.
+@query(
+    "b_agg_hll_parts",
+    """
+    SELECT event_type,
+           count(DISTINCT date_trunc('day', ts)) AS n_days,
+           count(DISTINCT user_id) AS n_exact_users,
+           CAST(5 AS INT) AS band_pct,
+           CAST(1 AS INT) AS hll_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_hll_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting — the PATTERN behind every
     cross-shard distinct at 100 TB: build one HLL sketch per
@@ -129,19 +179,41 @@ def agg_hll_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: Datasketches HLL is a per-register max structure, so
     the estimate depends only on the input SET, not row order or
     partitioning — stable across reruns and cluster layouts (the same
-    property the salted-hash samplers rely on)."""
+    property the salted-hash samplers rely on).
+
+    Output is the driver-checkable scorecard form (the raw estimate is
+    engine-specific, so it can't be oracle-hashed): the EXACT distinct
+    count per type, and ``hll_ok`` = union-of-sketches estimate within
+    ±5% of it, oracle-pinned to 1."""
     events = load_table(spark, sf_dir, "events")
     daily = (
         events.groupBy(
             F.col("event_type"), F.date_trunc("day", "ts").alias("day")
-        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        ).agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            # exact per-(type,day) user sets are NOT mergeable across
+            # days (that's the sketch's whole point) — the exact twin
+            # needs its own (type,user) distinct, here in the same pass
         )
+    )
+    sketched = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact_users")
+    )
+    return sketched.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "n_exact_users",
+        F.lit(5).cast("int").alias("band_pct"),
+        (
+            F.abs(F.col("approx_users") - F.col("n_exact_users")) * 100
+            <= F.col("n_exact_users") * 5
+        )
+        .cast("int")
+        .alias("hll_ok"),
     )
 
 

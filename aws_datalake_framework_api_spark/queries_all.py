@@ -9,20 +9,19 @@ first 50 registration-order entries, leaving every catalog/streaming/
 UDF/landing query without a correctness row.  So the dict is rebuilt
 below with:
 
-Round-3 rotation (VERDICT r2 item #1): rounds 1+2 hash-proved 69/86
-survey ids through the driver; the window is rebuilt so that
+Round-4 rotation (VERDICT r3 items #1/#3/#6): after three rounds the
+union of driver rows covers all r3 ids; the debt is FRESHNESS.  The
+window is rebuilt so that
 
-1. the 17 survey ids with NO driver row ever (r2's new operators:
-   quantiles, funnel/retention, salted join, z-order, evolve, the
-   ngram/minhash/simhash/clusters dedup family, neardup_lsh, pack,
-   repetition, sample, mm_*) plus ``b_scan_csv`` — first;
-2. ids whose code CHANGED this round (simhash64 widening, fn_json
-   semantics, dedup-family persist, catalog memo keying) — the
-   newest, riskiest code gets an external row (ADVICE r2 medium);
-3. r1-green ids never RE-checked since (window arithmetic) — next;
-4. a handful of r2-proven representatives fill the remainder;
-5. everything r2 just hash-proved and unchanged this round — last
-   (rotated out; ``tools/verify_local.py`` keeps local coverage).
+1. ids whose code CHANGED this round — the emb_quant canon fix, the
+   mm_features codec defusal + new oracle, the agg_approx/hll_parts
+   scorecard rework, the contrastive overflow fix, the five NEW
+   recall-gate companions — first (newest code gets external rows);
+2. ids whose latest driver row is round 1 (15 ids: the VERDICT r3
+   "stale verification" list) plus b_join_star/b_agg_q1 (r2) — next;
+3. r2-proven ids never re-checked in r3 fill the 50-entry window;
+4. everything r3 just hash-proved and unchanged — last (rotated out;
+   ``tools/verify_local.py`` keeps local coverage of all 115).
 """
 
 from __future__ import annotations
@@ -41,6 +40,7 @@ from .llm import dedup as _llm_dedup  # noqa: F401  B11
 from .llm import multimodal as _llm_multimodal  # noqa: F401  B11
 from .llm import sampling as _llm_sampling  # noqa: F401  B11
 from .llm import curation as _llm_curation  # noqa: F401  B11 composition
+from .llm import recall as _llm_recall  # noqa: F401  B11 approx-vs-exact gates
 from .operators import analytics as _analytics  # noqa: F401  B4/B5 compositions
 from .streaming import windows as _stream_windows  # noqa: F401  B9
 from .streaming import ingest as _stream_ingest  # noqa: F401  A12/B9
@@ -53,83 +53,39 @@ from . import envelope as _envelope  # noqa: F401  A11
 #: Explicit export order (see module docstring).  Ids listed here but
 #: not registered are skipped; registered ids not listed append last.
 _ORDER = [
-    # -- 1. the 17 survey ids with no driver row in ANY round, + csv
-    "b_agg_quantiles",
-    "b_funnel",
-    "b_retention",
-    "b_join_salted",
-    "b_sink_zorder",
-    "b_scan_evolve",
-    "b_llm_dedup_ngram",
-    "b_llm_dedup_minhash",
-    "b_llm_dedup_simhash",
-    "b_llm_dedup_clusters",
-    "b_llm_neardup_lsh",
-    "b_llm_pack",
-    "b_llm_repetition",
-    "b_llm_sample",
-    "b_mm_meta",
-    "b_mm_features",
-    "b_mm_framesample",
-    "b_scan_csv",
-    # -- 2. new / changed-in-round-3 code (riskiest first: ADVICE r2)
-    "b_llm_dedup_simhash64",
-    "b_llm_decontaminate",
-    "b_llm_curation",
-    "b_llm_dedup_incr",
-    "b_llm_mix",
-    "b_llm_shuffle",
-    "b_llm_blocklist",
-    "b_llm_split_leakage",
-    "b_llm_mix_epochs",
-    "b_agg_hll_parts",
-    "b_llm_boilerplate",
-    "b_sql_q3",
-    "b_llm_contrastive",
-    "b_llm_dup_stats",
-    "b_llm_len_buckets",
-    "b_llm_surprisal",
-    "b_llm_sample_exact",
+    # -- 1. code that CHANGED in round 4 (canon fix, codec defusal,
+    #    scorecard reworks, overflow fix, new recall companions)
     "b_llm_emb_quant",
-    "b_fn_json",
-    "b_llm_dedup_fuzzy",
-    "a6_catalog_create",
-    # -- 3. r1-green survey ids never re-checked since round 1
-    "b_join_outer",
-    "b_join_semi",
-    "b_join_anti",
-    "b_join_cross",
-    "b_topk",
-    "b_set_intersect",
-    "b_set_except",
-    "b_agg_distinct",
-    "b_agg_cube",
-    "b_agg_collect",
-    "b_win_lag",
-    "b_win_frame",
-    # ---- 50-entry window boundary falls here ----
-    # -- 4. r1-proven, displaced past the window by the eleven newest
-    #    round-3 ops (split_leakage / mix_epochs / hll_parts /
-    #    boilerplate / sql_q3 / contrastive / dup_stats / len_buckets /
-    #    surprisal / sample_exact / emb_quant) in section 2 — new code
-    #    outranks re-checks of unchanged code
+    "b_mm_features",
+    "b_agg_approx",
+    "b_agg_hll_parts",
+    "b_llm_contrastive",
+    "b_llm_knn_lsh_recall",
+    "b_llm_knn_ivf_recall",
+    "b_llm_neardup_lsh_recall",
+    "b_llm_dedup_minhash_recall",
+    "b_llm_dedup_simhash64_recall",
+    "b_stream_ingest",
+    # -- 2. latest driver row is ROUND 1 (VERDICT r3 stale list),
+    #    + b_join_star / b_agg_q1 (last proven r2)
     "b_fn_null",
     "b_fn_map",
+    "b_fn_explode",
+    "b_fn_array",
     "b_join_full",
     "b_join_bucketed",
     "b_join_asof_pandas",
-    "b_agg_approx",
-    "b_fn_explode",
+    "b_win_frame",
     "b_llm_tokens",
     "b_llm_quality",
     "b_llm_langid",
     "b_llm_fingerprint",
+    "b_llm_textstats",
     "b_llm_neardup_cosine",
     "b_join_star",
     "b_agg_q1",
-    "b_fn_array",
-    "b_llm_textstats",
-    # -- 5. r2-hash-proven, unchanged this round (rotated out)
+    # -- 3. r2-proven ids not re-checked in r3 (oldest evidence fills
+    #    the rest of the 50-entry window)
     "a7_catalog_read",
     "a8_catalog_update",
     "a9_catalog_delete",
@@ -137,7 +93,6 @@ _ORDER = [
     "a2_event_update",
     "b_scan_json",
     "b_sink_part",
-    "b_stream_ingest",
     "b_stream_tumble",
     "b_stream_slide",
     "b_stream_session",
@@ -148,17 +103,20 @@ _ORDER = [
     "b_udf_scalar",
     "b_udf_pandas",
     "b_udf_grouped",
+    "b_llm_knn",
+    "b_llm_knn_lsh",
     "b_llm_knn_ivf",
     "b_llm_join_modal",
     "b_fn_mask",
     "b_envelope",
+    # ---- 50-entry window boundary falls here ----
+    # -- 4. r2-proven remainder, then everything r3 hash-proved and
+    #    unchanged this round (rotated out; verify_local covers all)
     "b_win_rank",
     "b_project",
     "b_filter_pred",
     "b_fn_string",
     "b_llm_dedup_exact",
-    "b_llm_knn",
-    "b_llm_knn_lsh",
     "b_join_bcast",
     "b_join_smj",
     "b_join_asof",
@@ -173,6 +131,52 @@ _ORDER = [
     "b_fn_math",
     "b_fn_hash",
     "b_case_when",
+    "b_llm_dedup_fuzzy",
+    "a6_catalog_create",
+    "b_fn_json",
+    "b_agg_quantiles",
+    "b_funnel",
+    "b_retention",
+    "b_join_salted",
+    "b_sink_zorder",
+    "b_scan_evolve",
+    "b_scan_csv",
+    "b_llm_dedup_ngram",
+    "b_llm_dedup_minhash",
+    "b_llm_dedup_simhash",
+    "b_llm_dedup_simhash64",
+    "b_llm_dedup_clusters",
+    "b_llm_dedup_incr",
+    "b_llm_decontaminate",
+    "b_llm_curation",
+    "b_llm_neardup_lsh",
+    "b_llm_pack",
+    "b_llm_repetition",
+    "b_llm_sample",
+    "b_llm_sample_exact",
+    "b_llm_split_leakage",
+    "b_llm_mix",
+    "b_llm_mix_epochs",
+    "b_llm_len_buckets",
+    "b_llm_shuffle",
+    "b_llm_surprisal",
+    "b_llm_boilerplate",
+    "b_llm_blocklist",
+    "b_llm_dup_stats",
+    "b_sql_q3",
+    "b_mm_meta",
+    "b_mm_framesample",
+    "b_join_outer",
+    "b_join_semi",
+    "b_join_anti",
+    "b_join_cross",
+    "b_topk",
+    "b_set_intersect",
+    "b_set_except",
+    "b_agg_distinct",
+    "b_agg_cube",
+    "b_agg_collect",
+    "b_win_lag",
 ]
 
 

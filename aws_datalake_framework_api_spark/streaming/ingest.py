@@ -24,8 +24,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from ..registry import query
@@ -41,9 +43,34 @@ from ..sources.readers import load_table, normalize_event_ts
 # deployment pins it from the asset's registered schema instead.
 
 
+#: Pinned fallback schema for the events feed — what a real deployment
+#: registers for the asset.  Used when the landing dir has no files yet
+#: (the NORMAL streaming pattern: define the stream before any file
+#: lands; a footer probe of an empty dir throws).  ``ts`` is declared
+#: TIMESTAMP_NTZ to match what this Spark build reads from the
+#: fixture's TIMESTAMP(NANOS) parquet footers.
+LANDING_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampNTZType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
 def landing_schema(spark: SparkSession, landing_dir: str):
+    """Schema for the landing stream: probe already-landed footers when
+    present (footer-only read, no data scan); fall back to the pinned
+    registered schema on an empty/absent landing dir so a stream can be
+    DEFINED before its first file arrives (ADVICE r3)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(landing_dir).schema
+    try:
+        return spark.read.parquet(landing_dir).schema
+    except Exception:  # noqa: BLE001 — empty dir / no footers yet
+        return LANDING_SCHEMA
 
 
 def ingest_stream(

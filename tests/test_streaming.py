@@ -42,6 +42,32 @@ def _event_stream(spark, landing_dir):
     )
 
 
+def test_landing_schema_empty_dir_falls_back_to_pinned(spark, tmp_path):
+    """A stream must be definable BEFORE any file lands (the normal
+    streaming deployment order): an empty landing dir falls back to
+    the pinned registered schema instead of throwing (ADVICE r3), and
+    the pinned schema matches what a footer probe yields once files
+    exist — so the fallback never changes downstream plans."""
+    from aws_datalake_framework_api_spark.streaming.ingest import LANDING_SCHEMA
+
+    empty = tmp_path / "empty_landing"
+    empty.mkdir()
+    assert landing_schema(spark, str(empty)) == LANDING_SCHEMA
+    # nonexistent dir: same fallback, same reason
+    assert landing_schema(spark, str(tmp_path / "never_created")) == LANDING_SCHEMA
+
+
+def test_landing_schema_probe_matches_pinned(spark, landing):
+    """With landed files present the probe path runs; it must agree
+    with the pinned schema (name + type, ignoring nullability)."""
+    from aws_datalake_framework_api_spark.streaming.ingest import LANDING_SCHEMA
+
+    probed = landing_schema(spark, landing)
+    assert [(f.name, f.dataType) for f in probed.fields] == [
+        (f.name, f.dataType) for f in LANDING_SCHEMA.fields
+    ]
+
+
 def test_ingest_roundtrip_exactly_once(spark, sf_dir, tmp_path, landing):
     """File-source ingest: no rows lost or duplicated; a RE-RUN over
     the same checkpoint must be a no-op (exactly-once)."""
