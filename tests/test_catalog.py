@@ -14,15 +14,20 @@ def cat(spark, tmp_path):
 
 def test_backend_probe_records_which_path_runs(cat, spark, capsys):
     """The storage backend is probed, not assumed: Delta when the
-    delta-spark package + io.delta jar are genuinely present, parquet
-    directory-swap otherwise.  The chosen path is recorded so a CI log
-    shows which backend the CRUD suite actually exercised."""
+    delta-spark package + io.delta jar are genuinely present, the
+    txlog transaction-log format otherwise.  The chosen path is
+    recorded so a CI log shows which backend the CRUD suite actually
+    exercised."""
     probed = delta_available(spark)
-    assert cat.backend == ("delta" if probed else "parquet")
+    assert cat.backend == ("delta" if probed else "txlog")
     print(f"catalog-backend={cat.backend} (delta_available={probed})")
     # whatever the backend, the seam holds: a create round-trips
     assert cat.create("source_system", 900, "probe")["statusCode"] == 200
     assert cat.read("source_system", 900).count() == 1
+    # and the audit trail records which backend served the call
+    cat.flush_audit()
+    backends = {r["catalog_backend"] for r in cat.audit_log().collect()}
+    assert backends == {cat.backend}
 
 
 def test_create_read_roundtrip(cat):

@@ -1,0 +1,124 @@
+"""Transaction-log table format (txlog.py): commit atomicity,
+snapshot isolation, optimistic concurrency, history/time travel,
+vacuum — the ACID-ish properties the catalog's A2/A8 semantics ride
+on when Delta is absent."""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from aws_datalake_framework_api_spark.catalog import Catalog
+from aws_datalake_framework_api_spark.txlog import LOG_DIR, TxLogTable
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType(), True),
+        StructField("v", StringType(), True),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TxLogTable(spark, str(tmp_path / "t"))
+
+
+def test_overwrite_append_read_roundtrip(spark, table):
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    assert {r["k"] for r in table.read(SCHEMA).collect()} == {1, 2}
+    table.append(_df(spark, [(3, "c")]))
+    assert {r["k"] for r in table.read(SCHEMA).collect()} == {1, 2, 3}
+    # append kept the old data dir + added one; overwrite resets to one
+    assert len(table.snapshot()["dirs"]) == 2
+    table.overwrite(_df(spark, [(9, "z")]))
+    assert len(table.snapshot()["dirs"]) == 1
+    assert {r["k"] for r in table.read(SCHEMA).collect()} == {9}
+
+
+def test_history_and_time_travel(spark, table):
+    table.overwrite(_df(spark, [(1, "a")]), op="create")
+    table.append(_df(spark, [(2, "b")]))
+    table.overwrite(_df(spark, [(3, "c")]), op="update")
+    hist = table.history()
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["op"] for h in hist] == ["create", "append", "update"]
+    # every retained version stays readable (snapshot isolation in time)
+    assert {r["k"] for r in table.read(SCHEMA, version=1).collect()} == {1}
+    assert {r["k"] for r in table.read(SCHEMA, version=2).collect()} == {1, 2}
+    assert {r["k"] for r in table.read(SCHEMA, version=3).collect()} == {3}
+
+
+def test_staged_but_uncommitted_data_is_invisible(spark, table):
+    """A crash between staging and commit must leave the table
+    unchanged: readers resolve manifests, never list data dirs."""
+    table.overwrite(_df(spark, [(1, "a")]))
+    # simulate the crash: stage a data dir, never write a commit record
+    orphan = table._stage(_df(spark, [(666, "orphan")]))
+    assert os.path.isdir(os.path.join(table.path, orphan))
+    assert {r["k"] for r in table.read(SCHEMA).collect()} == {1}
+    # vacuum removes the orphan, keeps the live dir
+    removed = table.vacuum()
+    assert orphan in removed
+    assert {r["k"] for r in table.read(SCHEMA).collect()} == {1}
+
+
+def test_commit_race_loser_rebases(spark, table):
+    """Two writers racing for the same version: the hard-link publish
+    makes version numbers mutually exclusive, and the loser retries on
+    top of the winner's snapshot (append semantics survive)."""
+    table.overwrite(_df(spark, [(1, "a")]))
+    # simulate a concurrent writer claiming version 2 first
+    winner = {
+        "version": 2,
+        "op": "append",
+        "dirs": table.snapshot()["dirs"],
+        "ts": "2026-01-01T00:00:00+00:00",
+        "format": "txlog-v1",
+    }
+    with open(os.path.join(table.path, LOG_DIR, "00000002.json"), "w") as f:
+        json.dump(winner, f)
+    entry = table.append(_df(spark, [(2, "b")]))
+    assert entry["version"] == 3  # rebased past the winner
+    assert {r["k"] for r in table.read(SCHEMA).collect()} == {1, 2}
+
+
+def test_catalog_txlog_mutations_have_honest_history(spark, tmp_path):
+    """The catalog's A6/A8/A9 flow over txlog: each mutation is one
+    commit, op labels match the API calls, and the conditional-update
+    no-op (A2/A8 attribute_exists semantics) commits NOTHING."""
+    cat = Catalog(spark, str(tmp_path / "wh"), backend="txlog")
+    cat.create("source_system", 1, "alpha")
+    cat.create("source_system", 2, "beta")
+    cat.update("source_system", 1, status="suspended")
+    versions_before = TxLogTable(
+        spark, os.path.join(str(tmp_path / "wh"), "source_system")
+    ).versions()
+    res = cat.update("source_system", 999, status="ghost")  # no match
+    assert res["matched"] == 0
+    t = TxLogTable(spark, os.path.join(str(tmp_path / "wh"), "source_system"))
+    assert t.versions() == versions_before  # no-op committed nothing
+    cat.delete("source_system", 2)
+    assert [h["op"] for h in t.history()] == ["create", "create", "update", "delete"]
+    rows = {r["entity_id"]: r["status"] for r in cat.load("source_system").collect()}
+    assert rows == {1: "suspended"}
+
+
+def test_catalog_audit_append_is_txlog_append(spark, tmp_path):
+    """Audit flushes append (old dirs survive); a second flush adds a
+    commit, and the read unions every committed dir."""
+    cat = Catalog(spark, str(tmp_path / "wh"), backend="txlog")
+    cat._audit("m/a", None)
+    cat.flush_audit()
+    cat._audit("m/b", None)
+    cat.flush_audit()
+    t = TxLogTable(spark, os.path.join(str(tmp_path / "wh"), "api_events"))
+    assert [h["op"] for h in t.history()] == ["append", "append"]
+    assert len(t.snapshot()["dirs"]) == 2
+    assert cat.audit_log().count() == 2
