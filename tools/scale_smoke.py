@@ -1,0 +1,67 @@
+"""10× scale smoke (VERDICT r3 item #8): run the scale-critical LLM
+paths end-to-end at sf0.1 and at the generated 10× fixture, and record
+measured wall-time scaling.
+
+The claim under test: the plan shapes argued linear in SURVEY §2
+(MinHash banding with bounded bucket fan-out, IVF map-only assignment,
+two-level stratified top-K, no-global-sort shuffle) actually scale
+~linearly in corpus size, converting "the plan looks right at sf0.1"
+into measured evidence.  Run on a quiet box; cross-run noise on this
+host is documented at ±25% (BASELINE.md), so judge ratios accordingly.
+
+Usage: python tools/scale_smoke.py [sf1_dir]   (default tmp_scale/sf1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMOKE = [
+    # the four scale-critical shapes: LSH-banded dedup, IVF ANN,
+    # exact-count stratified sampling, global-sort-free epoch shuffle
+    "b_llm_dedup_minhash",
+    "b_llm_knn_ivf",
+    "b_llm_sample_exact",
+    "b_llm_shuffle",
+]
+
+
+def run(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    from aws_datalake_framework_api_spark.queries_all import QUERIES
+
+    out = {}
+    for qid in SMOKE:
+        t0 = time.time()
+        n = QUERIES[qid](spark, sf_dir).count()
+        out[qid] = (round(time.time() - t0, 2), n)
+        print(f"  {sf_dir}: {qid} = {out[qid][0]} s ({n} rows)")
+    return out
+
+
+def main() -> None:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "tmp_scale/sf1"
+    from aws_datalake_framework_api_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    # warm: run the sf0.1 set once so JIT/codegen warmup doesn't load
+    # the small-scale numbers (BASELINE.md measurement note)
+    run(spark, "/root/testdata/sf0.1")
+    small = run(spark, "/root/testdata/sf0.1")
+    big = run(spark, sf1)
+    print(json.dumps({
+        "sf0.1": {k: v[0] for k, v in small.items()},
+        "sf1": {k: v[0] for k, v in big.items()},
+        "ratio_at_10x_data": {
+            k: round(big[k][0] / small[k][0], 1) for k in small
+        },
+        "rows": {k: {"sf0.1": small[k][1], "sf1": big[k][1]} for k in small},
+    }))
+
+
+if __name__ == "__main__":
+    main()
