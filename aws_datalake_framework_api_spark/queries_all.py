@@ -41,6 +41,7 @@ from .llm import multimodal as _llm_multimodal  # noqa: F401  B11
 from .llm import sampling as _llm_sampling  # noqa: F401  B11
 from .llm import curation as _llm_curation  # noqa: F401  B11 composition
 from .llm import recall as _llm_recall  # noqa: F401  B11 approx-vs-exact gates
+from .llm import membership as _llm_membership  # noqa: F401  B11 bloom gate
 from .operators import analytics as _analytics  # noqa: F401  B4/B5 compositions
 from .streaming import windows as _stream_windows  # noqa: F401  B9
 from .streaming import ingest as _stream_ingest  # noqa: F401  A12/B9
@@ -48,6 +49,7 @@ from . import catalog_queries as _catalog_queries  # noqa: F401  A1-A9
 from .operators import udfs as _udfs  # noqa: F401  B10
 from .operators import sql_surface as _sql_surface  # noqa: F401  SQL facade
 from .sources import landing as _landing  # noqa: F401  B1
+from .sources import lake as _lake  # noqa: F401  B1 lake-scale MERGE
 from . import envelope as _envelope  # noqa: F401  A11
 
 #: Explicit export order (see module docstring).  Ids listed here but
@@ -65,6 +67,8 @@ _ORDER = [
     "b_llm_neardup_lsh_recall",
     "b_llm_dedup_minhash_recall",
     "b_llm_dedup_simhash64_recall",
+    "b_lake_upsert",
+    "b_llm_bloom_gate",
     "b_stream_ingest",
     # -- 2. latest driver row is ROUND 1 (VERDICT r3 stale list),
     #    + b_join_star / b_agg_q1 (last proven r2)

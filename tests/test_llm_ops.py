@@ -65,10 +65,10 @@ def test_knn_lsh_recall_vs_brute(spark, sf_dir):
     for k in set(e) & set(a):
         assert e[k] == a[k], f"cosine mismatch for {k}: {e[k]} vs {a[k]}"
     recall = len(set(e) & set(a)) / len(e)
-    # random hyperplanes on random 64-dim data: recall is modest by
-    # design at 4x6 bits; this asserts the machinery works, and the
-    # bound documents the setting's floor on the fixture.
-    assert recall >= 0.15, f"ANN recall {recall:.2f} unusably low"
+    # multi-probe (home bucket + six 1-bit flips) lifts the 4x6-bit
+    # setting from 0.18 to 0.54 (sf0.001) / 0.72 (sf0.01); floor
+    # with margin so a probe-generation regression can't hide.
+    assert recall >= 0.4, f"ANN recall {recall:.2f} below the multi-probe floor"
 
 
 def test_knn_ivf_recall_vs_brute(spark, sf_dir):
@@ -676,3 +676,35 @@ def test_emb_quant_matches_numpy_and_error_bound(spark, sf_dir):
     ).hexdigest()
     assert arows[probe]["codes_hash"] == want_hash
     assert all(r["n_dims"] == X.shape[1] for r in arows.values())
+
+
+def test_bloom_gate_no_false_negatives(spark, sf_dir):
+    """Bloom structural guarantee: every arrival whose exact text IS
+    in the index must hit the filter (bloom_hit >= exact_member row by
+    row); is_fp is exactly the hit-but-not-member residue; and at the
+    fixture's fill factor (~1e-6 fp rate) false positives are absent."""
+    rows = QUERIES["b_llm_bloom_gate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["bloom_hit"] >= r["exact_member"], r
+        assert r["is_fp"] == int(r["bloom_hit"] == 1 and r["exact_member"] == 0), r
+    assert sum(r["is_fp"] for r in rows) == 0
+    # membership must agree exactly with a recomputed ground truth —
+    # and when the fixture's exact-dup sets straddle the arrival/index
+    # split, the gate must actually fire (not vacuously all-miss)
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_api_spark.llm.dedup import INCR_ARRIVAL_MOD
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_texts = {
+        r["text"]
+        for r in docs.filter(F.col("doc_id") % INCR_ARRIVAL_MOD != 0).collect()
+    }
+    arr_text = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id") % INCR_ARRIVAL_MOD == 0).collect()
+    }
+    want_members = {d for d, t in arr_text.items() if t in idx_texts}
+    assert {r["doc_id"] for r in rows if r["exact_member"] == 1} == want_members
