@@ -161,3 +161,46 @@ def test_sample_exact_two_level_topk(spark, sf_dir):
     assert plan.count("Window (") == 2, plan
     parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
     assert any("shard" in p for p in parts), parts
+
+
+def test_bloom_gate_broadcasts_bitmap(spark, sf_dir):
+    """The Bloom bitmap (≤1024 rows) must broadcast to the arrival
+    probes — a shuffled probe join would defeat the gate's point
+    (membership without moving the batch); and nothing may cartesian."""
+    plan = _plan(spark, sf_dir, "b_llm_bloom_gate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lake_merge_read_prunes_partitions(spark, sf_dir):
+    """The merge's rewrite scan filters on the partition column — the
+    filter must prune at the partition level (PartitionFilters on the
+    scan), not scan-everything-then-filter: at 100 TB that IS the
+    MERGE cost model."""
+    from aws_datalake_framework_api_spark.sources.lake import (
+        INS_STATUS,
+        _staged_target,
+    )
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    target_dir = _staged_target(spark, sf_dir)
+    scan = spark.read.parquet(target_dir).filter(
+        F.col("o_orderstatus").isin(["O", INS_STATUS])
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan, plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_knn_lsh_multiprobe_no_cartesian(spark, sf_dir):
+    """Multi-probe explodes the QUERY side only; the candidate join
+    must stay an equi-join on (tbl, bucket) — never a cross product."""
+    plan = _plan(spark, sf_dir, "b_llm_knn_lsh")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
