@@ -42,6 +42,7 @@ from .llm import sampling as _llm_sampling  # noqa: F401  B11
 from .llm import curation as _llm_curation  # noqa: F401  B11 composition
 from .llm import recall as _llm_recall  # noqa: F401  B11 approx-vs-exact gates
 from .llm import membership as _llm_membership  # noqa: F401  B11 bloom gate
+from .llm import chunks as _llm_chunks  # noqa: F401  B11 span dedup + PII
 from .operators import analytics as _analytics  # noqa: F401  B4/B5 compositions
 from .streaming import windows as _stream_windows  # noqa: F401  B9
 from .streaming import ingest as _stream_ingest  # noqa: F401  A12/B9
@@ -69,6 +70,8 @@ _ORDER = [
     "b_llm_dedup_simhash64_recall",
     "b_lake_upsert",
     "b_llm_bloom_gate",
+    "b_llm_dedup_chunks",
+    "b_llm_pii",
     "b_stream_ingest",
     # -- 2. latest driver row is ROUND 1 (VERDICT r3 stale list),
     #    + b_join_star / b_agg_q1 (last proven r2)

@@ -708,3 +708,91 @@ def test_bloom_gate_no_false_negatives(spark, sf_dir):
     }
     want_members = {d for d, t in arr_text.items() if t in idx_texts}
     assert {r["doc_id"] for r in rows if r["exact_member"] == 1} == want_members
+
+
+def test_chunk_dedup_matches_python_reference(spark, sf_dir):
+    """Span dedup vs an independent Python reference implementation:
+    identical chunking, identical global-first-occurrence election
+    (ordered by (doc_id, chunk_idx)), identical n_dropped and
+    reassembled kept_text for EVERY document — plus planted exact-dup
+    docs proving the fully-dropped case (empty kept_text)."""
+    from aws_datalake_framework_api_spark.llm.chunks import CHUNK_WORDS
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    rows = {r["doc_id"]: r for r in QUERIES["b_llm_dedup_chunks"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    texts = {r["doc_id"]: r["text"].strip() for r in docs.collect()}
+    assert set(rows) == set(texts)
+
+    def chunks_of(text):
+        t = text.split(" ")
+        return [
+            " ".join(t[i * CHUNK_WORDS:(i + 1) * CHUNK_WORDS])
+            for i in range((max(len(t), 1) + CHUNK_WORDS - 1) // CHUNK_WORDS)
+        ]
+
+    seen: set[str] = set()
+    fully_dropped = 0
+    for d in sorted(texts):
+        src = chunks_of(texts[d])
+        kept, dropped = [], 0
+        for c in src:
+            if c in seen:
+                dropped += 1
+            else:
+                seen.add(c)
+                kept.append(c)
+        r = rows[d]
+        assert r["n_chunks"] == len(src), d
+        assert r["n_dropped"] == dropped, d
+        assert r["kept_text"] == " ".join(kept), d
+        if dropped == len(src):
+            fully_dropped += 1
+            assert r["kept_text"] == ""
+    # the fixture must actually exercise duplication (near-dup docs
+    # share spans even when no doc is a byte-identical twin)
+    assert sum(r["n_dropped"] for r in rows.values()) > 0
+
+
+def test_chunk_dedup_planted_exact_dup_is_fully_dropped(spark):
+    """A byte-identical later doc must lose every span and reassemble
+    to the empty string; a half-overlapping doc loses exactly its
+    duplicated spans."""
+    import pandas as pd
+
+    from aws_datalake_framework_api_spark.llm.chunks import CHUNK_WORDS, llm_dedup_chunks
+    from unittest import mock
+
+    a = " ".join(f"w{i}" for i in range(CHUNK_WORDS * 2))  # 2 chunks
+    b = a  # exact dup of a
+    half = " ".join(f"w{i}" for i in range(CHUNK_WORDS)) + " " + " ".join(
+        f"z{i}" for i in range(CHUNK_WORDS)
+    )  # chunk 1 dups a's first chunk, chunk 2 is novel
+    frame = pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, b, half]})
+
+    with mock.patch(
+        "aws_datalake_framework_api_spark.llm.chunks.load_table",
+        lambda spark_, sf_, name: spark_.createDataFrame(frame),
+    ):
+        got = {r["doc_id"]: r for r in llm_dedup_chunks(spark, "ignored").collect()}
+    assert got[1]["n_dropped"] == 0 and got[1]["kept_text"] == a
+    assert got[2]["n_dropped"] == 2 and got[2]["kept_text"] == ""
+    assert got[3]["n_dropped"] == 1
+    assert got[3]["kept_text"] == " ".join(f"z{i}" for i in range(CHUNK_WORDS))
+
+
+def test_pii_detects_and_redacts_completely(spark, sf_dir):
+    """Every planted row carries exactly one email and one phone; the
+    redacted text must contain NO remaining pattern match (checked
+    with Python's re as a third engine)."""
+    import re
+
+    from aws_datalake_framework_api_spark.llm.chunks import PII_EMAIL, PII_PHONE
+
+    rows = QUERIES["b_llm_pii"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] == 1 and r["n_phones"] == 1, r
+        assert "<EMAIL>" in r["redacted"] and "<PHONE>" in r["redacted"]
+        assert not re.search(PII_EMAIL, r["redacted"]), r["redacted"]
+        assert not re.search(PII_PHONE, r["redacted"]), r["redacted"]
