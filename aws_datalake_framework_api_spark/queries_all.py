@@ -72,6 +72,7 @@ _ORDER = [
     "b_llm_bloom_gate",
     "b_llm_dedup_chunks",
     "b_llm_pii",
+    "b_stream_sjoin",
     "b_stream_ingest",
     # -- 2. latest driver row is ROUND 1 (VERDICT r3 stale list),
     #    + b_join_star / b_agg_q1 (last proven r2)
@@ -112,13 +113,13 @@ _ORDER = [
     "b_udf_grouped",
     "b_llm_knn",
     "b_llm_knn_lsh",
+    # ---- 50-entry window boundary falls here ----
+    # -- 4. r2-proven remainder, then everything r3 hash-proved and
+    #    unchanged this round (rotated out; verify_local covers all)
     "b_llm_knn_ivf",
     "b_llm_join_modal",
     "b_fn_mask",
     "b_envelope",
-    # ---- 50-entry window boundary falls here ----
-    # -- 4. r2-proven remainder, then everything r3 hash-proved and
-    #    unchanged this round (rotated out; verify_local covers all)
     "b_win_rank",
     "b_project",
     "b_filter_pred",

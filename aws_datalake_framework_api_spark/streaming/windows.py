@@ -225,3 +225,63 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count("*").alias("n"), money_sum("value").alias("total_value"))
     )
+
+
+# ------------------------------------------------------- stream-stream join
+
+
+ATTRIB_WINDOW = "1 hour"  # purchase attributed to a view within this horizon
+
+
+@query(
+    "b_stream_sjoin",
+    """
+    SELECT v.user_id,
+           count(*) AS n_attributed,
+           CAST(min(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS min_lag_us
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+    GROUP BY v.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join semantics — purchase attribution:
+    every (view, purchase) pair for the same user with the purchase at
+    most ``ATTRIB_WINDOW`` after the view, rolled up per user.
+
+    This is the hardest streaming operator class: BOTH sides buffer
+    state, and only the event-time bound (``p.ts`` within
+    ``[v.ts, v.ts + 1h]``) plus per-side watermarks let Spark evict it
+    — an unbounded-condition stream-stream join grows state forever.
+    Spark's unified model computes the identical join in batch, which
+    is what the oracle checks here; tests/test_streaming.py runs the
+    SAME join as a real two-file-source streaming query (watermarks on
+    both sides, availableNow) and proves result parity with this
+    batch plan.
+
+    Scale shape: an equi-join on user_id with a range residual — the
+    shuffle keys are the user ids (uniform), per-key state is bounded
+    by the time horizon, and in batch mode Catalyst runs it as a
+    plain SMJ/shuffled hash join with the range as a post-filter."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    pairs = views.join(purchases, "user_id").filter(
+        (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {ATTRIB_WINDOW}"))
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_attributed"),
+        F.min(
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("v_ts").cast("timestamp"))
+        )
+        .cast("bigint")
+        .alias("min_lag_us"),
+    )

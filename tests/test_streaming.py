@@ -319,3 +319,75 @@ def test_transform_with_state_in_pandas(spark, sf_dir, landing):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """The REAL stream-stream join: views and purchases land as two
+    file-source streams, both watermarked, joined on user_id with the
+    event-time bound, availableNow.  The streamed pair set must equal
+    the batch plan's (Spark's unified model, proven end-to-end).  The
+    time bound + watermarks are what let Spark evict join state — this
+    is the no-unbounded-state contract for stream-stream joins."""
+    import pyspark.sql.functions as SF
+
+    from aws_datalake_framework_api_spark.streaming.windows import ATTRIB_WINDOW
+
+    ev = load_table(spark, sf_dir, "events")
+    views_dir = str(tmp_path / "views")
+    purch_dir = str(tmp_path / "purchases")
+    ev.filter(SF.col("event_type") == "view").write.mode("overwrite").parquet(views_dir)
+    ev.filter(SF.col("event_type") == "purchase").write.mode("overwrite").parquet(
+        purch_dir
+    )
+
+    v_schema = spark.read.parquet(views_dir).schema
+    views = (
+        spark.readStream.schema(v_schema)
+        .parquet(views_dir)
+        .withWatermark("ts", "2 hours")
+        .select(SF.col("user_id").alias("v_user"), SF.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        spark.readStream.schema(v_schema)
+        .parquet(purch_dir)
+        .withWatermark("ts", "2 hours")
+        .select(SF.col("user_id").alias("p_user"), SF.col("ts").alias("p_ts"))
+    )
+    joined = views.join(
+        purchases,
+        SF.expr(
+            f"v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL {ATTRIB_WINDOW}"
+        ),
+    )
+    out = str(tmp_path / "sjoin_out")
+    ckpt = str(tmp_path / "sjoin_ckpt")
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r["v_user"], r["v_ts"], r["p_ts"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["user_id"], r["v_ts"], r["p_ts"])
+        for r in ev.filter(SF.col("event_type") == "view")
+        .select(SF.col("user_id"), SF.col("ts").alias("v_ts"))
+        .join(
+            ev.filter(SF.col("event_type") == "purchase").select(
+                SF.col("user_id"), SF.col("ts").alias("p_ts")
+            ),
+            "user_id",
+        )
+        .filter(
+            (SF.col("p_ts") >= SF.col("v_ts"))
+            & (SF.col("p_ts") <= SF.col("v_ts") + SF.expr(f"INTERVAL {ATTRIB_WINDOW}"))
+        )
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
