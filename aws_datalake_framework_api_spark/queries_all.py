@@ -49,6 +49,7 @@ from .streaming import ingest as _stream_ingest  # noqa: F401  A12/B9
 from . import catalog_queries as _catalog_queries  # noqa: F401  A1-A9
 from .operators import udfs as _udfs  # noqa: F401  B10
 from .operators import sql_surface as _sql_surface  # noqa: F401  SQL facade
+from .operators import quality as _quality  # noqa: F401  asset expectations
 from .sources import landing as _landing  # noqa: F401  B1
 from .sources import lake as _lake  # noqa: F401  B1 lake-scale MERGE
 from . import envelope as _envelope  # noqa: F401  A11
@@ -73,6 +74,7 @@ _ORDER = [
     "b_llm_dedup_chunks",
     "b_llm_pii",
     "b_stream_sjoin",
+    "b_quality_checks",
     "b_stream_ingest",
     # -- 2. latest driver row is ROUND 1 (VERDICT r3 stale list),
     #    + b_join_star / b_agg_q1 (last proven r2)
