@@ -75,6 +75,8 @@ _ORDER = [
     "b_llm_pii",
     "b_stream_sjoin",
     "b_quality_checks",
+    "b_lake_cdc",
+    "b_lake_compact",
     "b_stream_ingest",
     # -- 2. latest driver row is ROUND 1 (VERDICT r3 stale list),
     #    + b_join_star / b_agg_q1 (last proven r2)
@@ -112,12 +114,12 @@ _ORDER = [
     "b_stream_join",
     "b_udf_scalar",
     "b_udf_pandas",
-    "b_udf_grouped",
-    "b_llm_knn",
-    "b_llm_knn_lsh",
     # ---- 50-entry window boundary falls here ----
     # -- 4. r2-proven remainder, then everything r3 hash-proved and
     #    unchanged this round (rotated out; verify_local covers all)
+    "b_udf_grouped",
+    "b_llm_knn",
+    "b_llm_knn_lsh",
     "b_llm_knn_ivf",
     "b_llm_join_modal",
     "b_fn_mask",

@@ -194,3 +194,174 @@ def lake_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------------------ CDC apply
+
+#: deterministic change-feed derivation (shared with the oracle)
+CDC_UPD_MOD = 7       # keys receiving an update (seq 2)
+CDC_UPD2_MOD = 21     # keys receiving a second update (seq 3)
+CDC_DEL_MOD = 35      # keys deleted last (seq 4)
+CDC_BUMP1 = 5000      # cents
+CDC_BUMP2 = 9000      # cents
+
+
+_CDC_SQL = f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    changes AS (
+      SELECT k, status, cents, 1 AS seq, 'I' AS op FROM base
+      UNION ALL
+      SELECT k, status, cents + {CDC_BUMP1}, 2, 'U' FROM base WHERE k % {CDC_UPD_MOD} = 0
+      UNION ALL
+      SELECT k, status, cents + {CDC_BUMP2}, 3, 'U' FROM base WHERE k % {CDC_UPD2_MOD} = 0
+      UNION ALL
+      SELECT k, status, cents, 4, 'D' FROM base WHERE k % {CDC_DEL_MOD} = 0
+    ),
+    latest AS (
+      SELECT k, status, cents, op,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM changes
+    )
+    SELECT status AS o_orderstatus,
+           count(*) AS n_live,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN cents <> (SELECT cents FROM base b WHERE b.k = latest.k)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    GROUP BY status
+"""
+
+
+@query("b_lake_cdc", _CDC_SQL)
+def lake_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — materialize the current table state from an
+    ordered change feed (Debezium/Delta-CDF class: I/U/D events with a
+    sequence number, last-write-wins per key, deletes drop the key).
+
+    The scale-correct plan is a single window rank per key over the
+    feed (shuffle on the key, state = one row per key in flight),
+    NEVER an iterative per-event apply: at 100 TB of history the feed
+    is replayed as one rank-and-filter, and an incremental refresh is
+    the same plan over (state-as-of-checkpoint UNION new-events).
+
+    The change feed here is derived deterministically from the orders
+    fixture (insert-all, bump ``%{CDC_UPD_MOD}`` keys, second bump
+    ``%{CDC_UPD2_MOD}``, delete ``%{CDC_DEL_MOD}``); the oracle
+    recomputes feed, rank, and final per-partition totals in exact
+    integer cents."""
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    changes = (
+        base.select("k", "status", "cents", F.lit(1).alias("seq"), F.lit("I").alias("op"))
+        .unionByName(
+            base.filter(F.col("k") % CDC_UPD_MOD == 0).select(
+                "k", "status",
+                (F.col("cents") + CDC_BUMP1).alias("cents"),
+                F.lit(2).alias("seq"), F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("k") % CDC_UPD2_MOD == 0).select(
+                "k", "status",
+                (F.col("cents") + CDC_BUMP2).alias("cents"),
+                F.lit(3).alias("seq"), F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("k") % CDC_DEL_MOD == 0).select(
+                "k", "status", "cents",
+                F.lit(4).alias("seq"), F.lit("D").alias("op"),
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    latest = changes.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & (F.col("op") != "D")
+    )
+    # n_updated: live rows whose cents moved vs the base insert —
+    # joins the (key, base-cents) projection back; broadcast-able at
+    # catalog scale, SMJ at lake scale
+    with_base = latest.join(
+        base.select("k", F.col("cents").alias("base_cents")), "k"
+    )
+    return with_base.groupBy(F.col("status").alias("o_orderstatus")).agg(
+        F.count("*").alias("n_live"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum((F.col("cents") != F.col("base_cents")).cast("int"))
+        .cast("bigint")
+        .alias("n_updated"),
+    )
+
+
+# ------------------------------------------------------------- compaction
+
+COMPACT_FRAGMENTS = 32  # files per partition in the fragmented table
+
+
+@query(
+    "b_lake_compact",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def lake_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance operation every
+    streaming-ingested lake table needs: micro-batch writers leave
+    partitions fragmented into thousands of files, and scan cost at
+    100 TB is dominated by file-open overhead and tiny row groups
+    until a compactor bin-packs them back to target-size files.
+
+    The exhibit does the real thing: stage orders fragmented into
+    COMPACT_FRAGMENTS files per status partition, then compact each
+    partition to one file via a partition-grained rewrite (the same
+    dynamic-partition-overwrite commit as the MERGE — compaction IS a
+    no-op MERGE that only changes layout), and return the per-
+    partition row/total aggregate read back from the COMPACTED table.
+    The oracle recomputes the aggregate from the fixture, so a green
+    row proves compaction changed layout and nothing else; the file
+    counts themselves are pinned in tests/test_lake.py."""
+    frag_dir = compact_table(spark, sf_dir)
+    return (
+        spark.read.parquet(frag_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("price_cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+def compact_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a fragmented copy of orders, compact it in place, return
+    the table path (the operator behind ``b_lake_compact``)."""
+    key = hashlib.md5((sf_dir + ":compact").encode()).hexdigest()[:8]
+    frag_dir = _tracked_tmp(f"spark_graft_frag_{key}_")
+    (
+        _orders_cents(spark, sf_dir)
+        .repartition(COMPACT_FRAGMENTS)
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(frag_dir)
+    )
+    frag = spark.read.parquet(frag_dir)
+    compacted = frag.repartition(1, "o_orderstatus").localCheckpoint(eager=True)
+    (
+        compacted.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(frag_dir)
+    )
+    return frag_dir

@@ -94,3 +94,63 @@ def test_merge_runs_are_isolated(spark, sf_dir):
     a = {tuple(r) for r in QUERIES["b_lake_upsert"](spark, sf_dir).collect()}
     b = {tuple(r) for r in QUERIES["b_lake_upsert"](spark, sf_dir).collect()}
     assert a == b
+
+
+def test_cdc_apply_matches_python_reference(spark, sf_dir):
+    """Last-write-wins CDC semantics vs an independent Python replay:
+    updated keys carry their final bump, deleted keys are gone,
+    untouched keys keep base prices — per-status totals must agree
+    exactly."""
+    from collections import defaultdict
+
+    from aws_datalake_framework_api_spark.queries_all import QUERIES
+    from aws_datalake_framework_api_spark.sources.lake import (
+        CDC_BUMP1,
+        CDC_BUMP2,
+        CDC_DEL_MOD,
+        CDC_UPD2_MOD,
+        CDC_UPD_MOD,
+        _orders_cents,
+    )
+
+    base = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["price_cents"])
+        for r in _orders_cents(spark, sf_dir).collect()
+    }
+    want = defaultdict(lambda: [0, 0, 0])  # status -> [n_live, total, n_updated]
+    for k, (status, cents) in base.items():
+        if k % CDC_DEL_MOD == 0:
+            continue  # deleted last
+        final = cents
+        if k % CDC_UPD2_MOD == 0:
+            final = cents + CDC_BUMP2
+        elif k % CDC_UPD_MOD == 0:
+            final = cents + CDC_BUMP1
+        want[status][0] += 1
+        want[status][1] += final
+        want[status][2] += int(final != cents)
+    got = {
+        r["o_orderstatus"]: [r["n_live"], r["total_cents"], r["n_updated"]]
+        for r in QUERIES["b_lake_cdc"](spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    # the feed must exercise all three change classes on this fixture
+    assert any(k % CDC_DEL_MOD == 0 for k in base)
+    assert any(k % CDC_UPD_MOD == 0 and k % CDC_DEL_MOD != 0 for k in base)
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir):
+    """After compaction each partition holds ONE parquet file (was
+    fragmented into many), and the row data is untouched."""
+    from aws_datalake_framework_api_spark.sources.lake import (
+        _orders_cents,
+        compact_table,
+    )
+
+    d = compact_table(spark, sf_dir)
+    for part in os.listdir(d):
+        if not part.startswith("o_orderstatus="):
+            continue
+        files = [f for f in os.listdir(os.path.join(d, part)) if f.endswith(".parquet")]
+        assert len(files) == 1, (part, len(files))
+    assert spark.read.parquet(d).count() == _orders_cents(spark, sf_dir).count()
