@@ -468,3 +468,60 @@ def llm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------- BPE pairs
+
+BPE_TOP_K = 50
+
+
+@query(
+    "b_llm_bpe_pairs",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+      WHERE len(w) >= 2
+    ),
+    counted AS (
+      SELECT pair, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, pair) AS rnk
+      FROM pairs GROUP BY pair
+    )
+    SELECT CAST(rnk AS INT) AS rnk, pair, n FROM counted
+    WHERE rnk <= {BPE_TOP_K}
+    """,
+)
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner statistic: corpus-wide counts of
+    adjacent character pairs within words, ranked — exactly the
+    quantity one merge iteration of byte-pair encoding maximizes
+    (Sennrich et al. 2016).  A full trainer loops this K times,
+    re-pairing after each merge; the loop is a driver-side iteration
+    over THIS distributed kernel, so pinning the kernel pins the
+    trainer's cost model.
+
+    Scale shape: explode to (word-occurrence × chars) rows — linear in
+    corpus bytes, map-only — then ONE hash aggregate whose key space
+    is the pair alphabet (≤ a few thousand keys — map-side combine
+    collapses almost everything before the shuffle), then a top-K over
+    that tiny aggregate.  Deterministic tie-break on the pair string
+    makes the ranking exact, so the oracle hash-checks rank, pair, and
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.expr("substr(w, i, 2)").alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= BPE_TOP_K)
+        .select("rnk", "pair", "n")
+    )

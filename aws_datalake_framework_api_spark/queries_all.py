@@ -77,6 +77,7 @@ _ORDER = [
     "b_quality_checks",
     "b_lake_cdc",
     "b_lake_compact",
+    "b_llm_bpe_pairs",
     "b_stream_ingest",
     # -- 2. latest driver row is ROUND 1 (VERDICT r3 stale list),
     #    + b_join_star / b_agg_q1 (last proven r2)

@@ -796,3 +796,26 @@ def test_pii_detects_and_redacts_completely(spark, sf_dir):
         assert "<EMAIL>" in r["redacted"] and "<PHONE>" in r["redacted"]
         assert not re.search(PII_EMAIL, r["redacted"]), r["redacted"]
         assert not re.search(PII_PHONE, r["redacted"]), r["redacted"]
+
+
+def test_bpe_pairs_match_python_reference(spark, sf_dir):
+    """The BPE pair statistic vs a direct Python count: identical
+    top-K pairs, counts, and deterministic tie-broken ranking."""
+    from collections import Counter
+
+    from aws_datalake_framework_api_spark.llm.text import BPE_TOP_K
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    counts = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        for w in r["text"].strip().split(" "):
+            for i in range(len(w) - 1):
+                counts[w[i:i + 2]] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    got = [
+        (r["pair"], r["n"])
+        for r in QUERIES["b_llm_bpe_pairs"](spark, sf_dir)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == want
