@@ -113,11 +113,12 @@ _ORDER = [
     "b_stream_dedup",
     "b_stream_stateful",
     "b_stream_join",
+    # ---- 50-entry window boundary falls here (ids above get driver
+    #      rows; everything below relies on verify_local this round) --
+    # -- 4. r2-proven remainder, then everything r3 hash-proved and
+    #    unchanged this round (rotated out)
     "b_udf_scalar",
     "b_udf_pandas",
-    # ---- 50-entry window boundary falls here ----
-    # -- 4. r2-proven remainder, then everything r3 hash-proved and
-    #    unchanged this round (rotated out; verify_local covers all)
     "b_udf_grouped",
     "b_llm_knn",
     "b_llm_knn_lsh",
