@@ -10,7 +10,7 @@ is exact ints — no float drift between engines."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -125,4 +125,99 @@ def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         activity.join(cohort, "user_id")
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------- sessionize
+
+#: Gap (seconds) that closes a session — the classic 30-minute rule.
+SESSION_GAP_S = 1800
+
+
+@query(
+    "b_sessionize",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL
+                    OR ts_us - prev_us > {SESSION_GAP_S} * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM m
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           CAST(min(ts_us) AS BIGINT) AS start_us,
+           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization — the gap-based session id every product
+    analytics stack derives (the batch twin of `b_stream_session`'s
+    streaming session window, same 30-minute gap rule): a new session
+    starts when a user's inter-event gap exceeds ``SESSION_GAP_S``;
+    the session id is the running count of session-starts.
+
+    Time arithmetic runs in integer MICROSECONDS (``unix_micros`` ↔
+    DuckDB ``epoch_us``) — no float seconds, no sub-second precision
+    loss, and the (ts, event_id) ordering key is unique so the lag and
+    the running sum are deterministic on both engines.
+
+    Scale shape: ONE shuffle on user_id buys the lag, the running sum,
+    and the final session rollup (all three are per-user ordered
+    computations over the same partitioning — Spark reuses the single
+    sort).  Per-user state is a sort of that user's events, the same
+    cost the streaming session-window operator pays; no global sort,
+    no self-join formulations (the ``ts BETWEEN``-join sessionizer is
+    quadratic per user and never acceptable at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Running sum runs over the MARKED frame, which carries ts_us (not
+    # ts) — same total order since epoch micros are monotone in ts.
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        ts_us.alias("ts_us"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_S * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.sum("new_s").over(wrun).cast("long").alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").cast("long").alias("start_us"),
+        (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
     )

@@ -166,3 +166,94 @@ def win_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("n_name", "rnk", "c_custkey", "bal")
     )
+
+
+# ------------------------------------------------- rolling anomaly (z-score)
+
+#: Trailing-window length (events) for the rolling baseline.
+ZSCORE_LOOKBACK = 20
+#: Minimum baseline size before an anomaly verdict is attempted.
+ZSCORE_MIN_N = 5
+#: |z| threshold, applied squared (z² > 9 ⟺ |z| > 3).
+ZSCORE_THRESH_SQ = 9
+
+
+@query(
+    "b_win_zscore",
+    f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS x_c
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, user_id, x_c,
+             CAST(count(*) OVER w AS BIGINT)   AS n_prev,
+             CAST(coalesce(sum(x_c) OVER w, 0) AS BIGINT)         AS s1,
+             CAST(coalesce(sum(x_c * x_c) OVER w, 0) AS BIGINT)   AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, x_c, n_prev, s1,
+           CASE WHEN n_prev >= {ZSCORE_MIN_N}
+                 AND (n_prev * x_c - s1) * (n_prev * x_c - s1)
+                     > {ZSCORE_THRESH_SQ} * (n_prev * s2 - s1 * s1)
+                THEN 1 ELSE 0 END AS anomaly
+    FROM r
+    """,
+)
+def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag over each user's event values —
+    the streaming-metrics primitive (flag a value > 3σ from its own
+    trailing baseline) expressed as a windowed aggregate.
+
+    EXACT INTEGER arithmetic end-to-end: values are cent-quantized
+    BIGINTs, the baseline's Σx and Σx² are integer window sums over a
+    trailing ROWS frame that EXCLUDES the current row, and the z²>9
+    test is cross-multiplied —
+    ``(n·x − S₁)² > 9·(n·S₂ − S₁²)`` ⟺ ``(x−μ)² > 9σ²`` (population
+    σ², both sides scaled by n²) — so no float sqrt/stddev ever runs
+    and the verdict is bit-identical across engines (a float
+    ``stddev`` window differs in last-ulp between Spark's removable
+    accumulator and DuckDB's segment tree).
+
+    Scale shape: one shuffle on user_id + per-user sort, the same
+    single-pass frame evaluation as `b_win_frame`; the frame is O(1)
+    state per row (running removable integer sums).  Magnitudes are
+    safe: |x_c| ≤ ~10⁶ cents ⇒ n·S₂ ≤ 20·20·10¹² ≪ 2⁶³."""
+    ev = load_table(spark, sf_dir, "events")
+    x_c = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    base = ev.select(
+        "event_id", "user_id", "ts", x_c.alias("x_c")
+    ).select(
+        "event_id",
+        "user_id",
+        "x_c",
+        F.count("*").over(w).cast("long").alias("n_prev"),
+        F.coalesce(F.sum("x_c").over(w), F.lit(0)).cast("long").alias("s1"),
+        F.coalesce(F.sum(F.col("x_c") * F.col("x_c")).over(w), F.lit(0))
+        .cast("long")
+        .alias("s2"),
+    )
+    n, x, s1, s2 = (F.col(c) for c in ("n_prev", "x_c", "s1", "s2"))
+    dev = n * x - s1
+    return base.select(
+        "event_id",
+        "user_id",
+        "x_c",
+        "n_prev",
+        "s1",
+        F.when(
+            (n >= ZSCORE_MIN_N)
+            & (dev * dev > ZSCORE_THRESH_SQ * (n * s2 - s1 * s1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("anomaly"),
+    )

@@ -1,0 +1,98 @@
+"""Semantic tests for the batch analytics compositions (sessionize,
+rolling z-score) beyond the oracle hash check: invariants that hold by
+construction, and a pure-Python recompute on one user's timeline."""
+
+from pyspark.sql import functions as F
+
+from aws_datalake_framework_api_spark.operators.analytics import SESSION_GAP_S
+from aws_datalake_framework_api_spark.operators.windows import (
+    ZSCORE_LOOKBACK,
+    ZSCORE_MIN_N,
+    ZSCORE_THRESH_SQ,
+)
+from aws_datalake_framework_api_spark.queries_all import QUERIES
+from aws_datalake_framework_api_spark.sources.readers import load_table
+
+
+def test_sessionize_partitions_every_event_exactly_once(spark, sf_dir):
+    """Σ session n_events == |events|, and per-user session_seq is
+    dense 1..k (a running sum of starts can't skip)."""
+    ev_n = load_table(spark, sf_dir, "events").count()
+    sess = QUERIES["b_sessionize"](spark, sf_dir).cache()
+    assert sess.agg(F.sum("n_events")).first()[0] == ev_n
+    bad = (
+        sess.groupBy("user_id")
+        .agg(
+            F.min("session_seq").alias("lo"),
+            F.max("session_seq").alias("hi"),
+            F.count("*").alias("k"),
+        )
+        .filter((F.col("lo") != 1) | (F.col("hi") != F.col("k")))
+        .count()
+    )
+    assert bad == 0
+    sess.unpersist()
+
+
+def test_sessionize_gap_rule_on_one_user(spark, sf_dir):
+    """Recompute one user's sessions in Python from the raw timeline
+    and compare (session count and per-session sizes)."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()["user_id"]
+    times = [
+        r["us"]
+        for r in ev.filter(F.col("user_id") == uid)
+        .select(F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        .orderBy("us")
+        .collect()
+    ]
+    sizes, cur = [], 0
+    prev = None
+    for t in times:
+        if prev is None or t - prev > SESSION_GAP_S * 1_000_000:
+            if cur:
+                sizes.append(cur)
+            cur = 0
+        cur += 1
+        prev = t
+    sizes.append(cur)
+    got = sorted(
+        r["n_events"]
+        for r in QUERIES["b_sessionize"](spark, sf_dir)
+        .filter(F.col("user_id") == uid)
+        .collect()
+    )
+    assert got == sorted(sizes)
+
+
+def test_zscore_matches_python_recompute(spark, sf_dir):
+    """Exact-integer recompute of the trailing-window flag for one
+    user's full timeline."""
+    uid = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()["user_id"]
+    )
+    rows = (
+        QUERIES["b_win_zscore"](spark, sf_dir)
+        .filter(F.col("user_id") == uid)
+        .join(
+            load_table(spark, sf_dir, "events").select("event_id", "ts"),
+            "event_id",
+        )
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    xs = [r["x_c"] for r in rows]
+    for i, r in enumerate(rows):
+        window = xs[max(0, i - ZSCORE_LOOKBACK) : i]
+        n, s1 = len(window), sum(window)
+        s2 = sum(v * v for v in window)
+        want = int(
+            n >= ZSCORE_MIN_N
+            and (n * xs[i] - s1) ** 2 > ZSCORE_THRESH_SQ * (n * s2 - s1 * s1)
+        )
+        assert r["anomaly"] == want, f"row {i}: {r}"
+        assert r["n_prev"] == n and r["s1"] == s1
