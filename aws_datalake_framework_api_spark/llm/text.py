@@ -525,3 +525,175 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BPE_TOP_K)
         .select("rnk", "pair", "n")
     )
+
+
+# -------------------------------------------------- bigram LM surprisal
+
+
+@query(
+    "b_llm_surprisal2",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS a FROM documents
+    ),
+    pairs AS (
+      -- parallel unnests of equal-length slices zip row-wise
+      SELECT doc_id,
+             unnest(a[1 : len(a) - 1]) AS prev,
+             unnest(a[2 : len(a)]) AS w
+      FROM d WHERE len(a) >= 2
+    ),
+    cbw AS (SELECT prev, w, count(*) AS cbw FROM pairs GROUP BY prev, w),
+    cp AS (SELECT prev, CAST(sum(cbw) AS BIGINT) AS cp FROM cbw GROUP BY prev),
+    scored AS (
+      SELECT p.doc_id, length(bin(cp // cbw)) - 1 AS bits
+      FROM pairs p JOIN cbw USING (prev, w) JOIN cp USING (prev)
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(bits) AS BIGINT) AS sum_bits,
+           sum(bits) * 1.0 / count(*) AS mean_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM-LM surprisal — the order-2 upgrade of `b_llm_surprisal`:
+    score each document by the average conditional information of its
+    token transitions, −log₂ P(w|prev) with P estimated from the
+    corpus's own bigram counts (c(prev,w)/c(prev)).  Repetitive or
+    templated text has near-deterministic transitions (low bits);
+    shuffled/garbled text has high bits — a sharper quality signal
+    than unigram frequency, and the standard KenLM-lite decontamination
+    heuristic.
+
+    Same INTEGER-BITS discipline as the unigram query: per-transition
+    bits = floor(log₂(c(prev)/c(prev,w))) computed as binary-string
+    length of the exact integer quotient — no libm log, no float sum;
+    the reported mean is the single exact-IEEE division at the end.
+
+    Scale shape: bigrams come from zip-sliced token arrays (map-side
+    only — NO per-doc window/sort shuffle; `arrays_zip(slice(a,1,n-1),
+    slice(a,2,n-1))` pairs neighbours inside the row).  The bigram
+    table is one groupBy on (prev,w); context totals fold from it by a
+    second groupBy on prev (vocab-sized, not corpus-sized).  Scoring
+    joins transitions⋈counts on natural-language keys — Zipf-skewed,
+    which is exactly what AQE skew-join handles; at known-extreme skew
+    the salting pattern from `b_join_salted` applies unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _ws_tokens(F.col("text")).alias("a")
+    ).filter(F.size("a") >= 2)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(a, 1, size(a) - 1)").alias("prev"),
+                F.expr("slice(a, 2, size(a) - 1)").alias("w"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+    cbw = pairs.groupBy("prev", "w").agg(F.count("*").alias("cbw"))
+    cp = cbw.groupBy("prev").agg(F.sum("cbw").cast("long").alias("cp"))
+    scored = (
+        pairs.join(cbw, ["prev", "w"])
+        .join(cp, "prev")
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("cp DIV cbw"))) - 1).alias("bits"),
+        )
+    )
+    n_big = F.count("*")
+    sum_bits = F.sum("bits")
+    return scored.groupBy("doc_id").agg(
+        n_big.alias("n_bigrams"),
+        sum_bits.cast("long").alias("sum_bits"),
+        (sum_bits * F.lit(1.0) / n_big).alias("mean_bits"),
+    )
+
+
+# ------------------------------------------------------------ tf-idf terms
+
+#: Terms reported per source.
+TFIDF_TOP_K = 5
+
+
+@query(
+    "b_llm_tfidf",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ),
+    dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (SELECT source, w, count(*) AS tf FROM tok GROUP BY source, w),
+    scored AS (
+      SELECT source, w AS term, tf, df,
+             CAST(tf * (length(bin(n_docs // df)) - 1) AS BIGINT) AS score
+      FROM tf JOIN dfreq USING (w) CROSS JOIN n
+    )
+    SELECT source, term, tf, df, score, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY source ORDER BY score DESC, term) AS BIGINT) AS rnk
+      FROM scored)
+    WHERE rnk <= {TFIDF_TOP_K}
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per source by TF-IDF — the corpus-
+    exploration primitive (what distinguishes each crawl/domain slice)
+    and the feature extractor behind classic quality classifiers.
+
+    IDF runs in INTEGER BITS — idf_bits = floor(log₂(N/df)) as
+    binary-string length of the exact quotient — so the score
+    ``tf × idf_bits`` is an exact BIGINT: no libm log to drift between
+    engines, and stopwords (df ≈ N ⇒ idf_bits = 0) drop out of the
+    ranking arithmetic exactly, with ties broken lexicographically.
+
+    Scale shape: document frequency distincts (w, doc_id) BEFORE
+    counting (two shuffles, both on the term key — never a
+    count(DISTINCT) holding per-group sets); term frequency is one
+    (source, term) groupBy; N broadcasts as one row.  The final
+    row_number partitions by source — fine while vocab fits a
+    partition sort; at web-corpus vocab the two-level top-K from
+    `b_llm_sample_exact` substitutes for the window without changing
+    the contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_ws_tokens(F.col("text"))).alias("w"),
+    )
+    dfreq = (
+        tok.select("w", "doc_id")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count("*").alias("df"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    tf = tok.groupBy("source", "w").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            (F.col("tf") * (F.length(F.bin(F.expr("n_docs DIV df"))) - 1))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "term")
+    return (
+        scored.select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            "score",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+    )

@@ -819,3 +819,60 @@ def test_bpe_pairs_match_python_reference(spark, sf_dir):
         .collect()
     ]
     assert got == want
+
+
+def test_bigram_surprisal_matches_python_reference(spark, sf_dir):
+    """Integer-bits bigram surprisal vs a direct Python recompute of
+    the corpus bigram LM (exact floor-log2 via int.bit_length)."""
+    from collections import Counter
+
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    texts = {
+        r["doc_id"]: r["text"].strip().split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    cbw, cp = Counter(), Counter()
+    for toks in texts.values():
+        for a, b in zip(toks, toks[1:]):
+            cbw[(a, b)] += 1
+            cp[a] += 1
+    want = {}
+    for doc_id, toks in texts.items():
+        if len(toks) < 2:
+            continue
+        bits = [
+            (cp[a] // cbw[(a, b)]).bit_length() - 1
+            for a, b in zip(toks, toks[1:])
+        ]
+        want[doc_id] = (len(bits), sum(bits))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_bits"])
+        for r in QUERIES["b_llm_surprisal2"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_tfidf_stopwords_score_zero_and_ranks_dense(spark, sf_dir):
+    """A term present in every document has idf_bits = 0 ⇒ score 0;
+    per-source ranks are dense 1..k."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["b_llm_tfidf"](spark, sf_dir).cache()
+    # ranks dense per source
+    per_src = out.groupBy("source").agg(
+        F.min("rnk").alias("lo"), F.max("rnk").alias("hi"), F.count("*").alias("k")
+    )
+    assert (
+        per_src.filter(
+            (F.col("lo") != 1) | (F.col("hi") != F.col("k"))
+        ).count()
+        == 0
+    )
+    # every reported score is tf * floor(log2(N/df)) recomputed exactly
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    for r in out.collect():
+        assert r["score"] == r["tf"] * ((n_docs // r["df"]).bit_length() - 1)
+    out.unpersist()
