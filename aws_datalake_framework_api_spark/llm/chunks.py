@@ -191,3 +191,64 @@ def llm_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+# ------------------------------------------------------------ RAG chunking
+
+RAG_CHUNK_CHARS = 200  # chunk window, characters
+RAG_STRIDE = 150  # window stride ⇒ 50-char overlap between neighbours
+
+
+@query(
+    "b_llm_chunk_rag",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 1
+    ),
+    s AS (
+      SELECT doc_id, text, CAST(i AS BIGINT) AS chunk_id
+      FROM d, LATERAL (SELECT unnest(generate_series(0, (n - 1) // {RAG_STRIDE})) AS i) g
+    )
+    SELECT doc_id, chunk_id,
+           CAST(chunk_id * {RAG_STRIDE} + 1 AS BIGINT) AS start,
+           CAST(length(substr(text, CAST(chunk_id * {RAG_STRIDE} + 1 AS INT),
+                              {RAG_CHUNK_CHARS})) AS BIGINT) AS chunk_chars,
+           md5(substr(text, CAST(chunk_id * {RAG_STRIDE} + 1 AS INT),
+                      {RAG_CHUNK_CHARS})) AS chunk_hash
+    FROM s
+    """,
+)
+def llm_chunk_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking — the retrieval-corpus builder:
+    every document becomes ⌈n/stride⌉ fixed-size character windows
+    with ``RAG_CHUNK_CHARS − RAG_STRIDE`` characters of overlap, so no
+    retrievable span straddles a chunk boundary unseen.  Emits the
+    chunk GEOMETRY plus a content hash (the embedding step runs
+    downstream over `b_llm_join_modal`-style plumbing); the hash makes
+    the output oracle-checkable and doubles as the chunk's cache/dedup
+    key.
+
+    Scale shape: PURELY MAP-SIDE — sequence + explode + substring
+    inside the row, zero shuffles, zero Python; output size is
+    (1 + overlap/stride)× the corpus, the irreducible cost of overlap.
+    The explode is Spark's generator node, which streams — no
+    per-doc array of chunks is ever materialized for long documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.filter(F.length("text") >= 1).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr(f"(length(text) - 1) DIV {RAG_STRIDE}").cast("long"),
+            )
+        ).alias("chunk_id"),
+    )
+    piece = F.expr(f"substring(text, CAST(chunk_id * {RAG_STRIDE} + 1 AS INT), {RAG_CHUNK_CHARS})")
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * RAG_STRIDE + 1).cast("long").alias("start"),
+        F.length(piece).cast("long").alias("chunk_chars"),
+        F.md5(piece).alias("chunk_hash"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import money_avg, money_sum
+from ..functions.numeric import money_avg, money_sum, sql_money_sum
 from ..registry import query
 from ..sources.readers import load_table
 
@@ -370,4 +370,53 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.95)").alias("qty_p95"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"),
         F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------- grouping sets
+
+
+@query(
+    "b_agg_gsets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third member of the family next to
+    `b_agg_rollup`/`b_agg_cube`, with a set list NEITHER is a special
+    case of (both single-key marginals but NO grand total): the form
+    report workloads actually write.
+
+    Spark expands grouping sets with a single Expand node feeding ONE
+    hash aggregate — rows are replicated once per set they belong to
+    (3× here) map-side, then partially aggregated before the only
+    shuffle; it never runs one job per set and unions.  grouping_id
+    disambiguates real NULL key values from set-placeholder NULLs.
+    Money totals ride the cent-grid integer scheme
+    (functions/numeric.py) so the partial-agg order can't drift a
+    cent."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["o_orderpriority"],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total_price")
     )

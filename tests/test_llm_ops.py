@@ -876,3 +876,39 @@ def test_tfidf_stopwords_score_zero_and_ranks_dense(spark, sf_dir):
     for r in out.collect():
         assert r["score"] == r["tf"] * ((n_docs // r["df"]).bit_length() - 1)
     out.unpersist()
+
+
+def test_rag_chunks_tile_documents_with_overlap(spark, sf_dir):
+    """Chunk geometry: starts advance by the stride, the final chunk
+    reaches the end of the document, interior chunks are full-size,
+    and consecutive chunks overlap by CHUNK−STRIDE chars."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_api_spark.llm.chunks import (
+        RAG_CHUNK_CHARS,
+        RAG_STRIDE,
+    )
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    out = {}
+    for r in QUERIES["b_llm_chunk_rag"](spark, sf_dir).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert set(out) == {d for d, n in lens.items() if n >= 1}
+    for doc_id, rows in out.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        n = lens[doc_id]
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        assert len(rows) == (n - 1) // RAG_STRIDE + 1
+        for r in rows[:-1]:
+            start_next = (r["chunk_id"] + 1) * RAG_STRIDE + 1
+            covered_to = r["start"] + r["chunk_chars"] - 1
+            # next start never skips past covered span (overlap ≥ 0)
+            assert start_next <= covered_to + 1
+        last = rows[-1]
+        assert last["start"] + last["chunk_chars"] - 1 == n
