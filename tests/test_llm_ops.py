@@ -912,3 +912,79 @@ def test_rag_chunks_tile_documents_with_overlap(spark, sf_dir):
             assert start_next <= covered_to + 1
         last = rows[-1]
         assert last["start"] + last["chunk_chars"] - 1 == n
+
+
+def test_semantic_dedup_recall_and_precision(spark, sf_dir):
+    """SemDeDup drops ⊆ exact droppable set (every drop carries a
+    cos ≥ τ witness ⇒ precision 1.0) and catches ≥90% of it (2-probe
+    cell assignment covers single-boundary straddles)."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_api_spark.llm.semantic import SEM_TAU
+
+    exact = {
+        r["vec_id"]
+        for r in QUERIES["b_llm_neardup_cosine"](spark, sf_dir)
+        .filter(F.col("cos_sim") >= SEM_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .collect()
+    }
+    sem = QUERIES["b_llm_dedup_semantic"](spark, sf_dir).cache()
+    dropped = {r["vec_id"] for r in sem.filter(F.col("keep") == 0).collect()}
+    assert dropped <= exact, f"false positives: {dropped - exact}"
+    if exact:
+        recall = len(dropped & exact) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.2f} < 0.9"
+    # every vector verdicts exactly once, witnesses are lower ids
+    n_emb = QUERIES["b_llm_dedup_semantic"](spark, sf_dir).count()
+    assert sem.select("vec_id").distinct().count() == n_emb
+    bad_witness = sem.filter(
+        (F.col("keep") == 0) & (F.col("dup_with") >= F.col("vec_id"))
+    ).count()
+    assert bad_witness == 0
+    sem.unpersist()
+
+
+def test_semantic_dedup_drops_planted_duplicate_cluster(spark, sf_dir):
+    """Planted check on a corpus THIS test builds: near-identical
+    vectors (tiny deterministic jitter on one base direction) must
+    collapse to one kept representative regardless of which k-means
+    cell they land in."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_datalake_framework_api_spark.llm import semantic as sem_mod
+
+    rng_free = []  # deterministic, no RNG: unit axes + jittered clones
+    dim = 64
+    for i in range(40):  # background: spread-out one-hot-ish vectors
+        v = np.zeros(dim)
+        v[i % dim] = 1.0
+        v[(i * 7 + 3) % dim] = 0.5
+        rng_free.append((i, v))
+    base = np.ones(dim) / np.sqrt(dim)
+    for j in range(5):  # planted near-dup cluster: ids 1000+j
+        v = base.copy()
+        v[j] += 0.001 * (j + 1)
+        rng_free.append((1000 + j, v))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [i for i, _ in rng_free],
+            "embedding": [v.astype("float32") for _, v in rng_free],
+            "label": [0] * len(rng_free),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/embeddings.parquet")
+        out = sem_mod.llm_dedup_semantic(spark, td).collect()
+    verdict = {r["vec_id"]: r for r in out}
+    planted = [verdict[1000 + j] for j in range(5)]
+    kept = [r for r in planted if r["keep"] == 1]
+    assert len(kept) == 1 and kept[0]["vec_id"] == 1000
+    for r in planted:
+        if r["keep"] == 0:
+            assert r["dup_with"] == 1000
