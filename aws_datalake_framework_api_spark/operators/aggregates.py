@@ -420,3 +420,103 @@ def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total_price")
     )
+
+
+# ------------------------------------------------------- grouped regression
+
+
+@query(
+    "b_agg_regression",
+    """
+    WITH u AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(x * x) AS BIGINT) AS sum_xx,
+             CAST(sum(x * y) AS BIGINT) AS sum_xy
+      FROM u GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sum_x, sum_y,
+           CAST((CAST(n AS HUGEINT) * sum_xy - CAST(sum_x AS HUGEINT) * sum_y)
+                * 1000000
+                // (CAST(n AS HUGEINT) * sum_xx - CAST(sum_x AS HUGEINT) * sum_x)
+                AS BIGINT) AS slope_x1e6,
+           CAST((CAST(sum_y AS HUGEINT)
+                   * (CAST(n AS HUGEINT) * sum_xx - CAST(sum_x AS HUGEINT) * sum_x)
+                 - (CAST(n AS HUGEINT) * sum_xy - CAST(sum_x AS HUGEINT) * sum_y)
+                   * sum_x)
+                * 1000000
+                // (CAST(n AS HUGEINT)
+                    * (CAST(n AS HUGEINT) * sum_xx - CAST(sum_x AS HUGEINT) * sum_x))
+                AS BIGINT) AS intercept_x1e6
+    FROM s
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped simple linear regression (price ~ quantity per return
+    flag) in EXACT RATIONAL ARITHMETIC — the `regr_slope`/
+    `regr_intercept` family, but engine-stable: the float versions
+    accumulate covariance in doubles whose partial-agg order differs
+    per engine and per run, so their last ulps never hash-match.
+
+    Here the five sufficient statistics (n, Σx, Σy, Σx², Σxy) are
+    order-independent BIGINT sums of dollar/unit-quantized inputs,
+    and slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept =
+    (Σy·den − num·Σx)/(n·den) are emitted as exact integer-μ
+    (×10⁶, floor-divided) — Spark computes the cross-multiplication
+    in DECIMAL(38,0), DuckDB in HUGEINT, both exact at these
+    magnitudes (documented bound: |n·Σxy·10⁶| < 10³⁸ holds through
+    ~10¹² rows per group at these value ranges).
+
+    Scale shape: ONE map-side-partial groupBy of the fact table —
+    sufficient statistics are the textbook mergeable aggregate (this
+    is also the distributed-ML pattern: closed-form OLS/ridge via
+    X'X/X'y normal equations, here in its 1-feature exact form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    s = u.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+    )
+    dec = "decimal(38,0)"
+    s = s.select(
+        "l_returnflag",
+        "n",
+        "sum_x",
+        "sum_y",
+        "sum_xx",
+        "sum_xy",
+        (
+            F.col("n").cast(dec) * F.col("sum_xy")
+            - F.col("sum_x").cast(dec) * F.col("sum_y")
+        ).alias("num"),
+        (
+            F.col("n").cast(dec) * F.col("sum_xx")
+            - F.col("sum_x").cast(dec) * F.col("sum_x")
+        ).alias("den"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        "sum_x",
+        "sum_y",
+        F.expr("CAST((num * 1000000) DIV den AS BIGINT)").alias("slope_x1e6"),
+        F.expr(
+            "CAST(((CAST(sum_y AS decimal(38,0)) * den - num * sum_x) * 1000000)"
+            " DIV (CAST(n AS decimal(38,0)) * den) AS BIGINT)"
+        ).alias("intercept_x1e6"),
+    )

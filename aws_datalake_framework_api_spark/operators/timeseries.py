@@ -1,0 +1,130 @@
+"""Time-series operators over the events feed (SURVEY.md §2 B5/B9
+adjacents): dense-grid gap filling and last-observation-carried-
+forward — the hypertable/rollup query family (TimescaleDB
+``time_bucket_gapfill`` / ``locf``) expressed as plain DataFrame ops.
+
+Both are exact-integer plans: day grids are DATE arithmetic, carried
+values ride the cent-quantized BIGINT scheme, and orderings carry the
+unique (ts, event_id) tiebreak — nothing floats between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.readers import load_table
+
+# ---------------------------------------------------------------- gap fill
+
+
+@query(
+    "b_ts_gapfill",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
+             CAST(max(date_trunc('day', ts)) AS DATE) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(g.day AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM bounds
+      ) g
+    )
+    SELECT g.event_type, g.day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+           CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS filled
+    FROM grid g LEFT JOIN daily d
+      ON g.event_type = d.event_type AND g.day = d.day
+    """,
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily rollup with zero-filled gaps — the dashboard/ML
+    contract that every (type, day) cell EXISTS, observed or not
+    (TimescaleDB ``time_bucket_gapfill``; missing days silently vanish
+    from a plain groupBy and break windowed models downstream).
+
+    Scale shape: the heavy aggregate (events → per-(type,day) counts)
+    is ONE partial-then-final groupBy of the fact table; everything
+    after runs on rollup-sized data — the day spine is
+    days × types rows built from a 1-row bounds aggregate via
+    sequence+explode (broadcast by construction), and the left join
+    fills against the (tiny) rollup, never re-touching raw events.
+    Emitting a `filled` marker keeps imputation auditable."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("lo"),
+        F.max(F.date_trunc("day", "ts")).cast("date").alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(days))
+    return grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("filled"),
+    )
+
+
+# ---------------------------------------------------------------- LOCF
+
+
+@query(
+    "b_ts_locf",
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'view' THEN NULL
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS x_c
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, x_c,
+           last_value(x_c IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x_filled
+    FROM marked
+    """,
+)
+def ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: sparse readings
+    (here: 'view' events carry no value — a deterministic null
+    pattern both engines share) inherit the user's most recent
+    observed value; leading nulls stay null.
+
+    One shuffle on user_id + per-user sort buys the whole fill
+    (`F.last(ignorenulls=True)` over a trailing frame — Spark
+    evaluates it as O(1) running state per row, not a frame re-scan).
+    Values are cent-quantized BIGINTs, so the carried value is
+    bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    x_c = F.when(
+        F.col("event_type") == "view", F.lit(None).cast("long")
+    ).otherwise(F.round(F.col("value") * 100).cast("long"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "event_type", "ts", x_c.alias("x_c")
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "x_c",
+        F.last("x_c", ignorenulls=True).over(w).alias("x_filled"),
+    )

@@ -96,3 +96,47 @@ def test_zscore_matches_python_recompute(spark, sf_dir):
         )
         assert r["anomaly"] == want, f"row {i}: {r}"
         assert r["n_prev"] == n and r["s1"] == s1
+
+
+def test_regression_matches_numpy_lstsq(spark, sf_dir):
+    """Exact-rational slope/intercept vs numpy least squares on the
+    same quantized inputs (agreement to the 1e-6 emission grid)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    got = {r["l_returnflag"]: r for r in QUERIES["b_agg_regression"](spark, sf_dir).collect()}
+    for flag, rows in (
+        (f, [(r["x"], r["y"]) for r in li.filter(F.col("l_returnflag") == f).collect()])
+        for f in got
+    ):
+        x = np.array([a for a, _ in rows], dtype=np.float64)
+        y = np.array([b for _, b in rows], dtype=np.float64)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got[flag]["slope_x1e6"] / 1e6 - slope) < 2e-6 + abs(slope) * 1e-9
+        assert abs(got[flag]["intercept_x1e6"] / 1e6 - intercept) < 2e-6 + abs(intercept) * 1e-9
+
+
+def test_gapfill_grid_is_dense_and_marks_fills(spark, sf_dir):
+    """Every (type, day) cell exists exactly once across the full
+    [min_day, max_day] span; filled=1 cells carry n=0."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    out = QUERIES["b_ts_gapfill"](spark, sf_dir).collect()
+    days = {r["day"] for r in out}
+    types = {r["event_type"] for r in out}
+    span = (max(days) - min(days)).days + 1
+    assert len(days) == span
+    assert len(out) == span * len(types)
+    assert len({(r["event_type"], r["day"]) for r in out}) == len(out)
+    for r in out:
+        if r["filled"] == 1:
+            assert r["n"] == 0
+        else:
+            assert r["n"] > 0
