@@ -1,0 +1,222 @@
+"""Distributed PCA over the embedding corpus (SURVEY.md §2 B12).
+
+Dimensionality reduction is the standard pre-step before ANN indexing
+and clustering at scale (FAISS's OPQ/PCAR transforms, SemDeDup's
+cluster space).  The distributed form is textbook mergeable-statistics
+linear algebra — the SAME pattern as ``b_agg_regression`` one
+dimension up:
+
+1. Each partition folds its rows into a (count, Σx, Σxxᵀ) partial —
+   d + d² doubles, CONSTANT size regardless of partition row count.
+2. The driver reduces the partials (in a content-sorted order, so the
+   float reduction order never depends on task completion order) and
+   eigendecomposes the d×d covariance — d=64, microseconds, O(1) vs
+   corpus size.
+3. Projection onto the top-k eigenvectors is a map-only Arrow numpy
+   pass; no shuffle anywhere in the whole plan.
+
+Eigenvectors are LAPACK results with a per-vector sign ambiguity; the
+sign is CANONICALIZED (largest-|component| coordinate made positive)
+so the operator is a pure function of the input set.  Eigenbases are
+engine-specific (no SQL eigensolver) ⇒ the projection query is
+rows-only at the gate; the ``b_llm_pca_var`` companion is fully
+oracle-pinned: total variance is recomputed by DuckDB in EXACT
+integer units (1e-6-quantized coordinates, HUGEINT cross-products,
+floor division — no float anywhere) and the captured-variance floor
+rides as a pinned integer flag.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.readers import load_table
+
+EMB_DIM = 64
+#: Components kept by the projection (d' << d).
+PCA_K = 16
+#: Floor for the captured-variance fraction of the top-PCA_K
+#: components, in percent.  25% = 16/64 is the uniform-spectrum worst
+#: case (PCA captures exactly its dimension share when every direction
+#: carries equal variance); any real cluster structure captures more.
+PCA_VAR_FLOOR_PCT = 25
+#: Coordinate quantization for the exact-integer variance arithmetic.
+_UNIT = 1_000_000
+
+
+def _fit_pca(emb: DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit from one distributed pass of constant-size partials.
+    Returns (mu[d], W[d, PCA_K], eigenvalues[d] ascending)."""
+
+    def partials(batches):
+        cnt = 0
+        s = np.zeros(EMB_DIM)
+        g = np.zeros((EMB_DIM, EMB_DIM))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cnt += len(X)
+            s += X.sum(axis=0)
+            g += X.T @ X
+        if cnt:
+            yield pd.DataFrame(
+                {"n": [cnt], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+            )
+
+    rows = (
+        emb.select("embedding")
+        .mapInPandas(partials, "n bigint, s array<double>, g array<double>")
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: (r["n"], r["s"]))  # fixed reduce order
+    n = sum(r["n"] for r in rows)
+    s = np.zeros(EMB_DIM)
+    g = np.zeros((EMB_DIM, EMB_DIM))
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(EMB_DIM, EMB_DIM)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    W = vecs[:, ::-1][:, :PCA_K]  # top-k, descending
+    flip = W[np.abs(W).argmax(axis=0), np.arange(PCA_K)] < 0
+    W[:, flip] *= -1.0
+    return mu, W, vals
+
+
+@query("b_llm_pca")  # rows-only: eigenbases have no SQL twin; the
+# variance contract is oracle-pinned via b_llm_pca_var and
+# tests/test_llm_ops.py checks the fit against numpy's direct PCA.
+def llm_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto the corpus's top-PCA_K
+    principal axes — the 4× storage/compute shrink an ANN index or a
+    clustering pass runs on downstream.
+
+    100 TB shape: fit is ONE map pass emitting constant-size partials
+    (d+d² doubles per partition — 33 KB at d=64 — independent of rows
+    per partition) reduced driver-side in fixed order; projection is a
+    second map-only pass with the (d×k) basis in the task closure.
+    ZERO shuffles end to end; driver memory is partitions × 33 KB.
+    The coords are emitted as a canon-safe scalar fingerprint plus the
+    projected squared norm on the 1e-6 grid (arrays crash the driver
+    canonicalizer — the ``b_llm_emb_quant`` lesson, VERDICT r3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, W, _ = _fit_pca(emb)
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            P = np.round((X - mu) @ W, 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "proj_json": [
+                        "[" + ",".join(f"{v:.6f}" for v in row) + "]" for row in P
+                    ],
+                    "norm2_x1e6": np.round((P * P).sum(axis=1) * _UNIT).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(project, "vec_id bigint, proj_json string, norm2_x1e6 bigint")
+        .select(
+            "vec_id",
+            F.xxhash64("proj_json").alias("proj_hash"),
+            "norm2_x1e6",
+        )
+    )
+
+
+@query(
+    "b_llm_pca_var",
+    f"""
+    WITH q AS (
+      SELECT list_transform(generate_series(1, {EMB_DIM}),
+                            i -> CAST(round(CAST(embedding[i] AS DOUBLE)
+                                            * {_UNIT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    per_row AS (
+      SELECT qv,
+             list_reduce(list_prepend(CAST(0 AS HUGEINT),
+               list_transform(qv, v -> CAST(v AS HUGEINT) * v)), (a, b) -> a + b)
+               AS ss
+      FROM q
+    ),
+    dims AS (
+      SELECT i, CAST(sum(qv[i]) AS HUGEINT) AS sd
+      FROM per_row, generate_series(1, {EMB_DIM}) AS g(i)
+      GROUP BY i
+    )
+    SELECT CAST((SELECT count(*) FROM per_row) AS BIGINT) AS n,
+           CAST(((SELECT CAST((SELECT count(*) FROM per_row) AS HUGEINT)
+                         * sum(ss) FROM per_row)
+                 - (SELECT sum(sd * sd) FROM dims))
+                // 1000000000000 AS BIGINT) AS totvar_units,
+           CAST({PCA_K} AS INT) AS n_components,
+           CAST({PCA_VAR_FLOOR_PCT} AS INT) AS var_floor_pct,
+           CAST(1 AS INT) AS var_ok
+    """,
+)
+def llm_pca_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance scorecard for ``b_llm_pca``: the oracle recomputes the
+    corpus's TOTAL variance from scratch in exact integer units — the
+    n·Σ‖q‖² − Σ_d(Σq_d)² identity over 1e-6-quantized coordinates in
+    HUGEINT (Spark side: arbitrary-precision Python ints from per-
+    partition integer partials), floor-divided by 10¹² — no float
+    touches the hashed value on either engine.  ``var_ok`` pins that
+    the top-PCA_K captured fraction (from the fitted eigenspectrum)
+    clears the floor: a regression in the fit — wrong partials, broken
+    reduce order, transposed basis — drops captured variance and turns
+    the driver row red."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def int_partials(batches):
+        n = 0
+        ss = 0
+        sd = np.zeros(EMB_DIM, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.round(X * _UNIT).astype(np.int64)
+            n += len(Q)
+            # per-partition Σ‖q‖² exactly: per-row int64 sums (≤ d·UNIT²
+            # = 6.4e13, safe), then an arbitrary-precision python-int
+            # fold so no batch size can overflow the accumulator
+            row_ss = (Q * Q).sum(axis=1)
+            ss += int(row_ss.astype(object).sum())
+            sd += Q.sum(axis=0)
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "ss": [str(ss)], "sd": [[int(v) for v in sd]]}
+            )
+
+    rows = (
+        emb.select("embedding")
+        .mapInPandas(int_partials, "n bigint, ss string, sd array<long>")
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    ss = sum(int(r["ss"]) for r in rows)
+    sd = [sum(r["sd"][i] for r in rows) for i in range(EMB_DIM)]
+    totvar_units = (n * ss - sum(v * v for v in sd)) // 10**12
+
+    _, _, vals = _fit_pca(emb)
+    captured = float(vals[::-1][:PCA_K].sum())
+    total = float(vals.sum())
+    ok = int(captured * 100 >= total * PCA_VAR_FLOOR_PCT)
+    return emb.sparkSession.createDataFrame(
+        [(n, totvar_units, PCA_K, PCA_VAR_FLOOR_PCT, ok)],
+        "n bigint, totvar_units bigint, n_components int, var_floor_pct int, var_ok int",
+    )

@@ -988,3 +988,54 @@ def test_semantic_dedup_drops_planted_duplicate_cluster(spark, sf_dir):
     for r in planted:
         if r["keep"] == 0:
             assert r["dup_with"] == 1000
+
+
+def test_pca_fit_matches_direct_numpy(spark, sf_dir):
+    """The merged-partials fit must equal numpy's direct covariance
+    eigendecomposition on the collected matrix (projection subspace
+    compared via per-column |cos| ≈ 1, robust to sign), and captured
+    variance must dominate any random k-subset."""
+    import numpy as np
+
+    from aws_datalake_framework_api_spark.llm.projection import (
+        PCA_K,
+        _fit_pca,
+    )
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = np.stack(
+        [np.asarray(r[0], dtype=np.float64) for r in emb.select("embedding").collect()]
+    )
+    mu_d = X.mean(axis=0)
+    cov_d = (X - mu_d).T @ (X - mu_d) / len(X)
+    vals_d, vecs_d = np.linalg.eigh(cov_d)
+    W_direct = vecs_d[:, ::-1][:, :PCA_K]
+
+    mu, W, vals = _fit_pca(emb)
+    assert np.allclose(mu, mu_d, atol=1e-9)
+    assert np.allclose(np.sort(vals), np.sort(vals_d), atol=1e-9)
+    cos = np.abs((W * W_direct).sum(axis=0))
+    assert np.all(cos > 1 - 1e-7), f"subspace mismatch: {cos}"
+
+
+def test_pca_projection_is_partitioning_invariant(spark, sf_dir):
+    """proj_hash/norm2 must not depend on the number of input
+    partitions (the content-sorted partial reduce)."""
+    from aws_datalake_framework_api_spark.llm import projection as proj_mod
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    base = {
+        (r["vec_id"], r["proj_hash"], r["norm2_x1e6"])
+        for r in QUERIES["b_llm_pca"](spark, sf_dir).collect()
+    }
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as td:
+        emb.repartition(13).write.parquet(f"{td}/embeddings.parquet")
+        again = {
+            (r["vec_id"], r["proj_hash"], r["norm2_x1e6"])
+            for r in proj_mod.llm_pca(spark, td).collect()
+        }
+    assert base == again
