@@ -220,3 +220,73 @@ def llm_pca_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, totvar_units, PCA_K, PCA_VAR_FLOOR_PCT, ok)],
         "n bigint, totvar_units bigint, n_components int, var_floor_pct int, var_ok int",
     )
+
+
+# ---------------------------------------------- JL random projection
+
+#: Output dimensionality of the sparse random projection. 16 = d/4,
+#: and √16 = 4 exactly, so the 1/√k scaling is the exact literal 4.0.
+RP_K = 16
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 Rademacher matrix (RP_K × EMB_DIM): sign =
+    parity of the first md5 byte of "j:i".  Pure function — no RNG, no
+    import-order dependence — so the SAME literal matrix is embedded
+    in the Spark plan and the DuckDB SQL below."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{j}:{i}".encode()).digest()[0] & 1 else -1
+            for i in range(EMB_DIM)
+        ]
+        for j in range(RP_K)
+    ]
+
+
+_RP = _rp_signs()
+
+
+def _rp_term_sql(j: int) -> str:
+    """One projected coordinate as an explicit left-assoc ± chain —
+    the identical float addition order Spark's column sum uses, so the
+    IEEE result is bit-equal and survives the 1e-6 rounding."""
+    terms = [
+        f"{'+' if s > 0 else '-'} CAST(embedding[{i + 1}] AS DOUBLE)"
+        for i, s in enumerate(_RP[j])
+    ]
+    return f"round(({' '.join(terms)}) / 4.0, 6) AS p{j}"
+
+
+@query(
+    "b_llm_rp",
+    "SELECT vec_id, "
+    + ", ".join(_rp_term_sql(j) for j in range(RP_K))
+    + " FROM embeddings",
+)
+def llm_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sparse random projection (Achlioptas
+    Rademacher ±1 form): 64-dim embeddings → 16 coordinates
+    p_j = Σᵢ σ_ji·xᵢ / √k with a plan-literal deterministic sign
+    matrix.  The DATA-INDEPENDENT companion to ``b_llm_pca``: no fit
+    pass at all, distances preserved in expectation (JL lemma) — the
+    standard cheap pre-reduction before LSH at web scale, and unlike
+    PCA it is fully ORACLE-PROVEN because a ±-chain of column floats
+    is expressible in SQL with the identical left-associated IEEE
+    addition order.
+
+    100 TB shape: pure projection, zero shuffles, whole-stage-codegen
+    arithmetic (no UDF — 16 flat ±-chains of 64 terms each stay
+    comfortably under the Janino limits that a 4096-term quadratic
+    form would hit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id")]
+    for j in range(RP_K):
+        acc = None
+        for i, s in enumerate(_RP[j]):
+            term = F.col("embedding")[i].cast("double")
+            signed = term if s > 0 else -term
+            acc = signed if acc is None else acc + signed
+        cols.append(F.round(acc / F.lit(4.0), 6).alias(f"p{j}"))
+    return emb.select(*cols)

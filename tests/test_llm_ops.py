@@ -1039,3 +1039,37 @@ def test_pca_projection_is_partitioning_invariant(spark, sf_dir):
             for r in proj_mod.llm_pca(spark, td).collect()
         }
     assert base == again
+
+
+def test_rp_preserves_norms_in_expectation(spark, sf_dir):
+    """JL contract: E[||Px||^2] = ||x||^2 for the Rademacher/sqrt(k)
+    matrix — the corpus-mean ratio must sit near 1 (loose band: k=16
+    has ~1/sqrt(k) per-vector noise that averages out over the
+    corpus)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_api_spark.llm.projection import RP_K
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    proj = QUERIES["b_llm_rp"](spark, sf_dir)
+    p_cols = [f"p{j}" for j in range(RP_K)]
+    p_norm2 = proj.select(
+        "vec_id",
+        sum(F.col(c) * F.col(c) for c in p_cols).alias("pn2"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding", lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("xn2"),
+    )
+    r = (
+        p_norm2.join(emb, "vec_id")
+        .agg(F.sum("pn2").alias("sp"), F.sum("xn2").alias("sx"))
+        .first()
+    )
+    ratio = r["sp"] / r["sx"]
+    assert 0.8 < ratio < 1.25, f"norm ratio {ratio}"
