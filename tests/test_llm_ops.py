@@ -1073,3 +1073,45 @@ def test_rp_preserves_norms_in_expectation(spark, sf_dir):
     )
     ratio = r["sp"] / r["sx"]
     assert 0.8 < ratio < 1.25, f"norm ratio {ratio}"
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed trainer's merge table vs a pure-python BPE on
+    the same corpus: exact equality of (rank, left, right, n)."""
+    from collections import Counter
+
+    from aws_datalake_framework_api_spark.llm.bpe import BPE_MERGES
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    wc = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        for w in r["text"].strip().split(" "):
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) for w in wc}
+    want = []
+    for rank in range(1, BPE_MERGES + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, n))
+        merged = a + b
+        for w, syms in vocab.items():
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            vocab[w] = res
+    got = [
+        (r["rank"], r["left"], r["right"], r["n"])
+        for r in QUERIES["b_llm_bpe_train"](spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == want
