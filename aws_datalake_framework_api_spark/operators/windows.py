@@ -257,3 +257,58 @@ def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("anomaly"),
     )
+
+
+# ---------------------------------------------------------- winsorization
+
+
+@query(
+    "b_fn_winsorize",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 2) AS value,
+           round(least(greatest(e.value, b.lo), b.hi), 2) AS w_value,
+           CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END
+             AS clipped
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    """,
+)
+def fn_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — per-group outlier clipping at the exact
+    [p05, p95] band, the robust-statistics pre-step for metrics and
+    model features (a heavy-tail event corrupts any mean/σ the
+    dashboards downstream compute; clipping at exact percentiles is
+    the auditable fix, and the ``clipped`` marker keeps it auditable
+    row by row).
+
+    Plan: the bounds table is one partial-agg groupBy producing one
+    row per group (exact ``percentile`` — lerp-identical to DuckDB's
+    ``quantile_cont``, the `b_agg_quantiles` precedent), broadcast
+    back onto the fact; clamp + flag are pure map arithmetic.  Two
+    passes over the fact is the exact-percentile price; at unbounded
+    cardinality swap in ``approx_percentile`` with the
+    `b_agg_approx`-style band scorecard."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 2).alias(
+            "w_value"
+        ),
+        F.when(
+            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("clipped"),
+    )
