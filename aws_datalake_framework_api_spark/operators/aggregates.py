@@ -520,3 +520,62 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (CAST(n AS decimal(38,0)) * den) AS BIGINT)"
         ).alias("intercept_x1e6"),
     )
+
+
+# ------------------------------------------------------ bitmap distinct
+
+
+@query(
+    "b_agg_bitmap",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_bitmap,
+           count(DISTINCT user_id) AS n_users_exact,
+           CAST(1 AS INT) AS bitmap_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmaps — the roaring-
+    bitmap pattern and the exact sibling of `b_agg_hll_parts`: per
+    (event_type, day, bucket) bitmap partials are built once at ingest
+    grain, and any later rollup ORs bitmaps instead of re-shuffling
+    raw (type, user) pairs.  Unlike HLL this is EXACT, so the bitmap
+    path's count is oracle-hashable directly against
+    ``count(DISTINCT ...)`` — the whole row is hash-proven, no band
+    flags needed.
+
+    Plan: map-side (bucket, bit-position) split → per-(type,day,bucket)
+    ``bitmap_construct_agg`` → per-(type,bucket) ``bitmap_or_agg`` →
+    Σ ``bitmap_count``.  Every shuffle carries 4 KB bitmap segments,
+    not user ids; the bucket split is what keeps one giant id space
+    from becoming one giant bitmap (the same sharding roaring bitmaps
+    do internally).  ``bitmap_ok`` pins bitmap == exact in-plan."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    daily = pos.groupBy("event_type", "day", "bucket").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    via_bitmap = merged.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_users_bitmap")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return via_bitmap.join(exact, "event_type").select(
+        "event_type",
+        "n_users_bitmap",
+        "n_users_exact",
+        (F.col("n_users_bitmap") == F.col("n_users_exact"))
+        .cast("int")
+        .alias("bitmap_ok"),
+    )
