@@ -312,3 +312,56 @@ def fn_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("clipped"),
     )
+
+
+# ------------------------------------------------------ transition matrix
+
+
+@query(
+    "b_win_transitions",
+    """
+    WITH nxt AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM nxt WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    t AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total FROM c
+      GROUP BY event_type
+    )
+    SELECT c.event_type, c.next_type, c.n,
+           CAST(c.n * 1000000 // t.row_total AS BIGINT) AS p_x1e6
+    FROM c JOIN t ON c.event_type = t.event_type
+    """,
+)
+def win_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: how
+    often each event type is followed by each other type within a
+    user's timeline — the path-analysis primitive behind funnels,
+    next-action prediction features, and bot detection (a user whose
+    transitions concentrate on one edge is a loop).
+
+    Transition probabilities are emitted as exact integer-μ
+    (``n·10⁶ DIV row_total`` — floor-divided BIGINTs, no float
+    division to drift).  One shuffle on user_id for the lead, then a
+    types²-sized groupBy — the output is |event types|² rows no
+    matter the corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = nxt.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").cast("long").alias("row_total"))
+    return c.join(t, "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.expr("CAST(n * 1000000 DIV row_total AS BIGINT)").alias("p_x1e6"),
+    )
