@@ -365,3 +365,58 @@ def compact_table(spark: SparkSession, sf_dir: str) -> str:
         .parquet(frag_dir)
     )
     return frag_dir
+
+
+# ---------------------------------------------------------------- time travel
+
+
+@query(
+    "b_lake_timetravel",
+    """
+    WITH v1 AS (SELECT * FROM nation WHERE n_regionkey < 2),
+    v2 AS (SELECT * FROM nation WHERE n_regionkey <= 2)
+    SELECT 'v_first' AS snapshot, count(*) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           count(DISTINCT n_regionkey) AS n_regions
+    FROM v1
+    UNION ALL
+    SELECT 'v_latest', count(*), CAST(sum(n_nationkey) AS BIGINT),
+           count(DISTINCT n_regionkey)
+    FROM v2
+    """,
+)
+def lake_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on the file-backed transaction log
+    (txlog.py — the repo's Delta/Iceberg-class table format): build a
+    table with two commits (overwrite, then append), then read BOTH
+    versions through their manifests and prove the old snapshot still
+    sees exactly the pre-append contents.
+
+    This is the lakehouse contract the reference's catalog fronts
+    (`SURVEY.md` §0: Delta/Iceberg connectors are the mandate's north
+    star): every commit is an immutable manifest naming immutable data
+    dirs, so version-v reads resolve ONE manifest and never list or
+    lock the table — at any table size, time travel costs one small
+    JSON read plus the snapshot's own data scan.  Concurrency/crash
+    semantics are pinned separately in tests/test_txlog.py (staged-
+    but-uncommitted invisibility, loser-rebases commit race)."""
+    from ..txlog import TxLogTable  # local import: avoid a cycle at module load
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = os.path.join(_tracked_tmp("spark_graft_tt_"), "timetravel_tbl")
+    t = TxLogTable(spark, path)
+    t.overwrite(nation.filter(F.col("n_regionkey") < 2))
+    t.append(nation.filter(F.col("n_regionkey") == 2))
+    versions = t.versions()
+    first, latest = versions[0], versions[-1]
+
+    def stats(label: str, version: int) -> DataFrame:
+        snap = t.read(nation.schema, version)
+        return snap.agg(
+            F.lit(label).alias("snapshot"),
+            F.count("*").alias("n_rows"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+            F.countDistinct("n_regionkey").alias("n_regions"),
+        )
+
+    return stats("v_first", first).unionByName(stats("v_latest", latest))
