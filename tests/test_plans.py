@@ -204,3 +204,58 @@ def test_knn_lsh_multiprobe_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_llm_knn_lsh")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rag_chunking_is_map_only(spark, sf_dir):
+    """Chunking must be a pure generator plan: no shuffle anywhere."""
+    plan = _plan(spark, sf_dir, "b_llm_chunk_rag")
+    assert "Exchange" not in plan, plan
+
+
+def test_random_projection_is_map_only_codegen(spark, sf_dir):
+    """JL projection: zero shuffles, zero Python — stays inside
+    whole-stage codegen."""
+    plan = _plan(spark, sf_dir, "b_llm_rp")
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_pca_projection_has_no_shuffle(spark, sf_dir):
+    """The PCA projection pass is mapInPandas only (the fit runs in
+    separate bounded jobs): no Exchange in the emitted plan."""
+    plan = _plan(spark, sf_dir, "b_llm_pca")
+    assert "Exchange" not in plan, plan
+
+
+def _n_exchanges(plan: str) -> int:
+    """Count Exchange nodes via their formatted-mode detail headers
+    ("(4) Exchange") — the tree and detail sections both mention each
+    node, and simple-mode strings like "Exchange hashpartitioning"
+    never appear in formatted output."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_sessionize_reuses_one_user_partitioning(spark, sf_dir):
+    """lag + running sum + session rollup must ride ONE user_id
+    shuffle: exactly one Exchange in the plan."""
+    plan = _plan(spark, sf_dir, "b_sessionize")
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_zscore_reuses_one_user_partitioning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b_win_zscore")
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_gapfill_broadcasts_spine_and_rollup_fill(spark, sf_dir):
+    """The grid fill joins rollup-sized data: the day spine must
+    broadcast, and the raw fact is aggregated exactly once."""
+    plan = _plan(spark, sf_dir, "b_ts_gapfill")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b_fn_winsorize")
+    assert "BroadcastHashJoin" in plan, plan
