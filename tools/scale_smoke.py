@@ -28,6 +28,13 @@ SMOKE = [
     "b_llm_knn_ivf",
     "b_llm_sample_exact",
     "b_llm_shuffle",
+    # round-4 additions: cell-bounded semantic dedup (replicated
+    # embeddings make every vector a 10-way exact dup — a worst-case
+    # in-cell pair load), iterative BPE training on a 10× vocab, and
+    # the zero-shuffle PCA fit+projection
+    "b_llm_dedup_semantic",
+    "b_llm_bpe_train",
+    "b_llm_pca",
 ]
 
 
