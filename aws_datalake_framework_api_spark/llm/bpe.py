@@ -161,3 +161,67 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, n bigint"
     )
+
+
+# ------------------------------------------------------------- encode path
+
+#: Memo of learned merge tables per sf_dir — training is deterministic
+#: (pure function of the fixture), so the encode query reuses the
+#: trainer's result instead of re-running 8 distributed rounds.
+_MERGE_MEMO: dict[str, list[tuple[str, str]]] = {}
+
+
+def _trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    if sf_dir not in _MERGE_MEMO:
+        rows = llm_bpe_train(spark, sf_dir).orderBy("rank").collect()
+        _MERGE_MEMO[sf_dir] = [(r["left"], r["right"]) for r in rows]
+    return _MERGE_MEMO[sf_dir]
+
+
+@query("b_llm_bpe_encode")  # rows-only: token counts depend on the
+# learned (data-dependent) merge table — no SQL twin; pytest pins the
+# per-doc counts against the pure-python encoder.
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the trained tokenizer — the other half of the BPE
+    loop: apply the learned merge table to every document and report
+    per-doc token statistics (tokens after merging, characters,
+    compression in integer per-mille).  This is the measurement a
+    pipeline runs to size a training mix in TOKENS (the currency of
+    LLM training) rather than bytes.
+
+    Scale shape: the merge table is O(k) and rides in the task
+    closure; encoding is ONE map pass over documents (per-word merge
+    application, the same kernel the trainer checkpoints with) + a
+    per-doc aggregation that Spark folds map-side.  Training cost is
+    amortized across calls via a deterministic memo."""
+    merges = _trained_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches):
+        for pdf in batches:
+            doc_ids, n_toks, n_chars = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = 0
+                chars = 0
+                for w in text.strip().split(" "):
+                    if not w:
+                        continue
+                    toks += len(_apply_merges(list(w), merges))
+                    chars += len(w)
+                doc_ids.append(doc_id)
+                n_toks.append(toks)
+                n_chars.append(chars)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "n_tokens": n_toks, "n_chars": n_chars}
+            )
+
+    out = docs.mapInPandas(encode, "doc_id bigint, n_tokens bigint, n_chars bigint")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        # chars per token in integer per-mille: exact floor division
+        F.expr("CAST(n_chars * 1000 DIV n_tokens AS BIGINT)").alias(
+            "chars_per_tok_x1000"
+        ),
+    )
