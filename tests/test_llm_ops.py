@@ -1115,3 +1115,51 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
         for r in QUERIES["b_llm_bpe_train"](spark, sf_dir).orderBy("rank").collect()
     ]
     assert got == want
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """Per-doc token counts under the trained tokenizer vs a pure
+    python train+encode on the same corpus: exact equality."""
+    from collections import Counter
+
+    from aws_datalake_framework_api_spark.llm.bpe import (
+        BPE_MERGES,
+        _apply_merges,
+    )
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    wc = Counter()
+    for text in texts.values():
+        for w in text.strip().split(" "):
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(BPE_MERGES):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        for w in vocab:
+            vocab[w] = _apply_merges(vocab[w], [(a, b)])
+    want = {}
+    for doc_id, text in texts.items():
+        toks = chars = 0
+        for w in text.strip().split(" "):
+            if w:
+                toks += len(_apply_merges(list(w), merges))
+                chars += len(w)
+        want[doc_id] = (toks, chars, chars * 1000 // toks if toks else None)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"], r["chars_per_tok_x1000"])
+        for r in QUERIES["b_llm_bpe_encode"](spark, sf_dir).collect()
+    }
+    assert got == want
