@@ -410,3 +410,92 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy(nation_masked))
         .alias("nation_group_size"),
     )
+
+
+# ---------------------------------------------------------------- struct
+
+
+@query(
+    "b_fn_struct",
+    """
+    SELECT o_orderkey,
+           ({'status': o_orderstatus,
+             'prio': o_orderpriority,
+             'cents': CAST(round(o_totalprice * 100) AS BIGINT)}).status
+             AS s_status,
+           ({'status': o_orderstatus,
+             'prio': o_orderpriority,
+             'cents': CAST(round(o_totalprice * 100) AS BIGINT)}).cents
+             AS s_cents,
+           CASE WHEN {'a': o_orderstatus} = {'a': 'F'} THEN 1 ELSE 0 END
+             AS is_f
+    FROM orders
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT family (B8): build a nested struct column, read fields
+    back out, and compare whole structs — the nested-record shape
+    every lake schema carries (and the reference's own record is a
+    nested JSON document, SURVEY §1.2).  Structs are columnar-shredded
+    in parquet/Tungsten, so building one is free at scan time.  The
+    OUTPUT projects struct fields back to scalars: a raw struct cell
+    canonicalizes as a dict and crashes the driver's hash (the same
+    class of break as array columns, VERDICT r3) — construction,
+    field access, and whole-struct comparison all still run in-plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    info = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        cents.alias("cents"),
+    )
+    return orders.select(
+        "o_orderkey",
+        info.alias("order_info"),
+        F.when(
+            F.struct(F.col("o_orderstatus").alias("a"))
+            == F.struct(F.lit("F").alias("a")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_f"),
+    ).select(
+        "o_orderkey",
+        F.col("order_info.status").alias("s_status"),
+        F.col("order_info.cents").alias("s_cents"),
+        "is_f",
+    )
+
+
+# ---------------------------------------------------------------- bitwise
+
+
+@query(
+    "b_fn_bitwise",
+    """
+    SELECT event_id,
+           user_id & 255 AS low_byte,
+           user_id | 4096 AS with_flag,
+           xor(user_id, event_id) AS mixed,
+           user_id << 3 AS shl,
+           user_id >> 2 AS shr,
+           bit_count(user_id) AS popcnt
+    FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITWISE family (B8): AND/OR/XOR, shifts, popcount — the
+    primitives under every hash/bitmap/bloom operator in this repo
+    (Morton z-order interleave, SimHash bands, bitmap distinct), here
+    exercised directly.  All exact-integer, trivially hash-proven."""
+    ev = load_table(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    return ev.select(
+        "event_id",
+        u.bitwiseAND(F.lit(255)).alias("low_byte"),
+        u.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        u.bitwiseXOR(e).alias("mixed"),
+        F.shiftleft(u, 3).alias("shl"),
+        F.shiftright(u, 2).alias("shr"),
+        F.bit_count(u).alias("popcnt"),
+    )
