@@ -225,3 +225,58 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_tok_x1000"
         ),
     )
+
+
+# -------------------------------------------- tokenizer-aware mixture
+
+
+@query("b_llm_mix_tokens")  # rows-only: the token denominator comes from
+# the trained (data-dependent) tokenizer; tests/test_llm_ops.py pins the
+# whole rebalance against a python recompute from the encode output.
+def llm_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing denominated in TRAINED-TOKENIZER tokens —
+    `b_llm_mix`'s equal-token-budget rebalance (per-language keep
+    probability min_tokens/lang_tokens as a salted hash-mod draw,
+    integer cross-multiplied), but sized by what the model actually
+    consumes: BPE tokens from `b_llm_bpe_encode`, not whitespace
+    counts.  Whitespace counts overweight languages whose words
+    fragment into many BPE pieces; a mixture planner that ignores
+    that trains on a different distribution than it reported.
+
+    Scale shape: same as `b_llm_mix` — the encode pass is map-only,
+    the stratum table is languages-sized (broadcasts anywhere), the
+    corpus shuffles never.  The only addition is the doc_id-keyed
+    join of encode output onto the language column, which Catalyst
+    collapses into the same scan when both sides derive from
+    ``documents`` (encode emits doc_id from the same rows)."""
+    from .sampling import MIX_SALT, hash_bucket, _HEX
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    enc = llm_bpe_encode(spark, sf_dir).select("doc_id", "n_tokens")
+    b2 = hash_bucket(F.col("doc_id").cast("string"), MIX_SALT)
+    t = (
+        docs.join(enc, "doc_id")
+        .select("doc_id", "lang", F.col("n_tokens").alias("n_tok"), b2.alias("b2"))
+        .withColumn(
+            "idx",
+            (F.expr(f"instr('{_HEX}', substring(b2, 1, 1))") - 1) * 16
+            + F.expr(f"instr('{_HEX}', substring(b2, 2, 1))")
+            - 1,
+        )
+    )
+    tot = t.groupBy("lang").agg(F.sum("n_tok").alias("lang_tokens"))
+    mn = tot.agg(F.min("lang_tokens").alias("min_tokens"))
+    keep = F.col("idx") * F.col("lang_tokens") < 256 * F.col("min_tokens")
+    return (
+        t.join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(mn))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )

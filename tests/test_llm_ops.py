@@ -1163,3 +1163,44 @@ def test_bpe_encode_matches_python_reference(spark, sf_dir):
         for r in QUERIES["b_llm_bpe_encode"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_mix_tokens_matches_python_recompute_from_encode(spark, sf_dir):
+    """The tokenizer-denominated rebalance recomputed in python from
+    the (already exactness-pinned) encode output: per-lang totals,
+    keep counts, and kept-token sums must match exactly."""
+    import hashlib
+
+    from aws_datalake_framework_api_spark.llm.sampling import MIX_SALT
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    toks = {
+        r["doc_id"]: r["n_tokens"]
+        for r in QUERIES["b_llm_bpe_encode"](spark, sf_dir).collect()
+    }
+    lang_tokens = {}
+    for d, n in toks.items():
+        lang_tokens[langs[d]] = lang_tokens.get(langs[d], 0) + n
+    min_tokens = min(lang_tokens.values())
+    want = {}
+    for d, n in toks.items():
+        lang = langs[d]
+        idx = int(
+            hashlib.md5(f"{MIX_SALT}:{d}".encode()).hexdigest()[:2], 16
+        )
+        keep = idx * lang_tokens[lang] < 256 * min_tokens
+        w = want.setdefault(lang, [0, 0, 0, 0])
+        w[0] += 1
+        w[1] += n
+        if keep:
+            w[2] += 1
+            w[3] += n
+    got = {
+        r["lang"]: [r["n_docs"], r["n_tokens"], r["n_kept"], r["kept_tokens"]]
+        for r in QUERIES["b_llm_mix_tokens"](spark, sf_dir).collect()
+    }
+    assert got == want
