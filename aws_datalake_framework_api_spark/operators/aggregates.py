@@ -579,3 +579,51 @@ def agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bitmap_ok"),
     )
+
+
+# ------------------------------------------------------------- histogram
+
+
+@query(
+    "b_agg_histogram",
+    """
+    -- DuckDB (this build) has no width_bucket; replicate Spark's
+    -- semantics exactly: 0 below lo, n+1 at/above hi, else
+    -- floor((v-lo)/((hi-lo)/n))+1 — (600000-0)/24 = 25000 is an exact
+    -- IEEE double, so both engines divide by the identical constant.
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 25
+                ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1
+           END AS bucket,
+           count(*) AS n,
+           CAST(min(round(o_totalprice * 100)) AS BIGINT) AS lo_cents,
+           CAST(max(round(o_totalprice * 100)) AS BIGINT) AS hi_cents
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (`width_bucket`) of order totals — the
+    one-pass distribution profile every data-quality dashboard draws,
+    and the cheap precursor to the exact-percentile pass (a histogram
+    narrows the quantile search to one bucket).  Bucket edges are plan
+    literals, so bucketing is pure map arithmetic and the aggregate is
+    a single partial+final groupBy on a ≤26-key space (24 buckets +
+    under/overflow) — the shuffle carries at most 26 rows per
+    partition at ANY corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(24)).alias(
+                "bucket"
+            ),
+            cents.alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
