@@ -285,3 +285,128 @@ def mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.col("stride"))
         ).alias("frame_idx"),
     ).withColumn("frame_offset", F.col("frame_idx") * FRAME_BYTES)
+
+
+# ---------------------------------------------------------------- resize
+
+THUMB_SIDE = 32  # codec-path thumbnail edge (pixels)
+THUMB_MAX_BYTES = 1024  # byte-path sample cap
+
+
+def make_resize_kernel(have_codec: bool):
+    """mapInPandas kernel for the RESIZE slot: PIL thumbnail when the
+    payload decodes, else a deterministic strided byte-sample
+    "thumbnail" (every k-th byte, k = len // THUMB_MAX_BYTES, capped)
+    — same per-row degrade discipline as the feature kernel, so a
+    codec appearing on the cluster can never throw."""
+    import hashlib
+
+    def byte_thumb(b) -> tuple[int, int, int, bytes]:
+        raw = bytes(b)
+        k = max(1, len(raw) // THUMB_MAX_BYTES)
+        t = raw[::k][:THUMB_MAX_BYTES]
+        return -1, -1, len(t), t
+
+    def run(batches):
+        decode = None
+        if have_codec:
+            import io
+
+            try:
+                from PIL import Image
+
+                def decode(b):  # noqa: ANN001
+                    try:
+                        with Image.open(io.BytesIO(bytes(b))) as im:
+                            small = im.resize((THUMB_SIDE, THUMB_SIDE))
+                            return (
+                                THUMB_SIDE,
+                                THUMB_SIDE,
+                                len(small.tobytes()),
+                                small.tobytes(),
+                            )
+                    except Exception:  # noqa: BLE001 — undecodable row
+                        return None
+            except ImportError:
+                decode = None
+        for pdf in batches:
+            rows = {
+                "doc_id": pdf["doc_id"],
+                "payload_len": pdf["payload_len"],
+                "method": [],
+                "thumb_w": [],
+                "thumb_h": [],
+                "thumb_len": [],
+                "thumb_md5": [],
+            }
+            for b in pdf["payload"]:
+                d = decode(b) if decode is not None else None
+                if d is None:
+                    w, h, n, t = byte_thumb(b)
+                    rows["method"].append("bytes")
+                else:
+                    w, h, n, t = d
+                    rows["method"].append("codec")
+                rows["thumb_w"].append(w)
+                rows["thumb_h"].append(h)
+                rows["thumb_len"].append(n)
+                # hash the lowercase-hex rendering of the thumb bytes —
+                # DuckDB's md5 is VARCHAR-only, and the strided sample
+                # of utf-8 text is not itself valid text
+                rows["thumb_md5"].append(hashlib.md5(t.hex().encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return run
+
+
+@query(
+    "b_mm_resize",
+    f"""
+    WITH t AS (
+      SELECT doc_id, encode(text) AS b, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, greatest(1, n // {THUMB_MAX_BYTES}) AS k, hex(b) AS hx
+      FROM t
+    ),
+    thumb AS (
+      -- thumb hash runs over the LOWERCASE HEX of the sampled bytes
+      -- (ASCII-safe on both engines; DuckDB's md5 is VARCHAR-only and
+      -- a strided byte sample of utf-8 text is not valid VARCHAR)
+      SELECT doc_id, n,
+             lower(array_to_string(
+               (list_transform(generate_series(1, n, k),
+                               i -> substr(hx, 2 * i - 1, 2)))[1 : {THUMB_MAX_BYTES}],
+               '')) AS thx
+      FROM s
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS payload_len,
+           'bytes' AS method,
+           CAST(-1 AS INT) AS thumb_w, CAST(-1 AS INT) AS thumb_h,
+           CAST(length(thx) // 2 AS INT) AS thumb_len,
+           md5(thx) AS thumb_md5
+    FROM thumb
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIZE slot of the multimodal pipeline: thumbnail every payload
+    — PIL ``resize((32,32))`` where the payload decodes, else the
+    deterministic strided byte-sample (every k-th byte, ≤1 KB).  The
+    byte path is what this fixture exercises in ANY environment (the
+    payloads are utf-8 text, so PIL degrades per-row), which makes the
+    query ORACLE-PROVEN: DuckDB reconstructs the identical sample from
+    the blob's hex expansion and md5s it.  A real deployment gets real
+    32×32 thumbnails from the same plan, schema-identically.
+
+    Scale: one streamed Arrow pass; output is ≤1 KB per row no matter
+    the payload size — the plumbing that turns a 100 TB image corpus
+    into a browsable contact sheet without a second storage format."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = as_multimodal(docs)
+    kernel = make_resize_kernel(decode_available())
+    return mm.select("doc_id", "payload", "payload_len").mapInPandas(
+        kernel,
+        "doc_id bigint, payload_len bigint, method string, "
+        "thumb_w int, thumb_h int, thumb_len int, thumb_md5 string",
+    )
