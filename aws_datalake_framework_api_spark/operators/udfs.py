@@ -149,3 +149,64 @@ def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .applyInPandas(zscore, schema=_Z_SCHEMA)
     )
+
+
+# ------------------------------------------------------- grouped-agg UDF
+
+
+@query(
+    "b_udf_grouped_agg",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           CAST(max(CAST(round(c_acctbal * 100) AS BIGINT))
+                - min(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS range_cents
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the third UDF API next to the scalar
+    pandas_udf and the grouped-map ``applyInPandas``: a Series→scalar
+    custom AGGREGATE that Spark evaluates per group with Arrow
+    transfer (and, unlike grouped-map, composes with other aggregates
+    in the same ``agg()``).
+
+    The custom aggregates run on cent-quantized ints (sum, max−min
+    range), so the result is exact and fully oracle-proven — the
+    practical template for any custom sketch/statistic Spark lacks
+    as a builtin.  CAVEAT at scale: a grouped-agg UDF is NOT
+    partial-aggregatable — Spark shuffles the group's raw column to
+    one task (unlike builtin sums, no map-side combine).  Fine for
+    bounded groups; for corpus-sized groups prefer the mergeable-
+    partial pattern (`b_llm_pca`'s fit, `b_agg_regression`)."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def cents_n(s: pd.Series) -> int:
+        # Spark disallows mixing grouped-agg pandas UDFs with builtin
+        # aggregates in one agg() — the count rides as a UDF too
+        return int(len(s))
+
+    @F.pandas_udf("long")
+    def cents_sum(s: pd.Series) -> int:
+        return int(s.sum())
+
+    @F.pandas_udf("long")
+    def cents_range(s: pd.Series) -> int:
+        return int(s.max() - s.min())
+
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        cust.select("c_mktsegment", cents.alias("cents"))
+        .groupBy("c_mktsegment")
+        .agg(
+            cents_n("cents").alias("n"),
+            cents_sum("cents").alias("bal_cents"),
+            cents_range("cents").alias("range_cents"),
+        )
+    )
