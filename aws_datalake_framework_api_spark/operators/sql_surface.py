@@ -59,3 +59,34 @@ def sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhibit."""
     register_views(spark, sf_dir)
     return spark.sql(_Q3_SQL)
+
+
+# TPC-H Q4 shape (late-shipment order priority census), adapted to the
+# fixture's columns: the CORRELATED-SUBQUERY surface — EXISTS with an
+# outer-reference predicate — again as dialect-shared text.
+_Q4_SQL = """
+SELECT o_orderpriority,
+       count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("b_sql_q4", _Q4_SQL)
+def sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped correlated EXISTS executed as raw SQL over the
+    registered views — the subquery-decorrelation exhibit: Catalyst
+    rewrites the correlated EXISTS into a LEFT SEMI join on
+    l_orderkey with the ship-lag predicate as the join residual, so
+    the 'per-order probe' the SQL spells never executes as a loop —
+    it is one semi-join shuffle keyed on orderkey (the same physical
+    class as `b_join_semi`), date filters pushed to the orders scan.
+    Same byte-identical text runs on DuckDB."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
