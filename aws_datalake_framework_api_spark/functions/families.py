@@ -499,3 +499,72 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(u, 2).alias("shr"),
         F.bit_count(u).alias("popcnt"),
     )
+
+
+# ---------------------------------------------------------------- variant
+
+
+@query(
+    "b_fn_variant",
+    """
+    SELECT event_id,
+           TRY_CAST(props->>'$.k' AS BIGINT) AS k_from_variant,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS parsed_ok
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT family (Spark 4's semi-structured type — the open-
+    lakehouse answer to schemaless JSON columns): ``parse_json`` into
+    a VARIANT cell, ``variant_get`` with a JSON path back out.  Unlike
+    ``from_json`` (which demands a schema up front, `b_fn_json`),
+    VARIANT defers typing to read time while still storing shredded
+    binary — the right column type when event payloads evolve faster
+    than the table schema.  The VARIANT cell itself never reaches the
+    output (binary cells aren't canon-comparable); the extracted
+    scalars carry the hash check against DuckDB's JSON operators."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_from_variant"),
+        F.when(F.try_parse_json(F.col("props")).isNotNull(), 1)
+        .otherwise(0)
+        .alias("parsed_ok"),
+    )
+
+
+# ---------------------------------------------------------------- xml
+
+
+@query(
+    "b_fn_xml",
+    """
+    SELECT n_nationkey,
+           n_name AS name_rt,
+           n_regionkey AS region_rt
+    FROM nation
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML family (Spark 4 ``from_xml``): serialize each nation row to
+    an XML fragment in-plan, parse it back with a schema, and emit the
+    roundtripped fields — proving the parse path end-to-end without an
+    XML-capable oracle (DuckDB has none, so the oracle simply pins
+    roundtrip == source, which is exactly the property under test).
+    Fields embed via ``concat`` (names are [A-Z ] only in this
+    fixture — no escaping needed; a real feed uses to_xml)."""
+    nation = load_table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<nation><name>"),
+        F.col("n_name"),
+        F.lit("</name><region>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</region></nation>"),
+    )
+    parsed = F.from_xml(xml, "name STRING, region INT")
+    return nation.select(
+        "n_nationkey",
+        parsed.getField("name").alias("name_rt"),
+        parsed.getField("region").alias("region_rt"),
+    )
