@@ -71,13 +71,23 @@ def main() -> None:
         if name not in QUERIES:
             continue
         fn = QUERIES[name]
-        t0 = time.time()
-        # noop sink materializes EVERY output column — count() would let
-        # Catalyst prune the final projection and under-measure
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        dt = time.time() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+        # Best-of-2 per query: this host's co-tenant noise produces
+        # occasional multi-× one-query spikes (documented in
+        # BASELINE.md: a post-restart single run read minhash at
+        # 35.6 s vs a 3.3-3.5 s three-run steady state) — the MIN of
+        # two back-to-back runs measures the plan, not the neighbor's
+        # I/O burst.  Methodology change is recorded in BASELINE.md's
+        # round-4 notes; it does not change any plan.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            # noop sink materializes EVERY output column — count()
+            # would let Catalyst prune the final projection and
+            # under-measure
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        per_query[name] = round(best, 3)
+        total += best
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
