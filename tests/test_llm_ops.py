@@ -1204,3 +1204,43 @@ def test_mix_tokens_matches_python_recompute_from_encode(spark, sf_dir):
         for r in QUERIES["b_llm_mix_tokens"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_winnowing_guarantee_on_planted_shared_span(spark):
+    """SIGMOD-2003 winnowing guarantee: documents sharing a character
+    run well past k+w-1 MUST surface as a pair; unrelated docs with no
+    >=k-char common substring must NOT."""
+    import pandas as pd
+
+    from aws_datalake_framework_api_spark.llm import winnow as wmod
+
+    shared = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    docs = [
+        (0, "AAAA0" * 20 + shared + "BBBB1" * 20),
+        (1, "CCCC2" * 20 + shared + "DDDD3" * 20),
+        # unrelated filler: distinct char alphabets, no 8-char overlap
+        (2, "eeee4ffff5" * 30),
+        (3, "gggg6hhhh7" * 30),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["t"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(f"{td}/documents.parquet")
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in wmod.llm_dedup_winnow(spark, td).collect()
+        }
+    assert (0, 1) in pairs, pairs
+    # the repeated fillers self-match WITHIN a doc (irrelevant) but
+    # docs 2 and 3 share no 8-char substring -> never paired
+    assert (2, 3) not in pairs
+    assert not any({2, 3} & set(k) and {0, 1} & set(k) for k in pairs)
