@@ -627,3 +627,94 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+# ------------------------------------------------------ salted aggregation
+
+
+@query(
+    "b_agg_salted",
+    f"""
+    SELECT event_type,
+           count(*) AS n,
+           {sql_money_sum('value')} AS total_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED two-level aggregation — the hot-key pattern for
+    aggregates (the groupBy sibling of `b_join_salted`): when one
+    group key holds a disproportionate share of rows, a plain groupBy
+    sends that whole key to one reducer.  Salting splits each key into
+    16 sub-keys for the first (heavy) aggregation, then folds the
+    sub-aggregates in a second, tiny pass — mergeable statistics make
+    the two-level result EXACTLY equal to the one-level one, which is
+    what the oracle pins (row-identical to the plain GROUP BY).
+
+    The distinct-user count stays exact through the split because the
+    salt is derived FROM user_id (pmod(xxhash64)) — each user lands in
+    exactly one sub-key, so sub-distinct counts add.  Note Spark's
+    partial aggregation already map-side-combines uniform keys; the
+    salt buys REDUCER-side balance, which partial agg cannot when one
+    key dominates post-shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.select(
+        "event_type",
+        "value",
+        "user_id",
+        F.pmod(F.xxhash64("user_id"), F.lit(16)).alias("salt"),
+    )
+    level1 = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("n"),
+        money_sum("value").alias("sub_total"),
+        F.countDistinct("user_id").alias("sub_users"),
+    )
+    return level1.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(F.sum("sub_total"), 2).alias("total_value"),
+        F.sum("sub_users").cast("long").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------- mode
+
+
+@query(
+    "b_agg_mode",
+    """
+    SELECT o_orderstatus,
+           CAST(n AS BIGINT) AS n
+    , mode_prio FROM (
+      SELECT o_orderstatus, o_orderpriority AS mode_prio, count(*) AS n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC, o_orderpriority) AS rnk
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rnk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) per group, with a deterministic
+    lexicographic tie-break — built as count + rank-1 filter rather
+    than Spark's ``mode()`` aggregate, whose tie behavior is
+    unspecified and therefore un-oracle-able.  Two shuffles on
+    (group, value) then group — both on aggregated data."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("n").cast("long").alias("n"),
+            F.col("o_orderpriority").alias("mode_prio"),
+        )
+    )
