@@ -697,3 +697,76 @@ def llm_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= EXACT_CAP)
         .select("doc_id", "lang", "rank")
     )
+
+
+# ------------------------------------------------------------ shard writer
+
+#: Output shards for the packed corpus (a real run uses thousands).
+OUT_SHARDS = 8
+#: Largest/smallest shard token ratio the balance flag tolerates, ×100.
+SHARD_BALANCE_PCT = 120
+
+
+@query(
+    "b_llm_shards",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(trim(text), ' ')) AS n_tok
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, n_tok,
+             (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1)
+               % {OUT_SHARDS} AS shard
+      FROM t
+    ),
+    s AS (
+      SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+      FROM assigned GROUP BY shard
+    ),
+    b AS (SELECT max(tokens) AS mx, min(tokens) AS mn FROM s)
+    SELECT CAST(shard AS BIGINT) AS shard, n_docs, tokens,
+           CAST((SELECT CASE WHEN mx * 100 <= mn * {SHARD_BALANCE_PCT}
+                             THEN 1 ELSE 0 END FROM b) AS INT) AS balanced
+    FROM s
+    """,
+)
+def llm_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output-shard manifest — the LAST step of a training-
+    data pipeline: assign every document to one of ``OUT_SHARDS``
+    output files such that shard token totals are near-equal (data
+    loaders stream shards round-robin; a fat shard straggles every
+    epoch).  Assignment is ranked round-robin — docs ordered by token
+    count descending, shard = rank mod N — the classic LPT-flavored
+    greedy that bounds imbalance by one max-document per shard; the
+    ``balanced`` flag pins max/min ≤ {SHARD_BALANCE_PCT}% in exact
+    integer cross-multiplication.
+
+    Scale note: the global rank is the one non-mergeable step — at
+    100 TB swap it for the two-level ranking of `b_llm_sample_exact`
+    (rank within hash-shards, then offset by shard prefix counts —
+    same distribution up to ties) or bin-pack per partition; the
+    manifest contract (shard, n_docs, tokens, balance pin) is
+    unchanged.  Output is OUT_SHARDS rows no matter the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok")
+    )
+    w = Window.orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    assigned = t.select(
+        "n_tok",
+        F.pmod(F.row_number().over(w) - 1, F.lit(OUT_SHARDS)).alias("shard"),
+    )
+    s = assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("tokens")
+    )
+    b = s.agg(F.max("tokens").alias("mx"), F.min("tokens").alias("mn"))
+    return s.crossJoin(F.broadcast(b)).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "tokens",
+        (F.col("mx") * 100 <= F.col("mn") * SHARD_BALANCE_PCT)
+        .cast("int")
+        .alias("balanced"),
+    )
