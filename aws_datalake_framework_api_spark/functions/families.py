@@ -568,3 +568,43 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("name").alias("name_rt"),
         parsed.getField("region").alias("region_rt"),
     )
+
+
+# ---------------------------------------------------------------- url
+
+
+@query(
+    "b_fn_url",
+    """
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang AS query_string,
+           lang AS lang_param
+    FROM documents
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family (`parse_url`): build a canonical URL per document
+    in-plan, then extract HOST / PATH / QUERY / a named query param —
+    the domain-extraction primitive every web-corpus curation pipeline
+    runs (per-domain quality priors, domain blocklists, host-level
+    dedup all key on exactly this).  DuckDB has no URL parser, so the
+    oracle pins roundtrip == the components the URL was built from —
+    precisely the property under test (same pattern as `b_fn_xml`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_string"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
