@@ -245,3 +245,64 @@ def scan_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("user_id").alias("with_user"),
         F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("legacy_rows"),
     )
+
+
+# ------------------------------------------------------------- generator
+
+GEN_ROWS = 100_000
+
+
+@query(
+    "b_gen_synthetic",
+    f"""
+    WITH r AS (SELECT CAST(range AS BIGINT) AS id FROM range({GEN_ROWS})),
+    g AS (
+      SELECT id,
+             md5(CAST(id AS VARCHAR)) AS h
+      FROM r
+    )
+    SELECT id,
+           CAST(('0x' || substr(h, 1, 8)) AS BIGINT) AS uniform_u32,
+           CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 100 AS pct_bucket,
+           substr(h, 1, 12) AS token,
+           DATE '2024-01-01'
+             + CAST(CAST(('0x' || substr(h, 9, 4)) AS BIGINT) % 365 AS INT)
+             AS event_date,
+           CASE WHEN CAST(('0x' || substr(h, 13, 2)) AS BIGINT) < 26
+                THEN 'gold' WHEN CAST(('0x' || substr(h, 13, 2)) AS BIGINT) < 128
+                THEN 'silver' ELSE 'bronze' END AS tier
+    FROM g
+    """,
+)
+def gen_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic-data GENERATION — the engine as a data
+    source: ``spark.range`` (a parallel generator scan, no input
+    files) plus md5-derived columns gives reproducible uniform ints,
+    tokens, dates, and skewed categoricals at any scale — the tool
+    that builds test fixtures, load-test corpora, and join-key
+    scaffolding (this repo's own 10× scale fixture is the same idea).
+    Unlike ``F.rand()`` the draw is a pure function of the row id:
+    rerun-, partitioning-, AND engine-stable, which is why the whole
+    table is oracle-provable.
+
+    Scale: `spark.range(n, numPartitions=k)` generates cooperatively
+    with zero I/O; every derived column is codegen arithmetic.  100 TB
+    of synthetic data is one line: raise n."""
+    r = spark.range(GEN_ROWS).select(F.col("id").cast("long").alias("id"))
+    h = F.md5(F.col("id").cast("string"))
+    u32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    byte7 = F.conv(F.substring(h, 13, 2), 16, 10).cast("long")
+    return r.select(
+        "id",
+        u32.alias("uniform_u32"),
+        (u32 % 100).alias("pct_bucket"),
+        F.substring(h, 1, 12).alias("token"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.conv(F.substring(h, 9, 4), 16, 10).cast("long") % 365).cast("int"),
+        ).alias("event_date"),
+        F.when(byte7 < 26, "gold")
+        .when(byte7 < 128, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    )
