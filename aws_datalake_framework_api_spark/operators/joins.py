@@ -540,3 +540,72 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("value_cents_row").alias("value_cents"),
     )
+
+
+# ----------------------------------------------------- grid range join
+
+GRID_CELL_US = 3_600_000_000  # 1-hour grid cell (µs) = the join horizon
+
+
+@query(
+    "b_join_range_grid",
+    f"""
+    WITH v AS (
+      SELECT CAST(ts AS DATE) AS d, epoch_us(ts) AS vus
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (SELECT epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT d, vus, pus FROM v JOIN p
+        ON pus >= vus AND pus <= vus + {GRID_CELL_US}
+    )
+    SELECT d, count(*) AS n_pairs,
+           CAST(min(pus - vus) AS BIGINT) AS min_lag_us,
+           CAST(max(pus - vus) AS BIGINT) AS max_lag_us
+    FROM pairs GROUP BY d
+    """,
+)
+def join_range_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIG-BIG interval join via GRID BUCKETING — the 100 TB form of a
+    range join with no equi key on either side (contrast `b_join_range`,
+    whose band side broadcasts, and `b_stream_sjoin`, whose user_id
+    equi-key carries the shuffle): every (view, purchase) pair at most
+    one horizon apart, rolled up per view-day.
+
+    The nested-loop Spark would otherwise pick is replaced by an
+    EQUI-join on a time-grid cell: with cell size = the join horizon,
+    a purchase matching view v lies in v's cell or the next one, so
+    the view side replicates ×2 across its two probe cells and the
+    join is a plain shuffled equi-join on cell with the exact range
+    as a residual filter — each true pair matches in EXACTLY one cell
+    (the purchase's own), so no dedup pass is needed.  Cost: 2× one
+    side + per-cell occupancy products, the standard interval-join
+    bucketing (what Databricks' range-join hints do under the hood).
+    Plan-shape test pins: no BroadcastNestedLoopJoin, no cartesian."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("ts").cast("date").alias("d"),
+        us.alias("vus"),
+        F.floor(us / GRID_CELL_US).cast("long").alias("home_cell"),
+    )
+    v2 = v.select(
+        "d",
+        "vus",
+        F.explode(
+            F.array(F.col("home_cell"), F.col("home_cell") + 1)
+        ).alias("cell"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        us.alias("pus"),
+        F.floor(us / GRID_CELL_US).cast("long").alias("cell"),
+    )
+    pairs = v2.join(p, "cell").filter(
+        (F.col("pus") >= F.col("vus"))
+        & (F.col("pus") <= F.col("vus") + GRID_CELL_US)
+    )
+    return pairs.groupBy("d").agg(
+        F.count("*").alias("n_pairs"),
+        F.min(F.col("pus") - F.col("vus")).cast("long").alias("min_lag_us"),
+        F.max(F.col("pus") - F.col("vus")).cast("long").alias("max_lag_us"),
+    )

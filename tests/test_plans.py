@@ -259,3 +259,20 @@ def test_gapfill_broadcasts_spine_and_rollup_fill(spark, sf_dir):
 def test_winsorize_broadcasts_bounds(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_fn_winsorize")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_grid_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The big-big interval join must run as a shuffled EQUI-join on
+    the grid cell — never BroadcastNestedLoopJoin or a cartesian."""
+    plan = _plan(spark, sf_dir, "b_join_range_grid")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # any EQUI-join implementation qualifies: at fixture scale AQE
+    # broadcasts the purchase side (BroadcastHashJoin on the cell
+    # key); past the broadcast threshold the same plan is SMJ/SHJ —
+    # the class that matters is hash-on-cell, not loop-over-rows
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
