@@ -306,3 +306,59 @@ def gen_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("bronze")
         .alias("tier"),
     )
+
+
+# ------------------------------------------------- dynamic partition pruning
+
+
+@query(
+    "b_join_dpp",
+    f"""
+    WITH f AS (
+      SELECT *, year(o_orderdate) AS o_year FROM orders
+    ),
+    d AS (SELECT DISTINCT year(o_orderdate) AS y FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+          ORDER BY y LIMIT 2)
+    SELECT o_year, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM f JOIN d ON f.o_year = d.y
+    GROUP BY o_year
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING — the Catalyst feature that makes
+    star joins on partitioned facts viable at 100 TB: the fact table
+    is laid out partitioned by year (written here to scratch, the
+    `b_sink_part` layout), the dim side's filter selects 2 years at
+    RUNTIME, and Spark injects a ``dynamicpruning`` subquery into the
+    fact SCAN so only those years' directories are read — the scan
+    never touches the other partitions' files.  Without DPP the same
+    plan reads every partition and filters after the join.
+
+    The plan-shape test (tests/test_plans.py) pins the
+    ``dynamicpruningexpression`` on the fact scan's PartitionFilters;
+    the oracle recomputes the joined aggregate from the raw table."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch(f"orders_by_year_{os.path.basename(sf_dir.rstrip('/'))}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.isfile(marker):
+        orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
+            "overwrite"
+        ).partitionBy("o_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.year("o_orderdate").alias("y"))
+        .distinct()
+        .orderBy("y")
+        .limit(2)
+    )
+    return (
+        fact.join(dim, fact.o_year == dim.y)
+        .groupBy("o_year")
+        .agg(
+            F.count("*").alias("n"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+    )

@@ -276,3 +276,11 @@ def test_grid_range_join_is_equi_not_nested_loop(spark, sf_dir):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """The partitioned fact's scan must carry a dynamicpruning
+    expression in its PartitionFilters — proof the 2-year dim filter
+    reaches the fact DIRECTORY listing at runtime, not post-join."""
+    plan = _plan(spark, sf_dir, "b_join_dpp")
+    assert "dynamicpruning" in plan.lower(), plan
