@@ -280,3 +280,50 @@ def llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.alias("keep"),
         reason.alias("reason"),
     )
+
+
+@query(
+    "b_llm_curation_funnel",
+    f"""
+    WITH curated AS ({_CURATION_SQL}),
+    tok AS (
+      SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT reason,
+           CASE reason WHEN 'quality' THEN 1 WHEN 'repetition' THEN 2
+                       WHEN 'boilerplate' THEN 3 WHEN 'contaminated' THEN 4
+                       WHEN 'duplicate' THEN 5 ELSE 0 END AS stage,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM curated JOIN tok USING (doc_id)
+    GROUP BY reason
+    """,
+)
+def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL REPORT — what a data lead actually reads
+    after a corpus pass: documents and tokens attributed to each drop
+    reason (first-failing-stage attribution from `b_llm_curation`)
+    plus the surviving mass under reason 'keep'.  One groupBy over the
+    per-doc audit frame joined to whitespace token counts; output is
+    ≤6 rows at any corpus size.  Fully oracle-proven by wrapping the
+    curation SQL itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok")
+    )
+    stage = (
+        F.when(F.col("reason") == "quality", 1)
+        .when(F.col("reason") == "repetition", 2)
+        .when(F.col("reason") == "boilerplate", 3)
+        .when(F.col("reason") == "contaminated", 4)
+        .when(F.col("reason") == "duplicate", 5)
+        .otherwise(0)
+    )
+    return (
+        llm_curation(spark, sf_dir)
+        .join(tok, "doc_id")
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("n_tokens"))
+        .select("reason", stage.alias("stage"), "n_docs", "n_tokens")
+    )
