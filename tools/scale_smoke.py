@@ -35,6 +35,10 @@ SMOKE = [
     "b_llm_dedup_semantic",
     "b_llm_bpe_train",
     "b_llm_pca",
+    # char-level winnowing fingerprints (HOF md5 k-grams — the heaviest
+    # map arithmetic in the repo) — documents only, so it scales with
+    # the replicated fixture like the dedup family
+    "b_llm_dedup_winnow",
 ]
 
 
