@@ -420,3 +420,45 @@ def lake_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats("v_first", first).unionByName(stats("v_latest", latest))
+
+
+# ---------------------------------------------------------------- vacuum
+
+
+@query(
+    "b_lake_vacuum",
+    """
+    WITH cur AS (SELECT * FROM nation WHERE n_regionkey <= 2)
+    SELECT CAST(2 AS BIGINT) AS n_removed,
+           (SELECT count(*) FROM cur) AS n_rows_after,
+           (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM cur) AS key_sum_after
+    """,
+)
+def lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM on the txlog table format — the maintenance op that
+    completes the ACID story: remove data dirs no retained manifest
+    references.  The exhibit constructs BOTH orphan classes
+    deterministically — (a) a crash leftover: a dir staged by a writer
+    that died before commit, (b) a historical dir: the pre-overwrite
+    version's data — then vacuums and proves the CURRENT snapshot is
+    byte-identical afterwards (the oracle pins the post-vacuum rows
+    and the exact removed-dir count of 2).
+
+    Scale: vacuum lists the table root and reads ONE manifest — cost
+    is O(dirs), never O(rows); it is the same directory-diff a Delta
+    VACUUM does past its retention window."""
+    from ..txlog import TxLogTable
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = os.path.join(_tracked_tmp("spark_graft_vac_"), "vacuum_tbl")
+    t = TxLogTable(spark, path)
+    t.overwrite(nation.filter(F.col("n_regionkey") < 2))  # historical dir
+    t.overwrite(nation.filter(F.col("n_regionkey") <= 2))  # current snapshot
+    t._stage(nation.limit(3))  # crash leftover: staged, never committed
+    removed = t.vacuum()
+    cur = t.read(nation.schema)
+    return cur.agg(
+        F.lit(len(removed)).cast("long").alias("n_removed"),
+        F.count("*").alias("n_rows_after"),
+        F.sum("n_nationkey").cast("long").alias("key_sum_after"),
+    )
