@@ -280,3 +280,61 @@ def llm_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+
+@query(
+    "b_llm_bpe_bounds",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             len(list_filter(string_split(trim(text), ' '),
+                             x -> length(x) > 0)) AS n_words,
+             length(replace(trim(text), ' ', '')) AS n_word_chars
+      FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS lo_bound,
+           CAST(sum(n_word_chars) AS BIGINT) AS hi_bound,
+           CAST(1 AS INT) AS within_bounds
+    FROM w
+    """,
+)
+def llm_bpe_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible invariant scorecard for the (rows-only) encode
+    path: a BPE token count is sandwiched between the word count
+    (every word ≥1 token) and the non-space character count (every
+    token ≥1 char), so Σtokens ∈ [Σwords, Σword_chars] EXACTLY.  The
+    oracle recomputes both bounds from the raw corpus as exact ints
+    and pins ``within_bounds``; a broken merge application (dropped
+    symbols, doubled merges) lands outside the band and turns the
+    driver row red — the same graduation the recall scorecards give
+    the ANN family."""
+    enc = llm_bpe_encode(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), " "), lambda x: F.length(x) > 0
+            )
+        ).alias("n_words"),
+        F.length(F.regexp_replace(F.trim(F.col("text")), " ", "")).alias(
+            "n_word_chars"
+        ),
+    )
+    bounds = w.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("lo_bound"),
+        F.sum("n_word_chars").cast("long").alias("hi_bound"),
+    )
+    toks = enc.agg(F.sum("n_tokens").alias("sum_tokens"))
+    return bounds.crossJoin(F.broadcast(toks)).select(
+        "n_docs",
+        "lo_bound",
+        "hi_bound",
+        (
+            (F.col("sum_tokens") >= F.col("lo_bound"))
+            & (F.col("sum_tokens") <= F.col("hi_bound"))
+        )
+        .cast("int")
+        .alias("within_bounds"),
+    )
