@@ -718,3 +718,104 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("mode_prio"),
         )
     )
+
+
+# ------------------------------------------- heavy hitters (Misra-Gries)
+
+
+#: Counters kept per partition summary.  The union of partition
+#: summaries provably contains every word with global count
+#: > N/(HH_K+1) (pigeonhole over per-partition decrements — Misra &
+#: Gries 1982; mergeability per Agarwal et al., PODS'12).
+HH_K = 256
+
+#: Heavy hitters returned (exact-reranked top-M by count).
+HH_M = 15
+
+
+def _mg_kernel(batch_iter):
+    """Batched Misra-Gries over a stream of single-column word frames.
+
+    Classic MG decrements all k counters when a new item overflows the
+    table; the batched equivalent (used here, and the reason this is
+    vectorizable) accumulates a batch's exact ``value_counts`` into the
+    running table and then subtracts the (k+1)-th largest counter from
+    every entry, dropping non-positives.  Each subtraction of t charges
+    t to at least k+1 distinct items, so total decrement ≤ n_p/(k+1) —
+    any word with partition count above that survives with a positive
+    lower bound.  State is O(k) regardless of vocabulary size.
+    """
+    from collections import Counter
+
+    import pandas as pd
+
+    counters: Counter = Counter()
+
+    def prune(to: int) -> None:
+        if len(counters) <= to:
+            return
+        t = sorted(counters.values(), reverse=True)[to]
+        for w in [w for w, c in counters.items() if c - t <= 0]:
+            del counters[w]
+        for w in counters:
+            counters[w] -= t
+
+    for pdf in batch_iter:
+        counters.update(pdf["word"].value_counts().to_dict())
+        prune(8 * HH_K)  # amortize: prune only at 8x overflow
+    prune(HH_K)
+    yield pd.DataFrame({"word": list(counters.keys())})
+
+
+@query(
+    "b_agg_heavyhitters",
+    """
+    SELECT word, CAST(cnt AS BIGINT) AS cnt
+    FROM (
+      SELECT word, count(*) AS cnt
+      FROM (
+        SELECT unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                  x -> length(x) > 0)) AS word
+        FROM documents
+      )
+      GROUP BY word
+    )
+    ORDER BY cnt DESC, word
+    LIMIT 15
+    """,
+)
+def agg_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over an unbounded vocabulary: per-partition
+    Misra-Gries summaries (O(k) state, zero shuffle) → broadcast the
+    ≤ partitions×k candidate words → exact map-side recount restricted
+    to candidates → exact top-M with a full (cnt DESC, word) tie-break.
+
+    Scale shape vs the naive plan: a full ``GROUP BY word`` shuffles
+    the entire vocabulary (billions of keys on a web corpus); this
+    shuffles only MG partials and candidate partial counts — both
+    bounded by k, not by |vocab|.  Because every word with true count
+    > N/(k+1) is guaranteed into the candidate set and the final
+    counts are exact, the output is deterministically the true top-M —
+    hence fully oracle-provable despite the sketch in the middle
+    (same candidate-then-verify shape as the MinHash rerank,
+    llm/dedup.py).  Reference analogue: top-terms profiling an
+    ingestion framework would bolt onto the landing zone
+    (cft/sourceSystem.yaml:29-63 moves the bytes; profiling is left to
+    the engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), " "),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("word")
+    )
+    cands = words.mapInPandas(_mg_kernel, "word string").distinct()
+    return (
+        words.join(F.broadcast(cands), "word")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(HH_M)
+    )

@@ -90,3 +90,41 @@ def sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same byte-identical text runs on DuckDB."""
     register_views(spark, sf_dir)
     return spark.sql(_Q4_SQL)
+
+
+# TPC-H Q17 shape (small-quantity revenue), adapted to the fixture:
+# a CORRELATED SCALAR AGGREGATE subquery — the third classic
+# decorrelation pattern after Q3's join-agg and Q4's EXISTS.  The
+# threshold multiplier is 0.5 (a power of two, so the multiply is
+# IEEE-exact) and l_quantity is integer-valued in the fixture, so
+# avg() = exact-int-sum / count is bit-identical on both engines and
+# the filter cannot flip rows between Spark and DuckDB; revenue snaps
+# to the cent grid before summation as everywhere else.
+_Q17_SQL = """
+SELECT p_brand,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+            / 100.0 AS DOUBLE) AS small_qty_revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_size < 15
+  AND l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = p_partkey)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@query("b_sql_q17", _Q17_SQL)
+def sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated SCALAR-aggregate subquery as raw
+    SQL: Catalyst decorrelates the per-part average into a standalone
+    aggregate on lineitem joined back on l_partkey — the 'probe per
+    row' the SQL spells becomes one extra hash-aggregate + equi-join
+    keyed on partkey, never a loop.  At 100 TB both the agg and the
+    join shuffle on the same key, so AQE can pipeline them; the part
+    dim is broadcast.  Same byte-identical text runs on DuckDB."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)

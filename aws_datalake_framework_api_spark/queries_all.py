@@ -19,9 +19,14 @@ window is rebuilt so that
    recall-gate companions — first (newest code gets external rows);
 2. ids whose latest driver row is round 1 (15 ids: the VERDICT r3
    "stale verification" list) plus b_join_star/b_agg_q1 (r2) — next;
-3. r2-proven ids never re-checked in r3 fill the 50-entry window;
-4. everything r3 just hash-proved and unchanged — last (rotated out;
-   ``tools/verify_local.py`` keeps local coverage of all 115).
+3. r2-proven ids never re-checked in r3 (catalog family — whose
+   backend CHANGED to the txlog path this round) next;
+4. nine NEW round-4 flagship operators with exact oracles (lake ACID,
+   winnowing, BPE bounds, bitmap distinct, GROUPING SETS, DPP, Q4,
+   PCA variance) — without a slot they would end the round with no
+   external evidence at all, which is weaker than a stale row;
+5. everything r3 just hash-proved and unchanged — last (rotated out;
+   ``tools/verify_local.py`` keeps local coverage of all 164).
 """
 
 from __future__ import annotations
@@ -109,6 +114,21 @@ _ORDER = [
     "a9_catalog_delete",
     "a1_event_append",
     "a2_event_update",
+    # -- 3b. NEW round-4 operators with exact oracles that would
+    #    otherwise never earn an external row this round (the r2-proven
+    #    streaming family they displace is unchanged-but-for-hygiene and
+    #    stays covered by verify_local + pytest):
+    "b_lake_timetravel",
+    "b_lake_vacuum",
+    "b_llm_dedup_winnow",
+    "b_llm_bpe_bounds",
+    "b_agg_bitmap",
+    "b_agg_gsets",
+    "b_join_dpp",
+    "b_sql_q4",
+    "b_llm_pca_var",
+    # ---- 50-entry window boundary falls here (ids above get driver
+    #      rows; everything below relies on verify_local this round) --
     "b_scan_json",
     "b_sink_part",
     "b_stream_tumble",
@@ -118,8 +138,6 @@ _ORDER = [
     "b_stream_dedup",
     "b_stream_stateful",
     "b_stream_join",
-    # ---- 50-entry window boundary falls here (ids above get driver
-    #      rows; everything below relies on verify_local this round) --
     # -- 4. r2-proven remainder, then everything r3 hash-proved and
     #    unchanged this round (rotated out)
     "b_udf_scalar",

@@ -140,3 +140,41 @@ def test_gapfill_grid_is_dense_and_marks_fills(spark, sf_dir):
             assert r["n"] == 0
         else:
             assert r["n"] > 0
+
+
+def test_heavyhitters_candidate_guarantee_and_exact_topm(spark, sf_dir):
+    """The MG pigeonhole guarantee, asserted directly: every word with
+    true count > N/(HH_K+1) appears in the candidate summary union, and
+    the final output IS the exact brute-force top-M (sketch in the
+    middle notwithstanding).  Also pins the candidate set's size bound
+    (≤ partitions × HH_K) — the property that keeps the shuffle O(k)."""
+    from aws_datalake_framework_api_spark.operators.aggregates import (
+        HH_K,
+        HH_M,
+        _mg_kernel,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), " "),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("word")
+    )
+    n_parts = words.rdd.getNumPartitions()
+    cands = {r["word"] for r in words.mapInPandas(_mg_kernel, "word string").collect()}
+    assert len(cands) <= n_parts * HH_K
+
+    exact = words.groupBy("word").count().collect()
+    n_total = sum(r["count"] for r in exact)
+    thresh = n_total / (HH_K + 1)
+    missed = [r["word"] for r in exact if r["count"] > thresh and r["word"] not in cands]
+    assert missed == [], f"MG guarantee violated for {missed}"
+
+    brute = sorted(exact, key=lambda r: (-r["count"], r["word"]))[:HH_M]
+    got = QUERIES["b_agg_heavyhitters"](spark, sf_dir).collect()
+    assert [(r["word"], r["cnt"]) for r in got] == [
+        (r["word"], r["count"]) for r in brute
+    ]

@@ -284,3 +284,24 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
     reaches the fact DIRECTORY listing at runtime, not post-join."""
     plan = _plan(spark, sf_dir, "b_join_dpp")
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_heavyhitters_broadcasts_candidates(spark, sf_dir):
+    """The candidate recount must be a broadcast join (candidate set is
+    ≤ partitions×k by construction) — shuffling the full word stream on
+    word would reintroduce the |vocab|-keyed shuffle the sketch exists
+    to avoid.  The only Python in the plan is the MG kernel itself."""
+    plan = _plan(spark, sf_dir, "b_agg_heavyhitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q17_decorrelates_to_join_not_loop(spark, sf_dir):
+    """Catalyst must rewrite the correlated scalar-avg probe into a
+    standalone aggregate joined back on partkey: the plan contains
+    hash-aggregates and equi-joins, no nested-loop execution of the
+    subquery per outer row."""
+    plan = _plan(spark, sf_dir, "b_sql_q17")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
