@@ -609,3 +609,47 @@ def join_range_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("pus") - F.col("vus")).cast("long").alias("min_lag_us"),
         F.max(F.col("pus") - F.col("vus")).cast("long").alias("max_lag_us"),
     )
+
+
+# ------------------------------------------------------- shuffled-hash
+
+
+@query(
+    "b_join_shj",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                / 100.0 AS DOUBLE) AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_shuffled_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third join strategy, completing the set next to
+    `b_join_bcast` (broadcast) and `b_join_smj` (sort-merge):
+    SHUFFLE_HASH-hinted fact⋈fact.  Both sides shuffle on the key but
+    neither is sorted — the smaller post-shuffle side is hash-tabled
+    per partition.  On a cluster this beats SMJ when one side is
+    moderately smaller than the other (no sort, no spill-merge) yet
+    too big to broadcast; it loses to SMJ when the build side
+    overflows executor memory, which is why the choice is a hint, not
+    a default.  Money sums snap to the cent grid as everywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.hint("SHUFFLE_HASH")  # build side: the smaller fact
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100.0).cast("long")
+                )
+                / 100.0
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -305,3 +305,10 @@ def test_sql_q17_decorrelates_to_join_not_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_shj_is_shuffled_hash(spark, sf_dir):
+    """The SHUFFLE_HASH hint must materialize as ShuffledHashJoin —
+    if Spark silently fell back to SMJ the exhibit would be false."""
+    plan = _plan(spark, sf_dir, "b_join_shj")
+    assert "ShuffledHashJoin" in plan, plan
