@@ -462,3 +462,63 @@ def lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows_after"),
         F.sum("n_nationkey").cast("long").alias("key_sum_after"),
     )
+
+
+# ---------------------------------------------------------- data skipping
+
+
+@query(
+    "b_lake_skipping",
+    """
+    WITH m AS (SELECT max(o_orderkey) AS mk FROM orders),
+    hit AS (
+      SELECT * FROM orders, m
+      WHERE o_orderkey BETWEEN (mk * 3) // 10 AND (mk * 45) // 100
+    )
+    SELECT CAST(1 AS BIGINT) AS n_dirs_kept,
+           CAST(3 AS BIGINT) AS n_dirs_skipped,
+           count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM hit
+    """,
+)
+def lake_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max data skipping on the txlog table format —
+    the Delta/Iceberg 'metrics filtering' feature: each commit records
+    per-dir [min, max] stats in its manifest, and a range read drops
+    every dir whose range provably cannot match BEFORE any parquet
+    footer is opened.
+
+    The exhibit appends the orders table in four key-range-clustered
+    commits (quartiles of o_orderkey, disjoint by construction — the
+    clustered layout a z-ordered or ingestion-time-sorted lake table
+    has naturally), range-reads [0.3·maxkey, 0.45·maxkey] — strictly
+    inside the second quartile — and returns the pruning decision
+    (1 dir scanned, 3 skipped: exact ints the oracle pins as literals)
+    alongside row-level aggregates the oracle recomputes from raw
+    orders.  The correctness division of labor is the point: stats
+    prune FILES, the residual filter prunes ROWS, so a wrong stat
+    could only ever cost performance, never rows — except the oracle
+    would then catch the missing rows too."""
+    from ..txlog import TxLogTable  # local import: avoid a cycle at module load
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mk = orders.agg(F.max("o_orderkey")).first()[0]
+    path = os.path.join(_tracked_tmp("spark_graft_skip_"), "skipping_tbl")
+    t = TxLogTable(spark, path)  # fresh scratch dir per call, like timetravel
+    bounds = [0, mk // 4, mk // 2, (mk * 3) // 4, mk]
+    for i in range(4):
+        slice_df = orders.filter(
+            (F.col("o_orderkey") > bounds[i])
+            & (F.col("o_orderkey") <= bounds[i + 1])
+        )
+        t.append(slice_df, stats_cols=("o_orderkey",))
+    lo, hi = (mk * 3) // 10, (mk * 45) // 100
+    kept, skipped = t.prune_dirs("o_orderkey", lo, hi)
+    hit = t.read_range(orders.schema, "o_orderkey", lo, hi)
+    return hit.agg(
+        F.lit(len(kept)).cast("long").alias("n_dirs_kept"),
+        F.lit(len(skipped)).cast("long").alias("n_dirs_skipped"),
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

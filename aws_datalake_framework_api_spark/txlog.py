@@ -25,7 +25,12 @@ public paper), scoped to the catalog's metadata-scale tables:
   leaves an orphan data dir that no manifest references (cleaned by
   ``vacuum``), never a torn table;
 - **time travel for free**: any retained version is readable, and
-  ``history()`` is the audit trail of operations.
+  ``history()`` is the audit trail of operations;
+- **data skipping for free**: writes may record per-dir [min, max]
+  column stats in the manifest; ``read_range`` drops dirs that
+  provably cannot match before opening any parquet footer (Delta
+  stats / Iceberg metrics filtering), and dirs without stats are
+  conservatively scanned so a stat can never cost correctness.
 
 Scale note: this backend is for CATALOG tables (entity metadata —
 thousands of rows; the 100 TB tables it points at are the lake's
@@ -102,23 +107,83 @@ class TxLogTable:
         paths = [os.path.join(self.path, d) for d in snap["dirs"]]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def prune_dirs(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """Split the snapshot's dirs into (kept, skipped) for the range
+        predicate ``lo <= col <= hi`` using manifest min/max stats.
+        A dir is skipped only when its recorded range PROVABLY cannot
+        intersect [lo, hi]; dirs without stats for ``col`` (or with
+        all-NULL stats) are conservatively kept — skipping is an
+        optimization, never a correctness dependency."""
+        snap = self.snapshot(version)
+        if snap is None:
+            return [], []
+        stats = snap.get("stats", {})
+        kept, skipped = [], []
+        for d in snap["dirs"]:
+            rng = stats.get(d, {}).get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                kept.append(d)
+            elif rng[1] < lo or rng[0] > hi:
+                skipped.append(d)
+            else:
+                kept.append(d)
+        return kept, skipped
+
+    def read_range(
+        self, schema: StructType, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Data-skipping read: resolve ONE manifest, drop every data
+        dir whose [min, max] for ``col`` cannot intersect [lo, hi],
+        scan only the survivors, and still apply the row-level filter
+        (stats prune FILES; the filter prunes ROWS — same division of
+        labor as Delta data skipping / Iceberg metrics filtering).  On
+        a 100 TB table with range-clustered commits this turns a
+        point/range query from a full scan into O(matching files),
+        paying only a JSON manifest read for the decision."""
+        import pyspark.sql.functions as F
+
+        kept, _ = self.prune_dirs(col, lo, hi, version)
+        if not kept:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, d) for d in kept]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+
     # ------------------------------------------------------------ write
 
-    def _stage(self, df: DataFrame) -> str:
+    def _stage(self, df: DataFrame, stats_cols: tuple[str, ...] = ()) -> tuple[str, dict]:
         """Write ``df`` to a fresh immutable data dir; returns its
         RELATIVE name (manifests store relative names so a warehouse
-        directory can be cloned/moved wholesale)."""
+        directory can be cloned/moved wholesale) plus per-column
+        min/max stats for ``stats_cols`` — the Delta-style file-level
+        statistics that let readers SKIP whole dirs whose range cannot
+        match a predicate.  Stats are computed in one tiny agg job at
+        write time (when the data is already in memory), never by
+        re-reading at query time; values must be JSON scalars
+        (int/float/str), which covers the catalog's key/date columns."""
         name = f"d-{uuid.uuid4().hex[:12]}"
         df.coalesce(1).write.mode("errorifexists").parquet(
             os.path.join(self.path, name)
         )
-        return name
+        stats: dict = {}
+        if stats_cols:
+            import pyspark.sql.functions as F
 
-    def _commit(self, op: str, dirs_for: "callable") -> dict:
+            row = df.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in stats_cols],
+                *[F.max(c).alias(f"hi_{c}") for c in stats_cols],
+            ).first()
+            stats = {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in stats_cols}
+        return name, stats
+
+    def _commit(self, op: str, dirs_for: "callable", stats_for: "callable" = None) -> dict:
         """Optimistic-concurrency commit loop.  ``dirs_for(base_snap)``
         returns the new snapshot's dir list given the base the commit
         is rebased onto; the hard-link publish makes version claims
-        mutually exclusive."""
+        mutually exclusive.  ``stats_for(base_snap)`` likewise returns
+        the dir→{col: [min, max]} stats map carried in the manifest."""
         os.makedirs(self._log_dir(), exist_ok=True)
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.snapshot()
@@ -127,6 +192,7 @@ class TxLogTable:
                 "version": version,
                 "op": op,
                 "dirs": dirs_for(base),
+                "stats": stats_for(base) if stats_for else {},
                 "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(),
                 "format": "txlog-v1",
             }
@@ -145,19 +211,26 @@ class TxLogTable:
             f"txlog commit contention: {_MAX_COMMIT_RETRIES} retries exhausted at {self.path}"
         )
 
-    def overwrite(self, df: DataFrame, op: str = "overwrite") -> dict:
+    def overwrite(
+        self, df: DataFrame, op: str = "overwrite", stats_cols: tuple[str, ...] = ()
+    ) -> dict:
         """Replace the table contents in one commit (also used, with an
         honest ``op`` label, for update/delete rewrites — like Delta,
         a row-level mutation commits rewritten files)."""
-        name = self._stage(df)
-        return self._commit(op, lambda base: [name])
+        name, stats = self._stage(df, stats_cols)
+        return self._commit(op, lambda base: [name], lambda base: {name: stats})
 
-    def append(self, df: DataFrame) -> dict:
+    def append(self, df: DataFrame, stats_cols: tuple[str, ...] = ()) -> dict:
         """Add rows without touching existing data: stage one new dir,
         commit old dirs + new.  Rebase under contention is trivial —
-        the staged dir is appended to WHATEVER the latest snapshot is."""
-        name = self._stage(df)
-        return self._commit("append", lambda base: (base["dirs"] if base else []) + [name])
+        the staged dir (and its stats entry) is appended to WHATEVER
+        the latest snapshot is."""
+        name, stats = self._stage(df, stats_cols)
+        return self._commit(
+            "append",
+            lambda base: (base["dirs"] if base else []) + [name],
+            lambda base: {**(base.get("stats", {}) if base else {}), name: stats},
+        )
 
     # ------------------------------------------------------------ maintenance
 

@@ -60,7 +60,7 @@ def test_staged_but_uncommitted_data_is_invisible(spark, table):
     unchanged: readers resolve manifests, never list data dirs."""
     table.overwrite(_df(spark, [(1, "a")]))
     # simulate the crash: stage a data dir, never write a commit record
-    orphan = table._stage(_df(spark, [(666, "orphan")]))
+    orphan, _ = table._stage(_df(spark, [(666, "orphan")]))
     assert os.path.isdir(os.path.join(table.path, orphan))
     assert {r["k"] for r in table.read(SCHEMA).collect()} == {1}
     # vacuum removes the orphan, keeps the live dir
@@ -122,3 +122,33 @@ def test_catalog_audit_append_is_txlog_append(spark, tmp_path):
     assert [h["op"] for h in t.history()] == ["append", "append"]
     assert len(t.snapshot()["dirs"]) == 2
     assert cat.audit_log().count() == 2
+
+
+def test_stats_skipping_prunes_only_provably_dead_dirs(spark, table):
+    """Manifest stats must carry through append rebases, prune exactly
+    the dirs whose [min,max] cannot intersect the range, and keep any
+    dir without stats (or with NULL stats) conservatively."""
+    table.append(_df(spark, [(1, "a"), (5, "b")]), stats_cols=("k",))
+    table.append(_df(spark, [(10, "c"), (20, "d")]), stats_cols=("k",))
+    table.append(_df(spark, [(100, "e")]), stats_cols=("k",))
+    table.append(_df(spark, [(7, "no-stats")]))  # stats omitted → always kept
+
+    kept, skipped = table.prune_dirs("k", 8, 30)
+    assert len(kept) == 2 and len(skipped) == 2  # [10,20] dir + stat-less dir
+
+    got = {r["k"] for r in table.read_range(SCHEMA, "k", 8, 30).collect()}
+    assert got == {10, 20}  # row filter still applies inside kept dirs
+
+    # NULL-valued stats column: min/max are None → conservatively kept.
+    table.append(_df(spark, [(None, "f")]), stats_cols=("k",))
+    kept2, _ = table.prune_dirs("k", 8, 30)
+    assert len(kept2) == 3
+
+
+def test_stats_survive_in_manifest_json(spark, table):
+    """Stats are manifest payload (one JSON read decides pruning), not
+    parquet-footer reads at query time."""
+    table.append(_df(spark, [(3, "x"), (9, "y")]), stats_cols=("k",))
+    snap = table.snapshot()
+    (d,) = snap["dirs"]
+    assert snap["stats"][d]["k"] == [3, 9]
