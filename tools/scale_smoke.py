@@ -39,6 +39,10 @@ SMOKE = [
     # map arithmetic in the repo) — documents only, so it scales with
     # the replicated fixture like the dedup family
     "b_llm_dedup_winnow",
+    # Misra-Gries heavy hitters: the claim is that the shuffle is
+    # bounded by k (candidates), not |vocab| — at 10× the word stream
+    # the candidate recount should scale with the scan, not the vocab
+    "b_agg_heavyhitters",
 ]
 
 
