@@ -312,3 +312,12 @@ def test_shj_is_shuffled_hash(spark, sf_dir):
     if Spark silently fell back to SMJ the exhibit would be false."""
     plan = _plan(spark, sf_dir, "b_join_shj")
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_editdist_join_is_equi_not_cartesian(spark, sf_dir):
+    """The length-band blocking must materialize as an equi-join on the
+    bucket key — levenshtein over a cross join is the quadratic plan
+    the exhibit exists to avoid (only the oracle brute-forces it)."""
+    plan = _plan(spark, sf_dir, "b_join_editdist")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
