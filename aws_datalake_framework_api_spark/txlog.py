@@ -178,12 +178,22 @@ class TxLogTable:
             stats = {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in stats_cols}
         return name, stats
 
-    def _commit(self, op: str, dirs_for: "callable", stats_for: "callable" = None) -> dict:
+    def _commit(
+        self,
+        op: str,
+        dirs_for: "callable",
+        stats_for: "callable" = None,
+        meta: dict | None = None,
+    ) -> dict:
         """Optimistic-concurrency commit loop.  ``dirs_for(base_snap)``
         returns the new snapshot's dir list given the base the commit
         is rebased onto; the hard-link publish makes version claims
         mutually exclusive.  ``stats_for(base_snap)`` likewise returns
-        the dir→{col: [min, max]} stats map carried in the manifest."""
+        the dir→{col: [min, max]} stats map carried in the manifest.
+        ``meta`` is application metadata recorded in the manifest —
+        e.g. a streaming writer's batch high-water mark, the same
+        mechanism as Delta's ``txn`` (appId, version) action that
+        makes replayed micro-batches idempotent."""
         os.makedirs(self._log_dir(), exist_ok=True)
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.snapshot()
@@ -193,6 +203,7 @@ class TxLogTable:
                 "op": op,
                 "dirs": dirs_for(base),
                 "stats": stats_for(base) if stats_for else {},
+                "meta": meta or {},
                 "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(),
                 "format": "txlog-v1",
             }
@@ -212,13 +223,17 @@ class TxLogTable:
         )
 
     def overwrite(
-        self, df: DataFrame, op: str = "overwrite", stats_cols: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        op: str = "overwrite",
+        stats_cols: tuple[str, ...] = (),
+        meta: dict | None = None,
     ) -> dict:
         """Replace the table contents in one commit (also used, with an
         honest ``op`` label, for update/delete rewrites — like Delta,
         a row-level mutation commits rewritten files)."""
         name, stats = self._stage(df, stats_cols)
-        return self._commit(op, lambda base: [name], lambda base: {name: stats})
+        return self._commit(op, lambda base: [name], lambda base: {name: stats}, meta)
 
     def append(self, df: DataFrame, stats_cols: tuple[str, ...] = ()) -> dict:
         """Add rows without touching existing data: stage one new dir,

@@ -391,3 +391,36 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_upsert_replay_is_idempotent(spark, tmp_path):
+    """The table-side batch high-water mark (Delta's txn action) must
+    make a replayed micro-batch a no-op: same version, same rows —
+    while a genuinely new batch still applies."""
+    from aws_datalake_framework_api_spark.streaming.upsert import (
+        FEED_SCHEMA,
+        merge_microbatch,
+    )
+    from aws_datalake_framework_api_spark.txlog import TxLogTable
+
+    t = TxLogTable(spark, str(tmp_path / "t"))
+    b0 = spark.createDataFrame([(1, 100, 1), (2, 200, 1)], FEED_SCHEMA)
+    b1 = spark.createDataFrame([(2, 250, 2)], FEED_SCHEMA)
+
+    merge_microbatch(t, b0, 0)
+    merge_microbatch(t, b1, 1)
+    v_after = t.snapshot()["version"]
+    state = {(r["k"], r["price_cents"]) for r in t.read(FEED_SCHEMA).collect()}
+    assert state == {(1, 100), (2, 250)}
+
+    # crash-recovery replay: the checkpoint redelivers batch 1
+    merge_microbatch(t, b1, 1)
+    assert t.snapshot()["version"] == v_after  # no new commit
+    assert {(r["k"], r["price_cents"]) for r in t.read(FEED_SCHEMA).collect()} == state
+
+    # a NEW batch still applies on top
+    merge_microbatch(t, spark.createDataFrame([(3, 300, 3)], FEED_SCHEMA), 2)
+    assert t.snapshot()["version"] == v_after + 1
+    assert (3, 300) in {
+        (r["k"], r["price_cents"]) for r in t.read(FEED_SCHEMA).collect()
+    }
