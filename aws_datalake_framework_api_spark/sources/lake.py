@@ -522,3 +522,65 @@ def lake_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+# ------------------------------------------------------ deletion vectors
+
+
+@query(
+    "b_lake_deletevec",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    live AS (SELECT * FROM base WHERE k % 53 <> 0)
+    SELECT count(*) AS n_rows,
+           CAST(sum(price_cents) AS BIGINT) AS price_sum_cents,
+           CAST(1 AS BIGINT) AS n_data_dirs,
+           CAST(2 AS BIGINT) AS n_vacuumed
+    FROM live
+    """,
+)
+def lake_deletevec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (Delta deletion-vector / Iceberg v2 delete
+    class, keyed): tombstone ~2 % of orders keys WITHOUT rewriting any
+    data file — the delete commit stages only the key list, and the
+    oracle pins ``n_data_dirs = 1`` to prove the data dir set really
+    did not change.  Readers subtract tombstones with one broadcast
+    anti-join scoped to the covered dirs; ``purge_deletes`` then folds
+    them in (write-path compaction) and VACUUM reclaims exactly the
+    old data dir + the tombstone dir (``n_vacuumed = 2``).  Row
+    aggregates are computed from the POST-purge read, so the exhibit
+    also proves purge preserved the DV-applied state bit-for-bit.
+    At 100 TB the point is the cost model: a 1 %-of-keys delete is one
+    key-list write now + one bounded rewrite at purge time, instead of
+    a multi-TB rewrite on the delete path."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..txlog import TxLogTable  # local import: avoid a cycle at module load
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), True),
+            StructField("price_cents", LongType(), True),
+        ]
+    )
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    path = os.path.join(_tracked_tmp("spark_graft_dv_"), "dv_tbl")
+    t = TxLogTable(spark, path)
+    t.overwrite(base)
+    t.delete_keys(base.filter(F.col("k") % 53 == 0).select("k"), "k")
+    n_data_dirs = len(t.snapshot()["dirs"])  # delete touched no data dir
+    t.purge_deletes(schema)
+    n_vacuumed = len(t.vacuum())  # old data dir + tombstone dir
+    return t.read(schema).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("price_cents").cast("long").alias("price_sum_cents"),
+        F.lit(n_data_dirs).cast("long").alias("n_data_dirs"),
+        F.lit(n_vacuumed).cast("long").alias("n_vacuumed"),
+    )

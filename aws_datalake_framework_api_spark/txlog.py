@@ -100,12 +100,48 @@ class TxLogTable:
 
     def read(self, schema: StructType, version: int | None = None) -> DataFrame:
         """Snapshot-isolated read of one committed version (latest by
-        default).  Resolves ONE manifest; never lists data dirs."""
+        default).  Resolves ONE manifest; never lists data dirs.
+        Deletion vectors, if any, are applied as a broadcast anti-join
+        scoped to the data dirs each tombstone set covers."""
         snap = self.snapshot(version)
         if snap is None or not snap["dirs"]:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, d) for d in snap["dirs"]]
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        return self._apply_dv(df, snap, schema)
+
+    def _apply_dv(self, df: DataFrame, snap: dict, schema: StructType) -> DataFrame:
+        """Subtract tombstoned (dir, key) pairs.  Rows are attributed
+        to their data dir via ``input_file_name`` (no extra scan), the
+        tombstone pairs are dir-exploded and broadcast (they are small
+        by design — that is why merge-on-read wins), and the kill is
+        one LEFT ANTI join on (dir, key)."""
+        import pyspark.sql.functions as F
+
+        dv = snap.get("dv") or []
+        if not dv:
+            return df
+        col = dv[0]["col"]
+        pairs = None
+        for entry in dv:
+            if not entry["covers"]:
+                continue
+            keys = self.spark.read.schema(StructType([schema[entry["col"]]])).parquet(
+                os.path.join(self.path, entry["dir"])
+            )
+            p = keys.withColumn(
+                "_dv_dir",
+                F.explode(F.array(*[F.lit(d) for d in entry["covers"]])),
+            )
+            pairs = p if pairs is None else pairs.unionByName(p)
+        if pairs is None:
+            return df
+        tagged = df.withColumn(
+            "_dv_dir", F.regexp_extract(F.input_file_name(), r"(d-[0-9a-f]{12})", 1)
+        )
+        return tagged.join(
+            F.broadcast(pairs), on=["_dv_dir", col], how="left_anti"
+        ).drop("_dv_dir")
 
     def prune_dirs(
         self, col: str, lo, hi, version: int | None = None
@@ -149,6 +185,7 @@ class TxLogTable:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, d) for d in kept]
         df = self.spark.read.schema(schema).parquet(*paths)
+        df = self._apply_dv(df, self.snapshot(version), schema)
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
     # ------------------------------------------------------------ write
@@ -184,6 +221,7 @@ class TxLogTable:
         dirs_for: "callable",
         stats_for: "callable" = None,
         meta: dict | None = None,
+        dv_for: "callable" = None,
     ) -> dict:
         """Optimistic-concurrency commit loop.  ``dirs_for(base_snap)``
         returns the new snapshot's dir list given the base the commit
@@ -193,7 +231,10 @@ class TxLogTable:
         ``meta`` is application metadata recorded in the manifest —
         e.g. a streaming writer's batch high-water mark, the same
         mechanism as Delta's ``txn`` (appId, version) action that
-        makes replayed micro-batches idempotent."""
+        makes replayed micro-batches idempotent.  ``dv_for(base)``
+        returns the deletion-vector list (see :meth:`delete_keys`);
+        the default resets it, which is correct for overwrite —
+        append/delete carry or extend it explicitly."""
         os.makedirs(self._log_dir(), exist_ok=True)
         for _ in range(_MAX_COMMIT_RETRIES):
             base = self.snapshot()
@@ -203,6 +244,7 @@ class TxLogTable:
                 "op": op,
                 "dirs": dirs_for(base),
                 "stats": stats_for(base) if stats_for else {},
+                "dv": dv_for(base) if dv_for else [],
                 "meta": meta or {},
                 "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(),
                 "format": "txlog-v1",
@@ -245,7 +287,43 @@ class TxLogTable:
             "append",
             lambda base: (base["dirs"] if base else []) + [name],
             lambda base: {**(base.get("stats", {}) if base else {}), name: stats},
+            None,
+            lambda base: (base.get("dv", []) if base else []),
         )
+
+    # ----------------------------------------------- merge-on-read delete
+
+    def delete_keys(self, keys_df: DataFrame, col: str) -> dict:
+        """DELETE without rewriting any data file (merge-on-read — the
+        Delta deletion-vector / Iceberg v2 positional-delete class,
+        keyed rather than positional): stage the tombstone keys as
+        their own small dir and commit a manifest whose ``dv`` list
+        gains one entry — the DATA dirs are untouched.  On a 100 TB
+        table this turns a 1 %-of-keys delete from a multi-TB rewrite
+        into one key-list write.
+
+        Each entry records which data dirs it COVERS (those in the
+        snapshot at delete time), so rows for the same key appended
+        LATER are not shadowed — a re-insert after a delete behaves
+        like Delta, where DVs are scoped to the files that existed.
+        Readers pay one broadcast anti-join per read until
+        :meth:`purge_deletes` folds the tombstones in."""
+        name, _ = self._stage(keys_df.select(col).distinct())
+        return self._commit(
+            "delete",
+            lambda base: (base["dirs"] if base else []),
+            lambda base: (base.get("stats", {}) if base else {}),
+            None,
+            lambda base: (base.get("dv", []) if base else [])
+            + [{"col": col, "dir": name, "covers": (base["dirs"] if base else [])}],
+        )
+
+    def purge_deletes(self, schema: StructType) -> dict:
+        """Compaction for the merge-on-read path: materialize the
+        DV-applied state once and commit it as a plain overwrite —
+        tombstone dirs and shadowed rows become historical (vacuumable)
+        and readers stop paying the anti-join."""
+        return self.overwrite(self.read(schema), op="purge-deletes")
 
     # ------------------------------------------------------------ maintenance
 
@@ -260,6 +338,7 @@ class TxLogTable:
 
         snap = self.snapshot()
         live = set(snap["dirs"]) if snap else set()
+        live |= {e["dir"] for e in (snap.get("dv") or [])} if snap else set()
         removed = []
         for name in os.listdir(self.path):
             if name == LOG_DIR or not name.startswith("d-"):

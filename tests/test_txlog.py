@@ -152,3 +152,31 @@ def test_stats_survive_in_manifest_json(spark, table):
     snap = table.snapshot()
     (d,) = snap["dirs"]
     assert snap["stats"][d]["k"] == [3, 9]
+
+
+def test_deletion_vectors_merge_on_read(spark, table):
+    """DELETE commits no data rewrite; tombstones are scoped to the
+    dirs that existed at delete time, so a later re-insert of the same
+    key is visible; purge folds DVs in and vacuum reclaims the
+    tombstone + shadowed dirs."""
+    table.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    dirs_before = set(table.snapshot()["dirs"])
+
+    table.delete_keys(_df(spark, [(2, None)]).select("k"), "k")
+    snap = table.snapshot()
+    assert set(snap["dirs"]) == dirs_before  # data untouched
+    assert len(snap["dv"]) == 1
+    assert {r["k"] for r in table.read(SCHEMA).collect()} == {1, 3}
+
+    # re-insert AFTER the delete: new dir is not covered by the DV
+    table.append(_df(spark, [(2, "b2")]))
+    got = {(r["k"], r["v"]) for r in table.read(SCHEMA).collect()}
+    assert got == {(1, "a"), (3, "c"), (2, "b2")}
+
+    # purge materializes the DV-applied state; vacuum reclaims the
+    # tombstone dir and the two pre-purge data dirs
+    table.purge_deletes(SCHEMA)
+    assert table.snapshot()["dv"] == []
+    removed = table.vacuum()
+    assert len(removed) == 3
+    assert {(r["k"], r["v"]) for r in table.read(SCHEMA).collect()} == got
