@@ -365,3 +365,43 @@ def win_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST(n * 1000000 DIV row_total AS BIGINT)").alias("p_x1e6"),
     )
+
+
+# ------------------------------------------------- distribution windows
+
+
+@query(
+    "b_win_dist",
+    """
+    SELECT o_orderkey,
+           o_orderstatus,
+           ntile(10) OVER w AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-window family (ntile / percent_rank /
+    cume_dist) completing the window surface next to rank/lag/frames/
+    top-k.  Determinism is the whole trick: the ORDER BY carries the
+    unique orderkey as tie-break, so the bucket boundaries and both
+    rank ratios are the same on any engine and partition order;
+    percent_rank = (rank-1)/(n-1) and cume_dist = rank/n are single
+    IEEE divisions of exact ints — identical bits on Spark and DuckDB.
+    One shuffle on the partition key, as for every window op."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.round(F.col("o_totalprice") * 100).cast("long"), "o_orderkey")
+    )
+    return orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
