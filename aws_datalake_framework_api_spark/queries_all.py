@@ -25,8 +25,9 @@ window is rebuilt so that
    winnowing, BPE bounds, bitmap distinct, GROUPING SETS, DPP, Q4,
    PCA variance) — without a slot they would end the round with no
    external evidence at all, which is weaker than a stale row;
-5. everything r3 just hash-proved and unchanged — last (rotated out;
-   ``tools/verify_local.py`` keeps local coverage of all 164).
+5. everything r3 just hash-proved and unchanged — last (rotated out),
+   followed by operators registered after this list was drawn up;
+   ``tools/verify_local.py`` keeps local coverage of every id.
 """
 
 from __future__ import annotations
