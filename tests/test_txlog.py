@@ -180,3 +180,20 @@ def test_deletion_vectors_merge_on_read(spark, table):
     removed = table.vacuum()
     assert len(removed) == 3
     assert {(r["k"], r["v"]) for r in table.read(SCHEMA).collect()} == got
+
+
+def test_dv_read_is_broadcast_anti_join(spark, table):
+    """The merge-on-read cost model in-plan: tombstones apply as a
+    BROADCAST anti-join (the tombstone side is small by design) — a
+    shuffled anti-join would tax every read with a full-data exchange."""
+    import contextlib
+    import io
+
+    table.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    table.delete_keys(_df(spark, [(2, None)]).select("k"), "k")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        table.read(SCHEMA).explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
