@@ -819,3 +819,30 @@ def agg_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(HH_M)
     )
+
+
+# ----------------------------------------------------------- listagg
+
+
+@query(
+    "b_agg_listagg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with a deterministic ORDER BY — the
+    group→delimited-string surface (report/export queries).  Spark has
+    no ordered string_agg aggregate, so the exhibit composes it as
+    collect_list → array_sort → array_join, which is semantically the
+    ordered LISTAGG and keeps the aggregation mergeable (partials are
+    arrays; the sort runs once per group at the end).  Group values
+    must be sorted explicitly BECAUSE partial-agg arrival order is
+    nondeterministic — the same reason the money sums snap to a grid."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
