@@ -128,3 +128,268 @@ def sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim is broadcast.  Same byte-identical text runs on DuckDB."""
     register_views(spark, sf_dir)
     return spark.sql(_Q17_SQL)
+
+
+# ----------------------------------------------------------------------
+# Round-4 widening: the remaining classic TPC-H plan shapes, adapted to
+# the fixture's columns (no partsupp / phone / commitdate columns — see
+# TESTDATA.md), all as dialect-shared text.  Determinism rules as
+# above: money snaps to a 10^-4 (or cent) grid BEFORE any sum, LIMITs
+# carry a full tiebreak key, and aggregate output types are pinned with
+# explicit CASTs so Spark and DuckDB agree bit-for-bit.
+
+# TPC-H Q5 shape (local-supplier volume): the five-way snowflake join
+# with the extra NON-hierarchical equality s_nationkey = c_nationkey —
+# the constraint that makes Q5 famously join-order-sensitive.
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT))
+            / 10000.0 AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("b_sql_q5", _Q5_SQL)
+def sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped snowflake join as raw SQL.  The plan to want
+    at 100 TB: region/nation/supplier/customer are broadcast (all far
+    under the 10 MB default threshold even at sf100k), so the only
+    shuffle is lineitem⋈orders on orderkey; the s_nationkey =
+    c_nationkey residual is evaluated inside the broadcast-hash probe,
+    never as a separate exchange.  Catalyst's join reordering is what
+    this exhibit trusts — the SQL lists joins in 'logical' order and
+    the optimizer is free to pick the cheap one (CBO/AQE at scale)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
+
+
+# TPC-H Q7 shape (volume shipping between two nations): dual aliases
+# of the SAME dim table (nation n1/n2) + a symmetric OR pair filter +
+# per-year rollup — the self-referential-dim pattern.
+_Q7_SQL = """
+SELECT supp_nation,
+       cust_nation,
+       l_year,
+       CAST(sum(vol_e4) / 10000.0 AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM (SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT) AS vol_e4
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01') AS shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("b_sql_q7", _Q7_SQL)
+def sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped dual-dim-alias query as raw SQL.  nation is
+    joined TWICE under different aliases; both instances broadcast, so
+    the nation-pair OR filter runs inside the probe side of the
+    broadcast joins and prunes before the orderkey shuffle.  The year
+    is pinned to INT via CAST in the shared text (Spark EXTRACT yields
+    INT, DuckDB BIGINT — the cast removes the only schema divergence)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+# TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+# with an ON-clause-only predicate (NOT a WHERE — moving it would drop
+# the zero-order customers Q13 exists to count) + double aggregation.
+_Q13_SQL = """
+SELECT c_count,
+       count(*) AS custdist
+FROM (SELECT c_custkey,
+             count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey
+       AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) AS c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("b_sql_q13", _Q13_SQL)
+def sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped outer-join histogram as raw SQL.  The
+    ON-clause residual is the semantic exhibit: the priority filter
+    must NOT eliminate customers, only their matches — a WHERE would
+    change the answer.  Plan at scale: one shuffle on custkey for the
+    outer join + first groupBy (same key, so AQE coalesces them), then
+    the tiny c_count histogram re-aggregates near-free; count(col) vs
+    count(*) null-skipping is the second semantic pin."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
+
+
+# TPC-H Q15 shape (top supplier): CTE reused twice — once as the join
+# input, once inside a scalar MAX subquery.  Revenue stays ON the e4
+# integer grid through the max-equality comparison (exact, no float
+# ties), converting to DOUBLE only for display.
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT))
+               AS total_rev_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey)
+SELECT s_suppkey,
+       s_name,
+       CAST(total_rev_e4 / 10000.0 AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("b_sql_q15", _Q15_SQL)
+def sql_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped CTE + scalar-subquery query as raw SQL.  The
+    `revenue` CTE appears twice; Spark plans it twice (cheap: one
+    lineitem scan each with the same pushed date filter) and folds the
+    scalar max into a single-row broadcast — at 100 TB you'd CACHE the
+    CTE or let AQE reuse the exchange, both of which this plan shape
+    permits because the two uses share partitioning on suppkey.  The
+    argmax-by-equality keeps ALL tied suppliers (exact on the integer
+    grid), which is Q15's documented tie rule."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
+# TPC-H Q18 shape (large-quantity orders): IN over a GROUP BY ...
+# HAVING subquery on the fact table itself.  l_quantity is
+# integer-valued in the fixture (Q17's note), so the per-order sums
+# are exact BIGINTs and the >250 threshold cannot flip between
+# engines.
+_Q18_SQL = """
+SELECT c_name,
+       c_custkey,
+       o_orderkey,
+       o_orderdate,
+       o_totalprice,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey
+                     FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@query("b_sql_q18", _Q18_SQL)
+def sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped IN-subquery query as raw SQL.  Catalyst
+    rewrites the IN over the HAVING aggregate into a LEFT SEMI join
+    against the aggregated orderkey set — both sides shuffle on
+    orderkey, the same key the outer join and final groupBy use, so
+    the whole pipeline is ONE partitioning end-to-end (no re-shuffle
+    between the semi-join, the 3-way join, and the rollup).  That
+    key-reuse is exactly what survives a 100× scale-up.  LIMIT rides
+    TakeOrderedAndProject with o_orderkey as the tiebreak."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
+# TPC-H Q19 shape (disjunctive predicate): three OR'd conjunct groups
+# mixing dim (brand/size) and fact (quantity) columns — the exhibit
+# for CNF extraction: the optimizer must still push the common
+# l_quantity bounds and brand IN-list down through the OR.
+_Q19_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT))
+            / 10000.0 AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity >= 1  AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@query("b_sql_q19", _Q19_SQL)
+def sql_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-pushdown query as raw SQL.  The
+    scale question is whether the OR blocks the scan filters: Spark
+    extracts the cross-branch implications (l_quantity BETWEEN 1 AND
+    30 pushes to the lineitem scan; the brand IN-list and p_size <= 15
+    push to the part scan) so the broadcast-hash join probes a
+    pre-filtered fact, not the raw table.  One aggregate row out — the
+    whole query is a map-side filter + broadcast probe + global agg,
+    zero wide shuffles."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)
+
+
+# TPC-H Q22 shape (dormant high-balance customers): NOT EXISTS
+# anti-join + an uncorrelated scalar AVG subquery, adapted to the
+# fixture (no c_phone → the 'country code' is the custkey's last
+# digit; every customer has SOME order → dormancy is 'no order since
+# 2000-06-01').  The balance/avg comparison runs on the exact cent
+# grid on BOTH sides so no float rounding can flip a row.
+_Q22_SQL = """
+SELECT cntrycode,
+       count(*) AS numcust,
+       CAST(sum(bal_cents) / 100.0 AS DOUBLE) AS totacctbal
+FROM (SELECT CAST(c_custkey % 10 AS INT) AS cntrycode,
+             CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents,
+             c_custkey
+      FROM customer
+      WHERE c_custkey % 10 IN (1, 2, 3, 4, 5)
+        AND CAST(round(c_acctbal * 100.0) AS BIGINT) > (
+            SELECT CAST(sum(CAST(round(c2.c_acctbal * 100.0) AS BIGINT)) AS DOUBLE)
+                   / count(*)
+            FROM customer c2
+            WHERE c2.c_acctbal > 0.0
+              AND c2.c_custkey % 10 IN (1, 2, 3, 4, 5))
+        AND NOT EXISTS (SELECT 1
+                        FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-06-01')) AS custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@query("b_sql_q22", _Q22_SQL)
+def sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped anti-join query as raw SQL.  Three decorrelation
+    moves in one statement: the scalar AVG folds to a one-row broadcast,
+    the NOT EXISTS becomes a LEFT ANTI join on custkey against the
+    date-filtered orders (filter pushed BELOW the anti-join — only
+    recent orders shuffle), and the final rollup groups the tiny
+    survivor set.  At 100 TB the anti-join is the only wide edge and
+    both sides are pre-filtered; cent-grid comparison keeps the
+    avg-threshold semantics bit-stable across engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)

@@ -321,3 +321,43 @@ def test_editdist_join_is_equi_not_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_join_editdist")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_q5_broadcasts_all_dims(spark, sf_dir):
+    """Q5's snowflake: region/nation/supplier/customer all broadcast —
+    the only wide edge allowed is lineitem⋈orders on orderkey."""
+    plan = _plan(spark, sf_dir, "b_sql_q5")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q13_keeps_outer_join_residual(spark, sf_dir):
+    """The priority filter must ride the join condition, not a scan
+    filter on orders' WHERE — pushing it as a post-join filter would
+    drop zero-order customers.  Plan check: the orders scan keeps the
+    priority predicate (pushable — it only trims matches) but the join
+    must be LeftOuter, never Inner."""
+    plan = _plan(spark, sf_dir, "b_sql_q13")
+    assert "LeftOuter" in plan, plan
+
+
+def test_sql_q19_pushes_disjunctive_bounds(spark, sf_dir):
+    """CNF extraction: the common l_quantity bounds implied by the
+    three OR branches must reach the lineitem parquet scan as pushed
+    min/max filters — a plan that filters only post-join re-reads the
+    whole fact table."""
+    plan = _plan(spark, sf_dir, "b_sql_q19")
+    assert "BroadcastHashJoin" in plan, plan
+    scan = plan.split("PushedFilters", 2)
+    assert len(scan) >= 2, plan
+    assert "GreaterThanOrEqual(l_quantity,1.0" in plan, plan
+
+
+def test_sql_q22_anti_join_not_loop(spark, sf_dir):
+    """NOT EXISTS must decorrelate to a LEFT ANTI equi-join on custkey
+    with the date filter pushed below it; the scalar AVG folds to a
+    subquery broadcast, not a per-row probe."""
+    plan = _plan(spark, sf_dir, "b_sql_q22")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
