@@ -1,0 +1,149 @@
+"""Operational / maintenance queries (SURVEY.md §2 Tier B adjacents):
+the jobs a lake team runs ABOUT its tables, not on behalf of an
+analyst — skew diagnostics before a big join, incremental
+materialized-view maintenance instead of full recompute, and
+snapshot-to-snapshot data diffing for reconciliation.  All three are
+exact-integer (or selection-only) plans with full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources.readers import register_views
+
+# ---------------------------------------------------------------- skew report
+
+# Key-frequency histogram on log2 buckets.  THE pre-flight check
+# before shuffling 100 TB on a key: one partial-aggregatable groupBy
+# over the fact gives per-key counts, then a second (tiny — one row
+# per distinct key) groupBy folds them into ~40 histogram rows.  A
+# max bucket far above the median bucket is the salting signal
+# (`b_join_salted` / `b_agg_salted` are the remedies this report
+# triggers).  log2 of an exact integer count is exact at every power
+# of two, so the floor cannot straddle an ulp between engines.
+_SKEW_SQL = """
+SELECT CAST(floor(log2(cnt)) AS INT) AS bucket_log2,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(max(cnt) AS BIGINT) AS max_key_rows
+FROM (SELECT user_id, count(*) AS cnt
+      FROM events
+      GROUP BY user_id) AS per_key
+GROUP BY CAST(floor(log2(cnt)) AS INT)
+"""
+
+
+@query("b_diag_skew", _SKEW_SQL)
+def diag_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report for events.user_id: how many keys and
+    rows land in each power-of-two frequency bucket, plus the heaviest
+    key's row count.  Cost = one map-combinable aggregate of the fact
+    + one aggregate of key-cardinality-sized data; output is O(log n)
+    rows regardless of scale."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SKEW_SQL)
+
+
+# ------------------------------------------------- incremental MV maintenance
+
+# Materialized-view delta maintenance: the monthly-rollup MV is
+# 'current' through the cutoff; a new micro-batch arrives; the
+# refreshed MV is state ⊎ batch-aggregate — two partial aggregates
+# merged by key, NEVER a rescan of history.  Counts and cent-grid
+# sums are the classic self-maintainable aggregates (avg derives as
+# sum/count downstream; min/max would need the deletion log).  The
+# oracle recomputes the rollup from scratch — equality of the two IS
+# the incremental-maintenance correctness statement.
+_MV_CUTOFF = "TIMESTAMP '2000-01-01'"
+
+_MV_SQL = """
+SELECT event_type,
+       CAST(date_trunc('month', ts) AS DATE) AS month,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS DOUBLE)
+           AS total_value
+FROM events
+GROUP BY event_type, CAST(date_trunc('month', ts) AS DATE)
+"""
+
+
+@query("b_mv_incremental", _MV_SQL)
+def mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained monthly rollup: aggregate the
+    pre-cutoff state and the post-cutoff batch SEPARATELY, then merge
+    by (type, month) — the union re-aggregates rollup-sized inputs,
+    so refresh cost is O(state + batch), independent of history
+    depth.  At 100 TB this is the difference between a nightly
+    full-table job and a minutes-long merge; the cent-grid BIGINT
+    sums make the merge bit-identical to the oracle's from-scratch
+    recompute under ANY partial-aggregation order."""
+    register_views(spark, sf_dir)
+    part = """
+        SELECT event_type,
+               CAST(date_trunc('month', ts) AS DATE) AS month,
+               count(*) AS n,
+               sum(CAST(round(value * 100.0) AS BIGINT)) AS cents
+        FROM events WHERE ts {op} {cutoff}
+        GROUP BY event_type, CAST(date_trunc('month', ts) AS DATE)
+    """
+    state = part.format(op="<", cutoff=_MV_CUTOFF)
+    batch = part.format(op=">=", cutoff=_MV_CUTOFF)
+    return spark.sql(f"""
+        SELECT event_type,
+               month,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(cents) / 100.0 AS DOUBLE) AS total_value
+        FROM (({state}) UNION ALL ({batch})) AS partials
+        GROUP BY event_type, month
+    """)
+
+
+# ---------------------------------------------------------------- table diff
+
+# Snapshot reconciliation: classify every key of two table versions
+# as added / removed / changed / unchanged and report counts — the
+# data-diff audit that backs migration sign-off and replication
+# checks.  The synthetic snapshots below derive DETERMINISTICALLY
+# from the orders fixture (drop-by-modulus + a point mutation), so
+# both engines build identical inputs from the shared parquet.
+_DIFF_SQL = """
+WITH snap_a AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 50 <> 0
+),
+snap_b AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+           o_totalprice
+    FROM orders WHERE o_orderkey % 73 <> 0
+)
+SELECT change_class,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM (SELECT CASE
+                 WHEN a.o_orderkey IS NULL THEN 'added'
+                 WHEN b.o_orderkey IS NULL THEN 'removed'
+                 WHEN a.o_orderstatus <> b.o_orderstatus
+                   OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+                 ELSE 'unchanged'
+             END AS change_class
+      FROM snap_a a
+      FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey) AS classified
+GROUP BY change_class
+"""
+
+
+@query("b_diff_snapshot", _DIFF_SQL)
+def diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot diff summary over orders.  Plan: ONE full outer
+    sort-merge join on the primary key (both snapshots shuffle once on
+    o_orderkey), per-row classification in codegen, then a 4-row
+    aggregate — cost is a single co-partitioned pass regardless of
+    table width; at 100 TB you'd bucket both snapshots on the key and
+    the exchange disappears entirely (`b_join_bucketed` shows that
+    plan).  Column comparisons are exact (selections of the same
+    parquet values, no arithmetic)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DIFF_SQL)

@@ -128,3 +128,99 @@ def ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_c",
         F.last("x_c", ignorenulls=True).over(w).alias("x_filled"),
     )
+
+
+# ---------------------------------------------------------------- EWMA
+
+# Bounded-lag exponentially-weighted moving average, alpha = 1/2.
+# The textbook recurrence y_n = a*y_{n-1} + (1-a)*x_n is sequential —
+# it cannot shuffle-parallelize and its unbounded weight product
+# drifts between engines.  The scale-safe form truncates the kernel
+# at K=8 lags (weights 2^-j are EXACT binary doubles; the j>=8 tail
+# contributes < 2^-7 of the mass) and renormalizes over the lags that
+# exist, so the whole operator is one window over (user, time) — a
+# single shuffle on user_id, embarrassingly parallel across users,
+# and bit-identical on any engine because every product and the
+# left-to-right addition chain is written out explicitly in the
+# shared text.
+_EWMA_LAGS = 8
+_EWMA_TERMS = " + ".join(
+    f"(CASE WHEN lag(value, {j}) OVER w IS NULL THEN 0.0 "
+    f"ELSE {0.5 ** j!r} * lag(value, {j}) OVER w END)"
+    for j in range(_EWMA_LAGS)
+)
+_EWMA_MASS = " + ".join(
+    f"(CASE WHEN lag(value, {j}) OVER w IS NULL THEN 0.0 "
+    f"ELSE {0.5 ** j!r} END)"
+    for j in range(_EWMA_LAGS)
+)
+_EWMA_SQL = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(CASE WHEN rn_last = 1 THEN ewma END) AS DOUBLE) AS ewma_now
+FROM (SELECT user_id,
+             ({_EWMA_TERMS}) / ({_EWMA_MASS}) AS ewma,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) AS smoothed
+GROUP BY user_id
+"""
+
+
+@query("b_ts_ewma", _EWMA_SQL)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of the event value stream, reported as the
+    latest smoothed level per user (the anomaly-detection / trend
+    primitive).  Shared-text SQL on both engines — see the kernel
+    notes above: one user_id shuffle, eight register-local lags, no
+    sequential recurrence, no float divergence.  The final
+    latest-row pick rides the SAME window partitioning (row_number
+    DESC on the (ts, event_id) unique key), so Spark plans a single
+    Exchange for both window functions."""
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EWMA_SQL)
+
+
+# ---------------------------------------------------------------- OHLC bars
+
+# Daily open-high-low-close resampling — the downsampling contract
+# every metrics store ships (TimescaleDB time_bucket + first/last,
+# kdb+ xbar).  open/close are SELECTIONS (first/last row by the
+# unique (ts, event_id) order), not sums — exact under any execution
+# order; high/low are min/max.  Nothing needs the cent grid.
+_OHLC_SQL = """
+SELECT event_type,
+       bar_day,
+       CAST(max(CASE WHEN rn_open  = 1 THEN value END) AS DOUBLE) AS open,
+       CAST(max(value) AS DOUBLE) AS high,
+       CAST(min(value) AS DOUBLE) AS low,
+       CAST(max(CASE WHEN rn_close = 1 THEN value END) AS DOUBLE) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS bar_day,
+             value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events) AS ticks
+GROUP BY event_type, bar_day
+"""
+
+
+@query("b_ts_resample", _OHLC_SQL)
+def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC downsampling of the events feed per type — raw
+    ticks in, one bar row per (type, day) out.  Plan shape: both
+    row_numbers and the final groupBy share the (event_type, day)
+    key, so Spark plans ONE exchange on the bucket key, sorts once
+    per direction, and the aggregate is map-side-combinable; output
+    is rollup-sized (types × days), which is what makes resampling
+    the standard first move against a 100 TB tick table."""
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_OHLC_SQL)

@@ -10,24 +10,24 @@ UDF/landing query without a correctness row.  So the dict is rebuilt
 below with:
 
 Round-4 rotation (VERDICT r3 items #1/#3/#6): after three rounds the
-union of driver rows covers all r3 ids; the debt is FRESHNESS.  The
-window is rebuilt so that
+union of driver rows covers all 110 r3 ids, but round 4 added ~77
+new operators — so the scarce resource is FIRST rows, not freshness.
+The window is rebuilt so that (see the section comments in _ORDER):
 
-1. ids whose code CHANGED this round — the emb_quant canon fix, the
-   mm_features codec defusal + new oracle, the agg_approx/hll_parts
-   scorecard rework, the contrastive overflow fix, the five NEW
-   recall-gate companions — first (newest code gets external rows);
-2. ids whose latest driver row is round 1 (15 ids: the VERDICT r3
-   "stale verification" list) plus b_join_star/b_agg_q1 (r2) — next;
-3. r2-proven ids never re-checked in r3 (catalog family — whose
-   backend CHANGED to the txlog path this round) next;
-4. nine NEW round-4 flagship operators with exact oracles (lake ACID,
-   winnowing, BPE bounds, bitmap distinct, GROUPING SETS, DPP, Q4,
-   PCA variance) — without a slot they would end the round with no
-   external evidence at all, which is weaker than a stale row;
-5. everything r3 just hash-proved and unchanged — last (rotated out),
-   followed by operators registered after this list was drawn up;
-   ``tools/verify_local.py`` keeps local coverage of every id.
+1. previously-checked ids whose code changed this round — first;
+2. the catalog family, whose storage backend switched to the txlog
+   ACID path this round;
+3. never-driver-checked round-4 operators with exact oracles (lake
+   ACID, recall scorecards, the widened TPC-H surface, sources /
+   time-series / maintenance, pipeline ops);
+4. never-checked rows-only flagships (BPE, SemDeDup, PCA, token-mix);
+   — the 50-entry boundary falls here —
+5. the rest of the never-checked additions (round-5 window fodder);
+6. the r1-stale refresh list (displaced this round: a stale green row
+   beats a missing row, so never-checked ids outrank them);
+7. everything r2/r3-proved and unchanged, in registration order.
+``tools/verify_local.py`` keeps local coverage of every id every
+round.
 """
 
 from __future__ import annotations
@@ -62,6 +62,7 @@ from . import catalog_queries as _catalog_queries  # noqa: F401  A1-A9
 from .operators import udfs as _udfs  # noqa: F401  B10
 from .operators import sql_surface as _sql_surface  # noqa: F401  SQL facade
 from .operators import quality as _quality  # noqa: F401  asset expectations
+from .operators import maintenance as _maintenance  # noqa: F401  ops/MV/diff
 from .sources import landing as _landing  # noqa: F401  B1
 from .sources import lake as _lake  # noqa: F401  B1 lake-scale MERGE
 from . import envelope as _envelope  # noqa: F401  A11
@@ -69,30 +70,124 @@ from . import envelope as _envelope  # noqa: F401  A11
 #: Explicit export order (see module docstring).  Ids listed here but
 #: not registered are skipped; registered ids not listed append last.
 _ORDER = [
-    # -- 1. code that CHANGED in round 4 (canon fix, codec defusal,
-    #    scorecard reworks, overflow fix, new recall companions)
+    # ==================================================================
+    # 50-ENTRY DRIVER WINDOW — round-4 final allocation.  187 ids now
+    # exist and 77 have never received a driver row, so the window
+    # maximizes NEVER-CHECKED coverage: a stale-but-green row is
+    # stronger evidence than no row at all, so stale ids yield their
+    # slots and re-verify in round 5 (they remain covered every round
+    # by tools/verify_local.py, which runs the driver's own gate
+    # logic).
+    # -- 1. previously-checked ids whose CODE CHANGED in round 4
+    #    (canon fix, codec defusal, scorecard reworks, overflow fix,
+    #    landing-schema fallback): newest code gets external rows.
     "b_llm_emb_quant",
     "b_mm_features",
     "b_agg_approx",
     "b_agg_hll_parts",
     "b_llm_contrastive",
+    "b_stream_ingest",
+    # -- 2. catalog family: r2-proven but the BACKEND changed this
+    #    round (parquet-rewrite -> txlog ACID path), so the green rows
+    #    on record prove the old code.
+    "a1_event_append",
+    "a2_event_update",
+    "a7_catalog_read",
+    "a8_catalog_update",
+    "a9_catalog_delete",
+    # -- 3. never-driver-checked round-4 operators with exact oracles,
+    #    flagships first: lake ACID table format,
+    "b_lake_upsert",
+    "b_lake_cdc",
+    "b_lake_compact",
+    "b_lake_timetravel",
+    "b_lake_vacuum",
+    "b_lake_skipping",
+    "b_lake_deletevec",
+    #    approx-family recall scorecards (VERDICT r3 item #6),
     "b_llm_knn_lsh_recall",
     "b_llm_knn_ivf_recall",
     "b_llm_neardup_lsh_recall",
     "b_llm_dedup_minhash_recall",
     "b_llm_dedup_simhash64_recall",
-    "b_lake_upsert",
+    #    the widened TPC-H SQL surface,
+    "b_sql_q4",
+    "b_sql_q5",
+    "b_sql_q7",
+    "b_sql_q13",
+    "b_sql_q15",
+    "b_sql_q17",
+    "b_sql_q18",
+    "b_sql_q19",
+    "b_sql_q22",
+    #    sources / time-series / maintenance,
+    "b_scan_orc",
+    "b_scan_text",
+    "b_ts_ewma",
+    "b_ts_resample",
+    "b_diag_skew",
+    "b_mv_incremental",
+    "b_diff_snapshot",
+    #    and the remaining high-value pipeline ops.
+    "b_llm_pii",
+    "b_quality_checks",
+    "b_stream_sjoin",
+    "b_stream_upsert",
     "b_llm_bloom_gate",
     "b_llm_dedup_chunks",
-    "b_llm_pii",
-    "b_stream_sjoin",
-    "b_quality_checks",
-    "b_lake_cdc",
-    "b_lake_compact",
+    # -- 4. never-checked rows-only flagships (BPE trainer/encoder,
+    #    SemDeDup, PCA, token-mix): the driver records a rows-only
+    #    check — weak, but better than no external evidence; each is
+    #    pinned against an exact twin in pytest.
+    "b_llm_bpe_train",
+    "b_llm_bpe_encode",
+    "b_llm_dedup_semantic",
+    "b_llm_pca",
+    "b_llm_mix_tokens",
+    # ---- 50-entry window boundary falls here (ids above get driver
+    #      rows; everything below relies on verify_local this round) --
+    # -- 5. rolls over to the ROUND-5 window: the rest of the
+    #    never-checked round-4 additions ...
+    "b_agg_bitmap",
+    "b_agg_gsets",
+    "b_agg_heavyhitters",
+    "b_agg_histogram",
+    "b_agg_listagg",
+    "b_agg_mode",
+    "b_agg_regression",
+    "b_agg_salted",
+    "b_fn_bitwise",
+    "b_fn_struct",
+    "b_fn_url",
+    "b_fn_variant",
+    "b_fn_winsorize",
+    "b_fn_xml",
+    "b_gen_synthetic",
+    "b_join_dpp",
+    "b_join_editdist",
+    "b_join_range_grid",
+    "b_join_shj",
+    "b_llm_bpe_bounds",
     "b_llm_bpe_pairs",
-    "b_stream_ingest",
-    # -- 2. latest driver row is ROUND 1 (VERDICT r3 stale list),
-    #    + b_join_star / b_agg_q1 (last proven r2)
+    "b_llm_chunk_rag",
+    "b_llm_curation_funnel",
+    "b_llm_dedup_semantic_recall",
+    "b_llm_dedup_winnow",
+    "b_llm_pca_var",
+    "b_llm_rp",
+    "b_llm_shards",
+    "b_llm_surprisal2",
+    "b_llm_tfidf",
+    "b_mm_resize",
+    "b_sessionize",
+    "b_ts_gapfill",
+    "b_ts_locf",
+    "b_udf_grouped_agg",
+    "b_win_dist",
+    "b_win_transitions",
+    "b_win_zscore",
+    # -- 6. ... then the r1-stale refresh list (VERDICT r3 item #3,
+    #    displaced from this round's window by the never-checked ids),
     "b_fn_null",
     "b_fn_map",
     "b_fn_explode",
@@ -109,113 +204,8 @@ _ORDER = [
     "b_llm_neardup_cosine",
     "b_join_star",
     "b_agg_q1",
-    # -- 3. r2-proven ids not re-checked in r3 (oldest evidence fills
-    #    the rest of the 50-entry window)
-    "a7_catalog_read",
-    "a8_catalog_update",
-    "a9_catalog_delete",
-    "a1_event_append",
-    "a2_event_update",
-    # -- 3b. NEW round-4 operators with exact oracles that would
-    #    otherwise never earn an external row this round (the r2-proven
-    #    streaming family they displace is unchanged-but-for-hygiene and
-    #    stays covered by verify_local + pytest):
-    "b_lake_timetravel",
-    "b_lake_vacuum",
-    "b_llm_dedup_winnow",
-    "b_llm_bpe_bounds",
-    "b_agg_bitmap",
-    "b_agg_gsets",
-    "b_join_dpp",
-    "b_sql_q4",
-    "b_llm_pca_var",
-    # ---- 50-entry window boundary falls here (ids above get driver
-    #      rows; everything below relies on verify_local this round) --
-    "b_scan_json",
-    "b_sink_part",
-    "b_stream_tumble",
-    "b_stream_slide",
-    "b_stream_session",
-    "b_stream_watermark",
-    "b_stream_dedup",
-    "b_stream_stateful",
-    "b_stream_join",
-    # -- 4. r2-proven remainder, then everything r3 hash-proved and
-    #    unchanged this round (rotated out)
-    "b_udf_scalar",
-    "b_udf_pandas",
-    "b_udf_grouped",
-    "b_llm_knn",
-    "b_llm_knn_lsh",
-    "b_llm_knn_ivf",
-    "b_llm_join_modal",
-    "b_fn_mask",
-    "b_envelope",
-    "b_win_rank",
-    "b_project",
-    "b_filter_pred",
-    "b_fn_string",
-    "b_llm_dedup_exact",
-    "b_join_bcast",
-    "b_join_smj",
-    "b_join_asof",
-    "b_join_range",
-    "b_agg_rollup",
-    "b_agg_pivot",
-    "b_win_topk",
-    "b_sort",
-    "b_set_union",
-    "b_dedup_exact",
-    "b_fn_date",
-    "b_fn_math",
-    "b_fn_hash",
-    "b_case_when",
-    "b_llm_dedup_fuzzy",
-    "a6_catalog_create",
-    "b_fn_json",
-    "b_agg_quantiles",
-    "b_funnel",
-    "b_retention",
-    "b_join_salted",
-    "b_sink_zorder",
-    "b_scan_evolve",
-    "b_scan_csv",
-    "b_llm_dedup_ngram",
-    "b_llm_dedup_minhash",
-    "b_llm_dedup_simhash",
-    "b_llm_dedup_simhash64",
-    "b_llm_dedup_clusters",
-    "b_llm_dedup_incr",
-    "b_llm_decontaminate",
-    "b_llm_curation",
-    "b_llm_neardup_lsh",
-    "b_llm_pack",
-    "b_llm_repetition",
-    "b_llm_sample",
-    "b_llm_sample_exact",
-    "b_llm_split_leakage",
-    "b_llm_mix",
-    "b_llm_mix_epochs",
-    "b_llm_len_buckets",
-    "b_llm_shuffle",
-    "b_llm_surprisal",
-    "b_llm_boilerplate",
-    "b_llm_blocklist",
-    "b_llm_dup_stats",
-    "b_sql_q3",
-    "b_mm_meta",
-    "b_mm_framesample",
-    "b_join_outer",
-    "b_join_semi",
-    "b_join_anti",
-    "b_join_cross",
-    "b_topk",
-    "b_set_intersect",
-    "b_set_except",
-    "b_agg_distinct",
-    "b_agg_cube",
-    "b_agg_collect",
-    "b_win_lag",
+    # -- 7. everything already hash-proved in r2/r3 and unchanged —
+    #    last; registration order fills in any id not listed here.
 ]
 
 

@@ -362,3 +362,72 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice").alias("total_price"),
         )
     )
+
+
+_ORC_SCHEMA = (
+    "s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+)
+
+
+@query(
+    "b_scan_orc",
+    f"""
+    SELECT s_nationkey, count(*) AS n, {sql_money_sum('s_acctbal')} AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC landing roundtrip — the second columnar lake format Spark
+    ships natively (Hive-lineage lakes land ORC where parquet isn't
+    the house standard).  Same contract as the parquet sinks: write
+    supplier as ORC, ingest with an explicit schema (no inference
+    pass), aggregate; the oracle computes the identical aggregate
+    from the parquet fixture, so any type loss in the ORC
+    writer/reader pair fails the hash compare.  ORC carries the same
+    min/max stripe statistics parquet does, so predicate pushdown and
+    column pruning work identically (`spark.read.orc` plans a
+    FileScan orc with PushedFilters) — at 100 TB the format choice is
+    ecosystem, not capability."""
+    path = _scratch("supplier_orc")
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    back = spark.read.schema(_ORC_SCHEMA).orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"), money_sum("s_acctbal").alias("total_bal")
+    )
+
+
+@query(
+    "b_scan_text",
+    f"""
+    SELECT p_brand, count(*) AS n, {sql_money_sum('p_retailprice')} AS total_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text landing with schema-on-read — the lowest common
+    denominator feed (application logs, legacy exports): write part as
+    tab-delimited lines via ``concat_ws``, read back with
+    ``spark.read.text`` (one ``value`` column), then parse by
+    splitting and casting per field.  Doubles survive because Spark
+    prints shortest-roundtrip decimals and the cast parses them back
+    exactly.  The parse is whole-stage-codegen'd column ops — no UDF —
+    so at 100 TB the text decode runs at scan speed; the exhibit's
+    point is that 'unstructured' ingestion still yields a typed,
+    prunable DataFrame one ``split`` away."""
+    path = _scratch("part_text")
+    load_table(spark, sf_dir, "part").select(
+        F.concat_ws(
+            "\t", "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+            "p_retailprice",
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    parsed = back.select(
+        parts.getItem(0).cast("long").alias("p_partkey"),
+        parts.getItem(2).alias("p_brand"),
+        parts.getItem(5).cast("double").alias("p_retailprice"),
+    )
+    return parsed.groupBy("p_brand").agg(
+        F.count("*").alias("n"), money_sum("p_retailprice").alias("total_price")
+    )
