@@ -63,6 +63,7 @@ from .operators import udfs as _udfs  # noqa: F401  B10
 from .operators import sql_surface as _sql_surface  # noqa: F401  SQL facade
 from .operators import quality as _quality  # noqa: F401  asset expectations
 from .operators import maintenance as _maintenance  # noqa: F401  ops/MV/diff
+from .operators import statistics as _statistics  # noqa: F401  stat tests
 from .sources import landing as _landing  # noqa: F401  B1
 from .sources import lake as _lake  # noqa: F401  B1 lake-scale MERGE
 from . import envelope as _envelope  # noqa: F401  A11
@@ -148,6 +149,9 @@ _ORDER = [
     #      rows; everything below relies on verify_local this round) --
     # -- 5. rolls over to the ROUND-5 window: the rest of the
     #    never-checked round-4 additions ...
+    "b_stat_chi2",
+    "b_stat_abtest",
+    "b_stat_corr",
     "b_agg_bitmap",
     "b_agg_gsets",
     "b_agg_heavyhitters",
