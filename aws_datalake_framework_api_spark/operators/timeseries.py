@@ -224,3 +224,60 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_OHLC_SQL)
+
+
+# ------------------------------------------------------------- rolling DAU
+
+# Rolling 7-day distinct users per day — the engagement metric whose
+# naive form (per-day COUNT(DISTINCT) over a 7-day self-join of raw
+# events) rescans the fact once per window day.  The scale-safe plan:
+# dedupe the fact ONCE to (day, user) pairs (a map-combinable
+# distinct, the only fact-sized step), then explode each pair into
+# the ≤7 window days it covers — a bounded ×7 fan-out of the
+# rollup — and count distinct per cover day.  COUNT(DISTINCT) over
+# the exploded rollup is Spark's standard two-phase expand, keyed on
+# (day, user): no single hot reducer.
+@query(
+    "b_ts_rolling_dau",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    )
+    SELECT g.day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS dau7
+    FROM (SELECT DISTINCT day FROM du) g
+    JOIN du u ON u.day <= g.day AND u.day >= g.day - 6
+    GROUP BY g.day
+    """,
+)
+def ts_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day.
+
+    The Spark side materializes the window membership by exploding
+    each (day, user) pair into cover days ``day .. day+6`` (sequence
+    + explode, integer date arithmetic) and counting distinct users
+    per cover day, restricted to days that actually appear in the
+    data — exactly the inner-join semantics of the oracle's
+    range-join formulation (DuckDB's DATE-int arithmetic isn't
+    portable SQL, so the two sides share semantics, not text).
+    Cost at 100 TB: one distinct of the fact + a ×7 rollup fan-out;
+    the naive 7-way self-join of raw events never happens."""
+    from ..sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    observed = du.select("day").distinct()
+    covered = du.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        covered.join(observed, "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("dau7"))
+    )

@@ -149,6 +149,7 @@ _ORDER = [
     #      rows; everything below relies on verify_local this round) --
     # -- 5. rolls over to the ROUND-5 window: the rest of the
     #    never-checked round-4 additions ...
+    "b_ts_rolling_dau",
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
