@@ -210,3 +210,69 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents_range("cents").alias("range_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------- UDTF
+
+
+@query(
+    "b_udf_table",
+    r"""
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(max(n_words) AS BIGINT) AS longest_words
+    FROM (SELECT d.doc_id,
+                 len(regexp_extract_all(seg.s, '\S+')) AS n_words
+          FROM documents d,
+               LATERAL (SELECT unnest(string_split(d.text, '.')) AS s) seg
+          WHERE trim(seg.s) <> ''
+            AND d.doc_id % 10 = 0) sentences
+    GROUP BY doc_id
+    """,
+)
+def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) — the FOURTH Python extension
+    point after scalar/pandas/grouped: one input row yields MANY
+    output rows, consumed with SQL ``LATERAL`` (the `flat_map` shape
+    built-ins express as explode, shown by the oracle's
+    unnest twin).  The UDTF splits each sampled document into
+    sentences and emits per-sentence word counts; the outer query
+    folds them back per doc, so the Python fan-out never leaves the
+    executor unaggregated.
+
+    Cost model, same ethos as the scalar exhibit: a UDTF is
+    row-at-a-time Python — at 100 TB this exact query should be the
+    explode/split builtin chain (which the DuckDB oracle spells);
+    reach for a UDTF only when the per-row expansion logic is real
+    Python (a parser, a tokenizer library) that no builtin
+    composition expresses."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, n_words int")
+    class SentenceSplit:
+        def eval(self, text):  # noqa: ANN001 — UDTF eval signature
+            idx = 0
+            for seg in (text or "").split("."):
+                if seg.strip():
+                    yield idx, len(re.findall(r"\S+", seg))
+                    idx += 1
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_sentences,
+               CAST(sum(n_words) AS BIGINT) AS total_words,
+               CAST(max(n_words) AS BIGINT) AS longest_words
+        FROM (SELECT d.doc_id, s.n_words
+              FROM documents d, LATERAL sentence_split(d.text) s
+              WHERE d.doc_id % 10 = 0) sentences
+        GROUP BY doc_id
+        """
+    )

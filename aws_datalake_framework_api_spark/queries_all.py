@@ -188,6 +188,7 @@ _ORDER = [
     "b_ts_gapfill",
     "b_ts_locf",
     "b_udf_grouped_agg",
+    "b_udf_table",
     "b_win_dist",
     "b_win_transitions",
     "b_win_zscore",
