@@ -56,7 +56,9 @@ def diag_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum/count downstream; min/max would need the deletion log).  The
 # oracle recomputes the rollup from scratch — equality of the two IS
 # the incremental-maintenance correctness statement.
-_MV_CUTOFF = "TIMESTAMP '2000-01-01'"
+# Two-thirds through the fixture's single observed month, so BOTH
+# partials are non-trivial (state ~2/3, batch ~1/3 of events).
+_MV_CUTOFF = "TIMESTAMP '2024-01-20'"
 
 _MV_SQL = """
 SELECT event_type,

@@ -25,23 +25,25 @@ from ..sources.readers import register_views
 
 # ---------------------------------------------------------------- chi-square
 
-# Independence test: is event_type distribution stable across months?
-# Contingency = type × month observed counts; expected = row·col/N;
+# Independence test: is event_type distribution stable across days of
+# the month?  (The fixture spans one calendar month, so day-of-month
+# gives a real 5×30 contingency where month would collapse to one
+# column and dof 0.)  Contingency = type × day observed counts; expected = row·col/N;
 # χ² = Σ (obs−exp)²/exp over cells, each contribution quantized to
 # 1e-6 before the (integer) sum.  Window sums build the marginals
 # without a second scan of the rollup.
 _CHI2_SQL = """
 WITH cells AS (
     SELECT event_type,
-           CAST(EXTRACT(month FROM ts) AS INT) AS month,
+           CAST(EXTRACT(day FROM ts) AS INT) AS dom,
            count(*) AS obs
     FROM events
-    GROUP BY event_type, CAST(EXTRACT(month FROM ts) AS INT)
+    GROUP BY event_type, CAST(EXTRACT(day FROM ts) AS INT)
 ),
 marg AS (
-    SELECT event_type, month, obs,
+    SELECT event_type, dom, obs,
            sum(obs) OVER (PARTITION BY event_type) AS row_tot,
-           sum(obs) OVER (PARTITION BY month)      AS col_tot,
+           sum(obs) OVER (PARTITION BY dom)        AS col_tot,
            sum(obs) OVER ()                        AS n
     FROM cells
 ),
@@ -51,11 +53,11 @@ contrib AS (
              * (CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE))
              / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE))
              * 1000000.0) AS BIGINT) AS contrib_e6,
-           event_type, month, n
+           event_type, dom, n
     FROM marg
 )
 SELECT CAST(sum(contrib_e6) / 1000000.0 AS DOUBLE) AS chi2,
-       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT month) - 1) AS BIGINT)
+       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dom) - 1) AS BIGINT)
            AS dof,
        CAST(max(n) AS BIGINT) AS n_events,
        CAST(count(*) AS BIGINT) AS n_cells
@@ -65,10 +67,10 @@ FROM contrib
 
 @query("b_stat_chi2", _CHI2_SQL)
 def stat_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """χ² independence test of event_type vs calendar month, as
+    """χ² independence test of event_type vs day-of-month, as
     dialect-shared SQL.  Scale shape: ONE map-combinable groupBy of
-    the fact builds the contingency (≤ types×12 rows); marginals are
-    window sums over that tiny rollup; the statistic folds ≤60
+    the fact builds the contingency (≤ types×31 rows); marginals are
+    window sums over that tiny rollup; the statistic folds ≤155
     quantized BIGINT cells — everything after the first aggregate is
     driver-trivial regardless of fact size.  See the module note for
     why the χ² sum runs on a 1e-6 integer grid."""

@@ -75,9 +75,78 @@ def main() -> None:
         "(FORMAT PARQUET)"
     )
 
+    # relational/events side (round-4 smoke extension): replicate the
+    # fact tables with key offsets so every join fan-out and per-key
+    # distribution is preserved exactly — 10× data, 10× real work.
+    # events: user_id offset per replica (10× users, same day span —
+    # rolling-DAU/corr work scales with users×days); event_id offset
+    # keeps the tiebreak key unique.
+    n_ev, n_usr = con.execute(
+        f"SELECT max(event_id) + 1, max(user_id) + 1 FROM '{SRC}/events.parquet'"
+    ).fetchone()
+    ev_parts = [
+        f"SELECT event_id + {k * n_ev} AS event_id, ts, "
+        f"user_id + {k * n_usr} AS user_id, event_type, value, props "
+        f"FROM '{SRC}/events.parquet'"
+        for k in range(replicas)
+    ]
+    con.execute(
+        f"COPY ({' UNION ALL '.join(ev_parts)}) TO '{out_root}/events.parquet' "
+        "(FORMAT PARQUET)"
+    )
+
+    # orders/lineitem/customer: one consistent key offset chain so
+    # c⋈o⋈l fan-outs replicate exactly.
+    n_ord, n_cust = con.execute(
+        f"SELECT max(o_orderkey) + 1, "
+        f"(SELECT max(c_custkey) + 1 FROM '{SRC}/customer.parquet') "
+        f"FROM '{SRC}/orders.parquet'"
+    ).fetchone()
+    cust_parts = [
+        f"SELECT c_custkey + {k * n_cust} AS c_custkey, c_name, c_nationkey, "
+        f"c_acctbal, c_mktsegment FROM '{SRC}/customer.parquet'"
+        for k in range(replicas)
+    ]
+    con.execute(
+        f"COPY ({' UNION ALL '.join(cust_parts)}) TO '{out_root}/customer.parquet' "
+        "(FORMAT PARQUET)"
+    )
+    ord_parts = [
+        f"SELECT o_orderkey + {k * n_ord} AS o_orderkey, "
+        f"o_custkey + {k * n_cust} AS o_custkey, o_orderstatus, o_totalprice, "
+        f"o_orderdate, o_orderpriority FROM '{SRC}/orders.parquet'"
+        for k in range(replicas)
+    ]
+    con.execute(
+        f"COPY ({' UNION ALL '.join(ord_parts)}) TO '{out_root}/orders.parquet' "
+        "(FORMAT PARQUET)"
+    )
+    li_parts = [
+        f"SELECT l_orderkey + {k * n_ord} AS l_orderkey, l_partkey, l_suppkey, "
+        f"l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+        f"l_returnflag, l_linestatus, l_shipdate FROM '{SRC}/lineitem.parquet'"
+        for k in range(replicas)
+    ]
+    con.execute(
+        f"COPY ({' UNION ALL '.join(li_parts)}) TO '{out_root}/lineitem.parquet' "
+        "(FORMAT PARQUET)"
+    )
+
+    # dims copied as-is so register_views finds every table
+    for t in ("region", "nation", "supplier", "part"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+            f"TO '{out_root}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
     d = con.execute(f"SELECT count(*) FROM '{out_root}/documents.parquet'").fetchone()[0]
     e = con.execute(f"SELECT count(*) FROM '{out_root}/embeddings.parquet'").fetchone()[0]
-    print(f"wrote {out_root}: documents={d} embeddings={e} ({replicas}x {SRC})")
+    ev = con.execute(f"SELECT count(*) FROM '{out_root}/events.parquet'").fetchone()[0]
+    li = con.execute(f"SELECT count(*) FROM '{out_root}/lineitem.parquet'").fetchone()[0]
+    print(
+        f"wrote {out_root}: documents={d} embeddings={e} events={ev} "
+        f"lineitem={li} ({replicas}x {SRC})"
+    )
 
 
 if __name__ == "__main__":

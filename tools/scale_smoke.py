@@ -43,6 +43,16 @@ SMOKE = [
     # bounded by k (candidates), not |vocab| — at 10× the word stream
     # the candidate recount should scale with the scan, not the vocab
     "b_agg_heavyhitters",
+    # round-4 session additions over the replicated fact tables:
+    # rolling-DAU's claim is distinct-once + ×7 rollup fan-out (never
+    # a 7-way raw self-join); corr's is that the pair join runs on
+    # rollup-sized data; Q18's is one orderkey partitioning end-to-end
+    # through semi-join + 3-way join + rollup; EWMA's is one user_id
+    # window shuffle.
+    "b_ts_rolling_dau",
+    "b_stat_corr",
+    "b_sql_q18",
+    "b_ts_ewma",
 ]
 
 
