@@ -584,3 +584,130 @@ def lake_deletevec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_data_dirs).cast("long").alias("n_data_dirs"),
         F.lit(n_vacuumed).cast("long").alias("n_vacuumed"),
     )
+
+
+# ------------------------------------------------- partition-spec evolution
+
+
+@query(
+    "b_lake_partevolve",
+    """
+    WITH sp AS (
+        SELECT CAST(CAST(min(ts) AS DATE)
+                    + CAST((CAST(max(ts) AS DATE) - CAST(min(ts) AS DATE)) // 2
+                           AS INTEGER)
+                    AS TIMESTAMP) AS split_ts
+        FROM events
+    ),
+    win AS (
+        SELECT split_ts - INTERVAL 3 DAY AS lo,
+               split_ts + INTERVAL 3 DAY AS hi,
+               split_ts
+        FROM sp
+    ),
+    coarse AS (
+        SELECT date_trunc('week', ts) AS pkey, min(ts) AS mn, max(ts) AS mx
+        FROM events WHERE ts < (SELECT split_ts FROM win)
+        GROUP BY date_trunc('week', ts)
+    ),
+    fine AS (
+        SELECT date_trunc('day', ts) AS pkey, min(ts) AS mn, max(ts) AS mx
+        FROM events WHERE ts >= (SELECT split_ts FROM win)
+        GROUP BY date_trunc('day', ts)
+    )
+    SELECT CAST((SELECT count(*) FROM coarse) + (SELECT count(*) FROM fine)
+               AS BIGINT) AS n_dirs_total,
+           CAST((SELECT count(*) FROM coarse
+                 WHERE NOT (mx < (SELECT lo FROM win) OR mn > (SELECT hi FROM win)))
+              + (SELECT count(*) FROM fine
+                 WHERE NOT (mx < (SELECT lo FROM win) OR mn > (SELECT hi FROM win)))
+               AS BIGINT) AS n_dirs_kept,
+           count(*) AS n_rows,
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS DOUBLE)
+               AS total_value
+    FROM events
+    WHERE ts BETWEEN (SELECT lo FROM win) AND (SELECT hi FROM win)
+    """,
+)
+def lake_partevolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION on the txlog table format — Iceberg's
+    headline metadata feature: a table whose early commits were
+    written under a coarse spec (one dir per WEEK) later switches to a
+    fine spec (one dir per DAY), and readers keep pruning correctly
+    across the boundary WITHOUT rewriting a single old file.
+
+    Why this falls out for free here (and in Iceberg): pruning is
+    driven by per-dir [min, max] ts stats in the manifest, not by
+    parsing partition values out of paths — a Hive-layout reader
+    would have to understand both directory schemes, while a
+    stats-based reader doesn't care what policy grouped the rows.
+    The query writes the events table that way (weekly commits before
+    the range midpoint, daily after), range-reads a ±3-day window
+    straddling the spec boundary, and returns the pruning decision
+    (total dirs, dirs kept) plus the row aggregates; the ORACLE
+    independently predicts all four from raw events — including which
+    dirs an honest min/max prune must keep — so a pruning bug that
+    dropped or over-kept a dir fails the hash, not just a perf test.
+
+    Scale: commit count = calendar buckets (bounded); the range read
+    opens only surviving dirs (O(matching files) like
+    `b_lake_skipping`); the driver-side slice loop is bounded by the
+    bucket count, never row count."""
+    import datetime as _dt
+
+    from ..txlog import TxLogTable
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    # manifest stats must be JSON scalars, and pruning needs a total
+    # order — integer epoch-µs (monotone in ts; b_sessionize's same
+    # trick) carries both.
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    lo_d, hi_d = ev.agg(
+        F.min(F.col("ts").cast("date")), F.max(F.col("ts").cast("date"))
+    ).first()
+    split_day = lo_d + _dt.timedelta(days=(hi_d - lo_d).days // 2)
+    split_ts = _dt.datetime.combine(split_day, _dt.time())
+    lo = split_ts - _dt.timedelta(days=3)
+    hi = split_ts + _dt.timedelta(days=3)
+    lo_us, hi_us = (
+        spark.range(1)
+        .select(
+            F.unix_micros(F.lit(lo).cast("timestamp")),
+            F.unix_micros(F.lit(hi).cast("timestamp")),
+        )
+        .first()
+    )
+
+    path = os.path.join(_tracked_tmp("spark_graft_pe_"), "partevolve_tbl")
+    t = TxLogTable(spark, path)
+    # coarse spec: one commit per week before the split
+    old = ev.filter(F.col("ts") < F.lit(split_ts))
+    weeks = sorted(
+        r[0] for r in old.select(F.date_trunc("week", "ts")).distinct().collect()
+    )
+    for wk in weeks:
+        t.append(
+            old.filter(F.date_trunc("week", "ts") == F.lit(wk)),
+            stats_cols=("ts_us",),
+        )
+    # spec evolution: subsequent commits are per day
+    new = ev.filter(F.col("ts") >= F.lit(split_ts))
+    days = sorted(
+        r[0] for r in new.select(F.date_trunc("day", "ts")).distinct().collect()
+    )
+    for dd in days:
+        t.append(
+            new.filter(F.date_trunc("day", "ts") == F.lit(dd)),
+            stats_cols=("ts_us",),
+        )
+
+    kept, skipped = t.prune_dirs("ts_us", lo_us, hi_us)
+    hit = t.read_range(ev.schema, "ts_us", lo_us, hi_us)
+    return hit.agg(
+        F.lit(len(kept) + len(skipped)).cast("long").alias("n_dirs_total"),
+        F.lit(len(kept)).cast("long").alias("n_dirs_kept"),
+        F.count("*").alias("n_rows"),
+        (F.sum(F.round(F.col("value") * 100.0).cast("long")) / 100.0)
+        .cast("double")
+        .alias("total_value"),
+    )
