@@ -144,7 +144,7 @@ _ORDER = [
     "b_llm_bpe_encode",
     "b_llm_dedup_semantic",
     "b_llm_pca",
-    "b_llm_mix_tokens",
+    "b_lake_partevolve",
     # ---- 50-entry window boundary falls here (ids above get driver
     #      rows; everything below relies on verify_local this round) --
     # -- 5. rolls over to the ROUND-5 window: the rest of the
@@ -174,6 +174,7 @@ _ORDER = [
     "b_join_shj",
     "b_llm_bpe_bounds",
     "b_llm_bpe_pairs",
+    "b_llm_mix_tokens",
     "b_llm_chunk_rag",
     "b_llm_curation_funnel",
     "b_llm_dedup_semantic_recall",
