@@ -697,3 +697,68 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= TFIDF_TOP_K)
     )
+
+
+# ------------------------------------------------------------ keyword search
+
+#: Conjunctive search terms drawn from the fixture's vocabulary.
+SEARCH_TERMS = ("spark", "join", "query")
+
+
+@query(
+    "b_llm_keyword_search",
+    f"""
+    SELECT doc_id,
+           CAST(tf_total AS BIGINT) AS tf_total,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), w -> w = 'spark'))
+               + len(list_filter(string_split(text, ' '), w -> w = 'join'))
+               + len(list_filter(string_split(text, ' '), w -> w = 'query'))
+                   AS tf_total,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+          WHERE len(list_filter(string_split(text, ' '), w -> w = 'spark')) > 0
+            AND len(list_filter(string_split(text, ' '), w -> w = 'join'))  > 0
+            AND len(list_filter(string_split(text, ' '), w -> w = 'query')) > 0
+         ) AS hits
+    ORDER BY tf_total DESC, doc_id
+    LIMIT 20
+    """,
+)
+def llm_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search with term-frequency ranking — the
+    exact-integer retrieval primitive under BM25-class scoring (the
+    idf×tf refinement needs log(), whose last-ulp behavior differs
+    between libm implementations; raw tf keeps the exhibit bit-exact,
+    and `b_llm_tfidf` carries the weighted variant with its own
+    determinism treatment).  Documents containing ALL query terms
+    rank by total term frequency, doc_id tiebreak, top-20.
+
+    Scale shape: the whole query is a MAP-ONLY scan — per-doc token
+    split + three integer counts in codegen, no UDF, no shuffle —
+    followed by TakeOrderedAndProject for the top-k (per-partition
+    heaps, never a global sort).  At 100 TB you'd front this with an
+    inverted index or `b_llm_bloom_gate`-style pre-filter; the
+    brute-force scan is the correctness baseline those accelerate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tf = lambda term: F.size(F.filter(toks, lambda w: w == F.lit(term)))  # noqa: E731
+    scored = docs.select(
+        "doc_id",
+        sum((tf(t) for t in SEARCH_TERMS), F.lit(0)).alias("tf_total"),
+        F.size(toks).alias("n_tokens"),
+        *[tf(t).alias(f"_tf_{t}") for t in SEARCH_TERMS],
+    )
+    hits = scored.filter(
+        " AND ".join(f"_tf_{t} > 0" for t in SEARCH_TERMS)
+    )
+    return (
+        hits.select(
+            "doc_id",
+            F.col("tf_total").cast("long").alias("tf_total"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy(F.desc("tf_total"), "doc_id")
+        .limit(20)
+    )

@@ -846,3 +846,62 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
     )
+
+
+# ---------------------------------------------------------------- unpivot
+
+
+@query(
+    "b_agg_unpivot",
+    """
+    WITH wide AS (
+        SELECT user_id % 10 AS user_bucket,
+               sum(CASE WHEN event_type = 'click'    THEN CAST(round(value * 100.0) AS BIGINT) END) AS click,
+               sum(CASE WHEN event_type = 'error'    THEN CAST(round(value * 100.0) AS BIGINT) END) AS error,
+               sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100.0) AS BIGINT) END) AS purchase,
+               sum(CASE WHEN event_type = 'signup'   THEN CAST(round(value * 100.0) AS BIGINT) END) AS signup,
+               sum(CASE WHEN event_type = 'view'     THEN CAST(round(value * 100.0) AS BIGINT) END) AS view
+        FROM events
+        GROUP BY user_id % 10
+    )
+    SELECT user_bucket,
+           event_type,
+           CAST(cents / 100.0 AS DOUBLE) AS total_value
+    FROM wide
+    UNPIVOT (cents FOR event_type IN (click, error, purchase, signup, view))
+    WHERE cents IS NOT NULL
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the inverse of `b_agg_pivot` — wide
+    per-bucket-by-type columns back to long (bucket, type, value)
+    rows.  Spark's primitive is ``stack`` in a selectExpr (the
+    UNPIVOT/MELT relational op; DataFrame API also ships
+    ``df.unpivot``); the oracle uses DuckDB's native UNPIVOT clause.
+    Both sides drop NULL cells (absent combinations) explicitly —
+    DuckDB's UNPIVOT excludes them by default, Spark's stack keeps
+    them, so the filter pins the shared semantics.
+
+    Scale shape: melt is a MAP-ONLY ×k row expansion of an
+    already-aggregated table — no shuffle; the only wide work is the
+    upstream pivot aggregate it inverts.  Cent-grid sums end-to-end."""
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.round(F.col("value") * 100.0).cast("long")))
+    )
+    stack_args = ", ".join(f"'{t}', `{t}`" for t in EVENT_TYPES)
+    return (
+        wide.selectExpr(
+            "user_bucket",
+            f"stack({len(EVENT_TYPES)}, {stack_args}) AS (event_type, cents)",
+        )
+        .filter(F.col("cents").isNotNull())
+        .select(
+            "user_bucket",
+            "event_type",
+            (F.col("cents") / 100.0).cast("double").alias("total_value"),
+        )
+    )

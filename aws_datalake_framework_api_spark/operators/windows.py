@@ -405,3 +405,62 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ---------------------------------------------------------- gaps-and-islands
+
+
+@query(
+    "b_win_streak",
+    """
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id,
+               day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                          AS INTEGER) AS grp
+        FROM du
+    ),
+    streaks AS (
+        SELECT user_id, grp, count(*) AS len
+        FROM isl
+        GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks
+    GROUP BY user_id
+    """,
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streak per
+    user — THE classic window-function interview shape, and a real
+    retention metric.  The trick: ``day − row_number(day)`` is
+    constant exactly within a consecutive run, so islands fall out of
+    one window + one groupBy with NO self-join or iteration.
+
+    Scale shape: distinct the fact to (user, day) once (the only
+    fact-sized step, map-combinable), then ONE user_id shuffle shared
+    by the row_number window, the island groupBy, and the final
+    per-user rollup — Spark plans a single Exchange because every
+    stage keys on user_id.  All integers; date−int arithmetic is
+    exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = du.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w).cast("int")).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+    )

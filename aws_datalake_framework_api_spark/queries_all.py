@@ -153,6 +153,9 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_agg_unpivot",
+    "b_win_streak",
+    "b_llm_keyword_search",
     "b_agg_bitmap",
     "b_agg_gsets",
     "b_agg_heavyhitters",
