@@ -361,3 +361,58 @@ def test_sql_q22_anti_join_not_loop(spark, sf_dir):
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_single_user_exchange(spark, sf_dir):
+    """Both EWMA windows (the lag kernel asc, the latest-row pick
+    desc) and the final per-user fold key on user_id — ONE exchange,
+    re-sorted per direction, never re-shuffled."""
+    plan = _plan(spark, sf_dir, "b_ts_ewma")
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_streak_reuses_user_clustering(spark, sf_dir):
+    """Gaps-and-islands: (user, day) distinct shuffles once, the
+    row_number window shuffles to user_id once, and BOTH groupBys
+    (islands on (user, grp), rollup on user) reuse the user_id
+    clustering — ≤2 exchanges total, no self-join."""
+    plan = _plan(spark, sf_dir, "b_win_streak")
+    assert _n_exchanges(plan) <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_keyword_search_is_map_only_topk(spark, sf_dir):
+    """Brute-force retrieval baseline: codegen token counts + per-
+    partition top-k heaps — zero exchanges, no UDF (BatchEvalPython),
+    TakeOrderedAndProject for the limit."""
+    plan = _plan(spark, sf_dir, "b_llm_keyword_search")
+    assert _n_exchanges(plan) == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_mv_incremental_is_two_partials_one_merge(spark, sf_dir):
+    """Delta maintenance: state and batch aggregate independently
+    (partial aggs under the union), merging by key in ONE final
+    aggregate — and never joins back to raw history."""
+    plan = _plan(spark, sf_dir, "b_mv_incremental")
+    assert "Union" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_corr_pair_join_broadcasts_rollup(spark, sf_dir):
+    """The type-pair self-join must run on the broadcast rollup
+    (types×days rows), never as a shuffled or cartesian join of
+    anything fact-sized."""
+    plan = _plan(spark, sf_dir, "b_stat_corr")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_diff_snapshot_single_copartitioned_pass(spark, sf_dir):
+    """Snapshot diff = one full-outer SMJ on the key: both sides
+    shuffle once on o_orderkey, classification is codegen, and the
+    4-row aggregate adds the only other exchange."""
+    plan = _plan(spark, sf_dir, "b_diff_snapshot")
+    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
