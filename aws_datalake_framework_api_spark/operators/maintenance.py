@@ -9,6 +9,7 @@ exact-integer (or selection-only) plans with full DuckDB oracles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.readers import register_views
@@ -149,3 +150,72 @@ def diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet values, no arithmetic)."""
     register_views(spark, sf_dir)
     return spark.sql(_DIFF_SQL)
+
+
+# ------------------------------------------------------------- observe API
+
+
+@query(
+    "b_diag_observe",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN value IS NULL THEN 1 END) AS BIGINT)
+               AS n_null_value,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+               AS n_purchase,
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS DOUBLE)
+               AS total_value,
+           CAST((SELECT count(*)
+                 FROM (SELECT event_type, count(*)
+                       FROM events GROUP BY event_type)) AS BIGINT)
+               AS main_job_rows
+    FROM events
+    """,
+)
+def diag_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline metrics via Spark's ``Observation`` API —
+    the monitoring pattern that beats a second scan: data-quality
+    counters (row count, null count, cent-grid total, per-class counts)
+    accumulate DURING the main job's only pass over the fact, not in
+    a separate audit query.  At 100 TB the difference is one full
+    scan vs two; the observe() aggregates ride the same tasks as the
+    main aggregation, cost a few registers each, and arrive on the
+    driver with the job result.
+
+    The returned row carries the observed metrics PLUS the main
+    job's own output size, and the oracle recomputes all of them
+    from raw events — so a metric that silently missed rows (e.g.
+    observe attached after a filter instead of before) fails the
+    hash.  Observed metrics reject DISTINCT aggregates by design
+    (they must be mergeable per-task registers); cardinality watching
+    belongs to approx_count_distinct, as `b_agg_approx` exhibits."""
+    from pyspark.sql import Observation
+
+    from ..sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("quality")
+    watched = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("cents"),
+    )
+    # the "main job": the per-type rollup a pipeline would actually
+    # ship; its action is what populates the observation.
+    main_rows = watched.groupBy("event_type").count().count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_value"]),
+                int(m["n_purchase"]),
+                m["cents"] / 100.0,
+                int(main_rows),
+            )
+        ],
+        "n_rows long, n_null_value long, n_purchase long, "
+        "total_value double, main_job_rows long",
+    )

@@ -153,6 +153,7 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_diag_observe",
     "b_agg_unpivot",
     "b_win_streak",
     "b_llm_keyword_search",
