@@ -703,3 +703,85 @@ def join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------- SCD2 join
+
+
+@query(
+    "b_join_scd2",
+    """
+    WITH dim AS (
+        SELECT user_id,
+               CASE v WHEN 0 THEN TIMESTAMP '1970-01-01'
+                      ELSE TIMESTAMP '2024-01-15' END AS valid_from,
+               CASE v WHEN 0 THEN TIMESTAMP '2024-01-15'
+                      ELSE TIMESTAMP '9999-12-31' END AS valid_to,
+               CASE v WHEN 0 THEN 'tier_' || CAST(user_id % 3 AS VARCHAR)
+                      ELSE 'tier_' || CAST((user_id + 1) % 3 AS VARCHAR)
+               END AS segment
+        FROM (SELECT DISTINCT user_id FROM events),
+             (SELECT 0 AS v UNION ALL SELECT 1) versions
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS DOUBLE)
+               AS total_value
+    FROM events e
+    JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND e.ts <  d.valid_to
+    GROUP BY segment
+    """,
+)
+def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) temporal join: each fact row
+    joins the dimension VERSION whose validity interval
+    [valid_from, valid_to) contains its timestamp — the standard
+    warehouse pattern for 'what segment was this user in WHEN the
+    event happened' (as-of semantics materialized as interval rows;
+    `b_join_asof` is the two-sided-stream cousin).
+
+    The SCD2 dim here derives deterministically from the fixture (two
+    versions per user, flipping segment at 2024-01-15) so both
+    engines build identical inputs.  Plan: equi-join on user_id with
+    the interval bounds as join residuals — ONE hash join keyed on
+    the user, never an interval cross-product; validity intervals per
+    key are non-overlapping by construction, so each fact row matches
+    exactly one version.  At 100 TB the dim (2 rows/user) broadcasts
+    if it fits, else shuffles on the same user key as the fact —
+    either way the interval check rides the join, costing zero extra
+    passes."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    split = F.lit("2024-01-15").cast("timestamp")
+    v0 = users.select(
+        "user_id",
+        F.lit("1970-01-01").cast("timestamp").alias("valid_from"),
+        split.alias("valid_to"),
+        F.concat(F.lit("tier_"), (F.col("user_id") % 3).cast("string")).alias(
+            "segment"
+        ),
+    )
+    v1 = users.select(
+        "user_id",
+        split.alias("valid_from"),
+        F.lit("9999-12-31").cast("timestamp").alias("valid_to"),
+        F.concat(
+            F.lit("tier_"), ((F.col("user_id") + 1) % 3).cast("string")
+        ).alias("segment"),
+    )
+    dim = v0.unionByName(v1)
+    joined = ev.join(
+        F.broadcast(dim),
+        (ev.user_id == dim.user_id)
+        & (ev.ts >= dim.valid_from)
+        & (ev.ts < dim.valid_to),
+    )
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100.0).cast("long")) / 100.0)
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -393,3 +393,110 @@ def sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg-threshold semantics bit-stable across engines."""
     register_views(spark, sf_dir)
     return spark.sql(_Q22_SQL)
+
+
+# TPC-H Q8 shape (national market share): the CASE-ratio aggregate —
+# share = Σ(case'd volume)/Σ(volume) per year.  Both sums ride the
+# e4 integer grid, so the only float op is ONE division per output
+# row (deterministic — no reassociation freedom in a 2-term
+# expression).
+_Q8_SQL = """
+SELECT o_year,
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_e4 ELSE 0 END)
+                 AS DOUBLE)
+            / CAST(sum(vol_e4) AS DOUBLE) AS DOUBLE) AS mkt_share,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             n2.n_name AS supp_nation,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)
+                 AS vol_e4
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01') AS all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("b_sql_q8", _Q8_SQL)
+def sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market-share query as raw SQL — the deepest
+    join tree in the suite (8 tables, nation twice).  Every dim
+    broadcasts; lineitem⋈orders is again the single wide edge, and
+    the p_type filter prunes the fact through the broadcast part dim
+    BEFORE that shuffle.  The share is a conditional-aggregate ratio
+    computed per group from two exact BIGINTs."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+# TPC-H Q10 shape (returned-item revenue): the customer-ranking
+# report — join breadth plus a TOP-N on a grouped money sum.
+_Q10_SQL = """
+SELECT c_custkey,
+       c_name,
+       n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT))
+            / 10000.0 AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("b_sql_q10", _Q10_SQL)
+def sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped top-customer report as raw SQL.  The quarter
+    date filter prunes orders at the scan; the returnflag filter
+    prunes lineitem at the scan; customer/nation broadcast; the
+    grouped revenue shuffles on the customer grain and
+    TakeOrderedAndProject keeps only 20 rows per partition — the
+    report never materializes the full customer ranking."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
+
+
+# TPC-H Q14 shape (promo revenue share): a GLOBAL CASE-ratio — one
+# output row, two exact integer sums, one division.
+_Q14_SQL = """
+SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+                         AS DOUBLE)
+            / CAST(sum(rev_e4) AS DOUBLE) AS DOUBLE) AS promo_share_pct,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM (SELECT p_type,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)
+                 AS rev_e4
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate <  TIMESTAMP '1996-10-01') AS priced
+"""
+
+
+@query("b_sql_q14", _Q14_SQL)
+def sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo-share query as raw SQL: month-scoped
+    lineitem scan (date filter pushed), broadcast part probe, ONE
+    global aggregate row — a map-side-combinable full reduction whose
+    only float operation is the final percentage division of two
+    exact BIGINT sums.  The '100.0 *' multiplier stays outside the
+    sums so the grid arithmetic is untouched."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q14_SQL)

@@ -281,3 +281,58 @@ def ts_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count_distinct("user_id").cast("long").alias("dau7"))
     )
+
+
+# ------------------------------------------------------- cumulative users
+
+# Cumulative distinct users by day — the growth curve.  The exact
+# windowed COUNT(DISTINCT) Spark refuses (distinct over a running
+# frame) is unnecessary: a user contributes from their FIRST active
+# day forever, so cumulative distinct = running sum of first-
+# appearance counts.  One fact-sized groupBy (min day per user), one
+# tiny rollup, one running sum over days.
+@query(
+    "b_ts_cumulative_users",
+    """
+    WITH first_day AS (
+        SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS day
+        FROM events
+        GROUP BY user_id
+    ),
+    new_users AS (
+        SELECT day, count(*) AS n_new
+        FROM first_day
+        GROUP BY day
+    )
+    SELECT day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM new_users
+    """,
+)
+def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day via the first-appearance
+    decomposition (see the kernel note above).  Scale shape: min-day
+    per user is ONE map-combinable aggregate of the fact; everything
+    downstream (per-day new-user counts, the running sum) operates on
+    day-cardinality data, where the single-partition window over ~10³
+    day rows is free — compare the naive per-day `COUNT(DISTINCT ...
+    WHERE ts <= day)` rescan, which is quadratic in days.  All
+    integers."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("day")
+    )
+    new_users = first_day.groupBy("day").agg(F.count("*").alias("n_new"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return new_users.select(
+        "day",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+    )

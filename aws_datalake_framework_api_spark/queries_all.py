@@ -153,6 +153,11 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_sql_q8",
+    "b_sql_q10",
+    "b_sql_q14",
+    "b_join_scd2",
+    "b_ts_cumulative_users",
     "b_diag_observe",
     "b_agg_unpivot",
     "b_win_streak",
