@@ -276,3 +276,97 @@ def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id
         """
     )
+
+
+# ---------------------------------------------------------------- mapInArrow
+
+
+@query(
+    "b_udf_arrow",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-overhead Python extension point:
+    the kernel receives raw ``pyarrow.RecordBatch``es and returns
+    RecordBatches, skipping even the Arrow→pandas conversion that
+    ``mapInPandas`` pays.  The right seam for kernels that are
+    themselves Arrow-native (Arrow compute, polars, DuckDB-embedded,
+    tokenizers with Arrow bindings).
+
+    The kernel quantizes value→cents with ``pyarrow.compute`` (the
+    same cent-grid rule as the built-in path) and passes ids through;
+    the aggregate then runs JVM-side.  Parity with the oracle's pure
+    SQL proves the batch-level round-trip is lossless.  Cost note:
+    pa.compute runs vectorized C++ — for THIS arithmetic the built-in
+    expression is still better (no serialization at all); the exhibit
+    documents the API for kernels built-ins can't express."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def cents_kernel(batches):
+        for batch in batches:
+            cents = pc.cast(
+                pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_type"), cents], ["event_type", "cents"]
+            )
+
+    mapped = ev.mapInArrow(cents_kernel, "event_type string, cents long")
+    return mapped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+# ----------------------------------------------------------- pandas API
+
+
+@query(
+    "b_api_pandas",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def api_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark (``pyspark.pandas``) — the migration
+    surface: a pandas user's ``groupby().agg()`` runs distributed,
+    unchanged, against the lake.  The frame never leaves the cluster
+    (``pandas_api()`` and ``to_spark()`` are metadata conversions, not
+    collects), and the generated plan is the SAME Catalyst aggregate
+    the DataFrame API produces — parity with the SQL oracle proves
+    the facade adds no semantics.  Cent quantization happens
+    Spark-side before entering the pandas facade so the sums stay
+    exact BIGINTs."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        )
+    )
+    psdf = ev.pandas_api()
+    out = psdf.groupby("event_type", as_index=False).agg(
+        n=("cents", "count"), total_cents=("cents", "sum")
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("total_cents") / 100.0).cast("double").alias("total_value"),
+    )

@@ -66,6 +66,7 @@ from .operators import maintenance as _maintenance  # noqa: F401  ops/MV/diff
 from .operators import statistics as _statistics  # noqa: F401  stat tests
 from .sources import landing as _landing  # noqa: F401  B1
 from .sources import lake as _lake  # noqa: F401  B1 lake-scale MERGE
+from .sources import python_source as _python_source  # noqa: F401  B1 PyDS
 from . import envelope as _envelope  # noqa: F401  A11
 
 #: Explicit export order (see module docstring).  Ids listed here but
@@ -153,6 +154,7 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_source_python",
     "b_sql_q8",
     "b_sql_q10",
     "b_sql_q14",
@@ -183,6 +185,8 @@ _ORDER = [
     "b_join_shj",
     "b_llm_bpe_bounds",
     "b_llm_bpe_pairs",
+    "b_udf_arrow",
+    "b_api_pandas",
     "b_llm_mix_tokens",
     "b_llm_chunk_rag",
     "b_llm_curation_funnel",
