@@ -64,6 +64,7 @@ from .operators import sql_surface as _sql_surface  # noqa: F401  SQL facade
 from .operators import quality as _quality  # noqa: F401  asset expectations
 from .operators import maintenance as _maintenance  # noqa: F401  ops/MV/diff
 from .operators import statistics as _statistics  # noqa: F401  stat tests
+from .operators import graph as _graph  # noqa: F401  iterative graph
 from .sources import landing as _landing  # noqa: F401  B1
 from .sources import lake as _lake  # noqa: F401  B1 lake-scale MERGE
 from .sources import python_source as _python_source  # noqa: F401  B1 PyDS
@@ -185,6 +186,7 @@ _ORDER = [
     "b_join_shj",
     "b_llm_bpe_bounds",
     "b_llm_bpe_pairs",
+    "b_graph_pagerank",
     "b_udf_arrow",
     "b_api_pandas",
     "b_llm_mix_tokens",
