@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.readers import load_table
+from ..sources.readers import load_table, register_views
 
 # BPE-ish word/number/punctuation segmentation — one token per word,
 # number, or standalone punctuation mark (the pre-tokenizer shape GPT
@@ -762,3 +762,39 @@ def llm_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf_total"), "doc_id")
         .limit(20)
     )
+
+
+# ------------------------------------------------------------ corpus report
+
+_CORPUS_REPORT_SQL = """
+SELECT CASE WHEN grouping(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS DOUBLE)
+           AS avg_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), ())
+"""
+
+
+@query("b_llm_corpus_report", _CORPUS_REPORT_SQL)
+def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one query: per-language corpus vitals
+    (doc count, exact-dup count via md5 identity, source diversity,
+    character volume, length extremes and mean) plus an ALL rollup
+    row — the summary a training-data release publishes alongside
+    the shards (`b_llm_shards`), and the first report a curation run
+    (`b_llm_curation_funnel`) is compared against.
+
+    Dialect-shared GROUPING SETS text on both engines.  Scale shape:
+    ONE pass over documents; the two DISTINCTs ride Spark's standard
+    expand strategy keyed on (lang, hash) — no per-language rescan;
+    every emitted number is an exact integer except the closed-form
+    mean.  Deeper length distribution lives in `b_llm_len_buckets`;
+    near-dup (vs exact-dup) rates in `b_llm_dup_stats`."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORPUS_REPORT_SQL)
