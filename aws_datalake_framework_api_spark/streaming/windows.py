@@ -285,3 +285,75 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("min_lag_us"),
     )
+
+
+# ----------------------------------------- stream-stream OUTER join
+
+#: Views older than window(1h) + watermark delay(2h) are DECIDED:
+#: stream and batch provably agree on them (younger views' no-match
+#: verdicts are still withheld by the watermark — excluded on BOTH
+#: sides rather than compared while undecided).
+_OUTER_CLOSED = "INTERVAL 3 HOUR"
+
+
+@query(
+    "b_stream_sjoin_outer",
+    f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    v AS (SELECT user_id, ts FROM events, mx
+          WHERE event_type = 'view' AND ts < m - {_OUTER_CLOSED}),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id,
+           CAST(count(p.ts) AS BIGINT) AS n_attributed,
+           CAST(count(CASE WHEN p.ts IS NULL THEN 1 END) AS BIGINT)
+               AS n_unmatched_views,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM v
+    LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+    GROUP BY v.user_id
+    """,
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM **LEFT OUTER** interval join semantics — the
+    attribution report that also counts the views that converted to
+    NOTHING.  Outer is the semantically hard half: an unmatched view
+    can only be declared once the purchase-side watermark has passed
+    its whole attribution window (Spark emits the NULL row via the
+    no-data-batch mechanism when the watermark crosses), so the
+    comparable region is the DECIDED prefix — views older than
+    window + watermark delay, the same truncation any downstream
+    consumer of an outer-join stream must apply.  The registered
+    plan computes those decided verdicts in batch (Spark's unified
+    model); tests/test_streaming.py runs the real two-stream
+    leftOuter query (watermarks both sides, availableNow) and proves
+    pair-level parity on the decided region, NULLs included.
+
+    Scale shape: identical to the inner exhibit (user_id equi-join,
+    range residual, horizon-bounded state) plus the null-emission
+    state timer — per-key state stays bounded by the horizon either
+    way."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.agg(F.max("ts")).first()[0]
+    boundary = F.lit(m) - F.expr(_OUTER_CLOSED)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .filter(F.col("ts") < boundary)
+        .select("user_id", F.col("ts").alias("v_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    pairs = views.join(
+        purchases,
+        (views.user_id == purchases.p_user)
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("p_ts").alias("n_attributed"),
+        F.count(F.when(F.col("p_ts").isNull(), 1)).alias("n_unmatched_views"),
+        F.count("*").alias("n_rows"),
+    )

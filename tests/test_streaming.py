@@ -424,3 +424,86 @@ def test_stream_upsert_replay_is_idempotent(spark, tmp_path):
     assert (3, 300) in {
         (r["k"], r["price_cents"]) for r in t.read(FEED_SCHEMA).collect()
     }
+
+
+def test_stream_stream_outer_join_matches_batch_on_decided_region(
+    spark, sf_dir, tmp_path
+):
+    """The REAL leftOuter stream-stream join: watermarks on both
+    sides, availableNow; Spark's no-data batch advances the final
+    watermark so NULL (no-match) rows flush for every view whose
+    attribution window the watermark has fully passed.  On that
+    decided region the streamed pair set — including the NULL
+    verdicts — must equal the batch left join's."""
+    import pyspark.sql.functions as SF
+
+    ev = load_table(spark, sf_dir, "events")
+    views_dir = str(tmp_path / "o_views")
+    purch_dir = str(tmp_path / "o_purchases")
+    ev.filter(SF.col("event_type") == "view").write.mode("overwrite").parquet(
+        views_dir
+    )
+    ev.filter(SF.col("event_type") == "purchase").write.mode("overwrite").parquet(
+        purch_dir
+    )
+    schema = spark.read.parquet(views_dir).schema
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(views_dir)
+        .withWatermark("ts", "2 hours")
+        .select(SF.col("user_id").alias("v_user"), SF.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(purch_dir)
+        .withWatermark("ts", "2 hours")
+        .select(SF.col("user_id").alias("p_user"), SF.col("ts").alias("p_ts"))
+    )
+    joined = views.join(
+        purchases,
+        SF.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    )
+    out = str(tmp_path / "osjoin_out")
+    ckpt = str(tmp_path / "osjoin_ckpt")
+    q = (
+        joined.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+    m = ev.agg(SF.max("ts")).first()[0]
+    boundary = SF.lit(m) - SF.expr("INTERVAL 3 HOUR")
+    streamed = {
+        (r["v_user"], r["v_ts"], r["p_ts"])
+        for r in spark.read.parquet(out)
+        .filter(SF.col("v_ts") < boundary)
+        .collect()
+    }
+    batch_views = (
+        ev.filter(SF.col("event_type") == "view")
+        .filter(SF.col("ts") < boundary)
+        .select(SF.col("user_id").alias("v_user"), SF.col("ts").alias("v_ts"))
+    )
+    batch_p = ev.filter(SF.col("event_type") == "purchase").select(
+        SF.col("user_id").alias("p_user"), SF.col("ts").alias("p_ts")
+    )
+    batch = {
+        (r["v_user"], r["v_ts"], r["p_ts"])
+        for r in batch_views.join(
+            batch_p,
+            SF.expr(
+                "v_user = p_user AND p_ts >= v_ts "
+                "AND p_ts <= v_ts + INTERVAL 1 HOUR"
+            ),
+            "leftOuter",
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    assert any(p is None for _, _, p in batch)  # NULL verdicts compared too
