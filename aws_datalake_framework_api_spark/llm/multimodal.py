@@ -410,3 +410,91 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, payload_len bigint, method string, "
         "thumb_w int, thumb_h int, thumb_len int, thumb_md5 string",
     )
+
+
+# ----------------------------------------------------------------- audio
+
+#: Synthetic PCM layout: N_FRAMES frames × FRAME_LEN signed-byte
+#: samples per doc, sample i = (doc_id·P1 + i·P2) mod 256 − 128 with
+#: Knuth-style odd multipliers — pure integer arithmetic, so the
+#: oracle regenerates the exact waveform without touching bytes.
+AUDIO_FRAMES = 4
+AUDIO_FRAME_LEN = 64
+_A_P1 = 2654435761
+_A_P2 = 40503
+
+
+@query(
+    "b_mm_audio_energy",
+    f"""
+    SELECT doc_id,
+           frame,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS BIGINT) AS peak
+    FROM (SELECT d.doc_id,
+                 i // {AUDIO_FRAME_LEN} AS frame,
+                 ((d.doc_id * {_A_P1} + i * {_A_P2}) % 256) - 128 AS s
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 25 = 0) d,
+               generate_series(0, {AUDIO_FRAMES * AUDIO_FRAME_LEN} - 1) AS t(i))
+    GROUP BY doc_id, frame
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over a BINARY PCM column — the third
+    modality's plumbing (image: `b_mm_features`, video frames:
+    `b_mm_framesample`): per-frame energy (Σs²) and peak amplitude,
+    the front end of VAD / loudness filtering in an audio corpus
+    pipeline.
+
+    The exhibit runs the REAL binary path end-to-end: a pandas UDF
+    synthesizes each doc's PCM payload as raw signed bytes (numpy →
+    ``tobytes``; in production this column arrives from the lake),
+    then an ``mapInPandas`` kernel — the exact shape a real DSP
+    kernel (librosa/torchaudio) plugs into — decodes bytes back to
+    samples and folds frame energies vectorized.  The DuckDB oracle
+    regenerates the identical waveform from the integer formula
+    WITHOUT any binary handling, so a byte-order, signedness, or
+    truncation bug anywhere in encode→store→decode fails the hash.
+
+    Scale shape: both the synth and the kernel are map-only Arrow
+    batches (no shuffle until the tiny per-frame rollup);
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds kernel
+    memory; frames×len is a constant per row."""
+    import numpy as np
+
+    n_samples = AUDIO_FRAMES * AUDIO_FRAME_LEN
+
+    @F.pandas_udf("binary")
+    def synth_pcm(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_ids:
+            i = np.arange(n_samples, dtype=np.int64)
+            s = ((int(d) * _A_P1 + i * _A_P2) % 256) - 128
+            out.append(s.astype(np.int8).tobytes())
+        return pd.Series(out)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", synth_pcm(F.col("doc_id")).alias("pcm"))
+    )
+
+    def energy_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415 — executor-side import
+
+        for pdf in batches:
+            rows = []
+            for doc_id, pcm in zip(pdf["doc_id"], pdf["pcm"]):
+                s = np.frombuffer(pcm, dtype=np.int8).astype(np.int64)
+                frames = s.reshape(AUDIO_FRAMES, AUDIO_FRAME_LEN)
+                energy = (frames * frames).sum(axis=1)
+                peak = np.abs(frames).max(axis=1)
+                for f in range(AUDIO_FRAMES):
+                    rows.append((doc_id, f, int(energy[f]), int(peak[f])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame", "energy", "peak"]
+            )
+
+    return docs.mapInPandas(
+        energy_kernel, "doc_id long, frame long, energy long, peak long"
+    )
