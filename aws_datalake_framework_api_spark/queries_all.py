@@ -186,6 +186,7 @@ _ORDER = [
     "b_join_shj",
     "b_llm_bpe_bounds",
     "b_llm_bpe_pairs",
+    "b_lake_gdpr",
     "b_mm_audio_energy",
     "b_stream_sjoin_outer",
     "b_llm_corpus_report",

@@ -711,3 +711,58 @@ def lake_partevolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# ------------------------------------------------------------- GDPR sweep
+
+
+@query(
+    "b_lake_gdpr",
+    """
+    WITH erased AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0
+    )
+    SELECT CAST((SELECT count(*) FROM erased) AS BIGINT) AS n_users_erased,
+           CAST((SELECT count(*) FROM events WHERE user_id % 37 = 0) AS BIGINT)
+               AS n_rows_erased,
+           CAST(count(*) AS BIGINT) AS n_rows_remaining,
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS DOUBLE)
+               AS value_remaining
+    FROM events
+    WHERE user_id % 37 <> 0
+    """,
+)
+def lake_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep on the txlog table format — the
+    governance composition: erase every row of a user cohort from an
+    ACID table WITHOUT rewriting data files (merge-on-read deletion
+    vectors, `b_lake_deletevec`'s primitive), then report the erasure
+    audit: users erased, rows erased, rows and value remaining.
+
+    The erased-read runs through the committed deletion vector (one
+    broadcast anti-join on user_id scoped to covered dirs), so the
+    oracle's raw-predicate recomputation cross-checks the DV path on
+    a multi-column aggregate — an erasure that missed a row, or
+    shadowed a survivor, fails the hash.  At 100 TB: the tombstone
+    commit is one key-list write; `purge_deletes` + `vacuum`
+    physically reclaim on the maintenance schedule, and `history()`
+    is the compliance audit trail showing WHEN erasure committed."""
+    from ..txlog import TxLogTable
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    path = os.path.join(_tracked_tmp("spark_graft_gdpr_"), "gdpr_tbl")
+    t = TxLogTable(spark, path)
+    t.append(ev)
+    cohort = ev.filter(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    n_users = cohort.count()  # bounded: cohort of the 150-user fixture
+    pre = t.read(ev.schema).count()
+    t.delete_keys(cohort, "user_id")
+    remaining = t.read(ev.schema)
+    return remaining.agg(
+        F.lit(n_users).cast("long").alias("n_users_erased"),
+        (F.lit(pre) - F.count("*")).cast("long").alias("n_rows_erased"),
+        F.count("*").alias("n_rows_remaining"),
+        (F.sum(F.round(F.col("value") * 100.0).cast("long")) / 100.0)
+        .cast("double")
+        .alias("value_remaining"),
+    )
