@@ -143,10 +143,10 @@ _ORDER = [
     #    check — weak, but better than no external evidence; each is
     #    pinned against an exact twin in pytest.
     "b_llm_bpe_train",
-    "b_llm_bpe_encode",
     "b_llm_dedup_semantic",
-    "b_llm_pca",
     "b_lake_partevolve",
+    "b_lake_gdpr",
+    "b_mm_audio_energy",
     # ---- 50-entry window boundary falls here (ids above get driver
     #      rows; everything below relies on verify_local this round) --
     # -- 5. rolls over to the ROUND-5 window: the rest of the
@@ -186,8 +186,8 @@ _ORDER = [
     "b_join_shj",
     "b_llm_bpe_bounds",
     "b_llm_bpe_pairs",
-    "b_lake_gdpr",
-    "b_mm_audio_energy",
+    "b_llm_bpe_encode",
+    "b_llm_pca",
     "b_stream_sjoin_outer",
     "b_llm_corpus_report",
     "b_graph_pagerank",
