@@ -500,3 +500,37 @@ def sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums so the grid arithmetic is untouched."""
     register_views(spark, sf_dir)
     return spark.sql(_Q14_SQL)
+
+
+# TPC-H Q6 shape (forecast revenue change): the pure scan-filter-sum —
+# no join at all.  The exhibit is the SIMPLEST plan in the suite and
+# exists to pin the baseline: every predicate reaches the parquet
+# scan, the sum is one map-side-combinable reduction, and the whole
+# query is a single WholeStageCodegen span.
+_Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000.0) AS BIGINT))
+            / 10000.0 AS DOUBLE) AS revenue_delta,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("b_sql_q6", _Q6_SQL)
+def sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped scan-filter-sum as raw SQL — the no-join
+    floor of the suite.  All four predicates push to the parquet scan
+    (date + discount + quantity ranges become row-group min/max
+    pruning at 100 TB), and the aggregate is one partial-then-final
+    reduction with a single row out.  With Q6 the dialect-shared
+    surface covers every TPC-H plan class the fixture's columns can
+    express — Q2/Q9/Q11/Q16/Q20 need partsupp, Q12 needs
+    l_shipmode/commitdate, Q21 needs commit/receipt dates
+    (TESTDATA.md's schema stops at shipdate); their plan CLASSES
+    (multi-way dim joins, correlated EXISTS/NOT-EXISTS, group-HAVING)
+    are each exercised by the shapes above."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)

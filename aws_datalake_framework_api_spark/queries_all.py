@@ -155,6 +155,7 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_sql_q6",
     "b_source_python",
     "b_sql_q8",
     "b_sql_q10",
