@@ -241,13 +241,23 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b_join_anti",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-06-01')
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as left-anti."""
+    """NOT EXISTS as left-anti: dormant customers — no order since
+    the cutoff.  (Every fixture customer has SOME order, so the
+    unconditioned anti-join returns the empty set at every SF — a
+    broken anti-join would "pass" vacuously; the date residual keeps
+    the result provably non-empty: 27/255/2517 rows at
+    sf0.001/0.01/0.1.)  The filter pushes BELOW the anti-join, so
+    only recent orders shuffle."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
     return customer.join(
         orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")

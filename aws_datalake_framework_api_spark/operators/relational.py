@@ -212,19 +212,26 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "b_set_except",
     """
-    SELECT c_nationkey AS nk FROM customer
+    SELECT o_custkey AS ck FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nations having customers but no suppliers."""
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
+    """Churned customers: ordered before 2001 but never after —
+    EXCEPT DISTINCT over two projections of the same fact.  (The
+    previous nation-difference form was empty at every SF — each
+    nation has both customers and suppliers — which would let a
+    broken EXCEPT pass vacuously; this parametrization yields
+    65/615/6155 rows at sf0.001/0.01/0.1.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("2001-01-01").cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < cut)
+    late = orders.filter(F.col("o_orderdate") >= cut)
     # subtract = EXCEPT DISTINCT (exceptAll would be bag-difference,
     # removing one left occurrence per right row — different op).
-    return customer.select(F.col("c_nationkey").alias("nk")).subtract(
-        supplier.select(F.col("s_nationkey").alias("nk"))
+    return early.select(F.col("o_custkey").alias("ck")).subtract(
+        late.select(F.col("o_custkey").alias("ck"))
     )
 
 

