@@ -795,3 +795,48 @@ def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# ---------------------------------------------------------- null-safe join
+
+
+@query(
+    "b_join_nullsafe",
+    """
+    WITH a AS (SELECT nullif(c_custkey % 10, 5) AS k, count(*) AS n_cust
+               FROM customer GROUP BY nullif(c_custkey % 10, 5)),
+    b AS (SELECT nullif(s_suppkey % 10, 5) AS k, count(*) AS n_supp
+          FROM supplier GROUP BY nullif(s_suppkey % 10, 5))
+    SELECT a.k,
+           CAST(a.n_cust AS BIGINT) AS n_cust,
+           CAST(b.n_supp AS BIGINT) AS n_supp
+    FROM a
+    JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the NULL
+    bucket JOINS (one row here, since both sides collapse NULLs in
+    their pre-aggregation) where ordinary `=` would silently drop it —
+    the classic bug when joining on nullable dimension keys
+    (NULLIF-derived buckets, optional foreign keys).
+
+    Plan note: `<=>` is still a HASH-JOINABLE equality (Spark hashes
+    NULL like any other value under null-safe semantics), so the plan
+    is a plain broadcast/shuffled hash join — NOT the nested-loop
+    fallback a `a.k = b.k OR (a.k IS NULL AND b.k IS NULL)` rewrite
+    would produce.  Both sides pre-aggregate to ≤10 rows, so the
+    exhibit's cost is nil at any scale."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_custkey") % 10, F.lit(5)).alias("k"))
+        .agg(F.count("*").cast("long").alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.nullif(F.col("s_suppkey") % 10, F.lit(5)).alias("k"))
+        .agg(F.count("*").cast("long").alias("n_supp"))
+    )
+    return cust.join(supp, cust.k.eqNullSafe(supp.k)).select(
+        cust.k.alias("k"), "n_cust", "n_supp"
+    )

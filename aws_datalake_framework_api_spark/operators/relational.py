@@ -266,3 +266,66 @@ def dedup_exact_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "ts", "user_id", "event_type", F.round("value", 2).alias("value"))
     )
+
+
+@query(
+    "b_set_except_all",
+    """
+    SELECT ck, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT o_custkey AS ck FROM orders
+          WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          EXCEPT ALL
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1998-01-01') AS bag
+    GROUP BY ck
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT **ALL** — bag difference, the multiset sibling of
+    `b_set_except`: each right-side occurrence cancels ONE left-side
+    occurrence, so a customer with 5 early and 2 late orders
+    survives with multiplicity 3 (EXCEPT DISTINCT would drop them
+    entirely).  The rollup makes the multiplicities hash-checkable.
+    Spark implements it as a counted anti-semantics hash aggregate —
+    one shuffle on the key, no join explosion."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < cut).select(
+        F.col("o_custkey").alias("ck")
+    )
+    late = orders.filter(F.col("o_orderdate") >= cut).select(
+        F.col("o_custkey").alias("ck")
+    )
+    return early.exceptAll(late).groupBy("ck").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+@query(
+    "b_set_intersect_all",
+    """
+    SELECT ck, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT o_custkey AS ck FROM orders
+          WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          INTERSECT ALL
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1998-01-01') AS bag
+    GROUP BY ck
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT **ALL** — bag intersection: each key survives with
+    min(left multiplicity, right multiplicity) copies, vs the 0/1 of
+    `b_set_intersect`.  Same single-shuffle counted-aggregate plan
+    class as EXCEPT ALL."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < cut).select(
+        F.col("o_custkey").alias("ck")
+    )
+    late = orders.filter(F.col("o_orderdate") >= cut).select(
+        F.col("o_custkey").alias("ck")
+    )
+    return early.intersectAll(late).groupBy("ck").agg(
+        F.count("*").cast("long").alias("n")
+    )

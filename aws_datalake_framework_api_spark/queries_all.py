@@ -157,6 +157,9 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_set_except_all",
+    "b_set_intersect_all",
+    "b_join_nullsafe",
     "b_sql_q6",
     "b_source_python",
     "b_sql_q8",
