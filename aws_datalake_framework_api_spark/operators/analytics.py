@@ -221,3 +221,109 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").cast("long").alias("start_us"),
         (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
     )
+
+
+# ------------------------------------------------------------ market basket
+
+
+@query(
+    "b_basket_pairs",
+    """
+    SELECT p_a, p_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM (SELECT a.l_orderkey,
+                 a.l_partkey AS p_a,
+                 b.l_partkey AS p_b
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+          JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) AS pairs
+    GROUP BY p_a, p_b
+    ORDER BY n_orders DESC, p_a, p_b
+    LIMIT 25
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top co-purchased part pairs —
+    the support-counting core of frequent-itemset mining (the FP-
+    growth/Apriori first pass).  The within-order self-join is the
+    operation that looks quadratic but ISN'T: fan-out per order is
+    C(k,2) with k = DISTINCT parts per order, bounded by the order
+    schema (≤7 lineitems in TPC-H-shaped data) — so total pairs are
+    linear in orders, and the join shuffles both sides on the SAME
+    orderkey partitioning.  At 100 TB with unbounded baskets, the
+    standard discipline applies: cap k per basket (top-k items by
+    weight) before pairing, exactly as the dedup family caps shingle
+    df.  `a.l_partkey < b.l_partkey` emits each unordered pair once.
+    Top-25 rides TakeOrderedAndProject with a full tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p_b"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("p_a") < F.col("p_b"))
+    return (
+        pairs.groupBy("p_a", "p_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "p_a", "p_b")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------- RFM
+
+
+@query(
+    "b_rfm",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(max(o_orderdate) AS DATE) AS last_order,
+               count(*) AS freq,
+               sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+               ntile(4) OVER (ORDER BY freq DESC, o_custkey)       AS f,
+               ntile(4) OVER (ORDER BY cents DESC, o_custkey)      AS m
+        FROM per_cust
+    )
+    SELECT CAST(r AS INT) AS r,
+           CAST(f AS INT) AS f,
+           CAST(m AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored
+    GROUP BY r, f, m
+    """,
+)
+def rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — THE classic CRM rollup: quartile-score each
+    customer on Recency (latest order), Frequency (order count), and
+    Monetary (cent-grid lifetime value), then census the 4×4×4
+    segment cube.  Every ntile ORDER BY carries the custkey tiebreak,
+    so quartile boundaries are deterministic under ties on both
+    engines — without it, equal-frequency customers straddle a
+    boundary arbitrarily and the segment counts drift.
+
+    Scale note: the three global ntiles are single-partition windows
+    over the PER-CUSTOMER rollup (not the fact) — fine into the
+    hundreds of millions of customers; past that, replace ntile with
+    approx-quantile cutoffs joined back (the `b_agg_quantiles` path),
+    which trades exact quartile cardinality for full parallelism."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy(F.desc("last_order"), "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("freq"), "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.desc("cents"), "o_custkey")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )

@@ -157,6 +157,8 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_basket_pairs",
+    "b_rfm",
     "b_set_except_all",
     "b_set_intersect_all",
     "b_join_nullsafe",
