@@ -157,6 +157,7 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_scan_corrupt",
     "b_basket_pairs",
     "b_rfm",
     "b_set_except_all",

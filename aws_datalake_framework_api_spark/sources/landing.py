@@ -431,3 +431,60 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("p_brand").agg(
         F.count("*").alias("n"), money_sum("p_retailprice").alias("total_price")
     )
+
+
+_CORRUPT_N = 2000
+_CORRUPT_MOD = 13
+
+
+@query(
+    "b_scan_corrupt",
+    f"""
+    SELECT CAST(count(CASE WHEN bad THEN 1 END) AS BIGINT) AS n_corrupt,
+           CAST(count(CASE WHEN NOT bad THEN 1 END) AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN NOT bad THEN i * 7 END) AS BIGINT) AS good_val_sum
+    FROM (SELECT i, i % {_CORRUPT_MOD} = 0 AS bad
+          FROM generate_series(0, {_CORRUPT_N} - 1) AS t(i))
+    """,
+)
+def scan_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row ingestion — the PERMISSIVE-mode contract every
+    real CSV feed needs: rows that fail the schema land in
+    ``_corrupt_record`` with typed columns NULL, instead of killing
+    the job (FAILFAST) or silently vanishing (DROPMALFORMED).  The
+    exhibit writes a deterministic CSV where every 13th row carries a
+    non-numeric value in an INT column, ingests it PERMISSIVE, and
+    reports good/corrupt counts plus the good-row checksum; the
+    oracle derives all three from the same modulus arithmetic — so a
+    reader that dropped, double-counted, or mis-claimed a row fails
+    the hash.
+
+    Spark caveat baked into the plan: a PERMISSIVE read must SELECT
+    the corrupt column together with a materialization boundary
+    (here: the aggregate) — corrupt-record counting is documented to
+    require the full-row parse the aggregate forces.  At 100 TB the
+    quarantine pattern is: same read, write corrupt rows to a
+    dead-letter path, good rows onward — one pass, two sinks."""
+    path = _scratch("corrupt_csv")
+    rows = spark.range(_CORRUPT_N).selectExpr(
+        f"CASE WHEN id % {_CORRUPT_MOD} = 0 "
+        "THEN concat(CAST(id AS STRING), ',not_a_number') "
+        f"ELSE concat(CAST(id AS STRING), ',', CAST(id * 7 AS STRING)) END AS value"
+    )
+    rows.coalesce(1).write.mode("overwrite").text(path)
+    back = spark.read.schema(
+        "i LONG, val LONG, _corrupt_record STRING"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(path)
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("val")))
+        .cast("long")
+        .alias("good_val_sum"),
+    )
