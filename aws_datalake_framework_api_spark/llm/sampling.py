@@ -770,3 +770,144 @@ def llm_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("balanced"),
     )
+
+
+# -------------------------------------------------------- SFT formatting
+
+#: Token budget for an assembled SFT record (whitespace tokens of the
+#: rendered string, template overhead included).
+SFT_MAX_TOKENS = 160
+
+
+@query(
+    "b_llm_sft_format",
+    f"""
+    SELECT doc_id,
+           rendered_tokens,
+           CAST(md5(rendered) AS VARCHAR) AS rendered_md5
+    FROM (SELECT doc_id,
+                 '<|system|>summarize<|user|>' || text
+                     || '<|assistant|>' || upper(substr(text, 1, 40)) AS rendered,
+                 CAST(len(string_split(
+                     '<|system|>summarize<|user|>' || text
+                     || '<|assistant|>' || upper(substr(text, 1, 40)), ' '))
+                     AS BIGINT) AS rendered_tokens
+          FROM documents
+          WHERE doc_id % 5 = 0) AS t
+    WHERE rendered_tokens <= {SFT_MAX_TOKENS}
+    """,
+)
+def llm_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT record assembly — the post-training data-prep step after
+    the pretraining pipeline: render each sampled document into a
+    chat-template string (system + user + assistant segments; the
+    'assistant' span here is a deterministic transform of the doc so
+    the fixture needs no second table), count the RENDERED tokens
+    (template overhead included — budgeting the raw text undercounts
+    every record by the template length), and drop records over the
+    sequence budget.  Emitting md5(rendered) rather than the string
+    keeps the driver canon small while still pinning every rendered
+    BYTE against the oracle — a template drift of one character fails
+    the hash.
+
+    Scale shape: map-only string assembly in codegen + a scan-level
+    sampling predicate; no shuffle at all.  Downstream, records flow
+    into the SAME packing/sharding path as pretraining data
+    (`b_llm_pack`, `b_llm_shards`)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    rendered = F.concat(
+        F.lit("<|system|>summarize<|user|>"),
+        F.col("text"),
+        F.lit("<|assistant|>"),
+        F.upper(F.substring("text", 1, 40)),
+    )
+    out = docs.select(
+        "doc_id",
+        F.size(F.split(rendered, " ")).cast("long").alias("rendered_tokens"),
+        F.md5(rendered).alias("rendered_md5"),
+    )
+    return out.filter(F.col("rendered_tokens") <= SFT_MAX_TOKENS)
+
+
+# -------------------------------------------------------- preference pairs
+
+#: Quality margin (integer token-count proxy) a chosen/rejected pair
+#: must clear, and the per-source pair cap.
+DPO_MARGIN = 20
+DPO_PER_SOURCE = 8
+
+
+@query(
+    "b_llm_pref_pairs",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS q
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, q,
+               row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id)
+                   AS r_top,
+               row_number() OVER (PARTITION BY source ORDER BY q ASC, doc_id)
+                   AS r_bot
+        FROM scored
+    )
+    SELECT t.source,
+           t.doc_id AS chosen_id,
+           b.doc_id AS rejected_id,
+           CAST(t.q - b.q AS BIGINT) AS margin
+    FROM (SELECT * FROM ranked WHERE r_top <= {DPO_PER_SOURCE}) t
+    JOIN (SELECT * FROM ranked WHERE r_bot <= {DPO_PER_SOURCE}) b
+      ON t.source = b.source AND t.r_top = b.r_bot
+    WHERE t.q - b.q >= {DPO_MARGIN}
+    """,
+)
+def llm_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining (DPO/RLHF data prep): within each
+    source, pair the top-k documents by quality signal against the
+    bottom-k (rank-matched: best-vs-worst, 2nd-best-vs-2nd-worst, …)
+    and keep pairs whose margin clears the threshold — the standard
+    recipe when preferences are derived from a scalar judge score
+    rather than human labels.  The quality signal here is the
+    integer token count (deterministic stand-in for a model score;
+    the real pipeline swaps ONE column).
+
+    Scale discipline: rank-matching makes pair count ≤ k per source
+    (never the k² all-pairs cross), both row_numbers share one
+    source-keyed window partition, and the join keys on (source,
+    rank) — rollup-sized.  Full-key tiebreaks (doc_id) keep the
+    ranking deterministic under equal scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("q"),
+    )
+    w_top = Window.partitionBy("source").orderBy(F.desc("q"), "doc_id")
+    w_bot = Window.partitionBy("source").orderBy(F.asc("q"), "doc_id")
+    ranked = scored.select(
+        "doc_id", "source", "q",
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+    )
+    top = ranked.filter(F.col("r_top") <= DPO_PER_SOURCE).select(
+        F.col("source"), F.col("doc_id").alias("chosen_id"),
+        F.col("q").alias("q_top"), F.col("r_top").alias("rk"),
+    )
+    bot = ranked.filter(F.col("r_bot") <= DPO_PER_SOURCE).select(
+        F.col("source").alias("b_source"), F.col("doc_id").alias("rejected_id"),
+        F.col("q").alias("q_bot"), F.col("r_bot").alias("rk_b"),
+    )
+    pairs = top.join(
+        bot,
+        (top.source == bot.b_source) & (top.rk == bot.rk_b),
+    )
+    return pairs.filter(
+        F.col("q_top") - F.col("q_bot") >= DPO_MARGIN
+    ).select(
+        "source",
+        "chosen_id",
+        "rejected_id",
+        (F.col("q_top") - F.col("q_bot")).cast("long").alias("margin"),
+    )
