@@ -911,3 +911,69 @@ def llm_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rejected_id",
         (F.col("q_top") - F.col("q_bot")).cast("long").alias("margin"),
     )
+
+
+# ------------------------------------------------------- span masking
+
+#: One-in-MASK_MOD tokens is replaced by the sentinel (BERT/T5-style
+#: denoising prep).  The decision hashes (token ‖ doc_id), so it is
+#: content-keyed — reproducible on any engine/partitioning, and the
+#: same token masks differently in different documents.
+MASK_MOD = 5
+MASK_SENTINEL = "<mask>"
+
+
+@query(
+    "b_llm_mask_spans",
+    f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(masked, t -> t = '{MASK_SENTINEL}')) AS BIGINT)
+               AS n_masked,
+           CAST(md5(array_to_string(masked, ' ')) AS VARCHAR) AS masked_md5
+    FROM (SELECT doc_id, toks,
+                 list_transform(toks,
+                     t -> CASE WHEN CAST(('0x' || substr(
+                                   md5(t || CAST(doc_id AS VARCHAR)), 1, 4))
+                                   AS INTEGER) % {MASK_MOD} = 0
+                               THEN '{MASK_SENTINEL}' ELSE t END) AS masked
+          FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                FROM documents
+                WHERE doc_id % 10 = 0)) AS m
+    """,
+)
+def llm_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-token corruption prep (the BERT/T5 denoising input
+    pipeline): replace a content-keyed ~1/5 of each document's tokens
+    with the sentinel and emit the masked text's md5 + mask counts.
+    The mask decision hashes (token ‖ doc_id) — position-free, so
+    both engines express it as a pure ``transform`` lambda over the
+    token array (no posexplode / list-index divergence), and it is
+    deterministic across runs, partitions, and engines; the md5 pins
+    the entire masked rendering byte-for-byte.
+
+    Scale shape: split + transform + filter + concat run INSIDE the
+    array functions — one codegen'd map pass over the sampled docs,
+    zero shuffles, no UDF.  A real pipeline would emit (masked,
+    target-span) pairs; the target side is the complementary filter
+    of the same lambda."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = F.split(F.trim(F.col("text")), " ")
+
+    def mask(t):
+        h = F.conv(
+            F.substring(F.md5(F.concat(t, F.col("doc_id").cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        return F.when(h % MASK_MOD == 0, F.lit(MASK_SENTINEL)).otherwise(t)
+
+    masked = F.transform(toks, mask)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(masked, lambda t: t == F.lit(MASK_SENTINEL)))
+        .cast("long")
+        .alias("n_masked"),
+        F.md5(F.concat_ws(" ", masked)).alias("masked_md5"),
+    )
