@@ -157,6 +157,7 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_diag_profile",
     "b_llm_mask_spans",
     "b_llm_sft_format",
     "b_llm_pref_pairs",
