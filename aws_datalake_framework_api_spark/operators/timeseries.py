@@ -336,3 +336,121 @@ def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("long").alias("n_new"),
         F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+# ------------------------------------------------------- forecast error
+
+
+@query(
+    "b_ts_forecast_naive",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(CAST(round(value * 100.0) AS BIGINT)) AS cents
+        FROM events
+        GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    ),
+    scored AS (
+        SELECT event_type, day, cents,
+               lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day)
+                   AS forecast
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(forecast) AS BIGINT) AS n_scored_days,
+           CAST(sum(abs(cents - forecast)) AS BIGINT) AS mae_cents_total,
+           CAST(max(abs(cents - forecast)) AS BIGINT) AS worst_day_cents
+    FROM scored
+    GROUP BY event_type
+    """,
+)
+def ts_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast scorecard: predict each day's metric
+    with its value 7 days earlier and report the absolute-error
+    totals — the baseline every real forecaster must beat (and the
+    drift alarm when a live pipeline's error jumps).  Errors are
+    |cents − cents| BIGINTs, so the scorecard is exact under any
+    aggregation order.
+
+    Scale shape: the fact collapses to the (type, day) rollup in one
+    map-combinable pass; the lag-7 window and the error rollup both
+    ride a single event_type-keyed partition of day-cardinality
+    data."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type", "cents", F.lag("cents", 7).over(w).alias("forecast")
+    )
+    err = F.abs(F.col("cents") - F.col("forecast"))
+    return scored.groupBy("event_type").agg(
+        F.count("forecast").cast("long").alias("n_scored_days"),
+        F.sum(err).cast("long").alias("mae_cents_total"),
+        F.max(err).cast("long").alias("worst_day_cents"),
+    )
+
+
+# ------------------------------------------------------- concurrency sweep
+
+
+@query(
+    "b_ts_concurrency",
+    """
+    WITH marks AS (
+        SELECT ts, 1 AS delta
+        FROM events WHERE event_type IN ('view', 'click')
+        UNION ALL
+        SELECT ts + INTERVAL '30 minutes', -1
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    swept AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(delta) OVER (ORDER BY ts, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS live
+        FROM marks
+    )
+    SELECT day,
+           CAST(max(live) AS BIGINT) AS peak_concurrency
+    FROM swept
+    GROUP BY day
+    """,
+)
+def ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the interval-sweep prefix sum — the
+    classic 'how many sessions were live at once' question answered
+    WITHOUT interval self-joins: each activity window (here a fixed
+    30-minute lease per view/click) emits +1 at start and −1 at
+    expiry; a running sum over the merged timeline IS the live count,
+    and the per-day max is the capacity-planning number.
+
+    Ordering note: the window orders by (ts, delta) so an expiry and
+    a start at the SAME microsecond process the −1 first —
+    deterministic and conservative on both engines.  Scale: the sweep
+    is one global-ordered prefix sum; at 100 TB you shard it by day
+    (the lease bound guarantees ≤48-interval spill across a midnight
+    boundary) — the fixture-scale exhibit keeps the single ordered
+    window the semantics define."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    starts = ev.select(F.col("ts"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    marks = starts.unionByName(ends)
+    w = (
+        Window.orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = marks.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.sum("delta").over(w).alias("live"),
+    )
+    return swept.groupBy("day").agg(
+        F.max("live").cast("long").alias("peak_concurrency")
+    )

@@ -157,6 +157,8 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_ts_forecast_naive",
+    "b_ts_concurrency",
     "b_diag_profile",
     "b_llm_mask_spans",
     "b_llm_sft_format",
