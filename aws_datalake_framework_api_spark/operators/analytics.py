@@ -327,3 +327,59 @@ def rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").cast("long").alias("n_customers")
     )
+
+
+# ------------------------------------------------------------- path analysis
+
+
+@query(
+    "b_path_top",
+    """
+    WITH ordered AS (
+        SELECT user_id,
+               list_transform(
+                   list_sort(list({'ts': ts, 'event_id': event_id,
+                                   'et': event_type})),
+                   r -> r.et) AS seq
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM (SELECT array_to_string(seq[1:3], '>') AS path FROM ordered)
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 10
+    """,
+)
+def path_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top entry paths: each user's first three events in time order,
+    joined into a path string, censused — the product-analytics
+    'how do journeys start' report (Sankey front end).
+
+    Ordering discipline: the sequence sorts by the struct
+    (ts, event_id, type) — the unique (ts, event_id) prefix makes the
+    sort total, so ties cannot reorder between engines or runs
+    (list_sort of ROWs in DuckDB and array_sort of structs in Spark
+    both compare field-lexicographically).  Scale shape: one
+    user-keyed groupBy with collect_list bounded by per-user activity
+    (cap with a window top-k upstream for power users — the same
+    mega-key discipline as `b_udf_grouped`), then a tiny path census
+    + TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda r: r["event_type"],
+    )
+    per_user = ev.groupBy("user_id").agg(seq.alias("seq"))
+    paths = per_user.select(
+        F.concat_ws(">", F.slice("seq", 1, 3)).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(10)
+    )
