@@ -157,6 +157,8 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_lake_restore",
+    "b_lake_schema_evolve",
     "b_path_top",
     "b_ts_forecast_naive",
     "b_ts_concurrency",

@@ -766,3 +766,118 @@ def lake_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_remaining"),
     )
+
+
+# ------------------------------------------------------------- RESTORE
+
+
+@query(
+    "b_lake_restore",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT CAST(4 AS BIGINT) AS n_versions,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0
+                AS DOUBLE) AS total_price
+    FROM v1
+    """,
+)
+def lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE VERSION AS OF — rollback as a forward commit: after a
+    good append (v1), a bad append (v2), and a bad delete (v3), one
+    O(1) manifest commit (v4) restores v1's exact dir/stat/DV lists —
+    no data rewritten, the bad versions still auditable in history.
+    The read-after-restore must equal the v1 content (oracle
+    recomputes it from raw orders) and the history length must be 4 —
+    restore ADDS a version, never erases one (Delta RESTORE
+    semantics)."""
+    from ..txlog import TxLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+    good = orders.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
+    bad = orders.filter(F.col("o_orderdate") >= cut).drop("o_orderdate")
+
+    path = os.path.join(_tracked_tmp("spark_graft_restore_"), "restore_tbl")
+    t = TxLogTable(spark, path)
+    t.append(good)                                     # v1: good state
+    t.append(bad)                                      # v2: bad ingest
+    t.delete_keys(                                     # v3: bad delete
+        good.limit(50).select("o_orderkey"), "o_orderkey"
+    )
+    t.restore(1)                                       # v4: rollback
+    restored = t.read(good.schema)
+    n_versions = len(t.versions())
+    return restored.agg(
+        F.lit(n_versions).cast("long").alias("n_versions"),
+        F.count("*").alias("n_rows"),
+        (F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")) / 100.0)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# ------------------------------------------------ write-side schema evolution
+
+
+@query(
+    "b_lake_schema_evolve",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 1 END)
+                AS BIGINT) AS n_legacy_rows,
+           CAST(count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-20'
+                                    THEN event_type END) AS BIGINT)
+               AS n_types_new_era,
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS DOUBLE)
+               AS total_value
+    FROM events
+    """,
+)
+def lake_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-side schema evolution on the txlog format (the ACID twin
+    of the read-side `b_scan_evolve`): early commits wrote the narrow
+    v1 schema (event_id, ts, value); the pipeline later starts
+    recording event_type and appends the wide v2 schema — with NO
+    rewrite of v1 files and no table downtime.  Readers supply the
+    CURRENT (widest) schema; parquet's by-name column resolution
+    backfills the missing column as NULL in v1 dirs, which is
+    exactly Delta/Iceberg ADD COLUMN semantics (metadata-only, old
+    files untouched).
+
+    The audit proves both eras: legacy-row count = rows whose
+    event_type read back NULL, new-era type cardinality from the v2
+    dirs, and the cent-grid total over BOTH eras — recomputed by the
+    oracle from raw events, so a reader that dropped v1 rows or
+    misaligned columns fails the hash."""
+    from ..txlog import TxLogTable
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20").cast("timestamp")
+    v1 = ev.filter(F.col("ts") < cut).select("event_id", "ts", "value")
+    v2 = ev.filter(F.col("ts") >= cut).select(
+        "event_id", "ts", "value", "event_type"
+    )
+    path = os.path.join(_tracked_tmp("spark_graft_sevolve_"), "sevolve_tbl")
+    t = TxLogTable(spark, path)
+    t.append(v1)
+    t.append(v2)
+    wide = t.read(v2.schema)  # current schema; v1 dirs null-backfill
+    # legacy count via the ACTUAL backfill (event_type IS NULL) while
+    # the oracle counts via the era predicate — a misaligned or
+    # un-backfilled column makes the two diverge and fail the hash.
+    return wide.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("event_type").isNull(), 1))
+        .cast("long")
+        .alias("n_legacy_rows"),
+        F.count_distinct(
+            F.when(F.col("ts") >= cut, F.col("event_type"))
+        ).cast("long").alias("n_types_new_era"),
+        (F.sum(F.round(F.col("value") * 100.0).cast("long")) / 100.0)
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -327,6 +327,25 @@ class TxLogTable:
 
     # ------------------------------------------------------------ maintenance
 
+    def restore(self, version: int) -> dict:
+        """RESTORE TABLE ... TO VERSION AS OF — Delta's rollback
+        surface: commit a NEW version whose dir/stat/DV lists are
+        copied from the target snapshot.  No data moves and history
+        is preserved (the bad versions stay auditable between the
+        target and the restore commit) — rollback is one manifest
+        write, O(1) at any table size.  ``vacuum`` after a restore
+        reclaims the rolled-back versions' orphaned dirs."""
+        target = self.snapshot(version)
+        if target is None:
+            raise ValueError(f"no version {version} to restore to")
+        return self._commit(
+            "restore",
+            lambda base: list(target["dirs"]),
+            lambda base: dict(target.get("stats", {})),
+            {"restored_from": version},
+            lambda base: list(target.get("dv", [])),
+        )
+
     def vacuum(self) -> list[str]:
         """Remove data dirs no retained manifest references (crash
         leftovers from writers that staged data but never committed,
