@@ -197,3 +197,31 @@ def test_dv_read_is_broadcast_anti_join(spark, table):
     plan = buf.getvalue()
     assert "LeftAnti" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_restore_is_forward_commit_reusing_old_dirs(spark, table):
+    """RESTORE: v4 reproduces v1's content by REUSING its dirs (no
+    data rewrite), history keeps the bad versions, and a vacuum after
+    the restore reclaims only the rolled-back dirs."""
+    table.append(_df(spark, [(1, "a"), (2, "b")]))       # v1 good
+    table.append(_df(spark, [(3, "bad")]))               # v2 bad
+    table.delete_keys(_df(spark, [(1, "a")]).select("k"), "k")  # v3 bad
+    entry = table.restore(1)
+    assert entry["op"] == "restore"
+    assert entry["meta"]["restored_from"] == 1
+    assert {r["k"] for r in table.read(SCHEMA).collect()} == {1, 2}
+    assert [h["version"] for h in table.history()] == [1, 2, 3, 4]
+    # restored manifest REUSES v1's dir names — nothing was rewritten
+    assert table.snapshot()["dirs"] == table.snapshot(1)["dirs"]
+    # vacuum now reclaims the bad append's dir (+ the DV tombstone dir)
+    removed = table.vacuum()
+    assert len(removed) >= 1
+    assert {r["k"] for r in table.read(SCHEMA).collect()} == {1, 2}
+
+
+def test_restore_to_missing_version_raises(spark, table):
+    table.append(_df(spark, [(1, "a")]))
+    import pytest
+
+    with pytest.raises(ValueError):
+        table.restore(99)
