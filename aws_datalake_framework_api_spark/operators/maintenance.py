@@ -305,3 +305,61 @@ def diag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_s").cast("string").alias("min_s"),
         F.col("max_s").cast("string").alias("max_s"),
     )
+
+
+# ------------------------------------------------- retractable MV (CDC)
+
+
+@query(
+    "b_mv_retract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS DOUBLE)
+               AS total_value
+    FROM events
+    WHERE NOT (event_id % 11 = 0 AND ts >= TIMESTAMP '2024-01-20')
+    GROUP BY event_type
+    """,
+)
+def mv_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTABLE materialized-view maintenance — the CDC
+    generalization of `b_mv_incremental`: the change feed carries
+    DELETES as well as inserts, and the MV folds them as SIGNED
+    deltas (+1/+cents for an insert, −1/−cents for a delete) merged
+    into the standing state by key.  Counts and grid-sums are the
+    abelian-group aggregates that support retraction (min/max do
+    not — they'd need the full deletion log; Flink draws the same
+    retract-stream line).
+
+    Synthetic feed, deterministic on both engines: the standing MV is
+    the pre-cutoff rollup; the batch INSERTS the post-cutoff rows and
+    then DELETES those with event_id % 11 = 0 — so the refreshed MV
+    must equal the oracle's direct aggregate with those rows
+    excluded.  Refresh cost is O(state + batch); signed BIGINT deltas
+    merge identically under any partial-agg order."""
+    register_views(spark, sf_dir)
+    cut = "TIMESTAMP '2024-01-20'"
+    signed = f"""
+        SELECT event_type, count(*) AS n,
+               sum(CAST(round(value * 100.0) AS BIGINT)) AS cents
+        FROM events WHERE ts < {cut}
+        GROUP BY event_type
+        UNION ALL
+        SELECT event_type, count(*),
+               sum(CAST(round(value * 100.0) AS BIGINT))
+        FROM events WHERE ts >= {cut}
+        GROUP BY event_type
+        UNION ALL
+        SELECT event_type, -count(*),
+               -sum(CAST(round(value * 100.0) AS BIGINT))
+        FROM events WHERE ts >= {cut} AND event_id % 11 = 0
+        GROUP BY event_type
+    """
+    return spark.sql(f"""
+        SELECT event_type,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(cents) / 100.0 AS DOUBLE) AS total_value
+        FROM ({signed}) AS deltas
+        GROUP BY event_type
+    """)

@@ -157,6 +157,7 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_mv_retract",
     "b_lake_restore",
     "b_lake_schema_evolve",
     "b_path_top",
