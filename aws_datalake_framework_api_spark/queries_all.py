@@ -140,17 +140,18 @@ _ORDER = [
     "b_stream_upsert",
     "b_llm_bloom_gate",
     "b_llm_dedup_chunks",
-    # -- 4. never-checked rows-only flagships (BPE trainer/encoder,
-    #    SemDeDup, PCA, token-mix): the driver records a rows-only
-    #    check — weak, but better than no external evidence; each is
-    #    pinned against an exact twin in pytest.
-    "b_llm_bpe_train",
-    "b_llm_dedup_semantic",
+    # -- 4. session-2 flagships with exact oracles (partition-spec
+    #    evolution, GDPR erasure over deletion vectors, audio PCM
+    #    features): exact-oracle rows outrank the rows-only flagships
+    #    they displaced (bpe_train/dedup_semantic — first below the
+    #    boundary, each pinned by exact-twin pytest gates).
     "b_lake_partevolve",
     "b_lake_gdpr",
     "b_mm_audio_energy",
     # ---- 50-entry window boundary falls here (ids above get driver
     #      rows; everything below relies on verify_local this round) --
+    "b_llm_bpe_train",
+    "b_llm_dedup_semantic",
     # -- 5. rolls over to the ROUND-5 window: the rest of the
     #    never-checked round-4 additions ...
     "b_ts_rolling_dau",
