@@ -383,3 +383,91 @@ def path_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(10)
     )
+
+
+# ------------------------------------------------------------- attribution
+
+#: Attribution lookback horizon (µs) — a purchase credits a view at
+#: most this far back.
+ATTRIB_HORIZON_US = 3_600_000_000
+
+
+@query(
+    "b_attribution",
+    f"""
+    WITH timeline AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    credited AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               min(CASE WHEN event_type = 'view' THEN ts_us END)
+                   OVER (PARTITION BY user_id ORDER BY ts_us
+                         RANGE BETWEEN {ATTRIB_HORIZON_US} PRECEDING
+                         AND CURRENT ROW) AS first_touch_us,
+               max(CASE WHEN event_type = 'view' THEN ts_us END)
+                   OVER (PARTITION BY user_id ORDER BY ts_us
+                         RANGE BETWEEN {ATTRIB_HORIZON_US} PRECEDING
+                         AND CURRENT ROW) AS last_touch_us
+        FROM timeline
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(first_touch_us) AS BIGINT) AS n_attributed,
+           CAST(count(CASE WHEN first_touch_us <> last_touch_us THEN 1 END)
+                AS BIGINT) AS n_model_disagreements,
+           CAST(sum(CASE WHEN last_touch_us IS NOT NULL
+                         THEN ts_us - last_touch_us END) AS BIGINT)
+               AS total_last_touch_lag_us
+    FROM credited
+    WHERE event_type = 'purchase'
+    """,
+)
+def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch conversion attribution — the
+    marketing-analytics question as ONE window pass: for every
+    purchase, the earliest and latest view within the 1-hour
+    lookback come from min/max RANGE frames over the user's merged
+    timeline (integer-µs ordering, `b_sessionize`'s discipline), so
+    no view⋈purchase join materializes at all — compare
+    `b_stream_sjoin`, which builds the full pair set; attribution
+    only needs the frame extremes.
+
+    The report censuses both models and their disagreement count
+    (multi-view conversions credit differently under first- vs
+    last-touch — THE reason attribution model choice matters), plus
+    the exact integer lag mass.  One user_id shuffle, frame state
+    O(horizon); all outputs exact BIGINTs."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tl = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ATTRIB_HORIZON_US, 0)
+    )
+    credited = tl.select(
+        "event_type",
+        "ts_us",
+        F.min(view_ts).over(w).alias("first_touch_us"),
+        F.max(view_ts).over(w).alias("last_touch_us"),
+    ).filter(F.col("event_type") == "purchase")
+    return credited.agg(
+        F.count("*").alias("n_purchases"),
+        F.count("first_touch_us").cast("long").alias("n_attributed"),
+        F.count(
+            F.when(F.col("first_touch_us") != F.col("last_touch_us"), 1)
+        ).cast("long").alias("n_model_disagreements"),
+        F.sum(
+            F.when(
+                F.col("last_touch_us").isNotNull(),
+                F.col("ts_us") - F.col("last_touch_us"),
+            )
+        ).cast("long").alias("total_last_touch_lag_us"),
+    )

@@ -158,6 +158,7 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_attribution",
     "b_mv_retract",
     "b_lake_restore",
     "b_lake_schema_evolve",
