@@ -905,3 +905,63 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") / 100.0).cast("double").alias("total_value"),
         )
     )
+
+
+# ------------------------------------------------------- quantile cutoffs
+
+
+@query(
+    "b_agg_quantile_cutoffs",
+    """
+    WITH cuts AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.50) AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0
+                AS DOUBLE) AS band_value
+    FROM (SELECT CASE WHEN o_totalprice <  (SELECT q1 FROM cuts) THEN 'q1'
+                      WHEN o_totalprice <  (SELECT q2 FROM cuts) THEN 'q2'
+                      WHEN o_totalprice <  (SELECT q3 FROM cuts) THEN 'q3'
+                      ELSE 'q4' END AS band,
+                 o_totalprice
+          FROM orders) AS banded
+    GROUP BY band
+    """,
+)
+def agg_quantile_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-cutoff banding — the SCALE path the RFM/ntile
+    exhibits point at: instead of a single-partition global ntile,
+    compute the three quartile cutoffs ONCE (one aggregate → a 1-row
+    broadcast), then band the table in a fully parallel map pass and
+    census the bands.  Trades ntile's exact equal-cardinality for
+    unbounded parallelism; at 100 TB the cutoff aggregate itself
+    becomes ``approx_percentile`` (same plan shape, sketch-merged).
+
+    Determinism: both engines share the linear-interpolation
+    quantile definition (proven by `b_agg_quantiles`), the band
+    comparisons run against those identical doubles, and band sums
+    ride the cent grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    banded = orders.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("o_totalprice") < F.col("q1"), "q1")
+        .when(F.col("o_totalprice") < F.col("q2"), "q2")
+        .when(F.col("o_totalprice") < F.col("q3"), "q3")
+        .otherwise("q4")
+        .alias("band"),
+        "o_totalprice",
+    )
+    return banded.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")) / 100.0)
+        .cast("double")
+        .alias("band_value"),
+    )
