@@ -798,3 +798,68 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup (vs exact-dup) rates in `b_llm_dup_stats`."""
     register_views(spark, sf_dir)
     return spark.sql(_CORPUS_REPORT_SQL)
+
+
+# -------------------------------------------------------- normalized dedup
+
+
+@query(
+    "b_llm_dedup_norm",
+    """
+    WITH normed AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS norm_key
+        FROM documents
+    ),
+    groups AS (
+        SELECT norm_key,
+               count(*) AS n_docs,
+               min(doc_id) AS canonical_id
+        FROM normed
+        GROUP BY norm_key
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_docs) - count(*) AS BIGINT) AS n_norm_dups,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           CAST(max(n_docs) AS BIGINT) AS largest_group
+    FROM groups
+    """,
+)
+def llm_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized (near-exact) dedup — the standard pipeline stage
+    BETWEEN byte-exact (`b_llm_dedup_exact`) and fuzzy
+    (`b_llm_dedup_minhash`): lowercase, strip punctuation, collapse
+    whitespace, then group on the md5 of the canonical form.  Catches
+    the trivial variants (case, trailing punctuation, double spaces)
+    that byte-exact misses, at exact-dedup cost — one map-side md5 +
+    one groupBy, no shingles, no candidate joins.  The regexes stay
+    in the character-class subset where Java and RE2 semantics
+    coincide, so the canonical form — and therefore every group —
+    is byte-identical across engines (min-id canonical election as
+    everywhere else in the dedup family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    groups = docs.select("doc_id", norm.alias("norm_key")).groupBy(
+        "norm_key"
+    ).agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    return groups.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        (F.sum("n_docs") - F.count("*")).cast("long").alias("n_norm_dups"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+        F.max("n_docs").cast("long").alias("largest_group"),
+    )

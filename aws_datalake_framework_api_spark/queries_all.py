@@ -158,6 +158,7 @@ _ORDER = [
     "b_stat_chi2",
     "b_stat_abtest",
     "b_stat_corr",
+    "b_llm_dedup_norm",
     "b_agg_quantile_cutoffs",
     "b_attribution",
     "b_mv_retract",
