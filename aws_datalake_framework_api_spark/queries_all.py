@@ -182,6 +182,13 @@ _ORDER = [
     "b_sql_q8",
     "b_sql_q10",
     "b_sql_q14",
+    "b_sql_q2",
+    "b_sql_q9",
+    "b_sql_q11",
+    "b_sql_q12",
+    "b_sql_q16",
+    "b_sql_q20",
+    "b_sql_q21",
     "b_join_scd2",
     "b_ts_cumulative_users",
     "b_diag_observe",

@@ -465,3 +465,41 @@ def test_audio_energy_is_map_only_until_rollup(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_mm_audio_energy")
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q21_decorrelates_both_exists_on_orderkey(spark, sf_dir):
+    """Q21's EXISTS must become a LEFT SEMI and the NOT EXISTS a LEFT
+    ANTI self-join, both equi-keyed on l_orderkey — never a
+    nested-loop probe per outer row."""
+    plan = _plan(spark, sf_dir, "b_sql_q21")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q2_correlated_min_is_aggregate_join(spark, sf_dir):
+    """Q2's scalar-MIN subquery must decorrelate to an aggregate over
+    the supply CTE joined back on partkey — an equi-join plan with
+    no per-part loop."""
+    plan = _plan(spark, sf_dir, "b_sql_q2")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q16_not_in_is_null_aware_anti(spark, sf_dir):
+    """Q16's NOT IN must run as a (null-aware) anti join against the
+    tiny excluded-supplier list, with the part attribute filters
+    pushed to the part scan."""
+    plan = _plan(spark, sf_dir, "b_sql_q16")
+    assert "LeftAnti" in plan, plan
+    assert "PushedFilters" in plan, plan
+
+
+def test_q20_nested_in_is_semi_join_chain(spark, sf_dir):
+    """Q20's IN(IN, GROUP-HAVING) nest must collapse to semi joins —
+    part list prunes the fact, survivor suppkeys semi-join supplier;
+    no correlated re-execution."""
+    plan = _plan(spark, sf_dir, "b_sql_q20")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
