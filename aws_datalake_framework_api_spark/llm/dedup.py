@@ -1172,3 +1172,61 @@ def llm_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removable"),
     )
+
+
+# ------------------------------------------- prefix-filtered exact join
+
+# PPJoin-style prefix filtering (Chaudhuri et al. SSJoin / Xiao et al.
+# PPJoin, both public): order every doc's shingles by ascending global
+# document frequency (rarest first, lexicographic tiebreak) and keep
+# only the first  sz - ceil(t*sz) + 1  as the doc's PREFIX.  Two docs
+# with Jaccard >= t must overlap in >= ceil(t*min(|A|,|B|)) shingles,
+# and a pair that misses both prefixes entirely can share at most
+# ceil(t*sz)-1 of either side — so the prefix-prefix equi-join is a
+# LOSSLESS candidate generator for the exact join.  Unlike MinHash
+# banding (probabilistic recall) this is exact, and unlike the naive
+# shingle self-join its fan-out rides the RAREST tokens only.
+
+
+@query("b_llm_dedup_prefix", _NGRAM_SQL)
+def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs via prefix filtering — same contract (and
+    same oracle) as ``b_llm_dedup_ngram``, different candidate
+    generator: the equi-join runs only on each doc's df-ascending
+    prefix, so common shingles never join.  Where the naive path's
+    fan-out is Σ_shingle df² over ALL shingles (bounded here only by
+    the MAX_DF cap), the prefix join's is Σ over prefix shingles —
+    whose df is small by construction because the ordering puts the
+    rare ones first.  This is the scale path for EXACT set-similarity
+    at 100 TB: lossless (the driver hash-checks it against the
+    all-pairs oracle), skew-immune, and threshold-tunable.
+
+    Plan: shingle df aggregation (shuffle on shingle), per-doc
+    row_number window (shuffle on doc_id), prefix-prefix join
+    (shuffle on shingle, rare keys only), then the candidate-
+    restricted rerank of :func:`_jaccard_pairs` — the same
+    intersection plan the MinHash path uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = shared_shingle_set(docs)
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = s.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        s.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    plen = (
+        F.col("sz")
+        - F.ceil(F.col("sz") * F.lit(JACCARD_THRESHOLD)).cast("long")
+        + F.lit(1)
+    )
+    pref = ranked.filter(F.col("pos") <= plen).select("doc_id", "shingle")
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(s, cand=cand, sizes=sizes)

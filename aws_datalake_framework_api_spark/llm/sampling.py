@@ -977,3 +977,81 @@ def llm_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_masked"),
         F.md5(F.concat_ws(" ", masked)).alias("masked_md5"),
     )
+
+
+# ------------------------------------------------------- weighted sampling
+
+WEIGHTED_SALT = "wsample-v1"
+
+#: 48-bit uniform from the first 12 md5 hex chars — wide enough that
+#: the keep-threshold comparison below never ties in practice, narrow
+#: enough that u48 * max_weight stays far inside BIGINT.
+_U48 = 281474976710656  # 2^48
+
+
+@query(
+    "b_llm_sample_weighted",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+             CAST(concat('0x',
+               substring(md5('{WEIGHTED_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 12))
+               AS BIGINT) AS u48
+      FROM documents
+    ),
+    mx AS (SELECT max(weight) AS max_w FROM w)
+    SELECT doc_id, lang, weight,
+           CASE WHEN u48 * max_w < weight * {_U48} THEN 1 ELSE 0 END AS sampled
+    FROM w CROSS JOIN mx
+    """,
+)
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli downsampling: each doc is kept
+    with probability weight/max_weight (weight = n_chars here; in a
+    real pipeline a quality or domain score) — the importance-sampling
+    primitive behind quality-weighted corpus construction (heavier
+    docs survive proportionally more often), kept fully deterministic
+    and EXACT: the keep test is the integer cross-multiplication
+    ``u48 * max_w < weight * 2^48`` on a salted-md5 48-bit uniform, so
+    there is no float probability anywhere and the same doc gets the
+    same verdict on any engine, partitioning, or rerun.  (The top-k
+    variant of weighted sampling — Efraimidis-Spirakis exponential
+    keys — needs ln(u); this threshold form is the libm-free exhibit,
+    and `b_llm_sample_exact` covers exact-count selection.)
+
+    Scale shape: the max-weight aggregate is one broadcast row; the
+    verdict pass is map-only codegen (md5 + integer compare), no
+    shuffle, no state — rerunnable on 1000 executors with identical
+    output."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(WEIGHTED_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u48"),
+    )
+    mx = w.agg(F.max("weight").alias("max_w"))
+    return w.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "lang",
+        "weight",
+        F.when(
+            F.col("u48") * F.col("max_w") < F.col("weight") * F.lit(_U48), 1
+        )
+        .otherwise(0)
+        .alias("sampled"),
+    )

@@ -863,3 +863,119 @@ def llm_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dup_groups"),
         F.max("n_docs").cast("long").alias("largest_group"),
     )
+
+
+# ---------------------------------------------------------------- BM25
+
+#: BM25 saturation constants (Robertson et al., public).  k1 tempers
+#: term-frequency saturation, b the length normalization.  Both are
+#: short decimals chosen representable enough that the arithmetic
+#: below stays in one fixed IEEE op order.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_sql() -> str:
+    """DuckDB twin of :func:`llm_bm25` with the IDENTICAL op order in
+    every float expression, so scores are bit-equal before the final
+    e6 rounding."""
+    tf = lambda t: f"len(list_filter(string_split(trim(text), ' '), w -> w = '{t}'))"  # noqa: E731
+    per_term = []
+    dfs = []
+    for i, t in enumerate(SEARCH_TERMS):
+        dfs.append(
+            f"sum(CASE WHEN {tf(t)} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        )
+        per_term.append(
+            f"""CAST(round(
+              ((CAST(n_docs AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5))
+              * (tf{i} * {BM25_K1 + 1.0}
+                 / (tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (dl / avgdl))))
+              * 1000000.0) AS BIGINT)"""
+        )
+    return f"""
+    WITH stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE)
+               / count(*) AS avgdl,
+             {', '.join(dfs)}
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl,
+             {', '.join(f'{tf(t)} AS tf{i}' for i, t in enumerate(SEARCH_TERMS))}
+      FROM documents
+    )
+    SELECT doc_id,
+           {' + '.join(per_term)} AS score_e6
+    FROM scored CROSS JOIN stats
+    WHERE {' + '.join(f'tf{i}' for i in range(len(SEARCH_TERMS)))} > 0
+    ORDER BY score_e6 DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query("b_llm_bm25", _bm25_sql())
+def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for the fixture query terms — the
+    retrieval scorer a RAG or eval-retrieval pipeline runs at corpus
+    scale, upgrading `b_llm_keyword_search`'s raw-tf ranking with
+    df-weighted, length-normalized, saturated term weights.
+
+    Determinism treatment: classic BM25's ln() is the one non-exact
+    step (libm last-ulp differs between engines — the reason
+    `b_llm_tfidf` uses integer-bit idf), and ln is monotone in its
+    argument — so the score uses the pre-log ODDS idf
+    ``(N - df + 0.5)/(df + 0.5)`` directly.  Every remaining op
+    (div, mul, add) is IEEE-exact-rounded and written in the same
+    order on both engines, so scores are bit-identical and the e6
+    integer grid makes the hash stable.
+
+    Scale shape: ONE corpus aggregation produces (N, avgdl, per-term
+    df) as a single broadcast row; scoring is then a map-only pass
+    (token counts in codegen, no UDF) and the top-20 rides
+    TakeOrderedAndProject per-partition heaps — no global sort, no
+    per-term shuffle, nothing keyed on vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    tf = lambda t: F.size(F.filter(toks, lambda w: w == F.lit(t)))  # noqa: E731
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size(toks)).cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(tf(t) > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i, t in enumerate(SEARCH_TERMS)
+        ],
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[tf(t).alias(f"tf{i}") for i, t in enumerate(SEARCH_TERMS)],
+    ).crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        idf = (F.col("n_docs").cast("double") - F.col(f"df{i}") + F.lit(0.5)) / (
+            F.col(f"df{i}") + F.lit(0.5)
+        )
+        sat = (F.col(f"tf{i}") * F.lit(BM25_K1 + 1.0)) / (
+            F.col(f"tf{i}")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+        )
+        return F.round(idf * sat * F.lit(1000000.0)).cast("long")
+
+    score = sum(
+        (term_score(i) for i in range(1, len(SEARCH_TERMS))),
+        term_score(0),
+    )
+    any_tf = sum(
+        (F.col(f"tf{i}") for i in range(1, len(SEARCH_TERMS))),
+        F.col("tf0"),
+    )
+    return (
+        scored.filter(any_tf > 0)
+        .select("doc_id", score.alias("score_e6"))
+        .orderBy(F.desc("score_e6"), "doc_id")
+        .limit(20)
+    )

@@ -195,6 +195,9 @@ _ORDER = [
     "b_agg_unpivot",
     "b_win_streak",
     "b_llm_keyword_search",
+    "b_llm_dedup_prefix",
+    "b_llm_bm25",
+    "b_llm_sample_weighted",
     "b_agg_bitmap",
     "b_agg_gsets",
     "b_agg_heavyhitters",

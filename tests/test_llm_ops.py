@@ -1244,3 +1244,21 @@ def test_winnowing_guarantee_on_planted_shared_span(spark):
     # docs 2 and 3 share no 8-char substring -> never paired
     assert (2, 3) not in pairs
     assert not any({2, 3} & set(k) and {0, 1} & set(k) for k in pairs)
+
+
+def test_prefix_join_equals_exact_ngram(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: the PPJoin-style candidate
+    generator must reproduce the naive exact join's pairs exactly —
+    same pairs, same Jaccard values."""
+    from aws_datalake_framework_api_spark.queries_all import QUERIES
+
+    exact = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in QUERIES["b_llm_dedup_ngram"](spark, sf_dir).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in QUERIES["b_llm_dedup_prefix"](spark, sf_dir).collect()
+    }
+    assert pref == exact
+    assert len(exact) > 0

@@ -503,3 +503,21 @@ def test_q20_nested_in_is_semi_join_chain(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_sql_q20")
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_is_one_broadcast_plus_map_scan(spark, sf_dir):
+    """BM25: corpus stats fold to one broadcast row; scoring is a
+    map-only codegen pass (no UDF) with TakeOrderedAndProject for the
+    top-k — no global sort, no vocabulary-keyed shuffle."""
+    plan = _plan(spark, sf_dir, "b_llm_bm25")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_sample_is_map_only(spark, sf_dir):
+    """Weighted Bernoulli thinning: one broadcast max-weight row, then
+    a shuffle-free verdict pass."""
+    plan = _plan(spark, sf_dir, "b_llm_sample_weighted")
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
