@@ -979,3 +979,67 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e6"), "doc_id")
         .limit(20)
     )
+
+
+# ------------------------------------------------------- inverted index
+
+#: Terms reported from the index build (df-ranked head).
+INV_TOP_TERMS = 20
+#: Posting-list sample length per term.
+INV_SAMPLE = 5
+
+
+@query(
+    "b_llm_inverted",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    post AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS total_tf,
+             array_to_string(list_sort(list(doc_id))[1:{INV_SAMPLE}], ',')
+               AS head_postings
+      FROM tf
+      GROUP BY term
+    )
+    SELECT term, df, total_tf, head_postings
+    FROM post
+    ORDER BY df DESC, term
+    LIMIT {INV_TOP_TERMS}
+    """,
+)
+def llm_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the structure `b_llm_keyword_
+    search`'s docstring defers to at 100 TB: per term, the document
+    frequency, total term frequency, and the (sorted) head of the
+    posting list.  The registered query reports the df-ranked head of
+    the index; the full index is the same frame without the limit,
+    written term-bucketed for point lookups.
+
+    Scale shape: tokenization is a map-only explode; (term, doc)
+    term-frequency is one shuffle keyed on the term+doc pair; the
+    posting rollup groups on term (uniform string keys — stopword
+    skew is bounded because the per-term value is a COUNT plus a
+    truncated sorted sample via slice(array_sort(...)), never the
+    full posting array in memory at once for the report).  The
+    posting sample is canon-safe text, so the whole build hash-checks
+    against the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("term"),
+    )
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    post = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, INV_SAMPLE),
+            ",",
+        ).alias("head_postings"),
+    )
+    return post.orderBy(F.desc("df"), "term").limit(INV_TOP_TERMS)

@@ -198,6 +198,8 @@ _ORDER = [
     "b_llm_dedup_prefix",
     "b_llm_bm25",
     "b_llm_sample_weighted",
+    "b_graph_triangles",
+    "b_llm_inverted",
     "b_agg_bitmap",
     "b_agg_gsets",
     "b_agg_heavyhitters",

@@ -521,3 +521,21 @@ def test_weighted_sample_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_llm_sample_weighted")
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_triangles_no_cartesian_and_keyed_joins(spark, sf_dir):
+    """Degree-ordered triangle counting: every join is an equi-join on
+    node keys — no cartesian/nested-loop edge anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "b_graph_triangles")
+    assert "CartesianProduct" not in plan, plan
+    # the three one-row stat aggregates may nest-loop-join together
+    # (1×1 rows); anything fact-sized must not
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_inverted_index_two_keyed_shuffles(spark, sf_dir):
+    """Index build: explode is map-only; aggregation shuffles on
+    (term, doc) then term — no UDF, no extra exchanges."""
+    plan = _plan(spark, sf_dir, "b_llm_inverted")
+    assert "BatchEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
