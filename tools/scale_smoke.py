@@ -53,6 +53,15 @@ SMOKE = [
     "b_stat_corr",
     "b_sql_q18",
     "b_ts_ewma",
+    # session-3 additions: the PPJoin prefix filter vs the naive exact
+    # join it replaces (the head-to-head IS the exhibit: both are
+    # exact, prefix should scale better), the one-broadcast BM25 scan,
+    # degree-ordered triangles, and the term-keyed index build
+    "b_llm_dedup_ngram",
+    "b_llm_dedup_prefix",
+    "b_llm_bm25",
+    "b_graph_triangles",
+    "b_llm_inverted",
 ]
 
 
