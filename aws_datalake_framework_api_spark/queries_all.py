@@ -10,8 +10,9 @@ UDF/landing query without a correctness row.  So the dict is rebuilt
 below with:
 
 Round-4 rotation (VERDICT r3 items #1/#3/#6): after three rounds the
-union of driver rows covers all 110 r3 ids, but round 4 added ~77
-new operators — so the scarce resource is FIRST rows, not freshness.
+union of driver rows covers all 110 r3 ids, but round 4 more than
+doubled the inventory (242 ids) — so the scarce resource is FIRST
+rows, not freshness.
 The window is rebuilt so that (see the section comments in _ORDER):
 
 1. previously-checked ids whose code changed this round — first;
@@ -74,8 +75,8 @@ from . import envelope as _envelope  # noqa: F401  A11
 #: not registered are skipped; registered ids not listed append last.
 _ORDER = [
     # ==================================================================
-    # 50-ENTRY DRIVER WINDOW — round-4 final allocation.  187 ids now
-    # exist and 77 have never received a driver row, so the window
+    # 50-ENTRY DRIVER WINDOW — round-4 final allocation (242 ids
+    # registered by end of round; ~132 never driver-checked), so the window
     # maximizes NEVER-CHECKED coverage: a stale-but-green row is
     # stronger evidence than no row at all, so stale ids yield their
     # slots and re-verify in round 5 (they remain covered every round
