@@ -1249,12 +1249,16 @@ def test_winnowing_guarantee_on_planted_shared_span(spark):
 def test_prefix_join_equals_exact_ngram(spark, sf_dir):
     """Prefix filtering is LOSSLESS: the PPJoin-style candidate
     generator must reproduce the naive exact join's pairs exactly —
-    same pairs, same Jaccard values."""
+    same pairs, same Jaccard values — at its own t=0.8 threshold
+    (the naive join reports at 0.5, so its output is filtered to the
+    prefix op's band before comparing)."""
+    from aws_datalake_framework_api_spark.llm.dedup import PREFIX_THRESHOLD
     from aws_datalake_framework_api_spark.queries_all import QUERIES
 
     exact = {
         (r.doc_a, r.doc_b): round(r.jaccard, 9)
         for r in QUERIES["b_llm_dedup_ngram"](spark, sf_dir).collect()
+        if r.jaccard >= PREFIX_THRESHOLD
     }
     pref = {
         (r.doc_a, r.doc_b): round(r.jaccard, 9)
