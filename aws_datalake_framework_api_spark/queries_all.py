@@ -126,9 +126,13 @@ _ORDER = [
     "b_sql_q18",
     "b_sql_q19",
     "b_sql_q22",
-    #    sources / time-series / maintenance,
-    "b_scan_orc",
-    "b_scan_text",
+    #    sources / time-series / maintenance / session-3 flagships
+    #    (PPJoin prefix join + degree-ordered triangles displace the
+    #    two plain format scans — equal first-row count, higher
+    #    algorithmic risk gets the external evidence; the scans sit
+    #    first in the round-5 rollover),
+    "b_llm_dedup_prefix",
+    "b_graph_triangles",
     "b_ts_ewma",
     "b_ts_resample",
     "b_diag_skew",
@@ -153,8 +157,10 @@ _ORDER = [
     #      rows; everything below relies on verify_local this round) --
     "b_llm_bpe_train",
     "b_llm_dedup_semantic",
-    # -- 5. rolls over to the ROUND-5 window: the rest of the
-    #    never-checked round-4 additions ...
+    # -- 5. rolls over to the ROUND-5 window: the displaced format
+    #    scans first, then the rest of the never-checked additions ...
+    "b_scan_orc",
+    "b_scan_text",
     "b_ts_rolling_dau",
     "b_stat_chi2",
     "b_stat_abtest",
