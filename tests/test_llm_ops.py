@@ -1266,3 +1266,68 @@ def test_prefix_join_equals_exact_ngram(spark, sf_dir):
     }
     assert pref == exact
     assert len(exact) > 0
+
+
+def test_prefix_join_lossless_on_adversarial_corpus(spark, tmp_path):
+    """Losslessness on a corpus engineered to have pairs ON and AROUND
+    the t=0.8 threshold (the driver fixture's near-dups all sit at
+    J>=0.9, so it cannot catch a prefix bug that loses or leaks
+    borderline pairs).  Docs are word sequences sharing controlled
+    fractions of their shingles; both exact paths must agree pair-for-
+    pair and value-for-value at the prefix op's threshold."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_api_spark.llm.dedup import (
+        PREFIX_THRESHOLD,
+        _jaccard_pairs,
+        shared_shingle_set,
+    )
+
+    rng = random.Random(421)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = []
+    base_id = 0
+    # families of documents sharing long runs: mutate k tail words of
+    # a 40-word base, k swept so Jaccard lands across 0.5..1.0
+    for fam in range(25):
+        base = [rng.choice(vocab) for _ in range(40)]
+        docs.append((base_id, " ".join(base)))
+        base_id += 1
+        for k in (1, 2, 4, 6, 9, 13):
+            mut = list(base)
+            for i in range(k):
+                mut[-(i * 3 + 1)] = rng.choice(vocab)
+            docs.append((base_id, " ".join(mut)))
+            base_id += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sf = str(tmp_path / "adv")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length("text").alias("n_chars"),
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+    exact = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in _jaccard_pairs(
+            shared_shingle_set(
+                spark.read.parquet(os.path.join(sf, "documents.parquet"))
+            ),
+            threshold=PREFIX_THRESHOLD,
+        ).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in QUERIES["b_llm_dedup_prefix"](spark, sf).collect()
+    }
+    assert pref == exact
+    # the corpus must actually exercise the borderline band
+    assert any(PREFIX_THRESHOLD <= j < 0.9 for j in exact.values()), exact
+    assert len(exact) > 50
