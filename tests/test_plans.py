@@ -539,3 +539,14 @@ def test_inverted_index_two_keyed_shuffles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_llm_inverted")
     assert "BatchEvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_prefix_join_is_all_equi_joins(spark, sf_dir):
+    """PPJoin path: prefix generation (df agg + per-doc window) and
+    the candidate/rerank joins are all keyed — no cartesian or
+    nested-loop pairing anywhere, no UDF."""
+    plan = _plan(spark, sf_dir, "b_llm_dedup_prefix")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" in plan, plan
