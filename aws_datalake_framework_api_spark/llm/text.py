@@ -1022,23 +1022,31 @@ def llm_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: tokenization is a map-only explode; (term, doc)
     term-frequency is one shuffle keyed on the term+doc pair; the
-    posting rollup groups on term (uniform string keys — stopword
-    skew is bounded because the per-term value is a COUNT plus a
-    truncated sorted sample via slice(array_sort(...)), never the
-    full posting array in memory at once for the report).  The
-    posting sample is canon-safe text, so the whole build hash-checks
-    against the oracle."""
+    posting rollup groups on term.  The head sample is selected by a
+    row_number window BEFORE the rollup so the collect_list holds at
+    most {INV_SAMPLE} ids per term — a collect over the raw posting
+    list would buffer a stopword's ENTIRE posting set in one
+    aggregation buffer (unspillable, OOM at web scale), where the
+    window's per-term sort spills to disk like any sort.  The sample
+    is canon-safe text, so the whole build hash-checks against the
+    oracle."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("term"),
     )
     tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    post = tf.groupBy("term").agg(
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    post = ranked.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("total_tf"),
         F.array_join(
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, INV_SAMPLE),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") <= INV_SAMPLE, F.col("doc_id"))
+                )
+            ),
             ",",
         ).alias("head_postings"),
     )
