@@ -965,3 +965,135 @@ def agg_quantile_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("band_value"),
     )
+
+
+# ------------------------------------------------------ count-min sketch
+
+#: Count-Min geometry: 4 independent hash rows × 256 counters.  Tiny
+#: by design — the exhibit is the MERGEABLE-SKETCH plan shape (state
+#: bounded by depth×width, never by vocabulary), same family as the
+#: HLL rollup (approx distinct) and Misra-Gries (top-k); CM adds the
+#: point-frequency query with a one-sided error guarantee.
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+#: Probe words spanning the fixture's frequency range.
+CM_PROBES = ("spark", "join", "query", "merge", "table", "row", "value", "data")
+
+
+def _cm_sql() -> str:
+    probes = ", ".join(f"('{w}')" for w in CM_PROBES)
+    sketch = "\n      UNION ALL\n".join(
+        f"""      SELECT {r} AS r,
+             CAST(CAST(concat('0x', substring(md5('cm{r}:' || w), 1, 2))
+                  AS BIGINT) AS INT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 2"""
+        for r in range(CM_DEPTH)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+    ),
+    sketch AS (
+{sketch}
+    ),
+    probes(word) AS (VALUES {probes}),
+    pb AS (
+      SELECT word, t.r,
+             CAST(CAST(concat('0x',
+               substring(md5('cm' || CAST(t.r AS VARCHAR) || ':' || word), 1, 2))
+               AS BIGINT) AS INT) AS b
+      FROM probes CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(r)
+    ),
+    est AS (
+      SELECT word, min(coalesce(s.c, 0)) AS cm_estimate
+      FROM pb LEFT JOIN sketch s ON s.r = pb.r AND s.b = pb.b
+      GROUP BY word
+    ),
+    exact AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS exact_count
+      FROM tok GROUP BY w
+    )
+    SELECT e.word,
+           coalesce(x.exact_count, 0) AS exact_count,
+           e.cm_estimate,
+           CASE WHEN e.cm_estimate >= coalesce(x.exact_count, 0)
+                THEN 1 ELSE 0 END AS never_underestimates
+    FROM est e LEFT JOIN exact x ON x.word = e.word
+    ORDER BY e.word
+    """
+
+
+@query("b_agg_cmsketch", _cm_sql())
+def agg_cmsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus word stream, probed for 8
+    words against exact counts — the mergeable point-frequency sketch
+    (Cormode & Muthukrishnan 2005, public) that answers "how often
+    does term X occur" with depth×width state instead of a
+    vocabulary-sized table.  The scorecard emits estimate vs exact
+    plus the one-sided-error invariant (CM can only OVERcount —
+    an underestimate anywhere is a broken sketch), all exact
+    integers, fully oracle-pinned including the collision pattern
+    (both engines hash with the same salted md5 → identical buckets
+    → identical estimates).
+
+    Scale shape: tokenize map-only; posexplode to (row, bucket) is a
+    4× map-side expansion; ONE groupBy over at most depth×width =
+    1 024 groups — the shuffle is CONSTANT-size regardless of corpus
+    or vocabulary (the exact `GROUP BY word` it replaces shuffles the
+    vocabulary).  Partials merge by + (mergeable sketch), the probe
+    join touches a broadcast 1 024-row frame, and the exact-count
+    side is a scan-level `IN` filter aggregating 8 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+
+    def bucket(col, r: int):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), col)), 1, 2), 16, 10
+        ).cast("int")
+
+    rb = tok.select(
+        F.posexplode(
+            F.array(*[bucket(F.col("w"), r) for r in range(CM_DEPTH)])
+        ).alias("r", "b")
+    )
+    sketch = rb.groupBy("r", "b").agg(F.count("*").cast("long").alias("c"))
+    probes = spark.createDataFrame(
+        [(w,) for w in CM_PROBES], "word string"
+    )
+    pb = probes.select(
+        "word",
+        F.posexplode(
+            F.array(*[bucket(F.col("word"), r) for r in range(CM_DEPTH)])
+        ).alias("r", "b"),
+    )
+    est = (
+        pb.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_estimate"))
+    )
+    exact = (
+        tok.filter(F.col("w").isin(*CM_PROBES))
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "word", "left")
+        .select(
+            "word",
+            F.coalesce(F.col("exact_count"), F.lit(0).cast("long")).alias(
+                "exact_count"
+            ),
+            "cm_estimate",
+            F.when(
+                F.col("cm_estimate")
+                >= F.coalesce(F.col("exact_count"), F.lit(0)),
+                1,
+            )
+            .otherwise(0)
+            .alias("never_underestimates"),
+        )
+    )

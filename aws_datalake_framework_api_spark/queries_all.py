@@ -207,6 +207,7 @@ _ORDER = [
     "b_llm_sample_weighted",
     "b_graph_triangles",
     "b_llm_inverted",
+    "b_agg_cmsketch",
     "b_agg_bitmap",
     "b_agg_gsets",
     "b_agg_heavyhitters",

@@ -550,3 +550,12 @@ def test_prefix_join_is_all_equi_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_cmsketch_shuffle_is_constant_size(spark, sf_dir):
+    """CM sketch: the aggregation shuffles (row, bucket) partials —
+    at most depth×width groups regardless of vocabulary — and the
+    probe join broadcasts the sketch."""
+    plan = _plan(spark, sf_dir, "b_agg_cmsketch")
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
