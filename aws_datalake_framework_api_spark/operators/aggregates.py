@@ -1097,3 +1097,100 @@ def agg_cmsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("never_underestimates"),
         )
     )
+
+
+# ------------------------------------------------------ AMS F2 sketch
+
+#: Tug-of-war estimator rows (Alon-Matias-Szegedy 1996, public).
+#: 64 rows: the mean-of-rows estimator has std ≈ √2/√64 ≈ 18% of F₂
+#: — tight enough that the scorecard is meaningful while the sketch
+#: state stays 64 BIGINTs.
+F2_ROWS = 64
+
+
+def _f2_sql() -> str:
+    terms = []
+    for r in range(F2_ROWS):
+        sign = (
+            f"CASE WHEN CAST(CAST(concat('0x', substring(md5('f2{r}:' || shingle), 1, 1)) "
+            f"AS BIGINT) AS INT) % 2 = 0 THEN 1 ELSE -1 END"
+        )
+        terms.append(f"sum({sign}) AS s{r}")
+    ests = " + ".join(f"s{i} * s{i}" for i in range(F2_ROWS))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w,
+             generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s AS (
+      SELECT DISTINCT doc_id, shingle FROM grams WHERE shingle IS NOT NULL
+    ),
+    dfs AS (SELECT shingle, count(*) AS df FROM s GROUP BY shingle),
+    sums AS (SELECT {', '.join(terms)} FROM s),
+    exact AS (SELECT CAST(sum(df * df) AS BIGINT) AS exact_f2 FROM dfs)
+    SELECT exact_f2,
+           CAST({ests} AS BIGINT) AS est_f2_sum,
+           CAST({F2_ROWS} AS INT) AS n_rows
+    FROM sums CROSS JOIN exact
+    """
+
+
+@query("b_agg_f2sketch", _f2_sql())
+def agg_f2sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS 'tug-of-war' second-moment sketch over the corpus shingle
+    stream: F₂ = Σ_shingle df² — which is EXACTLY the row fan-out of
+    the naive shingle self-join that `b_llm_dedup_ngram` runs and the
+    df cap bounds.  An optimizer (or a pipeline gate like
+    `plan_guard`) can estimate that fan-out in one map-only pass with
+    {F2_ROWS} counters instead of aggregating the full shingle
+    df table first: each row keeps S_r = Σ sign_r(shingle) (one
+    BIGINT; the md5-parity signs are 4-wise-independent enough for
+    the classic unbiasedness argument), and E[S_r²] = F₂.  The query
+    emits the exact F₂ next to the Σ S_r² scorecard (reader divides
+    by n_rows) — both exact integers, so the whole estimate —
+    including every sign collision — is oracle-pinned.
+
+    Scale shape: the sketch side is a single global aggregate of ±1s
+    (map-side partials, {F2_ROWS} BIGINTs of state, no keyed shuffle
+    at all); only the EXACT side pays the df groupBy — at 100 TB you
+    run the sketch INSTEAD of the aggregate, which is the point.
+    Shingle tokenization reuses the dedup family's distinct
+    (doc, shingle) stream (uncapped here: F₂ is precisely the
+    quantity the MAX_DF cap exists to bound, so the sketch must see
+    the skew)."""
+    from ..llm.dedup import raw_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = raw_shingles(docs).distinct()
+
+    def sign(r: int):
+        nib = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"f2{r}:"), F.col("shingle"))), 1, 1),
+            16,
+            10,
+        ).cast("int")
+        return F.when(nib % 2 == 0, 1).otherwise(-1)
+
+    sums = s.agg(
+        *[F.sum(sign(r)).alias(f"s{r}") for r in range(F2_ROWS)]
+    )
+    exact = (
+        s.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")).cast("long").alias("exact_f2"))
+    )
+    est = sum(
+        (F.col(f"s{r}") * F.col(f"s{r}") for r in range(1, F2_ROWS)),
+        F.col("s0") * F.col("s0"),
+    )
+    return exact.crossJoin(sums).select(
+        "exact_f2",
+        est.cast("long").alias("est_f2_sum"),
+        F.lit(F2_ROWS).cast("int").alias("n_rows"),
+    )

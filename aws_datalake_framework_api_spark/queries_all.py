@@ -208,6 +208,7 @@ _ORDER = [
     "b_graph_triangles",
     "b_llm_inverted",
     "b_agg_cmsketch",
+    "b_agg_f2sketch",
     "b_agg_bitmap",
     "b_agg_gsets",
     "b_agg_heavyhitters",

@@ -1331,3 +1331,14 @@ def test_prefix_join_lossless_on_adversarial_corpus(spark, tmp_path):
     # the corpus must actually exercise the borderline band
     assert any(PREFIX_THRESHOLD <= j < 0.9 for j in exact.values()), exact
     assert len(exact) > 50
+
+
+def test_sketch_scorecards_hold_invariants(spark, sf_dir):
+    """CM never underestimates (one-sided error is the sketch's
+    guarantee, not luck); the AMS F2 mean lands within the documented
+    band of exact on the fixture."""
+    cm = QUERIES["b_agg_cmsketch"](spark, sf_dir).collect()
+    assert cm and all(r["never_underestimates"] == 1 for r in cm)
+    f2 = QUERIES["b_agg_f2sketch"](spark, sf_dir).collect()[0]
+    mean_est = f2["est_f2_sum"] / f2["n_rows"]
+    assert abs(mean_est - f2["exact_f2"]) / f2["exact_f2"] < 0.6

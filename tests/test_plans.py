@@ -559,3 +559,12 @@ def test_cmsketch_shuffle_is_constant_size(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_agg_cmsketch")
     assert "BatchEvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_f2sketch_side_has_no_keyed_shuffle(spark, sf_dir):
+    """The tug-of-war sums are ONE keyless global aggregate — the
+    sketch path must contain no groupBy-keyed exchange (the only
+    keyed aggregate in the plan is the exact-F2 audit side)."""
+    plan = _plan(spark, sf_dir, "b_agg_f2sketch")
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
