@@ -363,3 +363,72 @@ def mv_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ({signed}) AS deltas
         GROUP BY event_type
     """)
+
+
+# ------------------------------------------------- anti-entropy checksum
+
+#: Tables fingerprinted by the replica-verification sweep.
+CHECKSUM_TABLES = ("documents", "customer", "orders")
+
+
+def _checksum_sql() -> str:
+    parts = []
+    for t, key in (
+        ("documents", "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' || CAST(n_chars AS VARCHAR) || '|' || md5(text)"),
+        ("customer", "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment"),
+        ("orders", "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || o_orderpriority"),
+    ):
+        parts.append(
+            f"""    SELECT '{t}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(CAST(concat('0x', substring(md5({key}), 1, 12))
+                        AS BIGINT)) AS BIGINT) AS checksum48
+    FROM {t}"""
+        )
+    return "\n    UNION ALL\n".join(parts) + "\n    ORDER BY table_name"
+
+
+@query("b_diag_checksum", _checksum_sql())
+def diag_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints — the anti-entropy
+    primitive behind replica verification: XOR-fold a 48-bit salted
+    row digest across each table so two replicas (or a primary and a
+    secondary region — the data-plane half of the reference's
+    `primary_region`/`secondary_region` config that `GlobalConfig`
+    parses) can compare a table in O(1) exchanged bytes.  XOR is
+    commutative/associative, so the checksum is independent of row
+    order, partitioning, and merge order — any single-row divergence
+    flips it (48-bit collision odds ~3.6e-15 per comparison).
+
+    Scale shape: one map-only digest pass per table + an XOR
+    aggregate (map-side partials, 8 bytes of state per partition);
+    nothing shuffles but one long per partition.  The digest string
+    canonicalizes each row exactly the same way in both engines, so
+    the checksum itself — not just the row count — is oracle-pinned."""
+    register_views(spark, sf_dir)
+    frames = []
+    for t in CHECKSUM_TABLES:
+        frames.append(
+            load_table(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.expr(
+                    f"bit_xor(CAST(conv(substring(md5({_digest_expr(t)}), 1, 12), 16, 10) AS BIGINT))"
+                ).alias("checksum48"),
+            )
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionAll(f2)
+    return out.orderBy("table_name")
+
+
+def _digest_expr(t: str) -> str:
+    """SQL-expression twin of the per-table canonical row string used
+    by :func:`diag_checksum` (bit_xor needs F.expr, so the digest is
+    spelled once in SQL)."""
+    return {
+        "documents": "concat_ws('|', CAST(doc_id AS STRING), lang, source, CAST(n_chars AS STRING), md5(text))",
+        "customer": "concat_ws('|', CAST(c_custkey AS STRING), c_name, CAST(c_nationkey AS STRING), c_mktsegment)",
+        "orders": "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), o_orderstatus, o_orderpriority)",
+    }[t]
