@@ -471,3 +471,111 @@ def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("total_last_touch_lag_us"),
     )
+
+
+# --------------------------------------------- linear multi-touch credit
+
+
+@query(
+    "b_attribution_linear",
+    f"""
+    WITH timeline AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    assigned AS (
+        SELECT user_id, event_type AS channel, ts_us,
+               min(CASE WHEN event_type = 'purchase' THEN ts_us END)
+                   OVER (PARTITION BY user_id ORDER BY ts_us
+                         RANGE BETWEEN CURRENT ROW
+                         AND {ATTRIB_HORIZON_US} FOLLOWING) AS conv_ts
+        FROM timeline
+    ),
+    touches AS (
+        SELECT user_id, channel, conv_ts
+        FROM assigned
+        WHERE channel <> 'purchase' AND conv_ts IS NOT NULL
+    ),
+    conv_n AS (
+        SELECT user_id, conv_ts, CAST(count(*) AS BIGINT) AS n_total
+        FROM touches GROUP BY user_id, conv_ts
+    ),
+    per_channel AS (
+        SELECT t.channel, t.user_id, t.conv_ts, c.n_total,
+               CAST(count(*) AS BIGINT) AS n_ch
+        FROM touches t
+        JOIN conv_n c ON c.user_id = t.user_id AND c.conv_ts = t.conv_ts
+        GROUP BY t.channel, t.user_id, t.conv_ts, c.n_total
+    )
+    SELECT channel,
+           CAST(sum(n_ch) AS BIGINT) AS touches_credited,
+           CAST(count(*) AS BIGINT) AS conversions_touched,
+           CAST(sum(n_ch * CAST(floor(1000000.0 / n_total + 0.5) AS BIGINT))
+                AS BIGINT) AS credit_e6
+    FROM per_channel
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — each conversion's credit is
+    split equally across every touch (view or click) whose FIRST
+    subsequent purchase within the 1-hour horizon is that conversion.
+    This completes the attribution-model family next to
+    `b_attribution`'s first/last-touch extremes, and fixes the
+    double-counting trap the naive formulation has: assigning each
+    touch to its first following conversion (a min over a FOLLOWING
+    range frame) guarantees a touch funds exactly one conversion,
+    where counting "touches in the preceding hour" per purchase
+    would credit a touch to every purchase in its horizon.
+
+    Credit rides the exact integer grid: each touch's share is
+    floor(1e6/n + 0.5) micro-credits (per-conversion drift from
+    exactly 1e6 is bounded by n/2 units and identical on both
+    engines), so channel totals hash-check.
+
+    Scale shape: ONE user_id window pass assigns conversions (frame
+    state O(horizon)); both groupBys key on (user, conv_ts) —
+    conversion-grained, uniform; the n_total join reuses the same
+    key.  No touch⋈purchase pair join ever materializes."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    tl = ev.select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(0, ATTRIB_HORIZON_US)
+    )
+    assigned = tl.select(
+        "user_id",
+        "channel",
+        F.min(
+            F.when(F.col("channel") == "purchase", F.col("ts_us"))
+        )
+        .over(w)
+        .alias("conv_ts"),
+    )
+    touches = assigned.filter(
+        (F.col("channel") != "purchase") & F.col("conv_ts").isNotNull()
+    )
+    conv_n = touches.groupBy("user_id", "conv_ts").agg(
+        F.count("*").alias("n_total")
+    )
+    per_channel = (
+        touches.groupBy("channel", "user_id", "conv_ts")
+        .agg(F.count("*").alias("n_ch"))
+        .join(conv_n, ["user_id", "conv_ts"])
+    )
+    share = F.floor(F.lit(1000000.0) / F.col("n_total") + F.lit(0.5)).cast(
+        "long"
+    )
+    return per_channel.groupBy("channel").agg(
+        F.sum("n_ch").cast("long").alias("touches_credited"),
+        F.count("*").cast("long").alias("conversions_touched"),
+        F.sum(F.col("n_ch") * share).cast("long").alias("credit_e6"),
+    )

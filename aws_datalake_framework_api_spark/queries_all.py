@@ -210,6 +210,7 @@ _ORDER = [
     "b_agg_cmsketch",
     "b_agg_f2sketch",
     "b_diag_checksum",
+    "b_attribution_linear",
     "b_agg_bitmap",
     "b_agg_gsets",
     "b_agg_heavyhitters",

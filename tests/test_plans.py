@@ -568,3 +568,13 @@ def test_f2sketch_side_has_no_keyed_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_agg_f2sketch")
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_linear_attribution_single_window_no_pair_join(spark, sf_dir):
+    """Linear attribution: conversion assignment is ONE user_id
+    window; the only joins run on conversion-grained aggregates —
+    never a touch×purchase pair join of fact-sized inputs."""
+    plan = _plan(spark, sf_dir, "b_attribution_linear")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Window") == 1, plan
