@@ -570,11 +570,15 @@ def test_f2sketch_side_has_no_keyed_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_linear_attribution_single_window_no_pair_join(spark, sf_dir):
-    """Linear attribution: conversion assignment is ONE user_id
-    window; the only joins run on conversion-grained aggregates —
+def test_linear_attribution_windows_no_pair_join(spark, sf_dir):
+    """Linear attribution: conversion assignment is a user_id window
+    (planned twice — the touches frame feeds both the n_total and
+    per-channel groupBys, same lazy-recompute trade as the shingle
+    set); the only join runs on conversion-grained aggregates —
     never a touch×purchase pair join of fact-sized inputs."""
     plan = _plan(spark, sf_dir, "b_attribution_linear")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("Window") == 1, plan
+    # two planned instances of the one logical window, each listed as
+    # a node header + detail section in formatted output
+    assert plan.count("Window") <= 4, plan
