@@ -11,7 +11,7 @@ below with:
 
 Round-4 rotation (VERDICT r3 items #1/#3/#6): after three rounds the
 union of driver rows covers all 110 r3 ids, but round 4 more than
-doubled the inventory (242 ids) — so the scarce resource is FIRST
+doubled the inventory (246 ids) — so the scarce resource is FIRST
 rows, not freshness.
 The window is rebuilt so that (see the section comments in _ORDER):
 
@@ -75,8 +75,8 @@ from . import envelope as _envelope  # noqa: F401  A11
 #: not registered are skipped; registered ids not listed append last.
 _ORDER = [
     # ==================================================================
-    # 50-ENTRY DRIVER WINDOW — round-4 final allocation (242 ids
-    # registered by end of round; ~132 never driver-checked), so the window
+    # 50-ENTRY DRIVER WINDOW — round-4 final allocation (246 ids
+    # registered by end of round; ~136 never driver-checked), so the window
     # maximizes NEVER-CHECKED coverage: a stale-but-green row is
     # stronger evidence than no row at all, so stale ids yield their
     # slots and re-verify in round 5 (they remain covered every round
