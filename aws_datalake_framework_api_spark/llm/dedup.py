@@ -1198,6 +1198,15 @@ def llm_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The fixture's near-dup pairs all sit at J >= 0.9, so 0.8 targets
 #: the same "true duplicate" band the 0.5 ops report.
 PREFIX_THRESHOLD = 0.8
+#: Exact rational form of ``PREFIX_THRESHOLD`` (t = 4/5).  Every
+#: lossless prune below runs in integer cross-multiplication on these
+#: — float forms like ``ceil(sz * 0.8)`` are OFF-BY-ONE on IEEE
+#: doubles (15 * 0.8 = 12.000000000000002, ceil -> 13) and
+#: ``t/(1+t)`` = 0.4444444444444445 sits strictly ABOVE the exact
+#: 4/9, so a float ceil over-prunes pairs at exactly J = t and
+#: breaks the op's advertised losslessness.
+PREFIX_T_NUM = 4
+PREFIX_T_DEN = 5
 
 
 @query(
@@ -1233,9 +1242,15 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .join(sizes, "doc_id")
     )
+    # Prefix length sz - ceil(t*sz) + 1 with EXACT integer ceil:
+    # ceil(n*sz/d) = (n*sz + d - 1) DIV d — a float ceil(sz*0.8)
+    # yields 13 for sz=15 (IEEE 15*0.8 = 12.000000000000002), which
+    # SHORTENS the prefix by one token and can silently drop true
+    # J >= t pairs.
+    tn, td = PREFIX_T_NUM, PREFIX_T_DEN
     plen = (
         F.col("sz")
-        - F.ceil(F.col("sz") * F.lit(PREFIX_THRESHOLD)).cast("long")
+        - F.expr(f"(sz * {tn} + {td} - 1) DIV {td}")
         + F.lit(1)
     )
     pref = ranked.filter(F.col("pos") <= plen).select(
@@ -1253,23 +1268,28 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("pos_b"),
         F.col("sz").alias("sz_b"),
     )
-    t = PREFIX_THRESHOLD
     # LENGTH FILTER (lossless): J >= t forces t*|A| <= |B| <= |A|/t,
-    # pruned inside the join before any pair materializes.
+    # pruned inside the join before any pair materializes.  Integer
+    # cross-multiplication (sz_b*den >= sz_a*num <=> sz_b >= t*sz_a
+    # for t = num/den) — no float ceil anywhere in a lossless prune.
     raw = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
-            (F.col("sz_b") >= F.ceil(F.col("sz_a") * F.lit(t)))
-            & (F.col("sz_a") >= F.ceil(F.col("sz_b") * F.lit(t)))
+            (F.col("sz_b") * F.lit(td) >= F.col("sz_a") * F.lit(tn))
+            & (F.col("sz_a") * F.lit(td) >= F.col("sz_b") * F.lit(tn))
         )
     )
     # POSITIONAL FILTER (PPJoin's second prune, lossless): a shared
     # token at ordered positions (i, j) bounds the total overlap by
     # min(i,j)-1 + 1 + min(|A|-i, |B|-j); the pair's true overlap is
     # <= the MIN of that bound over its shared prefix tokens, and a
-    # J >= t pair needs overlap >= ceil(t/(1+t)·(|A|+|B|)) — so
-    # pairs whose best bound can't reach the requirement drop before
+    # J >= t pair needs overlap >= t/(1+t)·(|A|+|B|) — with
+    # t = num/den that is overlap·(num+den) >= num·(|A|+|B|), checked
+    # below in EXACT integer cross-multiplication (the float
+    # t/(1+t) = 0.4444444444444445 > 4/9 over-prunes pairs at
+    # exactly J = t whenever num·(|A|+|B|) is divisible by num+den).
+    # Pairs whose best bound can't reach the requirement drop before
     # the expensive exact rerank (at t=0.5 this cuts the candidate
     # set ~5-10× — the prefix alone keeps half of each doc, so the
     # equi-join over-generates badly without it).
@@ -1281,13 +1301,13 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
         )
     )
-    alpha = F.ceil(
-        (F.col("sz_a") + F.col("sz_b")) * F.lit(t / (1.0 + t))
-    ).cast("long")
+    szsum = F.col("sz_a") + F.col("sz_b")
     cand = (
         raw.groupBy("doc_a", "doc_b")
-        .agg(F.min(ub).alias("best_ub"), F.min(alpha).alias("alpha"))
-        .filter(F.col("best_ub") >= F.col("alpha"))
+        .agg(F.min(ub).alias("best_ub"), F.min(szsum).alias("szsum"))
+        .filter(
+            F.col("best_ub") * F.lit(tn + td) >= F.col("szsum") * F.lit(tn)
+        )
         .select("doc_a", "doc_b")
     )
     return _jaccard_pairs(

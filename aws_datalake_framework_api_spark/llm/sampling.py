@@ -983,10 +983,13 @@ def llm_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WEIGHTED_SALT = "wsample-v1"
 
-#: 48-bit uniform from the first 12 md5 hex chars — wide enough that
-#: the keep-threshold comparison below never ties in practice, narrow
-#: enough that u48 * max_weight stays far inside BIGINT.
-_U48 = 281474976710656  # 2^48
+#: 32-bit uniform from the first 8 md5 hex chars.  The keep test is
+#: the integer cross-multiplication ``u32 * max_w < weight * 2^32``;
+#: with u32 < 2^32 both products stay below 2^63 for any
+#: max_w < 2^31 — i.e. for ANY realistic document length (a 48-bit
+#: uniform would silently wrap the signed-64-bit product as soon as
+#: one document reaches 32 KiB, since 2^48 * 2^15 = 2^63).
+_U32 = 4294967296  # 2^32
 
 
 @query(
@@ -995,13 +998,13 @@ _U48 = 281474976710656  # 2^48
     WITH w AS (
       SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
              CAST(concat('0x',
-               substring(md5('{WEIGHTED_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 12))
-               AS BIGINT) AS u48
+               substring(md5('{WEIGHTED_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS u32
       FROM documents
     ),
     mx AS (SELECT max(weight) AS max_w FROM w)
     SELECT doc_id, lang, weight,
-           CASE WHEN u48 * max_w < weight * {_U48} THEN 1 ELSE 0 END AS sampled
+           CASE WHEN u32 * max_w < weight * {_U32} THEN 1 ELSE 0 END AS sampled
     FROM w CROSS JOIN mx
     """,
 )
@@ -1012,9 +1015,13 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive behind quality-weighted corpus construction (heavier
     docs survive proportionally more often), kept fully deterministic
     and EXACT: the keep test is the integer cross-multiplication
-    ``u48 * max_w < weight * 2^48`` on a salted-md5 48-bit uniform, so
+    ``u32 * max_w < weight * 2^32`` on a salted-md5 32-bit uniform, so
     there is no float probability anywhere and the same doc gets the
-    same verdict on any engine, partitioning, or rerun.  (The top-k
+    same verdict on any engine, partitioning, or rerun.  The uniform
+    is 32-bit ON PURPOSE: both cross-products then stay below 2^63
+    for any max_w < 2^31, where a 48-bit uniform would overflow the
+    signed product (non-ANSI Spark wraps silently) once any document
+    reaches 32 KiB.  (The top-k
     variant of weighted sampling — Efraimidis-Spirakis exponential
     keys — needs ln(u); this threshold form is the libm-free exhibit,
     and `b_llm_sample_exact` covers exact-count selection.)
@@ -1036,13 +1043,13 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
                 1,
-                12,
+                8,
             ),
             16,
             10,
         )
         .cast("long")
-        .alias("u48"),
+        .alias("u32"),
     )
     mx = w.agg(F.max("weight").alias("max_w"))
     return w.crossJoin(F.broadcast(mx)).select(
@@ -1050,7 +1057,7 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "weight",
         F.when(
-            F.col("u48") * F.col("max_w") < F.col("weight") * F.lit(_U48), 1
+            F.col("u32") * F.col("max_w") < F.col("weight") * F.lit(_U32), 1
         )
         .otherwise(0)
         .alias("sampled"),

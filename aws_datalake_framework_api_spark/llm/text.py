@@ -878,7 +878,9 @@ BM25_B = 0.75
 def _bm25_sql() -> str:
     """DuckDB twin of :func:`llm_bm25` with the IDENTICAL op order in
     every float expression, so scores are bit-equal before the final
-    e6 rounding."""
+    e6 rounding.  The idf is the bit-quantized Lucene form — see the
+    operator docstring: floor(log2(1 + odds)) computed as
+    length(bin((2N + 2) DIV (2·df + 1))) - 1, exact in BIGINT."""
     tf = lambda t: f"len(list_filter(string_split(trim(text), ' '), w -> w = '{t}'))"  # noqa: E731
     per_term = []
     dfs = []
@@ -888,7 +890,7 @@ def _bm25_sql() -> str:
         )
         per_term.append(
             f"""CAST(round(
-              ((CAST(n_docs AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5))
+              CAST(length(bin((2 * n_docs + 2) // (2 * df{i} + 1))) - 1 AS DOUBLE)
               * (tf{i} * {BM25_K1 + 1.0}
                  / (tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (dl / avgdl))))
               * 1000000.0) AS BIGINT)"""
@@ -925,12 +927,21 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism treatment: classic BM25's ln() is the one non-exact
     step (libm last-ulp differs between engines — the reason
-    `b_llm_tfidf` uses integer-bit idf), and ln is monotone in its
-    argument — so the score uses the pre-log ODDS idf
-    ``(N - df + 0.5)/(df + 0.5)`` directly.  Every remaining op
-    (div, mul, add) is IEEE-exact-rounded and written in the same
-    order on both engines, so scores are bit-identical and the e6
-    integer grid makes the hash stable.
+    `b_llm_tfidf` uses integer-bit idf).  Raw pre-log odds are NOT a
+    substitute once scores SUM over terms (sum of odds is not order-
+    equivalent to sum of log-odds — rare terms would be exponentially
+    overweighted), so the idf here is the BIT-QUANTIZED Lucene form:
+    ``idf_bits = floor(log2(1 + (N - df + 0.5)/(df + 0.5)))``,
+    computed exactly as ``length(bin((2N + 2) DIV (2·df + 1))) - 1``
+    (the +1 inside the log keeps it non-negative, exactly as Lucene's
+    ``ln(1 + odds)`` does; floor(log2(a DIV b)) equals
+    floor(log2(a/b)) for a >= b, so the quantization error vs true
+    log2 is under one bit per term and the multi-term ranking tracks
+    classic BM25 up to that quantum — unlike raw odds, which distort
+    it without bound).  Every remaining op (div, mul, add) is
+    IEEE-exact-rounded and written in the same order on both engines,
+    so scores are bit-identical and the e6 integer grid makes the
+    hash stable.
 
     Scale shape: ONE corpus aggregation produces (N, avgdl, per-term
     df) as a single broadcast row; scoring is then a map-only pass
@@ -955,9 +966,14 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(stats))
 
     def term_score(i: int):
-        idf = (F.col("n_docs").cast("double") - F.col(f"df{i}") + F.lit(0.5)) / (
-            F.col(f"df{i}") + F.lit(0.5)
-        )
+        # floor(log2(1 + odds)) on the exact rational (2N+2)/(2df+1),
+        # as bin-string length of the integer quotient — engine-stable
+        # (no libm), non-negative, within one bit of Lucene's
+        # ln(1+odds)/ln(2).
+        idf = (
+            F.length(F.bin(F.expr(f"(2 * n_docs + 2) DIV (2 * df{i} + 1)")))
+            - F.lit(1)
+        ).cast("double")
         sat = (F.col(f"tf{i}") * F.lit(BM25_K1 + 1.0)) / (
             F.col(f"tf{i}")
             + F.lit(BM25_K1)

@@ -371,12 +371,32 @@ def mv_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHECKSUM_TABLES = ("documents", "customer", "orders")
 
 
+def _ck_fields(*cols: str, text_md5: bool = False) -> str:
+    """NULL-canonicalized '|'-joined row digest, valid in BOTH SQL
+    dialects (STRING is DuckDB's VARCHAR alias and Spark's native
+    type): each field is ``coalesce(CAST(col AS STRING), chr(1))``
+    so NULLs are position-preserving sentinels instead of silently
+    skipped (Spark concat_ws) or row-annihilating (DuckDB ||)."""
+    parts = [f"coalesce(CAST({c} AS STRING), chr(1))" for c in cols]
+    if text_md5:
+        parts.append("md5(coalesce(text, chr(1)))")
+    return " || '|' || ".join(parts)
+
+
 def _checksum_sql() -> str:
     parts = []
+    # Every field is coalesced to a chr(1) sentinel BEFORE the
+    # concat on BOTH engines: Spark's concat_ws would silently skip a
+    # NULL column and its separator (letting ('a',NULL,'b') collide
+    # with ('a','b',NULL)) while DuckDB's || chain NULL-propagates
+    # (dropping the row from bit_xor entirely) — either way a NULL
+    # would desynchronize an anti-entropy comparison.  With the
+    # sentinel, NULL is a first-class, position-preserving value and
+    # the two engines canonicalize identically.
     for t, key in (
-        ("documents", "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' || CAST(n_chars AS VARCHAR) || '|' || md5(text)"),
-        ("customer", "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment"),
-        ("orders", "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || o_orderpriority"),
+        ("documents", _ck_fields("doc_id", "lang", "source", "n_chars", text_md5=True)),
+        ("customer", _ck_fields("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+        ("orders", _ck_fields("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
     ):
         parts.append(
             f"""    SELECT '{t}' AS table_name,
@@ -424,11 +444,13 @@ def diag_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _digest_expr(t: str) -> str:
-    """SQL-expression twin of the per-table canonical row string used
-    by :func:`diag_checksum` (bit_xor needs F.expr, so the digest is
-    spelled once in SQL)."""
+    """Spark-side twin of the per-table canonical row string used by
+    :func:`diag_checksum` (bit_xor needs F.expr, so the digest is
+    spelled once in SQL) — byte-identical to the oracle's because the
+    expression IS the oracle's (Spark accepts VARCHAR casts, chr()
+    and || natively)."""
     return {
-        "documents": "concat_ws('|', CAST(doc_id AS STRING), lang, source, CAST(n_chars AS STRING), md5(text))",
-        "customer": "concat_ws('|', CAST(c_custkey AS STRING), c_name, CAST(c_nationkey AS STRING), c_mktsegment)",
-        "orders": "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), o_orderstatus, o_orderpriority)",
+        "documents": _ck_fields("doc_id", "lang", "source", "n_chars", text_md5=True),
+        "customer": _ck_fields("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+        "orders": _ck_fields("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
     }[t]

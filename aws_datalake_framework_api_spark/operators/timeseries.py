@@ -429,11 +429,19 @@ def ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ordering note: the window orders by (ts, delta) so an expiry and
     a start at the SAME microsecond process the −1 first —
-    deterministic and conservative on both engines.  Scale: the sweep
-    is one global-ordered prefix sum; at 100 TB you shard it by day
-    (the lease bound guarantees ≤48-interval spill across a midnight
-    boundary) — the fixture-scale exhibit keeps the single ordered
-    window the semantics define."""
+    deterministic and conservative on both engines.
+
+    Scale shape — DAY-SHARDED prefix sum, exact: a global running sum
+    at mark m equals (sum of ALL deltas on days before m's day) +
+    (running sum within m's day), so the sweep decomposes into a
+    per-day partitioned window over the marks plus a day-cardinality
+    carry-in rollup that broadcasts.  No single-partition fact-sized
+    sort anywhere (the naive ``Window.orderBy(ts)`` with no partition
+    key funnels every mark through ONE task — the exact WindowExec
+    warning Spark prints for it); the only unpartitioned window left
+    runs over ~10³ day rows.  The decomposition is an identity, not
+    an approximation — the oracle keeps the single global-window SQL
+    and the hashes must still match."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click")
     )
@@ -442,14 +450,34 @@ def ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"),
         F.lit(-1).alias("delta"),
     )
-    marks = starts.unionByName(ends)
-    w = (
-        Window.orderBy("ts", "delta")
+    marks = starts.unionByName(ends).withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    # carry-in per day = cumulative sum of full-day totals up to the
+    # PREVIOUS day — day-cardinality data, so the unpartitioned
+    # running-sum window here is bounded by construction.
+    day_w = (
+        Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    swept = marks.select(
-        F.date_trunc("day", "ts").cast("date").alias("day"),
-        F.sum("delta").over(w).alias("live"),
+    carry = (
+        marks.groupBy("day")
+        .agg(F.sum("delta").alias("day_total"))
+        .select(
+            "day",
+            (F.sum("day_total").over(day_w) - F.col("day_total")).alias(
+                "carry_in"
+            ),
+        )
+    )
+    in_day_w = (
+        Window.partitionBy("day")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = marks.join(F.broadcast(carry), "day").select(
+        "day",
+        (F.col("carry_in") + F.sum("delta").over(in_day_w)).alias("live"),
     )
     return swept.groupBy("day").agg(
         F.max("live").cast("long").alias("peak_concurrency")

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -52,17 +53,36 @@ def _formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+#: Formatted explain prints every node TWICE (once in the tree, once
+#: as a "(N) NodeName" detail header), so naive substring counts are
+#: doubled — and "Exchange" as a substring also matches
+#: BroadcastExchange / ReusedExchange, which are NOT shuffles.  The
+#: census therefore counts detail headers only and tallies by EXACT
+#: first-token node name, so a shuffle-free broadcast star join
+#: really reports n_exchanges=0.
+_NODE_HEADER = re.compile(r"^\((\d+)\) (\w+)", re.MULTILINE)
+
+
+def _node_names(plan_text: str) -> list[str]:
+    """Exact physical-node names from the formatted plan's detail
+    headers (one per node, subqueries included)."""
+    return [m.group(2) for m in _NODE_HEADER.finditer(plan_text)]
+
+
 def plan_summary(df: DataFrame) -> PlanSummary:
     """One-line structural census of ``df``'s physical plan."""
     p = _formatted_plan(df)
+    names = _node_names(p)
     return PlanSummary(
-        n_exchanges=p.count("Exchange"),
-        n_broadcast_joins=p.count("BroadcastHashJoin"),
-        n_sortmerge_joins=p.count("SortMergeJoin"),
-        n_shuffled_hash_joins=p.count("ShuffledHashJoin"),
-        has_cartesian="CartesianProduct" in p,
-        has_nested_loop="BroadcastNestedLoopJoin" in p,
-        n_python_evals=p.count("BatchEvalPython"),
+        # "Exchange" alone is the shuffle node; BroadcastExchange and
+        # ReusedExchange deliberately do NOT count toward the budget.
+        n_exchanges=names.count("Exchange"),
+        n_broadcast_joins=names.count("BroadcastHashJoin"),
+        n_sortmerge_joins=names.count("SortMergeJoin"),
+        n_shuffled_hash_joins=names.count("ShuffledHashJoin"),
+        has_cartesian="CartesianProduct" in names,
+        has_nested_loop="BroadcastNestedLoopJoin" in names,
+        n_python_evals=names.count("BatchEvalPython"),
         text=p,
     )
 

@@ -9,26 +9,25 @@ first 50 registration-order entries, leaving every catalog/streaming/
 UDF/landing query without a correctness row.  So the dict is rebuilt
 below with:
 
-Round-4 rotation (VERDICT r3 items #1/#3/#6): after three rounds the
-union of driver rows covers all 110 r3 ids, but round 4 more than
-doubled the inventory (246 ids) — so the scarce resource is FIRST
-rows, not freshness.
-The window is rebuilt so that (see the section comments in _ORDER):
+Round-5 rotation (VERDICT r4 items #1/#2/#7): this is a VERIFICATION
+round — the inventory is frozen at 246 ids and the scarce resource is
+FIRST driver rows (99 ids had none entering the round).  The window
+is rebuilt so that (see the section comments in _ORDER):
 
-1. previously-checked ids whose code changed this round — first;
-2. the catalog family, whose storage backend switched to the txlog
-   ACID path this round;
-3. never-driver-checked round-4 operators with exact oracles (lake
-   ACID, recall scorecards, the widened TPC-H surface, sources /
-   time-series / maintenance, pipeline ops);
-4. never-checked rows-only flagships (BPE, SemDeDup, PCA, token-mix);
+1. the entire 50-slot window goes to ids with no prior driver row —
+   49 never-checked ids (exact oracles only; staged scans → TPC-H →
+   sketches → statistics → time-series → retrieval → lake →
+   dialect-hazard functions → this round's ADVICE-fixed ops) plus
+   a6_catalog_create, re-proven on the txlog backend it migrated to;
    — the 50-entry boundary falls here —
-5. the rest of the never-checked additions (round-5 window fodder);
-6. the r1-stale refresh list (displaced this round: a stale green row
-   beats a missing row, so never-checked ids outrank them);
-7. everything r2/r3-proved and unchanged, in registration order.
+2. the remaining 50 never-checked ids, staged as the ROUND-6 window
+   (including the six rows-only flagships);
+3. the r1/r2-stale refresh list (round 7, once first-row parity is
+   reached);
+4. everything r2-r4-proved and unchanged, in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
-round.
+round; this round's window pre-sweep is committed as
+LOCAL_SWEEP_r05.json.
 """
 
 from __future__ import annotations
@@ -75,191 +74,144 @@ from . import envelope as _envelope  # noqa: F401  A11
 #: not registered are skipped; registered ids not listed append last.
 _ORDER = [
     # ==================================================================
-    # 50-ENTRY DRIVER WINDOW — round-4 final allocation (246 ids
-    # registered by end of round; ~136 never driver-checked), so the window
-    # maximizes NEVER-CHECKED coverage: a stale-but-green row is
-    # stronger evidence than no row at all, so stale ids yield their
-    # slots and re-verify in round 5 (they remain covered every round
-    # by tools/verify_local.py, which runs the driver's own gate
-    # logic).
-    # -- 1. previously-checked ids whose CODE CHANGED in round 4
-    #    (canon fix, codec defusal, scorecard reworks, overflow fix,
-    #    landing-schema fallback): newest code gets external rows.
-    "b_llm_emb_quant",
-    "b_mm_features",
-    "b_agg_approx",
-    "b_agg_hll_parts",
-    "b_llm_contrastive",
-    "b_stream_ingest",
-    "b_join_anti",
-    "b_set_except",
-    # -- 2. catalog family: r2-proven but the BACKEND changed this
-    #    round (parquet-rewrite -> txlog ACID path), so the green rows
-    #    on record prove the old code.
-    "a1_event_append",
-    "a2_event_update",
-    "a7_catalog_read",
-    "a8_catalog_update",
-    "a9_catalog_delete",
-    # -- 3. never-driver-checked round-4 operators with exact oracles,
-    #    flagships first: lake ACID table format,
-    "b_lake_upsert",
-    "b_lake_cdc",
-    "b_lake_compact",
-    "b_lake_timetravel",
-    "b_lake_vacuum",
-    "b_lake_skipping",
-    "b_lake_deletevec",
-    #    approx-family recall scorecards (VERDICT r3 item #6),
-    "b_llm_knn_lsh_recall",
-    "b_llm_knn_ivf_recall",
-    "b_llm_neardup_lsh_recall",
-    "b_llm_dedup_minhash_recall",
-    "b_llm_dedup_simhash64_recall",
-    #    the widened TPC-H SQL surface,
-    "b_sql_q4",
-    "b_sql_q5",
-    "b_sql_q7",
-    "b_sql_q13",
-    "b_sql_q15",
-    "b_sql_q17",
-    "b_sql_q18",
-    "b_sql_q19",
-    "b_sql_q22",
-    #    sources / time-series / maintenance / session-3 flagships
-    #    (PPJoin prefix join + degree-ordered triangles displace the
-    #    two plain format scans — equal first-row count, higher
-    #    algorithmic risk gets the external evidence; the scans sit
-    #    first in the round-5 rollover),
-    "b_llm_dedup_prefix",
-    "b_graph_triangles",
-    "b_ts_ewma",
-    "b_ts_resample",
-    "b_diag_skew",
-    "b_mv_incremental",
-    "b_diff_snapshot",
-    #    and the remaining high-value pipeline ops.
-    "b_llm_pii",
-    "b_quality_checks",
-    "b_stream_sjoin",
-    "b_stream_upsert",
-    "b_llm_bloom_gate",
-    "b_llm_dedup_chunks",
-    # -- 4. session-2 flagships with exact oracles (partition-spec
-    #    evolution, GDPR erasure over deletion vectors, audio PCM
-    #    features): exact-oracle rows outrank the rows-only flagships
-    #    they displaced (bpe_train/dedup_semantic — first below the
-    #    boundary, each pinned by exact-twin pytest gates).
-    "b_lake_partevolve",
-    "b_lake_gdpr",
-    "b_mm_audio_energy",
-    # ---- 50-entry window boundary falls here (ids above get driver
-    #      rows; everything below relies on verify_local this round) --
-    "b_llm_bpe_train",
-    "b_llm_dedup_semantic",
-    # -- 5. rolls over to the ROUND-5 window: the displaced format
-    #    scans first, then the rest of the never-checked additions ...
+    # 50-ENTRY DRIVER WINDOW — ROUND 5 (verification round, VERDICT r4
+    # item #1): inventory growth is FROZEN and the entire window goes
+    # to ids with no driver row in any prior round — 49 never-checked
+    # ids plus a6_catalog_create (the one catalog id whose latest row,
+    # r3, predates the txlog ACID backend switch — item #7).  The
+    # whole window was pre-cleared locally; the sweep artifact is
+    # committed as LOCAL_SWEEP_r05.json so local-vs-driver parity is
+    # diffable per id (item #2).  Never-checked goes 99 -> 49 this
+    # round; the remaining 50 are staged below as the ROUND-6 window.
+    # -- catalog id re-proven on the txlog backend
+    "a6_catalog_create",
+    # -- displaced format scans + source exhibits (first in line
+    #    since round 4 by the rollover plan)
     "b_scan_orc",
     "b_scan_text",
-    "b_ts_rolling_dau",
-    "b_stat_chi2",
-    "b_stat_abtest",
-    "b_stat_corr",
-    "b_llm_dedup_norm",
-    "b_agg_quantile_cutoffs",
-    "b_attribution",
-    "b_mv_retract",
-    "b_lake_restore",
-    "b_lake_schema_evolve",
-    "b_path_top",
-    "b_ts_forecast_naive",
-    "b_ts_concurrency",
-    "b_diag_profile",
-    "b_llm_mask_spans",
-    "b_llm_sft_format",
-    "b_llm_pref_pairs",
     "b_scan_corrupt",
-    "b_basket_pairs",
-    "b_rfm",
-    "b_set_except_all",
-    "b_set_intersect_all",
-    "b_join_nullsafe",
-    "b_sql_q6",
     "b_source_python",
-    "b_sql_q8",
-    "b_sql_q10",
-    "b_sql_q14",
+    "b_gen_synthetic",
+    # -- the TPC-H classes with no driver row (Q2/Q6/Q8-Q12/Q14/
+    #    Q16/Q20/Q21 — decorrelation-heavy shapes deserve external
+    #    evidence most)
     "b_sql_q2",
+    "b_sql_q6",
+    "b_sql_q8",
     "b_sql_q9",
+    "b_sql_q10",
     "b_sql_q11",
     "b_sql_q12",
+    "b_sql_q14",
     "b_sql_q16",
     "b_sql_q20",
     "b_sql_q21",
-    "b_join_scd2",
-    "b_ts_cumulative_users",
-    "b_diag_observe",
-    "b_agg_unpivot",
-    "b_win_streak",
-    "b_llm_keyword_search",
-    "b_llm_dedup_prefix",
-    "b_llm_bm25",
-    "b_llm_sample_weighted",
-    "b_graph_triangles",
-    "b_llm_inverted",
+    # -- sketch/aggregate family (cross-engine sign/collision pinning
+    #    was pre-cleared per VERDICT item #2)
     "b_agg_cmsketch",
     "b_agg_f2sketch",
-    "b_diag_checksum",
-    "b_attribution_linear",
     "b_agg_bitmap",
     "b_agg_gsets",
     "b_agg_heavyhitters",
     "b_agg_histogram",
     "b_agg_listagg",
-    "b_agg_mode",
     "b_agg_regression",
     "b_agg_salted",
-    "b_fn_bitwise",
-    "b_fn_struct",
-    "b_fn_url",
-    "b_fn_variant",
-    "b_fn_winsorize",
-    "b_fn_xml",
-    "b_gen_synthetic",
-    "b_join_dpp",
-    "b_join_editdist",
-    "b_join_range_grid",
-    "b_join_shj",
-    "b_llm_bpe_bounds",
-    "b_llm_bpe_pairs",
-    "b_llm_bpe_encode",
-    "b_llm_pca",
-    "b_stream_sjoin_outer",
-    "b_llm_corpus_report",
-    "b_graph_pagerank",
-    "b_udf_arrow",
-    "b_api_pandas",
-    "b_llm_mix_tokens",
-    "b_llm_chunk_rag",
-    "b_llm_curation_funnel",
-    "b_llm_dedup_semantic_recall",
-    "b_llm_dedup_winnow",
-    "b_llm_pca_var",
-    "b_llm_rp",
-    "b_llm_shards",
-    "b_llm_surprisal2",
-    "b_llm_tfidf",
-    "b_mm_resize",
-    "b_sessionize",
+    "b_agg_quantile_cutoffs",
+    # -- closed-form statistics (float-expression hazard class)
+    "b_stat_chi2",
+    "b_stat_abtest",
+    "b_stat_corr",
+    # -- time-series (gapfill/LOCF/rolling windows)
+    "b_ts_rolling_dau",
+    "b_ts_forecast_naive",
+    "b_ts_concurrency",
+    "b_ts_cumulative_users",
     "b_ts_gapfill",
     "b_ts_locf",
+    # -- retrieval (BM25 idf reworked to bit-quantized Lucene form
+    #    this round — newest code gets the external row)
+    "b_llm_bm25",
+    "b_llm_keyword_search",
+    "b_llm_inverted",
+    "b_llm_tfidf",
+    # -- lake RESTORE + schema evolution (last txlog features
+    #    without driver rows)
+    "b_lake_restore",
+    "b_lake_schema_evolve",
+    # -- dialect-translation oracle hazards (the b_fn_array failure
+    #    class: variant/XML/URL/bitwise/struct/winsorize)
+    "b_fn_variant",
+    "b_fn_xml",
+    "b_fn_url",
+    "b_fn_bitwise",
+    "b_fn_struct",
+    "b_fn_winsorize",
+    # -- ADVICE-r4-fixed operators (NULL-canonicalized checksum,
+    #    overflow-safe 32-bit weighted sampler): fixed code gets
+    #    external rows in the same round
+    "b_diag_checksum",
+    "b_llm_sample_weighted",
+    # ---- 50-entry window boundary falls here (ids above get driver
+    #      rows; everything below relies on verify_local this round) --
+    # -- ROUND-6 WINDOW STAGING: the remaining 50 never-checked ids
+    #    (includes the six rows-only flagships bpe_train/bpe_encode/
+    #    dedup_semantic/pca/pagerank/mix_tokens, each pinned by an
+    #    exact-twin or recall companion).  After round 6 every id has
+    #    a driver row; round 7 then refreshes the stale-green list.
+    "b_agg_mode",
+    "b_agg_unpivot",
+    "b_api_pandas",
+    "b_attribution",
+    "b_attribution_linear",
+    "b_basket_pairs",
+    "b_diag_observe",
+    "b_diag_profile",
+    "b_graph_pagerank",
+    "b_join_dpp",
+    "b_join_editdist",
+    "b_join_nullsafe",
+    "b_join_range_grid",
+    "b_join_scd2",
+    "b_join_shj",
+    "b_llm_bpe_bounds",
+    "b_llm_bpe_encode",
+    "b_llm_bpe_pairs",
+    "b_llm_bpe_train",
+    "b_llm_chunk_rag",
+    "b_llm_corpus_report",
+    "b_llm_curation_funnel",
+    "b_llm_dedup_norm",
+    "b_llm_dedup_semantic",
+    "b_llm_dedup_semantic_recall",
+    "b_llm_dedup_winnow",
+    "b_llm_mask_spans",
+    "b_llm_mix_tokens",
+    "b_llm_pca",
+    "b_llm_pca_var",
+    "b_llm_pref_pairs",
+    "b_llm_rp",
+    "b_llm_sft_format",
+    "b_llm_shards",
+    "b_llm_surprisal2",
+    "b_mm_resize",
+    "b_mv_retract",
+    "b_path_top",
+    "b_rfm",
+    "b_sessionize",
+    "b_set_except_all",
+    "b_set_intersect_all",
+    "b_stream_sjoin_outer",
+    "b_udf_arrow",
     "b_udf_grouped_agg",
     "b_udf_table",
     "b_win_dist",
+    "b_win_streak",
     "b_win_transitions",
     "b_win_zscore",
-    # -- 6. ... then the r1-stale refresh list (VERDICT r3 item #3,
-    #    displaced from this round's window by the never-checked ids),
+    # -- r1/r2-stale refresh list (VERDICT r4 item #3 — every id's
+    #    latest row should be <= 2 rounds old once never-checked
+    #    parity is reached)
     "b_fn_null",
     "b_fn_map",
     "b_fn_explode",
@@ -276,7 +228,7 @@ _ORDER = [
     "b_llm_neardup_cosine",
     "b_join_star",
     "b_agg_q1",
-    # -- 7. everything already hash-proved in r2/r3 and unchanged —
+    # -- everything already hash-proved in r2-r4 and unchanged —
     #    last; registration order fills in any id not listed here.
 ]
 

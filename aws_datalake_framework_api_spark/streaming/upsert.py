@@ -31,6 +31,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -93,23 +94,44 @@ def run_upsert_stream(
     q.awaitTermination()
 
 
+def _stage_single_file(df: DataFrame, landing: str, name: str) -> None:
+    """Write ``df`` as exactly one parquet file ``landing/name`` via a
+    coalesce(1) Spark write + rename of the part file — never a
+    driver-side collect, so staging scales with the cluster exactly
+    like the pipeline it feeds."""
+    import glob
+
+    stage = os.path.join(landing, f".{name}.stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(landing, name))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def _stage_feed(spark: SparkSession, sf_dir: str, landing: str) -> None:
     """Two deterministic feed files derived from orders: wave 1 = the
     base state (seq 1), wave 2 = price bumps on k % 97 == 0 (seq 2).
-    Files are staged driver-side (pandas→parquet) because they ARE the
-    test feed, not pipeline data — the pipeline under test starts at
-    the landing directory."""
+    Both waves are STAGED WITH SPARK WRITES (coalesce(1) to pin the
+    one-file-per-micro-batch shape the stream test needs) — the feed
+    never passes through the driver, so the exhibit's staging step
+    survives the same scale as the pipeline it exercises.  File
+    mtimes are pinned wave1 < wave2 because FileStreamSource orders
+    its backlog by modification time."""
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
         F.lit(1).cast("long").alias("seq"),
     )
-    wave1 = orders.toPandas()
-    wave2 = wave1[wave1["k"] % BUMP_MOD == 0].copy()
-    wave2["price_cents"] += BUMP_CENTS
-    wave2["seq"] = 2
-    wave1.to_parquet(os.path.join(landing, "feed-000.parquet"), index=False)
-    wave2.to_parquet(os.path.join(landing, "feed-001.parquet"), index=False)
+    wave2 = (
+        orders.filter(F.col("k") % BUMP_MOD == 0)
+        .withColumn("price_cents", F.col("price_cents") + F.lit(BUMP_CENTS))
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    _stage_single_file(orders, landing, "feed-000.parquet")
+    _stage_single_file(wave2, landing, "feed-001.parquet")
+    now = time.time()
+    os.utime(os.path.join(landing, "feed-000.parquet"), (now - 2, now - 2))
+    os.utime(os.path.join(landing, "feed-001.parquet"), (now, now))
 
 
 @query(

@@ -1333,6 +1333,46 @@ def test_prefix_join_lossless_on_adversarial_corpus(spark, tmp_path):
     assert len(exact) > 50
 
 
+def test_prefix_join_keeps_exact_boundary_pair(spark, tmp_path):
+    """ADVICE-r4 regression: a pair at EXACTLY J = t with the
+    positional bound EXACTLY at the overlap requirement must survive.
+    Doc A = 37 distinct words (35 tri-gram shingles), doc B = A's
+    30-word prefix (28 shingles, all shared): J = 28/35 = 0.8 and
+    sz_a + sz_b = 63 is divisible by 9, so the float forms both
+    over-prune — ceil(35 * 0.8) = 29 > 28 kills it in the length
+    filter (IEEE 35*0.8 = 28.000000000000004) and
+    ceil(63 * (0.8/1.8)) = 29 > best_ub = 28 kills it in the
+    positional filter (0.8/1.8 = 0.4444444444444445 > 4/9).  Only
+    the exact integer cross-multiplication keeps it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_api_spark.queries_all import QUERIES
+
+    words = [f"u{i:03d}" for i in range(37)]
+    doc_a = " ".join(words)
+    doc_b = " ".join(words[:30])
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    sf = str(tmp_path / "boundary")
+    os.makedirs(sf, exist_ok=True)
+    df.select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.length("text").alias("n_chars"),
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["b_llm_dedup_prefix"](spark, sf).collect()
+    }
+    assert (0, 1) in pairs, pairs
+    assert abs(pairs[(0, 1)] - 0.8) < 1e-12
+
+
 def test_sketch_scorecards_hold_invariants(spark, sf_dir):
     """CM never underestimates (one-sided error is the sketch's
     guarantee, not luck); the AMS F2 mean lands within the documented

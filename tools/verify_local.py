@@ -12,6 +12,8 @@ of bug).  This gate is deliberately at-least-as-strict as the driver:
 "0 failures locally" must imply "0 failures in CORRECTNESS_r{N}".
 
 Usage: python tools/verify_local.py [query_id ...]
+       python tools/verify_local.py --window N   # first N queries() entries
+       python tools/verify_local.py --json PATH  # also write per-id results
        python tools/verify_local.py --selftest   # prove the gate catches
                                                  # array cols + float ulps
 """
@@ -234,11 +236,25 @@ def main():
     from aws_datalake_framework_api_spark.queries_all import ORACLE, QUERIES
     from aws_datalake_framework_api_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    window_n = None
+    if "--window" in argv:
+        i = argv.index("--window")
+        window_n = int(argv[i + 1])
+        del argv[i : i + 2]
+    only = set(argv)
     spark = get_spark("verify-local")
     con = duck_con()
     failed, passed, rows_only = [], [], []
-    for name, fn in QUERIES.items():
+    results = {}
+    for pos, (name, fn) in enumerate(QUERIES.items()):
+        if window_n is not None and pos >= window_n:
+            break
         if only and name not in only:
             continue
         t0 = time.time()
@@ -248,10 +264,14 @@ def main():
                 n, err = check_rows_only(df)
                 if err is not None:
                     failed.append(name)
+                    results[name] = {"status": "fail", "err": err,
+                                     "secs": round(time.time() - t0, 2)}
                     print(f"  FAIL {name} [{time.time()-t0:.1f}s]")
                     print(f"       {err}")
                     continue
                 rows_only.append(name)
+                results[name] = {"status": "rows_only", "spark_rows": n,
+                                 "secs": round(time.time() - t0, 2)}
                 print(f"  ROWS-ONLY {name}: {n} rows [{time.time()-t0:.1f}s]")
                 continue
             rel = con.sql(ORACLE[name])
@@ -260,13 +280,33 @@ def main():
             errs = [f"EXCEPTION: {type(e).__name__}: {e}"]
         if errs:
             failed.append(name)
+            results[name] = {"status": "fail", "err": errs[0],
+                             "secs": round(time.time() - t0, 2)}
             print(f"  FAIL {name} [{time.time()-t0:.1f}s]")
             for e in errs:
                 print(f"       {e}")
         else:
             passed.append(name)
+            results[name] = {"status": "pass",
+                             "secs": round(time.time() - t0, 2)}
             print(f"  ok   {name} [{time.time()-t0:.1f}s]")
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as fh:
+            _json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_pass": len(passed),
+                    "n_fail": len(failed),
+                    "n_rows_only": len(rows_only),
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_path}")
     if failed:
         print("failed:", " ".join(failed))
         sys.exit(1)
