@@ -743,20 +743,47 @@ def llm_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``balanced`` flag pins max/min ≤ {SHARD_BALANCE_PCT}% in exact
     integer cross-multiplication.
 
-    Scale note: the global rank is the one non-mergeable step — at
-    100 TB swap it for the two-level ranking of `b_llm_sample_exact`
-    (rank within hash-shards, then offset by shard prefix counts —
-    same distribution up to ties) or bin-pack per partition; the
-    manifest contract (shard, n_docs, tokens, balance pin) is
-    unchanged.  Output is OUT_SHARDS rows no matter the corpus."""
+    Scale shape — EXACT two-level global rank, no single-partition
+    corpus sort: rank(doc) decomposes as (number of docs with a
+    strictly larger n_tok) + (row_number among same-n_tok docs by
+    doc_id).  The first term is a running sum over the DISTINCT
+    n_tok values — a bounded rollup (distinct document lengths, not
+    documents) that broadcasts back — and the second is a window
+    PARTITIONED by n_tok, so the sort parallelizes across length
+    groups instead of funneling every document through one task
+    (Spark's WindowExec warns on exactly that).  Identical output to
+    the naive global window — the oracle keeps the single-window SQL
+    and the hashes must match.  Residual skew: the heaviest length
+    group bounds a task; document lengths spread over thousands of
+    values, and a pathological single-length corpus degrades to the
+    naive shape, never below it.  Output is OUT_SHARDS rows no
+    matter the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok")
     )
-    w = Window.orderBy(F.desc("n_tok"), F.asc("doc_id"))
-    assigned = t.select(
+    # docs-with-larger-n_tok prefix counts: distinct-length rollup,
+    # bounded by |distinct lengths| — the only unpartitioned window,
+    # over rollup-sized data.
+    len_w = (
+        Window.orderBy(F.desc("n_tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (
+        t.groupBy("n_tok")
+        .agg(F.count("*").alias("n_here"))
+        .select(
+            "n_tok",
+            (F.sum("n_here").over(len_w) - F.col("n_here")).alias("n_ahead"),
+        )
+    )
+    in_len_w = Window.partitionBy("n_tok").orderBy(F.asc("doc_id"))
+    assigned = t.join(F.broadcast(prefix), "n_tok").select(
         "n_tok",
-        F.pmod(F.row_number().over(w) - 1, F.lit(OUT_SHARDS)).alias("shard"),
+        F.pmod(
+            F.col("n_ahead") + F.row_number().over(in_len_w) - 1,
+            F.lit(OUT_SHARDS),
+        ).alias("shard"),
     )
     s = assigned.groupBy("shard").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("tokens")

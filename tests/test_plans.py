@@ -582,3 +582,20 @@ def test_linear_attribution_windows_no_pair_join(spark, sf_dir):
     # two planned instances of the one logical window, each listed as
     # a node header + detail section in formatted output
     assert plan.count("Window") <= 4, plan
+
+def test_concurrency_sweep_is_day_sharded(spark, sf_dir):
+    """The interval-sweep prefix sum must run as a day-PARTITIONED
+    window over the fact-sized marks (plus one bounded day-rollup
+    carry-in) — never a single unpartitioned global sort of every
+    mark (round-5 rework)."""
+    plan = _plan(spark, sf_dir, "b_ts_concurrency")
+    assert "hashpartitioning(day" in plan, plan
+
+
+def test_shards_rank_is_two_level(spark, sf_dir):
+    """Global shard-assignment rank must decompose into the n_tok-
+    partitioned window + broadcast prefix rollup — the corpus never
+    funnels through one window task (round-5 rework)."""
+    plan = _plan(spark, sf_dir, "b_llm_shards")
+    assert "hashpartitioning(n_tok" in plan, plan
+    assert "BroadcastExchange" in plan, plan
