@@ -12,12 +12,13 @@ algorithm — distributed the way production tokenizer trainers do it:
   pre-aggregation.
 - Each merge iteration is ONE job: an Arrow kernel applies the
   not-yet-checkpointed merges to its partition's words and folds
-  adjacent-pair counts into a per-partition Counter; the driver
-  reduces the partial Counters and picks the argmax pair under a
-  total order (n DESC, a, b).  Pair partials are BOUNDED: the pair
-  alphabet is (chars ∪ learned merges)², tiny next to the vocab, so
-  the collect is legal at any corpus size (same bounding argument as
-  the IVF training sample).
+  adjacent-pair counts into a per-partition Counter; the partials are
+  then summed in a Spark groupBy (pair-alphabet-sized shuffle, tiny
+  next to the vocab) and the argmax pair is taken under a total order
+  (n DESC, a, b) with ``orderBy().limit(1)`` — TakeOrderedAndProject
+  ships ONE row per partition to the driver, so the argmax stays
+  distributed even when the pair alphabet (chars ∪ learned merges)²
+  reaches millions at production vocab sizes.
 - Every ``BPE_CHECKPOINT`` merges the rewritten word table is
   materialized and persisted and the pending-merge list resets, so
   kernel work per iteration stays O(pending ≤ checkpoint) and the
@@ -115,12 +116,18 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE corpus-sized groupBy (the word count), then every
     iteration is a single map job over the vocab-sized persisted word
-    table plus a bounded pair-partial collect; checkpoint
-    materializations amortize kernel work to O(1) merges per word per
-    iteration.  Partition count is sized to the VOCAB (~64k words per
-    partition), not the cluster default — near-empty-task scheduling
-    overhead was the dominant cost of the naive 32-partition loop
-    (measured 112 s → this plan at sf0.01)."""
+    table followed by a DISTRIBUTED argmax — pair partials are summed
+    in a (pair-alphabet-sized) groupBy and the winner is taken with
+    ``orderBy().limit(1)`` (TakeOrderedAndProject: top-1 per partition,
+    then an O(#partitions)-row driver merge).  The driver never sees
+    the pair-count table itself, so the loop survives vocabularies
+    where distinct adjacent pairs reach millions (the earlier
+    collect-all-partials form was bounded but vocab-scale on the
+    driver).  Checkpoint materializations amortize kernel work to O(1)
+    merges per word per iteration.  Partition count is sized to the
+    VOCAB (~64k words per partition), not the cluster default —
+    near-empty-task scheduling overhead was the dominant cost of the
+    naive 32-partition loop (measured 112 s → this plan at sf0.01)."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(_ws_tokens(F.col("text"))).alias("w"))
@@ -137,16 +144,22 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pending: list[tuple[str, str]] = []
     try:
         for rank in range(1, BPE_MERGES + 1):
-            partials = base.mapInPandas(
-                _count_kernel(pending), "a string, b string, n bigint"
-            ).collect()
-            acc: Counter = Counter()
-            for r in partials:
-                acc[(r["a"], r["b"])] += r["n"]
-            if not acc:
+            # Tie-break matches the pure-python reference trainer:
+            # highest count, then lexicographically smallest (a, b).
+            top = (
+                base.mapInPandas(
+                    _count_kernel(pending), "a string, b string, n bigint"
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("n").alias("n"))
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
                 break
-            (a, b), n = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))
-            merges.append((rank, a, b, int(n)))
+            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+            merges.append((rank, a, b, n))
             pending.append((a, b))
             if len(pending) >= BPE_CHECKPOINT and rank < BPE_MERGES:
                 nxt = base.mapInPandas(
