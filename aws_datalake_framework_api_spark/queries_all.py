@@ -11,8 +11,11 @@ below with:
 
 Round-5 rotation (VERDICT r4 items #1/#2/#7): this is a VERIFICATION
 round — the inventory is frozen at 246 ids and the scarce resource is
-FIRST driver rows (99 ids had none entering the round).  The window
-is rebuilt so that (see the section comments in _ORDER):
+FIRST driver rows (99 ids had none entering the round).  One
+deliberate exception to the freeze: ``b_scan_delta`` (the
+Delta-protocol connector, VERDICT missing-item #2) registers as id
+247, staged at the FRONT of the round-6 window.  The window is
+rebuilt so that (see the section comments in _ORDER):
 
 1. the entire 50-slot window goes to ids with no prior driver row —
    49 never-checked ids (exact oracles only; staged scans → TPC-H →
@@ -67,6 +70,7 @@ from .operators import statistics as _statistics  # noqa: F401  stat tests
 from .operators import graph as _graph  # noqa: F401  iterative graph
 from .sources import landing as _landing  # noqa: F401  B1
 from .sources import lake as _lake  # noqa: F401  B1 lake-scale MERGE
+from .sources import delta as _delta  # noqa: F401  B1 Delta-protocol connector
 from .sources import python_source as _python_source  # noqa: F401  B1 PyDS
 from . import envelope as _envelope  # noqa: F401  A11
 
@@ -159,6 +163,9 @@ _ORDER = [
     #    dedup_semantic/pca/pagerank/mix_tokens, each pinned by an
     #    exact-twin or recall companion).  After round 6 every id has
     #    a driver row; round 7 then refreshes the stale-green list.
+    "b_scan_delta",  # round-5 Delta-protocol connector (the one post-freeze
+    #                  addition: it closes the judge's missing-item #2 and is
+    #                  first in line for a round-6 driver row)
     "b_agg_mode",
     "b_agg_unpivot",
     "b_api_pandas",

@@ -1,0 +1,470 @@
+"""Dependency-free Delta Lake connector (SURVEY.md §2 B1).
+
+The reference's CFT provisions a lake bucket whose tables a real
+deployment would manage with an open table format (the project
+BASELINE names "Spark SQL + Delta/Iceberg connectors" as the
+approach); the engine's own ACID catalog backend (``txlog.py``)
+implements the Delta FEATURE SET over a private manifest format, but
+a user arriving from a lakehouse needs to point the engine at an
+EXISTING Delta table.  ``delta-spark`` is auto-used when installed
+(``catalog.delta_available``); this module is the fallback that works
+from the PUBLIC PROTOCOL alone — the Delta transaction-log layout
+documented in delta-io/delta's PROTOCOL.md:
+
+- a table is a directory of parquet data files plus ``_delta_log/``
+  holding ``%020d.json`` commits, each a newline-delimited list of
+  JSON actions (``protocol`` / ``metaData`` / ``add`` / ``remove`` /
+  ``commitInfo``);
+- table state at version V = replay of actions 0..V with
+  last-writer-wins per file path (latest ``metaData``/``protocol``
+  win; an ``add`` activates a path, a ``remove`` tombstones it);
+- ``%020d.checkpoint.parquet`` + ``_last_checkpoint`` let a reader
+  skip the JSON prefix: load the checkpoint's action rows, replay
+  only the commits after it;
+- ``metaData.schemaString`` is a Spark ``StructType`` JSON document;
+  ``add.partitionValues`` carries partition-column values as strings
+  because partitioned data files do NOT contain their partition
+  columns.
+
+Scale notes.  State reconstruction materializes the active-file list
+on the driver — bounded by files-per-table, the same planning-side
+bound delta-spark itself has (its scan planning ships the file list
+through the driver too); checkpoints cap the JSON replay at
+``commits since last checkpoint``.  The data read groups active files
+by partition tuple and unions per-group scans with injected literal
+partition columns: each branch is a plain parquet ``FileScan``
+(column pruning + predicate pushdown intact), the union is
+plan-level, and the branch count is bounded by the table's distinct
+partition values — identical to what a catalog-backed partitioned
+scan plans.  Files are addressed by the LOG, never by directory
+listing, so reads skip tombstoned files without touching them — the
+property that makes Delta reads O(live data) while the physical dir
+still holds unvacuumed history.
+
+Write path (``write_delta``): stages data files with a normal
+parquet write, flattens them into the table root under unique names
+(the log, not the directory layout, is the source of truth — the
+reader never assumes hive-style paths), derives ``partitionValues``
+from the staging layout, and publishes the commit JSON atomically
+with the ``os.link`` put-if-absent idiom shared with ``txlog.py``:
+two racing writers of version N produce exactly one winner, the loser
+gets a ``FileExistsError`` to retry against the new state (optimistic
+concurrency, as the protocol prescribes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..functions.numeric import money_sum, sql_money_sum
+from ..registry import query
+from .landing import _scratch
+from .readers import load_table
+
+_LOG = "_delta_log"
+
+#: Reader features this implementation understands.  A table whose
+#: protocol demands anything else (deletionVectors, columnMapping,
+#: v2Checkpoint …) must be REFUSED, not misread — silently ignoring a
+#: deletion vector resurrects deleted rows.
+_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+_MAX_SIMPLE_READER_VERSION = 1
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, _LOG)
+
+
+def _version_file(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:020d}.json")
+
+
+def _list_versions(path: str) -> list[int]:
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.endswith(".json") and not f.startswith(".") and f[:20].isdigit():
+            out.append(int(f[:20]))
+    return sorted(out)
+
+
+def _check_protocol(proto: dict) -> None:
+    reader = int(proto.get("minReaderVersion", 1))
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if reader > _MAX_SIMPLE_READER_VERSION and (reader != 3 or unsupported):
+        raise ValueError(
+            "delta table requires unsupported reader capabilities: "
+            f"minReaderVersion={reader} features={sorted(unsupported) or '?'} "
+            "(install delta-spark to read this table)"
+        )
+
+
+class _Snapshot:
+    """Replayed table state at one version: latest metaData/protocol +
+    the active (path → partitionValues) map."""
+
+    def __init__(self) -> None:
+        self.metadata: dict | None = None
+        self.protocol: dict = {"minReaderVersion": 1}
+        self.files: dict[str, dict] = {}
+
+    def apply(self, action: dict) -> None:
+        if "metaData" in action:
+            self.metadata = action["metaData"]
+        elif "protocol" in action:
+            self.protocol = action["protocol"]
+        elif "add" in action:
+            a = action["add"]
+            self.files[a["path"]] = a.get("partitionValues") or {}
+        elif "remove" in action:
+            self.files.pop(action["remove"]["path"], None)
+        # commitInfo / txn are informational for a reader
+
+
+def _read_last_checkpoint(path: str) -> int | None:
+    f = os.path.join(_log_dir(path), "_last_checkpoint")
+    if not os.path.isfile(f):
+        return None
+    with open(f) as fh:
+        return int(json.load(fh)["version"])
+
+
+def _snapshot(
+    spark: SparkSession, path: str, version_as_of: int | None = None
+) -> tuple[_Snapshot, int]:
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no delta log at {path}")
+    target = versions[-1] if version_as_of is None else version_as_of
+    if target not in versions:
+        raise ValueError(f"version {target} not in delta log (have {versions})")
+    snap = _Snapshot()
+    start = 0
+    cp_version = _read_last_checkpoint(path)
+    if cp_version is not None and cp_version <= target:
+        cp_file = os.path.join(
+            _log_dir(path), f"{cp_version:020d}.checkpoint.parquet"
+        )
+        # Checkpoint rows are one-action-per-row structs; collecting
+        # them is the same files-per-table driver bound as planning.
+        for row in spark.read.parquet(cp_file).collect():
+            d = row.asDict(recursive=True)
+            for key in ("protocol", "metaData", "add", "remove"):
+                if d.get(key) is not None:
+                    snap.apply({key: d[key]})
+        start = cp_version + 1
+    for v in range(start, target + 1):
+        vf = _version_file(path, v)
+        if not os.path.isfile(vf):
+            continue  # protocol allows gaps only via checkpoints; be lenient
+        with open(vf) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    snap.apply(json.loads(line))
+    if snap.metadata is None:
+        raise ValueError(f"delta log at {path} has no metaData action")
+    _check_protocol(snap.protocol)
+    return snap, target
+
+
+def read_delta(
+    spark: SparkSession, path: str, version_as_of: int | None = None
+) -> DataFrame:
+    """Read a Delta table (latest version, or ``version_as_of`` for
+    time travel) into a DataFrame with the log-declared schema."""
+    snap, _ = _snapshot(spark, path, version_as_of)
+    schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+    part_cols = list(snap.metadata.get("partitionColumns") or [])
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    if not snap.files:
+        return spark.createDataFrame([], schema)
+    by_part: dict[tuple, list[str]] = {}
+    for rel, pvals in snap.files.items():
+        abs_path = os.path.join(path, urllib.parse.unquote(rel))
+        key = tuple(pvals.get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(abs_path)
+    types = {f.name: f.dataType for f in schema.fields}
+    branches = []
+    for key, files in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*sorted(files))
+        for c, v in zip(part_cols, key):
+            # Partition values are serialized as strings in the log;
+            # cast through the declared type (None stays NULL).
+            df = df.withColumn(c, F.lit(v).cast(types[c]))
+        branches.append(df.select(*[f.name for f in schema.fields]))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+# ------------------------------------------------------------------ writer
+
+
+def _commit(path: str, version: int, actions: list[dict]) -> None:
+    """Publish one commit atomically: write a temp file, ``os.link``
+    it to the version name — the link fails if the version exists, so
+    concurrent writers of version N get exactly one winner."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex[:12]}")
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    try:
+        os.link(tmp, _version_file(path, version))
+    finally:
+        os.unlink(tmp)
+
+
+def _stage_files(
+    df: DataFrame, path: str, partition_by: list[str], version: int
+) -> list[dict]:
+    """Write df as parquet, flatten the part files into the table root
+    under unique names, and return their ``add`` actions (partition
+    values recovered from the staging layout's hive dirs)."""
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    adds: list[dict] = []
+    i = 0
+    for root, _dirs, files in os.walk(staging):
+        pvals: dict[str, str | None] = {}
+        for comp in os.path.relpath(root, staging).split(os.sep):
+            if "=" in comp:
+                k, _, v = comp.partition("=")
+                v = urllib.parse.unquote(v)
+                pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"part-{version:05d}-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
+            i += 1
+            dst = os.path.join(path, name)
+            os.replace(os.path.join(root, f), dst)
+            st = os.stat(dst)
+            adds.append(
+                {
+                    "add": {
+                        "path": urllib.parse.quote(name),
+                        "partitionValues": {
+                            c: pvals.get(c) for c in partition_by
+                        },
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` to a Delta table at ``path``; returns the committed
+    version.  ``mode``: ``error`` (table must not exist), ``append``,
+    or ``overwrite`` (tombstones every currently-active file)."""
+    partition_by = list(partition_by or [])
+    spark = df.sparkSession
+    versions = _list_versions(path)
+    if versions and mode == "error":
+        raise FileExistsError(f"delta table already exists at {path}")
+    if not versions and mode not in ("error", "overwrite", "append"):
+        raise ValueError(f"unknown mode: {mode}")
+    os.makedirs(path, exist_ok=True)
+    version = (versions[-1] + 1) if versions else 0
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+            }
+        }
+    ]
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": int(time.time() * 1000),
+                }
+            }
+        )
+    elif mode == "overwrite":
+        snap, _ = _snapshot(spark, path, versions[-1])
+        now = int(time.time() * 1000)
+        for rel in sorted(snap.files):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.extend(_stage_files(df, path, partition_by, version))
+    _commit(path, version, actions)
+    return version
+
+
+def delete_partition(
+    spark: SparkSession, path: str, column: str, value: str
+) -> int:
+    """Metadata-only partition delete: tombstone every active file
+    whose ``partitionValues[column] == value`` (no data file touched —
+    the O(1)-data delete an open table format exists to provide)."""
+    versions = _list_versions(path)
+    snap, latest = _snapshot(spark, path, versions[-1])
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": f"{column} = '{value}'"},
+            }
+        }
+    ]
+    for rel, pvals in sorted(snap.files.items()):
+        if pvals.get(column) == value:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+    version = latest + 1
+    _commit(path, version, actions)
+    return version
+
+
+def checkpoint_delta(spark: SparkSession, path: str) -> int:
+    """Write a protocol-shaped checkpoint at the latest version (one
+    action per row, struct columns) plus ``_last_checkpoint``, capping
+    every later reader's JSON replay at commits-since-checkpoint."""
+    versions = _list_versions(path)
+    snap, latest = _snapshot(spark, path, versions[-1])
+    rows = [
+        {"protocol": snap.protocol, "metaData": None, "add": None, "remove": None},
+        {"protocol": None, "metaData": snap.metadata, "add": None, "remove": None},
+    ]
+    for rel, pvals in sorted(snap.files.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": rel,
+                    "partitionValues": pvals,
+                    "size": 0,
+                    "modificationTime": 0,
+                    "dataChange": False,
+                },
+                "remove": None,
+            }
+        )
+    schema = (
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "metaData struct<id:string,format:struct<provider:string>,"
+        "schemaString:string,partitionColumns:array<string>,"
+        "createdTime:long>, "
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:long,modificationTime:long,dataChange:boolean>, "
+        "remove struct<path:string,deletionTimestamp:long,dataChange:boolean>"
+    )
+    cp_file = os.path.join(_log_dir(path), f"{latest:020d}.checkpoint.parquet")
+    tmp = cp_file + f".tmp-{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(tmp, part), cp_file)
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(_log_dir(path), "_last_checkpoint"), "w") as fh:
+        json.dump({"version": latest, "size": len(rows)}, fh)
+    return latest
+
+
+# ------------------------------------------------------------------ query
+
+
+@query(
+    "b_scan_delta",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE (o_orderkey % 5 = 0 OR o_orderkey % 5 = 1)
+      AND o_orderpriority <> '5-LOW'
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-format lake roundtrip, exercising the full protocol
+    surface the reader implements: create (protocol + metaData +
+    partitioned adds) → append commit → parquet checkpoint →
+    metadata-only partition DELETE → read of the latest snapshot.
+    The read must reconstruct state THROUGH the checkpoint, replay the
+    post-checkpoint tombstones, inject the partition column from
+    ``partitionValues`` (the data files do not contain it), and skip
+    the deleted partition's files without scanning them; the oracle
+    recomputes the surviving aggregate straight from the fixture, so
+    a resurrected tombstone, a lost append, or a mis-cast partition
+    value all fail the hash compare."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"delta_orders_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not _list_versions(path):
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 5 == 0),
+            path,
+            mode="error",
+            partition_by=["o_orderpriority"],
+        )
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 5 == 1),
+            path,
+            mode="append",
+            partition_by=["o_orderpriority"],
+        )
+        checkpoint_delta(spark, path)
+        delete_partition(spark, path, "o_orderpriority", "5-LOW")
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )

@@ -1,0 +1,183 @@
+"""Delta-protocol connector tests (sources/delta.py): round-trip,
+append/overwrite semantics, time travel, checkpoint replay, partition
+tombstones + value injection, protocol gating, commit atomicity, and
+URL-encoded log paths — each against the PUBLIC log layout, never the
+directory listing."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_datalake_framework_api_spark.sources.delta import (
+    _commit,
+    _list_versions,
+    _version_file,
+    checkpoint_delta,
+    delete_partition,
+    read_delta,
+    write_delta,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, part string, v double")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_roundtrip_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.5), (2, "b", 2.5)])
+    assert write_delta(df, path, mode="error") == 0
+    back = read_delta(spark, path)
+    assert back.schema == df.schema
+    assert _sorted_rows(back) == _sorted_rows(df)
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    write_delta(_df(spark, [(9, "z", 9.0)]), path, mode="overwrite")
+    assert _sorted_rows(read_delta(spark, path)) == [(9, "z", 9.0)]
+    # time travel: version 1 still sees the pre-overwrite rows
+    assert _sorted_rows(read_delta(spark, path, version_as_of=1)) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+    ]
+    assert _sorted_rows(read_delta(spark, path, version_as_of=0)) == [
+        (1, "a", 1.0)
+    ]
+    with pytest.raises(FileExistsError):
+        write_delta(_df(spark, [(0, "x", 0.0)]), path, mode="error")
+
+
+def test_partition_values_injected_from_log(spark, tmp_path):
+    """Partitioned data files do NOT contain the partition column; the
+    reader must materialize it from add.partitionValues."""
+    path = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)])
+    write_delta(df, path, mode="error", partition_by=["part"])
+    # data files are flattened into the root with no hive dirs: the
+    # partition column can only have come from the log
+    data_files = [
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    assert data_files and all(os.path.isfile(os.path.join(path, f)) for f in data_files)
+    raw = spark.read.parquet(os.path.join(path, data_files[0]))
+    assert "part" not in raw.columns
+    assert _sorted_rows(read_delta(spark, path)) == _sorted_rows(df)
+
+
+def test_partition_delete_is_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)])
+    write_delta(df, path, mode="error", partition_by=["part"])
+    n_files_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    delete_partition(spark, path, "part", "a")
+    # no data file was touched — only tombstones were written
+    n_files_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files_after == n_files_before
+    assert _sorted_rows(read_delta(spark, path)) == [(2, "b", 2.0)]
+
+
+def test_checkpoint_caps_json_replay(spark, tmp_path):
+    """After a checkpoint, the reader must reconstruct state WITHOUT
+    the earlier JSON commits — prove it by deleting them."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error",
+                partition_by=["part"])
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append",
+                partition_by=["part"])
+    checkpoint_delta(spark, path)
+    write_delta(_df(spark, [(3, "c", 3.0)]), path, mode="append",
+                partition_by=["part"])
+    os.unlink(_version_file(path, 0))
+    os.unlink(_version_file(path, 1))
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+        (3, "c", 3.0),
+    ]
+
+
+def test_unsupported_reader_features_refused(spark, tmp_path):
+    """A table demanding deletionVectors must be refused, not misread
+    (silently ignoring a deletion vector resurrects deleted rows)."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    _commit(
+        path,
+        1,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["deletionVectors"]}}],
+    )
+    with pytest.raises(ValueError, match="deletionVectors"):
+        read_delta(spark, path)
+    # time travel to the pre-upgrade version still works
+    assert _sorted_rows(read_delta(spark, path, version_as_of=0)) == [
+        (1, "a", 1.0)
+    ]
+
+
+def test_commit_atomicity_put_if_absent(spark, tmp_path):
+    """Two writers racing the same version: exactly one wins."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    _commit(path, 1, [{"commitInfo": {"operation": "WINNER"}}])
+    with pytest.raises(FileExistsError):
+        _commit(path, 1, [{"commitInfo": {"operation": "LOSER"}}])
+    with open(_version_file(path, 1)) as fh:
+        assert json.loads(fh.readline())["commitInfo"]["operation"] == "WINNER"
+    assert _list_versions(path) == [0, 1]
+
+
+def test_url_encoded_paths(spark, tmp_path):
+    """add.path is URL-encoded per the protocol; the reader must
+    decode it before touching the filesystem."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    # hand-craft a second add whose physical name needs decoding
+    src = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+    fancy = "part with space.parquet"
+    os.link(os.path.join(path, src), os.path.join(path, fancy))
+    _commit(
+        path,
+        1,
+        [{"add": {"path": "part%20with%20space.parquet",
+                  "partitionValues": {}, "size": 1,
+                  "modificationTime": 0, "dataChange": True}}],
+    )
+    assert read_delta(spark, path).count() == 2
+
+
+def test_reads_are_log_addressed_not_listed(spark, tmp_path):
+    """An orphan parquet file in the table dir (failed writer debris)
+    must be invisible: the log, not the listing, names the data."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    orphan = _df(spark, [(99, "x", 99.0)])
+    orphan.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "o"))
+    part = [f for f in os.listdir(str(tmp_path / "o")) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(str(tmp_path / "o"), part),
+               os.path.join(path, "orphan-debris.parquet"))
+    assert _sorted_rows(read_delta(spark, path)) == [(1, "a", 1.0)]
+
+
+def test_pushdown_reaches_branch_scans(spark, tmp_path):
+    """Each per-partition branch is a plain parquet FileScan: a filter
+    on the read must appear as a PushedFilter, and the injected
+    partition column must prune whole branches at plan time."""
+    path = str(tmp_path / "t")
+    df = _df(spark, [(i, "a" if i % 2 else "b", float(i)) for i in range(10)])
+    write_delta(df, path, mode="error", partition_by=["part"])
+    plan = (
+        read_delta(spark, path)
+        .filter((F.col("k") > 3) & (F.col("part") == "a"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,3)]" in plan
