@@ -25,10 +25,14 @@ implemented ONCE, parameterized by entity type:
 Storage: parquet tables under a warehouse directory, one directory
 per entity type (the reference provisions one S3 bucket per source
 system, ``cft/sourceSystem.yaml:20-27``; a Spark warehouse uses one
-PATH per table and partitions within).  Three backends behind one
+PATH per table and partitions within).  Four backends behind one
 seam, chosen by probe at construction:
 
 - ``delta``: real Delta Lake when the package + jar are present;
+- ``deltalog`` (explicit opt-in): the same on-disk Delta table format
+  via the dependency-free protocol implementation in
+  :mod:`.sources.delta` — append/overwrite commits on the public
+  ``_delta_log`` layout, interoperable with delta-spark readers;
 - ``txlog`` (default here): the file-backed transaction log in
   :mod:`..txlog` — immutable parquet data dirs + manifest commits
   published by atomic hard-link, snapshot-isolated readers, history/
@@ -174,23 +178,28 @@ class Catalog:
     """A warehouse-backed entity catalog with an audit log.
 
     ``backend`` is chosen by :func:`delta_available` at construction:
-    ``"delta"`` stores tables as Delta Lake (mutations are real ACID
-    ``update``/``delete``/transactional overwrites); ``"txlog"`` (the
-    default without Delta) uses :class:`..txlog.TxLogTable` manifest
-    commits — same immutable-data + atomic-log-record protocol shape;
-    ``"parquet"`` is the minimal read-modify-write directory swap.
-    Callers never branch — the seam is this class."""
+    ``"delta"`` stores tables as Delta Lake via delta-spark (mutations
+    are real ACID ``update``/``delete``/transactional overwrites);
+    ``"deltalog"`` stores tables in the SAME on-disk Delta format
+    through the dependency-free protocol implementation in
+    :mod:`..sources.delta` (append/overwrite commits on the public
+    ``_delta_log`` layout — a delta-spark reader can open the
+    warehouse, and vice versa); ``"txlog"`` (the default without
+    Delta) uses :class:`..txlog.TxLogTable` manifest commits — same
+    immutable-data + atomic-log-record protocol shape, private
+    format; ``"parquet"`` is the minimal read-modify-write directory
+    swap.  Callers never branch — the seam is this class."""
 
     spark: SparkSession
     warehouse: str
-    backend: str = "auto"  # "auto" | "txlog" | "parquet" | "delta"
+    backend: str = "auto"  # "auto" | "txlog" | "parquet" | "delta" | "deltalog"
     config: "GlobalConfig | None" = None  # fm_prefix-scoped table names when set
     _audit_rows: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if self.backend == "auto":
             self.backend = "delta" if delta_available(self.spark) else "txlog"
-        if self.backend not in ("delta", "txlog", "parquet"):
+        if self.backend not in ("delta", "deltalog", "txlog", "parquet"):
             raise ValueError(f"unknown backend: {self.backend}")
 
     # ------------------------------------------------------------ paths
@@ -210,7 +219,7 @@ class Catalog:
     # ------------------------------------------------------------ io
 
     def _is_table(self, d: str) -> bool:
-        if self.backend == "delta":
+        if self.backend in ("delta", "deltalog"):
             return os.path.isdir(os.path.join(d, "_delta_log"))
         if self.backend == "txlog":
             return TxLogTable(self.spark, d).exists()
@@ -221,6 +230,10 @@ class Catalog:
             return self.spark.createDataFrame([], schema)
         if self.backend == "delta":
             return self.spark.read.format("delta").load(d)
+        if self.backend == "deltalog":
+            from .sources.delta import read_delta
+
+            return read_delta(self.spark, d)
         if self.backend == "txlog":
             return TxLogTable(self.spark, d).read(schema)
         return self.spark.read.schema(schema).parquet(d)
@@ -238,6 +251,19 @@ class Catalog:
         d = self._table_dir(entity_type)
         if self.backend == "delta":
             df.coalesce(1).write.format("delta").mode("overwrite").save(d)
+            return
+        if self.backend == "deltalog":
+            from .sources.delta import write_delta
+
+            # first write must be "error" so version 0 carries
+            # protocol+metaData; later overwrites tombstone in-commit.
+            # Safe to rewrite from a plan that reads this same table:
+            # data files are immutable (tombstoned, never deleted).
+            write_delta(
+                df.coalesce(1),
+                d,
+                mode="overwrite" if self._is_table(d) else "error",
+            )
             return
         if self.backend == "txlog":
             TxLogTable(self.spark, d).overwrite(df, op=op)
@@ -306,6 +332,14 @@ class Catalog:
         d = os.path.join(self.warehouse, self._name("api_events"))
         if self.backend == "delta":
             df.coalesce(1).write.format("delta").mode("append").save(d)
+        elif self.backend == "deltalog":
+            from .sources.delta import write_delta
+
+            write_delta(
+                df.coalesce(1),
+                d,
+                mode="append" if self._is_table(d) else "error",
+            )
         elif self.backend == "txlog":
             TxLogTable(self.spark, d).append(df)
         else:
@@ -351,7 +385,14 @@ class Catalog:
                         "status",
                         F.when(cond, F.lit(new_status)).otherwise(F.col("status")),
                     )
-                    if self.backend == "txlog":
+                    if self.backend == "deltalog":
+                        from .sources.delta import write_delta
+
+                        # snapshot rewrite in one overwrite commit —
+                        # old files tombstone, history stays readable
+                        # via versionAsOf
+                        write_delta(updated.coalesce(1), d, mode="overwrite")
+                    elif self.backend == "txlog":
                         # conditional update = snapshot rewrite in ONE
                         # commit — the attribute_exists semantics land
                         # atomically (op recorded in history())
