@@ -30,7 +30,18 @@ rebuilt so that (see the section comments in _ORDER):
 4. everything r2-r4-proved and unchanged, in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
 round; this round's window pre-sweep is committed as
-LOCAL_SWEEP_r05.json.
+LOCAL_SWEEP_r05.json, plus three ROBUSTNESS sweeps over the same
+gate (all green, committed as artifacts):
+
+- LOCAL_SWEEP_r05_cpus8.json — the round-5 window re-verified under
+  ``SPARK_GRAFT_CPUS=8`` (local[8], 8 shuffle partitions, vs the
+  default 32/32): catches results that depend on partition count or
+  task scheduling, since the driver runs its own session config;
+- LOCAL_SWEEP_r05_sf0001.json — the window re-verified at sf0.001:
+  catches constants accidentally tuned to one fixture size;
+- LOCAL_SWEEP_r06_prestage_cpus8.json — the staged round-6 slice
+  under the alternate parallelism, pre-clearing next round's window
+  the same way.
 """
 
 from __future__ import annotations
