@@ -168,7 +168,15 @@ def _snapshot(
     for v in range(start, target + 1):
         vf = _version_file(path, v)
         if not os.path.isfile(vf):
-            continue  # protocol allows gaps only via checkpoints; be lenient
+            # The protocol allows missing commits only BEFORE a
+            # checkpoint (log cleanup); a gap past the replay start
+            # means unreconstructable state — refuse, never return a
+            # silently partial table.
+            raise ValueError(
+                f"delta log gap: version {v} missing (replaying "
+                f"{start}..{target} from "
+                f"{'checkpoint' if start else 'genesis'})"
+            )
         with open(vf) as fh:
             for line in fh:
                 line = line.strip()

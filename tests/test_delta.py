@@ -141,8 +141,13 @@ def test_url_encoded_paths(spark, tmp_path):
     decode it before touching the filesystem."""
     path = str(tmp_path / "t")
     write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
-    # hand-craft a second add whose physical name needs decoding
-    src = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+    # hand-craft a second add whose physical name needs decoding;
+    # link the NON-EMPTY part file (a 1-row write can also emit
+    # zero-row parts, and listdir order is arbitrary)
+    src = max(
+        (f for f in os.listdir(path) if f.endswith(".parquet")),
+        key=lambda f: os.path.getsize(os.path.join(path, f)),
+    )
     fancy = "part with space.parquet"
     os.link(os.path.join(path, src), os.path.join(path, fancy))
     _commit(
@@ -181,3 +186,20 @@ def test_pushdown_reaches_branch_scans(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(k), GreaterThan(k,3)]" in plan
+
+
+def test_log_gap_past_replay_start_refused(spark, tmp_path):
+    """A missing commit INSIDE the replay range means the state cannot
+    be reconstructed — the reader must refuse, not return a silently
+    partial table.  (Gaps before a checkpoint are fine: log cleanup.)"""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    write_delta(_df(spark, [(3, "c", 3.0)]), path, mode="append")
+    os.unlink(_version_file(path, 1))
+    with pytest.raises(ValueError, match="delta log gap"):
+        read_delta(spark, path)
+    # version 0 alone is still reconstructable
+    assert _sorted_rows(read_delta(spark, path, version_as_of=0)) == [
+        (1, "a", 1.0)
+    ]
