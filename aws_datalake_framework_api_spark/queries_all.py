@@ -41,7 +41,15 @@ gate (all green, committed as artifacts):
   catches constants accidentally tuned to one fixture size;
 - LOCAL_SWEEP_r06_prestage_cpus8.json — the staged round-6 slice
   under the alternate parallelism, pre-clearing next round's window
-  the same way.
+  the same way;
+- LOCAL_SWEEP_r06_prestage_sf0001.json — the same slice (plus
+  b_scan_delta) at sf0.001;
+- LOCAL_SWEEP_r05_full_cpus8.json / LOCAL_SWEEP_r05_full_sf0001.json
+  — the ENTIRE 247-id registry under each alternate axis (236 exact +
+  11 rows-only-by-design, 0 failed, both): every id — including the
+  r1/r2-stale refresh list waiting for round 7 — is now evidenced
+  robust to partition layout and fixture size, not just the ids in
+  the current window.
 """
 
 from __future__ import annotations

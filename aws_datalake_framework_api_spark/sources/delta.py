@@ -50,6 +50,12 @@ with the ``os.link`` put-if-absent idiom shared with ``txlog.py``:
 two racing writers of version N produce exactly one winner, the loser
 gets a ``FileExistsError`` to retry against the new state (optimistic
 concurrency, as the protocol prescribes).
+
+``os.link`` assumes a filesystem with atomic link semantics (POSIX,
+NFSv4, HDFS-mounted).  On an object store the same guarantee needs an
+external put-if-absent coordinator — exactly the LogStore seam
+delta-spark itself requires on S3 — so a cloud deployment swaps
+``_commit``'s publish step for that service and nothing else changes.
 """
 
 from __future__ import annotations
