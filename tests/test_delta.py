@@ -203,3 +203,70 @@ def test_log_gap_past_replay_start_refused(spark, tmp_path):
     assert _sorted_rows(read_delta(spark, path, version_as_of=0)) == [
         (1, "a", 1.0)
     ]
+
+
+# ---------------------------------------------------------- property test
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PARTS = ["a", "b", "c"]
+_row = st.tuples(
+    st.integers(min_value=0, max_value=99),
+    st.sampled_from(_PARTS),
+    st.floats(min_value=0, max_value=9, allow_nan=False, width=32),
+)
+_op = st.one_of(
+    st.tuples(st.just("append"), st.lists(_row, min_size=0, max_size=4)),
+    st.tuples(st.just("overwrite"), st.lists(_row, min_size=0, max_size=4)),
+    st.tuples(st.just("delete"), st.sampled_from(_PARTS)),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=5))
+def test_delta_log_replay_matches_sequential_model(spark, tmp_path_factory, ops):
+    """Model-based check: ANY sequence of append / overwrite /
+    partition-delete commits must replay — at EVERY version — to the
+    same state a plain sequential model holds.  Covers interleavings
+    the example tests don't enumerate (delete of a never-written
+    partition, overwrite-after-delete, empty appends...)."""
+    path = str(tmp_path_factory.mktemp("dl") / "t")
+    schema = "k int, part string, v float"
+    model: list[list[tuple]] = []
+    active: list[tuple] = []
+    first = True
+    for op in ops:
+        if op[0] == "append":
+            rows = [tuple(r) for r in op[1]]
+            write_delta(
+                spark.createDataFrame(rows, schema),
+                path,
+                mode="error" if first else "append",
+                partition_by=["part"],
+            )
+            first = False
+            active = active + rows
+        elif op[0] == "overwrite":
+            rows = [tuple(r) for r in op[1]]
+            write_delta(
+                spark.createDataFrame(rows, schema),
+                path,
+                mode="error" if first else "overwrite",
+                partition_by=["part"],
+            )
+            first = False
+            active = rows
+        else:
+            if first:
+                continue  # no table yet to delete from
+            delete_partition(spark, path, "part", op[1])
+            active = [r for r in active if r[1] != op[1]]
+        model.append(sorted(active))
+    for version, expected in enumerate(model):
+        got = _sorted_rows(read_delta(spark, path, version_as_of=version))
+        assert got == expected, f"version {version}: {got} != {expected}"
