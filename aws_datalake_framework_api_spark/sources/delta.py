@@ -432,6 +432,73 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     return latest
 
 
+def history_delta(spark: SparkSession, path: str) -> list[dict]:
+    """Commit history from the log's ``commitInfo`` actions (oldest
+    first): version, operation, timestamp — the audit surface a
+    ``DESCRIBE HISTORY`` serves."""
+    out = []
+    for v in _list_versions(path):
+        info: dict = {}
+        with open(_version_file(path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        info = a["commitInfo"]
+                        break
+        out.append(
+            {
+                "version": v,
+                "operation": info.get("operation"),
+                "timestamp": info.get("timestamp"),
+            }
+        )
+    return out
+
+
+def vacuum_delta(
+    spark: SparkSession, path: str, retention_ms: int = 7 * 24 * 3600 * 1000
+) -> dict:
+    """Physically delete data files no longer referenced by the
+    CURRENT version whose tombstone (or, for untracked debris, file
+    mtime) is older than ``retention_ms`` — Delta's VACUUM semantics:
+    reclaims tombstoned + orphaned storage, and time travel to
+    versions needing the removed files stops working, which is the
+    documented contract.  The candidate set is the log's remove
+    actions plus a root listing for debris; both are bounded by
+    files-per-table (the same planning bound as reads)."""
+    snap, latest = _snapshot(spark, path)
+    active = {urllib.parse.unquote(p) for p in snap.files}
+    now = int(time.time() * 1000)
+    cutoff = now - retention_ms
+    # tombstone timestamps from the full log (earliest wins per path)
+    removed_at: dict[str, int] = {}
+    for v in _list_versions(path):
+        with open(_version_file(path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "remove" in a:
+                    rel = urllib.parse.unquote(a["remove"]["path"])
+                    ts = a["remove"].get("deletionTimestamp") or 0
+                    removed_at.setdefault(rel, ts)
+    deleted = 0
+    for f in os.listdir(path):
+        if not f.endswith(".parquet") or f in active:
+            continue
+        full = os.path.join(path, f)
+        if not os.path.isfile(full):
+            continue
+        ts = removed_at.get(f, int(os.stat(full).st_mtime * 1000))
+        if ts <= cutoff:
+            os.unlink(full)
+            deleted += 1
+    return {"deleted_files": deleted, "retained_version": latest}
+
+
 # ------------------------------------------------------------------ query
 
 

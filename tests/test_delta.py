@@ -16,7 +16,9 @@ from aws_datalake_framework_api_spark.sources.delta import (
     _version_file,
     checkpoint_delta,
     delete_partition,
+    history_delta,
     read_delta,
+    vacuum_delta,
     write_delta,
 )
 
@@ -270,3 +272,35 @@ def test_delta_log_replay_matches_sequential_model(spark, tmp_path_factory, ops)
     for version, expected in enumerate(model):
         got = _sorted_rows(read_delta(spark, path, version_as_of=version))
         assert got == expected, f"version {version}: {got} != {expected}"
+
+
+def test_history_lists_operations(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error",
+                partition_by=["part"])
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append",
+                partition_by=["part"])
+    delete_partition(spark, path, "part", "a")
+    h = history_delta(spark, path)
+    assert [e["version"] for e in h] == [0, 1, 2]
+    assert [e["operation"] for e in h] == ["WRITE", "WRITE", "DELETE"]
+
+
+def test_vacuum_reclaims_tombstoned_files_only(spark, tmp_path):
+    """VACUUM with zero retention deletes files the current version no
+    longer references (tombstones AND orphan debris) while the live
+    snapshot stays readable; time travel past the vacuum horizon dies,
+    which is the documented Delta contract."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_delta(_df(spark, [(9, "z", 9.0)]), path, mode="overwrite")
+    with open(os.path.join(path, "debris.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    res = vacuum_delta(spark, path, retention_ms=0)
+    assert res["deleted_files"] >= 1
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after < n_before
+    assert _sorted_rows(read_delta(spark, path)) == [(9, "z", 9.0)]
+    # a second vacuum is a no-op
+    assert vacuum_delta(spark, path, retention_ms=0)["deleted_files"] == 0
