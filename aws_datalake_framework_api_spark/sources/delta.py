@@ -119,7 +119,8 @@ def _check_protocol(proto: dict) -> None:
 
 class _Snapshot:
     """Replayed table state at one version: latest metaData/protocol +
-    the active (path → partitionValues) map."""
+    the active files map (path → its full ``add`` action, so
+    partitionValues AND stats survive replay)."""
 
     def __init__(self) -> None:
         self.metadata: dict | None = None
@@ -133,10 +134,13 @@ class _Snapshot:
             self.protocol = action["protocol"]
         elif "add" in action:
             a = action["add"]
-            self.files[a["path"]] = a.get("partitionValues") or {}
+            self.files[a["path"]] = a
         elif "remove" in action:
             self.files.pop(action["remove"]["path"], None)
         # commitInfo / txn are informational for a reader
+
+    def partition_values(self, rel: str) -> dict:
+        return self.files[rel].get("partitionValues") or {}
 
 
 def _read_last_checkpoint(path: str) -> int | None:
@@ -151,14 +155,24 @@ def _snapshot(
     spark: SparkSession, path: str, version_as_of: int | None = None
 ) -> tuple[_Snapshot, int]:
     versions = _list_versions(path)
-    if not versions:
+    cp_version = _read_last_checkpoint(path)
+    if not versions and cp_version is None:
         raise FileNotFoundError(f"no delta log at {path}")
-    target = versions[-1] if version_as_of is None else version_as_of
-    if target not in versions:
-        raise ValueError(f"version {target} not in delta log (have {versions})")
+    # Latest = max of the JSON tail and the checkpoint: after log
+    # cleanup a table can have NO json commits at all (checkpoint
+    # only), which is still a fully readable state.
+    latest = max(
+        versions[-1] if versions else -1,
+        cp_version if cp_version is not None else -1,
+    )
+    target = latest if version_as_of is None else version_as_of
+    if target not in versions and target != cp_version:
+        raise ValueError(
+            f"version {target} not reconstructable (json versions "
+            f"{versions}, checkpoint {cp_version})"
+        )
     snap = _Snapshot()
     start = 0
-    cp_version = _read_last_checkpoint(path)
     if cp_version is not None and cp_version <= target:
         cp_file = os.path.join(
             _log_dir(path), f"{cp_version:020d}.checkpoint.parquet"
@@ -208,8 +222,9 @@ def read_delta(
     if not snap.files:
         return spark.createDataFrame([], schema)
     by_part: dict[tuple, list[str]] = {}
-    for rel, pvals in snap.files.items():
+    for rel, a in snap.files.items():
         abs_path = os.path.join(path, urllib.parse.unquote(rel))
+        pvals = a.get("partitionValues") or {}
         key = tuple(pvals.get(c) for c in part_cols)
         by_part.setdefault(key, []).append(abs_path)
     types = {f.name: f.dataType for f in schema.fields}
@@ -243,6 +258,42 @@ def _commit(path: str, version: int, actions: list[dict]) -> None:
         os.link(tmp, _version_file(path, version))
     finally:
         os.unlink(tmp)
+
+
+def _footer_stats(dst: str) -> str | None:
+    """Per-file column stats from the ALREADY-WRITTEN parquet footer —
+    no data read — serialized as the protocol's ``add.stats`` JSON
+    string ({numRecords, minValues, maxValues}).  Only JSON-safe
+    scalar types are recorded; anything else is simply absent, which
+    readers must (and do) treat as unprunable."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(dst).metadata
+    except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
+        return None
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = s.min, s.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            if name not in mins or lo < mins[name]:  # type: ignore[operator]
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:  # type: ignore[operator]
+                maxs[name] = hi
+    return json.dumps(
+        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+    )
 
 
 def _stage_files(
@@ -283,6 +334,7 @@ def _stage_files(
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
                         "dataChange": True,
+                        "stats": _footer_stats(dst),
                     }
                 }
             )
@@ -369,8 +421,8 @@ def delete_partition(
             }
         }
     ]
-    for rel, pvals in sorted(snap.files.items()):
-        if pvals.get(column) == value:
+    for rel in sorted(snap.files):
+        if snap.partition_values(rel).get(column) == value:
             actions.append(
                 {
                     "remove": {
@@ -395,17 +447,22 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
         {"protocol": snap.protocol, "metaData": None, "add": None, "remove": None},
         {"protocol": None, "metaData": snap.metadata, "add": None, "remove": None},
     ]
-    for rel, pvals in sorted(snap.files.items()):
+    for rel in sorted(snap.files):
+        a = snap.files[rel]
         rows.append(
             {
                 "protocol": None,
                 "metaData": None,
                 "add": {
                     "path": rel,
-                    "partitionValues": pvals,
-                    "size": 0,
-                    "modificationTime": 0,
+                    "partitionValues": snap.partition_values(rel),
+                    "size": int(a.get("size") or 0),
+                    "modificationTime": int(a.get("modificationTime") or 0),
                     "dataChange": False,
+                    # stats ride through the checkpoint so file
+                    # skipping still works after the JSON prefix is
+                    # cleaned up
+                    "stats": a.get("stats"),
                 },
                 "remove": None,
             }
@@ -416,7 +473,7 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
         "schemaString:string,partitionColumns:array<string>,"
         "createdTime:long>, "
         "add struct<path:string,partitionValues:map<string,string>,"
-        "size:long,modificationTime:long,dataChange:boolean>, "
+        "size:long,modificationTime:long,dataChange:boolean,stats:string>, "
         "remove struct<path:string,deletionTimestamp:long,dataChange:boolean>"
     )
     cp_file = os.path.join(_log_dir(path), f"{latest:020d}.checkpoint.parquet")
@@ -430,6 +487,80 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     with open(os.path.join(_log_dir(path), "_last_checkpoint"), "w") as fh:
         json.dump({"version": latest, "size": len(rows)}, fh)
     return latest
+
+
+def prune_files(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version_as_of: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """Log-level data skipping: split the active files into (kept,
+    skipped) for a range read ``lo <= column <= hi`` using the
+    ``add.stats`` min/max — no parquet footer is opened for a skipped
+    file, which at 100 TB is the difference between touching metadata
+    for every file and touching none of the cold ones.  A file without
+    stats for ``column`` is KEPT (conservative): a missing or stale
+    stat can only cost performance, never rows."""
+    snap, _ = _snapshot(spark, path, version_as_of)
+    kept: list[str] = []
+    skipped: list[str] = []
+    for rel in sorted(snap.files):
+        st = snap.files[rel].get("stats")
+        prunable = False
+        if st:
+            s = json.loads(st) if isinstance(st, str) else st
+            mn = (s.get("minValues") or {}).get(column)
+            mx = (s.get("maxValues") or {}).get(column)
+            if mn is not None and mx is not None:
+                prunable = mx < lo or mn > hi
+        (skipped if prunable else kept).append(rel)
+    return kept, skipped
+
+
+def read_delta_range(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version_as_of: int | None = None,
+) -> DataFrame:
+    """Range read with stats-based file skipping: scan only the files
+    :func:`prune_files` keeps, then apply the residual row filter.
+    Same correctness division of labor as the txlog table's
+    ``read_range`` — stats prune FILES, the filter prunes ROWS, so
+    results are identical to an unpruned scan by construction."""
+    snap, _ = _snapshot(spark, path, version_as_of)
+    kept, _skipped = prune_files(spark, path, column, lo, hi, version_as_of)
+    schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+    part_cols = list(snap.metadata.get("partitionColumns") or [])
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    cond = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+    if not kept:
+        return spark.createDataFrame([], schema).filter(cond)
+    types = {f.name: f.dataType for f in schema.fields}
+    by_part: dict[tuple, list[str]] = {}
+    for rel in kept:
+        pv = snap.partition_values(rel)
+        key = tuple(pv.get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(
+            os.path.join(path, urllib.parse.unquote(rel))
+        )
+    branches = []
+    for key, files in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*sorted(files))
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(c, F.lit(v).cast(types[c]))
+        branches.append(df.select(*[f.name for f in schema.fields]))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.filter(cond)
 
 
 def history_delta(spark: SparkSession, path: str) -> list[dict]:

@@ -17,7 +17,9 @@ from aws_datalake_framework_api_spark.sources.delta import (
     checkpoint_delta,
     delete_partition,
     history_delta,
+    prune_files,
     read_delta,
+    read_delta_range,
     vacuum_delta,
     write_delta,
 )
@@ -304,3 +306,65 @@ def test_vacuum_reclaims_tombstoned_files_only(spark, tmp_path):
     assert _sorted_rows(read_delta(spark, path)) == [(9, "z", 9.0)]
     # a second vacuum is a no-op
     assert vacuum_delta(spark, path, retention_ms=0)["deleted_files"] == 0
+
+
+def test_stats_skipping_prunes_files_losslessly(spark, tmp_path):
+    """Four disjoint-range appends; a range read inside one slice must
+    skip the other three via add.stats alone, and return exactly the
+    rows an unpruned scan + filter returns."""
+    path = str(tmp_path / "t")
+    for i, mode in zip(range(4), ["error", "append", "append", "append"]):
+        rows = [(k, "p", float(k)) for k in range(i * 100, i * 100 + 50)]
+        write_delta(
+            spark.createDataFrame(rows, "k int, part string, v double")
+            .coalesce(1),
+            path,
+            mode=mode,
+        )
+    kept, skipped = prune_files(spark, path, "k", 110, 140)
+    assert len(kept) == 1 and len(skipped) == 3
+    got = _sorted_rows(read_delta_range(spark, path, "k", 110, 140))
+    want = _sorted_rows(read_delta(spark, path).filter("k BETWEEN 110 AND 140"))
+    assert got == want and len(got) == 31
+
+
+def test_stats_survive_checkpoint(spark, tmp_path):
+    """File skipping must still work when state comes from a parquet
+    checkpoint instead of the JSON commits."""
+    path = str(tmp_path / "t")
+    for i, mode in zip(range(2), ["error", "append"]):
+        rows = [(k, "p", float(k)) for k in range(i * 100, i * 100 + 50)]
+        write_delta(
+            spark.createDataFrame(rows, "k int, part string, v double")
+            .coalesce(1),
+            path,
+            mode=mode,
+        )
+    checkpoint_delta(spark, path)
+    os.unlink(_version_file(path, 0))
+    os.unlink(_version_file(path, 1))
+    kept, skipped = prune_files(spark, path, "k", 0, 10)
+    assert len(kept) == 1 and len(skipped) == 1
+    assert read_delta_range(spark, path, "k", 0, 10).count() == 11
+
+
+def test_missing_stats_kept_conservatively(spark, tmp_path):
+    """An add action without stats (foreign writer) is never pruned."""
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0)]).coalesce(1), path, mode="error"
+    )
+    src = max(
+        (f for f in os.listdir(path) if f.endswith(".parquet")),
+        key=lambda f: os.path.getsize(os.path.join(path, f)),
+    )
+    os.link(os.path.join(path, src), os.path.join(path, "foreign.parquet"))
+    _commit(
+        path,
+        1,
+        [{"add": {"path": "foreign.parquet", "partitionValues": {},
+                  "size": 1, "modificationTime": 0, "dataChange": True}}],
+    )
+    kept, skipped = prune_files(spark, path, "k", 500, 600)
+    assert "foreign.parquet" in kept  # no stats -> unprunable
+    assert len(skipped) >= 1  # the stats-bearing original IS pruned
