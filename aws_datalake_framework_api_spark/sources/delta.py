@@ -342,15 +342,40 @@ def _stage_files(
     return adds
 
 
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest ``txn.version`` committed for ``app_id``, or -1.  A
+    restarted streaming writer calls this to skip micro-batches whose
+    commit already landed — the protocol's exactly-once mechanism."""
+    best = -1
+    for v in _list_versions(path):
+        with open(_version_file(path, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                t = a.get("txn")
+                if t and t.get("appId") == app_id:
+                    best = max(best, int(t["version"]))
+    return best
+
+
 def write_delta(
     df: DataFrame,
     path: str,
     mode: str = "error",
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` to a Delta table at ``path``; returns the committed
     version.  ``mode``: ``error`` (table must not exist), ``append``,
-    or ``overwrite`` (tombstones every currently-active file)."""
+    or ``overwrite`` (tombstones every currently-active file).
+
+    ``txn=(app_id, version)`` embeds the protocol's ``txn`` action for
+    idempotent streaming appends: if ``version`` is not strictly
+    greater than :func:`last_txn_version` for the app, the write is a
+    NO-OP returning the current latest version — a crashed-and-retried
+    micro-batch lands exactly once."""
     partition_by = list(partition_by or [])
     spark = df.sparkSession
     versions = _list_versions(path)
@@ -358,6 +383,9 @@ def write_delta(
         raise FileExistsError(f"delta table already exists at {path}")
     if not versions and mode not in ("error", "overwrite", "append"):
         raise ValueError(f"unknown mode: {mode}")
+    if txn is not None and versions:
+        if int(txn[1]) <= last_txn_version(path, txn[0]):
+            return versions[-1]
     os.makedirs(path, exist_ok=True)
     version = (versions[-1] + 1) if versions else 0
     actions: list[dict] = [
@@ -369,6 +397,8 @@ def write_delta(
             }
         }
     ]
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
     if version == 0:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}

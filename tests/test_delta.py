@@ -17,6 +17,7 @@ from aws_datalake_framework_api_spark.sources.delta import (
     checkpoint_delta,
     delete_partition,
     history_delta,
+    last_txn_version,
     prune_files,
     read_delta,
     read_delta_range,
@@ -368,3 +369,24 @@ def test_missing_stats_kept_conservatively(spark, tmp_path):
     kept, skipped = prune_files(spark, path, "k", 500, 600)
     assert "foreign.parquet" in kept  # no stats -> unprunable
     assert len(skipped) >= 1  # the stats-bearing original IS pruned
+
+
+def test_txn_action_makes_appends_idempotent(spark, tmp_path):
+    """A retried micro-batch (same appId + batch version) must land
+    exactly once; a NEW batch version lands normally."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(0, "a", 0.0)]), path, mode="error")
+    write_delta(_df(spark, [(1, "b", 1.0)]), path, mode="append",
+                txn=("stream-1", 7))
+    assert read_delta(spark, path).count() == 2
+    # crash-retry of batch 7: no duplicate rows, version unchanged
+    v = write_delta(_df(spark, [(1, "b", 1.0)]), path, mode="append",
+                    txn=("stream-1", 7))
+    assert read_delta(spark, path).count() == 2
+    assert v == 1
+    assert last_txn_version(path, "stream-1") == 7
+    assert last_txn_version(path, "other-app") == -1
+    # the next batch commits
+    write_delta(_df(spark, [(2, "c", 2.0)]), path, mode="append",
+                txn=("stream-1", 8))
+    assert read_delta(spark, path).count() == 3
