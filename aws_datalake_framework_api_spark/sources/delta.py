@@ -545,7 +545,13 @@ def prune_files(
             mn = (s.get("minValues") or {}).get(column)
             mx = (s.get("maxValues") or {}).get(column)
             if mn is not None and mx is not None:
-                prunable = mx < lo or mn > hi
+                try:
+                    prunable = mx < lo or mn > hi
+                except TypeError:
+                    # stats type doesn't compare with the bound (a
+                    # foreign writer's serialization) — keep the file;
+                    # wrong-to-prune is the only fatal direction
+                    prunable = False
         (skipped if prunable else kept).append(rel)
     return kept, skipped
 

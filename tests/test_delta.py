@@ -390,3 +390,14 @@ def test_txn_action_makes_appends_idempotent(spark, tmp_path):
     write_delta(_df(spark, [(2, "c", 2.0)]), path, mode="append",
                 txn=("stream-1", 8))
     assert read_delta(spark, path).count() == 3
+
+
+def test_mismatched_stat_types_kept_conservatively(spark, tmp_path):
+    """Bounds that don't compare with a foreign writer's stats types
+    must keep the file, not crash or prune it."""
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0)]).coalesce(1), path, mode="error"
+    )
+    kept, skipped = prune_files(spark, path, "k", "zzz", "zzz2")
+    assert skipped == [] and len(kept) >= 1
