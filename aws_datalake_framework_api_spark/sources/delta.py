@@ -126,6 +126,7 @@ class _Snapshot:
         self.metadata: dict | None = None
         self.protocol: dict = {"minReaderVersion": 1}
         self.files: dict[str, dict] = {}
+        self.txns: dict[str, int] = {}
 
     def apply(self, action: dict) -> None:
         if "metaData" in action:
@@ -137,34 +138,65 @@ class _Snapshot:
             self.files[a["path"]] = a
         elif "remove" in action:
             self.files.pop(action["remove"]["path"], None)
-        # commitInfo / txn are informational for a reader
+        elif "txn" in action:
+            t = action["txn"]
+            app = t.get("appId")
+            if app is not None:
+                self.txns[app] = max(
+                    self.txns.get(app, -1), int(t.get("version", -1))
+                )
+        # commitInfo is informational for a reader
 
     def partition_values(self, rel: str) -> dict:
         return self.files[rel].get("partitionValues") or {}
 
 
-def _read_last_checkpoint(path: str) -> int | None:
+def _read_last_checkpoint(path: str) -> dict | None:
     f = os.path.join(_log_dir(path), "_last_checkpoint")
     if not os.path.isfile(f):
         return None
     with open(f) as fh:
-        return int(json.load(fh)["version"])
+        d = json.load(fh)
+    return {"version": int(d["version"]), "parts": d.get("parts")}
+
+
+def _checkpoint_files(path: str, version: int, parts) -> list[str]:
+    """Physical checkpoint file(s): classic single-file, or the
+    multi-part layout (``V.checkpoint.<i>.<n>.parquet``) a foreign
+    writer with ``checkpoint.partSize`` produces."""
+    d = _log_dir(path)
+    if not parts:
+        return [os.path.join(d, f"{version:020d}.checkpoint.parquet")]
+    n = int(parts)
+    return [
+        os.path.join(
+            d, f"{version:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+        )
+        for i in range(1, n + 1)
+    ]
+
+
+def _table_version(path: str) -> int | None:
+    """Latest committed version, or None when no table exists — the
+    max of the JSON tail and the checkpoint, because log cleanup can
+    leave a checkpoint-only (still fully committed) state."""
+    versions = _list_versions(path)
+    cp = _read_last_checkpoint(path)
+    cpv = cp["version"] if cp else None
+    if not versions and cpv is None:
+        return None
+    return max(versions[-1] if versions else -1, cpv if cpv is not None else -1)
 
 
 def _snapshot(
     spark: SparkSession, path: str, version_as_of: int | None = None
 ) -> tuple[_Snapshot, int]:
     versions = _list_versions(path)
-    cp_version = _read_last_checkpoint(path)
-    if not versions and cp_version is None:
+    cp = _read_last_checkpoint(path)
+    cp_version = cp["version"] if cp else None
+    latest = _table_version(path)
+    if latest is None:
         raise FileNotFoundError(f"no delta log at {path}")
-    # Latest = max of the JSON tail and the checkpoint: after log
-    # cleanup a table can have NO json commits at all (checkpoint
-    # only), which is still a fully readable state.
-    latest = max(
-        versions[-1] if versions else -1,
-        cp_version if cp_version is not None else -1,
-    )
     target = latest if version_as_of is None else version_as_of
     if target not in versions and target != cp_version:
         raise ValueError(
@@ -174,14 +206,18 @@ def _snapshot(
     snap = _Snapshot()
     start = 0
     if cp_version is not None and cp_version <= target:
-        cp_file = os.path.join(
-            _log_dir(path), f"{cp_version:020d}.checkpoint.parquet"
-        )
+        cp_files = _checkpoint_files(path, cp_version, cp.get("parts"))
+        missing = [f for f in cp_files if not os.path.isfile(f)]
+        if missing:
+            raise ValueError(
+                f"checkpoint {cp_version} incomplete: missing "
+                f"{[os.path.basename(m) for m in missing]}"
+            )
         # Checkpoint rows are one-action-per-row structs; collecting
         # them is the same files-per-table driver bound as planning.
-        for row in spark.read.parquet(cp_file).collect():
+        for row in spark.read.parquet(*cp_files).collect():
             d = row.asDict(recursive=True)
-            for key in ("protocol", "metaData", "add", "remove"):
+            for key in ("protocol", "metaData", "add", "remove", "txn"):
                 if d.get(key) is not None:
                     snap.apply({key: d[key]})
         start = cp_version + 1
@@ -342,22 +378,70 @@ def _stage_files(
     return adds
 
 
-def last_txn_version(path: str, app_id: str) -> int:
+def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
     """Highest ``txn.version`` committed for ``app_id``, or -1.  A
     restarted streaming writer calls this to skip micro-batches whose
-    commit already landed — the protocol's exactly-once mechanism."""
-    best = -1
-    for v in _list_versions(path):
-        with open(_version_file(path, v)) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                a = json.loads(line)
-                t = a.get("txn")
-                if t and t.get("appId") == app_id:
-                    best = max(best, int(t["version"]))
-    return best
+    commit already landed — the protocol's exactly-once mechanism.
+    Resolved from the full snapshot, so high-water marks survive log
+    cleanup: the checkpoint carries ``txn`` rows (the protocol
+    requires setTransaction actions to be preserved there)."""
+    snap, _ = _snapshot(spark, path)
+    return snap.txns.get(app_id, -1)
+
+
+#: Writer features this implementation can honor.  ``appendOnly`` is
+#: supported by REFUSING the operations it forbids (overwrite /
+#: delete), which is all honoring it requires.
+_SUPPORTED_WRITER_FEATURES = {"appendOnly"}
+_MAX_SIMPLE_WRITER_VERSION = 2
+
+
+def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
+    """Refuse to mutate a table whose protocol demands writer
+    capabilities this implementation lacks (invariants, CDF, column
+    mapping, deletion vectors...), and honor ``delta.appendOnly``."""
+    proto = snap.protocol
+    writer = int(proto.get("minWriterVersion", 1))
+    feats = set(proto.get("writerFeatures") or [])
+    unsupported = feats - _SUPPORTED_WRITER_FEATURES
+    if writer > _MAX_SIMPLE_WRITER_VERSION and (writer != 7 or unsupported):
+        raise ValueError(
+            "delta table requires unsupported writer capabilities: "
+            f"minWriterVersion={writer} features={sorted(unsupported) or '?'} "
+            "(install delta-spark to write this table)"
+        )
+    conf = (snap.metadata or {}).get("configuration") or {}
+    append_only = conf.get("delta.appendOnly") == "true" or (
+        "appendOnly" in feats and conf.get("delta.appendOnly") != "false"
+    )
+    if append_only and operation in ("overwrite", "delete"):
+        raise ValueError(
+            f"table is append-only (delta.appendOnly): {operation} refused"
+        )
+
+
+def _check_schema_compat(
+    df: DataFrame, snap: _Snapshot, partition_by: list[str]
+) -> None:
+    """Append/overwrite must match the table's declared schema and
+    partitioning exactly (no schema evolution support): a mismatched
+    append would otherwise read back with NULLs where the log schema
+    and the file schema disagree — silent corruption, where an error
+    is the correct behavior."""
+    declared = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+    want = {f.name: f.dataType.simpleString() for f in declared.fields}
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if want != got:
+        raise ValueError(
+            f"schema mismatch: table declares {want}, write has {got} "
+            "(this writer does not implement schema evolution)"
+        )
+    declared_parts = list(snap.metadata.get("partitionColumns") or [])
+    if list(partition_by) != declared_parts:
+        raise ValueError(
+            f"partitioning mismatch: table is partitioned by "
+            f"{declared_parts}, write passed {list(partition_by)}"
+        )
 
 
 def write_delta(
@@ -370,6 +454,9 @@ def write_delta(
     """Write ``df`` to a Delta table at ``path``; returns the committed
     version.  ``mode``: ``error`` (table must not exist), ``append``,
     or ``overwrite`` (tombstones every currently-active file).
+    Existing-table writes validate the writer protocol (unsupported
+    writer features are refused, ``delta.appendOnly`` is honored) and
+    the declared schema/partitioning (no silent evolution).
 
     ``txn=(app_id, version)`` embeds the protocol's ``txn`` action for
     idempotent streaming appends: if ``version`` is not strictly
@@ -378,16 +465,26 @@ def write_delta(
     micro-batch lands exactly once."""
     partition_by = list(partition_by or [])
     spark = df.sparkSession
-    versions = _list_versions(path)
-    if versions and mode == "error":
-        raise FileExistsError(f"delta table already exists at {path}")
-    if not versions and mode not in ("error", "overwrite", "append"):
+    if mode not in ("error", "overwrite", "append"):
         raise ValueError(f"unknown mode: {mode}")
-    if txn is not None and versions:
-        if int(txn[1]) <= last_txn_version(path, txn[0]):
-            return versions[-1]
+    latest = _table_version(path)
+    if latest is not None and mode == "error":
+        raise FileExistsError(f"delta table already exists at {path}")
+    snap: _Snapshot | None = None
+    if latest is not None:
+        # Snapshot BEFORE committing: version numbering, protocol and
+        # schema checks, txn dedup, and overwrite tombstones all need
+        # it — and it must include the checkpoint (a checkpoint-only
+        # table is still an existing table; basing the next version on
+        # JSON files alone would commit version 0 over live state).
+        snap, _ = _snapshot(spark, path, latest)
+        op = "overwrite" if mode == "overwrite" else "append"
+        _check_write_protocol(snap, op)
+        _check_schema_compat(df, snap, partition_by)
+        if txn is not None and int(txn[1]) <= snap.txns.get(txn[0], -1):
+            return latest
     os.makedirs(path, exist_ok=True)
-    version = (versions[-1] + 1) if versions else 0
+    version = (latest + 1) if latest is not None else 0
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -416,7 +513,6 @@ def write_delta(
             }
         )
     elif mode == "overwrite":
-        snap, _ = _snapshot(spark, path, versions[-1])
         now = int(time.time() * 1000)
         for rel in sorted(snap.files):
             actions.append(
@@ -439,8 +535,8 @@ def delete_partition(
     """Metadata-only partition delete: tombstone every active file
     whose ``partitionValues[column] == value`` (no data file touched —
     the O(1)-data delete an open table format exists to provide)."""
-    versions = _list_versions(path)
-    snap, latest = _snapshot(spark, path, versions[-1])
+    snap, latest = _snapshot(spark, path)
+    _check_write_protocol(snap, "delete")
     now = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -470,13 +566,22 @@ def delete_partition(
 def checkpoint_delta(spark: SparkSession, path: str) -> int:
     """Write a protocol-shaped checkpoint at the latest version (one
     action per row, struct columns) plus ``_last_checkpoint``, capping
-    every later reader's JSON replay at commits-since-checkpoint."""
-    versions = _list_versions(path)
-    snap, latest = _snapshot(spark, path, versions[-1])
+    every later reader's JSON replay at commits-since-checkpoint.
+    ``txn`` high-water marks are preserved (the protocol requires
+    setTransaction actions in checkpoints — dropping them would let a
+    retried streaming batch double-apply after log cleanup)."""
+    snap, latest = _snapshot(spark, path)
     rows = [
-        {"protocol": snap.protocol, "metaData": None, "add": None, "remove": None},
-        {"protocol": None, "metaData": snap.metadata, "add": None, "remove": None},
+        {"protocol": snap.protocol, "metaData": None, "add": None,
+         "remove": None, "txn": None},
+        {"protocol": None, "metaData": snap.metadata, "add": None,
+         "remove": None, "txn": None},
     ]
+    for app, v in sorted(snap.txns.items()):
+        rows.append(
+            {"protocol": None, "metaData": None, "add": None,
+             "remove": None, "txn": {"appId": app, "version": v}}
+        )
     for rel in sorted(snap.files):
         a = snap.files[rel]
         rows.append(
@@ -495,6 +600,7 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
                     "stats": a.get("stats"),
                 },
                 "remove": None,
+                "txn": None,
             }
         )
     schema = (
@@ -504,7 +610,8 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
         "createdTime:long>, "
         "add struct<path:string,partitionValues:map<string,string>,"
         "size:long,modificationTime:long,dataChange:boolean,stats:string>, "
-        "remove struct<path:string,deletionTimestamp:long,dataChange:boolean>"
+        "remove struct<path:string,deletionTimestamp:long,dataChange:boolean>, "
+        "txn struct<appId:string,version:long>"
     )
     cp_file = os.path.join(_log_dir(path), f"{latest:020d}.checkpoint.parquet")
     tmp = cp_file + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -519,22 +626,9 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     return latest
 
 
-def prune_files(
-    spark: SparkSession,
-    path: str,
-    column: str,
-    lo,
-    hi,
-    version_as_of: int | None = None,
+def _prune_snapshot(
+    snap: _Snapshot, column: str, lo, hi
 ) -> tuple[list[str], list[str]]:
-    """Log-level data skipping: split the active files into (kept,
-    skipped) for a range read ``lo <= column <= hi`` using the
-    ``add.stats`` min/max — no parquet footer is opened for a skipped
-    file, which at 100 TB is the difference between touching metadata
-    for every file and touching none of the cold ones.  A file without
-    stats for ``column`` is KEPT (conservative): a missing or stale
-    stat can only cost performance, never rows."""
-    snap, _ = _snapshot(spark, path, version_as_of)
     kept: list[str] = []
     skipped: list[str] = []
     for rel in sorted(snap.files):
@@ -556,6 +650,25 @@ def prune_files(
     return kept, skipped
 
 
+def prune_files(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version_as_of: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """Log-level data skipping: split the active files into (kept,
+    skipped) for a range read ``lo <= column <= hi`` using the
+    ``add.stats`` min/max — no parquet footer is opened for a skipped
+    file, which at 100 TB is the difference between touching metadata
+    for every file and touching none of the cold ones.  A file without
+    stats for ``column`` is KEPT (conservative): a missing or stale
+    stat can only cost performance, never rows."""
+    snap, _ = _snapshot(spark, path, version_as_of)
+    return _prune_snapshot(snap, column, lo, hi)
+
+
 def read_delta_range(
     spark: SparkSession,
     path: str,
@@ -570,7 +683,7 @@ def read_delta_range(
     ``read_range`` — stats prune FILES, the filter prunes ROWS, so
     results are identical to an unpruned scan by construction."""
     snap, _ = _snapshot(spark, path, version_as_of)
-    kept, _skipped = prune_files(spark, path, column, lo, hi, version_as_of)
+    kept, _skipped = _prune_snapshot(snap, column, lo, hi)
     schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
     part_cols = list(snap.metadata.get("partitionColumns") or [])
     data_schema = StructType(
@@ -624,17 +737,37 @@ def history_delta(spark: SparkSession, path: str) -> list[dict]:
     return out
 
 
+#: Minimum VACUUM retention (1 h) without ``force``: a zero-retention
+#: vacuum can delete a CONCURRENT writer's staged-but-uncommitted data
+#: files (they are not yet in any log and their mtime is now), breaking
+#: the commit that then references them — the same race delta-spark
+#: guards with retentionDurationCheck.
+_VACUUM_RETENTION_FLOOR_MS = 3600 * 1000
+
+
 def vacuum_delta(
-    spark: SparkSession, path: str, retention_ms: int = 7 * 24 * 3600 * 1000
+    spark: SparkSession,
+    path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    force: bool = False,
 ) -> dict:
     """Physically delete data files no longer referenced by the
     CURRENT version whose tombstone (or, for untracked debris, file
     mtime) is older than ``retention_ms`` — Delta's VACUUM semantics:
     reclaims tombstoned + orphaned storage, and time travel to
     versions needing the removed files stops working, which is the
-    documented contract.  The candidate set is the log's remove
-    actions plus a root listing for debris; both are bounded by
-    files-per-table (the same planning bound as reads)."""
+    documented contract.  Retention below 1 hour requires
+    ``force=True`` (see ``_VACUUM_RETENTION_FLOOR_MS``).  The
+    candidate set is the log's remove actions plus a root listing for
+    debris; both are bounded by files-per-table (the same planning
+    bound as reads)."""
+    if retention_ms < _VACUUM_RETENTION_FLOOR_MS and not force:
+        raise ValueError(
+            f"retention {retention_ms} ms is below the "
+            f"{_VACUUM_RETENTION_FLOOR_MS} ms safety floor (a short "
+            "retention can race a concurrent writer's staged files); "
+            "pass force=True only when no writer can be in flight"
+        )
     snap, latest = _snapshot(spark, path)
     active = {urllib.parse.unquote(p) for p in snap.files}
     now = int(time.time() * 1000)

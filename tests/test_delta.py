@@ -300,13 +300,13 @@ def test_vacuum_reclaims_tombstoned_files_only(spark, tmp_path):
     with open(os.path.join(path, "debris.parquet"), "wb") as fh:
         fh.write(b"junk")
     n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
-    res = vacuum_delta(spark, path, retention_ms=0)
+    res = vacuum_delta(spark, path, retention_ms=0, force=True)
     assert res["deleted_files"] >= 1
     n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert n_after < n_before
     assert _sorted_rows(read_delta(spark, path)) == [(9, "z", 9.0)]
     # a second vacuum is a no-op
-    assert vacuum_delta(spark, path, retention_ms=0)["deleted_files"] == 0
+    assert vacuum_delta(spark, path, retention_ms=0, force=True)["deleted_files"] == 0
 
 
 def test_stats_skipping_prunes_files_losslessly(spark, tmp_path):
@@ -384,8 +384,8 @@ def test_txn_action_makes_appends_idempotent(spark, tmp_path):
                     txn=("stream-1", 7))
     assert read_delta(spark, path).count() == 2
     assert v == 1
-    assert last_txn_version(path, "stream-1") == 7
-    assert last_txn_version(path, "other-app") == -1
+    assert last_txn_version(spark, path, "stream-1") == 7
+    assert last_txn_version(spark, path, "other-app") == -1
     # the next batch commits
     write_delta(_df(spark, [(2, "c", 2.0)]), path, mode="append",
                 txn=("stream-1", 8))
@@ -401,3 +401,147 @@ def test_mismatched_stat_types_kept_conservatively(spark, tmp_path):
     )
     kept, skipped = prune_files(spark, path, "k", "zzz", "zzz2")
     assert skipped == [] and len(kept) >= 1
+
+
+# ----------------------------------------------- review-hardening tests
+
+
+def test_checkpoint_only_table_is_still_an_existing_table(spark, tmp_path):
+    """After full JSON cleanup (checkpoint only), writes must version
+    PAST the checkpoint — basing the next version on JSON files alone
+    would commit version 0 over live state and lose the append."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    checkpoint_delta(spark, path)
+    os.unlink(_version_file(path, 0))
+    os.unlink(_version_file(path, 1))
+    # mode="error" must refuse: the table exists
+    with pytest.raises(FileExistsError):
+        write_delta(_df(spark, [(0, "x", 0.0)]), path, mode="error")
+    v = write_delta(_df(spark, [(3, "c", 3.0)]), path, mode="append")
+    assert v == 2
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
+    ]
+    # maintenance ops work on the checkpoint-only-plus-tail state too
+    assert checkpoint_delta(spark, path) == 2
+    delete_partition(spark, path, "part", "never-written")  # no-op commit
+    assert read_delta(spark, path).count() == 3
+
+
+def test_append_schema_mismatch_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    wrong = spark.createDataFrame([(1, "a")], "k int, part string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(wrong, path, mode="append")
+    wrong_type = spark.createDataFrame(
+        [(1, "a", 1)], "k int, part string, v long"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(wrong_type, path, mode="append")
+
+
+def test_append_partitioning_mismatch_refused(spark, tmp_path):
+    """An append without the table's partition_by would store the
+    partition column's real values in files the reader then ignores
+    (it injects from partitionValues) — must refuse, not corrupt."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error",
+                partition_by=["part"])
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+
+
+def test_invalid_mode_always_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    with pytest.raises(ValueError, match="unknown mode"):
+        write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="Overwrite")
+    assert read_delta(spark, path).count() == 1  # nothing committed
+
+
+def test_unsupported_writer_features_refused(spark, tmp_path):
+    """Appending to a columnMapping table would write files keyed by
+    logical names that other engines then misread — refuse."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    _commit(
+        path, 1,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 5,
+                       "writerFeatures": ["columnMapping"]}}],
+    )
+    with pytest.raises(ValueError, match="writer capabilities"):
+        write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+
+
+def test_append_only_table_refuses_overwrite_and_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error",
+                partition_by=["part"])
+    # flip the table property the way a foreign ALTER TABLE would
+    snap_meta = json.loads(open(_version_file(path, 0)).readlines()[2])["metaData"]
+    snap_meta["configuration"] = {"delta.appendOnly": "true"}
+    _commit(path, 1, [{"metaData": snap_meta}])
+    with pytest.raises(ValueError, match="append-only"):
+        write_delta(_df(spark, [(9, "z", 9.0)]), path, mode="overwrite",
+                    partition_by=["part"])
+    with pytest.raises(ValueError, match="append-only"):
+        delete_partition(spark, path, "part", "a")
+    # appends still fine
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append",
+                partition_by=["part"])
+    assert read_delta(spark, path).count() == 2
+
+
+def test_txn_high_water_mark_survives_checkpoint(spark, tmp_path):
+    """The exactly-once gate must hold across log cleanup: txn rows
+    ride the checkpoint, so a retried batch is still deduped after the
+    JSON prefix is deleted."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(0, "a", 0.0)]), path, mode="error")
+    write_delta(_df(spark, [(1, "b", 1.0)]), path, mode="append",
+                txn=("stream-1", 7))
+    checkpoint_delta(spark, path)
+    os.unlink(_version_file(path, 0))
+    os.unlink(_version_file(path, 1))
+    assert last_txn_version(spark, path, "stream-1") == 7
+    write_delta(_df(spark, [(1, "b", 1.0)]), path, mode="append",
+                txn=("stream-1", 7))  # retry: must dedup
+    assert read_delta(spark, path).count() == 2
+
+
+def test_multipart_checkpoint_read(spark, tmp_path):
+    """A foreign writer's multi-part checkpoint (parts field in
+    _last_checkpoint, V.checkpoint.<i>.<n>.parquet files) must read."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    checkpoint_delta(spark, path)
+    log = os.path.join(path, "_delta_log")
+    single = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    # split the single-file checkpoint into a 2-part layout: part 1 =
+    # the real rows, part 2 = an empty parquet with the same schema
+    p1 = os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+    p2 = os.path.join(log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    os.rename(single, p1)
+    cp_df = spark.read.parquet(p1)
+    empty_dir = str(tmp_path / "empty_cp")
+    cp_df.limit(0).coalesce(1).write.mode("overwrite").parquet(empty_dir)
+    part = [f for f in os.listdir(empty_dir) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(empty_dir, part), p2)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "parts": 2}, fh)
+    os.unlink(_version_file(path, 0))
+    os.unlink(_version_file(path, 1))
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0),
+    ]
+
+
+def test_vacuum_retention_floor(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    with pytest.raises(ValueError, match="safety floor"):
+        vacuum_delta(spark, path, retention_ms=0)
