@@ -694,3 +694,55 @@ def test_vacuum_reclaims_nested_hive_layout(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "part=a", "dead.parquet"))
     assert os.path.exists(os.path.join(path, "part=a", "live.parquet"))
     assert _sorted_rows(read_delta(spark, path)) == [(1, "a", 1.0)]
+
+
+def test_many_partition_read_plans_single_scan(spark, tmp_path):
+    """Past _UNION_BRANCH_CAP distinct partition tuples the read must
+    plan ONE FileScan + broadcast join, not one union branch per
+    partition — plan size must be O(1) in partition count
+    (VERDICT r5: a 10k-partition foreign table must not cost 10k
+    analysis-time branches)."""
+    path = str(tmp_path / "t")
+    df = spark.range(500).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("string").alias("part"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    write_delta(df, path, mode="error", partition_by=["part"])
+    back = read_delta(spark, path)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # one data FileScan (the broadcast map is a LocalTableScan)
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan
+    # correctness: every partition value comes back through the join
+    assert back.count() == 500
+    assert back.filter(F.col("part") == "123").collect()[0]["k"] == 123
+    # pushdown on data columns still reaches the scan through the join
+    plan2 = (
+        read_delta(spark, path)
+        .filter(F.col("k") > 490)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "GreaterThan(k,490)" in plan2
+
+
+def test_partition_filter_prunes_at_planning_time(spark, tmp_path):
+    """partition_filter is the FileIndex-style planning-time prune:
+    only the selected partitions' files may appear in the plan."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 50).cast("string").alias("part"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    write_delta(df, path, mode="error", partition_by=["part"])
+    pruned = read_delta(spark, path, partition_filter={"part": ["7", "11"]})
+    rows = _sorted_rows(pruned.select("k", "part", "v"))
+    assert [r[0] for r in rows] == [7, 11, 57, 61]
+    # the plan reads only the two partitions' files
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    n_live = len(
+        read_delta(spark, path).inputFiles()
+    )
+    assert len(pruned.inputFiles()) < n_live
+    assert plan.count("FileScan parquet") <= 2
