@@ -84,10 +84,13 @@ from .readers import load_table
 _LOG = "_delta_log"
 
 #: Reader features this implementation understands.  A table whose
-#: protocol demands anything else (deletionVectors, columnMapping,
-#: v2Checkpoint …) must be REFUSED, not misread — silently ignoring a
-#: deletion vector resurrects deleted rows.
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+#: protocol demands anything else (columnMapping, v2Checkpoint …)
+#: must be REFUSED, not misread.  ``deletionVectors`` is supported:
+#: the reader decodes the protocol's Z85/RoaringBitmapArray vectors
+#: and subtracts deleted row positions (see the deletion-vector
+#: section below) — DV-enabled tables are the modern writer default,
+#: so refusing them walls off most current Delta tables (VERDICT r5).
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
 _MAX_SIMPLE_READER_VERSION = 1
 
 
@@ -122,10 +125,20 @@ def _check_protocol(proto: dict) -> None:
         )
 
 
+def _dv_uid(dv: dict | None) -> tuple | None:
+    """The protocol's deletion-vector uniqueId: file actions are keyed
+    by (path, dvId), so a DV update commit (remove of the old
+    (path, dv) + add of the new) reconciles correctly regardless of
+    the two actions' order within the commit."""
+    if not dv:
+        return None
+    return (dv.get("storageType"), dv.get("pathOrInlineDv"), dv.get("offset"))
+
+
 class _Snapshot:
     """Replayed table state at one version: latest metaData/protocol +
     the active files map (path → its full ``add`` action, so
-    partitionValues AND stats survive replay)."""
+    partitionValues, stats AND deletionVector survive replay)."""
 
     def __init__(self) -> None:
         self.metadata: dict | None = None
@@ -142,7 +155,15 @@ class _Snapshot:
             a = action["add"]
             self.files[a["path"]] = a
         elif "remove" in action:
-            self.files.pop(action["remove"]["path"], None)
+            r = action["remove"]
+            cur = self.files.get(r["path"])
+            # tombstone only the (path, dvId) version the remove names:
+            # a DV-update commit re-adds the same path with a new DV,
+            # and the remove of the OLD (path, dv) must not kill it
+            if cur is not None and _dv_uid(cur.get("deletionVector")) == _dv_uid(
+                r.get("deletionVector")
+            ):
+                self.files.pop(r["path"], None)
         elif "txn" in action:
             t = action["txn"]
             app = t.get("appId")
@@ -292,6 +313,264 @@ def _snapshot(
     return snap, target
 
 
+# -------------------------------------------------------- deletion vectors
+#
+# The protocol stores a file's deleted ROW POSITIONS as a 64-bit
+# roaring bitmap ("RoaringBitmapArray", portable serialization): a
+# 4-byte LE magic (1681511377), an 8-byte LE bitmap count, then one
+# standard-format 32-bit RoaringBitmap per high-32-bit key 0..n-1
+# (the public RoaringFormatSpec: cookie 12346 = no run containers +
+# offset header, cookie 12347 = run bitset; array containers for
+# cardinality <= 4096, 8 KiB bitmap containers above, run containers
+# as (start, length-1) pairs).  The descriptor's storageType selects
+# where the bytes live: "i" = Z85-encoded inline in the log, "u" =
+# `deletion_vector_<uuid>.bin` under the table root (uuid Z85-encoded
+# in the last 20 chars of pathOrInlineDv, leading chars an optional
+# directory prefix), "p" = absolute path.  On-disk DV files carry a
+# leading format-version byte (1) and frame each DV as
+# <int32 BE size><bytes><int32 BE CRC-32>.
+#
+# Scale note: positions are decoded on the DRIVER and applied as one
+# broadcast (file, position) anti-join against the scan's
+# _metadata.row_index — bounded by deleted-rows-in-active-files, the
+# same in-memory bitmap bound delta-spark's own DV reads carry per
+# file; a table vacuumed/compacted at sane cadence keeps this small
+# relative to data.
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+_ROARING_MAGIC = 1681511377
+_COOKIE_RUN = 12347
+_COOKIE_NO_RUN = 12346
+
+
+def _z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise ValueError(f"z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i : i + 5]:
+            v = v * 85 + _Z85_INDEX[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _z85_encode(b: bytes) -> str:
+    if len(b) % 4:
+        raise ValueError(f"z85 input length {len(b)} not a multiple of 4")
+    out = []
+    for i in range(0, len(b), 4):
+        v = int.from_bytes(b[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85_CHARS[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _roaring32_positions(buf: bytes, off: int) -> tuple[list[int], int]:
+    """Decode one standard-format 32-bit RoaringBitmap at ``off``;
+    returns (sorted positions, offset past the bitmap)."""
+    import struct
+
+    (cookie,) = struct.unpack_from("<I", buf, off)
+    run_bits: bytes | None = None
+    if cookie & 0xFFFF == _COOKIE_RUN:
+        n = (cookie >> 16) + 1
+        off += 4
+        nbytes = (n + 7) // 8
+        run_bits = buf[off : off + nbytes]
+        off += nbytes
+        has_offsets = n >= 4  # NO_OFFSET_THRESHOLD
+    elif cookie == _COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, off + 4)
+        off += 8
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring bitmap cookie: {cookie}")
+    keys: list[int] = []
+    cards: list[int] = []
+    for _ in range(n):
+        k, cm1 = struct.unpack_from("<HH", buf, off)
+        off += 4
+        keys.append(k)
+        cards.append(cm1 + 1)
+    if has_offsets:
+        off += 4 * n  # offsets are redundant for a sequential read
+    out: list[int] = []
+    for i in range(n):
+        base = keys[i] << 16
+        is_run = run_bits is not None and (run_bits[i // 8] >> (i % 8)) & 1
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, off)
+            off += 2
+            for _ in range(n_runs):
+                s, ln = struct.unpack_from("<HH", buf, off)
+                off += 4
+                out.extend(range(base + s, base + s + ln + 1))
+        elif cards[i] <= 4096:
+            vals = struct.unpack_from(f"<{cards[i]}H", buf, off)
+            off += 2 * cards[i]
+            out.extend(base + v for v in vals)
+        else:
+            import numpy as np
+
+            bits = np.unpackbits(
+                np.frombuffer(buf, dtype=np.uint8, count=8192, offset=off),
+                bitorder="little",
+            )
+            off += 8192
+            out.extend((base + np.nonzero(bits)[0]).tolist())
+    return out, off
+
+
+def _decode_dv_bitmap(data: bytes) -> list[int]:
+    """Serialized RoaringBitmapArray → sorted 64-bit row positions."""
+    import struct
+
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != _ROARING_MAGIC:
+        raise ValueError(f"bad deletion-vector magic: {magic}")
+    (count,) = struct.unpack_from("<q", data, 4)
+    off = 12
+    positions: list[int] = []
+    for key in range(count):
+        pos, off = _roaring32_positions(data, off)
+        positions.extend((key << 32) + p for p in pos)
+    return positions
+
+
+def _encode_roaring32(values: list[int]) -> bytes:
+    """Standard-format serialization of one 32-bit RoaringBitmap
+    (no-run cookie + offset header; array containers <= 4096,
+    bitmap containers above) — used by tests and the DV writer."""
+    import struct
+
+    by_key: dict[int, list[int]] = {}
+    for v in sorted(set(values)):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    n = len(keys)
+    header = struct.pack("<II", _COOKIE_NO_RUN, n)
+    desc = b"".join(
+        struct.pack("<HH", k, len(by_key[k]) - 1) for k in keys
+    )
+    containers: list[bytes] = []
+    for k in keys:
+        vals = by_key[k]
+        if len(vals) <= 4096:
+            containers.append(struct.pack(f"<{len(vals)}H", *vals))
+        else:
+            import numpy as np
+
+            bits = np.zeros(65536, dtype=bool)
+            bits[vals] = True
+            containers.append(np.packbits(bits, bitorder="little").tobytes())
+    # offset header: byte position of each container from stream start
+    pos = len(header) + len(desc) + 4 * n
+    offsets = []
+    for c in containers:
+        offsets.append(pos)
+        pos += len(c)
+    return (
+        header
+        + desc
+        + b"".join(struct.pack("<I", o) for o in offsets)
+        + b"".join(containers)
+    )
+
+
+def _encode_dv_bitmap(positions: list[int]) -> bytes:
+    """Sorted 64-bit positions → serialized RoaringBitmapArray."""
+    import struct
+
+    by_high: dict[int, list[int]] = {}
+    for p in positions:
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    count = (max(by_high) + 1) if by_high else 0
+    out = struct.pack("<iq", _ROARING_MAGIC, count)
+    for key in range(count):
+        out += _encode_roaring32(by_high.get(key, []))
+    return out
+
+
+def write_dv_file(path: str, positions: list[int]) -> dict:
+    """Write one deletion vector as an on-disk DV file under the table
+    root (protocol layout: version byte 1, then <size BE><data>
+    <CRC-32 BE>) and return its ``deletionVector`` descriptor —
+    used by tests and by maintenance tooling."""
+    import struct
+    import zlib
+
+    data = _encode_dv_bitmap(sorted(positions))
+    u = uuid.uuid4()
+    fname = f"deletion_vector_{u}.bin"
+    with open(os.path.join(path, fname), "wb") as fh:
+        fh.write(b"\x01")
+        offset = fh.tell()
+        fh.write(struct.pack(">i", len(data)))
+        fh.write(data)
+        fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": _z85_encode(u.bytes),
+        "offset": offset,
+        "sizeInBytes": len(data),
+        "cardinality": len(set(positions)),
+    }
+
+
+def _dv_file_path(path: str, dv: dict) -> str:
+    enc = dv["pathOrInlineDv"]
+    if len(enc) < 20:
+        raise ValueError(f"malformed DV pathOrInlineDv: {enc!r}")
+    prefix, tail = enc[:-20], enc[-20:]
+    u = uuid.UUID(bytes=_z85_decode(tail))
+    fname = f"deletion_vector_{u}.bin"
+    return (
+        os.path.join(path, prefix, fname) if prefix else os.path.join(path, fname)
+    )
+
+
+def _load_dv_positions(path: str, dv: dict) -> list[int]:
+    """Resolve a deletionVector descriptor to its deleted row
+    positions, verifying framing CRC and declared cardinality."""
+    import struct
+    import zlib
+
+    st = dv.get("storageType")
+    if st == "i":
+        data = _z85_decode(dv["pathOrInlineDv"])
+        data = data[: int(dv["sizeInBytes"])]
+    elif st in ("u", "p"):
+        f = dv["pathOrInlineDv"] if st == "p" else _dv_file_path(path, dv)
+        with open(f, "rb") as fh:
+            version = fh.read(1)
+            if version != b"\x01":
+                raise ValueError(f"unsupported DV file version: {version!r}")
+            fh.seek(int(dv.get("offset") or 1))
+            (size,) = struct.unpack(">i", fh.read(4))
+            data = fh.read(size)
+            (crc,) = struct.unpack(">I", fh.read(4))
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"deletion vector checksum mismatch in {f}")
+    else:
+        raise ValueError(f"unsupported DV storageType: {st!r}")
+    positions = _decode_dv_bitmap(data)
+    card = dv.get("cardinality")
+    if card is not None and len(positions) != int(card):
+        raise ValueError(
+            f"deletion vector cardinality mismatch: descriptor says "
+            f"{card}, bitmap has {len(positions)}"
+        )
+    return positions
+
+
 #: Distinct-partition-tuple count up to which the read plans one union
 #: branch per partition (each branch a plain FileScan with its
 #: partition value as a LITERAL, so Catalyst constant-folds partition
@@ -327,11 +606,18 @@ def _scan_files(
     rels: list[str],
     schema: StructType,
     part_cols: list[str],
+    dv_positions: dict[str, list[int]] | None = None,
 ) -> DataFrame:
     """Plan the scan of the given active files with partition columns
     injected from the log.  Two shapes (see ``_UNION_BRANCH_CAP``):
     per-partition union branches below the cap, a single FileScan plus
-    a broadcast file→partition-values join above it."""
+    a broadcast file→partition-values join above it.
+
+    ``dv_positions`` (file basename → deleted row positions) applies
+    deletion vectors: each row is tagged with the scan's
+    ``_metadata.file_name`` / ``_metadata.row_index`` (deterministic
+    scan outputs — pushdown survives) and subtracted via one broadcast
+    LEFT ANTI join on (file, position)."""
     if not rels:
         return spark.createDataFrame([], schema)
     data_schema = StructType(
@@ -339,6 +625,7 @@ def _scan_files(
     )
     types = {f.name: f.dataType for f in schema.fields}
     cols = [f.name for f in schema.fields]
+    want_dv = bool(dv_positions)
     by_part: dict[tuple, list[str]] = {}
     for rel in rels:
         pvals = snap.partition_values(rel)
@@ -346,30 +633,42 @@ def _scan_files(
         by_part.setdefault(key, []).append(
             os.path.join(path, urllib.parse.unquote(rel))
         )
-    single_scan = bool(part_cols) and len(by_part) > _UNION_BRANCH_CAP
+    # Delta data file basenames are effectively unique (uuid-suffixed);
+    # both the partition-map join and the DV anti-join key on them.
+    names: dict[str, dict] = {}
+    collision = False
+    for rel in rels:
+        b = os.path.basename(urllib.parse.unquote(rel))
+        if b in names:
+            collision = True
+            break
+        names[b] = snap.partition_values(rel)
+    if want_dv and collision:
+        # a basename collision would delete rows from the WRONG file —
+        # refuse rather than misread (the same policy as feature gates)
+        raise ValueError(
+            "cannot apply deletion vectors: duplicate data file basenames"
+        )
+    single_scan = (
+        bool(part_cols)
+        and len(by_part) > _UNION_BRANCH_CAP
+        and not collision
+        and "_dl_file" not in cols
+    )
     if single_scan:
-        # The join key is the on-disk file basename via the scan's
-        # ``_metadata.file_name`` column — a DETERMINISTIC scan output,
-        # so data-column filters still push through the projection into
-        # the FileScan (``input_file_name()`` is classified
-        # non-deterministic and would block pushdown).  Delta data file
-        # names are effectively unique (uuid-suffixed), but a foreign
-        # log could violate that — a collision falls back to the
-        # (correct, just bigger) union plan.
-        names: dict[str, dict] = {}
-        for rel in rels:
-            b = os.path.basename(urllib.parse.unquote(rel))
-            if b in names:
-                single_scan = False
-                break
-            names[b] = snap.partition_values(rel)
-        if "_dl_file" in cols:
-            single_scan = False
-    if single_scan:
+        # ONE FileScan + broadcast map join, keyed on the scan's
+        # ``_metadata.file_name`` — a DETERMINISTIC scan output, so
+        # data-column filters still push through into the FileScan
+        # (``input_file_name()`` is classified non-deterministic and
+        # would block pushdown).
         import pandas as pd
 
         all_files = sorted(p for fs in by_part.values() for p in fs)
         base = spark.read.schema(data_schema).parquet(*all_files)
+        extra = [F.col("_metadata.file_name").alias("_dl_file")]
+        if want_dv:
+            extra.append(F.col("_metadata.row_index").alias("_dl_dv_pos"))
+        base = base.select("*", *extra)
         map_schema = ", ".join(
             ["_dl_file string"] + [f"`{c}` string" for c in part_cols]
         )
@@ -386,26 +685,52 @@ def _scan_files(
             ),
             map_schema,
         )
-        joined = base.withColumn("_dl_file", F.col("_metadata.file_name")).join(
-            F.broadcast(pmap), "_dl_file"
+        joined = base.join(F.broadcast(pmap), "_dl_file")
+        out_cols = [
+            F.col(c).cast(types[c]).alias(c) if c in part_cols else F.col(c)
+            for c in cols
+        ]
+        if want_dv:
+            out_cols += [F.col("_dl_file"), F.col("_dl_dv_pos")]
+        out = joined.select(*out_cols)
+    else:
+        branches = []
+        for key, files in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+            df = spark.read.schema(data_schema).parquet(*sorted(files))
+            for c, v in zip(part_cols, key):
+                # Partition values are serialized as strings in the log;
+                # cast through the declared type (None stays NULL).
+                df = df.withColumn(c, F.lit(v).cast(types[c]))
+            sel = list(cols)
+            if want_dv:
+                df = df.select(
+                    *sel,
+                    F.col("_metadata.file_name").alias("_dl_file"),
+                    F.col("_metadata.row_index").alias("_dl_dv_pos"),
+                )
+            else:
+                df = df.select(*sel)
+            branches.append(df)
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+    if want_dv:
+        import pandas as pd
+
+        deleted = spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    (f, int(p))
+                    for f, ps in sorted(dv_positions.items())
+                    for p in ps
+                ],
+                columns=["_dl_file", "_dl_dv_pos"],
+            ),
+            "_dl_file string, _dl_dv_pos long",
         )
-        return joined.select(
-            *[
-                F.col(c).cast(types[c]).alias(c) if c in part_cols else F.col(c)
-                for c in cols
-            ]
-        )
-    branches = []
-    for key, files in sorted(by_part.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*sorted(files))
-        for c, v in zip(part_cols, key):
-            # Partition values are serialized as strings in the log;
-            # cast through the declared type (None stays NULL).
-            df = df.withColumn(c, F.lit(v).cast(types[c]))
-        branches.append(df.select(*cols))
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
+        out = out.join(
+            F.broadcast(deleted), ["_dl_file", "_dl_dv_pos"], "left_anti"
+        ).drop("_dl_file", "_dl_dv_pos")
     return out
 
 
@@ -434,7 +759,22 @@ def read_delta(
             for rel in rels
             if _part_match(snap.partition_values(rel), partition_filter)
         ]
-    return _scan_files(spark, path, snap, rels, schema, part_cols)
+    return _scan_files(
+        spark, path, snap, rels, schema, part_cols, _dv_map(path, snap, rels)
+    )
+
+
+def _dv_map(path: str, snap: _Snapshot, rels: list[str]) -> dict | None:
+    """Decode the deletion vectors of the active files about to be
+    scanned (basename → deleted positions); None when no file carries
+    a non-empty DV, so DV-free tables pay nothing."""
+    out: dict[str, list[int]] = {}
+    for rel in rels:
+        dv = snap.files[rel].get("deletionVector")
+        if dv and int(dv.get("cardinality") or 0) != 0:
+            b = os.path.basename(urllib.parse.unquote(rel))
+            out[b] = _load_dv_positions(path, dv)
+    return out or None
 
 
 # ------------------------------------------------------------------ writer
@@ -716,15 +1056,16 @@ def write_delta(
     elif mode == "overwrite":
         now = int(time.time() * 1000)
         for rel in sorted(snap.files):
-            actions.append(
-                {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": now,
-                        "dataChange": True,
-                    }
-                }
-            )
+            rm = {
+                "path": rel,
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+            # reconciliation is keyed by (path, dvId): the remove must
+            # name the DV of the file version it tombstones
+            if snap.files[rel].get("deletionVector"):
+                rm["deletionVector"] = snap.files[rel]["deletionVector"]
+            actions.append({"remove": rm})
     actions.extend(_stage_files(df, path, partition_by, version))
     _commit(path, version, actions)
     return version
@@ -750,15 +1091,14 @@ def delete_partition(
     ]
     for rel in sorted(snap.files):
         if snap.partition_values(rel).get(column) == value:
-            actions.append(
-                {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": now,
-                        "dataChange": True,
-                    }
-                }
-            )
+            rm = {
+                "path": rel,
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+            if snap.files[rel].get("deletionVector"):
+                rm["deletionVector"] = snap.files[rel]["deletionVector"]
+            actions.append({"remove": rm})
     version = latest + 1
     _commit(path, version, actions)
     return version
@@ -799,6 +1139,9 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
                     # skipping still works after the JSON prefix is
                     # cleaned up
                     "stats": a.get("stats"),
+                    # DVs must survive too — dropping one would
+                    # resurrect its deleted rows after log cleanup
+                    "deletionVector": a.get("deletionVector"),
                 },
                 "remove": None,
                 "txn": None,
@@ -810,13 +1153,16 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
         # schema, and losing configuration after a checkpoint would
         # stop delta.appendOnly being enforced on the reconstructed
         # snapshot (ADVICE r5)
-        "protocol struct<minReaderVersion:int,minWriterVersion:int>, "
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>, "
         "metaData struct<id:string,"
         "format:struct<provider:string,options:map<string,string>>,"
         "schemaString:string,partitionColumns:array<string>,"
         "configuration:map<string,string>,createdTime:long>, "
         "add struct<path:string,partitionValues:map<string,string>,"
-        "size:long,modificationTime:long,dataChange:boolean,stats:string>, "
+        "size:long,modificationTime:long,dataChange:boolean,stats:string,"
+        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+        "offset:int,sizeInBytes:int,cardinality:long>>, "
         "remove struct<path:string,deletionTimestamp:long,dataChange:boolean>, "
         "txn struct<appId:string,version:long>"
     )
@@ -899,9 +1245,10 @@ def read_delta_range(
     schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
     part_cols = list(snap.metadata.get("partitionColumns") or [])
     cond = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
-    return _scan_files(spark, path, snap, sorted(kept), schema, part_cols).filter(
-        cond
-    )
+    kept = sorted(kept)
+    return _scan_files(
+        spark, path, snap, kept, schema, part_cols, _dv_map(path, snap, kept)
+    ).filter(cond)
 
 
 def history_delta(spark: SparkSession, path: str) -> list[dict]:

@@ -111,17 +111,17 @@ def test_checkpoint_caps_json_replay(spark, tmp_path):
 
 
 def test_unsupported_reader_features_refused(spark, tmp_path):
-    """A table demanding deletionVectors must be refused, not misread
-    (silently ignoring a deletion vector resurrects deleted rows)."""
+    """A table demanding columnMapping must be refused, not misread
+    (reading mapped columns by their physical names returns garbage)."""
     path = str(tmp_path / "t")
     write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
     _commit(
         path,
         1,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["deletionVectors"]}}],
+                       "readerFeatures": ["columnMapping"]}}],
     )
-    with pytest.raises(ValueError, match="deletionVectors"):
+    with pytest.raises(ValueError, match="columnMapping"):
         read_delta(spark, path)
     # time travel to the pre-upgrade version still works
     assert _sorted_rows(read_delta(spark, path, version_as_of=0)) == [
@@ -746,3 +746,199 @@ def test_partition_filter_prunes_at_planning_time(spark, tmp_path):
     )
     assert len(pruned.inputFiles()) < n_live
     assert plan.count("FileScan parquet") <= 2
+
+
+# --------------------------------------------------- deletion vectors (r6)
+
+
+def _adds_at_version(path, v):
+    with open(_version_file(path, v)) as fh:
+        return [
+            json.loads(line)["add"]
+            for line in fh
+            if line.strip() and "add" in json.loads(line)
+        ]
+
+
+def _data_add(path, v=0):
+    """The non-empty add action of version v (a coalesce(1) write can
+    still emit zero-row parts)."""
+    adds = _adds_at_version(path, v)
+    return max(adds, key=lambda a: a["size"])
+
+
+def test_roaring_codec_roundtrip():
+    """RoaringBitmapArray portable codec: array containers, bitmap
+    containers (>4096 per 16-bit key block), and >2^32 positions."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _decode_dv_bitmap, _encode_dv_bitmap,
+    )
+
+    cases = [
+        [],
+        [0],
+        [0, 2, 65535, 65536, 131072 + 5],
+        list(range(5000)),                       # bitmap container
+        [1, (1 << 32) + 7, (2 << 32) + 123456],  # multiple high keys
+    ]
+    for positions in cases:
+        assert _decode_dv_bitmap(_encode_dv_bitmap(sorted(positions))) == sorted(
+            positions
+        )
+
+
+def test_roaring_run_container_decodes():
+    """Foreign writers may serialize run containers (cookie 12347 +
+    run bitset); the decoder must handle them."""
+    import struct
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _decode_dv_bitmap, _ROARING_MAGIC,
+    )
+
+    # one container, run-encoded: runs [(10, len 3), (100, len 1)]
+    n = 1
+    cookie = struct.pack("<I", 12347 | ((n - 1) << 16))
+    run_bits = bytes([0b1])
+    desc = struct.pack("<HH", 0, 5 - 1)  # key 0, cardinality 5
+    # n < 4 -> no offset header
+    runs = struct.pack("<H", 2) + struct.pack("<HH", 10, 2) + struct.pack(
+        "<HH", 100, 0
+    )
+    bitmap = cookie + run_bits + desc + runs
+    data = struct.pack("<iq", _ROARING_MAGIC, 1) + bitmap
+    assert _decode_dv_bitmap(data) == [10, 11, 12, 100]
+
+
+def test_z85_roundtrip():
+    import uuid as _uuid
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _z85_decode, _z85_encode,
+    )
+
+    for _ in range(5):
+        b = _uuid.uuid4().bytes
+        assert _z85_decode(_z85_encode(b)) == b
+
+
+def test_deletion_vector_file_read(spark, tmp_path):
+    """A DV-enabled table (on-disk 'u' vector, protocol upgraded to
+    readerFeatures=[deletionVectors]) must read with deleted rows
+    absent, survive a checkpoint, and still time-travel to the pre-DV
+    version (VERDICT r5 item #3)."""
+    from aws_datalake_framework_api_spark.sources.delta import write_dv_file
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(10)], "k int, part string, v double"
+    ).coalesce(1)
+    write_delta(df, path, mode="error")
+    add = _data_add(path)
+    dv = write_dv_file(path, [0, 2, 9])
+    _commit(path, 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"remove": {"path": add["path"], "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {**add, "deletionVector": dv}},
+    ])
+    back = read_delta(spark, path)
+    assert sorted(r["k"] for r in back.collect()) == [1, 3, 4, 5, 6, 7, 8]
+    # pre-DV version still reads complete
+    assert read_delta(spark, path, version_as_of=0).count() == 10
+    # DVs survive a checkpoint (protocol requires them in the
+    # reconstructed adds; dropping one resurrects deleted rows)
+    checkpoint_delta(spark, path)
+    os.unlink(_version_file(path, 0))
+    os.unlink(_version_file(path, 1))
+    assert sorted(r["k"] for r in read_delta(spark, path).collect()) == [
+        1, 3, 4, 5, 6, 7, 8,
+    ]
+    # a DV table's writer features stay refused
+    with pytest.raises(ValueError, match="writer capabilities"):
+        write_delta(_df(spark, [(99, "z", 9.0)]), path, mode="append")
+
+
+def test_deletion_vector_inline_read(spark, tmp_path):
+    """storageType 'i': the vector bytes live Z85-encoded in the log
+    itself (padded to a multiple of 4; sizeInBytes is the true
+    length)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _encode_dv_bitmap, _z85_encode,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(6)], "k int, part string, v double"
+    ).coalesce(1)
+    write_delta(df, path, mode="error")
+    add = _data_add(path)
+    data = _encode_dv_bitmap([1, 4])
+    padded = data + b"\x00" * (-len(data) % 4)
+    dv = {"storageType": "i", "pathOrInlineDv": _z85_encode(padded),
+          "sizeInBytes": len(data), "cardinality": 2}
+    _commit(path, 1, [
+        {"remove": {"path": add["path"], "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {**add, "deletionVector": dv}},
+    ])
+    assert sorted(r["k"] for r in read_delta(spark, path).collect()) == [
+        0, 2, 3, 5,
+    ]
+
+
+def test_dv_reconciliation_is_keyed_by_path_and_dvid(spark, tmp_path):
+    """File actions are keyed by (path, dvId): within a DV-update
+    commit the remove of the OLD (path, dv) must not kill the re-added
+    new version, regardless of action order."""
+    from aws_datalake_framework_api_spark.sources.delta import write_dv_file
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(5)], "k int, part string, v double"
+    ).coalesce(1)
+    write_delta(df, path, mode="error")
+    add = _data_add(path)
+    dv = write_dv_file(path, [0])
+    # adversarial order: add-with-new-DV FIRST, then remove of the
+    # DV-less old version
+    _commit(path, 1, [
+        {"add": {**add, "deletionVector": dv}},
+        {"remove": {"path": add["path"], "deletionTimestamp": 1,
+                    "dataChange": True}},
+    ])
+    assert sorted(r["k"] for r in read_delta(spark, path).collect()) == [
+        1, 2, 3, 4,
+    ]
+
+
+def test_dv_applies_in_range_read_and_many_partition_scan(spark, tmp_path):
+    """DVs must subtract rows in BOTH plan shapes: the stats-pruned
+    range read and the single-scan (many-partition) shape."""
+    from aws_datalake_framework_api_spark.sources.delta import write_dv_file
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("string").alias("part"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    write_delta(df, path, mode="error", partition_by=["part"])
+    # tombstone row 0 of partition part=7's single file
+    adds = _adds_at_version(path, 0)
+    target = next(a for a in adds if a["partitionValues"]["part"] == "7")
+    dv = write_dv_file(path, [0])
+    _commit(path, 1, [
+        {"remove": {"path": target["path"], "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {**target, "deletionVector": dv}},
+    ])
+    back = read_delta(spark, path)  # 100 partitions -> single-scan shape
+    assert back.count() == 99
+    assert back.filter(F.col("part") == "7").count() == 0
+    rng = read_delta_range(spark, path, "k", 0, 10)
+    assert sorted(r["k"] for r in rng.collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 8, 9, 10,
+    ]
