@@ -380,30 +380,45 @@ class Catalog:
             if hit:
                 if self.backend == "delta":
                     self._delta_update(d, cond, {"status": new_status})
+                elif self.backend == "deltalog":
+                    from .sources.delta import update_delta
+
+                    # copy-on-write UPDATE: one commit rewrites ONLY
+                    # the files holding matched rows — O(files-with-
+                    # matches) where the audit table is unbounded, so
+                    # a snapshot rewrite would be O(table) per point
+                    # update (VERDICT r5).  History stays readable via
+                    # versionAsOf.
+                    update_delta(self.spark, d, cond, {"status": new_status})
+                elif self.backend == "txlog":
+                    # merge-on-read point update in ONE atomic commit:
+                    # tombstone the touched request_id in existing
+                    # dirs + append its patched rows — no data dir is
+                    # rewritten.  The patch must carry EVERY row of
+                    # the key it tombstones (the condition also checks
+                    # method_name, so sibling rows ride along
+                    # unchanged).
+                    key = F.col("aws_request_id") == request_id
+                    patch = df.filter(key).withColumn(
+                        "status",
+                        F.when(cond, F.lit(new_status)).otherwise(F.col("status")),
+                    )
+                    TxLogTable(self.spark, d).upsert_keys(
+                        patch, "aws_request_id", op="update"
+                    )
                 else:
+                    # legacy minimal mode: read-modify-write directory
+                    # swap, full rewrite by design
                     updated = df.withColumn(
                         "status",
                         F.when(cond, F.lit(new_status)).otherwise(F.col("status")),
                     )
-                    if self.backend == "deltalog":
-                        from .sources.delta import write_delta
-
-                        # snapshot rewrite in one overwrite commit —
-                        # old files tombstone, history stays readable
-                        # via versionAsOf
-                        write_delta(updated.coalesce(1), d, mode="overwrite")
-                    elif self.backend == "txlog":
-                        # conditional update = snapshot rewrite in ONE
-                        # commit — the attribute_exists semantics land
-                        # atomically (op recorded in history())
-                        TxLogTable(self.spark, d).overwrite(updated, op="update")
-                    else:
-                        staging = d + ".staging-" + uuid.uuid4().hex[:8]
-                        updated.coalesce(1).write.mode("overwrite").parquet(staging)
-                        old = d + ".old-" + uuid.uuid4().hex[:8]
-                        os.rename(d, old)
-                        os.rename(staging, d)
-                        shutil.rmtree(old, ignore_errors=True)
+                    staging = d + ".staging-" + uuid.uuid4().hex[:8]
+                    updated.coalesce(1).write.mode("overwrite").parquet(staging)
+                    old = d + ".old-" + uuid.uuid4().hex[:8]
+                    os.rename(d, old)
+                    os.rename(staging, d)
+                    shutil.rmtree(old, ignore_errors=True)
                 matched += hit
         return matched
 

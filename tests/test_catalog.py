@@ -173,3 +173,95 @@ def test_deltalog_catalog_is_time_travelable_delta(spark, tmp_path):
     assert latest[0]["name"] == "beta"
     v0 = read_delta(spark, d, version_as_of=0).filter("entity_id = 1").collect()
     assert v0[0]["name"] == "alpha"
+
+
+def test_txlog_point_update_rewrites_no_data_dir(spark, tmp_path):
+    """A2 at scale (VERDICT r5 'what's wrong' #1): on the unbounded
+    audit table a point status flip must NOT rewrite the table.  The
+    txlog path commits one tombstone-keys dir + one patch dir; every
+    pre-existing data dir survives byte-identical."""
+    import os
+
+    from aws_datalake_framework_api_spark.txlog import TxLogTable
+
+    cat = Catalog(spark, str(tmp_path / "wh"), backend="txlog")
+    for i in range(3):  # three flushes -> three immutable data dirs
+        cat._audit("m", None, request_id=f"r{i}")
+        cat.flush_audit()
+    d = os.path.join(cat.warehouse, "api_events")
+    tbl = TxLogTable(spark, d)
+    before = tbl.snapshot()
+    files_before = {
+        dd: sorted(os.listdir(os.path.join(d, dd))) for dd in before["dirs"]
+    }
+    mtimes_before = {
+        dd: [os.path.getmtime(os.path.join(d, dd, f)) for f in fs]
+        for dd, fs in files_before.items()
+    }
+    assert cat.update_event_status("r1", "m", "done") == 1
+    after = tbl.snapshot()
+    # every old dir is still listed, in order, and physically untouched
+    assert after["dirs"][: len(before["dirs"])] == before["dirs"]
+    assert len(after["dirs"]) == len(before["dirs"]) + 1  # exactly one patch dir
+    for dd, fs in files_before.items():
+        assert sorted(os.listdir(os.path.join(d, dd))) == fs
+        assert [
+            os.path.getmtime(os.path.join(d, dd, f)) for f in fs
+        ] == mtimes_before[dd]
+    # one new DV entry covering exactly the pre-existing dirs
+    assert len(after["dv"]) == len(before.get("dv", [])) + 1
+    assert after["dv"][-1]["covers"] == before["dirs"]
+    # and the read is correct: r1 flipped, siblings untouched, no dupes
+    rows = cat.audit_log().collect()
+    assert len(rows) == 3
+    statuses = {r["aws_request_id"]: r["status"] for r in rows}
+    assert statuses == {"r0": "success", "r1": "done", "r2": "success"}
+    # a second update on another key stacks the same way (still no rewrite)
+    assert cat.update_event_status("r2", "m", "done") == 1
+    assert {r["aws_request_id"]: r["status"] for r in cat.audit_log().collect()} == {
+        "r0": "success", "r1": "done", "r2": "done",
+    }
+
+
+def test_deltalog_point_update_rewrites_only_hit_files(spark, tmp_path):
+    """Same A2 contract on the open Delta format: the UPDATE commit
+    removes+re-adds ONLY the file(s) holding the matched row; the
+    other data files stay active under their original paths and are
+    physically untouched."""
+    import json as _json
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"), backend="deltalog")
+    for i in range(3):  # three append commits -> three data files
+        cat._audit("m", None, request_id=f"r{i}")
+        cat.flush_audit()
+    d = os.path.join(cat.warehouse, "api_events")
+    log = os.path.join(d, "_delta_log")
+
+    def active_paths(version):
+        files: dict[str, bool] = {}
+        for v in range(version + 1):
+            with open(os.path.join(log, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    a = _json.loads(line)
+                    if "add" in a:
+                        files[a["add"]["path"]] = True
+                    elif "remove" in a:
+                        files.pop(a["remove"]["path"], None)
+        return set(files)
+
+    before = active_paths(2)
+    mtimes = {p: os.path.getmtime(os.path.join(d, p)) for p in before}
+    assert cat.update_event_status("r1", "m", "done") == 1
+    with open(os.path.join(log, f"{3:020d}.json")) as fh:
+        actions = [_json.loads(line) for line in fh]
+    removes = [a["remove"]["path"] for a in actions if "remove" in a]
+    adds = [a["add"]["path"] for a in actions if "add" in a]
+    assert len(removes) == 1 and len(adds) == 1  # one hit file rewritten
+    assert removes[0] in before
+    survivors = before - set(removes)
+    assert active_paths(3) == survivors | set(adds)
+    for p in survivors:  # untouched on disk, not just still-listed
+        assert os.path.getmtime(os.path.join(d, p)) == mtimes[p]
+    statuses = {r["aws_request_id"]: r["status"] for r in cat.audit_log().collect()}
+    assert statuses == {"r0": "success", "r1": "done", "r2": "success"}

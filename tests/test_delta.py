@@ -604,10 +604,14 @@ def test_invariant_tables_refused_for_write(spark, tmp_path):
     assert read_delta(spark, path).count() == 1
 
 
-def test_nullable_append_into_nonnullable_refused(spark, tmp_path):
-    """Nullability is part of the declared schema: appending a
-    nullable column into a declared-non-nullable one would leave a log
-    schema that lies to readers (ADVICE r5)."""
+def test_null_into_nonnullable_fails_at_write(spark, tmp_path):
+    """Nullability is part of the declared schema and is enforced at
+    RUNTIME (AssertNotNull semantics, ADVICE r5): a nullable-typed
+    write WITHOUT nulls succeeds — Spark types every file-source read
+    as nullable, so a read→transform→overwrite round-trip must work —
+    but an actual NULL in a declared-non-nullable column fails the
+    write job, so no NULL ever lands where the log schema says none
+    can exist."""
     from pyspark.sql.types import (
         DoubleType, IntegerType, StringType, StructField, StructType,
     )
@@ -621,13 +625,14 @@ def test_nullable_append_into_nonnullable_refused(spark, tmp_path):
     write_delta(
         spark.createDataFrame([(1, "a", 1.0)], strict), path, mode="error"
     )
-    with pytest.raises(ValueError, match="nullability mismatch"):
-        write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
-    # a write that keeps the non-nullable declaration is fine
-    write_delta(
-        spark.createDataFrame([(2, "b", 2.0)], strict), path, mode="append"
-    )
+    # nullable-TYPED but null-free: succeeds (round-trip contract)
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
     assert read_delta(spark, path).count() == 2
+    # an actual NULL key: the write job fails, nothing commits
+    with pytest.raises(Exception, match="non-nullable"):
+        write_delta(_df(spark, [(None, "c", 3.0)]), path, mode="append")
+    assert read_delta(spark, path).count() == 2
+    assert _list_versions(path)[-1] == 1
 
 
 def test_corrupt_last_checkpoint_recovered(spark, tmp_path):
@@ -942,3 +947,120 @@ def test_dv_applies_in_range_read_and_many_partition_scan(spark, tmp_path):
     assert sorted(r["k"] for r in rng.collect()) == [
         0, 1, 2, 3, 4, 5, 6, 8, 9, 10,
     ]
+
+
+# ------------------------------------------------- copy-on-write UPDATE (r6)
+
+
+def test_update_delta_rewrites_only_hit_files(spark, tmp_path):
+    """UPDATE's cost model: files without matched rows keep their
+    original add actions and on-disk bytes; only hit files are
+    removed+re-added, in one commit."""
+    from aws_datalake_framework_api_spark.sources.delta import update_delta
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]).coalesce(1), path, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]).coalesce(1), path, mode="append")
+    write_delta(_df(spark, [(3, "c", 3.0)]).coalesce(1), path, mode="append")
+    adds_before = {
+        a["path"]: os.path.getmtime(os.path.join(path, a["path"]))
+        for v in range(3)
+        for a in _adds_at_version(path, v)
+    }
+    v, matched = update_delta(
+        spark, path, F.col("k") == 2, {"v": 20.0, "part": "B"}
+    )
+    assert (v, matched) == (3, 1)
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0),
+    ]
+    # pre-update state still time-travels
+    assert _sorted_rows(read_delta(spark, path, version_as_of=2)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
+    ]
+    with open(_version_file(path, 3)) as fh:
+        actions = [json.loads(line) for line in fh]
+    removes = [a["remove"]["path"] for a in actions if "remove" in a]
+    adds = [a["add"]["path"] for a in actions if "add" in a]
+    assert len(removes) == 1 and removes[0] in adds_before
+    untouched = set(adds_before) - set(removes)
+    for p in untouched:
+        assert os.path.getmtime(os.path.join(path, p)) == adds_before[p]
+    assert len(untouched) == 2
+
+
+def test_update_delta_no_match_commits_nothing(spark, tmp_path):
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _table_version, update_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    v, matched = update_delta(spark, path, F.col("k") == 99, {"v": 0.0})
+    assert (v, matched) == (0, 0)
+    assert _table_version(path) == 0
+
+
+def test_update_delta_respects_append_only(spark, tmp_path):
+    """delta.appendOnly forbids UPDATE (it tombstones files) — refuse,
+    exactly like overwrite/delete."""
+    from aws_datalake_framework_api_spark.sources.delta import update_delta
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    with open(_version_file(path, 0)) as fh:
+        actions = [json.loads(line) for line in fh]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    meta["configuration"] = {"delta.appendOnly": "true"}
+    _commit(path, 1, [{"metaData": meta}])
+    with pytest.raises(ValueError, match="append-only"):
+        update_delta(spark, path, F.col("k") == 1, {"v": 2.0})
+
+
+def test_update_delta_folds_deletion_vector(spark, tmp_path):
+    """Rewriting a DV-carrying file folds the DV in: the new file holds
+    only live rows, the remove names the old (path, dv), and deleted
+    rows stay deleted."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        update_delta, write_dv_file,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(6)], "k int, part string, v double"
+    ).coalesce(1)
+    write_delta(df, path, mode="error")
+    add = _data_add(path)
+    dv = write_dv_file(path, [0, 3])  # delete k=0 and k=3
+    _commit(path, 1, [
+        {"remove": {"path": add["path"], "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {**add, "deletionVector": dv}},
+    ])
+    v, matched = update_delta(spark, path, F.col("k") == 4, {"v": 40.0})
+    assert (v, matched) == (2, 1)
+    assert sorted((r["k"], r["v"]) for r in read_delta(spark, path).collect()) == [
+        (1, 1.0), (2, 2.0), (4, 40.0), (5, 5.0),
+    ]
+    with open(_version_file(path, 2)) as fh:
+        actions = [json.loads(line) for line in fh]
+    rm = next(a["remove"] for a in actions if "remove" in a)
+    assert rm["deletionVector"]["pathOrInlineDv"] == dv["pathOrInlineDv"]
+    new_add = next(a["add"] for a in actions if "add" in a)
+    assert not new_add.get("deletionVector")
+
+
+def test_update_delta_partitioned_moves_rows_between_partitions(spark, tmp_path):
+    """Updating a partition column restages the row under its new
+    partition value (partitionValues re-derived at stage time)."""
+    from aws_datalake_framework_api_spark.sources.delta import update_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+        path, mode="error", partition_by=["part"],
+    )
+    v, matched = update_delta(spark, path, F.col("k") == 1, {"part": "b"})
+    assert matched == 1
+    back = read_delta(spark, path, partition_filter={"part": "b"})
+    assert sorted(r["k"] for r in back.collect()) == [1, 2]
