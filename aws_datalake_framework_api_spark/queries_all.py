@@ -77,6 +77,7 @@ from .operators import graph as _graph  # noqa: F401  iterative graph
 from .sources import landing as _landing  # noqa: F401  B1
 from .sources import lake as _lake  # noqa: F401  B1 lake-scale MERGE
 from .sources import delta as _delta  # noqa: F401  B1 Delta-protocol connector
+from .sources import iceberg as _iceberg  # noqa: F401  B1 Iceberg-v2 connector
 from .sources import python_source as _python_source  # noqa: F401  B1 PyDS
 from . import envelope as _envelope  # noqa: F401  A11
 

@@ -1,0 +1,1224 @@
+"""Dependency-free Apache Iceberg (format v2) table connector.
+
+The driver mandate names "Spark SQL + Delta/Iceberg connectors"
+(BASELINE.json:7); this container has neither the iceberg-spark
+runtime jar nor a Python Iceberg package (probed 2026-08-14 — see
+README), so — exactly like :mod:`.delta` for the Delta protocol —
+this module implements the PUBLIC Iceberg table spec
+(https://iceberg.apache.org/spec/) directly:
+
+- **metadata**: ``metadata/v{N}.metadata.json`` (+ foreign
+  ``{NNNNN}-{uuid}.metadata.json`` naming), ``version-hint.text``,
+  snapshots / snapshot-log / schemas / partition-specs;
+- **manifest lists** and **manifests**: Avro object container files
+  (decoded by :mod:`.avro_codec`, which is interop-tested against the
+  JVM's avro-1.12.1 in both directions), with the spec's field ids
+  and the Java-compatible bounds encoding (array of key/value
+  records for ``map<int, binary>``);
+- **positional deletes** (v2 merge-on-read): delete manifests
+  (content=1) → parquet delete files ``(file_path, pos)``, applied
+  as one distributed anti-join against ``_metadata.row_index`` with
+  sequence-number gating (a delete applies only to data files whose
+  data sequence number is <= the delete's);
+- **commit**: ``os.link`` put-if-absent on the next metadata version
+  + atomic ``version-hint.text`` replace — same optimistic protocol
+  as the Delta connector's log commits.
+
+Honest gates (refuse, never misread): equality deletes (content=2
+data files), unsupported partition transforms for *pruning* (files
+under bucket/truncate/day transforms are conservatively KEPT — the
+row filter still applies, so results stay correct and only pruning
+is lost), snappy/zstd-compressed Avro metadata.  Column resolution
+is BY NAME, like every Spark parquet read here: a foreign table that
+renamed columns via field-id mapping would need the id-based
+resolution the iceberg-* libraries provide — detected where cheap
+(first-footer check) and documented in README.
+
+Scale: all metadata work is driver-side and planning-sized (a
+manifest row is ~100 bytes per data file — the same O(files) bound
+the Delta snapshot replay carries); every DATA byte moves through
+ordinary distributed parquet scans, so filter pushdown, AQE, and
+column pruning all apply unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import struct
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from ..functions.numeric import money_sum, sql_money_sum
+from ..registry import query
+from .avro_codec import read_avro_file, write_avro_file
+from .landing import _scratch
+from .readers import load_table
+
+# ---------------------------------------------------------------- type mapping
+
+_PRIM_TO_SPARK = {
+    "boolean": BooleanType(),
+    "int": IntegerType(),
+    "long": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "date": DateType(),
+    "string": StringType(),
+    "uuid": StringType(),
+    "binary": BinaryType(),
+    "timestamp": TimestampNTZType(),
+    "timestamptz": TimestampType(),
+}
+
+_SPARK_TO_PRIM = {
+    "boolean": "boolean",
+    "int": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "string": "string",
+    "binary": "binary",
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+}
+
+
+def _ice_to_spark(t) -> DataType:
+    """Iceberg schema type (JSON) → Spark type."""
+    if isinstance(t, str):
+        if t in _PRIM_TO_SPARK:
+            return _PRIM_TO_SPARK[t]
+        m = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+        if m:
+            return DecimalType(int(m.group(1)), int(m.group(2)))
+        if re.fullmatch(r"fixed\[\d+\]", t):
+            return BinaryType()
+        raise ValueError(f"unsupported iceberg type: {t!r}")
+    k = t["type"]
+    if k == "struct":
+        return StructType(
+            [
+                StructField(
+                    f["name"], _ice_to_spark(f["type"]), not f.get("required")
+                )
+                for f in t["fields"]
+            ]
+        )
+    if k == "list":
+        from pyspark.sql.types import ArrayType
+
+        return ArrayType(_ice_to_spark(t["element"]), not t.get("element-required"))
+    if k == "map":
+        from pyspark.sql.types import MapType
+
+        return MapType(
+            _ice_to_spark(t["key"]),
+            _ice_to_spark(t["value"]),
+            not t.get("value-required"),
+        )
+    raise ValueError(f"unsupported iceberg type: {t!r}")
+
+
+def _spark_to_ice(t: DataType, next_id) -> object:
+    """Spark type → Iceberg schema type JSON; ``next_id()`` allocates
+    nested field ids (the spec requires every nested field to carry a
+    table-unique id)."""
+    s = t.simpleString()
+    if s in _SPARK_TO_PRIM:
+        return _SPARK_TO_PRIM[s]
+    if isinstance(t, DecimalType):
+        return f"decimal({t.precision}, {t.scale})"
+    if isinstance(t, StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": next_id(),
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _spark_to_ice(f.dataType, next_id),
+                }
+                for f in t.fields
+            ],
+        }
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(t, ArrayType):
+        return {
+            "type": "list",
+            "element-id": next_id(),
+            "element-required": not t.containsNull,
+            "element": _spark_to_ice(t.elementType, next_id),
+        }
+    if isinstance(t, MapType):
+        return {
+            "type": "map",
+            "key-id": next_id(),
+            "value-id": next_id(),
+            "key": _spark_to_ice(t.keyType, next_id),
+            "value-required": not t.valueContainsNull,
+            "value": _spark_to_ice(t.valueType, next_id),
+        }
+    raise ValueError(f"cannot map spark type to iceberg: {s}")
+
+
+def _schema_to_spark(schema_json: dict) -> StructType:
+    return _ice_to_spark({"type": "struct", "fields": schema_json["fields"]})
+
+
+# ------------------------------------------------- single-value serialization
+#
+# The spec's "Binary single-value serialization" for bounds maps:
+# little-endian for fixed-width numerics, UTF-8 for strings, days /
+# micros as their int/long forms.  Unknown types decode to None and
+# the file is conservatively kept.
+
+def _sv_encode(ice_type: str, v):
+    if v is None:
+        return None
+    try:
+        if ice_type == "int" or ice_type == "date":
+            return struct.pack("<i", int(v))
+        if ice_type in ("long", "timestamp", "timestamptz"):
+            return struct.pack("<q", int(v))
+        if ice_type == "float":
+            return struct.pack("<f", float(v))
+        if ice_type == "double":
+            return struct.pack("<d", float(v))
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+    except (struct.error, ValueError, TypeError):
+        return None
+    return None
+
+
+def _sv_decode(ice_type: str, b: bytes):
+    if b is None:
+        return None
+    try:
+        if ice_type == "int" or ice_type == "date":
+            return struct.unpack("<i", b)[0]
+        if ice_type in ("long", "timestamp", "timestamptz"):
+            return struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", b)[0]
+        if ice_type == "string":
+            return b.decode("utf-8")
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+# ---------------------------------------------------------------- avro schemas
+
+
+def _bounds_type():
+    """``map<int, binary>`` in the Java-compatible encoding: an Avro
+    array of key/value records with ``logicalType: map`` (Avro maps
+    require string keys, so Iceberg's Java writer uses this shape —
+    our reader accepts both it and a plain string-keyed map)."""
+    return [
+        "null",
+        {
+            "type": "array",
+            "logicalType": "map",
+            "items": {
+                "type": "record",
+                "name": "k125_v126",
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": 125},
+                    {"name": "value", "type": "bytes", "field-id": 126},
+                ],
+            },
+        },
+    ]
+
+
+def _avro_prim(ice_type: str):
+    if ice_type == "date":
+        return {"type": "int", "logicalType": "date"}
+    if ice_type in ("timestamp", "timestamptz"):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if ice_type in ("boolean", "int", "long", "float", "double", "string"):
+        return ice_type
+    return "string"  # partition values of exotic types ride as strings
+
+
+def _partition_record(part_fields: list[tuple[str, str]]) -> dict:
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": n,
+                "type": ["null", _avro_prim(t)],
+                "default": None,
+                "field-id": 1000 + i,
+            }
+            for i, (n, t) in enumerate(part_fields)
+        ],
+    }
+
+
+def _manifest_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {"name": "partition",
+                     "type": _partition_record(part_fields), "field-id": 102},
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                    {"name": "lower_bounds", "type": _bounds_type(),
+                     "default": None, "field-id": 125},
+                    {"name": "upper_bounds", "type": _bounds_type(),
+                     "default": None, "field-id": 128},
+                ],
+            }},
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+# ---------------------------------------------------------------- metadata io
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+_META_RE = re.compile(r"^(?:v(\d+)|(\d+)-[0-9a-fA-F-]+)\.metadata\.json$")
+
+
+def _metadata_versions(path: str) -> dict[int, str]:
+    """version → metadata file name; accepts both this writer's
+    ``v{N}`` naming and the Java writer's ``{NNNNN}-{uuid}`` naming."""
+    d = _meta_dir(path)
+    out: dict[int, str] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        m = _META_RE.match(f)
+        if m:
+            out[int(m.group(1) or m.group(2))] = f
+    return out
+
+
+def _load_metadata(path: str, version: int | None = None) -> dict:
+    versions = _metadata_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no iceberg metadata under {path}")
+    if version is None:
+        hint = os.path.join(_meta_dir(path), "version-hint.text")
+        version = None
+        if os.path.isfile(hint):
+            try:
+                with open(hint) as fh:
+                    v = int(fh.read().strip())
+                if v in versions:
+                    version = v
+            except ValueError:
+                pass  # corrupt hint → recover from the listing
+        if version is None:
+            version = max(versions)
+    if version not in versions:
+        raise ValueError(f"iceberg metadata version {version} not found")
+    with open(os.path.join(_meta_dir(path), versions[version])) as fh:
+        meta = json.load(fh)
+    if int(meta.get("format-version", 1)) not in (1, 2):
+        raise ValueError(
+            f"unsupported iceberg format-version {meta.get('format-version')}"
+        )
+    # Which metadata FILE version this snapshot came from — commits
+    # claim exactly base+1 so a concurrent commit conflicts loudly
+    # instead of being silently rebased over (stripped before write).
+    meta["__file_version__"] = version
+    return meta
+
+
+def _current_schema(meta: dict) -> dict:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return s
+    if "schema" in meta:  # v1
+        return meta["schema"]
+    raise ValueError("iceberg metadata has no resolvable schema")
+
+
+def _spec_fields(meta: dict, spec_id: int) -> list[dict]:
+    for s in meta.get("partition-specs", []):
+        if s.get("spec-id") == spec_id:
+            return s["fields"]
+    if "partition-spec" in meta:  # v1
+        return meta["partition-spec"]
+    return []
+
+
+def _resolve(p: str, root: str, location: str) -> str:
+    """Manifest paths are absolute URIs; a relocated table's declared
+    location no longer matches where it actually sits, so strip a
+    matching declared-location (or file:) prefix back onto the real
+    root — the same prefix-swap delta-rs applies."""
+    for pref in (location, "file://" + location, "file:" + location):
+        if pref and p.startswith(pref):
+            return root + p[len(pref):]
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    return p
+
+
+def _snapshot_by_id(meta: dict, snapshot_id: int | None) -> dict | None:
+    snaps = meta.get("snapshots") or []
+    if snapshot_id is None:
+        cur = meta.get("current-snapshot-id")
+        if cur in (None, -1):
+            return None
+        snapshot_id = cur
+    for s in snaps:
+        if s["snapshot-id"] == snapshot_id:
+            return s
+    raise ValueError(f"iceberg snapshot {snapshot_id} not found")
+
+
+def _norm_bounds(raw) -> dict[int, bytes] | None:
+    """Accept both bounds encodings (k/v record array, string-keyed
+    map) → {field_id: bytes}."""
+    if raw is None:
+        return None
+    if isinstance(raw, list):
+        return {int(e["key"]): e["value"] for e in raw}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items()}
+    return None
+
+
+def _manifest_entries(
+    path: str, meta: dict, snap: dict
+) -> tuple[list[dict], list[dict]]:
+    """Resolve one snapshot to its live (data_files, delete_files):
+    each as dicts {path, partition, spec_id, seq, record_count,
+    lower, upper}.  Sequence-number inheritance per spec: a null entry
+    sequence_number inherits the manifest's sequence number when the
+    entry was ADDED in that manifest."""
+    location = meta.get("location") or path
+    ml = snap.get("manifest-list")
+    if ml:
+        _, manifests = read_avro_file(_resolve(ml, path, location))
+    else:  # v1 inline manifests list
+        manifests = [
+            {"manifest_path": m, "content": 0, "sequence_number": 0}
+            for m in snap.get("manifests", [])
+        ]
+    data: list[dict] = []
+    deletes: list[dict] = []
+    for mf in manifests:
+        mpath = _resolve(mf["manifest_path"], path, location)
+        m_seq = int(mf.get("sequence_number") or 0)
+        m_content = int(mf.get("content") or 0)
+        spec_id = int(mf.get("partition_spec_id") or 0)
+        _, entries = read_avro_file(mpath)
+        for e in entries:
+            status = int(e.get("status") or 0)
+            if status == 2:  # DELETED — not part of this snapshot
+                continue
+            df = e["data_file"]
+            seq = e.get("sequence_number")
+            seq = m_seq if seq is None else int(seq)
+            f_content = int(df.get("content") or 0)
+            rec = {
+                "path": _resolve(df["file_path"], path, location),
+                "partition": df.get("partition") or {},
+                "spec_id": spec_id,
+                "seq": seq,
+                "record_count": int(df.get("record_count") or 0),
+                "lower": _norm_bounds(df.get("lower_bounds")),
+                "upper": _norm_bounds(df.get("upper_bounds")),
+            }
+            fmt = (df.get("file_format") or "PARQUET").upper()
+            if fmt != "PARQUET":
+                raise ValueError(
+                    f"unsupported iceberg data file format: {fmt}"
+                )
+            if m_content == 0 and f_content == 0:
+                data.append(rec)
+            elif f_content == 1:
+                deletes.append(rec)
+            elif f_content == 2:
+                raise ValueError(
+                    "iceberg equality deletes are not supported by this "
+                    "reader (install iceberg-spark to read this table)"
+                )
+    return data, deletes
+
+
+# ------------------------------------------------------------------ reader
+
+
+def _identity_values(meta: dict, rec: dict, schema_json: dict) -> dict | None:
+    """Partition values of IDENTITY-transformed fields for one data
+    file, typed; None when the spec uses any other transform (the
+    file is then unprunable — kept, never misread)."""
+    fields = _spec_fields(meta, rec["spec_id"])
+    out = {}
+    for f in fields:
+        if f.get("transform") != "identity":
+            return None
+        out[f["name"]] = rec["partition"].get(f["name"])
+    return out
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Read an Iceberg table (current snapshot, or ``snapshot_id`` for
+    time travel).  ``partition_filter`` (column → value or collection)
+    prunes data files at PLANNING time from manifest partition values
+    (identity transforms; other transforms conservatively keep).
+    Positional deletes are applied as a distributed anti-join on
+    ``(file, _metadata.row_index)`` with sequence-number gating."""
+    meta = _load_metadata(path)
+    schema_json = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema_json)
+    snap = _snapshot_by_id(meta, snapshot_id)
+    if snap is None:
+        return spark.createDataFrame([], spark_schema)
+    data, deletes = _manifest_entries(path, meta, snap)
+    if partition_filter:
+        kept = []
+        for rec in data:
+            vals = _identity_values(meta, rec, schema_json)
+            if vals is None:
+                kept.append(rec)  # unprunable transform — keep
+                continue
+            ok = True
+            for c, want in partition_filter.items():
+                if c not in vals:
+                    continue
+                allowed = (
+                    {str(w) for w in want}
+                    if isinstance(want, (set, list, tuple))
+                    else {str(want)}
+                )
+                have = vals[c]
+                if (None if have is None else str(have)) not in allowed:
+                    ok = False
+                    break
+            if ok:
+                kept.append(rec)
+        data = kept
+    return _plan_scan(spark, spark_schema, data, deletes)
+
+
+def _plan_scan(
+    spark: SparkSession,
+    spark_schema: StructType,
+    data: list[dict],
+    deletes: list[dict],
+) -> DataFrame:
+    if not data:
+        return spark.createDataFrame([], spark_schema)
+    files = sorted({r["path"] for r in data})
+    scan = spark.read.schema(spark_schema).parquet(*files)
+    live_deletes = [d for d in deletes if d["seq"] >= min(r["seq"] for r in data)]
+    if not live_deletes:
+        return scan
+    # Basenames key both joins (full paths differ between the writer's
+    # URI form and the local scan's); a collision would misattribute
+    # deletes — refuse, like the Delta DV path.
+    base_seq: dict[str, int] = {}
+    for r in data:
+        b = os.path.basename(urllib.parse.unquote(r["path"]))
+        if b in base_seq:
+            raise ValueError(
+                "cannot apply positional deletes: duplicate data file basenames"
+            )
+        base_seq[b] = r["seq"]
+    import pandas as pd
+
+    dseq = spark.createDataFrame(
+        pd.DataFrame(
+            sorted(
+                (os.path.basename(urllib.parse.unquote(d["path"])), d["seq"])
+                for d in live_deletes
+            ),
+            columns=["_ice_dfile", "_ice_dseq"],
+        ),
+        "_ice_dfile string, _ice_dseq long",
+    )
+    dmap = spark.createDataFrame(
+        pd.DataFrame(sorted(base_seq.items()), columns=["_ice_file", "_ice_seq"]),
+        "_ice_file string, _ice_seq long",
+    )
+    dfiles = sorted({d["path"] for d in live_deletes})
+    # Delete rows name their target file as a full URI; normalize to
+    # basename.  The scan of delete files is DISTRIBUTED — at scale
+    # positional-delete files are data-sized, never driver state.
+    del_rows = (
+        spark.read.schema("file_path string, pos long").parquet(*dfiles)
+        .withColumn(
+            "_ice_dfile",
+            F.element_at(F.split(F.col("_metadata.file_name"), "/"), -1),
+        )
+        .join(F.broadcast(dseq), "_ice_dfile")
+        .withColumn(
+            "_ice_file",
+            F.url_decode(F.element_at(F.split(F.col("file_path"), "/"), -1)),
+        )
+        .join(F.broadcast(dmap), "_ice_file")
+        # a delete applies to files whose data sequence <= delete's
+        .filter(F.col("_ice_dseq") >= F.col("_ice_seq"))
+        .select("_ice_file", F.col("pos").alias("_ice_pos"))
+    )
+    tagged = scan.select(
+        "*",
+        F.col("_metadata.file_name").alias("_ice_file"),
+        F.col("_metadata.row_index").alias("_ice_pos"),
+    )
+    # No forced broadcast on the delete rows: position-delete files are
+    # DATA-sized at scale (unlike the planning-sized seq maps above) —
+    # AQE picks broadcast when they happen to be small.
+    return tagged.join(
+        del_rows, ["_ice_file", "_ice_pos"], "left_anti"
+    ).drop("_ice_file", "_ice_pos")
+
+
+def read_iceberg_range(
+    spark: SparkSession, path: str, column: str, lo, hi,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Stats-skipping range read ``lo <= column <= hi``: files whose
+    manifest lower/upper bounds PROVABLY miss the range are never
+    scanned (metrics filtering, the Iceberg analogue of the Delta
+    connector's ``prune_files``); files without usable bounds are
+    conservatively kept, and the row filter always applies."""
+    meta = _load_metadata(path)
+    schema_json = _current_schema(meta)
+    field = next(
+        (f for f in schema_json["fields"] if f["name"] == column), None
+    )
+    if field is None:
+        raise ValueError(f"no such column: {column}")
+    fid, ftype = int(field["id"]), field["type"]
+    spark_schema = _schema_to_spark(schema_json)
+    snap = _snapshot_by_id(meta, snapshot_id)
+    if snap is None:
+        return spark.createDataFrame([], spark_schema)
+    data, deletes = _manifest_entries(path, meta, snap)
+    kept = []
+    for rec in data:
+        prunable = False
+        if isinstance(ftype, str):
+            mn = _sv_decode(ftype, (rec["lower"] or {}).get(fid))
+            mx = _sv_decode(ftype, (rec["upper"] or {}).get(fid))
+            if mn is not None and mx is not None:
+                try:
+                    prunable = mx < lo or mn > hi
+                except TypeError:
+                    prunable = False
+        if not prunable:
+            kept.append(rec)
+    out = _plan_scan(spark, spark_schema, kept, deletes)
+    return out.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
+
+
+def history_iceberg(spark: SparkSession, path: str) -> list[dict]:
+    """Snapshot history, oldest first: (snapshot-id, sequence-number,
+    timestamp-ms, operation)."""
+    meta = _load_metadata(path)
+    out = []
+    for s in meta.get("snapshots") or []:
+        out.append(
+            {
+                "snapshot_id": s["snapshot-id"],
+                "sequence_number": s.get("sequence-number", 0),
+                "timestamp_ms": s.get("timestamp-ms"),
+                "operation": (s.get("summary") or {}).get("operation"),
+            }
+        )
+    return sorted(out, key=lambda r: (r["sequence_number"], r["timestamp_ms"] or 0))
+
+
+# ------------------------------------------------------------------ writer
+
+
+def _file_stats(
+    fpath: str, schema_json: dict
+) -> tuple[int, list | None, list | None]:
+    """(row_count, lower_bounds, upper_bounds) from the already-written
+    parquet footer — bounds in the k/v-record-array encoding, keyed by
+    field id.  Best-effort: no stats is always legal."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fpath).metadata
+    except Exception:  # noqa: BLE001 — stats are an optimization
+        return 0, None, None
+    ids = {f["name"]: (int(f["id"]), f["type"]) for f in schema_json["fields"]}
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                continue
+            name = col.path_in_schema
+            if name not in ids or not isinstance(ids[name][1], str):
+                continue
+            lo, hi = s.min, s.max
+            if isinstance(lo, bytes):
+                continue
+            if name not in mins or lo < mins[name]:  # type: ignore[operator]
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:  # type: ignore[operator]
+                maxs[name] = hi
+    lower = []
+    upper = []
+    for name, v in mins.items():
+        fid, ftype = ids[name]
+        b = _sv_encode(ftype, v)
+        if b is not None:
+            lower.append({"key": fid, "value": b})
+    for name, v in maxs.items():
+        fid, ftype = ids[name]
+        b = _sv_encode(ftype, v)
+        if b is not None:
+            upper.append({"key": fid, "value": b})
+    return md.num_rows, lower or None, upper or None
+
+
+def _typed_part_value(ice_type: str, raw: str | None):
+    if raw is None:
+        return None
+    if ice_type == "int":
+        return int(raw)
+    if ice_type == "long":
+        return int(raw)
+    if ice_type in ("float", "double"):
+        return float(raw)
+    if ice_type == "boolean":
+        return raw == "true"
+    return str(raw)
+
+
+def _stage_data_files(
+    df: DataFrame, path: str, partition_by: list[str], schema_json: dict
+) -> list[dict]:
+    """Distributed stage of ``df`` into ``data/`` and return one
+    data_file record per written parquet.  Iceberg data files CONTAIN
+    their partition columns (unlike Hive/Delta layouts), so the
+    partition columns are DUPLICATED under shadow names for the
+    directory layout and the originals stay in the files."""
+    staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
+    w = df
+    shadow = [f"_ice_p_{c}" for c in partition_by]
+    for c, s in zip(partition_by, shadow):
+        w = w.withColumn(s, F.col(c))
+    writer = w.write.mode("errorifexists")
+    if shadow:
+        writer = writer.partitionBy(*shadow)
+    writer.parquet(staging)
+    types = {f["name"]: f["type"] for f in schema_json["fields"]}
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    out: list[dict] = []
+    for root, _dirs, fnames in sorted(os.walk(staging)):
+        rel = os.path.relpath(root, staging)
+        pvals: dict[str, object] = {}
+        ok = True
+        for seg in [] if rel == "." else rel.split(os.sep):
+            k, _, v = seg.partition("=")
+            k = k.removeprefix("_ice_p_")
+            raw = None if v == "__HIVE_DEFAULT_PARTITION__" else urllib.parse.unquote(v)
+            try:
+                pvals[k] = _typed_part_value(types.get(k, "string"), raw)
+            except (TypeError, ValueError):
+                ok = False
+        if not ok:
+            raise ValueError(f"cannot type partition path segment under {root}")
+        for f in sorted(fnames):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"{uuid.uuid4().hex[:8]}-{f}"
+            dst = os.path.join(data_dir, name)
+            os.replace(os.path.join(root, f), dst)
+            n, lower, upper = _file_stats(dst, schema_json)
+            out.append(
+                {
+                    "content": 0,
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": {c: pvals.get(c) for c in partition_by},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def _write_manifest(
+    path: str, entries: list[dict], part_fields: list[tuple[str, str]],
+    snapshot_id: int, content: str, schema_json: dict, spec_id: int = 0,
+) -> dict:
+    """Write one manifest avro; returns its manifest_file record for
+    the manifest list (sequence numbers patched in by the committer)."""
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    name = os.path.join(_meta_dir(path), f"m-{uuid.uuid4().hex}.avro")
+    write_avro_file(
+        name,
+        _manifest_entry_schema(part_fields),
+        entries,
+        metadata={
+            "schema": json.dumps(schema_json),
+            "partition-spec": json.dumps(
+                [
+                    {"name": n, "transform": "identity",
+                     "source-id": sid, "field-id": 1000 + i}
+                    for i, ((n, _t), sid) in enumerate(
+                        zip(
+                            part_fields,
+                            [
+                                next(
+                                    int(f["id"])
+                                    for f in schema_json["fields"]
+                                    if f["name"] == n
+                                )
+                                for n, _ in part_fields
+                            ],
+                        )
+                    )
+                ]
+            ),
+            "partition-spec-id": str(spec_id),
+            "format-version": "2",
+            "content": content,
+        },
+    )
+    added_rows = sum(
+        e["data_file"]["record_count"] for e in entries if e["status"] == 1
+    )
+    existing_rows = sum(
+        e["data_file"]["record_count"] for e in entries if e["status"] == 0
+    )
+    return {
+        "manifest_path": name,
+        "manifest_length": os.path.getsize(name),
+        "partition_spec_id": spec_id,
+        "content": 0 if content == "data" else 1,
+        "sequence_number": 0,  # patched by the committer
+        "min_sequence_number": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": sum(1 for e in entries if e["status"] == 1),
+        "existing_files_count": sum(1 for e in entries if e["status"] == 0),
+        "deleted_files_count": sum(1 for e in entries if e["status"] == 2),
+        "added_rows_count": added_rows,
+        "existing_rows_count": existing_rows,
+        "deleted_rows_count": 0,
+    }
+
+
+def _commit_snapshot(
+    path: str,
+    base_meta: dict | None,
+    new_manifests: list[dict],
+    carry_manifests: list[dict],
+    operation: str,
+    schema_json: dict | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit one snapshot: write the manifest list, then claim the
+    next metadata version with ``os.link`` put-if-absent (the same
+    optimistic-concurrency shape as the Delta connector's log) and
+    atomically repoint ``version-hint.text``."""
+    now = int(time.time() * 1000)
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    if base_meta is None:
+        if schema_json is None:
+            raise ValueError("first commit needs a schema")
+        fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": next(
+                    int(f["id"]) for f in schema_json["fields"] if f["name"] == c
+                ),
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(partition_by or [])
+        ]
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": path,
+            "last-sequence-number": 0,
+            "last-updated-ms": now,
+            "last-column-id": max(
+                [int(f["id"]) for f in schema_json["fields"]] or [0]
+            ),
+            "schemas": [
+                {"schema-id": 0, "type": "struct",
+                 "fields": schema_json["fields"]}
+            ],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": fields}],
+            "default-spec-id": 0,
+            "last-partition-id": 999 + len(fields),
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": {},
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        version = 1
+    else:
+        meta = json.loads(json.dumps(base_meta))  # deep copy
+        # claim exactly base+1: if someone committed after our load,
+        # the os.link below hits their file and raises — never rebase
+        # a write onto state it did not read
+        version = int(meta.pop("__file_version__", 0)) or (
+            max(_metadata_versions(path))
+        )
+        version += 1
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    sid = uuid.uuid4().int >> 76  # positive, fits a long
+    for m in new_manifests:
+        m["sequence_number"] = seq
+        m["min_sequence_number"] = seq
+        m["added_snapshot_id"] = sid
+    ml_name = os.path.join(
+        _meta_dir(path), f"snap-{sid}-1-{uuid.uuid4().hex}.avro"
+    )
+    write_avro_file(
+        ml_name,
+        _MANIFEST_LIST_SCHEMA,
+        new_manifests + carry_manifests,
+        metadata={"format-version": "2"},
+    )
+    snap = {
+        "snapshot-id": sid,
+        "sequence-number": seq,
+        "timestamp-ms": now,
+        "summary": {"operation": operation},
+        "manifest-list": ml_name,
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    if meta.get("current-snapshot-id") not in (None, -1):
+        snap["parent-snapshot-id"] = meta["current-snapshot-id"]
+    meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
+    meta["current-snapshot-id"] = sid
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now
+    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": now, "snapshot-id": sid}
+    ]
+    final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    try:
+        os.link(tmp, final)  # put-if-absent: version claims are exclusive
+    except FileExistsError as e:
+        raise RuntimeError(
+            f"iceberg commit conflict at version {version} ({path})"
+        ) from e
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    htmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(htmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(htmp, hint)
+    return version
+
+
+def _carry_manifests(path: str, meta: dict) -> list[dict]:
+    """The current snapshot's manifest_file records, re-read from its
+    manifest list so an append/delete carries them forward unchanged
+    (sequence numbers included — inheritance must keep working)."""
+    snap = _snapshot_by_id(meta, None)
+    if snap is None:
+        return []
+    location = meta.get("location") or path
+    _, manifests = read_avro_file(_resolve(snap["manifest-list"], path, location))
+    return manifests
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as an Iceberg v2 table; returns the committed
+    metadata version.  ``mode``: ``error`` (create), ``append``,
+    ``overwrite`` (new snapshot referencing only the new manifest —
+    prior snapshots stay time-travelable).  Identity partitioning
+    only (the transform the engine's own tables need; foreign
+    transforms are read, not written)."""
+    partition_by = list(partition_by or [])
+    if mode not in ("error", "append", "overwrite"):
+        raise ValueError(f"unknown mode: {mode}")
+    exists = bool(_metadata_versions(path))
+    if exists and mode == "error":
+        raise FileExistsError(f"iceberg table already exists at {path}")
+    if not exists:
+        ids = iter(range(1, 10_000))
+        ice = _spark_to_ice(df.schema, lambda: next(ids))
+        schema_json = {"schema-id": 0, "type": "struct", "fields": ice["fields"]}
+        base_meta = None
+        carry: list[dict] = []
+    else:
+        base_meta = _load_metadata(path)
+        schema_json = _current_schema(base_meta)
+        declared = _schema_to_spark(schema_json)
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        want = {f.name: f.dataType.simpleString() for f in declared.fields}
+        if got != want:
+            raise ValueError(
+                f"schema mismatch: table declares {want}, write has {got}"
+            )
+        declared_parts = [
+            f["name"] for f in _spec_fields(base_meta, base_meta.get("default-spec-id", 0))
+        ]
+        if partition_by != declared_parts:
+            raise ValueError(
+                f"partitioning mismatch: table is partitioned by "
+                f"{declared_parts}, write passed {partition_by}"
+            )
+        carry = [] if mode == "overwrite" else _carry_manifests(path, base_meta)
+    os.makedirs(path, exist_ok=True)
+    part_fields = [
+        (c, next(f["type"] for f in schema_json["fields"] if f["name"] == c))
+        for c in partition_by
+    ]
+    files = _stage_data_files(df, path, partition_by, schema_json)
+    entries = [
+        {
+            "status": 1,  # ADDED — sequence numbers inherit
+            "snapshot_id": None,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": f,
+        }
+        for f in files
+    ]
+    manifest = _write_manifest(
+        path, entries, part_fields, 0, "data", schema_json
+    )
+    return _commit_snapshot(
+        path,
+        base_meta,
+        [manifest],
+        carry,
+        "append" if mode == "append" else ("append" if not exists else "overwrite"),
+        schema_json=schema_json,
+        partition_by=partition_by,
+    )
+
+
+def delete_iceberg_rows(spark: SparkSession, path: str, condition) -> int:
+    """Merge-on-read DELETE: write positional delete files (parquet
+    ``(file_path, pos)`` rows, sorted, one per affected data-file
+    group) plus a delete manifest (content=1), carrying every data
+    manifest forward untouched — no data file is rewritten, the
+    Iceberg v2 answer to the same problem Delta solves with deletion
+    vectors."""
+    meta = _load_metadata(path)
+    schema_json = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema_json)
+    snap = _snapshot_by_id(meta, None)
+    if snap is None:
+        return max(_metadata_versions(path))
+    data, _deletes = _manifest_entries(path, meta, snap)
+    if not data:
+        return max(_metadata_versions(path))
+    files = sorted({r["path"] for r in data})
+    scan = spark.read.schema(spark_schema).parquet(*files)
+    hits = (
+        scan.filter(condition)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .orderBy("file_path", "pos")
+    )
+    ddir = os.path.join(path, "data")
+    os.makedirs(ddir, exist_ok=True)
+    staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
+    hits.coalesce(1).write.mode("errorifexists").parquet(staging)
+    parts = [
+        f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+    ]
+    del_files: list[dict] = []
+    for f in parts:
+        dst = os.path.join(ddir, f"delete-{uuid.uuid4().hex[:8]}-{f}")
+        os.replace(os.path.join(staging, f), dst)
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(dst).metadata.num_rows
+        if n == 0:
+            os.unlink(dst)
+            continue
+        del_files.append(
+            {
+                "content": 1,  # position deletes
+                "file_path": dst,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(dst),
+                "lower_bounds": None,
+                "upper_bounds": None,
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    if not del_files:
+        return max(_metadata_versions(path))
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": f,
+        }
+        for f in del_files
+    ]
+    manifest = _write_manifest(path, entries, [], 0, "deletes", schema_json)
+    carry = _carry_manifests(path, meta)
+    return _commit_snapshot(path, meta, [manifest], carry, "delete")
+
+
+# ------------------------------------------------------------------ query
+
+
+def scan_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-format lake roundtrip over the full v2 surface this
+    connector implements: create (metadata JSON + manifest list +
+    manifest Avro + identity-partitioned data files) → append snapshot
+    → merge-on-read positional DELETE (delete manifest + parquet
+    delete file, no data file rewritten) → read of the current
+    snapshot.  The read must replay snapshot → manifest list →
+    manifests, apply the positional deletes with sequence-number
+    gating, and aggregate; the oracle recomputes the surviving
+    aggregate straight from the fixture, so a mis-applied delete, a
+    lost append, or a wrong manifest replay all fail the hash compare.
+
+    (BASELINE.json:7 names "Delta/Iceberg connectors"; the reference
+    repo has no table-format code at all — this is mandate surface,
+    like sources/delta.py.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"iceberg_orders_{os.path.basename(sf_dir.rstrip('/'))}")
+    # Gate on the FINAL expected state (3 snapshots ending in delete) —
+    # a partial in-process setup rebuilds from a clean slate, same
+    # policy as scan_delta (ADVICE r5).
+    complete = False
+    try:
+        ops = [h["operation"] for h in history_iceberg(spark, path)]
+        complete = ops == ["append", "append", "delete"]
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 7 == 0),
+            path,
+            mode="error",
+            partition_by=["o_orderpriority"],
+        )
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 7 == 1),
+            path,
+            mode="append",
+            partition_by=["o_orderpriority"],
+        )
+        delete_iceberg_rows(spark, path, F.col("o_orderkey") % 21 == 0)
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+scan_iceberg = query(
+    "b_scan_iceberg",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE (o_orderkey % 7 = 0 OR o_orderkey % 7 = 1)
+      AND o_orderkey % 21 <> 0
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg)

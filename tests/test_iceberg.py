@@ -1,0 +1,414 @@
+"""Iceberg-v2 connector tests (sources/iceberg.py + avro_codec.py):
+Avro container codec (incl. interop with the JVM's real avro-1.12.1),
+metadata/manifest replay, snapshots + time travel, identity partition
+handling, positional deletes with sequence-number gating, stats-based
+range skipping, commit atomicity, and the honest refusal gates —
+each against the PUBLIC spec layout, never a directory listing."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_datalake_framework_api_spark.sources.avro_codec import (
+    read_avro_file,
+    write_avro_file,
+)
+from aws_datalake_framework_api_spark.sources.iceberg import (
+    _load_metadata,
+    _manifest_entry_schema,
+    _MANIFEST_LIST_SCHEMA,
+    _meta_dir,
+    delete_iceberg_rows,
+    history_iceberg,
+    read_iceberg,
+    read_iceberg_range,
+    write_iceberg,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, part string, v double")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------------------ avro codec
+
+
+def test_avro_roundtrip_all_shapes(tmp_path):
+    schema = {
+        "type": "record", "name": "t", "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "s", "type": ["null", "string"], "default": None},
+            {"name": "b", "type": "bytes"},
+            {"name": "d", "type": "double"},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "rec", "type": {"type": "record", "name": "inner",
+             "fields": [{"name": "x", "type": ["null", "int"],
+                         "default": None}]}},
+        ],
+    }
+    recs = [
+        {"i": -1, "l": 1 << 40, "s": "héllo", "b": b"\x00\xff", "d": 2.5,
+         "arr": [1, 2, 3], "m": {"a": "x"}, "rec": {"x": 7}},
+        {"i": 0, "l": -5, "s": None, "b": b"", "d": -0.0,
+         "arr": [], "m": {}, "rec": {"x": None}},
+    ]
+    for codec in ("deflate", "null"):
+        p = str(tmp_path / f"t-{codec}.avro")
+        write_avro_file(p, schema, recs, codec=codec)
+        s2, back = read_avro_file(p)
+        assert back == recs
+        assert s2["name"] == "t"
+
+
+def test_avro_interop_with_jvm_library(spark, tmp_path):
+    """Our codec must speak REAL Avro, not a private dialect: the
+    JVM's avro-1.12.1 (on Spark's classpath) writes a deflate file we
+    read, and reads a file we wrote."""
+    jvm = spark._jvm  # noqa: SLF001 — the point is the foreign impl
+    schema_json = json.dumps({
+        "type": "record", "name": "t", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"], "default": None},
+        ],
+    })
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    p = str(tmp_path / "j.avro")
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    w.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    w.create(sch, jvm.java.io.File(p))
+    for i in range(3):
+        r = jvm.org.apache.avro.generic.GenericData.Record(sch)
+        r.put("k", i)
+        r.put("s", None if i == 1 else f"v{i}")
+        w.append(r)
+    w.close()
+    _, recs = read_avro_file(p)
+    assert [(r["k"], r["s"]) for r in recs] == [(0, "v0"), (1, None), (2, "v2")]
+    p2 = str(tmp_path / "p.avro")
+    write_avro_file(p2, json.loads(schema_json), [{"k": 9, "s": "x"}])
+    rd = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p2), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    rows = []
+    while rd.hasNext():
+        rows.append(rd.next())
+    rd.close()
+    assert len(rows) == 1 and rows[0].get("k") == 9 and str(rows[0].get("s")) == "x"
+
+
+def test_avro_unsupported_codec_refused(tmp_path):
+    p = str(tmp_path / "t.avro")
+    with pytest.raises(ValueError, match="codec"):
+        write_avro_file(p, {"type": "record", "name": "t", "fields": []},
+                        [], codec="snappy")
+
+
+# -------------------------------------------------------------- connector core
+
+
+def test_roundtrip_partitioned_and_typed_partition_values(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)])
+    assert write_iceberg(df, path, mode="error", partition_by=["part"]) == 1
+    back = read_iceberg(spark, path)
+    assert back.schema == df.schema
+    assert _sorted_rows(back) == _sorted_rows(df)
+    # data files CONTAIN the partition column (Iceberg, unlike Delta)
+    import pyarrow.parquet as pq
+
+    any_file = [f for f in os.listdir(os.path.join(path, "data"))
+                if f.endswith(".parquet")][0]
+    names = pq.ParquetFile(os.path.join(path, "data", any_file)).schema_arrow.names
+    assert "part" in names
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    write_iceberg(_df(spark, [(9, "z", 9.0)]), path, mode="overwrite")
+    assert _sorted_rows(read_iceberg(spark, path)) == [(9, "z", 9.0)]
+    h = history_iceberg(spark, path)
+    assert [x["operation"] for x in h] == ["append", "append", "overwrite"]
+    assert _sorted_rows(
+        read_iceberg(spark, path, snapshot_id=h[1]["snapshot_id"])
+    ) == [(1, "a", 1.0), (2, "b", 2.0)]
+    with pytest.raises(FileExistsError):
+        write_iceberg(_df(spark, [(0, "x", 0.0)]), path, mode="error")
+
+
+def test_schema_and_partitioning_mismatch_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error",
+                  partition_by=["part"])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg(
+            spark.createDataFrame([(1, "a")], "k int, part string"),
+            path, mode="append", partition_by=["part"],
+        )
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="append")
+
+
+def test_positional_delete_merge_on_read(spark, tmp_path):
+    """DELETE writes a delete manifest + parquet delete file; no data
+    file is rewritten, and reads subtract exactly the deleted rows."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(20)], "k int, part string, v double"
+    ).coalesce(1)
+    write_iceberg(df, path, mode="error")
+    data_files = {
+        f: os.path.getmtime(os.path.join(path, "data", f))
+        for f in os.listdir(os.path.join(path, "data"))
+    }
+    delete_iceberg_rows(spark, path, F.col("k") % 5 == 0)
+    # every pre-existing data file untouched on disk
+    for f, mt in data_files.items():
+        assert os.path.getmtime(os.path.join(path, "data", f)) == mt
+    got = sorted(r["k"] for r in read_iceberg(spark, path).collect())
+    assert got == [k for k in range(20) if k % 5]
+    # the pre-delete snapshot still reads complete
+    h = history_iceberg(spark, path)
+    assert read_iceberg(spark, path, snapshot_id=h[0]["snapshot_id"]).count() == 20
+    # appended rows at the same positions are NOT shadowed
+    write_iceberg(
+        spark.createDataFrame([(100, "x", 1.0)], "k int, part string, v double"),
+        path, mode="append",
+    )
+    got = sorted(r["k"] for r in read_iceberg(spark, path).collect())
+    assert got == [k for k in range(20) if k % 5] + [100]
+
+
+def test_delete_sequence_number_gating(spark, tmp_path):
+    """Spec rule: a position delete applies only to data files whose
+    data sequence number is <= the delete's.  Hand-built metadata
+    with a STALE delete (seq 1) against a NEWER data file (seq 5) —
+    the delete must not apply; bumping the delete to seq 7 applies
+    it."""
+    from aws_datalake_framework_api_spark.sources.avro_codec import (
+        write_avro_file as _wav,
+    )
+
+    path = str(tmp_path / "t")
+    ddir = os.path.join(path, "data")
+    os.makedirs(ddir)
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k int, part string, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    part = [f for f in os.listdir(str(tmp_path / "stage"))
+            if f.endswith(".parquet")][0]
+    dfile = os.path.join(ddir, "f1.parquet")
+    os.replace(os.path.join(str(tmp_path / "stage"), part), dfile)
+    spark.createDataFrame([(dfile, 0)], "file_path string, pos long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "dstage"))
+    dpart = [f for f in os.listdir(str(tmp_path / "dstage"))
+             if f.endswith(".parquet")][0]
+    delfile = os.path.join(ddir, "d1.parquet")
+    os.replace(os.path.join(str(tmp_path / "dstage"), dpart), delfile)
+
+    schema_json = {
+        "schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "int"},
+            {"id": 2, "name": "part", "required": False, "type": "string"},
+            {"id": 3, "name": "v", "required": False, "type": "double"},
+        ],
+    }
+
+    def build(delete_seq):
+        md = _meta_dir(path)
+        shutil.rmtree(md, ignore_errors=True)
+        os.makedirs(md)
+        ent = _manifest_entry_schema([])
+
+        def entry(fp, content, seq):
+            return {
+                "status": 0, "snapshot_id": 7, "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": content, "file_path": fp,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": 2 if content == 0 else 1,
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    "lower_bounds": None, "upper_bounds": None,
+                },
+            }
+
+        m_data = os.path.join(md, "m-data.avro")
+        _wav(m_data, ent, [entry(dfile, 0, 5)],
+             metadata={"format-version": "2", "content": "data"})
+        m_del = os.path.join(md, "m-del.avro")
+        _wav(m_del, ent, [entry(delfile, 1, delete_seq)],
+             metadata={"format-version": "2", "content": "deletes"})
+        ml = os.path.join(md, "snap-7-1-x.avro")
+
+        def mf(p, content, seq):
+            return {
+                "manifest_path": p, "manifest_length": os.path.getsize(p),
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": 7, "added_files_count": 1,
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": 2, "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+
+        _wav(ml, _MANIFEST_LIST_SCHEMA,
+             [mf(m_data, 0, 5), mf(m_del, 1, delete_seq)],
+             metadata={"format-version": "2"})
+        meta = {
+            "format-version": 2, "table-uuid": "u", "location": path,
+            "last-sequence-number": max(5, delete_seq),
+            "last-updated-ms": 1, "last-column-id": 3,
+            "schemas": [schema_json], "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0, "last-partition-id": 999,
+            "properties": {},
+            "snapshots": [{"snapshot-id": 7,
+                           "sequence-number": max(5, delete_seq),
+                           "timestamp-ms": 1,
+                           "summary": {"operation": "append"},
+                           "manifest-list": ml, "schema-id": 0}],
+            "current-snapshot-id": 7, "snapshot-log": [], "metadata-log": [],
+        }
+        with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+            json.dump(meta, fh)
+
+    build(delete_seq=1)  # stale delete: must NOT apply
+    assert sorted(r["k"] for r in read_iceberg(spark, path).collect()) == [1, 2]
+    build(delete_seq=7)  # newer delete: applies to row at pos 0
+    assert sorted(r["k"] for r in read_iceberg(spark, path).collect()) == [2]
+
+
+def test_equality_deletes_refused(spark, tmp_path):
+    """content=2 data files (equality deletes) are beyond this reader —
+    refuse, never silently keep rows an equality delete removed."""
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]).coalesce(1), path, mode="error")
+    meta = _load_metadata(path)
+    _, mls = read_avro_file(meta["snapshots"][0]["manifest-list"])
+    _, entries = read_avro_file(mls[0]["manifest_path"])
+    entries[0]["data_file"]["content"] = 2
+    write_avro_file(
+        mls[0]["manifest_path"], _manifest_entry_schema([]), entries,
+        metadata={"format-version": "2", "content": "deletes"},
+    )
+    with pytest.raises(ValueError, match="equality deletes"):
+        read_iceberg(spark, path)
+
+
+def test_partition_filter_prunes_at_planning_time(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 4}", float(i)) for i in range(40)],
+        "k int, part string, v double",
+    )
+    write_iceberg(df, path, mode="error", partition_by=["part"])
+    full = read_iceberg(spark, path)
+    pruned = read_iceberg(spark, path, partition_filter={"part": "p2"})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(2, 40, 4))
+
+
+def test_range_read_skips_files_via_bounds(spark, tmp_path):
+    """Manifest lower/upper bounds (single-value serialization) must
+    skip whole files: a range covering one file's keys scans fewer
+    files than the table holds, and still filters rows exactly."""
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(i, "a", float(i)) for i in range(0, 10)]).coalesce(1),
+        path, mode="error",
+    )
+    write_iceberg(
+        _df(spark, [(i, "a", float(i)) for i in range(100, 110)]).coalesce(1),
+        path, mode="append",
+    )
+    rr = read_iceberg_range(spark, path, "k", 3, 5)
+    assert len(rr.inputFiles()) == 1
+    assert sorted(r["k"] for r in rr.collect()) == [3, 4, 5]
+
+
+def test_version_hint_corruption_recovers(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as fh:
+        fh.write("garbage")
+    assert read_iceberg(spark, path).count() == 2
+
+
+def test_foreign_metadata_naming_resolves(spark, tmp_path):
+    """Java writers name metadata ``{NNNNN}-{uuid}.metadata.json``; the
+    reader must pick the highest version across BOTH namings."""
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    md = _meta_dir(path)
+    os.replace(
+        os.path.join(md, "v2.metadata.json"),
+        os.path.join(md, "00002-0f8e4f0a-9c1d-4d3a-bb1e-abcdefabcdef.metadata.json"),
+    )
+    os.unlink(os.path.join(md, "version-hint.text"))
+    assert read_iceberg(spark, path).count() == 2
+
+
+def test_relocated_table_reads_via_prefix_swap(spark, tmp_path):
+    """Manifests store absolute paths; moving the table directory must
+    still read (declared-location prefix swapped onto the real root —
+    the delta-rs behavior)."""
+    src = str(tmp_path / "orig")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), src, mode="error")
+    delete_iceberg_rows(spark, src, F.col("k") == 1)
+    dst = str(tmp_path / "moved")
+    shutil.move(src, dst)
+    assert _sorted_rows(read_iceberg(spark, dst)) == [(2, "b", 2.0)]
+
+
+def test_empty_table_and_missing_metadata(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_iceberg(spark, str(tmp_path / "nope"))
+
+
+def test_commit_claims_are_exclusive(spark, tmp_path):
+    """The os.link put-if-absent: a pre-claimed next version makes the
+    commit fail loudly instead of silently clobbering."""
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    with open(os.path.join(_meta_dir(path), "v2.metadata.json"), "w") as fh:
+        fh.write("{}")
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        write_iceberg(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+
+
+def test_jvm_avro_reads_our_manifests(spark, tmp_path):
+    """The metadata we write is REAL Avro: the JVM library must be able
+    to open a manifest and see the entry fields."""
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]).coalesce(1), path, mode="error")
+    meta = _load_metadata(path)
+    _, mls = read_avro_file(meta["snapshots"][0]["manifest-list"])
+    jvm = spark._jvm  # noqa: SLF001
+    rd = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(mls[0]["manifest_path"]),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    rows = []
+    while rd.hasNext():
+        rows.append(rd.next())
+    rd.close()
+    assert len(rows) == 1
+    df_rec = rows[0].get("data_file")
+    assert str(df_rec.get("file_format")) == "PARQUET"
+    assert int(df_rec.get("record_count")) == 1
