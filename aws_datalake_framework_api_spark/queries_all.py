@@ -147,11 +147,14 @@ _ORDER = [
     # -- slot 51: the one deferred backlog id — rows-only by design,
     #    externally pinned by b_llm_dedup_semantic_recall (in-window)
     "b_llm_dedup_semantic",
-    # -- ROUND-7 WINDOW STAGING: the round-6 Iceberg connector (the
-    #    one post-freeze addition this round, same precedent as
-    #    b_scan_delta in r5) + the r1/r2-stale refresh list (VERDICT
-    #    r5 item #5 — every id's latest driver row ≤2 rounds old).
+    # -- ROUND-7 WINDOW STAGING: the round-6 additions (Iceberg
+    #    connector; Delta merge-on-read DV DELETE; Delta copy-on-write
+    #    MERGE — same precedent as b_scan_delta in r5) + the r1/r2-
+    #    stale refresh list (VERDICT r5 item #5 — every id's latest
+    #    driver row ≤2 rounds old).
     "b_scan_iceberg",
+    "b_lake_delta_dv",
+    "b_lake_delta_merge",
     "b_fn_null",
     "b_fn_map",
     "b_fn_explode",

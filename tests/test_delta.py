@@ -861,9 +861,20 @@ def test_deletion_vector_file_read(spark, tmp_path):
     assert sorted(r["k"] for r in read_delta(spark, path).collect()) == [
         1, 3, 4, 5, 6, 7, 8,
     ]
-    # a DV table's writer features stay refused
+    # deletionVectors is a SUPPORTED writer feature (r6): appends to a
+    # DV table land, and the vectors keep applying
+    write_delta(_df(spark, [(99, "z", 9.0)]), path, mode="append")
+    assert sorted(r["k"] for r in read_delta(spark, path).collect()) == [
+        1, 3, 4, 5, 6, 7, 8, 99,
+    ]
+    # a feature we genuinely lack still refuses
+    _commit(path, _list_versions(path)[-1] + 1, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors", "icebergCompatV2"]}},
+    ])
     with pytest.raises(ValueError, match="writer capabilities"):
-        write_delta(_df(spark, [(99, "z", 9.0)]), path, mode="append")
+        write_delta(_df(spark, [(7, "q", 7.0)]), path, mode="append")
 
 
 def test_deletion_vector_inline_read(spark, tmp_path):
@@ -1064,3 +1075,167 @@ def test_update_delta_partitioned_moves_rows_between_partitions(spark, tmp_path)
     assert matched == 1
     back = read_delta(spark, path, partition_filter={"part": "b"})
     assert sorted(r["k"] for r in back.collect()) == [1, 2]
+
+
+# -------------------------------------- merge-on-read DELETE + MERGE (r6)
+
+
+def test_delete_where_writes_deletion_vectors(spark, tmp_path):
+    """delete_where_delta must delete by DV, not rewrite: data files
+    keep their bytes, the protocol upgrades to (3,7)+deletionVectors,
+    and repeated deletes UNION into the replacement vector."""
+    from aws_datalake_framework_api_spark.sources.delta import delete_where_delta
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(10)], "k int, part string, v double"
+    ).coalesce(1)
+    write_delta(df, path, mode="error")
+    data = {
+        a["path"]: os.path.getmtime(os.path.join(path, a["path"]))
+        for a in _adds_at_version(path, 0)
+    }
+    v, n = delete_where_delta(spark, path, F.col("k") < 3)
+    assert (v, n) == (1, 3)
+    for p, mt in data.items():  # no data file rewritten
+        assert os.path.getmtime(os.path.join(path, p)) == mt
+    assert sorted(r["k"] for r in read_delta(spark, path).collect()) == [
+        3, 4, 5, 6, 7, 8, 9,
+    ]
+    # protocol upgraded exactly once
+    with open(_version_file(path, 1)) as fh:
+        acts = [json.loads(line) for line in fh]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    # second delete unions with the existing vector, no new upgrade
+    v, n = delete_where_delta(spark, path, F.col("k") == 5)
+    assert (v, n) == (2, 1)
+    with open(_version_file(path, 2)) as fh:
+        acts = [json.loads(line) for line in fh]
+    assert not any("protocol" in a for a in acts)
+    assert sorted(r["k"] for r in read_delta(spark, path).collect()) == [
+        3, 4, 6, 7, 8, 9,
+    ]
+    # pre-delete versions still time-travel complete
+    assert read_delta(spark, path, version_as_of=0).count() == 10
+    # no match commits nothing
+    assert delete_where_delta(spark, path, F.col("k") == 999) == (2, 0)
+
+
+def test_delete_where_then_update_folds_and_vacuum_reclaims_dv(spark, tmp_path):
+    """An UPDATE rewrite folds DVs in; vacuum then reclaims the
+    superseded DV .bin file but never a referenced one."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta, update_delta,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(6)], "k int, part string, v double"
+    ).coalesce(1)
+    write_delta(df, path, mode="error")
+    delete_where_delta(spark, path, F.col("k") == 0)
+    dv_bins = [f for f in os.listdir(path) if f.startswith("deletion_vector_")]
+    assert len(dv_bins) == 1
+    # referenced DV survives vacuum
+    vacuum_delta(spark, path, retention_ms=0, force=True)
+    assert os.path.isfile(os.path.join(path, dv_bins[0]))
+    # the rewrite folds the DV; the .bin becomes unreferenced debris
+    update_delta(spark, path, F.col("k") == 5, {"v": 50.0})
+    assert sorted((r["k"], r["v"]) for r in read_delta(spark, path).collect()) == [
+        (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 50.0),
+    ]
+    vacuum_delta(spark, path, retention_ms=0, force=True)
+    assert not os.path.isfile(os.path.join(path, dv_bins[0]))
+    # and the table still reads after vacuum
+    assert read_delta(spark, path).count() == 5
+
+
+def test_merge_delta_upsert(spark, tmp_path):
+    """MERGE: matched rows take the source version, unmatched source
+    rows insert, only hit files rewrite, one atomic commit."""
+    from aws_datalake_framework_api_spark.sources.delta import merge_delta
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1),
+                path, mode="error")
+    write_delta(_df(spark, [(3, "c", 3.0), (4, "d", 4.0)]).coalesce(1),
+                path, mode="append")
+    untouched = {
+        a["path"]: os.path.getmtime(os.path.join(path, a["path"]))
+        for a in _adds_at_version(path, 0)
+    }
+    source = _df(spark, [(3, "C", 30.0), (5, "e", 5.0)])
+    out = merge_delta(spark, path, source, on=["k"])
+    assert out["updated"] == 1 and out["inserted"] == 1
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "C", 30.0), (4, "d", 4.0),
+        (5, "e", 5.0),
+    ]
+    # version-0 file (no matches) untouched on disk and still active
+    for p, mt in untouched.items():
+        assert os.path.getmtime(os.path.join(path, p)) == mt
+    with open(_version_file(path, 2)) as fh:
+        acts = [json.loads(line) for line in fh]
+    removes = [a for a in acts if "remove" in a]
+    assert len(removes) == 1  # only the file holding k=3
+    assert removes[0]["remove"]["path"] not in untouched
+    # duplicate-key source refuses
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_delta(spark, path,
+                    _df(spark, [(1, "x", 0.0), (1, "y", 0.0)]), on=["k"])
+
+
+def test_merge_delta_folds_existing_dv(spark, tmp_path):
+    """MERGE over a DV-carrying file must not resurrect DV-deleted
+    rows in the rewrite."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta, merge_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]).coalesce(1),
+        path, mode="error",
+    )
+    delete_where_delta(spark, path, F.col("k") == 2)
+    out = merge_delta(spark, path, _df(spark, [(3, "C", 30.0)]), on=["k"])
+    assert out == {"version": 2, "updated": 1, "inserted": 0}
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (3, "C", 30.0),
+    ]
+
+
+def test_write_delta_merge_schema_additive(spark, tmp_path):
+    """merge_schema=True: a new nullable column commits updated
+    metaData with the data; old files read as NULL; drops and type
+    changes still refuse."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    wide = spark.createDataFrame(
+        [(2, "b", 2.0, "tag2")], "k int, part string, v double, tag string"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(wide, path, mode="append")  # without the flag
+    write_delta(wide, path, mode="append", merge_schema=True)
+    back = read_delta(spark, path)
+    assert back.schema.simpleString() == (
+        "struct<k:int,part:string,v:double,tag:string>"
+    )
+    rows = {r["k"]: r["tag"] for r in back.collect()}
+    assert rows == {1: None, 2: "tag2"}
+    # narrow appends now refuse (must carry every declared column)...
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(_df(spark, [(3, "c", 3.0)]), path, mode="append")
+    # ...even WITH the flag (additive only, no drops)
+    with pytest.raises(ValueError, match="cannot drop"):
+        write_delta(_df(spark, [(3, "c", 3.0)]), path, mode="append",
+                    merge_schema=True)
+    with pytest.raises(ValueError, match="cannot change"):
+        write_delta(
+            spark.createDataFrame(
+                [(3, "c", 3.0, 7)], "k int, part string, v double, tag int"
+            ),
+            path, mode="append", merge_schema=True,
+        )
