@@ -25,7 +25,7 @@ implemented ONCE, parameterized by entity type:
 Storage: parquet tables under a warehouse directory, one directory
 per entity type (the reference provisions one S3 bucket per source
 system, ``cft/sourceSystem.yaml:20-27``; a Spark warehouse uses one
-PATH per table and partitions within).  Four backends behind one
+PATH per table and partitions within).  Five backends behind one
 seam, chosen by probe at construction:
 
 - ``delta``: real Delta Lake when the package + jar are present;
@@ -33,6 +33,10 @@ seam, chosen by probe at construction:
   via the dependency-free protocol implementation in
   :mod:`.sources.delta` — append/overwrite commits on the public
   ``_delta_log`` layout, interoperable with delta-spark readers;
+- ``iceberg`` (explicit opt-in): Iceberg v2 tables via
+  :mod:`.sources.iceberg` — snapshot commits on the public metadata/
+  manifest layout; the A2 point update runs as a merge-on-read
+  position-delete + append in one snapshot (``upsert_iceberg``);
 - ``txlog`` (default here): the file-backed transaction log in
   :mod:`..txlog` — immutable parquet data dirs + manifest commits
   published by atomic hard-link, snapshot-isolated readers, history/
@@ -192,14 +196,16 @@ class Catalog:
 
     spark: SparkSession
     warehouse: str
-    backend: str = "auto"  # "auto" | "txlog" | "parquet" | "delta" | "deltalog"
+    backend: str = "auto"  # auto | txlog | parquet | delta | deltalog | iceberg
     config: "GlobalConfig | None" = None  # fm_prefix-scoped table names when set
     _audit_rows: list = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if self.backend == "auto":
             self.backend = "delta" if delta_available(self.spark) else "txlog"
-        if self.backend not in ("delta", "deltalog", "txlog", "parquet"):
+        if self.backend not in (
+            "delta", "deltalog", "iceberg", "txlog", "parquet"
+        ):
             raise ValueError(f"unknown backend: {self.backend}")
 
     # ------------------------------------------------------------ paths
@@ -221,6 +227,10 @@ class Catalog:
     def _is_table(self, d: str) -> bool:
         if self.backend in ("delta", "deltalog"):
             return os.path.isdir(os.path.join(d, "_delta_log"))
+        if self.backend == "iceberg":
+            from .sources.iceberg import _metadata_versions
+
+            return bool(_metadata_versions(d))
         if self.backend == "txlog":
             return TxLogTable(self.spark, d).exists()
         return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
@@ -234,6 +244,10 @@ class Catalog:
             from .sources.delta import read_delta
 
             return read_delta(self.spark, d)
+        if self.backend == "iceberg":
+            from .sources.iceberg import read_iceberg
+
+            return read_iceberg(self.spark, d)
         if self.backend == "txlog":
             return TxLogTable(self.spark, d).read(schema)
         return self.spark.read.schema(schema).parquet(d)
@@ -260,6 +274,17 @@ class Catalog:
             # Safe to rewrite from a plan that reads this same table:
             # data files are immutable (tombstoned, never deleted).
             write_delta(
+                df.coalesce(1),
+                d,
+                mode="overwrite" if self._is_table(d) else "error",
+            )
+            return
+        if self.backend == "iceberg":
+            from .sources.iceberg import write_iceberg
+
+            # Iceberg overwrite = a new snapshot referencing only the
+            # new manifest; prior snapshots stay time-travelable
+            write_iceberg(
                 df.coalesce(1),
                 d,
                 mode="overwrite" if self._is_table(d) else "error",
@@ -340,6 +365,14 @@ class Catalog:
                 d,
                 mode="append" if self._is_table(d) else "error",
             )
+        elif self.backend == "iceberg":
+            from .sources.iceberg import write_iceberg
+
+            write_iceberg(
+                df.coalesce(1),
+                d,
+                mode="append" if self._is_table(d) else "error",
+            )
         elif self.backend == "txlog":
             TxLogTable(self.spark, d).append(df)
         else:
@@ -390,6 +423,21 @@ class Catalog:
                     # update (VERDICT r5).  History stays readable via
                     # versionAsOf.
                     update_delta(self.spark, d, cond, {"status": new_status})
+                elif self.backend == "iceberg":
+                    from .sources.iceberg import upsert_iceberg
+
+                    # merge-on-read upsert in ONE snapshot: position-
+                    # delete the touched request_id's rows + append
+                    # their patched versions — no data file rewritten,
+                    # same contract as the txlog path below
+                    key = F.col("aws_request_id") == request_id
+                    patch = df.filter(key).withColumn(
+                        "status",
+                        F.when(cond, F.lit(new_status)).otherwise(F.col("status")),
+                    )
+                    upsert_iceberg(
+                        self.spark, d, patch, on=["aws_request_id"]
+                    )
                 elif self.backend == "txlog":
                     # merge-on-read point update in ONE atomic commit:
                     # tombstone the touched request_id in existing

@@ -155,6 +155,7 @@ _ORDER = [
     "b_scan_iceberg",
     "b_lake_delta_dv",
     "b_lake_delta_merge",
+    "b_lake_iceberg_upsert",
     "b_fn_null",
     "b_fn_map",
     "b_fn_explode",

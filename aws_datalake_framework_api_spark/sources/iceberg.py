@@ -1085,36 +1085,16 @@ def write_iceberg(
     )
 
 
-def delete_iceberg_rows(spark: SparkSession, path: str, condition) -> int:
-    """Merge-on-read DELETE: write positional delete files (parquet
-    ``(file_path, pos)`` rows, sorted, one per affected data-file
-    group) plus a delete manifest (content=1), carrying every data
-    manifest forward untouched — no data file is rewritten, the
-    Iceberg v2 answer to the same problem Delta solves with deletion
-    vectors."""
-    meta = _load_metadata(path)
-    schema_json = _current_schema(meta)
-    spark_schema = _schema_to_spark(schema_json)
-    snap = _snapshot_by_id(meta, None)
-    if snap is None:
-        return max(_metadata_versions(path))
-    data, _deletes = _manifest_entries(path, meta, snap)
-    if not data:
-        return max(_metadata_versions(path))
-    files = sorted({r["path"] for r in data})
-    scan = spark.read.schema(spark_schema).parquet(*files)
-    hits = (
-        scan.filter(condition)
-        .select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
-        )
-        .orderBy("file_path", "pos")
-    )
+def _stage_pos_delete(spark: SparkSession, path: str, hits) -> list[dict]:
+    """Stage the matched (file_path, pos) rows as sorted parquet
+    position-delete file(s); returns their data_file records (empty
+    when nothing matched)."""
     ddir = os.path.join(path, "data")
     os.makedirs(ddir, exist_ok=True)
     staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
-    hits.coalesce(1).write.mode("errorifexists").parquet(staging)
+    hits.orderBy("file_path", "pos").coalesce(1).write.mode(
+        "errorifexists"
+    ).parquet(staging)
     parts = [
         f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
     ]
@@ -1141,8 +1121,12 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition) -> int:
             }
         )
     shutil.rmtree(staging, ignore_errors=True)
-    if not del_files:
-        return max(_metadata_versions(path))
+    return del_files
+
+
+def _delete_manifest(
+    path: str, del_files: list[dict], schema_json: dict
+) -> dict:
     entries = [
         {
             "status": 1,
@@ -1153,9 +1137,108 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition) -> int:
         }
         for f in del_files
     ]
-    manifest = _write_manifest(path, entries, [], 0, "deletes", schema_json)
+    return _write_manifest(path, entries, [], 0, "deletes", schema_json)
+
+
+def delete_iceberg_rows(spark: SparkSession, path: str, condition) -> int:
+    """Merge-on-read DELETE: write positional delete files (parquet
+    ``(file_path, pos)`` rows, sorted, one per affected data-file
+    group) plus a delete manifest (content=1), carrying every data
+    manifest forward untouched — no data file is rewritten, the
+    Iceberg v2 answer to the same problem Delta solves with deletion
+    vectors."""
+    meta = _load_metadata(path)
+    schema_json = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema_json)
+    snap = _snapshot_by_id(meta, None)
+    if snap is None:
+        return max(_metadata_versions(path))
+    data, _deletes = _manifest_entries(path, meta, snap)
+    if not data:
+        return max(_metadata_versions(path))
+    files = sorted({r["path"] for r in data})
+    scan = spark.read.schema(spark_schema).parquet(*files)
+    hits = scan.filter(condition).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    del_files = _stage_pos_delete(spark, path, hits)
+    if not del_files:
+        return max(_metadata_versions(path))
+    manifest = _delete_manifest(path, del_files, schema_json)
     carry = _carry_manifests(path, meta)
     return _commit_snapshot(path, meta, [manifest], carry, "delete")
+
+
+def upsert_iceberg(
+    spark: SparkSession, path: str, source: DataFrame, on: list[str]
+) -> int:
+    """Merge-on-read UPSERT in ONE snapshot: position-delete every
+    target row whose ``on``-key appears in ``source``, and append the
+    full ``source`` as new data files — the delete manifest and the
+    data manifest commit together, so readers see the old row version
+    or the new one, never both and never neither.  No existing data
+    file is rewritten; cost is O(source + matched positions), the
+    Iceberg twin of the txlog path's ``upsert_keys`` and the
+    merge-on-read complement to the Delta connector's copy-on-write
+    ``merge_delta``.  The deletes carry the same sequence number as
+    the new data and reference only PRE-EXISTING files by path, so
+    sequence-number gating keeps the appended rows unshadowed."""
+    meta = _load_metadata(path)
+    schema_json = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema_json)
+    declared = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    got = {f.name: f.dataType.simpleString() for f in source.schema.fields}
+    if declared != got:
+        raise ValueError(
+            f"schema mismatch: table declares {declared}, upsert has {got}"
+        )
+    snap = _snapshot_by_id(meta, None)
+    if snap is None:
+        raise ValueError("cannot upsert into a table with no snapshot")
+    data, _deletes = _manifest_entries(path, meta, snap)
+    part_names = [
+        f["name"] for f in _spec_fields(meta, meta.get("default-spec-id", 0))
+    ]
+    part_fields = [
+        (c, next(f["type"] for f in schema_json["fields"] if f["name"] == c))
+        for c in part_names
+    ]
+    new_manifests: list[dict] = []
+    if data:
+        files = sorted({r["path"] for r in data})
+        scan = spark.read.schema(spark_schema).parquet(*files)
+        # project the _metadata pseudo-column BEFORE joining — it only
+        # resolves directly against the scan relation
+        tagged = scan.select(
+            "*",
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        hits = tagged.join(source.select(*on), on, "left_semi").select(
+            "file_path", "pos"
+        )
+        del_files = _stage_pos_delete(spark, path, hits)
+        if del_files:
+            new_manifests.append(
+                _delete_manifest(path, del_files, schema_json)
+            )
+    staged = _stage_data_files(source, path, part_names, schema_json)
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": f,
+        }
+        for f in staged
+    ]
+    new_manifests.append(
+        _write_manifest(path, entries, part_fields, 0, "data", schema_json)
+    )
+    carry = _carry_manifests(path, meta)
+    return _commit_snapshot(path, meta, new_manifests, carry, "overwrite")
 
 
 # ------------------------------------------------------------------ query
@@ -1222,3 +1305,52 @@ scan_iceberg = query(
     GROUP BY o_orderpriority
     """,
 )(scan_iceberg)
+
+
+def scan_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPSERT on the Iceberg format: target = keys ≡0
+    (mod 3); one ``upsert_iceberg`` call position-deletes the matched
+    rows (keys ≡0 mod 6, price +1000) and appends them with the new
+    keys ≡1 (mod 3) in a single snapshot.  The oracle recomputes the
+    merged state arithmetically — a shadowed insert, an unapplied
+    delete, or a double-counted update all fail the hash compare.
+    (The Iceberg twin of ``b_lake_delta_merge``; r6.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"iceberg_upsert_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        ops = [h["operation"] for h in history_iceberg(spark, path)]
+        complete = ops == ["append", "overwrite"]
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 3 == 0), path, mode="error"
+        )
+        source = orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        ).unionByName(orders.filter(F.col("o_orderkey") % 3 == 1))
+        upsert_iceberg(spark, path, source, on=["o_orderkey"])
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+scan_iceberg_upsert = query(
+    "b_lake_iceberg_upsert",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum(
+               "CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000 "
+               "ELSE o_totalprice END"
+           )} AS total_price
+    FROM orders
+    WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_upsert)

@@ -7,12 +7,12 @@ from aws_datalake_framework_api_spark.api import dispatch, health
 from aws_datalake_framework_api_spark.catalog import Catalog, delta_available
 
 
-@pytest.fixture(params=["auto", "deltalog"])
+@pytest.fixture(params=["auto", "deltalog", "iceberg"])
 def cat(request, spark, tmp_path):
-    """Every CRUD/audit test runs twice: on the probed default backend
-    (txlog here — delta-spark is absent) and on ``deltalog``, the
-    dependency-free Delta-protocol backend, so the catalog's ACID
-    semantics are proven on the OPEN table format too."""
+    """Every CRUD/audit test runs three times: on the probed default
+    backend (txlog here — delta-spark is absent) and on ``deltalog`` /
+    ``iceberg``, the dependency-free open-table-format backends, so
+    the catalog's ACID semantics are proven on BOTH open formats."""
     return Catalog(spark, str(tmp_path / "wh"), backend=request.param)
 
 
@@ -265,3 +265,42 @@ def test_deltalog_point_update_rewrites_only_hit_files(spark, tmp_path):
         assert os.path.getmtime(os.path.join(d, p)) == mtimes[p]
     statuses = {r["aws_request_id"]: r["status"] for r in cat.audit_log().collect()}
     assert statuses == {"r0": "success", "r1": "done", "r2": "success"}
+
+
+def test_iceberg_point_update_rewrites_no_data_file(spark, tmp_path):
+    """A2 on the Iceberg backend: the status flip commits one position-
+    delete file + one patch file in ONE snapshot; every pre-existing
+    data file survives byte-identical, and history stays
+    time-travelable."""
+    import os
+
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        history_iceberg, read_iceberg,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"), backend="iceberg")
+    for i in range(3):
+        cat._audit("m", None, request_id=f"r{i}")
+        cat.flush_audit()
+    d = os.path.join(cat.warehouse, "api_events")
+    data_dir = os.path.join(d, "data")
+    before = {
+        f: os.path.getmtime(os.path.join(data_dir, f))
+        for f in os.listdir(data_dir)
+    }
+    assert cat.update_event_status("r1", "m", "done") == 1
+    for f, mt in before.items():
+        assert os.path.getmtime(os.path.join(data_dir, f)) == mt
+    rows = cat.audit_log().collect()
+    assert {r["aws_request_id"]: r["status"] for r in rows} == {
+        "r0": "success", "r1": "done", "r2": "success",
+    }
+    h = history_iceberg(spark, d)
+    assert [x["operation"] for x in h] == [
+        "append", "append", "append", "overwrite",
+    ]
+    # pre-update snapshot still shows the old status
+    old = read_iceberg(spark, d, snapshot_id=h[2]["snapshot_id"])
+    assert {r["aws_request_id"]: r["status"] for r in old.collect()} == {
+        "r0": "success", "r1": "success", "r2": "success",
+    }

@@ -412,3 +412,42 @@ def test_jvm_avro_reads_our_manifests(spark, tmp_path):
     df_rec = rows[0].get("data_file")
     assert str(df_rec.get("file_format")) == "PARQUET"
     assert int(df_rec.get("record_count")) == 1
+
+
+def test_upsert_iceberg_atomic_merge_on_read(spark, tmp_path):
+    """upsert_iceberg: ONE snapshot carrying both the position-delete
+    manifest and the new-data manifest; no data file rewritten; old
+    row versions invisible, new rows present; time travel intact."""
+    from aws_datalake_framework_api_spark.sources.iceberg import upsert_iceberg
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]).coalesce(1),
+        path, mode="error",
+    )
+    data_dir = os.path.join(path, "data")
+    before = {f: os.path.getmtime(os.path.join(data_dir, f))
+              for f in os.listdir(data_dir)}
+    upsert_iceberg(
+        spark, path, _df(spark, [(2, "B", 20.0), (9, "z", 9.0)]), on=["k"]
+    )
+    for f, mt in before.items():
+        assert os.path.getmtime(os.path.join(data_dir, f)) == mt
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0), (9, "z", 9.0),
+    ]
+    h = history_iceberg(spark, path)
+    assert len(h) == 2  # the upsert is ONE snapshot
+    assert _sorted_rows(
+        read_iceberg(spark, path, snapshot_id=h[0]["snapshot_id"])
+    ) == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    # a second upsert touching the SAME key stacks correctly (the new
+    # row version lives in a file the first delete must not shadow)
+    upsert_iceberg(spark, path, _df(spark, [(2, "BB", 200.0)]), on=["k"])
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "a", 1.0), (2, "BB", 200.0), (3, "c", 3.0), (9, "z", 9.0),
+    ]
+    with pytest.raises(ValueError, match="schema mismatch"):
+        upsert_iceberg(
+            spark, path, spark.createDataFrame([(1,)], "k int"), on=["k"]
+        )
