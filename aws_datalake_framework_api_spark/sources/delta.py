@@ -849,11 +849,15 @@ def _footer_stats(dst: str) -> str | None:
 
 
 def _stage_files(
-    df: DataFrame, path: str, partition_by: list[str], version: int
+    df: DataFrame, path: str, partition_by: list[str], version: int,
+    data_change: bool = True,
 ) -> list[dict]:
     """Write df as parquet, flatten the part files into the table root
     under unique names, and return their ``add`` actions (partition
-    values recovered from the staging layout's hive dirs)."""
+    values recovered from the staging layout's hive dirs).
+    ``data_change=False`` marks the adds as pure rearrangement
+    (compaction) so incremental consumers can skip them, per the
+    protocol's dataChange contract."""
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -885,7 +889,7 @@ def _stage_files(
                         },
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
-                        "dataChange": True,
+                        "dataChange": data_change,
                         "stats": _footer_stats(dst),
                     }
                 }
@@ -1481,6 +1485,253 @@ def merge_delta(
     actions.extend(_stage_files(new_data, path, part_cols, version))
     _commit(path, version, actions)
     return {"version": version, "updated": n_updated, "inserted": n_inserted}
+
+
+def optimize_delta(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_filter: dict | None = None,
+) -> dict:
+    """OPTIMIZE (bin-packing compaction): within each partition, groups
+    of small files (and any file carrying a deletion vector) are
+    rewritten into ~``target_file_bytes`` files.  Both the removes and
+    the adds carry ``dataChange: false`` — the protocol's signal that
+    the commit rearranges bytes without changing rows, so an
+    incremental/streaming consumer skips it entirely.  Deletion
+    vectors are folded into the rewrite (compaction is the read-debt
+    payoff for merge-on-read deletes).  The small-file problem this
+    solves is the audit-table pattern: one coalesced file per
+    append/flush, thousands of flushes — at 100 TB an un-compacted
+    table pays per-file open cost on every scan.
+
+    ``partition_filter`` scopes the pass (compact only today's
+    partition).  Returns {"version", "files_before", "files_after",
+    "partitions_compacted"}; nothing to do commits nothing."""
+    snap, latest = _snapshot(spark, path)
+    _check_write_protocol(snap, "append")  # compaction adds no/removes no ROWS
+    schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+    part_cols = list(snap.metadata.get("partitionColumns") or [])
+    by_part: dict[tuple, list[str]] = {}
+    for rel in sorted(snap.files):
+        pv = snap.partition_values(rel)
+        if partition_filter and not _part_match(pv, partition_filter):
+            continue
+        by_part.setdefault(tuple(pv.get(c) for c in part_cols), []).append(rel)
+    version = latest + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": target_file_bytes,
+                },
+            }
+        }
+    ]
+    files_before = files_after = n_parts = 0
+    now = int(time.time() * 1000)
+    for key, rels in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+        has_dv = any(
+            int((snap.files[r].get("deletionVector") or {}).get("cardinality") or 0)
+            for r in rels
+        )
+        small = [
+            r for r in rels
+            if int(snap.files[r].get("size") or 0) < target_file_bytes
+        ]
+        # compact when >1 small file can merge, or a DV needs folding
+        group = sorted(set(small) | {
+            r for r in rels if snap.files[r].get("deletionVector")
+        }) if (len(small) > 1 or has_dv) else []
+        if len(group) < (1 if has_dv else 2):
+            continue
+        total = sum(int(snap.files[r].get("size") or 0) for r in group)
+        n_out = max(1, -(-total // target_file_bytes))
+        rows = _scan_files(
+            spark, path, snap, group, schema, part_cols,
+            _dv_map(path, snap, group),
+        )
+        adds = _stage_files(
+            rows.coalesce(n_out), path, part_cols, version, data_change=False
+        )
+        for rel in group:
+            rm = {
+                "path": rel,
+                "deletionTimestamp": now,
+                "dataChange": False,
+            }
+            if snap.files[rel].get("deletionVector"):
+                rm["deletionVector"] = snap.files[rel]["deletionVector"]
+            actions.append({"remove": rm})
+        actions.extend(adds)
+        files_before += len(group)
+        files_after += len(adds)
+        n_parts += 1
+    if not n_parts:
+        return {"version": latest, "files_before": 0, "files_after": 0,
+                "partitions_compacted": 0}
+    _commit(path, version, actions)
+    return {"version": version, "files_before": files_before,
+            "files_after": files_after, "partitions_compacted": n_parts}
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes committed in ``(starting_version,
+    ending_version]`` — the incremental-consumer read (Delta CDF's
+    shape, derived from the log's file diffs rather than `_change_data`
+    files, which this writer does not produce).  Output columns: the
+    table schema + ``_change_type`` ('insert' | 'delete') +
+    ``_commit_version``.  Per commit:
+
+    - ``add`` with ``dataChange: true`` → its live rows are inserts;
+    - ``remove`` with ``dataChange: true`` → its previously-live rows
+      (old DV applied) are deletes;
+    - a remove+re-add of the SAME path with a grown deletion vector →
+      deletes for exactly the NEW positions (the merge-on-read DELETE
+      shape);
+    - ``dataChange: false`` actions (OPTIMIZE) are skipped entirely —
+      that is what the flag exists for.
+
+    A copy-on-write UPDATE therefore surfaces as delete+insert pairs
+    for the rewritten files, the standard file-granular CDC contract;
+    consumers key-dedupe downstream.  Intended for short version
+    ranges (a streaming consumer's batch): the plan unions one scan
+    per touched file set per commit."""
+    latest = _table_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no delta log at {path}")
+    end = latest if ending_version is None else ending_version
+    # replay to starting_version for the before-state (old DVs)
+    state, _ = _snapshot(spark, path, starting_version) if starting_version >= 0 else (None, None)
+    schema = StructType.fromJson(json.loads(state.metadata["schemaString"]))
+    part_cols = list(state.metadata.get("partitionColumns") or [])
+    out_parts: list[DataFrame] = []
+
+    def scan(files_map: dict[str, dict], dv: dict | None) -> DataFrame:
+        tmp = _Snapshot()
+        tmp.metadata = state.metadata
+        tmp.files = files_map
+        return _scan_files(
+            spark, path, tmp, sorted(files_map), schema, part_cols, dv
+        )
+
+    for v in range(starting_version + 1, end + 1):
+        vf = _version_file(path, v)
+        if not os.path.isfile(vf):
+            raise ValueError(
+                f"version {v} JSON is gone (log cleaned up) — change "
+                f"feed for this range is unreconstructable"
+            )
+        with open(vf) as fh:
+            acts = [json.loads(line) for line in fh if line.strip()]
+        adds = {a["add"]["path"]: a["add"] for a in acts if "add" in a}
+        removes = {a["remove"]["path"]: a["remove"] for a in acts if "remove" in a}
+        ins_files: dict[str, dict] = {}
+        del_files: dict[str, dict] = {}
+        pos_deletes: dict[str, list[int]] = {}  # basename -> new positions
+        for p, a in adds.items():
+            if not a.get("dataChange", True):
+                continue
+            if p in removes and _dv_uid(a.get("deletionVector")) != _dv_uid(
+                removes[p].get("deletionVector")
+            ):
+                # DV update on an existing path: delta of positions
+                old_a = (state.files or {}).get(p)
+                base = os.path.basename(urllib.parse.unquote(p))
+                old_pos = set()
+                if old_a is not None and old_a.get("deletionVector"):
+                    old_pos = set(_load_dv_positions(path, old_a["deletionVector"]))
+                new_pos = set()
+                if a.get("deletionVector"):
+                    new_pos = set(_load_dv_positions(path, a["deletionVector"]))
+                grown = sorted(new_pos - old_pos)
+                if grown:
+                    pos_deletes[base] = grown
+                continue
+            ins_files[p] = a
+        for p, r in removes.items():
+            if not r.get("dataChange", True) or p in adds:
+                continue
+            old_a = (state.files or {}).get(p)
+            if old_a is not None:
+                del_files[p] = old_a
+        lit_v = F.lit(v).cast("long")
+        if ins_files:
+            dv = {
+                os.path.basename(urllib.parse.unquote(p)): _load_dv_positions(
+                    path, a["deletionVector"]
+                )
+                for p, a in ins_files.items()
+                if a.get("deletionVector")
+                and int(a["deletionVector"].get("cardinality") or 0)
+            } or None
+            out_parts.append(
+                scan(ins_files, dv)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", lit_v)
+            )
+        if del_files:
+            dv = {
+                os.path.basename(urllib.parse.unquote(p)): _load_dv_positions(
+                    path, a["deletionVector"]
+                )
+                for p, a in del_files.items()
+                if a.get("deletionVector")
+                and int(a["deletionVector"].get("cardinality") or 0)
+            } or None
+            out_parts.append(
+                scan(del_files, dv)
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", lit_v)
+            )
+        if pos_deletes:
+            import pandas as pd
+
+            base_to_rel = {
+                os.path.basename(urllib.parse.unquote(p)): p
+                for p in (state.files or {})
+            }
+            fmap = {base_to_rel[b]: state.files[base_to_rel[b]]
+                    for b in pos_deletes if b in base_to_rel}
+            tmp = _Snapshot()
+            tmp.metadata = state.metadata
+            tmp.files = fmap
+            tagged = _scan_files(
+                spark, path, tmp, sorted(fmap), schema, part_cols,
+                None, keep_file=True, keep_pos=True,
+            )
+            wanted = spark.createDataFrame(
+                pd.DataFrame(
+                    [(b, int(q)) for b, ps in sorted(pos_deletes.items())
+                     for q in ps],
+                    columns=["_dl_file", "_dl_dv_pos"],
+                ),
+                "_dl_file string, _dl_dv_pos long",
+            )
+            out_parts.append(
+                tagged.join(F.broadcast(wanted), ["_dl_file", "_dl_dv_pos"])
+                .drop("_dl_file", "_dl_dv_pos")
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", lit_v)
+            )
+        # advance the before-state through this version
+        for a in acts:
+            state.apply(a)
+    if not out_parts:
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn("_change_type", F.lit(None).cast("string")) \
+                    .withColumn("_commit_version", F.lit(None).cast("long"))
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def checkpoint_delta(spark: SparkSession, path: str) -> int:

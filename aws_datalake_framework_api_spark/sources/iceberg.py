@@ -1354,3 +1354,235 @@ scan_iceberg_upsert = query(
     GROUP BY o_orderpriority
     """,
 )(scan_iceberg_upsert)
+
+
+# ------------------------------------------------------------- maintenance
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compaction (the iceberg-spark ``rewrite_data_files`` action):
+    within each partition, groups of small data files — and any file a
+    position delete applies to — are read merge-on-read and rewritten
+    into ~``target_file_bytes`` files.  The new snapshot carries one
+    ADDED manifest (the rewritten files), one EXISTING manifest (the
+    untouched files, their original sequence numbers explicit so
+    delete gating keeps working), and the delete manifests unchanged
+    (delete rows naming compacted files become inert — their targets
+    left the snapshot).  Row content is unchanged; this is the
+    read-debt payoff for merge-on-read deletes and the small-file
+    cure for append-heavy tables.
+
+    Returns {"version", "files_before", "files_after",
+    "partitions_compacted"}; nothing to compact commits nothing."""
+    meta = _load_metadata(path)
+    schema_json = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema_json)
+    snap = _snapshot_by_id(meta, None)
+    if snap is None:
+        return {"version": max(_metadata_versions(path)), "files_before": 0,
+                "files_after": 0, "partitions_compacted": 0}
+    data, deletes = _manifest_entries(path, meta, snap)
+    deleted_targets = set()
+    for d in deletes:
+        # which data files do the position deletes name?  read just the
+        # file_path column of the (planning-sized-per-file) delete files
+        import pyarrow.parquet as pq
+
+        try:
+            t = pq.read_table(d["path"], columns=["file_path"])
+            deleted_targets |= {
+                os.path.basename(urllib.parse.unquote(p))
+                for p in t.column("file_path").to_pylist()
+            }
+        except Exception:  # noqa: BLE001 — unreadable -> treat none targeted
+            pass
+    by_part: dict[tuple, list[dict]] = {}
+    part_names = [
+        f["name"] for f in _spec_fields(meta, meta.get("default-spec-id", 0))
+    ]
+    for rec in data:
+        key = tuple(rec["partition"].get(c) for c in part_names)
+        by_part.setdefault(key, []).append(rec)
+    compact: list[dict] = []
+    kept: list[dict] = []
+    n_parts = 0
+    for key, recs in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+        import os as _os
+
+        small = [r for r in recs if _file_size(r, path) < target_file_bytes]
+        dv_hit = [
+            r for r in recs
+            if _os.path.basename(urllib.parse.unquote(r["path"])) in deleted_targets
+        ]
+        group = sorted(
+            {id(r): r for r in (small if len(small) > 1 else []) + dv_hit}.values(),
+            key=lambda r: r["path"],
+        )
+        if not group:
+            kept.extend(recs)
+            continue
+        n_parts += 1
+        compact.extend(group)
+        kept.extend(r for r in recs if r not in group)
+    if not compact:
+        return {"version": max(_metadata_versions(path)), "files_before": 0,
+                "files_after": 0, "partitions_compacted": 0}
+    part_fields = [
+        (c, next(f["type"] for f in schema_json["fields"] if f["name"] == c))
+        for c in part_names
+    ]
+    rows = _plan_scan(spark, spark_schema, compact, deletes)
+    total = sum(_file_size(r, path) for r in compact)
+    n_out = max(1, -(-total // target_file_bytes))
+    staged = _stage_data_files(
+        rows.coalesce(n_out), path, part_names, schema_json
+    )
+    added_entries = [
+        {"status": 1, "snapshot_id": None, "sequence_number": None,
+         "file_sequence_number": None, "data_file": f}
+        for f in staged
+    ]
+    new_manifests = [
+        _write_manifest(path, added_entries, part_fields, 0, "data", schema_json)
+    ]
+    if kept:
+        kept_entries = [
+            {
+                "status": 0,  # EXISTING: sequence numbers stay explicit
+                "snapshot_id": None,
+                "sequence_number": r["seq"],
+                "file_sequence_number": r["seq"],
+                "data_file": {
+                    "content": 0,
+                    "file_path": r["path"],
+                    "file_format": "PARQUET",
+                    "partition": r["partition"],
+                    "record_count": r["record_count"],
+                    "file_size_in_bytes": _file_size(r, path),
+                    "lower_bounds": (
+                        [{"key": k, "value": v} for k, v in sorted(r["lower"].items())]
+                        if r["lower"] else None
+                    ),
+                    "upper_bounds": (
+                        [{"key": k, "value": v} for k, v in sorted(r["upper"].items())]
+                        if r["upper"] else None
+                    ),
+                },
+            }
+            for r in kept
+        ]
+        new_manifests.append(
+            _write_manifest(
+                path, kept_entries, part_fields, 0, "data", schema_json
+            )
+        )
+    # carry ONLY the delete manifests (data manifests are replaced by
+    # the ADDED + EXISTING pair above)
+    carry = [
+        m for m in _carry_manifests(path, meta) if int(m.get("content") or 0) == 1
+    ]
+    v = _commit_snapshot(path, meta, new_manifests, carry, "replace")
+    return {"version": v, "files_before": len(compact),
+            "files_after": len(staged), "partitions_compacted": n_parts}
+
+
+def _file_size(rec: dict, path: str) -> int:
+    try:
+        return os.path.getsize(rec["path"])
+    except OSError:
+        return 0
+
+
+def expire_snapshots(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> dict:
+    """Snapshot expiration + orphan reclamation (the iceberg-spark
+    ``expire_snapshots`` action): drop all but the last ``keep_last``
+    snapshots from the metadata (the current one always survives),
+    then physically delete every data/delete file and manifest no
+    REMAINING snapshot references.  Time travel to expired snapshots
+    stops working — the documented contract; readers of live state
+    are unaffected because deletion is reference-driven, never
+    age-driven."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = _load_metadata(path)
+    snaps = sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: (s.get("sequence-number", 0), s.get("timestamp-ms", 0)),
+    )
+    cur = meta.get("current-snapshot-id")
+    keep = {s["snapshot-id"] for s in snaps[-keep_last:]} | ({cur} if cur else set())
+    dropped = [s for s in snaps if s["snapshot-id"] not in keep]
+    if not dropped:
+        return {"version": max(_metadata_versions(path)), "expired": 0,
+                "files_deleted": 0}
+    location = meta.get("location") or path
+    # referenced set across SURVIVING snapshots
+    live_files: set[str] = set()
+    live_manifests: set[str] = set()
+    live_mls: set[str] = set()
+    for s in snaps:
+        if s["snapshot-id"] not in keep:
+            continue
+        ml = _resolve(s["manifest-list"], path, location)
+        live_mls.add(os.path.abspath(ml))
+        _, manifests = read_avro_file(ml)
+        for mf in manifests:
+            mp = _resolve(mf["manifest_path"], path, location)
+            live_manifests.add(os.path.abspath(mp))
+            _, entries = read_avro_file(mp)
+            for e in entries:
+                if int(e.get("status") or 0) == 2:
+                    continue
+                live_files.add(
+                    os.path.abspath(
+                        _resolve(e["data_file"]["file_path"], path, location)
+                    )
+                )
+    # new metadata version with the surviving snapshots only
+    meta2 = json.loads(json.dumps(meta))
+    version = int(meta2.pop("__file_version__")) + 1
+    meta2["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep]
+    keep_ids = {s["snapshot-id"] for s in meta2["snapshots"]}
+    meta2["snapshot-log"] = [
+        e for e in meta2.get("snapshot-log") or [] if e["snapshot-id"] in keep_ids
+    ]
+    final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(meta2, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError as e:
+        raise RuntimeError(
+            f"iceberg commit conflict at version {version} ({path})"
+        ) from e
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    htmp = hint + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(htmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(htmp, hint)
+    # reclaim: files under data/ and avro under metadata/ that no
+    # surviving snapshot references
+    n_del = 0
+    ddir = os.path.join(path, "data")
+    if os.path.isdir(ddir):
+        for root, _dirs, files in os.walk(ddir):
+            for f in files:
+                full = os.path.abspath(os.path.join(root, f))
+                if f.endswith(".parquet") and full not in live_files:
+                    os.unlink(full)
+                    n_del += 1
+    for f in os.listdir(_meta_dir(path)):
+        full = os.path.abspath(os.path.join(_meta_dir(path), f))
+        if f.endswith(".avro") and full not in live_manifests | live_mls:
+            os.unlink(full)
+            n_del += 1
+    return {"version": version, "expired": len(dropped), "files_deleted": n_del}

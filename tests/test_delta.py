@@ -1239,3 +1239,94 @@ def test_write_delta_merge_schema_additive(spark, tmp_path):
             ),
             path, mode="append", merge_schema=True,
         )
+
+
+# ------------------------------------------------ OPTIMIZE + change feed (r6)
+
+
+def test_optimize_bin_packs_and_folds_dv(spark, tmp_path):
+    """OPTIMIZE merges small files per partition with dataChange=false
+    on both sides (incremental consumers skip it), folds DVs, and
+    changes no rows."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta, optimize_delta,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(4):  # four tiny files
+        write_delta(
+            _df(spark, [(i, "x", float(i))]).coalesce(1), path,
+            mode="error" if i == 0 else "append",
+        )
+    delete_where_delta(spark, path, F.col("k") == 2)
+    before = _sorted_rows(read_delta(spark, path))
+    out = optimize_delta(spark, path)
+    assert out["files_before"] >= 4 and out["files_after"] == 1
+    assert _sorted_rows(read_delta(spark, path)) == before == [
+        (0, "x", 0.0), (1, "x", 1.0), (3, "x", 3.0),
+    ]
+    with open(_version_file(path, out["version"])) as fh:
+        acts = [json.loads(line) for line in fh]
+    for a in acts:
+        if "add" in a:
+            assert a["add"]["dataChange"] is False
+            assert not a["add"].get("deletionVector")  # DV folded
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is False
+    # nothing left to compact -> no commit
+    again = optimize_delta(spark, path)
+    assert again["partitions_compacted"] == 0
+    assert again["version"] == out["version"]
+
+
+def test_optimize_respects_partition_scope(spark, tmp_path):
+    from aws_datalake_framework_api_spark.sources.delta import optimize_delta
+
+    path = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    write_delta(df, path, mode="error", partition_by=["part"])
+    write_delta(_df(spark, [(3, "a", 3.0), (4, "b", 4.0)]), path,
+                mode="append", partition_by=["part"])
+    out = optimize_delta(spark, path, partition_filter={"part": "a"})
+    assert out["partitions_compacted"] == 1
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0), (4, "b", 4.0),
+    ]
+
+
+def test_change_feed_inserts_deletes_and_dv_delta(spark, tmp_path):
+    """read_delta_changes: appends surface as inserts, DV deletes as
+    positional deletes (exactly the grown positions), copy-on-write
+    rewrites as delete+insert pairs, OPTIMIZE as nothing."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta, optimize_delta, read_delta_changes, update_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1), path,
+        mode="error",
+    )
+    write_delta(_df(spark, [(3, "c", 3.0)]).coalesce(1), path, mode="append")  # v1
+    delete_where_delta(spark, path, F.col("k") == 1)                           # v2
+    update_delta(spark, path, F.col("k") == 3, {"v": 30.0})                    # v3
+    opt = optimize_delta(spark, path)                                          # v4
+
+    def changes(lo, hi):
+        return sorted(
+            (r["_commit_version"], r["_change_type"], r["k"])
+            for r in read_delta_changes(spark, path, lo, hi).collect()
+        )
+
+    assert changes(0, 1) == [(1, "insert", 3)]
+    # the DV delete surfaces ONLY row k=1, not the file's other row
+    assert changes(1, 2) == [(2, "delete", 1)]
+    # copy-on-write update: delete+insert pair for the rewritten file
+    assert changes(2, 3) == [(3, "delete", 3), (3, "insert", 3)]
+    # OPTIMIZE (dataChange=false) contributes nothing
+    assert changes(3, opt["version"]) == []
+    # and the full range composes
+    assert changes(0, opt["version"]) == [
+        (1, "insert", 3), (2, "delete", 1),
+        (3, "delete", 3), (3, "insert", 3),
+    ]

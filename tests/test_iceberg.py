@@ -451,3 +451,56 @@ def test_upsert_iceberg_atomic_merge_on_read(spark, tmp_path):
         upsert_iceberg(
             spark, path, spark.createDataFrame([(1,)], "k int"), on=["k"]
         )
+
+
+def test_rewrite_data_files_compacts_and_folds_deletes(spark, tmp_path):
+    """Compaction merges small files, folds applicable position
+    deletes into the rewrite, keeps untouched files by reference
+    (EXISTING entries), and changes no rows."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        write_iceberg(
+            _df(spark, [(i, "x", float(i))]).coalesce(1), path,
+            mode="error" if i == 0 else "append",
+        )
+    delete_iceberg_rows(spark, path, F.col("k") == 2)
+    before = _sorted_rows(read_iceberg(spark, path))
+    out = rewrite_data_files(spark, path)
+    assert out["files_before"] >= 4 and out["files_after"] == 1
+    assert _sorted_rows(read_iceberg(spark, path)) == before == [
+        (0, "x", 0.0), (1, "x", 1.0), (3, "x", 3.0),
+    ]
+    # nothing left to compact -> no commit
+    again = rewrite_data_files(spark, path)
+    assert again["partitions_compacted"] == 0
+    # pre-compaction snapshots still time-travel
+    h = history_iceberg(spark, path)
+    assert [x["operation"] for x in h][-1] == "replace"
+    assert read_iceberg(spark, path, snapshot_id=h[0]["snapshot_id"]).count() == 1
+
+
+def test_expire_snapshots_reclaims_unreferenced_files(spark, tmp_path):
+    """Snapshot expiration drops history and physically reclaims files
+    no surviving snapshot references; live reads are unaffected."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        expire_snapshots,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]).coalesce(1), path, mode="error")
+    write_iceberg(_df(spark, [(9, "z", 9.0)]).coalesce(1), path,
+                  mode="overwrite")  # v1's file now historical
+    n_files = len(os.listdir(os.path.join(path, "data")))
+    live = _sorted_rows(read_iceberg(spark, path))
+    out = expire_snapshots(spark, path, keep_last=1)
+    assert out["expired"] == 1 and out["files_deleted"] >= 1
+    assert len(os.listdir(os.path.join(path, "data"))) < n_files
+    assert _sorted_rows(read_iceberg(spark, path)) == live == [(9, "z", 9.0)]
+    h = history_iceberg(spark, path)
+    assert len(h) == 1  # expired snapshot gone from metadata
+    # idempotent
+    assert expire_snapshots(spark, path, keep_last=1)["expired"] == 0
