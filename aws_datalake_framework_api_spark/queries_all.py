@@ -156,6 +156,7 @@ _ORDER = [
     "b_lake_delta_dv",
     "b_lake_delta_merge",
     "b_lake_iceberg_upsert",
+    "b_lake_delta_cdf",
     "b_fn_null",
     "b_fn_map",
     "b_fn_explode",

@@ -2154,3 +2154,77 @@ def scan_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         money_sum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "b_lake_delta_cdf",
+    f"""
+    SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+           count(*) AS n, {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 5 = 1
+    UNION ALL
+    SELECT 'delete', 2, count(*), {sql_money_sum('o_totalprice')}
+    FROM orders WHERE o_orderkey % 10 = 1
+    UNION ALL
+    SELECT 'delete', 3, count(*), {sql_money_sum('o_totalprice')}
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'insert', 3, count(*),
+           {sql_money_sum(
+               "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 500 "
+               "ELSE o_totalprice END"
+           )}
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def scan_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed read over a mutation history on the open Delta
+    format: single-file create (keys ≡0 mod 5) → single-file append
+    (≡1 mod 5) → merge-on-read DV DELETE (≡1 mod 10) → copy-on-write
+    UPDATE (≡0 mod 10, price +500).  ``read_delta_changes(0, 3)``
+    must surface the append as inserts, the DV delete as positional
+    deletes of EXACTLY the grown positions, and the rewrite as
+    delete+insert pairs for the rewritten file — the single-file
+    layout makes every pair arithmetically predictable, so the oracle
+    recomputes all four change groups from the fixture and any
+    over/under-emitted change row fails the hash compare.  (r6.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"delta_cdf_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        ops = [h["operation"] for h in history_delta(spark, path)]
+        complete = _table_version(path) == 3 and ops[-2:] == ["DELETE", "MERGE"]
+    except (FileNotFoundError, ValueError, IndexError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 5 == 0).coalesce(1),
+            path, mode="error",
+        )
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 5 == 1).coalesce(1),
+            path, mode="append",
+        )
+        delete_where_delta(spark, path, F.col("o_orderkey") % 10 == 1)
+        # UPDATE price += 500 on keys ≡0 (mod 10): update_delta takes
+        # LITERAL assignments, so the additive update goes through
+        # merge_delta — source = the matched rows with the bumped
+        # price (same copy-on-write rewrite, expression-capable).
+        src = read_delta(spark, path).filter(
+            F.col("o_orderkey") % 10 == 0
+        ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+        merge_delta(spark, path, src, on=["o_orderkey"])
+    return (
+        read_delta_changes(spark, path, 0, 3)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+    )
