@@ -66,6 +66,7 @@ from .operators import analytics as _analytics  # noqa: F401  B4/B5 compositions
 from .operators import timeseries as _timeseries  # noqa: F401  B5 gapfill/LOCF
 from .streaming import windows as _stream_windows  # noqa: F401  B9
 from .streaming import ingest as _stream_ingest  # noqa: F401  A12/B9
+from .streaming import delta_source as _stream_delta_source  # noqa: F401  B9/B1 delta tail
 from .streaming import upsert as _stream_upsert  # noqa: F401  B9∪B1 lakehouse merge
 from . import catalog_queries as _catalog_queries  # noqa: F401  A1-A9
 from .operators import udfs as _udfs  # noqa: F401  B10
@@ -157,6 +158,7 @@ _ORDER = [
     "b_lake_delta_merge",
     "b_lake_iceberg_upsert",
     "b_lake_delta_cdf",
+    "b_stream_delta_source",
     "b_fn_null",
     "b_fn_map",
     "b_fn_explode",

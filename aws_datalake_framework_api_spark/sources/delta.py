@@ -257,8 +257,21 @@ def _table_version(path: str) -> int | None:
     return max(versions[-1] if versions else -1, cpv if cpv is not None else -1)
 
 
+def _fix_arrow_maps(obj):
+    """pyarrow ``to_pylist`` renders parquet MAP values as lists of
+    (key, value) tuples; the replay expects dicts.  No checkpoint
+    field is a genuine list-of-pairs, so the shape test is exact."""
+    if isinstance(obj, list):
+        if obj and all(isinstance(e, tuple) and len(e) == 2 for e in obj):
+            return {k: _fix_arrow_maps(v) for k, v in obj}
+        return [_fix_arrow_maps(e) for e in obj]
+    if isinstance(obj, dict):
+        return {k: _fix_arrow_maps(v) for k, v in obj.items()}
+    return obj
+
+
 def _snapshot(
-    spark: SparkSession, path: str, version_as_of: int | None = None
+    spark: SparkSession | None, path: str, version_as_of: int | None = None
 ) -> tuple[_Snapshot, int]:
     versions = _list_versions(path)
     cp = _read_last_checkpoint(path)
@@ -284,8 +297,21 @@ def _snapshot(
             )
         # Checkpoint rows are one-action-per-row structs; collecting
         # them is the same files-per-table driver bound as planning.
-        for row in spark.read.parquet(*cp_files).collect():
-            d = row.asDict(recursive=True)
+        # ``spark=None`` reads them with pyarrow instead — the
+        # streaming source's DataSource worker has no session, and a
+        # checkpoint is planning-sized either way.
+        if spark is not None:
+            rows = [
+                r.asDict(recursive=True)
+                for r in spark.read.parquet(*cp_files).collect()
+            ]
+        else:
+            import pyarrow.parquet as pq
+
+            rows = []
+            for f in cp_files:
+                rows.extend(_fix_arrow_maps(pq.read_table(f).to_pylist()))
+        for d in rows:
             for key in ("protocol", "metaData", "add", "remove", "txn"):
                 if d.get(key) is not None:
                     snap.apply({key: d[key]})

@@ -1,0 +1,268 @@
+"""Streaming SOURCE over the open Delta format: ``spark.readStream
+.format("delta_stream").load(path)`` tails a ``_delta_log`` the way
+delta-spark's streaming source does — offsets are table VERSIONS,
+each micro-batch reads exactly the ``dataChange`` adds committed in
+``(startVersion, endVersion]``, and checkpoint restart resumes from
+the last committed version.
+
+Built on Spark 4's Python Data Source API (the same public seam as
+``sources/python_source.py``): the driver-side ``partitions()`` call
+parses only the NEW log versions per batch (planning-sized JSON) and
+emits one :class:`InputPartition` per added data file; the
+EXECUTOR-side ``read()`` opens that one parquet file with pyarrow,
+injects the log's partition values, and subtracts any deletion-vector
+positions shipped in the partition descriptor.  Data bytes therefore
+move executor-parallel, never through the driver.
+
+Semantics (delta-spark parity):
+
+- append-only tails: a ``dataChange`` REMOVE in the tailed range
+  (overwrite, DELETE, copy-on-write rewrite) REFUSES by default —
+  silently skipping it would stream a state change as nothing.
+  ``ignoreChanges=true`` opts into delta-spark's documented behavior
+  (re-adds of rewritten files stream again; consumers dedupe by key);
+- ``startingVersion`` (default 0) controls where the tail begins;
+  the initial batch replays from there, like delta-spark's option;
+- exactly-once: offsets are committed by the engine's checkpoint;
+  re-running a batch re-reads the same closed version range.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+
+from pyspark.sql import SparkSession  # noqa: F401 — register() typing
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ..sources.delta import (
+    _list_versions,
+    _load_dv_positions,
+    _snapshot,
+    _table_version,
+    _version_file,
+)
+
+
+class _DeltaFilePartition(InputPartition):
+    def __init__(
+        self,
+        file_path: str,
+        part_values: dict,
+        dv_positions: list[int],
+        fields: list[tuple[str, str]],  # (name, simpleString type)
+        part_cols: list[str],
+    ) -> None:
+        self.file_path = file_path
+        self.part_values = part_values
+        self.dv_positions = dv_positions
+        self.fields = fields
+        self.part_cols = part_cols
+
+
+def _typed(value: str | None, simple: str):
+    if value is None:
+        return None
+    if simple in ("int", "bigint", "smallint", "tinyint"):
+        return int(value)
+    if simple in ("double", "float"):
+        return float(value)
+    if simple == "boolean":
+        return value == "true"
+    return value
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("delta_stream requires .load(<table path>)")
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.start = int(options.get("startingversion", 0))
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start - 1}
+
+    def latestOffset(self) -> dict:
+        v = _table_version(self.path)
+        return {"version": v if v is not None else self.start - 1}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        fields = [(f.name, f.dataType.simpleString()) for f in self.schema.fields]
+        # partition columns = declared schema minus what the files hold;
+        # resolved from the log ONCE per planned range
+        snap, _ = _snapshot(None, self.path, hi)
+        part_cols = list(snap.metadata.get("partitionColumns") or [])
+        out: list[_DeltaFilePartition] = []
+        have = set(_list_versions(self.path))
+        for v in range(lo + 1, hi + 1):
+            if v not in have:
+                raise ValueError(
+                    f"delta_stream: version {v} JSON is gone (log cleanup) "
+                    "— restart the stream from a fresh checkpoint"
+                )
+            with open(_version_file(self.path, v)) as fh:
+                acts = [json.loads(line) for line in fh if line.strip()]
+            for a in acts:
+                if "remove" in a and a["remove"].get("dataChange", True):
+                    if not self.ignore_changes:
+                        raise ValueError(
+                            f"delta_stream: version {v} contains a dataChange "
+                            "remove (overwrite/delete/rewrite); streaming a "
+                            "change as silence is wrong — set "
+                            "ignoreChanges=true to stream re-added rows "
+                            "(downstream must dedupe by key)"
+                        )
+            for a in acts:
+                if "add" not in a or not a["add"].get("dataChange", True):
+                    continue
+                add = a["add"]
+                rel = urllib.parse.unquote(add["path"])
+                dv = add.get("deletionVector")
+                positions = (
+                    _load_dv_positions(self.path, dv)
+                    if dv and int(dv.get("cardinality") or 0)
+                    else []
+                )
+                out.append(
+                    _DeltaFilePartition(
+                        os.path.join(self.path, rel),
+                        dict(add.get("partitionValues") or {}),
+                        positions,
+                        fields,
+                        part_cols,
+                    )
+                )
+        return out
+
+    def read(self, partition: _DeltaFilePartition):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.file_path)
+        cols = table.column_names
+        deleted = set(partition.dv_positions)
+        part_typed = {
+            name: _typed(partition.part_values.get(name), simple)
+            for name, simple in partition.fields
+            if name in partition.part_cols
+        }
+        for pos, row in enumerate(table.to_pylist()):
+            if pos in deleted:
+                continue
+            yield tuple(
+                part_typed[name]
+                if name in part_typed
+                else row.get(name) if name in cols else None
+                for name, _ in partition.fields
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine checkpoint
+
+
+class DeltaStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "delta_stream"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_stream requires .load(<table path>)")
+        snap, _ = _snapshot(None, path)
+        return StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+
+    def streamReader(self, schema: StructType) -> DeltaStreamReader:
+        return DeltaStreamReader(schema, self.options)
+
+
+def register(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(DeltaStreamSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+
+
+# ------------------------------------------------------------------ query
+
+
+def stream_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream FROM a Delta table: build an orders-slice table with
+    two append commits, tail it with the ``delta_stream`` source
+    (availableNow), sink to parquet with a checkpoint, and aggregate
+    the sunk rows.  The oracle recomputes the union of both appends
+    from the fixture — a dropped file, a double-read version, or a
+    mis-typed injected partition value all fail the hash compare.
+    Proves the engine can CONSUME its own open-format tables as a
+    stream, closing the loop the txn-action idempotent SINK opened
+    (write_delta(txn=...)).  (r6.)"""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import money_sum
+    from ..sources.delta import write_delta
+    from ..sources.readers import load_table
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tmp = _tempfile.mkdtemp(prefix="spark_graft_dstream_")
+    import atexit as _atexit
+
+    _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+    t = os.path.join(tmp, "t")
+    write_delta(
+        orders.filter(F.col("o_orderkey") % 9 == 0).coalesce(1),
+        t, mode="error", partition_by=["o_orderpriority"],
+    )
+    write_delta(
+        orders.filter(F.col("o_orderkey") % 9 == 1).coalesce(1),
+        t, mode="append", partition_by=["o_orderpriority"],
+    )
+    out = os.path.join(tmp, "out")
+    q = (
+        spark.readStream.format("delta_stream").load(t)
+        .writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+def _register_query() -> None:
+    from ..functions.numeric import sql_money_sum
+    from ..registry import query
+
+    query(
+        "b_stream_delta_source",
+        f"""
+        SELECT o_orderpriority, count(*) AS n,
+               {sql_money_sum('o_totalprice')} AS total_price
+        FROM orders
+        WHERE o_orderkey % 9 = 0 OR o_orderkey % 9 = 1
+        GROUP BY o_orderpriority
+        """,
+    )(stream_from_delta)
+
+
+_register_query()

@@ -1,0 +1,103 @@
+"""delta_stream source (streaming/delta_source.py): version-offset
+tailing of a ``_delta_log``, checkpoint restart, DV subtraction,
+and the dataChange-remove refusal gate."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_datalake_framework_api_spark.sources.delta import (
+    delete_where_delta,
+    optimize_delta,
+    write_delta,
+)
+from aws_datalake_framework_api_spark.streaming.delta_source import register
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, part string, v double")
+
+
+def _run(spark, table, out, ckpt, **opts):
+    reader = spark.readStream.format("delta_stream")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(table)
+        .writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _sunk(spark, out):
+    return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+
+def test_tail_appends_with_checkpoint_restart(spark, tmp_path):
+    """Each availableNow run consumes exactly the versions committed
+    since the checkpoint's last offset: no loss, no double-read."""
+    register(spark)
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    write_delta(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1),
+                t, mode="error", partition_by=["part"])
+    _run(spark, t, out, ckpt)
+    assert _sunk(spark, out) == [(1, "a", 1.0), (2, "b", 2.0)]
+    write_delta(_df(spark, [(3, "a", 3.0)]).coalesce(1), t,
+                mode="append", partition_by=["part"])
+    _run(spark, t, out, ckpt)
+    assert _sunk(spark, out) == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+    # no new commits -> nothing re-emitted
+    _run(spark, t, out, ckpt)
+    assert len(_sunk(spark, out)) == 3
+
+
+def test_data_change_remove_refuses_by_default(spark, tmp_path):
+    """A DELETE in the tailed range must fail the stream loudly, not
+    stream silence; ignoreChanges=true opts into re-add streaming
+    with DV positions subtracted."""
+    register(spark)
+    t = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(i, "x", float(i)) for i in range(5)]).coalesce(1),
+        t, mode="error",
+    )
+    delete_where_delta(spark, t, F.col("k") == 2)
+    with pytest.raises(Exception, match="ignoreChanges"):
+        _run(spark, t, str(tmp_path / "o1"), str(tmp_path / "c1"))
+    out, ckpt = str(tmp_path / "o2"), str(tmp_path / "c2")
+    _run(spark, t, out, ckpt, ignoreChanges="true")
+    # v0 add streams all 5; v1 re-add streams the LIVE 4 (DV applied)
+    rows = _sunk(spark, out)
+    assert [r for r in rows if r[0] == 2] == [(2, "x", 2.0)]  # only from v0
+    assert len(rows) == 9
+
+
+def test_optimize_commits_are_invisible_to_the_tail(spark, tmp_path):
+    """dataChange=false adds/removes (OPTIMIZE) must not re-emit."""
+    register(spark)
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for i in range(3):
+        write_delta(_df(spark, [(i, "x", float(i))]).coalesce(1), t,
+                    mode="error" if i == 0 else "append")
+    _run(spark, t, out, ckpt)
+    assert len(_sunk(spark, out)) == 3
+    assert optimize_delta(spark, t)["files_after"] == 1
+    _run(spark, t, out, ckpt)  # compaction tail: nothing new
+    assert len(_sunk(spark, out)) == 3
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    register(spark)
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]).coalesce(1), t, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]).coalesce(1), t, mode="append")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, t, out, ckpt, startingVersion="1")
+    assert _sunk(spark, out) == [(2, "b", 2.0)]
