@@ -27,10 +27,14 @@ that one id, in the same staged order:
    analytics compositions, and the maintenance/stream stragglers;
    — the 50-entry boundary falls here —
 2. slot 51: ``b_llm_dedup_semantic`` (pinned by its in-window twin);
-3. the ROUND-7 staging: ``b_scan_iceberg`` (the round-6 connector,
-   post-freeze addition #2 — same precedent as b_scan_delta in r5)
-   followed by the r1/r2-stale refresh list (VERDICT r5 item #5:
-   every id's latest driver row should be ≤2 rounds old);
+3. the ROUND-7 staging: the six round-6 additions — the Iceberg v2
+   connector (``b_scan_iceberg``, ``b_lake_iceberg_upsert``), the
+   Delta merge-on-read DV DELETE / copy-on-write MERGE / change feed
+   (``b_lake_delta_dv``, ``b_lake_delta_merge``, ``b_lake_delta_cdf``)
+   and the Python-Data-Source Delta/Iceberg stream tails
+   (``b_stream_delta_source``, ``b_stream_iceberg_source``) —
+   followed by the r1/r2-stale refresh list (VERDICT r5 item #5: every id's latest driver row ≤2 rounds
+   old);
 4. everything r2-r5-proved and unchanged, in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
 round; prior-round sweep artifacts (LOCAL_SWEEP_r05*.json) showed
@@ -67,6 +71,7 @@ from .operators import timeseries as _timeseries  # noqa: F401  B5 gapfill/LOCF
 from .streaming import windows as _stream_windows  # noqa: F401  B9
 from .streaming import ingest as _stream_ingest  # noqa: F401  A12/B9
 from .streaming import delta_source as _stream_delta_source  # noqa: F401  B9/B1 delta tail
+from .streaming import iceberg_source as _stream_iceberg_source  # noqa: F401  B9/B1 iceberg tail
 from .streaming import upsert as _stream_upsert  # noqa: F401  B9∪B1 lakehouse merge
 from . import catalog_queries as _catalog_queries  # noqa: F401  A1-A9
 from .operators import udfs as _udfs  # noqa: F401  B10
@@ -159,6 +164,7 @@ _ORDER = [
     "b_lake_iceberg_upsert",
     "b_lake_delta_cdf",
     "b_stream_delta_source",
+    "b_stream_iceberg_source",
     "b_fn_null",
     "b_fn_map",
     "b_fn_explode",

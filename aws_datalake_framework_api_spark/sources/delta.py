@@ -1513,11 +1513,54 @@ def merge_delta(
     return {"version": version, "updated": n_updated, "inserted": n_inserted}
 
 
+def _zorder_column(rows: DataFrame, cols: list[str], bits: int = 8):
+    """Morton (z-curve) key over up to 4 numeric/date columns: each
+    column scales to a ``bits``-bit bucket via its own min/max (one
+    tiny agg job — OPTIMIZE is a maintenance pass), then the buckets'
+    bits interleave.  Range-partitioning + sorting the rewrite on this
+    key gives every written file a ~√bucket-tight min/max span on
+    EVERY clustered column, so predicates on any of them prune files
+    (the same reason delta-spark's OPTIMIZE ZORDER exists).  String
+    columns refuse: hashing them would destroy the locality the curve
+    exists to create."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_by takes 1-4 columns")
+    for c in cols:
+        t = rows.schema[c].dataType.simpleString()
+        if t not in ("int", "bigint", "smallint", "tinyint", "double",
+                     "float", "date", "timestamp", "timestamp_ntz"):
+            raise ValueError(
+                f"zorder_by column {c!r} has type {t}; z-ordering needs "
+                "an ordered numeric/date axis (strings would lose "
+                "locality under hashing — refuse, don't mislead)"
+            )
+    nums = {c: F.col(c).cast("double") for c in cols}
+    agg = rows.agg(
+        *[F.min(nums[c]).alias(f"lo_{c}") for c in cols],
+        *[F.max(nums[c]).alias(f"hi_{c}") for c in cols],
+    ).first()
+    zval = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo = float(agg[f"lo_{c}"] or 0.0)
+        hi = float(agg[f"hi_{c}"] or 0.0)
+        span = (hi - lo) or 1.0
+        bucket = F.least(
+            F.lit((1 << bits) - 1),
+            F.floor((nums[c] - F.lit(lo)) / F.lit(span) * ((1 << bits) - 1)),
+        ).cast("long")
+        for i in range(bits):
+            zval = zval + F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(1), i * len(cols) + j
+            )
+    return zval
+
+
 def optimize_delta(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_filter: dict | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE (bin-packing compaction): within each partition, groups
     of small files (and any file carrying a deletion vector) are
@@ -1532,8 +1575,14 @@ def optimize_delta(
     table pays per-file open cost on every scan.
 
     ``partition_filter`` scopes the pass (compact only today's
-    partition).  Returns {"version", "files_before", "files_after",
-    "partitions_compacted"}; nothing to do commits nothing."""
+    partition).  ``zorder_by`` additionally CLUSTERS the rewrite on a
+    Morton curve over 1-4 numeric/date columns (delta-spark's
+    ``OPTIMIZE ... ZORDER BY``): every selected file rewrites,
+    range-partitioned + sorted on the interleaved key, so each output
+    file's footer min/max is tight on EVERY clustered column and
+    ``read_delta_range`` prunes on any of them.  Returns {"version",
+    "files_before", "files_after", "partitions_compacted"}; nothing
+    to do commits nothing."""
     snap, latest = _snapshot(spark, path)
     _check_write_protocol(snap, "append")  # compaction adds no/removes no ROWS
     schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
@@ -1567,11 +1616,18 @@ def optimize_delta(
             r for r in rels
             if int(snap.files[r].get("size") or 0) < target_file_bytes
         ]
-        # compact when >1 small file can merge, or a DV needs folding
-        group = sorted(set(small) | {
-            r for r in rels if snap.files[r].get("deletionVector")
-        }) if (len(small) > 1 or has_dv) else []
-        if len(group) < (1 if has_dv else 2):
+        if zorder_by:
+            # re-clustering rewrites EVERY selected file — row order is
+            # the point, not just file count
+            group = sorted(rels)
+        else:
+            # compact when >1 small file can merge, or a DV needs folding
+            group = sorted(set(small) | {
+                r for r in rels if snap.files[r].get("deletionVector")
+            }) if (len(small) > 1 or has_dv) else []
+            if len(group) < (1 if has_dv else 2):
+                continue
+        if not group:
             continue
         total = sum(int(snap.files[r].get("size") or 0) for r in group)
         n_out = max(1, -(-total // target_file_bytes))
@@ -1579,8 +1635,17 @@ def optimize_delta(
             spark, path, snap, group, schema, part_cols,
             _dv_map(path, snap, group),
         )
+        if zorder_by:
+            rows = (
+                rows.withColumn("_dl_zval", _zorder_column(rows, zorder_by))
+                .repartitionByRange(n_out, "_dl_zval")
+                .sortWithinPartitions("_dl_zval")
+                .drop("_dl_zval")
+            )
+        else:
+            rows = rows.coalesce(n_out)
         adds = _stage_files(
-            rows.coalesce(n_out), path, part_cols, version, data_change=False
+            rows, path, part_cols, version, data_change=False
         )
         for rel in group:
             rm = {

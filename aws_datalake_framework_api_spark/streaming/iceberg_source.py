@@ -1,0 +1,229 @@
+"""Streaming SOURCE over Iceberg v2 tables: ``spark.readStream
+.format("iceberg_stream").load(path)`` tails the snapshot log the way
+iceberg-spark's streaming read does — offsets are SNAPSHOT positions
+in sequence-number order, each micro-batch reads exactly the data
+files ADDED by the snapshots in ``(start, end]``, and checkpoint
+restart resumes from the last committed snapshot.
+
+Same architecture as :mod:`.delta_source` (Spark 4 Python Data Source
+API): driver-side ``partitions()`` diffs the ACTIVE FILE SETS of
+consecutive snapshots — pure-Python metadata work, no session needed
+— and ships one :class:`InputPartition` per newly-added data file;
+executor-side ``read()`` opens that parquet file with pyarrow.  Data
+files in Iceberg physically contain their partition columns, so no
+value injection is needed.
+
+Semantics (iceberg-spark parity):
+
+- append-only tails: a snapshot that REMOVES active data files
+  (overwrite, delete, rewrite/compaction) refuses by default;
+  ``ignoreChanges=true`` streams its newly-added files anyway
+  (consumers dedupe by key).  Compaction is indistinguishable from an
+  overwrite at the file level here because Iceberg carries no
+  per-file dataChange flag — the honest default is therefore refusal,
+  where the Delta source can stay silent;
+- position-delete snapshots (new delete files, data files untouched)
+  also REFUSE by default: their row removals are invisible to an
+  append-level stream, and iceberg-spark likewise fails on delete
+  snapshots unless ``streaming-skip-delete-snapshots`` is set —
+  ``ignoreChanges=true`` is this source's equivalent skip switch.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ..sources.iceberg import (
+    _current_schema,
+    _load_metadata,
+    _manifest_entries,
+    _schema_to_spark,
+)
+
+
+class _IceFilePartition(InputPartition):
+    def __init__(self, file_path: str, names: list[str]) -> None:
+        self.file_path = file_path
+        self.names = names
+
+
+def _ordered_snapshots(meta: dict) -> list[dict]:
+    return sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: (s.get("sequence-number", 0), s.get("timestamp-ms", 0)),
+    )
+
+
+def _active_files(path: str, meta: dict, snap: dict) -> tuple[set, set]:
+    data, deletes = _manifest_entries(path, meta, snap)
+    return {r["path"] for r in data}, {r["path"] for r in deletes}
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("iceberg_stream requires .load(<table path>)")
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}  # before the first snapshot
+
+    def latestOffset(self) -> dict:
+        meta = _load_metadata(self.path)
+        return {"pos": len(_ordered_snapshots(meta))}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        meta = _load_metadata(self.path)
+        snaps = _ordered_snapshots(meta)
+        if hi > len(snaps):
+            raise ValueError(
+                "iceberg_stream: offset past the snapshot log (snapshots "
+                "were expired?) — restart from a fresh checkpoint"
+            )
+        names = [f.name for f in self.schema.fields]
+        out: list[_IceFilePartition] = []
+        prev, prev_del = (
+            _active_files(self.path, meta, snaps[lo - 1])
+            if lo >= 1
+            else (set(), set())
+        )
+        for i in range(lo, hi):
+            cur, cur_del = _active_files(self.path, meta, snaps[i])
+            changed = (prev - cur) or (cur_del - prev_del)
+            if changed and not self.ignore_changes:
+                raise ValueError(
+                    f"iceberg_stream: snapshot {snaps[i]['snapshot-id']} "
+                    f"({(snaps[i].get('summary') or {}).get('operation')}) "
+                    "removes or position-deletes rows; streaming a change "
+                    "as silence is wrong — set ignoreChanges=true to "
+                    "stream only its added files (downstream must dedupe "
+                    "by key)"
+                )
+            for p in sorted(cur - prev):
+                out.append(
+                    _IceFilePartition(urllib.parse.unquote(p), names)
+                )
+            prev, prev_del = cur, cur_del
+        return out
+
+    def read(self, partition: _IceFilePartition):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.file_path)
+        cols = table.column_names
+        for row in table.to_pylist():
+            yield tuple(
+                row.get(n) if n in cols else None for n in partition.names
+            )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_stream"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("iceberg_stream requires .load(<table path>)")
+        return _schema_to_spark(_current_schema(_load_metadata(path)))
+
+    def streamReader(self, schema: StructType) -> IcebergStreamReader:
+        return IcebergStreamReader(schema, self.options)
+
+
+def register(spark: SparkSession) -> None:
+    try:
+        spark.dataSource.register(IcebergStreamSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+
+
+
+# ------------------------------------------------------------------ query
+
+
+def stream_from_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream FROM an Iceberg table: two append snapshots over an
+    orders slice, tailed by the ``iceberg_stream`` source
+    (availableNow) into a parquet sink, then aggregated.  The oracle
+    recomputes the union of both appends from the fixture — a dropped
+    file, a double-read snapshot, or a broken offset diff all fail
+    the hash compare.  (The Iceberg twin of ``b_stream_delta_source``;
+    r6.)"""
+    import atexit as _atexit
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import money_sum
+    from ..sources.iceberg import write_iceberg
+    from ..sources.readers import load_table
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tmp = _tempfile.mkdtemp(prefix="spark_graft_istream_")
+    _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+    t = _os.path.join(tmp, "t")
+    write_iceberg(
+        orders.filter(F.col("o_orderkey") % 11 == 0).coalesce(1),
+        t, mode="error", partition_by=["o_orderpriority"],
+    )
+    write_iceberg(
+        orders.filter(F.col("o_orderkey") % 11 == 1).coalesce(1),
+        t, mode="append", partition_by=["o_orderpriority"],
+    )
+    out = _os.path.join(tmp, "out")
+    q = (
+        spark.readStream.format("iceberg_stream").load(t)
+        .writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", _os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+def _register_query() -> None:
+    from ..functions.numeric import sql_money_sum
+    from ..registry import query
+
+    query(
+        "b_stream_iceberg_source",
+        f"""
+        SELECT o_orderpriority, count(*) AS n,
+               {sql_money_sum("o_totalprice")} AS total_price
+        FROM orders
+        WHERE o_orderkey % 11 = 0 OR o_orderkey % 11 = 1
+        GROUP BY o_orderpriority
+        """,
+    )(stream_from_iceberg)
+
+
+_register_query()

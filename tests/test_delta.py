@@ -1330,3 +1330,34 @@ def test_change_feed_inserts_deletes_and_dv_delta(spark, tmp_path):
         (1, "insert", 3), (2, "delete", 1),
         (3, "delete", 3), (3, "insert", 3),
     ]
+
+
+def test_optimize_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: after re-clustering on (a, b), a narrow range
+    read on EITHER column scans a strict subset of files — the
+    footer min/max got tight on both axes — and no row changed."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        optimize_delta, prune_files,
+    )
+
+    path = str(tmp_path / "t")
+    n = 2000
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float((i * 7919) % n)) for i in range(n)],
+        "k int, part string, v double",
+    ).orderBy(F.xxhash64("k")).repartition(4)  # scattered layout
+    write_delta(df, path, mode="error")
+    before = _sorted_rows(read_delta(spark, path))
+    out = optimize_delta(
+        spark, path, target_file_bytes=8192, zorder_by=["k", "v"]
+    )
+    assert out["files_after"] >= 3  # multiple tight files
+    assert _sorted_rows(read_delta(spark, path)) == before
+    kept_k, skipped_k = prune_files(spark, path, "k", 0, n // 10)
+    kept_v, skipped_v = prune_files(spark, path, "v", 0.0, float(n // 10))
+    assert skipped_k, "z-order must let a k-range skip files"
+    assert skipped_v, "z-order must let a v-range skip files"
+    rr = read_delta_range(spark, path, "k", 0, 50)
+    assert sorted(r["k"] for r in rr.collect()) == list(range(51))
+    with pytest.raises(ValueError, match="locality"):
+        optimize_delta(spark, path, zorder_by=["part"])

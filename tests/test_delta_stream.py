@@ -101,3 +101,76 @@ def test_starting_version_skips_history(spark, tmp_path):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     _run(spark, t, out, ckpt, startingVersion="1")
     assert _sunk(spark, out) == [(2, "b", 2.0)]
+
+
+# ------------------------------------------------------ iceberg_stream (r6)
+
+
+def test_iceberg_tail_appends_with_restart(spark, tmp_path):
+    from aws_datalake_framework_api_spark.sources.iceberg import write_iceberg
+    from aws_datalake_framework_api_spark.streaming.iceberg_source import (
+        register as ice_register,
+    )
+
+    ice_register(spark)
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberg_stream").load(t)
+            .writeStream.trigger(availableNow=True).format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt).start()
+        )
+        q.awaitTermination()
+
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1),
+                  t, mode="error", partition_by=["part"])
+    run()
+    assert _sunk(spark, out) == [(1, "a", 1.0), (2, "b", 2.0)]
+    write_iceberg(_df(spark, [(3, "a", 3.0)]).coalesce(1), t,
+                  mode="append", partition_by=["part"])
+    run()
+    assert _sunk(spark, out) == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+    run()  # nothing new
+    assert len(_sunk(spark, out)) == 3
+
+
+def test_iceberg_delete_and_upsert_snapshots_refuse(spark, tmp_path):
+    """Both a position-delete snapshot and an upsert refuse the tail
+    by default (their removals are invisible to an append stream);
+    ignoreChanges streams only the added files."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        delete_iceberg_rows, upsert_iceberg, write_iceberg,
+    )
+    from aws_datalake_framework_api_spark.streaming.iceberg_source import (
+        register as ice_register,
+    )
+
+    ice_register(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(i, "x", float(i)) for i in range(4)]).coalesce(1),
+        t, mode="error",
+    )
+    delete_iceberg_rows(spark, t, F.col("k") == 1)
+    upsert_iceberg(spark, t, _df(spark, [(2, "X", 20.0)]).coalesce(1), on=["k"])
+
+    def run(out, ckpt, **opts):
+        reader = spark.readStream.format("iceberg_stream")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load(t)
+            .writeStream.trigger(availableNow=True).format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt).start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="ignoreChanges"):
+        run(str(tmp_path / "o1"), str(tmp_path / "c1"))
+    out = str(tmp_path / "o2")
+    run(out, str(tmp_path / "c2"), ignoreChanges="true")
+    rows = _sunk(spark, out)
+    # v0's 4 rows + the upsert's added file (the new k=2 version)
+    assert (2, "X", 20.0) in rows and len(rows) == 5
