@@ -163,6 +163,7 @@ _ORDER = [
     "b_lake_delta_merge",
     "b_lake_iceberg_upsert",
     "b_lake_delta_cdf",
+    "b_lake_delta_cmap",
     "b_stream_delta_source",
     "b_stream_iceberg_source",
     "b_fn_null",

@@ -1361,3 +1361,136 @@ def test_optimize_zorder_prunes_on_both_dimensions(spark, tmp_path):
     assert sorted(r["k"] for r in rr.collect()) == list(range(51))
     with pytest.raises(ValueError, match="locality"):
         optimize_delta(spark, path, zorder_by=["part"])
+
+
+# ---------------------------------------------------------- column mapping
+
+
+def _mapped_table(spark, tmp_path, partition_by=None):
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta,
+    )
+
+    path = str(tmp_path / "cmap")
+    df = _df(
+        spark,
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)],
+    )
+    l2p = create_mapped_delta(df, path, partition_by=partition_by)
+    return path, l2p
+
+
+def test_column_mapping_roundtrip_logical_names(spark, tmp_path):
+    """Data files are written under col-<uuid> physical names; the read
+    must project back to logical names with NO mapping metadata in the
+    result schema."""
+    path, l2p = _mapped_table(spark, tmp_path)
+    back = read_delta(spark, path)
+    assert back.columns == ["k", "part", "v"]
+    assert all(not f.metadata for f in back.schema.fields)
+    assert _sorted_rows(back) == [
+        (1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)
+    ]
+    # and the files really do NOT contain the logical names
+    import pyarrow.parquet as pq
+
+    data_files = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    cols = set(pq.ParquetFile(os.path.join(path, data_files[0])).schema.names)
+    assert cols == set(l2p.values())
+    assert all(p.startswith("col-") for p in l2p.values())
+
+
+def test_column_mapping_partition_values_physical_keys(spark, tmp_path):
+    """add.partitionValues are keyed by PHYSICAL name (protocol); the
+    read injects the partition column under its LOGICAL name and a
+    logical partition_filter prunes files at planning time."""
+    path, l2p = _mapped_table(spark, tmp_path, partition_by=["part"])
+    with open(_version_file(path, 0)) as fh:
+        adds = [
+            json.loads(ln)["add"]
+            for ln in fh
+            if ln.strip() and "add" in json.loads(ln)
+        ]
+    for a in adds:
+        assert set(a["partitionValues"]) == {l2p["part"]}
+    back = read_delta(spark, path, partition_filter={"part": "a"})
+    assert _sorted_rows(back) == [(1, "a", 1.0), (2, "a", 2.0)]
+
+
+def test_column_mapping_stats_pruning_physical_keys(spark, tmp_path):
+    """Stats are recorded under physical names; prune_files and
+    read_delta_range take the LOGICAL column and must translate."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta,
+    )
+
+    path = str(tmp_path / "cmap_stats")
+    # two files with disjoint k ranges → one must be pruned
+    df1 = _df(spark, [(1, "a", 1.0), (2, "a", 2.0)]).coalesce(1)
+    df2 = _df(spark, [(100, "b", 3.0), (200, "b", 4.0)]).coalesce(1)
+    l2p = create_mapped_delta(df1.unionByName(df2).repartitionByRange(2, "k"), path)
+    kept, skipped = prune_files(spark, path, "k", 1, 10)
+    assert len(kept) == 1 and len(skipped) == 1
+    back = read_delta_range(spark, path, "k", 1, 10)
+    assert back.columns == ["k", "part", "v"]
+    assert _sorted_rows(back) == [(1, "a", 1.0), (2, "a", 2.0)]
+
+
+def test_column_mapping_nested_struct_renamed(spark, tmp_path):
+    """physicalName metadata on NESTED struct fields renames inside the
+    files; the read must rename them back positionally."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta,
+    )
+
+    path = str(tmp_path / "cmap_nested")
+    df = spark.createDataFrame(
+        [(1, {"x": 10, "y": "p"}), (2, {"x": 20, "y": "q"})],
+        "k int, s struct<x: int, y: string>",
+    )
+    create_mapped_delta(df, path)
+    back = read_delta(spark, path)
+    assert back.schema.simpleString() == "struct<k:int,s:struct<x:int,y:string>>"
+    assert sorted((r["k"], r["s"]["x"], r["s"]["y"]) for r in back.collect()) == [
+        (1, 10, "p"), (2, 20, "q")
+    ]
+
+
+def test_column_mapping_id_mode_refused(spark, tmp_path):
+    """'id' mode demands parquet field-id matching this reader does not
+    do — refuse, never match by name and hope."""
+    path, _ = _mapped_table(spark, tmp_path)
+    # flip the mode in the log's metaData
+    with open(_version_file(path, 0)) as fh:
+        lines = [json.loads(ln) for ln in fh if ln.strip()]
+    for act in lines:
+        if "metaData" in act:
+            act["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    with open(_version_file(path, 0), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in lines))
+    with pytest.raises(ValueError, match="columnMapping.mode 'id'"):
+        read_delta(spark, path).collect()
+
+
+def test_column_mapping_writes_refused(spark, tmp_path):
+    """The (2, 5) protocol makes every mutation path refuse — this
+    writer assigns mapping once at CREATE and never mutates mapped
+    tables (rename/drop evolution is delta-spark territory)."""
+    path, _ = _mapped_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="unsupported writer"):
+        write_delta(_df(spark, [(9, "z", 9.0)]), path, mode="append")
+
+
+def test_column_mapping_survives_checkpoint(spark, tmp_path):
+    """checkpoint_delta round-trips schemaString + configuration, so a
+    checkpoint-based read still resolves the mapping."""
+    path, _ = _mapped_table(spark, tmp_path)
+    checkpoint_delta(spark, path)
+    # force a checkpoint-rooted read by dropping the JSON commit
+    os.remove(_version_file(path, 0))
+    back = read_delta(spark, path)
+    assert back.columns == ["k", "part", "v"]
+    assert len(_sorted_rows(back)) == 4
