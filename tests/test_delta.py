@@ -111,17 +111,19 @@ def test_checkpoint_caps_json_replay(spark, tmp_path):
 
 
 def test_unsupported_reader_features_refused(spark, tmp_path):
-    """A table demanding columnMapping must be refused, not misread
-    (reading mapped columns by their physical names returns garbage)."""
+    """A table demanding a reader feature we don't implement (e.g.
+    v2Checkpoint) must be refused, not misread.  (columnMapping and
+    deletionVectors graduated from this list in r6 — a declared
+    columnMapping feature with no active mapping mode reads fine.)"""
     path = str(tmp_path / "t")
     write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
     _commit(
         path,
         1,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["columnMapping"]}}],
+                       "readerFeatures": ["v2Checkpoint"]}}],
     )
-    with pytest.raises(ValueError, match="columnMapping"):
+    with pytest.raises(ValueError, match="v2Checkpoint"):
         read_delta(spark, path)
     # time travel to the pre-upgrade version still works
     assert _sorted_rows(read_delta(spark, path, version_as_of=0)) == [
