@@ -28,11 +28,13 @@ Honest gates (refuse, never misread): equality deletes (content=2
 data files), unsupported partition transforms for *pruning* (files
 under bucket/truncate/day transforms are conservatively KEPT — the
 row filter still applies, so results stay correct and only pruning
-is lost), snappy/zstd-compressed Avro metadata.  Column resolution
-is BY NAME, like every Spark parquet read here: a foreign table that
-renamed columns via field-id mapping would need the id-based
-resolution the iceberg-* libraries provide — detected where cheap
-(first-footer check) and documented in README.
+is lost), snappy/zstd-compressed Avro metadata, and type evolution
+(int→long promotion).  Column resolution is BY NAME on the fast path
+and BY PARQUET FIELD ID when the metadata's schema history proves a
+rename happened (r6 — see the schema-evolution-reads section):
+renamed/added/dropped columns read spec-correctly, the writer stamps
+field ids into every file (spec requirement), and
+``evolve_iceberg`` commits metadata-only rename/add evolution.
 
 Scale: all metadata work is driver-side and planning-sized (a
 manifest row is ~100 bytes per data file — the same O(files) bound
@@ -188,6 +190,49 @@ def _spark_to_ice(t: DataType, next_id) -> object:
 
 def _schema_to_spark(schema_json: dict) -> StructType:
     return _ice_to_spark({"type": "struct", "fields": schema_json["fields"]})
+
+
+def _inject_field_ids(dt: DataType, ice_t) -> DataType:
+    """Spark type with ``parquet.field.id`` metadata copied from the
+    Iceberg schema onto every struct field (nested included) — Spark's
+    parquet writer emits these as real parquet field ids
+    (``spark.sql.parquet.fieldId.write.enabled``, default on), which
+    the spec REQUIRES of writers and which makes rename-safe id-based
+    resolution possible for any reader, this one included."""
+    if isinstance(dt, StructType) and isinstance(ice_t, dict):
+        by_name = {f["name"]: f for f in ice_t.get("fields") or []}
+        out = []
+        for sf in dt.fields:
+            f = by_name.get(sf.name)
+            if f is None:
+                out.append(sf)
+                continue
+            out.append(
+                StructField(
+                    sf.name,
+                    _inject_field_ids(sf.dataType, f["type"]),
+                    sf.nullable,
+                    metadata={
+                        **(sf.metadata or {}),
+                        "parquet.field.id": int(f["id"]),
+                    },
+                )
+            )
+        return StructType(out)
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, ArrayType) and isinstance(ice_t, dict):
+        return ArrayType(
+            _inject_field_ids(dt.elementType, ice_t.get("element")),
+            dt.containsNull,
+        )
+    if isinstance(dt, MapType) and isinstance(ice_t, dict):
+        return MapType(
+            _inject_field_ids(dt.keyType, ice_t.get("key")),
+            _inject_field_ids(dt.valueType, ice_t.get("value")),
+            dt.valueContainsNull,
+        )
+    return dt
 
 
 # ------------------------------------------------- single-value serialization
@@ -528,6 +573,139 @@ def _identity_values(meta: dict, rec: dict, schema_json: dict) -> dict | None:
     return out
 
 
+# ------------------------------------------------- schema-evolution reads
+#
+# Iceberg's rename/drop evolution is defined over FIELD IDS: a data
+# file written before a rename spells the column by its old name, and
+# a spec-correct reader resolves it by the parquet field id, never the
+# name.  Reading every footer at planning would be O(files) driver
+# work, so the reader first proves from the metadata's full schema
+# history whether by-name resolution is even ambiguous: if every live
+# field id has carried the same name in every historical schema and no
+# live name was ever used by a different id, the single by-name
+# FileScan stands (the overwhelmingly common case — O(schemas) driver
+# work, zero plan change).  Only when history shows a rename does the
+# reader group files by their footer field-id mapping (one planning
+# footer read per data file — the same footers the java reader opens
+# per task) and plan one branch per mapping, projecting each back to
+# the CURRENT names; files written before this engine stamped field
+# ids resolve through the history's unambiguous name→id map, and a
+# genuinely ambiguous id-less file is refused, never guessed.  Type
+# evolution (int→long promotion) is refused loudly — a by-name read
+# of a promoted column would die inside the scan with a cast error
+# anyway; the gate turns that into a diagnosis.
+
+
+def _resolution(meta: dict) -> dict | None:
+    """None when by-name reads are provably unambiguous; otherwise the
+    resolution tables for :func:`_resolved_union`.  Raises on type
+    evolution (including nested struct changes, which surface as a
+    type-JSON difference)."""
+    schemas = meta.get("schemas")
+    cur = _current_schema(meta)
+    cur_fields = {int(f["id"]): f for f in cur["fields"]}
+    if not schemas:
+        return None  # v1 single-schema metadata — nothing to disagree
+    needs = False
+    name_ids: dict[str, set[int]] = {}
+    for s in schemas:
+        for f in s.get("fields") or []:
+            fid, nm = int(f["id"]), f["name"]
+            name_ids.setdefault(nm, set()).add(fid)
+            c = cur_fields.get(fid)
+            if c is None:
+                continue
+            if c["name"] != nm:
+                needs = True
+            if json.dumps(c["type"], sort_keys=True) != json.dumps(
+                f["type"], sort_keys=True
+            ):
+                raise ValueError(
+                    f"column {c['name']!r} (field id {fid}) changed type "
+                    "across schema history — type evolution / nested "
+                    "struct evolution reads are not supported (install "
+                    "an iceberg-* library to read this table)"
+                )
+    for fid, c in cur_fields.items():
+        if name_ids.get(c["name"], set()) - {fid}:
+            needs = True  # a live name once belonged to another id
+    if not needs:
+        return None
+    return {
+        "ordered": list(cur["fields"]),
+        "by_id": cur_fields,
+        "name_to_id": {
+            nm: next(iter(ids)) for nm, ids in name_ids.items() if len(ids) == 1
+        },
+        "ambiguous": {nm for nm, ids in name_ids.items() if len(ids) > 1},
+    }
+
+
+def _resolved_union(
+    spark: SparkSession,
+    files: list[str],
+    res: dict,
+    want_tags: bool,
+) -> DataFrame:
+    """One scan branch per distinct footer field-id mapping, each
+    projected to the CURRENT schema (renamed columns re-aliased,
+    columns the file predates filled with NULL, dropped columns simply
+    not selected)."""
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        sch = pq.read_schema(f)
+        pairs = []
+        for fld in sch:
+            md = fld.metadata or {}
+            raw = md.get(b"PARQUET:field_id")
+            if raw is not None:
+                fid = int(raw)
+            else:
+                if fld.name in res["ambiguous"]:
+                    raise ValueError(
+                        f"cannot resolve column {fld.name!r} in "
+                        f"{os.path.basename(f)}: the file has no parquet "
+                        "field ids and the name maps to multiple field "
+                        "ids across schema history"
+                    )
+                fid = res["name_to_id"].get(fld.name)
+            if fid in res["by_id"]:
+                pairs.append((fld.name, fid))
+        groups.setdefault(tuple(sorted(pairs)), []).append(f)
+    branches = []
+    for sig, gfiles in sorted(groups.items()):
+        have = {fid: fname for fname, fid in sig}
+        read_schema = StructType(
+            [
+                StructField(
+                    fname, _ice_to_spark(res["by_id"][fid]["type"]), True
+                )
+                for fname, fid in sig
+            ]
+        )
+        proj = []
+        for f in res["ordered"]:
+            fid = int(f["id"])
+            if fid in have:
+                proj.append(F.col(have[fid]).alias(f["name"]))
+            else:
+                proj.append(
+                    F.lit(None).cast(_ice_to_spark(f["type"])).alias(f["name"])
+                )
+        if want_tags:
+            proj.append(F.col("_metadata.file_name").alias("_ice_file"))
+            proj.append(F.col("_metadata.row_index").alias("_ice_pos"))
+        branches.append(
+            spark.read.schema(read_schema).parquet(*sorted(gfiles)).select(*proj)
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -539,10 +717,13 @@ def read_iceberg(
     prunes data files at PLANNING time from manifest partition values
     (identity transforms; other transforms conservatively keep).
     Positional deletes are applied as a distributed anti-join on
-    ``(file, _metadata.row_index)`` with sequence-number gating."""
+    ``(file, _metadata.row_index)`` with sequence-number gating.
+    Renamed-column tables resolve files by parquet field id (see the
+    schema-evolution-reads section)."""
     meta = _load_metadata(path)
     schema_json = _current_schema(meta)
     spark_schema = _schema_to_spark(schema_json)
+    res = _resolution(meta)
     snap = _snapshot_by_id(meta, snapshot_id)
     if snap is None:
         return spark.createDataFrame([], spark_schema)
@@ -570,7 +751,7 @@ def read_iceberg(
             if ok:
                 kept.append(rec)
         data = kept
-    return _plan_scan(spark, spark_schema, data, deletes)
+    return _plan_scan(spark, spark_schema, data, deletes, res)
 
 
 def _plan_scan(
@@ -578,14 +759,27 @@ def _plan_scan(
     spark_schema: StructType,
     data: list[dict],
     deletes: list[dict],
+    res: dict | None = None,
 ) -> DataFrame:
     if not data:
         return spark.createDataFrame([], spark_schema)
     files = sorted({r["path"] for r in data})
-    scan = spark.read.schema(spark_schema).parquet(*files)
+
+    def build(want_tags: bool) -> DataFrame:
+        if res is not None:
+            return _resolved_union(spark, files, res, want_tags)
+        df = spark.read.schema(spark_schema).parquet(*files)
+        if want_tags:
+            df = df.select(
+                "*",
+                F.col("_metadata.file_name").alias("_ice_file"),
+                F.col("_metadata.row_index").alias("_ice_pos"),
+            )
+        return df
+
     live_deletes = [d for d in deletes if d["seq"] >= min(r["seq"] for r in data)]
     if not live_deletes:
-        return scan
+        return build(False)
     # Basenames key both joins (full paths differ between the writer's
     # URI form and the local scan's); a collision would misattribute
     # deletes — refuse, like the Delta DV path.
@@ -633,11 +827,7 @@ def _plan_scan(
         .filter(F.col("_ice_dseq") >= F.col("_ice_seq"))
         .select("_ice_file", F.col("pos").alias("_ice_pos"))
     )
-    tagged = scan.select(
-        "*",
-        F.col("_metadata.file_name").alias("_ice_file"),
-        F.col("_metadata.row_index").alias("_ice_pos"),
-    )
+    tagged = build(True)
     # No forced broadcast on the delete rows: position-delete files are
     # DATA-sized at scale (unlike the planning-sized seq maps above) —
     # AQE picks broadcast when they happen to be small.
@@ -681,7 +871,7 @@ def read_iceberg_range(
                     prunable = False
         if not prunable:
             kept.append(rec)
-    out = _plan_scan(spark, spark_schema, kept, deletes)
+    out = _plan_scan(spark, spark_schema, kept, deletes, _resolution(meta))
     return out.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
 
 
@@ -775,7 +965,28 @@ def _stage_data_files(
     partition columns are DUPLICATED under shadow names for the
     directory layout and the originals stay in the files."""
     staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
-    w = df
+    # Stamp parquet field ids from the table schema into the files
+    # (spec requirement for writers; what makes rename-safe id-based
+    # resolution possible).  Top-level ids ride alias metadata; nested
+    # ids ride a same-type cast to the metadata-bearing struct type —
+    # a plain ``.to()`` gets collapsed away for already-matching flat
+    # columns and loses the metadata.
+    from pyspark.sql.types import ArrayType, MapType
+
+    ice_by_name = {f["name"]: f for f in schema_json["fields"]}
+    stamped = []
+    for sf in df.schema.fields:
+        ice_f = ice_by_name.get(sf.name)
+        if ice_f is None:
+            stamped.append(F.col(sf.name))
+            continue
+        col = F.col(sf.name)
+        if isinstance(sf.dataType, (StructType, ArrayType, MapType)):
+            col = col.cast(_inject_field_ids(sf.dataType, ice_f["type"]))
+        stamped.append(
+            col.alias(sf.name, metadata={"parquet.field.id": int(ice_f["id"])})
+        )
+    w = df.select(*stamped)
     shadow = [f"_ice_p_{c}" for c in partition_by]
     for c, s in zip(partition_by, shadow):
         w = w.withColumn(s, F.col(c))
@@ -980,6 +1191,14 @@ def _commit_snapshot(
     meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
         {"timestamp-ms": now, "snapshot-id": sid}
     ]
+    _claim_metadata(path, meta, version)
+    return version
+
+
+def _claim_metadata(path: str, meta: dict, version: int) -> None:
+    """Claim exactly metadata version N with ``os.link`` put-if-absent
+    (concurrent committers conflict loudly, never rebase silently),
+    then atomically repoint ``version-hint.text``."""
     final = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
@@ -997,6 +1216,83 @@ def _commit_snapshot(
     with open(htmp, "w") as fh:
         fh.write(str(version))
     os.replace(htmp, hint)
+
+
+def evolve_iceberg(
+    path: str,
+    renames: dict[str, str] | None = None,
+    add_columns: list[tuple[str, str]] | None = None,
+) -> int:
+    """Metadata-only schema evolution commit — the Iceberg core value
+    proposition (spec §Schema Evolution: renames keep the field id,
+    adds allocate fresh ids from ``last-column-id``, and NO data file
+    is touched): a new schema entry is appended to ``schemas``,
+    ``current-schema-id`` moves, and a new metadata version is claimed
+    with the same put-if-absent commit as snapshots.
+
+    ``renames``: {old_name: new_name} over top-level columns.
+    ``add_columns``: [(name, iceberg_primitive_type)] — added columns
+    are optional and read as NULL from pre-existing files.
+
+    Renaming a partition SOURCE column is refused (the spec field name
+    in partition specs and the manifest partition keys spell the old
+    name; a half-renamed table would misplan appends).  Reads after a
+    rename resolve old files by parquet field id — see the
+    schema-evolution-reads section."""
+    renames = dict(renames or {})
+    add_columns = list(add_columns or [])
+    if not renames and not add_columns:
+        raise ValueError("evolve_iceberg: nothing to do")
+    meta = _load_metadata(path)
+    cur = _current_schema(meta)
+    fields = json.loads(json.dumps(cur["fields"]))  # deep copy
+    names = {f["name"] for f in fields}
+    spec_sources = {
+        int(f["source-id"])
+        for f in _spec_fields(meta, meta.get("default-spec-id", 0))
+    }
+    surviving = names - set(renames)
+    for old, new in renames.items():
+        if old not in names:
+            raise ValueError(f"rename: no such column {old!r}")
+        if new in surviving or list(renames.values()).count(new) > 1:
+            raise ValueError(f"rename: target name {new!r} collides")
+    for f in fields:
+        if f["name"] in renames:
+            if int(f["id"]) in spec_sources:
+                raise ValueError(
+                    f"rename: {f['name']!r} is a partition source column "
+                    "(refused — partition specs and manifest keys spell "
+                    "the old name)"
+                )
+            f["name"] = renames[f["name"]]
+    post_names = {f["name"] for f in fields}
+    last_id = int(
+        meta.get("last-column-id")
+        or max(int(f["id"]) for f in fields)
+    )
+    for name, ice_type in add_columns:
+        if name in post_names:
+            raise ValueError(f"add: column {name!r} already exists")
+        _ice_to_spark(ice_type)  # validate the type spells something real
+        last_id += 1
+        fields.append(
+            {"id": last_id, "name": name, "required": False, "type": ice_type}
+        )
+        post_names.add(name)
+    prior = meta.get("schemas") or [
+        {"schema-id": cur.get("schema-id", 0), "type": "struct",
+         "fields": cur["fields"]}
+    ]
+    new_sid = max(int(s.get("schema-id", 0)) for s in prior) + 1
+    meta["schemas"] = list(prior) + [
+        {"schema-id": new_sid, "type": "struct", "fields": fields}
+    ]
+    meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = last_id
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    version = int(meta.pop("__file_version__")) + 1
+    _claim_metadata(path, meta, version)
     return version
 
 
@@ -1356,6 +1652,75 @@ scan_iceberg_upsert = query(
 )(scan_iceberg_upsert)
 
 
+def scan_iceberg_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end: create → ``evolve_iceberg``
+    (metadata-only RENAME ``o_totalprice``→``price_total`` + ADD
+    ``bonus``, zero data files touched) → append under the NEW schema
+    (new files spell the new name and carry the bonus column) → read.
+    The read must resolve the pre-evolution files by parquet field id
+    (they spell the OLD column name), serve NULL bonus for them, and
+    union both spellings under the current schema.  The oracle
+    reconstructs the final state arithmetically from the fixture
+    (``bonus = o_totalprice / 64`` is an exact binary halving chain,
+    bit-stable across engines), so a mis-resolved rename, a lost
+    pre-evolution file, or a bonus leaking into old rows all fail the
+    hash compare.  (The Iceberg twin of ``b_lake_delta_cmap``; r6.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"iceberg_evolve_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        ops = [h["operation"] for h in history_iceberg(spark, path)]
+        cur = {
+            f["name"] for f in _current_schema(_load_metadata(path))["fields"]
+        }
+        complete = ops == ["append", "append"] and cur == {
+            "o_orderkey", "o_orderpriority", "price_total", "bonus"
+        }
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 9 == 0), path, mode="error"
+        )
+        evolve_iceberg(
+            path,
+            renames={"o_totalprice": "price_total"},
+            add_columns=[("bonus", "double")],
+        )
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 9 == 1)
+            .withColumnRenamed("o_totalprice", "price_total")
+            .withColumn("bonus", F.col("price_total") / F.lit(64.0)),
+            path,
+            mode="append",
+        )
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("price_total").alias("price_total_sum"),
+        money_sum(F.coalesce(F.col("bonus"), F.lit(0.0))).alias("bonus_sum"),
+    )
+
+
+scan_iceberg_evolve = query(
+    "b_lake_iceberg_evolve",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS price_total_sum,
+           {sql_money_sum(
+               "CASE WHEN o_orderkey % 9 = 1 THEN o_totalprice / 64 "
+               "ELSE 0.0 END"
+           )} AS bonus_sum
+    FROM orders
+    WHERE o_orderkey % 9 = 0 OR o_orderkey % 9 = 1
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_evolve)
+
+
 # ------------------------------------------------------------- maintenance
 
 
@@ -1435,7 +1800,7 @@ def rewrite_data_files(
         (c, next(f["type"] for f in schema_json["fields"] if f["name"] == c))
         for c in part_names
     ]
-    rows = _plan_scan(spark, spark_schema, compact, deletes)
+    rows = _plan_scan(spark, spark_schema, compact, deletes, _resolution(meta))
     total = sum(_file_size(r, path) for r in compact)
     n_out = max(1, -(-total // target_file_bytes))
     staged = _stage_data_files(

@@ -504,3 +504,195 @@ def test_expire_snapshots_reclaims_unreferenced_files(spark, tmp_path):
     assert len(h) == 1  # expired snapshot gone from metadata
     # idempotent
     assert expire_snapshots(spark, path, keep_last=1)["expired"] == 0
+
+
+# ------------------------------------------------------- schema evolution
+
+
+def _data_files(path):
+    d = os.path.join(path, "data")
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def test_writer_stamps_parquet_field_ids(spark, tmp_path):
+    """The spec requires writers to record field ids in data files —
+    they are what makes rename-safe resolution possible."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ids")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    sch = pq.read_schema(_data_files(path)[0])
+    got = {
+        f.name: int((f.metadata or {})[b"PARQUET:field_id"]) for f in sch
+    }
+    meta = _load_metadata(path)
+    want = {
+        f["name"]: int(f["id"])
+        for f in meta["schemas"][0]["fields"]
+    }
+    assert got == want
+
+
+def test_rename_resolves_old_files_by_field_id(spark, tmp_path):
+    """Files written BEFORE a rename spell the old column name; the
+    read must resolve them by field id and serve the new name."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg,
+    )
+
+    path = str(tmp_path / "ren")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), path)
+    evolve_iceberg(path, renames={"v": "amount"})
+    back = read_iceberg(spark, path)
+    assert back.columns == ["k", "part", "amount"]
+    assert _sorted_rows(back) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_rename_then_append_mixes_old_and_new_spellings(spark, tmp_path):
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg,
+    )
+
+    path = str(tmp_path / "mix")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path)
+    evolve_iceberg(path, renames={"v": "amount"})
+    write_iceberg(
+        spark.createDataFrame([(2, "b", 2.0)], "k int, part string, amount double"),
+        path,
+        mode="append",
+    )
+    back = read_iceberg(spark, path)
+    assert _sorted_rows(back) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_add_column_reads_null_from_old_files(spark, tmp_path):
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg,
+    )
+
+    path = str(tmp_path / "add")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path)
+    evolve_iceberg(path, add_columns=[("bonus", "double")])
+    write_iceberg(
+        spark.createDataFrame(
+            [(2, "b", 2.0, 0.5)], "k int, part string, v double, bonus double"
+        ),
+        path,
+        mode="append",
+    )
+    back = read_iceberg(spark, path)
+    assert sorted(
+        (r["k"], r["bonus"]) for r in back.collect()
+    ) == [(1, None), (2, 0.5)]
+
+
+def test_rename_partition_source_refused(spark, tmp_path):
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg,
+    )
+
+    path = str(tmp_path / "psrc")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, partition_by=["part"])
+    with pytest.raises(ValueError, match="partition source"):
+        evolve_iceberg(path, renames={"part": "region"})
+
+
+def test_idless_old_files_resolve_via_history_name_map(spark, tmp_path):
+    """A file written by a pre-field-id writer resolves through the
+    history's unambiguous name→id map."""
+    import pyarrow.parquet as pq
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg,
+    )
+
+    path = str(tmp_path / "idless")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path)
+    # strip the field ids in place (legacy-writer simulation)
+    f = _data_files(path)[0]
+    t = pq.read_table(f)
+    t = t.cast(
+        __import__("pyarrow").schema(
+            [fl.remove_metadata() for fl in t.schema]
+        )
+    )
+    pq.write_table(t, f)
+    evolve_iceberg(path, renames={"v": "amount"})
+    back = read_iceberg(spark, path)
+    assert back.columns == ["k", "part", "amount"]
+    assert _sorted_rows(back) == [(1, "a", 1.0)]
+
+
+def test_idless_ambiguous_name_refused(spark, tmp_path):
+    """rename v→w then add a NEW column v (fresh id): an id-less file
+    spelling 'v' is now ambiguous and must be refused, not guessed."""
+    import pyarrow.parquet as pq
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg,
+    )
+
+    path = str(tmp_path / "ambig")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path)
+    f = _data_files(path)[0]
+    t = pq.read_table(f)
+    t = t.cast(
+        __import__("pyarrow").schema(
+            [fl.remove_metadata() for fl in t.schema]
+        )
+    )
+    pq.write_table(t, f)
+    evolve_iceberg(path, renames={"v": "w"})
+    evolve_iceberg(path, add_columns=[("v", "double")])
+    with pytest.raises(ValueError, match="multiple field ids"):
+        read_iceberg(spark, path).collect()
+    # the same table with field ids intact reads fine
+    path2 = str(tmp_path / "ambig_ok")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path2)
+    evolve_iceberg(path2, renames={"v": "w"})
+    evolve_iceberg(path2, add_columns=[("v", "double")])
+    back = read_iceberg(spark, path2)
+    assert back.columns == ["k", "part", "w", "v"]
+    assert _sorted_rows(back) == [(1, "a", 1.0, None)]
+
+
+def test_range_read_prunes_after_rename(spark, tmp_path):
+    """Manifest bounds are keyed by FIELD ID, so stats skipping keeps
+    working across a rename."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg,
+    )
+
+    path = str(tmp_path / "renrange")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]).coalesce(1), path)
+    write_iceberg(
+        _df(spark, [(100, "b", 2.0)]).coalesce(1), path, mode="append"
+    )
+    evolve_iceberg(path, renames={"k": "key"})
+    back = read_iceberg_range(spark, path, "key", 0, 10)
+    assert _sorted_rows(back) == [(1, "a", 1.0)]
+
+
+def test_type_evolution_refused(spark, tmp_path):
+    """A live field id whose type changed across schema history must
+    refuse the read (promotion resolution is not implemented)."""
+    path = str(tmp_path / "tevo")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path)
+    meta_dir = _meta_dir(path)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as fh:
+        v = int(fh.read().strip())
+    mf = os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(mf) as fh:
+        meta = json.load(fh)
+    new = json.loads(json.dumps(meta["schemas"][0]))
+    new["schema-id"] = 1
+    for f in new["fields"]:
+        if f["name"] == "k":
+            f["type"] = "long"
+    meta["schemas"].append(new)
+    meta["current-schema-id"] = 1
+    with open(mf, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="changed type"):
+        read_iceberg(spark, path)
