@@ -1222,6 +1222,7 @@ def evolve_iceberg(
     path: str,
     renames: dict[str, str] | None = None,
     add_columns: list[tuple[str, str]] | None = None,
+    drop_columns: list[str] | None = None,
 ) -> int:
     """Metadata-only schema evolution commit — the Iceberg core value
     proposition (spec §Schema Evolution: renames keep the field id,
@@ -1233,15 +1234,20 @@ def evolve_iceberg(
     ``renames``: {old_name: new_name} over top-level columns.
     ``add_columns``: [(name, iceberg_primitive_type)] — added columns
     are optional and read as NULL from pre-existing files.
+    ``drop_columns``: names removed from the current schema — data
+    files keep the bytes (reads stop selecting the column), and the
+    freed NAME must not be re-added in the SAME commit (the id-reuse
+    ambiguity that id-less legacy files cannot resolve).
 
-    Renaming a partition SOURCE column is refused (the spec field name
-    in partition specs and the manifest partition keys spell the old
-    name; a half-renamed table would misplan appends).  Reads after a
-    rename resolve old files by parquet field id — see the
-    schema-evolution-reads section."""
+    Renaming or dropping a partition SOURCE column is refused (the
+    spec field name in partition specs and the manifest partition keys
+    spell the old name; a half-renamed table would misplan appends).
+    Reads after a rename resolve old files by parquet field id — see
+    the schema-evolution-reads section."""
     renames = dict(renames or {})
     add_columns = list(add_columns or [])
-    if not renames and not add_columns:
+    drop_columns = list(drop_columns or [])
+    if not renames and not add_columns and not drop_columns:
         raise ValueError("evolve_iceberg: nothing to do")
     meta = _load_metadata(path)
     cur = _current_schema(meta)
@@ -1257,6 +1263,11 @@ def evolve_iceberg(
             raise ValueError(f"rename: no such column {old!r}")
         if new in surviving or list(renames.values()).count(new) > 1:
             raise ValueError(f"rename: target name {new!r} collides")
+    for d in drop_columns:
+        if d not in names:
+            raise ValueError(f"drop: no such column {d!r}")
+        if d in renames:
+            raise ValueError(f"drop: {d!r} is also being renamed")
     for f in fields:
         if f["name"] in renames:
             if int(f["id"]) in spec_sources:
@@ -1266,7 +1277,23 @@ def evolve_iceberg(
                     "the old name)"
                 )
             f["name"] = renames[f["name"]]
+    for f in fields:
+        if f["name"] in drop_columns and int(f["id"]) in spec_sources:
+            raise ValueError(
+                f"drop: {f['name']!r} is a partition source column "
+                "(refused)"
+            )
+    fields = [f for f in fields if f["name"] not in drop_columns]
+    if not fields:
+        raise ValueError("drop: cannot drop every column")
     post_names = {f["name"] for f in fields}
+    for name, _t in add_columns:
+        if name in drop_columns:
+            raise ValueError(
+                f"add: {name!r} was dropped in this same commit — "
+                "re-adding a just-freed name creates the id-reuse "
+                "ambiguity id-less legacy files cannot resolve"
+            )
     last_id = int(
         meta.get("last-column-id")
         or max(int(f["id"]) for f in fields)

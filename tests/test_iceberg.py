@@ -696,3 +696,28 @@ def test_type_evolution_refused(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(ValueError, match="changed type"):
         read_iceberg(spark, path)
+
+
+def test_drop_column_and_readd_under_new_id(spark, tmp_path):
+    """DROP removes the column from reads without touching files; a
+    LATER re-add of the same name gets a fresh id, and old files (ids
+    intact) serve NULL for it instead of resurrecting old bytes."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg,
+    )
+
+    path = str(tmp_path / "drop")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path)
+    evolve_iceberg(path, drop_columns=["v"])
+    back = read_iceberg(spark, path)
+    assert back.columns == ["k", "part"]
+    assert _sorted_rows(back) == [(1, "a")]
+    # same-commit drop+re-add is the refused ambiguity
+    with pytest.raises(ValueError, match="same commit"):
+        evolve_iceberg(
+            path, drop_columns=["part"], add_columns=[("part", "string")]
+        )
+    # a later re-add allocates a fresh id; old files read NULL
+    evolve_iceberg(path, add_columns=[("v", "double")])
+    back = read_iceberg(spark, path)
+    assert _sorted_rows(back) == [(1, "a", None)]
