@@ -45,14 +45,22 @@ from ..sources.iceberg import (
     _current_schema,
     _load_metadata,
     _manifest_entries,
+    _resolution,
     _schema_to_spark,
 )
 
 
 class _IceFilePartition(InputPartition):
-    def __init__(self, file_path: str, names: list[str]) -> None:
+    def __init__(
+        self, file_path: str, names: list[str], resolve: dict | None
+    ) -> None:
         self.file_path = file_path
         self.names = names
+        #: rename-resolution tables for tables whose schema history
+        #: shows a rename (see sources.iceberg._resolution): id →
+        #: current name, unambiguous history name → id, ambiguous
+        #: names.  None for never-renamed tables (by-name fast path).
+        self.resolve = resolve
 
 
 def _ordered_snapshots(meta: dict) -> list[dict]:
@@ -94,6 +102,23 @@ class IcebergStreamReader(DataSourceStreamReader):
                 "were expired?) — restart from a fresh checkpoint"
             )
         names = [f.name for f in self.schema.fields]
+        res = _resolution(meta)
+        resolve = None
+        if res is not None:
+            # Map each STREAM column (schema pinned at stream start,
+            # possibly pre-rename) to its field id: current schema
+            # first, then the history's unambiguous name→id map.
+            cur_by_name = {f["name"]: int(f["id"]) for f in res["ordered"]}
+            ids = {}
+            for n in names:
+                fid = cur_by_name.get(n, res["name_to_id"].get(n))
+                if fid is not None:
+                    ids[int(fid)] = n
+            resolve = {
+                "ids": ids,
+                "name_to_id": res["name_to_id"],
+                "ambiguous": sorted(res["ambiguous"]),
+            }
         out: list[_IceFilePartition] = []
         prev, prev_del = (
             _active_files(self.path, meta, snaps[lo - 1])
@@ -114,7 +139,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                 )
             for p in sorted(cur - prev):
                 out.append(
-                    _IceFilePartition(urllib.parse.unquote(p), names)
+                    _IceFilePartition(urllib.parse.unquote(p), names, resolve)
                 )
             prev, prev_del = cur, cur_del
         return out
@@ -123,10 +148,35 @@ class IcebergStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.file_path)
-        cols = table.column_names
+        if partition.resolve is None:
+            colmap = {n: n for n in table.column_names}
+        else:
+            # Renamed table: the file may spell OLD names — resolve by
+            # parquet field id (same contract as the batch reader's
+            # _resolved_union; silent NULLs for renamed columns would
+            # be a misread, not a degradation).
+            r = partition.resolve
+            colmap = {}
+            for fld in table.schema:
+                raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if raw is not None:
+                    fid = int(raw)
+                else:
+                    if fld.name in r["ambiguous"]:
+                        raise ValueError(
+                            f"iceberg_stream: cannot resolve column "
+                            f"{fld.name!r}: no parquet field ids and the "
+                            "name maps to multiple field ids across "
+                            "schema history"
+                        )
+                    fid = r["name_to_id"].get(fld.name)
+                cur = r["ids"].get(fid) if fid is not None else None
+                if cur is not None:
+                    colmap[cur] = fld.name
         for row in table.to_pylist():
             yield tuple(
-                row.get(n) if n in cols else None for n in partition.names
+                row.get(colmap[n]) if n in colmap else None
+                for n in partition.names
             )
 
     def commit(self, end: dict) -> None:

@@ -174,3 +174,39 @@ def test_iceberg_delete_and_upsert_snapshots_refuse(spark, tmp_path):
     rows = _sunk(spark, out)
     # v0's 4 rows + the upsert's added file (the new k=2 version)
     assert (2, "X", 20.0) in rows and len(rows) == 5
+
+
+def test_iceberg_stream_resolves_renamed_columns_by_field_id(spark, tmp_path):
+    """A stream started AFTER a rename must read pre-rename files by
+    parquet field id — silent NULLs for the renamed column would be a
+    misread."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg, write_iceberg,
+    )
+    from aws_datalake_framework_api_spark.streaming.iceberg_source import (
+        register as ice_register,
+    )
+
+    ice_register(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]).coalesce(1), t, mode="error")
+    evolve_iceberg(t, renames={"v": "amount"})
+    write_iceberg(
+        spark.createDataFrame(
+            [(2, "b", 2.0)], "k int, part string, amount double"
+        ).coalesce(1),
+        t,
+        mode="append",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("iceberg_stream").load(t)
+        .writeStream.trigger(availableNow=True).format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+    )
+    q.awaitTermination()
+    sunk = spark.read.parquet(out)
+    assert "amount" in sunk.columns
+    assert sorted(tuple(r) for r in sunk.collect()) == [
+        (1, "a", 1.0), (2, "b", 2.0)
+    ]
