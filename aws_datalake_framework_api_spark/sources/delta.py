@@ -199,14 +199,18 @@ class _Snapshot:
 # therefore scans with the physically-named schema and projects back:
 # top-level columns by alias, nested fields by a struct cast (Spark
 # casts struct→struct positionally, which is exactly a rename).  Mode
-# ``id`` (parquet field-id matching) is refused — matching by physical
-# name when the protocol demands id matching could misread a table
-# whose files predate a rename — same refuse-don't-misread policy as
-# every other gate.  Writes to mapped tables stay refused by
+# ``id`` demands matching by PARQUET FIELD ID instead (file column
+# names are not authoritative there): the scan schema carries
+# ``parquet.field.id`` = ``delta.columnMapping.id`` per field and the
+# session flips ``spark.sql.parquet.fieldId.read.enabled`` — Spark's
+# native id matching, with a first-file sanity check refusing
+# spec-violating id-less files that ignoreMissing would misread as
+# NULL.  Writes to mapped tables stay refused by
 # ``_check_write_protocol`` (columnMapping is also a writer feature).
 
 _CMAP_MODE_KEY = "delta.columnMapping.mode"
 _CMAP_PHYS_KEY = "delta.columnMapping.physicalName"
+_CMAP_ID_KEY = "delta.columnMapping.id"
 
 
 def _mapping_mode(snap: _Snapshot) -> str:
@@ -214,36 +218,45 @@ def _mapping_mode(snap: _Snapshot) -> str:
     return conf.get(_CMAP_MODE_KEY) or "none"
 
 
-def _physical_json(node):
+def _physical_json(node, with_ids: bool = False):
     """schemaString subtree with every struct field renamed to its
     ``delta.columnMapping.physicalName`` (recursing through struct /
     array / map) — the schema as the parquet DATA FILES spell it.
     Field metadata is dropped so physical-vs-logical type comparison
-    reduces to "did any nested name change"."""
+    reduces to "did any nested name change"; ``with_ids`` instead
+    keeps exactly ``parquet.field.id`` = the field's
+    ``delta.columnMapping.id`` — in ``id`` mode Spark's parquet
+    reader matches file columns by that id
+    (``spark.sql.parquet.fieldId.read.enabled``), which is the
+    matching the protocol demands there."""
     if isinstance(node, dict):
         t = node.get("type")
         if t == "struct":
-            return {
-                "type": "struct",
-                "fields": [
+            fields = []
+            for f in node.get("fields") or []:
+                md = f.get("metadata") or {}
+                new_md = {}
+                if with_ids and _CMAP_ID_KEY in md:
+                    new_md["parquet.field.id"] = int(md[_CMAP_ID_KEY])
+                fields.append(
                     {
                         **f,
-                        "name": (f.get("metadata") or {}).get(
-                            _CMAP_PHYS_KEY, f["name"]
-                        ),
-                        "type": _physical_json(f["type"]),
-                        "metadata": {},
+                        "name": md.get(_CMAP_PHYS_KEY, f["name"]),
+                        "type": _physical_json(f["type"], with_ids),
+                        "metadata": new_md,
                     }
-                    for f in node.get("fields") or []
-                ],
-            }
+                )
+            return {"type": "struct", "fields": fields}
         if t == "array":
-            return {**node, "elementType": _physical_json(node["elementType"])}
+            return {
+                **node,
+                "elementType": _physical_json(node["elementType"], with_ids),
+            }
         if t == "map":
             return {
                 **node,
-                "keyType": _physical_json(node["keyType"]),
-                "valueType": _physical_json(node["valueType"]),
+                "keyType": _physical_json(node["keyType"], with_ids),
+                "valueType": _physical_json(node["valueType"], with_ids),
             }
     return node
 
@@ -292,13 +305,17 @@ def _resolve_read_schema(
     if mode in ("none", ""):
         ident = {f["name"]: f["name"] for f in sj.get("fields") or []}
         return StructType.fromJson(sj), logical_parts, None, ident
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise ValueError(
-            f"unsupported delta.columnMapping.mode {mode!r}: this reader "
-            "matches parquet columns by PHYSICAL NAME; 'id' mode demands "
-            "field-id matching (install delta-spark to read this table)"
+            f"unsupported delta.columnMapping.mode {mode!r} "
+            "(install delta-spark to read this table)"
         )
-    phys = StructType.fromJson(_physical_json(sj))
+    # ``name``: files are matched by physical column name.  ``id``:
+    # the scan schema additionally carries parquet.field.id metadata
+    # and the session flips fieldId matching on (see read_delta), so
+    # Spark matches file columns by id regardless of what the file
+    # names them — the matching the protocol demands in id mode.
+    phys = StructType.fromJson(_physical_json(sj, with_ids=(mode == "id")))
     logical = StructType.fromJson(_logical_json(sj))
     l2p = {
         f["name"]: (f.get("metadata") or {}).get(_CMAP_PHYS_KEY, f["name"])
@@ -309,6 +326,35 @@ def _resolve_read_schema(
         for pf, lf in zip(phys.fields, logical.fields)
     ]
     return phys, [l2p[c] for c in logical_parts], rename, l2p
+
+
+def _enable_field_id_read(
+    spark: SparkSession, snap: _Snapshot, path: str, rels: list[str]
+) -> None:
+    """id-mode prep: flip Spark's parquet fieldId matching on (a
+    session-wide switch, but inert for any scan whose read schema
+    carries no ``parquet.field.id`` metadata) and sanity-check that
+    the first data file actually records field ids — an id-mode file
+    without them is a spec violation that ignoreMissing would
+    otherwise misread as all-NULL."""
+    if _mapping_mode(snap) != "id":
+        return
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    # added columns legitimately miss from pre-evolution files (NULL)
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    if rels:
+        import pyarrow.parquet as pq
+
+        f = os.path.join(path, urllib.parse.unquote(sorted(rels)[0]))
+        sch = pq.read_schema(f)
+        if not any(
+            (fld.metadata or {}).get(b"PARQUET:field_id") for fld in sch
+        ):
+            raise ValueError(
+                f"column mapping mode 'id' but data file "
+                f"{os.path.basename(f)} records no parquet field ids — "
+                "refusing to misread (install delta-spark to diagnose)"
+            )
 
 
 def _rename_back(df: DataFrame, rename: list[tuple] | None) -> DataFrame:
@@ -953,6 +999,7 @@ def read_delta(
             for rel in rels
             if _part_match(snap.partition_values(rel), flt)
         ]
+    _enable_field_id_read(spark, snap, path, rels)
     return _rename_back(
         _scan_files(
             spark, path, snap, rels, schema, part_cols,
@@ -1403,14 +1450,17 @@ def create_mapped_delta(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
+    mode: str = "name",
 ) -> dict[str, str]:
-    """CREATE a Delta table with column mapping in ``name`` mode:
-    every field gets a ``col-<uuid>`` physical name and a sequential
-    column id in schemaString metadata, the data files /
-    ``partitionValues`` keys / stats keys are written PHYSICAL, and
-    the legacy protocol ``(2, 5)`` signals the capability — the exact
-    on-disk shape a Databricks-default writer produces, which is what
-    makes this the reader's interop fixture.  Returns the top-level
+    """CREATE a Delta table with column mapping (``name`` or ``id``
+    mode): every field gets a ``col-<uuid>`` physical name and a
+    sequential column id in schemaString metadata, the data files /
+    ``partitionValues`` keys / stats keys are written PHYSICAL (id
+    mode additionally stamps parquet field ids into the files — the
+    thing id-mode readers match on), and the legacy protocol
+    ``(2, 5)`` signals the capability — the exact on-disk shape a
+    Databricks-default writer produces, which is what makes this the
+    reader's interop fixture.  Returns the top-level
     logical→physical assignment.  Creation only: later mutations go
     through the standard gates, which refuse mapped tables (rename /
     drop evolution — the reason id+physicalName exist — is not
@@ -1418,20 +1468,27 @@ def create_mapped_delta(
     """
     if _table_version(path) is not None:
         raise FileExistsError(f"delta table already exists at {path}")
+    if mode not in ("name", "id"):
+        raise ValueError(f"unknown column mapping mode {mode!r}")
     partition_by = list(partition_by or [])
     counter = [0]
     mapped_json = _assign_mapping(json.loads(df.schema.json()), counter)
-    phys = StructType.fromJson(_physical_json(mapped_json))
-    df_phys = df.select(
-        *[
-            (
-                F.col(lf.name).cast(pf.dataType)
-                if pf.dataType != lf.dataType
-                else F.col(lf.name)
-            ).alias(pf.name)
-            for lf, pf in zip(df.schema.fields, phys.fields)
-        ]
+    # id mode: the files must record parquet field ids (that is what
+    # readers match on there) — ride them in via alias metadata /
+    # metadata-bearing nested casts, exactly like the Iceberg writer
+    phys = StructType.fromJson(
+        _physical_json(mapped_json, with_ids=(mode == "id"))
     )
+    cols = []
+    for lf, pf in zip(df.schema.fields, phys.fields):
+        col = F.col(lf.name)
+        if pf.dataType != lf.dataType:
+            col = col.cast(pf.dataType)
+        if pf.metadata:
+            cols.append(col.alias(pf.name, metadata=dict(pf.metadata)))
+        else:
+            cols.append(col.alias(pf.name))
+    df_phys = df.select(*cols)
     l2p = {
         f["name"]: f["metadata"][_CMAP_PHYS_KEY]
         for f in mapped_json["fields"]
@@ -1453,7 +1510,7 @@ def create_mapped_delta(
                 "schemaString": json.dumps(mapped_json),
                 "partitionColumns": partition_by,
                 "configuration": {
-                    _CMAP_MODE_KEY: "name",
+                    _CMAP_MODE_KEY: mode,
                     "delta.columnMapping.maxColumnId": str(counter[0]),
                 },
                 "createdTime": int(time.time() * 1000),
@@ -1962,6 +2019,7 @@ def read_delta_changes(
     # replay to starting_version for the before-state (old DVs)
     state, _ = _snapshot(spark, path, starting_version) if starting_version >= 0 else (None, None)
     schema, part_cols, rename, _l2p = _resolve_read_schema(state)
+    _enable_field_id_read(spark, state, path, sorted(state.files))
     out_parts: list[DataFrame] = []
 
     def scan(files_map: dict[str, dict], dv: dict | None) -> DataFrame:
@@ -2231,6 +2289,7 @@ def read_delta_range(
     kept, _skipped = _prune_snapshot(snap, l2p.get(column, column), lo, hi)
     cond = (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
     kept = sorted(kept)
+    _enable_field_id_read(spark, snap, path, kept)
     return _rename_back(
         _scan_files(
             spark, path, snap, kept, schema, part_cols,

@@ -1461,19 +1461,76 @@ def test_column_mapping_nested_struct_renamed(spark, tmp_path):
     ]
 
 
-def test_column_mapping_id_mode_refused(spark, tmp_path):
-    """'id' mode demands parquet field-id matching this reader does not
-    do — refuse, never match by name and hope."""
+def test_column_mapping_id_mode_matches_by_field_id(spark, tmp_path):
+    """'id' mode matches file columns by PARQUET FIELD ID — prove it by
+    scrambling a file's column NAMES while keeping its field ids: a
+    name-based read would produce garbage, the id-based read must not
+    notice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta,
+    )
+
+    path = str(tmp_path / "cmap_id")
+    df = _df(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    create_mapped_delta(df, path, mode="id")
+    data_files = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    # scramble the physical names in one file, ids intact
+    f = os.path.join(path, data_files[0])
+    t = pq.read_table(f)
+    # scramble names AND order — neither name nor position matching
+    # can accidentally pass; only field-id matching survives
+    perm = list(reversed(range(len(t.schema))))
+    scrambled = pa.schema(
+        [t.schema.field(i).with_name(f"junk_{i}") for i in perm]
+    )
+    pq.write_table(
+        pa.Table.from_arrays([t.columns[i] for i in perm], schema=scrambled),
+        f,
+    )
+    back = read_delta(spark, path)
+    assert back.columns == ["k", "part", "v"]
+    assert _sorted_rows(back) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_column_mapping_id_mode_idless_file_refused(spark, tmp_path):
+    """An id-mode file WITHOUT parquet field ids is a spec violation —
+    refuse, never serve ignoreMissing NULLs for every column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta,
+    )
+
+    path = str(tmp_path / "cmap_noid")
+    create_mapped_delta(_df(spark, [(1, "a", 1.0)]), path, mode="id")
+    data_files = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    f = os.path.join(path, data_files[0])
+    t = pq.read_table(f)
+    pq.write_table(
+        t.cast(pa.schema([fl.remove_metadata() for fl in t.schema])), f
+    )
+    with pytest.raises(ValueError, match="no parquet field ids"):
+        read_delta(spark, path)
+
+
+def test_column_mapping_unknown_mode_refused(spark, tmp_path):
     path, _ = _mapped_table(spark, tmp_path)
-    # flip the mode in the log's metaData
     with open(_version_file(path, 0)) as fh:
         lines = [json.loads(ln) for ln in fh if ln.strip()]
     for act in lines:
         if "metaData" in act:
-            act["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+            act["metaData"]["configuration"]["delta.columnMapping.mode"] = "glyph"
     with open(_version_file(path, 0), "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in lines))
-    with pytest.raises(ValueError, match="columnMapping.mode 'id'"):
+    with pytest.raises(ValueError, match="columnMapping.mode 'glyph'"):
         read_delta(spark, path).collect()
 
 
