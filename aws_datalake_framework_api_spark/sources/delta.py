@@ -328,33 +328,41 @@ def _resolve_read_schema(
     return phys, [l2p[c] for c in logical_parts], rename, l2p
 
 
+def _to_physical_df(df: DataFrame, sj: dict, mode: str) -> DataFrame:
+    """``df`` (logical names, any column order) renamed to the mapped
+    schema's PHYSICAL spelling in schema order — what the data files
+    must contain.  Nested renames ride a same-type cast; ``id`` mode
+    additionally stamps ``parquet.field.id`` metadata so the files
+    record the ids id-mode readers match on."""
+    df = df.select(*[f["name"] for f in sj.get("fields") or []])
+    phys = StructType.fromJson(_physical_json(sj, with_ids=(mode == "id")))
+    cols = []
+    for lf, pf in zip(df.schema.fields, phys.fields):
+        col = F.col(lf.name)
+        if pf.dataType != lf.dataType:
+            col = col.cast(pf.dataType)
+        if pf.metadata:
+            cols.append(col.alias(pf.name, metadata=dict(pf.metadata)))
+        else:
+            cols.append(col.alias(pf.name))
+    return df.select(*cols)
+
+
 def _enable_field_id_read(
     spark: SparkSession, snap: _Snapshot, path: str, rels: list[str]
 ) -> None:
-    """id-mode prep: flip Spark's parquet fieldId matching on (a
+    """id-mode prep: flip Spark's parquet fieldId matching on — a
     session-wide switch, but inert for any scan whose read schema
-    carries no ``parquet.field.id`` metadata) and sanity-check that
-    the first data file actually records field ids — an id-mode file
-    without them is a spec violation that ignoreMissing would
-    otherwise misread as all-NULL."""
+    carries no ``parquet.field.id`` metadata.  The matching semantics
+    are exactly what the protocol wants (probed empirically): a file
+    WITH ids that lacks a requested id serves NULL (added-column
+    evolution), while a file with NO ids at all — a spec violation in
+    an id-mode table — fails the scan loudly, per file, executor-side
+    (``ignoreMissing`` stays false; turning it on would misread such
+    a file as all-NULL)."""
     if _mapping_mode(snap) != "id":
         return
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    # added columns legitimately miss from pre-evolution files (NULL)
-    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-    if rels:
-        import pyarrow.parquet as pq
-
-        f = os.path.join(path, urllib.parse.unquote(sorted(rels)[0]))
-        sch = pq.read_schema(f)
-        if not any(
-            (fld.metadata or {}).get(b"PARQUET:field_id") for fld in sch
-        ):
-            raise ValueError(
-                f"column mapping mode 'id' but data file "
-                f"{os.path.basename(f)} records no parquet field ids — "
-                "refusing to misread (install delta-spark to diagnose)"
-            )
 
 
 def _rename_back(df: DataFrame, rename: list[tuple] | None) -> DataFrame:
@@ -1145,25 +1153,72 @@ def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
 #: vector in, ``delete_where_delta`` writes new vectors, and VACUUM
 #: never reclaims a referenced DV file.  ``timestampNtz`` needs no
 #: writer behavior beyond writing NTZ parquet, which Spark does.
-_SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors", "timestampNtz"}
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly", "deletionVectors", "timestampNtz", "columnMapping",
+}
 _MAX_SIMPLE_WRITER_VERSION = 2
 
 
 def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
     """Refuse to mutate a table whose protocol demands writer
-    capabilities this implementation lacks (invariants, CDF, column
-    mapping, deletion vectors...), and honor ``delta.appendOnly``."""
+    capabilities this implementation lacks (invariants, CDF, generated
+    / identity columns, CHECK constraints...), and honor
+    ``delta.appendOnly``.  Column-mapped tables admit ``append`` /
+    ``overwrite`` only (the writer renames to physical and stamps ids
+    — see write_delta); their rewrite-style mutations stay refused.
+
+    Legacy writer versions 3-6 bundle capabilities (3 CHECK
+    constraints, 4 CDF + generated columns, 5 column mapping, 6
+    identity columns); rather than refusing the VERSION, the gate
+    checks whether each bundled capability is ACTUALLY USED by the
+    table — a Databricks-default (2,5) mapped table with none of the
+    rest configured is writable, one with CDF enabled is not."""
     proto = snap.protocol
     writer = int(proto.get("minWriterVersion", 1))
     feats = set(proto.get("writerFeatures") or [])
     unsupported = feats - _SUPPORTED_WRITER_FEATURES
-    if writer > _MAX_SIMPLE_WRITER_VERSION and (writer != 7 or unsupported):
-        raise ValueError(
-            "delta table requires unsupported writer capabilities: "
-            f"minWriterVersion={writer} features={sorted(unsupported) or '?'} "
-            "(install delta-spark to write this table)"
-        )
     conf = (snap.metadata or {}).get("configuration") or {}
+    schema_fields = (
+        json.loads(snap.metadata["schemaString"]) if snap.metadata else {}
+    ).get("fields")
+    if writer > _MAX_SIMPLE_WRITER_VERSION:
+        if writer == 7:
+            if unsupported:
+                raise ValueError(
+                    "delta table requires unsupported writer capabilities: "
+                    f"minWriterVersion=7 features={sorted(unsupported)} "
+                    "(install delta-spark to write this table)"
+                )
+        elif writer <= 6:
+            used = []
+            if any(k.startswith("delta.constraints.") for k in conf):
+                used.append("checkConstraints")
+            if conf.get("delta.enableChangeDataFeed") == "true":
+                used.append("changeDataFeed")
+            meta_key = _find_field_metadata_key(
+                schema_fields, ("delta.generationExpression", "delta.identity.")
+            )
+            if meta_key is not None:
+                used.append(meta_key)
+            if used:
+                raise ValueError(
+                    "delta table uses writer capabilities this writer "
+                    f"lacks: {used} (minWriterVersion={writer}; install "
+                    "delta-spark to write this table)"
+                )
+        else:
+            raise ValueError(
+                "delta table requires unsupported writer capabilities: "
+                f"minWriterVersion={writer} (install delta-spark)"
+            )
+    if _mapping_mode(snap) not in ("none", "") and operation not in (
+        "append",
+        "overwrite",
+    ):
+        raise ValueError(
+            f"column-mapped table: {operation} is not implemented "
+            "(append/overwrite are; install delta-spark for the rest)"
+        )
     append_only = conf.get("delta.appendOnly") == "true" or (
         "appendOnly" in feats and conf.get("delta.appendOnly") != "false"
     )
@@ -1188,6 +1243,28 @@ def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
             "(delta.invariants); this writer cannot enforce it — "
             "install delta-spark to write this table"
         )
+
+
+def _find_field_metadata_key(fields, prefixes: tuple) -> str | None:
+    """Tag of the first per-field capability in use across the schema
+    (nested structs included): 'generatedColumns' for
+    ``delta.generationExpression``, 'identityColumns' for any
+    ``delta.identity.*``; None when neither appears."""
+    for f in fields or []:
+        for k in f.get("metadata") or {}:
+            for p in prefixes:
+                if k == p or (p.endswith(".") and k.startswith(p)):
+                    return (
+                        "generatedColumns"
+                        if p == "delta.generationExpression"
+                        else "identityColumns"
+                    )
+        t = f.get("type")
+        if isinstance(t, dict) and t.get("type") == "struct":
+            hit = _find_field_metadata_key(t.get("fields"), prefixes)
+            if hit is not None:
+                return hit
+    return None
 
 
 def _find_invariant(fields, prefix: str = "") -> str | None:
@@ -1339,6 +1416,11 @@ def write_delta(
         snap, _ = _snapshot(spark, path, latest)
         op = "overwrite" if mode == "overwrite" else "append"
         _check_write_protocol(snap, op)
+        if merge_schema and _mapping_mode(snap) not in ("none", ""):
+            raise ValueError(
+                "mergeSchema on a column-mapped table needs column-id "
+                "assignment — not implemented (install delta-spark)"
+            )
         if merge_schema:
             evolved = _merged_schema(df, snap)
         if evolved is None:
@@ -1404,7 +1486,19 @@ def write_delta(
                 if snap.files[rel].get("deletionVector"):
                     rm["deletionVector"] = snap.files[rel]["deletionVector"]
                 actions.append({"remove": rm})
-    actions.extend(_stage_files(df, path, partition_by, version))
+    stage_df, stage_parts = df, partition_by
+    if snap is not None and _mapping_mode(snap) not in ("none", ""):
+        # column-mapped table: files/partitionValues/stats must spell
+        # PHYSICAL names (+ parquet ids in id mode); validation above
+        # ran against the LOGICAL schema
+        sj = json.loads(snap.metadata["schemaString"])
+        stage_df = _to_physical_df(df, sj, _mapping_mode(snap))
+        l2p = {
+            f["name"]: (f.get("metadata") or {}).get(_CMAP_PHYS_KEY, f["name"])
+            for f in sj["fields"]
+        }
+        stage_parts = [l2p[c] for c in partition_by]
+    actions.extend(_stage_files(stage_df, path, stage_parts, version))
     _commit(path, version, actions)
     return version
 
@@ -1476,19 +1570,7 @@ def create_mapped_delta(
     # id mode: the files must record parquet field ids (that is what
     # readers match on there) — ride them in via alias metadata /
     # metadata-bearing nested casts, exactly like the Iceberg writer
-    phys = StructType.fromJson(
-        _physical_json(mapped_json, with_ids=(mode == "id"))
-    )
-    cols = []
-    for lf, pf in zip(df.schema.fields, phys.fields):
-        col = F.col(lf.name)
-        if pf.dataType != lf.dataType:
-            col = col.cast(pf.dataType)
-        if pf.metadata:
-            cols.append(col.alias(pf.name, metadata=dict(pf.metadata)))
-        else:
-            cols.append(col.alias(pf.name))
-    df_phys = df.select(*cols)
+    df_phys = _to_physical_df(df, mapped_json, mode)
     l2p = {
         f["name"]: f["metadata"][_CMAP_PHYS_KEY]
         for f in mapped_json["fields"]
@@ -1901,7 +1983,8 @@ def optimize_delta(
     "files_before", "files_after", "partitions_compacted"}; nothing
     to do commits nothing."""
     snap, latest = _snapshot(spark, path)
-    _check_write_protocol(snap, "append")  # compaction adds no/removes no ROWS
+    _check_write_protocol(snap, "optimize")  # adds/removes no ROWS; passes
+    # the appendOnly gate (pure rearrangement) but not the mapped gate
     schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
     part_cols = list(snap.metadata.get("partitionColumns") or [])
     by_part: dict[tuple, list[str]] = {}
@@ -2486,7 +2569,7 @@ def scan_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority, count(*) AS n,
            {sql_money_sum('o_totalprice')} AS total_price
     FROM orders
-    WHERE o_orderkey % 7 = 0
+    WHERE (o_orderkey % 7 = 0 OR o_orderkey % 7 = 3)
       AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
     GROUP BY o_orderpriority
     """,
@@ -2496,13 +2579,16 @@ def scan_delta_cmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip: :func:`create_mapped_delta` writes data files,
     ``partitionValues`` keys and stats under ``col-<uuid>`` PHYSICAL
     names with the legacy (2, 5) protocol — the current Databricks
-    writer default — and the read must resolve the mapping from
-    schemaString metadata, translate the LOGICAL ``partition_filter``
-    to physical keys for planning-time pruning, inject the partition
-    column, and project everything back to logical names.  The oracle
-    recomputes the aggregate from the fixture, so a column read under
-    the wrong name, a mis-mapped partition filter, or mapping metadata
-    leaking into the result schema all fail the compare (r6)."""
+    writer default — then a LOGICAL-schema ``write_delta`` append must
+    land as physical-named files too, and the read must resolve the
+    mapping from schemaString metadata, translate the LOGICAL
+    ``partition_filter`` to physical keys for planning-time pruning,
+    inject the partition column, and project everything back to
+    logical names.  The oracle recomputes the aggregate from the
+    fixture, so a column read under the wrong name, a mis-mapped
+    partition filter, a lost or logically-spelled append, or mapping
+    metadata leaking into the result schema all fail the compare
+    (r6)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
@@ -2510,8 +2596,8 @@ def scan_delta_cmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete = False
     try:
         complete = (
-            _table_version(path) == 0
-            and _mapping_mode(_snapshot(spark, path, 0)[0]) == "name"
+            _table_version(path) == 1
+            and _mapping_mode(_snapshot(spark, path, 1)[0]) == "name"
         )
     except (FileNotFoundError, ValueError):
         complete = False
@@ -2520,6 +2606,12 @@ def scan_delta_cmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         create_mapped_delta(
             orders.filter(F.col("o_orderkey") % 7 == 0),
             path,
+            partition_by=["o_orderpriority"],
+        )
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 7 == 3),
+            path,
+            mode="append",
             partition_by=["o_orderpriority"],
         )
     back = read_delta(

@@ -645,12 +645,14 @@ def _resolved_union(
     spark: SparkSession,
     files: list[str],
     res: dict,
-    want_tags: bool,
+    tags: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """One scan branch per distinct footer field-id mapping, each
     projected to the CURRENT schema (renamed columns re-aliased,
     columns the file predates filled with NULL, dropped columns simply
-    not selected)."""
+    not selected).  ``tags`` appends ``_metadata`` pseudo-columns as
+    ``(alias, metadata_field)`` pairs — they must be selected inside
+    each branch, before any further join."""
     import pyarrow.parquet as pq
 
     groups: dict[tuple, list[str]] = {}
@@ -694,9 +696,8 @@ def _resolved_union(
                 proj.append(
                     F.lit(None).cast(_ice_to_spark(f["type"])).alias(f["name"])
                 )
-        if want_tags:
-            proj.append(F.col("_metadata.file_name").alias("_ice_file"))
-            proj.append(F.col("_metadata.row_index").alias("_ice_pos"))
+        for alias, mfield in tags or []:
+            proj.append(F.col(f"_metadata.{mfield}").alias(alias))
         branches.append(
             spark.read.schema(read_schema).parquet(*sorted(gfiles)).select(*proj)
         )
@@ -766,8 +767,13 @@ def _plan_scan(
     files = sorted({r["path"] for r in data})
 
     def build(want_tags: bool) -> DataFrame:
+        tags = (
+            [("_ice_file", "file_name"), ("_ice_pos", "row_index")]
+            if want_tags
+            else None
+        )
         if res is not None:
-            return _resolved_union(spark, files, res, want_tags)
+            return _resolved_union(spark, files, res, tags)
         df = spark.read.schema(spark_schema).parquet(*files)
         if want_tags:
             df = df.select(
@@ -1480,11 +1486,21 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition) -> int:
     if not data:
         return max(_metadata_versions(path))
     files = sorted({r["path"] for r in data})
-    scan = spark.read.schema(spark_schema).parquet(*files)
-    hits = scan.filter(condition).select(
-        F.col("_metadata.file_path").alias("file_path"),
-        F.col("_metadata.row_index").alias("pos"),
-    )
+    res = _resolution(meta)
+    if res is None:
+        scan = spark.read.schema(spark_schema).parquet(*files)
+        hits = scan.filter(condition).select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    else:
+        # renamed table: the condition names CURRENT columns — a
+        # by-name scan would silently miss rows in pre-rename files
+        tagged = _resolved_union(
+            spark, files, res,
+            [("file_path", "file_path"), ("pos", "row_index")],
+        )
+        hits = tagged.filter(condition).select("file_path", "pos")
     del_files = _stage_pos_delete(spark, path, hits)
     if not del_files:
         return max(_metadata_versions(path))
@@ -1530,14 +1546,22 @@ def upsert_iceberg(
     new_manifests: list[dict] = []
     if data:
         files = sorted({r["path"] for r in data})
-        scan = spark.read.schema(spark_schema).parquet(*files)
-        # project the _metadata pseudo-column BEFORE joining — it only
-        # resolves directly against the scan relation
-        tagged = scan.select(
-            "*",
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
-        )
+        res = _resolution(meta)
+        if res is None:
+            scan = spark.read.schema(spark_schema).parquet(*files)
+            # project the _metadata pseudo-column BEFORE joining — it
+            # only resolves directly against the scan relation
+            tagged = scan.select(
+                "*",
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        else:
+            # renamed table: resolve pre-rename files by field id
+            tagged = _resolved_union(
+                spark, files, res,
+                [("file_path", "file_path"), ("pos", "row_index")],
+            )
         hits = tagged.join(source.select(*on), on, "left_semi").select(
             "file_path", "pos"
         )

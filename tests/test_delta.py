@@ -465,17 +465,34 @@ def test_invalid_mode_always_refused(spark, tmp_path):
 
 
 def test_unsupported_writer_features_refused(spark, tmp_path):
-    """Appending to a columnMapping table would write files keyed by
-    logical names that other engines then misread — refuse."""
+    """Appending to a table that requires a capability this writer
+    lacks (identity columns here) would corrupt its semantics —
+    refuse.  A columnMapping feature flag alone no longer refuses:
+    the writer handles the logical→physical rename itself."""
     path = str(tmp_path / "t")
     write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
     _commit(
         path, 1,
-        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 5,
-                       "writerFeatures": ["columnMapping"]}}],
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                       "writerFeatures": ["identityColumns"]}}],
     )
     with pytest.raises(ValueError, match="writer capabilities"):
         write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+
+
+def test_cmap_feature_flag_without_mode_is_writable(spark, tmp_path):
+    """A (2,5)-era table that declares the columnMapping writer
+    feature but configures no delta.columnMapping.mode uses plain
+    names on disk — the capability gate checks what the table USES,
+    so this append must succeed."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    _commit(
+        path, 1,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}],
+    )
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    assert read_delta(spark, path).count() == 2
 
 
 def test_append_only_table_refuses_overwrite_and_delete(spark, tmp_path):
@@ -1497,9 +1514,10 @@ def test_column_mapping_id_mode_matches_by_field_id(spark, tmp_path):
     assert _sorted_rows(back) == [(1, "a", 1.0), (2, "b", 2.0)]
 
 
-def test_column_mapping_id_mode_idless_file_refused(spark, tmp_path):
+def test_column_mapping_id_mode_idless_file_fails_loudly(spark, tmp_path):
     """An id-mode file WITHOUT parquet field ids is a spec violation —
-    refuse, never serve ignoreMissing NULLs for every column."""
+    the scan must fail loudly (Spark's fieldId matching with
+    ignoreMissing left false), never serve all-NULL rows."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from aws_datalake_framework_api_spark.sources.delta import (
@@ -1507,18 +1525,21 @@ def test_column_mapping_id_mode_idless_file_refused(spark, tmp_path):
     )
 
     path = str(tmp_path / "cmap_noid")
-    create_mapped_delta(_df(spark, [(1, "a", 1.0)]), path, mode="id")
+    create_mapped_delta(
+        _df(spark, [(1, "a", 1.0)]).coalesce(1), path, mode="id"
+    )
     data_files = [
         f for f in os.listdir(path)
         if f.endswith(".parquet") and not f.startswith("_")
     ]
+    assert len(data_files) == 1
     f = os.path.join(path, data_files[0])
     t = pq.read_table(f)
     pq.write_table(
         t.cast(pa.schema([fl.remove_metadata() for fl in t.schema])), f
     )
-    with pytest.raises(ValueError, match="no parquet field ids"):
-        read_delta(spark, path)
+    with pytest.raises(Exception, match="FAILED_READ_FILE|field"):
+        read_delta(spark, path).collect()
 
 
 def test_column_mapping_unknown_mode_refused(spark, tmp_path):
@@ -1534,12 +1555,90 @@ def test_column_mapping_unknown_mode_refused(spark, tmp_path):
         read_delta(spark, path).collect()
 
 
-def test_column_mapping_writes_refused(spark, tmp_path):
-    """The (2, 5) protocol makes every mutation path refuse — this
-    writer assigns mapping once at CREATE and never mutates mapped
-    tables (rename/drop evolution is delta-spark territory)."""
+def test_column_mapping_append_writes_physical_names(spark, tmp_path):
+    """Appends to a mapped table take LOGICAL columns and must land as
+    PHYSICAL-named files + physical partitionValues keys (r6: mapped
+    tables are append/overwrite-writable, not just readable)."""
+    import pyarrow.parquet as pq
+
+    path, l2p = _mapped_table(spark, tmp_path, partition_by=["part"])
+    v = write_delta(
+        _df(spark, [(9, "z", 9.0)]), path, mode="append",
+        partition_by=["part"],
+    )
+    assert v == 1
+    with open(_version_file(path, 1)) as fh:
+        adds = [
+            json.loads(ln)["add"] for ln in fh
+            if ln.strip() and "add" in json.loads(ln)
+        ]
+    assert adds and all(
+        set(a["partitionValues"]) == {l2p["part"]} for a in adds
+    )
+    new_file = os.path.join(path, adds[0]["path"])
+    assert set(pq.read_schema(new_file).names) <= set(l2p.values())
+    back = read_delta(spark, path)
+    assert (9, "z", 9.0) in _sorted_rows(back)
+    assert len(_sorted_rows(back)) == 5
+
+
+def test_column_mapping_id_mode_append_stamps_ids(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta,
+    )
+
+    path = str(tmp_path / "cmap_id_append")
+    create_mapped_delta(_df(spark, [(1, "a", 1.0)]), path, mode="id")
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    with open(_version_file(path, 1)) as fh:
+        adds = [
+            json.loads(ln)["add"] for ln in fh
+            if ln.strip() and "add" in json.loads(ln)
+        ]
+    sch = pq.read_schema(os.path.join(path, adds[0]["path"]))
+    assert all((f.metadata or {}).get(b"PARQUET:field_id") for f in sch)
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0)
+    ]
+
+
+def test_column_mapping_mutations_still_refused(spark, tmp_path):
+    """Rewrite-style mutations on mapped tables stay refused (their
+    rewrite paths are logical-name-based); mergeSchema too (needs
+    column-id assignment)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta, optimize_delta, update_delta,
+    )
+
     path, _ = _mapped_table(spark, tmp_path)
-    with pytest.raises(ValueError, match="unsupported writer"):
+    with pytest.raises(ValueError, match="column-mapped"):
+        update_delta(spark, path, F.col("k") == 1, {"v": F.lit(9.0)})
+    with pytest.raises(ValueError, match="column-mapped"):
+        delete_where_delta(spark, path, F.col("k") == 1)
+    with pytest.raises(ValueError, match="column-mapped"):
+        optimize_delta(spark, path)
+    with pytest.raises(ValueError, match="mergeSchema"):
+        write_delta(
+            _df(spark, [(9, "z", 9.0)]).withColumn("extra", F.lit(1)),
+            path, mode="append", merge_schema=True,
+        )
+
+
+def test_legacy_writer_versions_gate_on_actual_capabilities(spark, tmp_path):
+    """A (2,5) table with nothing else configured is writable; the same
+    protocol with CDF enabled or a generated column declared refuses."""
+    path, _ = _mapped_table(spark, tmp_path)
+    with open(_version_file(path, 0)) as fh:
+        lines = [json.loads(ln) for ln in fh if ln.strip()]
+    for act in lines:
+        if "metaData" in act:
+            act["metaData"]["configuration"][
+                "delta.enableChangeDataFeed"
+            ] = "true"
+    with open(_version_file(path, 0), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in lines))
+    with pytest.raises(ValueError, match="changeDataFeed"):
         write_delta(_df(spark, [(9, "z", 9.0)]), path, mode="append")
 
 

@@ -721,3 +721,27 @@ def test_drop_column_and_readd_under_new_id(spark, tmp_path):
     evolve_iceberg(path, add_columns=[("v", "double")])
     back = read_iceberg(spark, path)
     assert _sorted_rows(back) == [(1, "a", None)]
+
+
+def test_delete_and_upsert_resolve_renamed_tables(spark, tmp_path):
+    """A DELETE/UPSERT condition names CURRENT columns; pre-rename
+    files must still be matched (by field id), not silently skipped."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg, upsert_iceberg,
+    )
+
+    path = str(tmp_path / "mut_ren")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1), path)
+    evolve_iceberg(path, renames={"v": "amount"})
+    # delete by the NEW name must hit the OLD file
+    delete_iceberg_rows(spark, path, F.col("amount") == 1.0)
+    assert _sorted_rows(read_iceberg(spark, path)) == [(2, "b", 2.0)]
+    # upsert matching a pre-rename row
+    upsert_iceberg(
+        spark, path,
+        spark.createDataFrame(
+            [(2, "b", 20.0)], "k int, part string, amount double"
+        ).coalesce(1),
+        on=["k"],
+    )
+    assert _sorted_rows(read_iceberg(spark, path)) == [(2, "b", 20.0)]
