@@ -24,8 +24,15 @@ this module implements the PUBLIC Iceberg table spec
   + atomic ``version-hint.text`` replace — same optimistic protocol
   as the Delta connector's log commits.
 
-Honest gates (refuse, never misread): equality deletes (content=2
-data files), unsupported partition transforms for *pruning* (files
+Equality deletes (content=2, the merge-on-read DELETE shape Flink
+CDC writes) are both READ (null-safe anti-join on the delete's
+equality columns, strict sequence gating, partition scoping) and
+WRITTEN (``delete_by_key_iceberg`` — an O(keys) point delete that
+never reads the table).
+
+Honest gates (refuse, never misread): equality deletes on
+renamed-column tables or nested fields, compaction over equality
+deletes, unsupported partition transforms for *pruning* (files
 under bucket/truncate/day transforms are conservatively KEPT — the
 row filter still applies, so results stay correct and only pruning
 is lost), snappy/zstd-compressed Avro metadata, and type evolution
@@ -357,6 +364,10 @@ def _manifest_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
                      "default": None, "field-id": 125},
                     {"name": "upper_bounds", "type": _bounds_type(),
                      "default": None, "field-id": 128},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int",
+                                       "element-id": 136}],
+                     "default": None, "field-id": 135},
                 ],
             }},
         ],
@@ -500,12 +511,13 @@ def _norm_bounds(raw) -> dict[int, bytes] | None:
 
 def _manifest_entries(
     path: str, meta: dict, snap: dict
-) -> tuple[list[dict], list[dict]]:
-    """Resolve one snapshot to its live (data_files, delete_files):
-    each as dicts {path, partition, spec_id, seq, record_count,
-    lower, upper}.  Sequence-number inheritance per spec: a null entry
-    sequence_number inherits the manifest's sequence number when the
-    entry was ADDED in that manifest."""
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Resolve one snapshot to its live (data_files, position_delete
+    files, equality_delete files): each as dicts {path, partition,
+    spec_id, seq, record_count, lower, upper} (equality recs add
+    ``equality_ids``).  Sequence-number inheritance per spec: a null
+    entry sequence_number inherits the manifest's sequence number when
+    the entry was ADDED in that manifest."""
     location = meta.get("location") or path
     ml = snap.get("manifest-list")
     if ml:
@@ -517,6 +529,7 @@ def _manifest_entries(
         ]
     data: list[dict] = []
     deletes: list[dict] = []
+    eq_deletes: list[dict] = []
     for mf in manifests:
         mpath = _resolve(mf["manifest_path"], path, location)
         m_seq = int(mf.get("sequence_number") or 0)
@@ -550,11 +563,15 @@ def _manifest_entries(
             elif f_content == 1:
                 deletes.append(rec)
             elif f_content == 2:
-                raise ValueError(
-                    "iceberg equality deletes are not supported by this "
-                    "reader (install iceberg-spark to read this table)"
-                )
-    return data, deletes
+                ids = [int(i) for i in (df.get("equality_ids") or [])]
+                if not ids:
+                    raise ValueError(
+                        "iceberg equality delete file lists no "
+                        f"equality_ids: {rec['path']}"
+                    )
+                rec["equality_ids"] = ids
+                eq_deletes.append(rec)
+    return data, deletes, eq_deletes
 
 
 # ------------------------------------------------------------------ reader
@@ -718,9 +735,12 @@ def read_iceberg(
     prunes data files at PLANNING time from manifest partition values
     (identity transforms; other transforms conservatively keep).
     Positional deletes are applied as a distributed anti-join on
-    ``(file, _metadata.row_index)`` with sequence-number gating.
-    Renamed-column tables resolve files by parquet field id (see the
-    schema-evolution-reads section)."""
+    ``(file, _metadata.row_index)`` with sequence-number gating;
+    equality deletes (content=2, what Flink CDC writes) as a null-safe
+    anti-join on the delete's equality columns with STRICT sequence
+    gating and same-partition scoping.  Renamed-column tables resolve
+    files by parquet field id (see the schema-evolution-reads
+    section)."""
     meta = _load_metadata(path)
     schema_json = _current_schema(meta)
     spark_schema = _schema_to_spark(schema_json)
@@ -728,7 +748,7 @@ def read_iceberg(
     snap = _snapshot_by_id(meta, snapshot_id)
     if snap is None:
         return spark.createDataFrame([], spark_schema)
-    data, deletes = _manifest_entries(path, meta, snap)
+    data, deletes, eq_deletes = _manifest_entries(path, meta, snap)
     if partition_filter:
         kept = []
         for rec in data:
@@ -752,7 +772,10 @@ def read_iceberg(
             if ok:
                 kept.append(rec)
         data = kept
-    return _plan_scan(spark, spark_schema, data, deletes, res)
+    return _plan_scan(
+        spark, spark_schema, data, deletes, res,
+        eq_deletes=eq_deletes, schema_json=schema_json,
+    )
 
 
 def _plan_scan(
@@ -761,6 +784,8 @@ def _plan_scan(
     data: list[dict],
     deletes: list[dict],
     res: dict | None = None,
+    eq_deletes: list[dict] | None = None,
+    schema_json: dict | None = None,
 ) -> DataFrame:
     if not data:
         return spark.createDataFrame([], spark_schema)
@@ -783,8 +808,14 @@ def _plan_scan(
             )
         return df
 
-    live_deletes = [d for d in deletes if d["seq"] >= min(r["seq"] for r in data)]
-    if not live_deletes:
+    min_seq = min(r["seq"] for r in data)
+    live_deletes = [d for d in deletes if d["seq"] >= min_seq]
+    # equality deletes gate STRICTLY: a delete at sequence S removes
+    # matching rows only from data files with data sequence < S (the
+    # spec's rule that lets an upsert's own appended rows survive the
+    # delete committed alongside them)
+    live_eq = [d for d in (eq_deletes or []) if d["seq"] > min_seq]
+    if not live_deletes and not live_eq:
         return build(False)
     # Basenames key both joins (full paths differ between the writer's
     # URI form and the local scan's); a collision would misattribute
@@ -794,52 +825,166 @@ def _plan_scan(
         b = os.path.basename(urllib.parse.unquote(r["path"]))
         if b in base_seq:
             raise ValueError(
-                "cannot apply positional deletes: duplicate data file basenames"
+                "cannot apply deletes: duplicate data file basenames"
             )
         base_seq[b] = r["seq"]
     import pandas as pd
 
-    dseq = spark.createDataFrame(
+    tagged = build(True)
+    if live_deletes:
+        dseq = spark.createDataFrame(
+            pd.DataFrame(
+                sorted(
+                    (os.path.basename(urllib.parse.unquote(d["path"])), d["seq"])
+                    for d in live_deletes
+                ),
+                columns=["_ice_dfile", "_ice_dseq"],
+            ),
+            "_ice_dfile string, _ice_dseq long",
+        )
+        dmap = spark.createDataFrame(
+            pd.DataFrame(
+                sorted(base_seq.items()), columns=["_ice_file", "_ice_seq"]
+            ),
+            "_ice_file string, _ice_seq long",
+        )
+        dfiles = sorted({d["path"] for d in live_deletes})
+        # Delete rows name their target file as a full URI; normalize to
+        # basename.  The scan of delete files is DISTRIBUTED — at scale
+        # positional-delete files are data-sized, never driver state.
+        del_rows = (
+            spark.read.schema("file_path string, pos long").parquet(*dfiles)
+            .withColumn(
+                "_ice_dfile",
+                F.element_at(F.split(F.col("_metadata.file_name"), "/"), -1),
+            )
+            .join(F.broadcast(dseq), "_ice_dfile")
+            .withColumn(
+                "_ice_file",
+                F.url_decode(F.element_at(F.split(F.col("file_path"), "/"), -1)),
+            )
+            .join(F.broadcast(dmap), "_ice_file")
+            # a delete applies to files whose data sequence <= delete's
+            .filter(F.col("_ice_dseq") >= F.col("_ice_seq"))
+            .select("_ice_file", F.col("pos").alias("_ice_pos"))
+        )
+        # No forced broadcast on the delete rows: position-delete files
+        # are DATA-sized at scale (unlike the planning-sized seq maps
+        # above) — AQE picks broadcast when they happen to be small.
+        tagged = tagged.join(del_rows, ["_ice_file", "_ice_pos"], "left_anti")
+    if live_eq:
+        tagged = _apply_eq_deletes(
+            spark, tagged, live_eq, data, base_seq, res, schema_json
+        )
+    return tagged.drop("_ice_file", "_ice_pos")
+
+
+def _apply_eq_deletes(
+    spark: SparkSession,
+    tagged: DataFrame,
+    live_eq: list[dict],
+    data: list[dict],
+    base_seq: dict[str, int],
+    res: dict | None,
+    schema_json: dict | None,
+) -> DataFrame:
+    """Subtract equality-delete rows (content=2, the merge-on-read
+    DELETE shape Flink CDC writes) from a tagged scan: one null-safe
+    left-anti join per distinct ``equality_ids`` set, on the delete's
+    equality columns, gated by data-file sequence STRICTLY below the
+    delete's and scoped to the delete file's partition (a delete
+    written under a partitioned spec applies only to its own
+    partition; one written unpartitioned applies globally — per the
+    spec's scoping rule, which keeps a partition-local delete from
+    over-deleting equal keys elsewhere)."""
+    if res is not None:
+        raise ValueError(
+            "equality deletes on a renamed-column table are not supported "
+            "by this reader (install iceberg-spark to read this table)"
+        )
+    if schema_json is None:
+        raise ValueError("equality deletes need the table schema to resolve")
+    import pandas as pd
+
+    by_id = {int(f["id"]): f for f in schema_json["fields"]}
+    spark_fields = {
+        sf.name: sf for sf in _schema_to_spark(schema_json).fields
+    }
+
+    def pjson(p: dict | None) -> str | None:
+        return (
+            json.dumps(p, sort_keys=True, default=str) if p else None
+        )
+
+    smap = spark.createDataFrame(
         pd.DataFrame(
             sorted(
-                (os.path.basename(urllib.parse.unquote(d["path"])), d["seq"])
-                for d in live_deletes
+                (
+                    os.path.basename(urllib.parse.unquote(r["path"])),
+                    r["seq"],
+                    pjson(r.get("partition")),
+                )
+                for r in data
             ),
-            columns=["_ice_dfile", "_ice_dseq"],
+            columns=["_ice_file", "_ice_seq", "_ice_part"],
         ),
-        "_ice_dfile string, _ice_dseq long",
+        "_ice_file string, _ice_seq long, _ice_part string",
     )
-    dmap = spark.createDataFrame(
-        pd.DataFrame(sorted(base_seq.items()), columns=["_ice_file", "_ice_seq"]),
-        "_ice_file string, _ice_seq long",
-    )
-    dfiles = sorted({d["path"] for d in live_deletes})
-    # Delete rows name their target file as a full URI; normalize to
-    # basename.  The scan of delete files is DISTRIBUTED — at scale
-    # positional-delete files are data-sized, never driver state.
-    del_rows = (
-        spark.read.schema("file_path string, pos long").parquet(*dfiles)
-        .withColumn(
-            "_ice_dfile",
-            F.element_at(F.split(F.col("_metadata.file_name"), "/"), -1),
+    tagged = tagged.join(F.broadcast(smap), "_ice_file")
+    groups: dict[tuple, list[dict]] = {}
+    for d in live_eq:
+        groups.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
+    for ids, recs in sorted(groups.items()):
+        cols = []
+        for fid in ids:
+            f = by_id.get(fid)
+            if f is None or not isinstance(f.get("type"), str):
+                raise ValueError(
+                    f"equality delete on unresolvable/nested field id {fid} "
+                    "is not supported by this reader"
+                )
+            cols.append(f["name"])
+        sub_schema = StructType([spark_fields[c] for c in cols])
+        dmeta = spark.createDataFrame(
+            pd.DataFrame(
+                sorted(
+                    (
+                        os.path.basename(urllib.parse.unquote(d["path"])),
+                        d["seq"],
+                        pjson(d.get("partition")),
+                    )
+                    for d in recs
+                ),
+                columns=["_eq_dfile", "_eq_dseq", "_eq_dpart"],
+            ),
+            "_eq_dfile string, _eq_dseq long, _eq_dpart string",
         )
-        .join(F.broadcast(dseq), "_ice_dfile")
-        .withColumn(
-            "_ice_file",
-            F.url_decode(F.element_at(F.split(F.col("file_path"), "/"), -1)),
+        dfiles = sorted({d["path"] for d in recs})
+        # Delete rows scan DISTRIBUTED (a CDC stream's delete files are
+        # data-sized); AQE broadcasts them when they happen to be small.
+        dr = (
+            spark.read.schema(sub_schema).parquet(*dfiles)
+            .withColumn(
+                "_eq_dfile",
+                F.element_at(F.split(F.col("_metadata.file_name"), "/"), -1),
+            )
+            .join(F.broadcast(dmeta), "_eq_dfile")
+            .select(
+                *[F.col(c).alias(f"_eq_{c}") for c in cols],
+                "_eq_dseq",
+                "_eq_dpart",
+            )
         )
-        .join(F.broadcast(dmap), "_ice_file")
-        # a delete applies to files whose data sequence <= delete's
-        .filter(F.col("_ice_dseq") >= F.col("_ice_seq"))
-        .select("_ice_file", F.col("pos").alias("_ice_pos"))
-    )
-    tagged = build(True)
-    # No forced broadcast on the delete rows: position-delete files are
-    # DATA-sized at scale (unlike the planning-sized seq maps above) —
-    # AQE picks broadcast when they happen to be small.
-    return tagged.join(
-        del_rows, ["_ice_file", "_ice_pos"], "left_anti"
-    ).drop("_ice_file", "_ice_pos")
+        cond = (F.col("_eq_dseq") > F.col("_ice_seq")) & (
+            F.col("_eq_dpart").isNull()
+            | (F.col("_eq_dpart") == F.col("_ice_part"))
+        )
+        for c in cols:
+            # null-safe: a delete row's NULL key matches NULL data
+            # values, per the spec's IS-NOT-DISTINCT-FROM semantics
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
+        tagged = tagged.join(dr, cond, "left_anti")
+    return tagged.drop("_ice_seq", "_ice_part")
 
 
 def read_iceberg_range(
@@ -863,7 +1008,7 @@ def read_iceberg_range(
     snap = _snapshot_by_id(meta, snapshot_id)
     if snap is None:
         return spark.createDataFrame([], spark_schema)
-    data, deletes = _manifest_entries(path, meta, snap)
+    data, deletes, eq_deletes = _manifest_entries(path, meta, snap)
     kept = []
     for rec in data:
         prunable = False
@@ -877,7 +1022,10 @@ def read_iceberg_range(
                     prunable = False
         if not prunable:
             kept.append(rec)
-    out = _plan_scan(spark, spark_schema, kept, deletes, _resolution(meta))
+    out = _plan_scan(
+        spark, spark_schema, kept, deletes, _resolution(meta),
+        eq_deletes=eq_deletes, schema_json=schema_json,
+    )
     return out.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
 
 
@@ -962,21 +1110,13 @@ def _typed_part_value(ice_type: str, raw: str | None):
     return str(raw)
 
 
-def _stage_data_files(
-    df: DataFrame, path: str, partition_by: list[str], schema_json: dict
-) -> list[dict]:
-    """Distributed stage of ``df`` into ``data/`` and return one
-    data_file record per written parquet.  Iceberg data files CONTAIN
-    their partition columns (unlike Hive/Delta layouts), so the
-    partition columns are DUPLICATED under shadow names for the
-    directory layout and the originals stay in the files."""
-    staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
-    # Stamp parquet field ids from the table schema into the files
-    # (spec requirement for writers; what makes rename-safe id-based
-    # resolution possible).  Top-level ids ride alias metadata; nested
-    # ids ride a same-type cast to the metadata-bearing struct type —
-    # a plain ``.to()`` gets collapsed away for already-matching flat
-    # columns and loses the metadata.
+def _stamp_field_ids(df: DataFrame, schema_json: dict) -> DataFrame:
+    """Stamp parquet field ids from the table schema into the written
+    files (spec requirement for writers; what makes rename-safe
+    id-based resolution possible).  Top-level ids ride alias metadata;
+    nested ids ride a same-type cast to the metadata-bearing struct
+    type — a plain ``.to()`` gets collapsed away for already-matching
+    flat columns and loses the metadata."""
     from pyspark.sql.types import ArrayType, MapType
 
     ice_by_name = {f["name"]: f for f in schema_json["fields"]}
@@ -992,7 +1132,19 @@ def _stage_data_files(
         stamped.append(
             col.alias(sf.name, metadata={"parquet.field.id": int(ice_f["id"])})
         )
-    w = df.select(*stamped)
+    return df.select(*stamped)
+
+
+def _stage_data_files(
+    df: DataFrame, path: str, partition_by: list[str], schema_json: dict
+) -> list[dict]:
+    """Distributed stage of ``df`` into ``data/`` and return one
+    data_file record per written parquet.  Iceberg data files CONTAIN
+    their partition columns (unlike Hive/Delta layouts), so the
+    partition columns are DUPLICATED under shadow names for the
+    directory layout and the originals stay in the files."""
+    staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
+    w = _stamp_field_ids(df, schema_json)
     shadow = [f"_ice_p_{c}" for c in partition_by]
     for c, s in zip(partition_by, shadow):
         w = w.withColumn(s, F.col(c))
@@ -1482,7 +1634,7 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition) -> int:
     snap = _snapshot_by_id(meta, None)
     if snap is None:
         return max(_metadata_versions(path))
-    data, _deletes = _manifest_entries(path, meta, snap)
+    data, _deletes, _eq = _manifest_entries(path, meta, snap)
     if not data:
         return max(_metadata_versions(path))
     files = sorted({r["path"] for r in data})
@@ -1502,6 +1654,87 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition) -> int:
         )
         hits = tagged.filter(condition).select("file_path", "pos")
     del_files = _stage_pos_delete(spark, path, hits)
+    if not del_files:
+        return max(_metadata_versions(path))
+    manifest = _delete_manifest(path, del_files, schema_json)
+    carry = _carry_manifests(path, meta)
+    return _commit_snapshot(path, meta, [manifest], carry, "delete")
+
+
+def delete_by_key_iceberg(
+    spark: SparkSession, path: str, keys: DataFrame
+) -> int:
+    """Merge-on-read DELETE BY KEY via an equality delete file
+    (content=2): stage the distinct ``keys`` rows as parquet, commit a
+    delete manifest carrying their ``equality_ids``, done.  Cost is
+    O(keys) — NO data file is read or rewritten, which is the whole
+    point of equality deletes: a 100 TB table absorbs a point delete
+    without touching the table (``delete_iceberg_rows`` must SCAN to
+    find positions; this path is why CDC writers like Flink use
+    equality deletes).  Readers subtract matching rows via the strict
+    sequence gate — only data committed BEFORE this delete is
+    affected, so a later re-insert of the same key survives.
+    ``keys``'s columns must be a subset of the table's top-level
+    columns with exactly the declared types."""
+    meta = _load_metadata(path)
+    schema_json = _current_schema(meta)
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    cols = list(keys.columns)
+    if not cols:
+        raise ValueError("delete_by_key_iceberg needs at least one key column")
+    eq_ids = []
+    for c in cols:
+        f = by_name.get(c)
+        if f is None:
+            raise ValueError(f"no such column: {c}")
+        if not isinstance(f.get("type"), str):
+            raise ValueError(
+                f"equality delete on nested column {c!r} is not supported"
+            )
+        eq_ids.append(int(f["id"]))
+    declared = {
+        c: _ice_to_spark(by_name[c]["type"]).simpleString() for c in cols
+    }
+    got = {sf.name: sf.dataType.simpleString() for sf in keys.schema.fields}
+    if declared != got:
+        raise ValueError(
+            f"key schema mismatch: table declares {declared}, keys have {got}"
+        )
+    snap = _snapshot_by_id(meta, None)
+    if snap is None:
+        return max(_metadata_versions(path))
+    ddir = os.path.join(path, "data")
+    os.makedirs(ddir, exist_ok=True)
+    staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
+    # distinct: duplicate delete rows are legal but pure waste; sorted
+    # within partitions so the file carries tight column bounds
+    _stamp_field_ids(
+        keys.distinct().sortWithinPartitions(*cols), schema_json
+    ).write.mode("errorifexists").parquet(staging)
+    del_files: list[dict] = []
+    for fname in sorted(os.listdir(staging)):
+        if not fname.endswith(".parquet"):
+            continue
+        dst = os.path.join(ddir, f"eq-delete-{uuid.uuid4().hex[:8]}-{fname}")
+        os.replace(os.path.join(staging, fname), dst)
+        n, lower, upper = _file_stats(dst, schema_json)
+        if n == 0:
+            os.unlink(dst)
+            continue
+        del_files.append(
+            {
+                "content": 2,  # equality deletes
+                "file_path": dst,
+                "file_format": "PARQUET",
+                "partition": {},  # unpartitioned spec — applies globally
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(dst),
+                "lower_bounds": lower,
+                "upper_bounds": upper,
+                "equality_ids": eq_ids,
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
     if not del_files:
         return max(_metadata_versions(path))
     manifest = _delete_manifest(path, del_files, schema_json)
@@ -1535,7 +1768,10 @@ def upsert_iceberg(
     snap = _snapshot_by_id(meta, None)
     if snap is None:
         raise ValueError("cannot upsert into a table with no snapshot")
-    data, _deletes = _manifest_entries(path, meta, snap)
+    # existing equality deletes are safe under upsert: re-deleting an
+    # already-eq-deleted position is a no-op, and the appended rows'
+    # new (higher) data sequence escapes every prior delete's strict gate
+    data, _deletes, _eq = _manifest_entries(path, meta, snap)
     part_names = [
         f["name"] for f in _spec_fields(meta, meta.get("default-spec-id", 0))
     ]
@@ -1703,6 +1939,66 @@ scan_iceberg_upsert = query(
 )(scan_iceberg_upsert)
 
 
+def scan_iceberg_eqdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete lifecycle end-to-end: create (keys ≡0 mod 4) →
+    ``delete_by_key_iceberg`` on keys ≡0 (mod 8) — an O(keys)
+    content=2 commit that reads NO data file — → re-append those keys
+    at price+500.  The read must subtract by equality with the STRICT
+    sequence gate (the re-appended rows are NEWER than the delete and
+    must survive) and null-safe key matching; the oracle reconstructs
+    the final state arithmetically, so an over-applied delete (gate
+    not strict), an under-applied one (eq join missed), or a lost
+    re-append all fail the hash compare.  (The merge-on-read DELETE
+    shape Flink CDC writes; r6.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"iceberg_eqdel_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        ops = [h["operation"] for h in history_iceberg(spark, path)]
+        complete = ops == ["append", "delete", "append"]
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 4 == 0), path, mode="error"
+        )
+        delete_by_key_iceberg(
+            spark, path,
+            orders.filter(F.col("o_orderkey") % 8 == 0)
+            .select("o_orderkey"),
+        )
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 8 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(500.0)
+            ),
+            path,
+            mode="append",
+        )
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+scan_iceberg_eqdelete = query(
+    "b_lake_iceberg_eqdelete",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum(
+               "CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 500 "
+               "ELSE o_totalprice END"
+           )} AS total_price
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_eqdelete)
+
+
 def scan_iceberg_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution end-to-end: create → ``evolve_iceberg``
     (metadata-only RENAME ``o_totalprice``→``price_total`` + ADD
@@ -1801,7 +2097,15 @@ def rewrite_data_files(
     if snap is None:
         return {"version": max(_metadata_versions(path)), "files_before": 0,
                 "files_after": 0, "partitions_compacted": 0}
-    data, deletes = _manifest_entries(path, meta, snap)
+    data, deletes, eq_deletes = _manifest_entries(path, meta, snap)
+    if eq_deletes:
+        # folding equality deletes into rewritten files needs the reader's
+        # eq application inside the compaction scan; until then, refuse —
+        # a rewrite that dropped them would RESURRECT deleted rows
+        raise ValueError(
+            "rewrite_data_files on a table with equality deletes is not "
+            "supported (read-apply or expire them first)"
+        )
     deleted_targets = set()
     for d in deletes:
         # which data files do the position deletes name?  read just the

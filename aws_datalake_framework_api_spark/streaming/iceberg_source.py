@@ -71,8 +71,13 @@ def _ordered_snapshots(meta: dict) -> list[dict]:
 
 
 def _active_files(path: str, meta: dict, snap: dict) -> tuple[set, set]:
-    data, deletes = _manifest_entries(path, meta, snap)
-    return {r["path"] for r in data}, {r["path"] for r in deletes}
+    data, deletes, eq_deletes = _manifest_entries(path, meta, snap)
+    # equality deletes count as delete files: a snapshot that adds one is
+    # a delete/upsert snapshot and triggers the same refusal gate
+    return (
+        {r["path"] for r in data},
+        {r["path"] for r in deletes} | {r["path"] for r in eq_deletes},
+    )
 
 
 class IcebergStreamReader(DataSourceStreamReader):

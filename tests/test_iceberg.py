@@ -21,6 +21,7 @@ from aws_datalake_framework_api_spark.sources.iceberg import (
     _manifest_entry_schema,
     _MANIFEST_LIST_SCHEMA,
     _meta_dir,
+    delete_by_key_iceberg,
     delete_iceberg_rows,
     history_iceberg,
     read_iceberg,
@@ -292,9 +293,10 @@ def test_delete_sequence_number_gating(spark, tmp_path):
     assert sorted(r["k"] for r in read_iceberg(spark, path).collect()) == [2]
 
 
-def test_equality_deletes_refused(spark, tmp_path):
-    """content=2 data files (equality deletes) are beyond this reader —
-    refuse, never silently keep rows an equality delete removed."""
+def test_equality_delete_without_ids_refused(spark, tmp_path):
+    """A content=2 entry that lists no equality_ids is spec-invalid —
+    there is no way to know which columns it deletes by; refuse,
+    never silently keep rows an equality delete removed."""
     path = str(tmp_path / "t")
     write_iceberg(_df(spark, [(1, "a", 1.0)]).coalesce(1), path, mode="error")
     meta = _load_metadata(path)
@@ -305,8 +307,142 @@ def test_equality_deletes_refused(spark, tmp_path):
         mls[0]["manifest_path"], _manifest_entry_schema([]), entries,
         metadata={"format-version": "2", "content": "deletes"},
     )
-    with pytest.raises(ValueError, match="equality deletes"):
+    with pytest.raises(ValueError, match="equality_ids"):
         read_iceberg(spark, path)
+
+
+def test_delete_by_key_equality_delete_end_to_end(spark, tmp_path):
+    """delete_by_key_iceberg is an O(keys) merge-on-read DELETE: no
+    data file is read or rewritten, the keys land in a content=2
+    delete file, and the STRICT sequence gate means a later re-insert
+    of the same key survives the earlier delete."""
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]),
+        path, mode="error", partition_by=["part"],
+    )
+    data_dir = os.path.join(path, "data")
+    before = {
+        f for f in os.listdir(data_dir) if not f.startswith("eq-delete-")
+    }
+    delete_by_key_iceberg(
+        spark, path, spark.createDataFrame([(1,), (3,)], "k int")
+    )
+    # no data file rewritten — only the equality delete file appeared
+    after = {
+        f for f in os.listdir(data_dir) if not f.startswith("eq-delete-")
+    }
+    assert after == before
+    assert any(f.startswith("eq-delete-") for f in os.listdir(data_dir))
+    assert _sorted_rows(read_iceberg(spark, path)) == [(2, "a", 2.0)]
+    # strict gate: a re-insert of k=1 AFTER the delete survives it
+    write_iceberg(
+        _df(spark, [(1, "a", 10.0)]), path, mode="append",
+        partition_by=["part"],
+    )
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "a", 10.0), (2, "a", 2.0),
+    ]
+    # time travel still sees the pre-delete snapshot
+    meta = _load_metadata(path)
+    first = min(
+        meta["snapshots"], key=lambda s: s.get("sequence-number", 0)
+    )["snapshot-id"]
+    assert len(read_iceberg(spark, path, snapshot_id=first).collect()) == 3
+
+
+def test_equality_delete_multi_column_and_null_key(spark, tmp_path):
+    """Composite keys AND the spec's null-matching rule: a delete row
+    with a NULL key column removes data rows whose value IS NULL
+    (IS-NOT-DISTINCT-FROM, not SQL equality)."""
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (1, None, 5.0), (2, "a", 2.0)]),
+        path, mode="error",
+    )
+    delete_by_key_iceberg(
+        spark, path,
+        spark.createDataFrame([(1, None)], "k int, part string"),
+    )
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "a", 1.0), (2, "a", 2.0),
+    ]
+
+
+def test_foreign_equality_delete_partition_scoping(spark, tmp_path):
+    """A delete file written under a PARTITIONED spec scopes to its
+    own partition: the same key value in another partition must
+    survive (the spec's rule that keeps partition-local deletes from
+    over-deleting)."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        _carry_manifests,
+        _commit_snapshot,
+        _delete_manifest,
+        _write_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (1, "b", 9.0), (2, "a", 2.0)]),
+        path, mode="error", partition_by=["part"],
+    )
+    meta = _load_metadata(path)
+    # hand-stage a delete keyed on k=1 scoped to partition part='a'
+    spark.createDataFrame([(1,)], "k int").coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    src = next(
+        f for f in os.listdir(str(tmp_path / "stage"))
+        if f.endswith(".parquet")
+    )
+    dst = os.path.join(path, "data", "eqd-scoped.parquet")
+    os.replace(os.path.join(str(tmp_path / "stage"), src), dst)
+    entry = {
+        "status": 1, "snapshot_id": None, "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 2, "file_path": dst, "file_format": "PARQUET",
+            "partition": {"part": "a"}, "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(dst),
+            "lower_bounds": None, "upper_bounds": None,
+            "equality_ids": [1],
+        },
+    }
+    schema_json = json.loads(
+        json.dumps(
+            {
+                "schema-id": 0, "type": "struct",
+                "fields": meta["schemas"][0]["fields"],
+            }
+        )
+    )
+    manifest = _write_manifest(
+        path, [entry], [("part", "string")], 0, "deletes", schema_json
+    )
+    _commit_snapshot(path, meta, [manifest], _carry_manifests(path, meta),
+                     "delete")
+    # k=1 gone from partition a only; partition b's k=1 survives
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "b", 9.0), (2, "a", 2.0),
+    ]
+
+
+def test_compaction_refuses_equality_deletes(spark, tmp_path):
+    """rewrite_data_files would RESURRECT equality-deleted rows if it
+    rewrote files without folding the deletes — refuse until folding
+    exists."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "a", 2.0)]), path,
+                  mode="error")
+    delete_by_key_iceberg(
+        spark, path, spark.createDataFrame([(1,)], "k int")
+    )
+    with pytest.raises(ValueError, match="equality deletes"):
+        rewrite_data_files(spark, path, target_file_bytes=1)
 
 
 def test_partition_filter_prunes_at_planning_time(spark, tmp_path):
