@@ -52,6 +52,7 @@ column pruning all apply unchanged.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -577,17 +578,128 @@ def _manifest_entries(
 # ------------------------------------------------------------------ reader
 
 
-def _identity_values(meta: dict, rec: dict, schema_json: dict) -> dict | None:
-    """Partition values of IDENTITY-transformed fields for one data
-    file, typed; None when the spec uses any other transform (the
-    file is then unprunable — kept, never misread)."""
-    fields = _spec_fields(meta, rec["spec_id"])
-    out = {}
-    for f in fields:
-        if f.get("transform") != "identity":
-            return None
-        out[f["name"]] = rec["partition"].get(f["name"])
-    return out
+class _Unprunable(Exception):
+    """A (transform, type, value) combination this planner cannot
+    evaluate — the file is conservatively KEPT, never misread."""
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (the PUBLIC hash the Iceberg spec's Appendix B
+    mandates for bucket transforms, seed 0 — NOT Spark's ``F.hash``,
+    which is the same function at seed 42)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - 3, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = n & 3
+    if tail:
+        k = int.from_bytes(data[n - tail :], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+_EPOCH_D = datetime.date(1970, 1, 1)
+_EPOCH_TS = datetime.datetime(1970, 1, 1)
+
+
+def _temporal_parts(value, src_type: str):
+    """(days, micros, year, month) of a filter value for the temporal
+    transforms; accepts date/datetime objects and ISO strings."""
+    v = value
+    if isinstance(v, str):
+        try:
+            v = (
+                datetime.date.fromisoformat(v)
+                if src_type == "date"
+                else datetime.datetime.fromisoformat(v)
+            )
+        except ValueError as e:
+            raise _Unprunable from e
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        delta = v - _EPOCH_TS
+        micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return delta.days, micros, v.year, v.month
+    if isinstance(v, datetime.date):
+        days = (v - _EPOCH_D).days
+        return days, days * 86_400_000_000, v.year, v.month
+    raise _Unprunable
+
+
+def _apply_transform(transform: str, value, src_type):
+    """Evaluate an Iceberg partition transform on one FILTER value so
+    planning can compare it against manifest partition values (the
+    spec's hidden-partitioning contract: the user filters on the
+    SOURCE column; the transform is the table's business).  Raises
+    :class:`_Unprunable` for combinations this planner doesn't
+    evaluate — callers keep the file."""
+    if value is None:
+        # null source → null partition value under every transform
+        return None
+    if not isinstance(src_type, str):
+        raise _Unprunable
+    if transform == "identity":
+        return value
+    if transform == "void":
+        raise _Unprunable  # every file holds null — nothing to compare
+    if transform in ("year", "month", "day", "hour"):
+        if src_type not in ("date", "timestamp", "timestamptz"):
+            raise _Unprunable
+        days, micros, y, m = _temporal_parts(value, src_type)
+        if transform == "year":
+            return y - 1970
+        if transform == "month":
+            return (y - 1970) * 12 + (m - 1)
+        if transform == "day":
+            return days
+        if src_type == "date":
+            raise _Unprunable  # hour(date) is spec-invalid
+        return micros // 3_600_000_000
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate[") : -1])
+        if w <= 0:
+            raise _Unprunable
+        if src_type in ("int", "long") and isinstance(value, int):
+            return value - (value % w)  # Python % is floor-mod, per spec
+        if src_type == "string" and isinstance(value, str):
+            return value[:w]
+        raise _Unprunable
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket[") : -1])
+        if n <= 0:
+            raise _Unprunable
+        if src_type in ("int", "long"):
+            if not isinstance(value, int):
+                raise _Unprunable
+            data = struct.pack("<q", value)
+        elif src_type == "string":
+            if not isinstance(value, str):
+                raise _Unprunable
+            data = value.encode("utf-8")
+        elif src_type in ("date", "timestamp", "timestamptz"):
+            days, micros, _y, _m = _temporal_parts(value, src_type)
+            data = struct.pack("<q", days if src_type == "date" else micros)
+        else:
+            raise _Unprunable  # float/decimal buckets: rare, kept
+        return (_murmur3_32(data) & 0x7FFFFFFF) % n
+    raise _Unprunable
 
 
 # ------------------------------------------------- schema-evolution reads
@@ -750,24 +862,53 @@ def read_iceberg(
         return spark.createDataFrame([], spark_schema)
     data, deletes, eq_deletes = _manifest_entries(path, meta, snap)
     if partition_filter:
+        # Hidden partitioning: filters name SOURCE columns; each spec
+        # field sourced from a filtered column gets the filter values
+        # pushed through its transform (identity/bucket/truncate/
+        # year/month/day/hour) and compared against the file's
+        # manifest partition value.  Unevaluable combinations keep
+        # the file — pruning is an optimization, never a correctness
+        # lever.
+        id_to_name = {int(f["id"]): f["name"] for f in schema_json["fields"]}
+        type_by_name = {f["name"]: f["type"] for f in schema_json["fields"]}
         kept = []
         for rec in data:
-            vals = _identity_values(meta, rec, schema_json)
-            if vals is None:
-                kept.append(rec)  # unprunable transform — keep
-                continue
+            fields = _spec_fields(meta, rec["spec_id"])
             ok = True
             for c, want in partition_filter.items():
-                if c not in vals:
-                    continue
-                allowed = (
-                    {str(w) for w in want}
+                wants = (
+                    list(want)
                     if isinstance(want, (set, list, tuple))
-                    else {str(want)}
+                    else [want]
                 )
-                have = vals[c]
-                if (None if have is None else str(have)) not in allowed:
-                    ok = False
+                for pf in fields:
+                    sid = pf.get("source-id")
+                    src = (
+                        id_to_name.get(int(sid)) if sid is not None
+                        else (pf["name"] if pf.get("transform") == "identity"
+                              else None)
+                    )
+                    if src != c or pf["name"] not in rec["partition"]:
+                        continue
+                    try:
+                        twant = {
+                            _apply_transform(
+                                pf.get("transform", "identity"),
+                                w,
+                                type_by_name.get(c),
+                            )
+                            for w in wants
+                        }
+                    except _Unprunable:
+                        continue  # keep — can't evaluate this transform
+                    have = rec["partition"].get(pf["name"])
+                    allowed = {
+                        None if t is None else str(t) for t in twant
+                    }
+                    if (None if have is None else str(have)) not in allowed:
+                        ok = False
+                        break
+                if not ok:
                     break
             if ok:
                 kept.append(rec)

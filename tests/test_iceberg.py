@@ -458,6 +458,136 @@ def test_partition_filter_prunes_at_planning_time(spark, tmp_path):
     assert sorted(r["k"] for r in pruned.collect()) == list(range(2, 40, 4))
 
 
+def _build_transform_table(spark, path, spec_fields, part_types, files):
+    """Hand-build a single-snapshot foreign table with an arbitrary
+    partition SPEC (hidden partitioning: bucket/truncate/day...).
+    ``files``: list of (rows, partition_dict); rows follow the _df
+    schema.  Returns nothing — read with read_iceberg."""
+    from aws_datalake_framework_api_spark.sources.avro_codec import (
+        write_avro_file as _wav,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        _MANIFEST_LIST_SCHEMA as _MLS,
+        _manifest_entry_schema as _mes,
+        _meta_dir as _md,
+    )
+
+    ddir = os.path.join(path, "data")
+    os.makedirs(ddir)
+    entries = []
+    for i, (rows, part) in enumerate(files):
+        stage = os.path.join(path, f"_s{i}")
+        _df(spark, rows).coalesce(1).write.parquet(stage)
+        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        fp = os.path.join(ddir, f"f{i}.parquet")
+        os.replace(os.path.join(stage, src), fp)
+        shutil.rmtree(stage)
+        entries.append({
+            "status": 0, "snapshot_id": 7, "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0, "file_path": fp, "file_format": "PARQUET",
+                "partition": part, "record_count": len(rows),
+                "file_size_in_bytes": os.path.getsize(fp),
+                "lower_bounds": None, "upper_bounds": None,
+            },
+        })
+    md = _md(path)
+    os.makedirs(md)
+    part_fields = [(f["name"], part_types[f["name"]]) for f in spec_fields]
+    m = os.path.join(md, "m-0.avro")
+    _wav(m, _mes(part_fields), entries,
+         metadata={"format-version": "2", "content": "data"})
+    ml = os.path.join(md, "snap-7.avro")
+    _wav(ml, _MLS, [{
+        "manifest_path": m, "manifest_length": os.path.getsize(m),
+        "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+        "min_sequence_number": 1, "added_snapshot_id": 7,
+        "added_files_count": len(files), "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(len(r) for r, _ in files),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }], metadata={"format-version": "2"})
+    meta = {
+        "format-version": 2, "table-uuid": "u", "location": path,
+        "last-sequence-number": 1, "last-updated-ms": 1,
+        "last-column-id": 3,
+        "schemas": [{
+            "schema-id": 0, "type": "struct", "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "int"},
+                {"id": 2, "name": "part", "required": False,
+                 "type": "string"},
+                {"id": 3, "name": "v", "required": False, "type": "double"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0, "last-partition-id": 1000 + len(spec_fields),
+        "properties": {},
+        "snapshots": [{"snapshot-id": 7, "sequence-number": 1,
+                       "timestamp-ms": 1,
+                       "summary": {"operation": "append"},
+                       "manifest-list": ml, "schema-id": 0}],
+        "current-snapshot-id": 7, "snapshot-log": [], "metadata-log": [],
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def test_bucket_transform_pruning(spark, tmp_path):
+    """Hidden partitioning: a filter on the SOURCE column prunes via
+    the spec's bucket transform (murmur3 seed 0 per Appendix B).
+    bucket[4](34)=3, bucket[4](35)=1 — filtering k=34 must scan only
+    the bucket-3 file."""
+    path = str(tmp_path / "t")
+    _build_transform_table(
+        spark, path,
+        [{"name": "k_bucket", "transform": "bucket[4]",
+          "source-id": 1, "field-id": 1000}],
+        {"k_bucket": "int"},
+        [([(34, "a", 1.0)], {"k_bucket": 3}),
+         ([(35, "b", 2.0)], {"k_bucket": 1})],
+    )
+    full = read_iceberg(spark, path)
+    assert _sorted_rows(full) == [(34, "a", 1.0), (35, "b", 2.0)]
+    pruned = read_iceberg(spark, path, partition_filter={"k": 34})
+    assert len(pruned.inputFiles()) == 1
+    assert _sorted_rows(pruned) == [(34, "a", 1.0)]
+
+
+def test_truncate_transform_pruning(spark, tmp_path):
+    """truncate[2] on a string source: filtering part='abc' keeps only
+    files whose partition value is 'ab'."""
+    path = str(tmp_path / "t")
+    _build_transform_table(
+        spark, path,
+        [{"name": "part_trunc", "transform": "truncate[2]",
+          "source-id": 2, "field-id": 1000}],
+        {"part_trunc": "string"},
+        [([(1, "abc", 1.0)], {"part_trunc": "ab"}),
+         ([(2, "xyz", 2.0)], {"part_trunc": "xy"})],
+    )
+    pruned = read_iceberg(spark, path, partition_filter={"part": "abc"})
+    assert len(pruned.inputFiles()) == 1
+    assert _sorted_rows(pruned) == [(1, "abc", 1.0)]
+
+
+def test_unknown_transform_keeps_files(spark, tmp_path):
+    """An unevaluable transform must KEEP files (pruning is an
+    optimization, never a correctness lever)."""
+    path = str(tmp_path / "t")
+    _build_transform_table(
+        spark, path,
+        [{"name": "k_weird", "transform": "someFutureTransform",
+          "source-id": 1, "field-id": 1000}],
+        {"k_weird": "int"},
+        [([(34, "a", 1.0)], {"k_weird": 3}),
+         ([(35, "b", 2.0)], {"k_weird": 0})],
+    )
+    kept = read_iceberg(spark, path, partition_filter={"k": 34})
+    assert len(kept.inputFiles()) == 2  # both kept — never misread
+
+
 def test_range_read_skips_files_via_bounds(spark, tmp_path):
     """Manifest lower/upper bounds (single-value serialization) must
     skip whole files: a range covering one file's keys scans fewer
