@@ -84,17 +84,20 @@ from .readers import load_table
 _LOG = "_delta_log"
 
 #: Reader features this implementation understands.  A table whose
-#: protocol demands anything else (v2Checkpoint …) must be REFUSED,
-#: not misread.  ``deletionVectors`` is supported: the reader decodes
-#: the protocol's Z85/RoaringBitmapArray vectors and subtracts deleted
-#: row positions (see the deletion-vector section below).
-#: ``columnMapping`` is supported in ``name`` mode: parquet files
-#: spell columns by their ``delta.columnMapping.physicalName`` and the
-#: read projects them back to logical names (see the column-mapping
-#: section); ``id`` mode (field-id matching) is still refused.  Both
-#: are current Databricks writer DEFAULTS, so refusing either walls
-#: off most modern Delta tables (VERDICT r5).
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
+#: protocol demands anything else must be REFUSED, not misread.
+#: ``deletionVectors`` is supported: the reader decodes the protocol's
+#: Z85/RoaringBitmapArray vectors and subtracts deleted row positions
+#: (see the deletion-vector section below).  ``columnMapping`` is
+#: supported in both modes (physical-name projection / parquet
+#: field-id matching — see the column-mapping section).
+#: ``v2Checkpoint`` is supported: uuid-named checkpoint files (parquet
+#: or json), ``checkpointMetadata`` version validation, and ``sidecar``
+#: actions resolved from ``_delta_log/_sidecars/`` (see ``_snapshot``).
+#: All three are current Databricks writer DEFAULTS, so refusing any
+#: of them walls off most modern Delta tables (VERDICT r5).
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
+}
 _MAX_SIMPLE_READER_VERSION = 1
 #: Legacy (pre-feature) reader version that means exactly "column
 #: mapping": readable here, with the id-mode refusal applied when the
@@ -394,7 +397,7 @@ def _scan_for_checkpoint(path: str) -> dict | None:
     single: set[int] = set()
     parts_seen: dict[tuple[int, int], set[int]] = {}
     for f in os.listdir(d):
-        if not f.endswith(".parquet") or not f[:20].isdigit():
+        if not f.endswith((".parquet", ".json")) or not f[:20].isdigit():
             continue
         v = int(f[:20])
         rest = f[20:]
@@ -409,6 +412,9 @@ def _scan_for_checkpoint(path: str) -> dict | None:
                 except ValueError:
                     continue
                 parts_seen.setdefault((v, n), set()).add(i)
+            # V.checkpoint.<uuid>.{parquet,json} — a v2 checkpoint
+            elif len(bits) == 3 and bits[0] == "checkpoint":
+                single.add(v)
     candidates: list[tuple[int, int | None]] = [(v, None) for v in single]
     for (v, n), have in parts_seen.items():
         if have == set(range(1, n + 1)):
@@ -434,19 +440,36 @@ def _read_last_checkpoint(path: str) -> dict | None:
 
 
 def _checkpoint_files(path: str, version: int, parts) -> list[str]:
-    """Physical checkpoint file(s): classic single-file, or the
+    """Physical checkpoint file(s): classic single-file, the
     multi-part layout (``V.checkpoint.<i>.<n>.parquet``) a foreign
-    writer with ``checkpoint.partSize`` produces."""
+    writer with ``checkpoint.partSize`` produces, or a v2 uuid-named
+    checkpoint (``V.checkpoint.<uuid>.{parquet,json}``)."""
     d = _log_dir(path)
-    if not parts:
-        return [os.path.join(d, f"{version:020d}.checkpoint.parquet")]
-    n = int(parts)
-    return [
-        os.path.join(
-            d, f"{version:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
-        )
-        for i in range(1, n + 1)
+    if parts:
+        n = int(parts)
+        return [
+            os.path.join(
+                d, f"{version:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+            )
+            for i in range(1, n + 1)
+        ]
+    classic = os.path.join(d, f"{version:020d}.checkpoint.parquet")
+    if os.path.isfile(classic) or not os.path.isdir(d):
+        return [classic]
+    pre = f"{version:020d}.checkpoint."
+    v2 = [
+        f
+        for f in os.listdir(d)
+        if f.startswith(pre)
+        and f.endswith((".parquet", ".json"))
+        and len(f[len(pre):].split(".")) == 2
     ]
+    if v2:
+        # racing writers may leave several uuid checkpoints of the same
+        # version; the spec says any one is complete — pick max-name
+        # for determinism
+        return [os.path.join(d, sorted(v2)[-1])]
+    return [classic]  # absent; caller reports it missing
 
 
 def _table_version(path: str) -> int | None:
@@ -474,6 +497,38 @@ def _fix_arrow_maps(obj):
     return obj
 
 
+def _load_checkpoint_rows(
+    spark: SparkSession | None, files: list[str]
+) -> list[dict]:
+    """Checkpoint rows are one-action-per-row structs; collecting them
+    is the same files-per-table driver bound as planning.
+    ``spark=None`` reads them with pyarrow instead — the streaming
+    source's DataSource worker has no session, and a checkpoint is
+    planning-sized either way.  v2 checkpoints may be JSON-format
+    (one action per line, same as commits)."""
+    rows: list[dict] = []
+    jsons = [f for f in files if f.endswith(".json")]
+    parqs = [f for f in files if not f.endswith(".json")]
+    for f in jsons:
+        with open(f) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+    if parqs:
+        if spark is not None:
+            rows.extend(
+                r.asDict(recursive=True)
+                for r in spark.read.parquet(*parqs).collect()
+            )
+        else:
+            import pyarrow.parquet as pq
+
+            for f in parqs:
+                rows.extend(_fix_arrow_maps(pq.read_table(f).to_pylist()))
+    return rows
+
+
 def _snapshot(
     spark: SparkSession | None, path: str, version_as_of: int | None = None
 ) -> tuple[_Snapshot, int]:
@@ -499,23 +554,32 @@ def _snapshot(
                 f"checkpoint {cp_version} incomplete: missing "
                 f"{[os.path.basename(m) for m in missing]}"
             )
-        # Checkpoint rows are one-action-per-row structs; collecting
-        # them is the same files-per-table driver bound as planning.
-        # ``spark=None`` reads them with pyarrow instead — the
-        # streaming source's DataSource worker has no session, and a
-        # checkpoint is planning-sized either way.
-        if spark is not None:
-            rows = [
-                r.asDict(recursive=True)
-                for r in spark.read.parquet(*cp_files).collect()
-            ]
-        else:
-            import pyarrow.parquet as pq
-
-            rows = []
-            for f in cp_files:
-                rows.extend(_fix_arrow_maps(pq.read_table(f).to_pylist()))
+        rows = _load_checkpoint_rows(spark, cp_files)
+        # v2 checkpoints carry their file actions in sidecar parquet
+        # files under _delta_log/_sidecars/ (the main file holds the
+        # non-file actions + one sidecar action per sidecar file)
+        side = [
+            d["sidecar"]["path"] for d in rows if d.get("sidecar")
+        ]
+        if side:
+            sdir = os.path.join(_log_dir(path), "_sidecars")
+            spaths = [os.path.join(sdir, s) for s in side]
+            smissing = [s for s in spaths if not os.path.isfile(s)]
+            if smissing:
+                raise ValueError(
+                    f"v2 checkpoint {cp_version} sidecars missing: "
+                    f"{[os.path.basename(m) for m in smissing]}"
+                )
+            rows.extend(_load_checkpoint_rows(spark, spaths))
         for d in rows:
+            cpm = d.get("checkpointMetadata")
+            if cpm is not None and int(cpm.get("version", cp_version)) != (
+                cp_version
+            ):
+                raise ValueError(
+                    f"v2 checkpoint file claims version {cpm['version']} "
+                    f"but is named {cp_version} — refusing corrupt state"
+                )
             for key in ("protocol", "metaData", "add", "remove", "txn"):
                 if d.get(key) is not None:
                     snap.apply({key: d[key]})
@@ -1153,8 +1217,13 @@ def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
 #: vector in, ``delete_where_delta`` writes new vectors, and VACUUM
 #: never reclaims a referenced DV file.  ``timestampNtz`` needs no
 #: writer behavior beyond writing NTZ parquet, which Spark does.
+#: ``v2Checkpoint`` constrains only CHECKPOINT writing (commits stay
+#: plain JSON) — appends/overwrites are compliant, and
+#: ``checkpoint_delta`` refuses on such tables rather than writing a
+#: spec-violating classic checkpoint.
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "deletionVectors", "timestampNtz", "columnMapping",
+    "v2Checkpoint",
 }
 _MAX_SIMPLE_WRITER_VERSION = 2
 
@@ -2236,6 +2305,14 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     setTransaction actions in checkpoints — dropping them would let a
     retried streaming batch double-apply after log cleanup)."""
     snap, latest = _snapshot(spark, path)
+    if "v2Checkpoint" in set(snap.protocol.get("writerFeatures") or []):
+        # the v2Checkpoint WRITER feature requires checkpoints be
+        # written in v2 form; appends stay legal, so refuse only here
+        raise ValueError(
+            "table requires v2 checkpoints; this writer only writes "
+            "classic ones (appends are fine; install delta-spark to "
+            "checkpoint this table)"
+        )
     rows = [
         {"protocol": snap.protocol, "metaData": None, "add": None,
          "remove": None, "txn": None},

@@ -112,18 +112,17 @@ def test_checkpoint_caps_json_replay(spark, tmp_path):
 
 def test_unsupported_reader_features_refused(spark, tmp_path):
     """A table demanding a reader feature we don't implement (e.g.
-    v2Checkpoint) must be refused, not misread.  (columnMapping and
-    deletionVectors graduated from this list in r6 — a declared
-    columnMapping feature with no active mapping mode reads fine.)"""
+    typeWidening) must be refused, not misread.  (columnMapping,
+    deletionVectors and v2Checkpoint graduated from this list in r6.)"""
     path = str(tmp_path / "t")
     write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
     _commit(
         path,
         1,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["v2Checkpoint"]}}],
+                       "readerFeatures": ["typeWidening"]}}],
     )
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         read_delta(spark, path)
     # time travel to the pre-upgrade version still works
     assert _sorted_rows(read_delta(spark, path, version_as_of=0)) == [
@@ -512,6 +511,140 @@ def test_append_only_table_refuses_overwrite_and_delete(spark, tmp_path):
     write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append",
                 partition_by=["part"])
     assert read_delta(spark, path).count() == 2
+
+
+def test_v2_uuid_checkpoint_discovered_and_read(spark, tmp_path):
+    """A v2 (uuid-named) checkpoint with no 'parts' pointer must be
+    DISCOVERED from the log listing and read like any checkpoint —
+    this is what modern Databricks writers leave behind."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    checkpoint_delta(spark, path)
+    log = os.path.join(path, "_delta_log")
+    classic = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    os.replace(
+        classic,
+        os.path.join(
+            log, f"{1:020d}.checkpoint.0f1e2d3c-0000-4000-8000-abcdef012345"
+            ".parquet"
+        ),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1}, fh)  # no parts — v2 pointer shape
+    # force the checkpoint to be the only source of history
+    os.unlink(_version_file(path, 0))
+    os.unlink(_version_file(path, 1))
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0),
+    ]
+
+
+def _v2_sidecar_table(spark, tmp_path, cp_meta_version=1):
+    """Hand-build a v2 JSON checkpoint whose file actions live in a
+    parquet SIDECAR under _delta_log/_sidecars/ (the spec layout)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    log = os.path.join(path, "_delta_log")
+    actions = {"add": [], "metaData": None, "protocol": None}
+    for v in (0, 1):
+        with open(_version_file(path, v)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                for k in actions:
+                    if k in a:
+                        if k == "add":
+                            actions["add"].append(a["add"])
+                        else:
+                            actions[k] = a[k]
+    sdir = os.path.join(log, "_sidecars")
+    os.makedirs(sdir)
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+    ])
+    adds = [
+        {k: a.get(k) for k in (
+            "path", "partitionValues", "size", "modificationTime",
+            "dataChange",
+        )}
+        for a in actions["add"]
+    ]
+    pq.write_table(
+        pa.table({"add": pa.array(adds, type=add_t)}),
+        os.path.join(sdir, "sc-1.parquet"),
+    )
+    cp = os.path.join(
+        log, f"{1:020d}.checkpoint.11112222-3333-4444-8555-666677778888"
+        ".json"
+    )
+    with open(cp, "w") as fh:
+        fh.write(json.dumps(
+            {"checkpointMetadata": {"version": cp_meta_version}}) + "\n")
+        fh.write(json.dumps({"protocol": actions["protocol"]}) + "\n")
+        fh.write(json.dumps({"metaData": actions["metaData"]}) + "\n")
+        fh.write(json.dumps({"sidecar": {
+            "path": "sc-1.parquet",
+            "sizeInBytes": os.path.getsize(
+                os.path.join(sdir, "sc-1.parquet")),
+        }}) + "\n")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1}, fh)
+    os.unlink(_version_file(path, 0))
+    os.unlink(_version_file(path, 1))
+    return path
+
+
+def test_v2_json_checkpoint_with_parquet_sidecar(spark, tmp_path):
+    """The full v2 layout: JSON-format main checkpoint holding
+    protocol/metaData/checkpointMetadata + a sidecar action, file
+    actions in a parquet sidecar; post-checkpoint commits still
+    replay on top."""
+    path = _v2_sidecar_table(spark, tmp_path)
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0),
+    ]
+    # a post-checkpoint JSON commit replays on top of the v2 state
+    write_delta(_df(spark, [(3, "c", 3.0)]), path, mode="append")
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
+    ]
+
+
+def test_v2_checkpoint_version_mismatch_refused(spark, tmp_path):
+    """checkpointMetadata.version contradicting the file name means
+    corrupt/misplaced state — refuse, never replay it."""
+    path = _v2_sidecar_table(spark, tmp_path, cp_meta_version=9)
+    with pytest.raises(ValueError, match="claims version"):
+        read_delta(spark, path)
+
+
+def test_v2_checkpoint_feature_gates(spark, tmp_path):
+    """The v2Checkpoint reader feature is accepted; the writer
+    feature allows appends but refuses writing a classic
+    checkpoint."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    _commit(
+        path, 1,
+        [{"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        }}],
+    )
+    assert read_delta(spark, path).count() == 1
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    assert read_delta(spark, path).count() == 2
+    with pytest.raises(ValueError, match="v2 checkpoints"):
+        checkpoint_delta(spark, path)
 
 
 def test_txn_high_water_mark_survives_checkpoint(spark, tmp_path):
