@@ -1251,6 +1251,226 @@ def _typed_part_value(ice_type: str, raw: str | None):
     return str(raw)
 
 
+_PARAM_TRANSFORM_RE = re.compile(
+    r"^\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$"
+)
+_UNARY_TRANSFORM_RE = re.compile(
+    r"^\s*(year|month|day|days|hour|hours)\s*\(\s*(\w+)\s*\)\s*$"
+)
+#: partition-value type per transform (identity/truncate keep the
+#: source type; the temporal + bucket transforms yield int ordinals)
+_INT_VALUED = {"year", "month", "day", "hour"}
+
+
+def _parse_partition_by(
+    partition_by: list[str], schema_json: dict
+) -> list[dict]:
+    """Parse iceberg-spark-style partition expressions — plain column
+    names (identity) or ``bucket(N, col)`` / ``truncate(W, col)`` /
+    ``year|month|day|hour(col)`` — into spec-field dicts
+    {name, transform, source, source-id, ptype}.  Field names follow
+    the java convention (``col_bucket``, ``col_trunc``, ``col_day``…)
+    so iceberg-spark reads the layout it expects."""
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+
+    def src(col: str) -> dict:
+        f = by_name.get(col)
+        if f is None or not isinstance(f.get("type"), str):
+            raise ValueError(
+                f"cannot partition by {col!r}: not a top-level primitive "
+                "column"
+            )
+        return f
+
+    out: list[dict] = []
+    for expr in partition_by:
+        m = _PARAM_TRANSFORM_RE.match(expr)
+        if m:
+            kind, n, col = m.group(1), int(m.group(2)), m.group(3)
+            f = src(col)
+            if kind == "bucket":
+                if f["type"] not in ("int", "long", "string"):
+                    raise ValueError(
+                        f"bucket writes support int/long/string sources, "
+                        f"not {f['type']} ({col})"
+                    )
+                out.append({
+                    "name": f"{col}_bucket", "transform": f"bucket[{n}]",
+                    "source": col, "source-id": int(f["id"]),
+                    "ptype": "int", "stype": f["type"],
+                })
+            else:
+                if f["type"] not in ("int", "long", "string"):
+                    raise ValueError(
+                        f"truncate writes support int/long/string sources, "
+                        f"not {f['type']} ({col})"
+                    )
+                out.append({
+                    "name": f"{col}_trunc", "transform": f"truncate[{n}]",
+                    "source": col, "source-id": int(f["id"]),
+                    "ptype": f["type"], "stype": f["type"],
+                })
+            continue
+        m = _UNARY_TRANSFORM_RE.match(expr)
+        if m:
+            kind, col = m.group(1).rstrip("s"), m.group(2)
+            f = src(col)
+            if f["type"] not in ("date", "timestamp", "timestamptz"):
+                raise ValueError(
+                    f"{kind}() needs a date/timestamp source, not "
+                    f"{f['type']} ({col})"
+                )
+            if kind == "hour" and f["type"] == "date":
+                raise ValueError("hour(date) is spec-invalid")
+            out.append({
+                "name": f"{col}_{kind}", "transform": kind,
+                "source": col, "source-id": int(f["id"]),
+                "ptype": "int", "stype": f["type"],
+            })
+            continue
+        f = src(expr.strip())
+        out.append({
+            "name": f["name"], "transform": "identity",
+            "source": f["name"], "source-id": int(f["id"]),
+            "ptype": f["type"], "stype": f["type"],
+        })
+    return out
+
+
+def _spec_from_meta(meta: dict, schema_json: dict) -> list[dict]:
+    """The default partition spec as parsed-spec dicts (the in-repo
+    currency for staging/manifest writing)."""
+    by_id = {int(f["id"]): f for f in schema_json["fields"]}
+    out = []
+    for pf in _spec_fields(meta, meta.get("default-spec-id", 0)):
+        t = pf.get("transform", "identity")
+        f = by_id.get(int(pf.get("source-id", -1)))
+        if f is None:
+            raise ValueError(
+                f"partition field {pf.get('name')!r} sources an unknown "
+                "column id — cannot stage writes for this spec"
+            )
+        if t == "identity" or t.startswith("truncate["):
+            ptype = f["type"]
+        elif t.startswith("bucket[") or t in _INT_VALUED:
+            ptype = "int"
+        else:
+            raise ValueError(
+                f"cannot write under partition transform {t!r}"
+            )
+        if t.startswith("bucket[") and f["type"] not in (
+            "int", "long", "string",
+        ):
+            raise ValueError(
+                f"cannot stage writes for bucket over {f['type']} source"
+            )
+        out.append({
+            "name": pf["name"], "transform": t, "source": f["name"],
+            "source-id": int(f["id"]), "ptype": ptype,
+            "stype": f["type"],
+        })
+    return out
+
+
+def _bucket_udf(n: int, src_type: str):
+    """Arrow-batched bucket transform for WRITES: murmur3_x86_32 seed
+    0 over the spec's single-value serialization.  int/long vectorize
+    in numpy (8-byte input = exactly two block rounds, branch-free);
+    strings hash per element inside the batch."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if src_type in ("int", "long"):
+
+        def bucket_long(s):
+            import numpy as np
+
+            v = s.to_numpy(dtype="int64", na_value=0).view("uint64")
+            c1 = np.uint32(0xCC9E2D51)
+            c2 = np.uint32(0x1B873593)
+
+            def mix(h, k):
+                k = (k * c1).astype("uint32")
+                k = (k << np.uint32(15)) | (k >> np.uint32(17))
+                k = (k * c2).astype("uint32")
+                h = h ^ k
+                h = (h << np.uint32(13)) | (h >> np.uint32(19))
+                return (h * np.uint32(5) + np.uint32(0xE6546B64)).astype(
+                    "uint32"
+                )
+
+            h = np.zeros(len(v), dtype="uint32")
+            h = mix(h, (v & np.uint64(0xFFFFFFFF)).astype("uint32"))
+            h = mix(h, (v >> np.uint64(32)).astype("uint32"))
+            h = h ^ np.uint32(8)
+            h = h ^ (h >> np.uint32(16))
+            h = (h * np.uint32(0x85EBCA6B)).astype("uint32")
+            h = h ^ (h >> np.uint32(13))
+            h = (h * np.uint32(0xC2B2AE35)).astype("uint32")
+            h = h ^ (h >> np.uint32(16))
+            out = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(
+                "int32"
+            )
+            res = pd.Series(out).astype("Int32")
+            res[s.isna()] = None
+            return res
+
+        # real class objects in the annotations: pandas is imported
+        # locally, so string hints ('pd.Series') would not resolve in
+        # pyspark's get_type_hints pass
+        bucket_long.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(bucket_long, "int")
+
+    def bucket_str(s):
+        return pd.Series(
+            [
+                None
+                if x is None
+                else (_murmur3_32(x.encode("utf-8")) & 0x7FFFFFFF) % n
+                for x in s
+            ],
+            dtype="Int32",
+        )
+
+    bucket_str.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(bucket_str, "int")
+
+
+def _partition_value_col(pf: dict):
+    """Spark Column computing one partition field's VALUE from its
+    source column — JVM-side builtins for everything except bucket
+    (which needs seed-0 murmur3, Arrow-batched)."""
+    c, t = pf["source"], pf["transform"]
+    if t == "identity":
+        return F.col(c)
+    if t.startswith("truncate["):
+        w = int(t[len("truncate["):-1])
+        if pf["ptype"] == "string":
+            return F.substring(F.col(c), 1, w)
+        return (F.col(c) - F.pmod(F.col(c), F.lit(w))).cast(
+            "int" if pf["ptype"] == "int" else "long"
+        )
+    if t == "year":
+        return (F.year(F.col(c)) - F.lit(1970)).cast("int")
+    if t == "month":
+        return (
+            (F.year(F.col(c)) - F.lit(1970)) * F.lit(12)
+            + F.month(F.col(c)) - F.lit(1)
+        ).cast("int")
+    if t == "day":
+        return F.datediff(F.col(c).cast("date"), F.lit("1970-01-01")).cast(
+            "int"
+        )
+    if t == "hour":
+        # session is UTC; cast-to-long yields epoch seconds, floor-div
+        # (not `div`) keeps pre-1970 hours correct
+        return F.floor(F.col(c).cast("long") / F.lit(3600)).cast("int")
+    if t.startswith("bucket["):
+        n = int(t[len("bucket["):-1])
+        return _bucket_udf(n, pf["stype"])(F.col(c))
+    raise ValueError(f"cannot write under partition transform {t!r}")
+
+
 def _stamp_field_ids(df: DataFrame, schema_json: dict) -> DataFrame:
     """Stamp parquet field ids from the table schema into the written
     files (spec requirement for writers; what makes rename-safe
@@ -1277,23 +1497,27 @@ def _stamp_field_ids(df: DataFrame, schema_json: dict) -> DataFrame:
 
 
 def _stage_data_files(
-    df: DataFrame, path: str, partition_by: list[str], schema_json: dict
+    df: DataFrame, path: str, part_spec: list[dict], schema_json: dict
 ) -> list[dict]:
     """Distributed stage of ``df`` into ``data/`` and return one
     data_file record per written parquet.  Iceberg data files CONTAIN
-    their partition columns (unlike Hive/Delta layouts), so the
-    partition columns are DUPLICATED under shadow names for the
-    directory layout and the originals stay in the files."""
+    their partition SOURCE columns (unlike Hive/Delta layouts), so the
+    partition VALUES — the source pushed through the spec's transform,
+    identity included — ride shadow columns for the directory layout
+    and the originals stay in the files.  Hidden partitioning: the
+    transform evaluation is the writer's job, JVM-side builtins for
+    everything except bucket (Arrow-batched seed-0 murmur3)."""
     staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
     w = _stamp_field_ids(df, schema_json)
-    shadow = [f"_ice_p_{c}" for c in partition_by]
-    for c, s in zip(partition_by, shadow):
-        w = w.withColumn(s, F.col(c))
+    for pf in part_spec:
+        w = w.withColumn(f"_ice_p_{pf['name']}", _partition_value_col(pf))
     writer = w.write.mode("errorifexists")
-    if shadow:
-        writer = writer.partitionBy(*shadow)
+    if part_spec:
+        writer = writer.partitionBy(
+            *[f"_ice_p_{pf['name']}" for pf in part_spec]
+        )
     writer.parquet(staging)
-    types = {f["name"]: f["type"] for f in schema_json["fields"]}
+    ptypes = {pf["name"]: pf["ptype"] for pf in part_spec}
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     out: list[dict] = []
@@ -1306,7 +1530,7 @@ def _stage_data_files(
             k = k.removeprefix("_ice_p_")
             raw = None if v == "__HIVE_DEFAULT_PARTITION__" else urllib.parse.unquote(v)
             try:
-                pvals[k] = _typed_part_value(types.get(k, "string"), raw)
+                pvals[k] = _typed_part_value(ptypes.get(k, "string"), raw)
             except (TypeError, ValueError):
                 ok = False
         if not ok:
@@ -1323,7 +1547,10 @@ def _stage_data_files(
                     "content": 0,
                     "file_path": dst,
                     "file_format": "PARQUET",
-                    "partition": {c: pvals.get(c) for c in partition_by},
+                    "partition": {
+                        pf["name"]: pvals.get(pf["name"])
+                        for pf in part_spec
+                    },
                     "record_count": n,
                     "file_size_in_bytes": os.path.getsize(dst),
                     "lower_bounds": lower,
@@ -1334,37 +1561,50 @@ def _stage_data_files(
     return out
 
 
+def _norm_part_spec(
+    part_fields, schema_json: dict
+) -> list[dict]:
+    """Normalize the two partition-spec currencies — legacy
+    ``(name, type)`` tuples (identity, source looked up by name) and
+    the parsed-spec dicts — to parsed-spec dicts."""
+    out = []
+    for pf in part_fields:
+        if isinstance(pf, dict):
+            out.append(pf)
+            continue
+        n, t = pf
+        out.append({
+            "name": n, "transform": "identity", "source": n,
+            "source-id": next(
+                int(f["id"]) for f in schema_json["fields"]
+                if f["name"] == n
+            ),
+            "ptype": t, "stype": t,
+        })
+    return out
+
+
 def _write_manifest(
-    path: str, entries: list[dict], part_fields: list[tuple[str, str]],
+    path: str, entries: list[dict], part_fields,
     snapshot_id: int, content: str, schema_json: dict, spec_id: int = 0,
 ) -> dict:
     """Write one manifest avro; returns its manifest_file record for
-    the manifest list (sequence numbers patched in by the committer)."""
+    the manifest list (sequence numbers patched in by the committer).
+    ``part_fields``: parsed-spec dicts or legacy (name, type) tuples."""
+    spec = _norm_part_spec(part_fields, schema_json)
     os.makedirs(_meta_dir(path), exist_ok=True)
     name = os.path.join(_meta_dir(path), f"m-{uuid.uuid4().hex}.avro")
     write_avro_file(
         name,
-        _manifest_entry_schema(part_fields),
+        _manifest_entry_schema([(pf["name"], pf["ptype"]) for pf in spec]),
         entries,
         metadata={
             "schema": json.dumps(schema_json),
             "partition-spec": json.dumps(
                 [
-                    {"name": n, "transform": "identity",
-                     "source-id": sid, "field-id": 1000 + i}
-                    for i, ((n, _t), sid) in enumerate(
-                        zip(
-                            part_fields,
-                            [
-                                next(
-                                    int(f["id"])
-                                    for f in schema_json["fields"]
-                                    if f["name"] == n
-                                )
-                                for n, _ in part_fields
-                            ],
-                        )
-                    )
+                    {"name": pf["name"], "transform": pf["transform"],
+                     "source-id": pf["source-id"], "field-id": 1000 + i}
+                    for i, pf in enumerate(spec)
                 ]
             ),
             "partition-spec-id": str(spec_id),
@@ -1402,7 +1642,7 @@ def _commit_snapshot(
     carry_manifests: list[dict],
     operation: str,
     schema_json: dict | None = None,
-    partition_by: list[str] | None = None,
+    part_spec: list[dict] | None = None,
 ) -> int:
     """Commit one snapshot: write the manifest list, then claim the
     next metadata version with ``os.link`` put-if-absent (the same
@@ -1415,14 +1655,12 @@ def _commit_snapshot(
             raise ValueError("first commit needs a schema")
         fields = [
             {
-                "name": c,
-                "transform": "identity",
-                "source-id": next(
-                    int(f["id"]) for f in schema_json["fields"] if f["name"] == c
-                ),
+                "name": pf["name"],
+                "transform": pf["transform"],
+                "source-id": pf["source-id"],
                 "field-id": 1000 + i,
             }
-            for i, c in enumerate(partition_by or [])
+            for i, pf in enumerate(part_spec or [])
         ]
         meta = {
             "format-version": 2,
@@ -1643,9 +1881,12 @@ def write_iceberg(
     """Write ``df`` as an Iceberg v2 table; returns the committed
     metadata version.  ``mode``: ``error`` (create), ``append``,
     ``overwrite`` (new snapshot referencing only the new manifest —
-    prior snapshots stay time-travelable).  Identity partitioning
-    only (the transform the engine's own tables need; foreign
-    transforms are read, not written)."""
+    prior snapshots stay time-travelable).  ``partition_by`` entries
+    are iceberg-spark-style expressions: plain column names
+    (identity), ``bucket(N, col)``, ``truncate(W, col)``,
+    ``year|month|day|hour(col)`` — HIDDEN partitioning, the writer
+    computes the transform values (the reader prunes through them;
+    see ``_apply_transform``)."""
     partition_by = list(partition_by or [])
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"unknown mode: {mode}")
@@ -1658,6 +1899,7 @@ def write_iceberg(
         schema_json = {"schema-id": 0, "type": "struct", "fields": ice["fields"]}
         base_meta = None
         carry: list[dict] = []
+        part_spec = _parse_partition_by(partition_by, schema_json)
     else:
         base_meta = _load_metadata(path)
         schema_json = _current_schema(base_meta)
@@ -1668,21 +1910,20 @@ def write_iceberg(
             raise ValueError(
                 f"schema mismatch: table declares {want}, write has {got}"
             )
-        declared_parts = [
-            f["name"] for f in _spec_fields(base_meta, base_meta.get("default-spec-id", 0))
-        ]
-        if partition_by != declared_parts:
+        part_spec = _spec_from_meta(base_meta, schema_json)
+        passed = _parse_partition_by(partition_by, schema_json)
+        if [(p["name"], p["transform"]) for p in passed] != [
+            (p["name"], p["transform"]) for p in part_spec
+        ]:
             raise ValueError(
                 f"partitioning mismatch: table is partitioned by "
-                f"{declared_parts}, write passed {partition_by}"
+                f"{[(p['name'], p['transform']) for p in part_spec]}, "
+                f"write passed {partition_by}"
             )
         carry = [] if mode == "overwrite" else _carry_manifests(path, base_meta)
     os.makedirs(path, exist_ok=True)
-    part_fields = [
-        (c, next(f["type"] for f in schema_json["fields"] if f["name"] == c))
-        for c in partition_by
-    ]
-    files = _stage_data_files(df, path, partition_by, schema_json)
+    part_fields = part_spec
+    files = _stage_data_files(df, path, part_spec, schema_json)
     entries = [
         {
             "status": 1,  # ADDED — sequence numbers inherit
@@ -1703,7 +1944,7 @@ def write_iceberg(
         carry,
         "append" if mode == "append" else ("append" if not exists else "overwrite"),
         schema_json=schema_json,
-        partition_by=partition_by,
+        part_spec=part_spec,
     )
 
 
@@ -1913,13 +2154,8 @@ def upsert_iceberg(
     # already-eq-deleted position is a no-op, and the appended rows'
     # new (higher) data sequence escapes every prior delete's strict gate
     data, _deletes, _eq = _manifest_entries(path, meta, snap)
-    part_names = [
-        f["name"] for f in _spec_fields(meta, meta.get("default-spec-id", 0))
-    ]
-    part_fields = [
-        (c, next(f["type"] for f in schema_json["fields"] if f["name"] == c))
-        for c in part_names
-    ]
+    part_spec = _spec_from_meta(meta, schema_json)
+    part_fields = part_spec
     new_manifests: list[dict] = []
     if data:
         files = sorted({r["path"] for r in data})
@@ -1947,7 +2183,7 @@ def upsert_iceberg(
             new_manifests.append(
                 _delete_manifest(path, del_files, schema_json)
             )
-    staged = _stage_data_files(source, path, part_names, schema_json)
+    staged = _stage_data_files(source, path, part_spec, schema_json)
     entries = [
         {
             "status": 1,
@@ -2219,15 +2455,17 @@ def rewrite_data_files(
 ) -> dict:
     """Compaction (the iceberg-spark ``rewrite_data_files`` action):
     within each partition, groups of small data files — and any file a
-    position delete applies to — are read merge-on-read and rewritten
-    into ~``target_file_bytes`` files.  The new snapshot carries one
-    ADDED manifest (the rewritten files), one EXISTING manifest (the
-    untouched files, their original sequence numbers explicit so
-    delete gating keeps working), and the delete manifests unchanged
-    (delete rows naming compacted files become inert — their targets
-    left the snapshot).  Row content is unchanged; this is the
-    read-debt payoff for merge-on-read deletes and the small-file
-    cure for append-heavy tables.
+    position or equality delete applies to — are read merge-on-read
+    and rewritten into ~``target_file_bytes`` files.  The new snapshot
+    carries one ADDED manifest (the rewritten files), one EXISTING
+    manifest (the untouched files, their original sequence numbers
+    explicit so delete gating keeps working), and the delete manifests
+    unchanged (delete rows naming compacted files become inert — their
+    targets left the snapshot; equality deletes stop covering the
+    rewrites by the strict sequence gate, their subtraction having
+    been FOLDED into the rewritten rows).  Row content is unchanged;
+    this is the read-debt payoff for merge-on-read deletes and the
+    small-file cure for append-heavy tables.
 
     Returns {"version", "files_before", "files_after",
     "partitions_compacted"}; nothing to compact commits nothing."""
@@ -2239,14 +2477,6 @@ def rewrite_data_files(
         return {"version": max(_metadata_versions(path)), "files_before": 0,
                 "files_after": 0, "partitions_compacted": 0}
     data, deletes, eq_deletes = _manifest_entries(path, meta, snap)
-    if eq_deletes:
-        # folding equality deletes into rewritten files needs the reader's
-        # eq application inside the compaction scan; until then, refuse —
-        # a rewrite that dropped them would RESURRECT deleted rows
-        raise ValueError(
-            "rewrite_data_files on a table with equality deletes is not "
-            "supported (read-apply or expire them first)"
-        )
     deleted_targets = set()
     for d in deletes:
         # which data files do the position deletes name?  read just the
@@ -2262,9 +2492,8 @@ def rewrite_data_files(
         except Exception:  # noqa: BLE001 — unreadable -> treat none targeted
             pass
     by_part: dict[tuple, list[dict]] = {}
-    part_names = [
-        f["name"] for f in _spec_fields(meta, meta.get("default-spec-id", 0))
-    ]
+    part_spec = _spec_from_meta(meta, schema_json)
+    part_names = [pf["name"] for pf in part_spec]
     for rec in data:
         key = tuple(rec["partition"].get(c) for c in part_names)
         by_part.setdefault(key, []).append(rec)
@@ -2279,8 +2508,22 @@ def rewrite_data_files(
             r for r in recs
             if _os.path.basename(urllib.parse.unquote(r["path"])) in deleted_targets
         ]
+        # files an equality delete may apply to (strict seq gate +
+        # partition scope) carry read-time subtraction cost — compact
+        # them so the fold pays that debt off
+        eq_hit = [
+            r for r in recs
+            if any(
+                d["seq"] > r["seq"]
+                and (not d.get("partition") or d["partition"] == r["partition"])
+                for d in eq_deletes
+            )
+        ]
         group = sorted(
-            {id(r): r for r in (small if len(small) > 1 else []) + dv_hit}.values(),
+            {
+                id(r): r
+                for r in (small if len(small) > 1 else []) + dv_hit + eq_hit
+            }.values(),
             key=lambda r: r["path"],
         )
         if not group:
@@ -2292,15 +2535,21 @@ def rewrite_data_files(
     if not compact:
         return {"version": max(_metadata_versions(path)), "files_before": 0,
                 "files_after": 0, "partitions_compacted": 0}
-    part_fields = [
-        (c, next(f["type"] for f in schema_json["fields"] if f["name"] == c))
-        for c in part_names
-    ]
-    rows = _plan_scan(spark, spark_schema, compact, deletes, _resolution(meta))
+    part_fields = part_spec
+    # merge-on-read scan of the compaction group: positional AND
+    # equality deletes fold into the rewritten rows.  The rewritten
+    # files take the commit's NEW (higher) sequence number, so the
+    # carried eq-delete manifests stop applying to them by the strict
+    # gate — exactly the fold semantics; the kept EXISTING files keep
+    # their original sequence numbers and stay covered.
+    rows = _plan_scan(
+        spark, spark_schema, compact, deletes, _resolution(meta),
+        eq_deletes=eq_deletes, schema_json=schema_json,
+    )
     total = sum(_file_size(r, path) for r in compact)
     n_out = max(1, -(-total // target_file_bytes))
     staged = _stage_data_files(
-        rows.coalesce(n_out), path, part_names, schema_json
+        rows.coalesce(n_out), path, part_spec, schema_json
     )
     added_entries = [
         {"status": 1, "snapshot_id": None, "sequence_number": None,

@@ -427,10 +427,13 @@ def test_foreign_equality_delete_partition_scoping(spark, tmp_path):
     ]
 
 
-def test_compaction_refuses_equality_deletes(spark, tmp_path):
-    """rewrite_data_files would RESURRECT equality-deleted rows if it
-    rewrote files without folding the deletes — refuse until folding
-    exists."""
+def test_compaction_folds_equality_deletes(spark, tmp_path):
+    """rewrite_data_files must FOLD equality deletes into the
+    rewritten rows (a rewrite that dropped them would resurrect
+    deleted rows): after compaction the table reads identically, the
+    rewritten files physically lack the deleted row, and a later
+    re-insert of the key still survives (the carried delete's strict
+    gate doesn't cover the new sequence numbers)."""
     from aws_datalake_framework_api_spark.sources.iceberg import (
         rewrite_data_files,
     )
@@ -438,11 +441,38 @@ def test_compaction_refuses_equality_deletes(spark, tmp_path):
     path = str(tmp_path / "t")
     write_iceberg(_df(spark, [(1, "a", 1.0), (2, "a", 2.0)]), path,
                   mode="error")
+    write_iceberg(_df(spark, [(3, "b", 3.0)]), path, mode="append")
     delete_by_key_iceberg(
         spark, path, spark.createDataFrame([(1,)], "k int")
     )
-    with pytest.raises(ValueError, match="equality deletes"):
-        rewrite_data_files(spark, path, target_file_bytes=1)
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (2, "a", 2.0), (3, "b", 3.0),
+    ]
+    out = rewrite_data_files(spark, path, target_file_bytes=1 << 20)
+    assert out["files_before"] >= 2
+    # same table content after the rewrite
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (2, "a", 2.0), (3, "b", 3.0),
+    ]
+    # the deleted row is PHYSICALLY absent from the rewritten files
+    import pyarrow.parquet as pq
+
+    meta = _load_metadata(path)
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        _manifest_entries as _me,
+        _snapshot_by_id as _sbi,
+    )
+
+    data, _d, _e = _me(path, meta, _sbi(meta, None))
+    ks = []
+    for r in data:
+        ks += pq.read_table(r["path"], columns=["k"]).column("k").to_pylist()
+    assert sorted(ks) == [2, 3]
+    # re-insert after the fold still works
+    write_iceberg(_df(spark, [(1, "a", 10.0)]), path, mode="append")
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "a", 10.0), (2, "a", 2.0), (3, "b", 3.0),
+    ]
 
 
 def test_partition_filter_prunes_at_planning_time(spark, tmp_path):
@@ -586,6 +616,81 @@ def test_unknown_transform_keeps_files(spark, tmp_path):
     )
     kept = read_iceberg(spark, path, partition_filter={"k": 34})
     assert len(kept.inputFiles()) == 2  # both kept — never misread
+
+
+def test_hidden_partitioning_bucket_write_and_prune(spark, tmp_path):
+    """Hidden partitioning WRITES: ``partition_by=["bucket(4, k)"]``
+    computes the murmur3 seed-0 bucket per row (Arrow-batched numpy),
+    lays files out by bucket, and records the real transform in the
+    spec — then the reader's Python-side transform evaluation must
+    agree with the writer's numpy one (the round trip IS the test:
+    a seed or serialization mismatch strands every filter on the
+    wrong bucket)."""
+    path = str(tmp_path / "t")
+    rows = [(k, f"p{k}", float(k)) for k in range(40)]
+    write_iceberg(_df(spark, rows), path, mode="error",
+                  partition_by=["bucket(4, k)"])
+    full = read_iceberg(spark, path)
+    assert len(full.collect()) == 40
+    assert len(full.inputFiles()) >= 2
+    for k in (0, 7, 34):
+        pruned = read_iceberg(spark, path, partition_filter={"k": k})
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+        assert k in {r["k"] for r in pruned.collect()}
+    # appends must repeat the same spec expression
+    write_iceberg(_df(spark, [(100, "x", 1.0)]), path, mode="append",
+                  partition_by=["bucket(4, k)"])
+    assert len(read_iceberg(spark, path).collect()) == 41
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        write_iceberg(_df(spark, [(101, "y", 1.0)]), path, mode="append",
+                      partition_by=["k"])
+
+
+def test_hidden_partitioning_day_write_and_prune(spark, tmp_path):
+    """day(ts) writes: the partition value is the epoch-day ordinal;
+    a filter on ANY time within a day prunes to that day's files."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 5)), (2, dt.datetime(2024, 1, 1, 23)),
+         (3, dt.datetime(2024, 3, 15, 0))],
+        "k int, ts timestamp",
+    )
+    write_iceberg(df.coalesce(1), path, mode="error",
+                  partition_by=["day(ts)"])
+    full = read_iceberg(spark, path)
+    assert len(full.inputFiles()) == 2  # two distinct days
+    pruned = read_iceberg(
+        spark, path, partition_filter={"ts": "2024-01-01T15:00:00"}
+    )
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r["k"] for r in pruned.collect()) == [1, 2]
+
+
+def test_hidden_partitioning_truncate_upsert_roundtrip(spark, tmp_path):
+    """truncate(2, part) through the FULL mutation surface: the
+    upsert's staging must recompute the transform for the new rows
+    (a stale identity assumption would misplace them and the reader's
+    partition injection would lie)."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        upsert_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "abc", 1.0), (2, "abd", 2.0), (3, "xyz", 3.0)]),
+        path, mode="error", partition_by=["truncate(2, part)"],
+    )
+    upsert_iceberg(
+        spark, path,
+        _df(spark, [(1, "abq", 10.0), (4, "xyw", 4.0)]), on=["k"],
+    )
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "abq", 10.0), (2, "abd", 2.0), (3, "xyz", 3.0), (4, "xyw", 4.0),
+    ]
+    pruned = read_iceberg(spark, path, partition_filter={"part": "xy_"})
+    assert sorted(r["k"] for r in pruned.collect()) == [3, 4]
 
 
 def test_range_read_skips_files_via_bounds(spark, tmp_path):
