@@ -164,6 +164,8 @@ _ORDER = [
     "b_lake_iceberg_upsert",
     "b_lake_iceberg_evolve",
     "b_lake_iceberg_eqdelete",
+    "b_lake_iceberg_hidden",
+    "b_lake_delta_v2cp",
     "b_lake_delta_cdf",
     "b_lake_delta_cmap",
     "b_stream_delta_source",

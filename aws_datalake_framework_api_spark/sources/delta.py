@@ -2303,16 +2303,15 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     every later reader's JSON replay at commits-since-checkpoint.
     ``txn`` high-water marks are preserved (the protocol requires
     setTransaction actions in checkpoints — dropping them would let a
-    retried streaming batch double-apply after log cleanup)."""
+    retried streaming batch double-apply after log cleanup).  Tables
+    whose protocol lists the ``v2Checkpoint`` WRITER feature get a v2
+    checkpoint instead: a uuid-named JSON main file
+    (checkpointMetadata + protocol + metaData + txn + one ``sidecar``
+    action) with the file actions in a parquet sidecar under
+    ``_delta_log/_sidecars/`` — the layout modern Databricks writers
+    produce and this reader already consumes."""
     snap, latest = _snapshot(spark, path)
-    if "v2Checkpoint" in set(snap.protocol.get("writerFeatures") or []):
-        # the v2Checkpoint WRITER feature requires checkpoints be
-        # written in v2 form; appends stay legal, so refuse only here
-        raise ValueError(
-            "table requires v2 checkpoints; this writer only writes "
-            "classic ones (appends are fine; install delta-spark to "
-            "checkpoint this table)"
-        )
+    v2 = "v2Checkpoint" in set(snap.protocol.get("writerFeatures") or [])
     rows = [
         {"protocol": snap.protocol, "metaData": None, "add": None,
          "remove": None, "txn": None},
@@ -2367,14 +2366,52 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
         "remove struct<path:string,deletionTimestamp:long,dataChange:boolean>, "
         "txn struct<appId:string,version:long>"
     )
-    cp_file = os.path.join(_log_dir(path), f"{latest:020d}.checkpoint.parquet")
-    tmp = cp_file + f".tmp-{uuid.uuid4().hex[:8]}"
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-    os.replace(os.path.join(tmp, part), cp_file)
-    shutil.rmtree(tmp, ignore_errors=True)
+    if v2:
+        add_rows = [r for r in rows if r["add"] is not None]
+        meta_rows = [r for r in rows if r["add"] is None]
+        main = os.path.join(
+            _log_dir(path),
+            f"{latest:020d}.checkpoint.{uuid.uuid4()}.json",
+        )
+        actions: list[dict] = [{"checkpointMetadata": {"version": latest}}]
+        for r in meta_rows:
+            actions.append(
+                {k: v for k, v in r.items() if v is not None}
+            )
+        if add_rows:
+            sdir = os.path.join(_log_dir(path), "_sidecars")
+            os.makedirs(sdir, exist_ok=True)
+            sc_name = f"{uuid.uuid4()}.parquet"
+            sc_file = os.path.join(sdir, sc_name)
+            tmp = sc_file + f".tmp-{uuid.uuid4().hex[:8]}"
+            spark.createDataFrame(add_rows, schema).select(
+                "add"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.replace(os.path.join(tmp, part), sc_file)
+            shutil.rmtree(tmp, ignore_errors=True)
+            actions.append(
+                {"sidecar": {
+                    "path": sc_name,
+                    "sizeInBytes": os.path.getsize(sc_file),
+                }}
+            )
+        main_tmp = main + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(main_tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        os.replace(main_tmp, main)
+    else:
+        cp_file = os.path.join(
+            _log_dir(path), f"{latest:020d}.checkpoint.parquet"
+        )
+        tmp = cp_file + f".tmp-{uuid.uuid4().hex[:8]}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.replace(os.path.join(tmp, part), cp_file)
+        shutil.rmtree(tmp, ignore_errors=True)
     # publish the pointer atomically: a crash mid-write must never
     # leave truncated JSON where the live pointer was (ADVICE r5)
     lc = os.path.join(_log_dir(path), "_last_checkpoint")
@@ -2869,4 +2906,56 @@ def scan_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             money_sum("o_totalprice").alias("total_price"),
         )
+    )
+
+
+@query(
+    "b_lake_delta_v2cp",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_delta_v2cp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2-checkpoint lifecycle end-to-end: create (keys ≡0 mod 3) →
+    append (≡1 mod 3) → protocol upgrade to REQUIRE v2 checkpoints →
+    ``checkpoint_delta`` (which must now write the uuid-named JSON
+    main + parquet sidecar layout) → DELETE the whole JSON prefix →
+    read.  The read has exactly one source of truth left — the v2
+    checkpoint — so a dropped sidecar row, a mis-discovered uuid
+    file, or a lost metaData action all fail the hash compare against
+    the oracle's arithmetic reconstruction.  (The layout modern
+    Databricks writers leave behind after log cleanup; r6.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"delta_v2cp_{os.path.basename(sf_dir.rstrip('/'))}")
+    # complete == the end state: JSON prefix gone, checkpoint at v2
+    complete = _table_version(path) == 2 and not _list_versions(path)
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 3 == 0), path, mode="error"
+        )
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 3 == 1), path, mode="append"
+        )
+        _commit(
+            path, 2,
+            [{"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }}],
+        )
+        checkpoint_delta(spark, path)
+        for v in range(3):
+            os.unlink(_version_file(path, v))
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
     )

@@ -2376,6 +2376,59 @@ scan_iceberg_eqdelete = query(
 )(scan_iceberg_eqdelete)
 
 
+def scan_iceberg_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning end-to-end: create with
+    ``partition_by=["bucket(8, o_custkey)"]`` (the writer computes
+    murmur3 seed-0 buckets and records the transform in the spec) →
+    read with a ``partition_filter`` on the SOURCE column (the
+    planner pushes the filter values through the spec's transform to
+    prune files) → row filter → aggregate.  Pruning is conservative
+    by design, so the oracle catches exactly the fatal direction: if
+    the writer's numpy bucket and the reader's pure-Python bucket
+    ever disagree, the needed file is pruned away and rows go
+    missing from the hash compare.  (r6.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    keys = [1, 2, 4, 5, 7]
+    path = _scratch(f"iceberg_hidden_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        meta = _load_metadata(path)
+        sf = _spec_fields(meta, meta.get("default-spec-id", 0))
+        ops = [h["operation"] for h in history_iceberg(spark, path)]
+        complete = ops == ["append"] and bool(sf) and (
+            sf[0].get("transform") == "bucket[8]"
+        )
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders, path, mode="error",
+            partition_by=["bucket(8, o_custkey)"],
+        )
+    back = read_iceberg(
+        spark, path, partition_filter={"o_custkey": keys}
+    ).filter(F.col("o_custkey").isin(keys))
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+scan_iceberg_hidden = query(
+    "b_lake_iceberg_hidden",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_custkey IN (1, 2, 4, 5, 7)
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_hidden)
+
+
 def scan_iceberg_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution end-to-end: create → ``evolve_iceberg``
     (metadata-only RENAME ``o_totalprice``→``price_total`` + ADD

@@ -626,10 +626,11 @@ def test_v2_checkpoint_version_mismatch_refused(spark, tmp_path):
         read_delta(spark, path)
 
 
-def test_v2_checkpoint_feature_gates(spark, tmp_path):
-    """The v2Checkpoint reader feature is accepted; the writer
-    feature allows appends but refuses writing a classic
-    checkpoint."""
+def test_v2_checkpoint_feature_gates_and_write(spark, tmp_path):
+    """The v2Checkpoint reader feature is accepted, appends stay
+    legal, and checkpoint_delta WRITES the v2 layout on such tables:
+    uuid-named JSON main + parquet sidecar, round-tripping through
+    this reader after the JSON prefix is deleted."""
     path = str(tmp_path / "t")
     write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
     _commit(
@@ -643,8 +644,28 @@ def test_v2_checkpoint_feature_gates(spark, tmp_path):
     assert read_delta(spark, path).count() == 1
     write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
     assert read_delta(spark, path).count() == 2
-    with pytest.raises(ValueError, match="v2 checkpoints"):
-        checkpoint_delta(spark, path)
+    v = checkpoint_delta(spark, path)
+    log = os.path.join(path, "_delta_log")
+    mains = [
+        f for f in os.listdir(log)
+        if f.startswith(f"{v:020d}.checkpoint.") and f.endswith(".json")
+    ]
+    assert len(mains) == 1  # uuid-named v2 main, not a classic parquet
+    assert os.path.isdir(os.path.join(log, "_sidecars"))
+    for ver in range(v + 1):
+        os.unlink(_version_file(path, ver))
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0),
+    ]
+    # txn high-water marks must ride the v2 main too
+    write_delta(_df(spark, [(3, "c", 3.0)]), path, mode="append",
+                txn=("app-v2", 5))
+    checkpoint_delta(spark, path)
+    from aws_datalake_framework_api_spark.sources.delta import (
+        last_txn_version,
+    )
+
+    assert last_txn_version(spark, path, "app-v2") == 5
 
 
 def test_txn_high_water_mark_survives_checkpoint(spark, tmp_path):
