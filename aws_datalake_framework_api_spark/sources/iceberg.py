@@ -1337,12 +1337,16 @@ def _parse_partition_by(
     return out
 
 
-def _spec_from_meta(meta: dict, schema_json: dict) -> list[dict]:
-    """The default partition spec as parsed-spec dicts (the in-repo
-    currency for staging/manifest writing)."""
+def _spec_from_meta(
+    meta: dict, schema_json: dict, spec_id: int | None = None
+) -> list[dict]:
+    """A partition spec (default unless ``spec_id`` given) as
+    parsed-spec dicts (the in-repo currency for staging/manifest
+    writing)."""
     by_id = {int(f["id"]): f for f in schema_json["fields"]}
     out = []
-    for pf in _spec_fields(meta, meta.get("default-spec-id", 0)):
+    sid = meta.get("default-spec-id", 0) if spec_id is None else spec_id
+    for pf in _spec_fields(meta, sid):
         t = pf.get("transform", "identity")
         f = by_id.get(int(pf.get("source-id", -1)))
         if f is None:
@@ -1860,6 +1864,59 @@ def evolve_iceberg(
     return version
 
 
+def evolve_spec_iceberg(path: str, partition_by: list[str]) -> int:
+    """Metadata-only PARTITION SPEC evolution (spec §Partition
+    Evolution — Iceberg's other headline trick): append a new spec
+    built from iceberg-spark-style expressions, move
+    ``default-spec-id``, touch NO data file.  Files written before
+    the change keep their own spec — reads prune each file under the
+    spec it was written with, appends stage under the new one, and
+    ``rewrite_data_files`` migrates old-spec files into the new
+    layout as a side effect of compaction.  Partition field ids are
+    reused when the same (source, transform) pair existed in a prior
+    spec, otherwise allocated past ``last-partition-id`` (the spec's
+    cross-spec uniqueness rule)."""
+    meta = _load_metadata(path)
+    schema_json = _current_schema(meta)
+    parsed = _parse_partition_by(partition_by, schema_json)
+    specs = meta.get("partition-specs")
+    if not specs:
+        raise ValueError("metadata has no partition-specs to evolve")
+    cur = _spec_fields(meta, meta.get("default-spec-id", 0))
+    if [(f.get("name"), f.get("transform")) for f in cur] == [
+        (p["name"], p["transform"]) for p in parsed
+    ]:
+        raise ValueError("evolve_spec_iceberg: spec unchanged")
+    existing_ids: dict[tuple[int, str], int] = {}
+    for sp in specs:
+        for f in sp.get("fields") or []:
+            existing_ids[
+                (int(f["source-id"]), f.get("transform", "identity"))
+            ] = int(f["field-id"])
+    last_pid = int(meta.get("last-partition-id") or 999)
+    fields = []
+    for pf in parsed:
+        key = (pf["source-id"], pf["transform"])
+        fid = existing_ids.get(key)
+        if fid is None:
+            last_pid += 1
+            fid = last_pid
+        fields.append({
+            "name": pf["name"], "transform": pf["transform"],
+            "source-id": pf["source-id"], "field-id": fid,
+        })
+    new_sid = max(int(sp.get("spec-id", 0)) for sp in specs) + 1
+    meta["partition-specs"] = list(specs) + [
+        {"spec-id": new_sid, "fields": fields}
+    ]
+    meta["default-spec-id"] = new_sid
+    meta["last-partition-id"] = last_pid
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    version = int(meta.pop("__file_version__")) + 1
+    _claim_metadata(path, meta, version)
+    return version
+
+
 def _carry_manifests(path: str, meta: dict) -> list[dict]:
     """The current snapshot's manifest_file records, re-read from its
     manifest list so an append/delete carries them forward unchanged
@@ -1935,7 +1992,10 @@ def write_iceberg(
         for f in files
     ]
     manifest = _write_manifest(
-        path, entries, part_fields, 0, "data", schema_json
+        path, entries, part_fields, 0, "data", schema_json,
+        spec_id=0 if base_meta is None else int(
+            base_meta.get("default-spec-id", 0)
+        ),
     )
     return _commit_snapshot(
         path,
@@ -2195,7 +2255,10 @@ def upsert_iceberg(
         for f in staged
     ]
     new_manifests.append(
-        _write_manifest(path, entries, part_fields, 0, "data", schema_json)
+        _write_manifest(
+            path, entries, part_fields, 0, "data", schema_json,
+            spec_id=int(meta.get("default-spec-id", 0)),
+        )
     )
     carry = _carry_manifests(path, meta)
     return _commit_snapshot(path, meta, new_manifests, carry, "overwrite")
@@ -2610,9 +2673,19 @@ def rewrite_data_files(
         for f in staged
     ]
     new_manifests = [
-        _write_manifest(path, added_entries, part_fields, 0, "data", schema_json)
+        _write_manifest(
+            path, added_entries, part_fields, 0, "data", schema_json,
+            spec_id=int(meta.get("default-spec-id", 0)),
+        )
     ]
-    if kept:
+    # kept files are EXISTING under the spec they were WRITTEN with —
+    # one manifest per spec id, each with that spec's partition record
+    # (writing an old-spec file's partition dict through the new
+    # spec's record schema would null its values)
+    by_spec: dict[int, list[dict]] = {}
+    for r in kept:
+        by_spec.setdefault(int(r["spec_id"]), []).append(r)
+    for sid, recs in sorted(by_spec.items()):
         kept_entries = [
             {
                 "status": 0,  # EXISTING: sequence numbers stay explicit
@@ -2636,11 +2709,13 @@ def rewrite_data_files(
                     ),
                 },
             }
-            for r in kept
+            for r in recs
         ]
         new_manifests.append(
             _write_manifest(
-                path, kept_entries, part_fields, 0, "data", schema_json
+                path, kept_entries,
+                _spec_from_meta(meta, schema_json, spec_id=sid),
+                0, "data", schema_json, spec_id=sid,
             )
         )
     # carry ONLY the delete manifests (data manifests are replaced by

@@ -693,6 +693,95 @@ def test_hidden_partitioning_truncate_upsert_roundtrip(spark, tmp_path):
     assert sorted(r["k"] for r in pruned.collect()) == [3, 4]
 
 
+def test_partition_spec_evolution(spark, tmp_path):
+    """Partition-spec evolution is metadata-only: old files keep
+    their old spec (and stay prunable under IT), appends stage under
+    the new spec, and compaction migrates everything to the new
+    layout.  bucket[4]: 1→0, 2→0, 3→3."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        _manifest_entries as _me,
+        _snapshot_by_id as _sbi,
+        evolve_spec_iceberg,
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "ab", 1.0), (2, "cd", 2.0)]), path, mode="error",
+        partition_by=["part"],
+    )
+    evolve_spec_iceberg(path, ["bucket(4, k)"])
+    # appends must now spell the NEW spec
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        write_iceberg(_df(spark, [(9, "xx", 9.0)]), path, mode="append",
+                      partition_by=["part"])
+    write_iceberg(_df(spark, [(3, "ef", 3.0)]), path, mode="append",
+                  partition_by=["bucket(4, k)"])
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "ab", 1.0), (2, "cd", 2.0), (3, "ef", 3.0),
+    ]
+    # old-spec files still prune under the OLD spec; the new-spec file
+    # has no 'part' field and is conservatively kept
+    pruned = read_iceberg(spark, path, partition_filter={"part": "ab"})
+    assert sorted(r["k"] for r in pruned.collect()) == [1, 3]
+    # filter on k: old files unprunable (their spec has no k field),
+    # the new-spec file prunes by bucket — k=1 hits bucket 0, k=3's
+    # file is bucket 3, so the new file is dropped
+    pruned2 = read_iceberg(spark, path, partition_filter={"k": 1})
+    assert sorted(r["k"] for r in pruned2.collect()) == [1, 2]
+    # compaction migrates every file to the new default spec
+    rewrite_data_files(spark, path, target_file_bytes=1 << 20)
+    meta = _load_metadata(path)
+    data, _d, _e = _me(path, meta, _sbi(meta, None))
+    assert {int(r["spec_id"]) for r in data} == {meta["default-spec-id"]}
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "ab", 1.0), (2, "cd", 2.0), (3, "ef", 3.0),
+    ]
+    # post-migration the bucket field prunes EVERY file
+    pruned3 = read_iceberg(spark, path, partition_filter={"k": 3})
+    assert sorted(r["k"] for r in pruned3.collect()) == [3]
+
+
+def test_spec_evolution_mixed_kept_manifests(spark, tmp_path):
+    """Compaction with files under TWO specs where some old-spec
+    files are KEPT: the kept manifest must be written under the OLD
+    spec's partition record — nulling its values would break later
+    pruning and partition injection."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        _manifest_entries as _me,
+        _snapshot_by_id as _sbi,
+        delete_iceberg_rows,
+        evolve_spec_iceberg,
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "ab", 1.0), (2, "cd", 2.0)]), path, mode="error",
+        partition_by=["part"],
+    )
+    evolve_spec_iceberg(path, ["bucket(4, k)"])
+    write_iceberg(_df(spark, [(3, "ef", 3.0), (4, "gh", 4.0)]),
+                  path, mode="append", partition_by=["bucket(4, k)"])
+    # position-delete one NEW-spec row: compaction then rewrites only
+    # the dv-hit new-spec files; the old-spec files are "small" too so
+    # force keeping them by a tiny target (nothing is small enough)
+    delete_iceberg_rows(spark, path, F.col("k") == 4)
+    rewrite_data_files(spark, path, target_file_bytes=1)
+    meta = _load_metadata(path)
+    data, _d, _e = _me(path, meta, _sbi(meta, None))
+    # old-spec kept files still carry their identity partition values
+    old = [r for r in data if int(r["spec_id"]) == 0]
+    assert {r["partition"].get("part") for r in old} == {"ab", "cd"}
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "ab", 1.0), (2, "cd", 2.0), (3, "ef", 3.0),
+    ]
+    # old-spec pruning still works off the kept manifest
+    pruned = read_iceberg(spark, path, partition_filter={"part": "cd"})
+    assert 2 in {r["k"] for r in pruned.collect()}
+    assert 1 not in {r["k"] for r in pruned.collect()}
+
+
 def test_range_read_skips_files_via_bounds(spark, tmp_path):
     """Manifest lower/upper bounds (single-value serialization) must
     skip whole files: a range covering one file's keys scans fewer
