@@ -27,14 +27,16 @@ that one id, in the same staged order:
    analytics compositions, and the maintenance/stream stragglers;
    — the 50-entry boundary falls here —
 2. slot 51: ``b_llm_dedup_semantic`` (pinned by its in-window twin);
-3. the ROUND-7 staging: the six round-6 additions — the Iceberg v2
-   connector (``b_scan_iceberg``, ``b_lake_iceberg_upsert``), the
-   Delta merge-on-read DV DELETE / copy-on-write MERGE / change feed
-   (``b_lake_delta_dv``, ``b_lake_delta_merge``, ``b_lake_delta_cdf``)
-   and the Python-Data-Source Delta/Iceberg stream tails
+3. the ROUND-7 staging: the round-6 additions — the Iceberg v2
+   connector and its lifecycle queries (``b_scan_iceberg``,
+   ``b_lake_iceberg_upsert``/``_evolve``/``_eqdelete``/``_hidden``/
+   ``_specevolve``), the Delta merge-on-read DV DELETE /
+   copy-on-write MERGE / change feed / column-mapping / v2-checkpoint
+   queries (``b_lake_delta_dv``/``_merge``/``_cdf``/``_cmap``/
+   ``_v2cp``) and the Python-Data-Source Delta/Iceberg stream tails
    (``b_stream_delta_source``, ``b_stream_iceberg_source``) —
-   followed by the r1/r2-stale refresh list (VERDICT r5 item #5: every id's latest driver row ≤2 rounds
-   old);
+   followed by the r1/r2-stale refresh list (VERDICT r5 item #5:
+   every id's latest driver row ≤2 rounds old);
 4. everything r2-r5-proved and unchanged, in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
 round; prior-round sweep artifacts (LOCAL_SWEEP_r05*.json) showed
@@ -153,9 +155,12 @@ _ORDER = [
     # -- slot 51: the one deferred backlog id — rows-only by design,
     #    externally pinned by b_llm_dedup_semantic_recall (in-window)
     "b_llm_dedup_semantic",
-    # -- ROUND-7 WINDOW STAGING: the round-6 additions (Iceberg
-    #    connector; Delta merge-on-read DV DELETE; Delta copy-on-write
-    #    MERGE — same precedent as b_scan_delta in r5) + the r1/r2-
+    # -- ROUND-7 WINDOW STAGING: the round-6 additions (Iceberg v2
+    #    connector + its eq-delete / hidden-partitioning / spec-
+    #    evolution lifecycles; Delta merge-on-read DV DELETE, copy-on-
+    #    write MERGE, change feed, column-mapping interop, and the v2
+    #    checkpoint lifecycle; the Python-Data-Source stream tails —
+    #    same staging precedent as b_scan_delta in r5) + the r1/r2-
     #    stale refresh list (VERDICT r5 item #5 — every id's latest
     #    driver row ≤2 rounds old).
     "b_scan_iceberg",
@@ -165,6 +170,7 @@ _ORDER = [
     "b_lake_iceberg_evolve",
     "b_lake_iceberg_eqdelete",
     "b_lake_iceberg_hidden",
+    "b_lake_iceberg_specevolve",
     "b_lake_delta_v2cp",
     "b_lake_delta_cdf",
     "b_lake_delta_cmap",

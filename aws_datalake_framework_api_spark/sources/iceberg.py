@@ -2492,6 +2492,66 @@ scan_iceberg_hidden = query(
 )(scan_iceberg_hidden)
 
 
+def scan_iceberg_specevolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution end-to-end: create identity-partitioned
+    on o_orderpriority (keys ≡0 mod 5) → ``evolve_spec_iceberg`` to
+    ``bucket(8, o_custkey)`` (metadata-only) → append keys ≡1 (mod 5)
+    under the NEW spec → read with a partition_filter on o_custkey +
+    row filter.  The pre-evolution files have no bucket field and must
+    be conservatively KEPT (their rows pass the row filter); the
+    post-evolution files prune by bucket.  A reader that pruned
+    old-spec files under the new spec (or vice versa) loses rows and
+    fails the hash compare.  (r6.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    keys = [1, 2, 4, 5, 7]
+    path = _scratch(
+        f"iceberg_specevolve_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    complete = False
+    try:
+        meta = _load_metadata(path)
+        sf = _spec_fields(meta, meta.get("default-spec-id", 0))
+        ops = [h["operation"] for h in history_iceberg(spark, path)]
+        complete = ops == ["append", "append"] and bool(sf) and (
+            sf[0].get("transform") == "bucket[8]"
+        )
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 5 == 0), path, mode="error",
+            partition_by=["o_orderpriority"],
+        )
+        evolve_spec_iceberg(path, ["bucket(8, o_custkey)"])
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 5 == 1), path,
+            mode="append", partition_by=["bucket(8, o_custkey)"],
+        )
+    back = read_iceberg(
+        spark, path, partition_filter={"o_custkey": keys}
+    ).filter(F.col("o_custkey").isin(keys))
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+scan_iceberg_specevolve = query(
+    "b_lake_iceberg_specevolve",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE (o_orderkey % 5 = 0 OR o_orderkey % 5 = 1)
+      AND o_custkey IN (1, 2, 4, 5, 7)
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_specevolve)
+
+
 def scan_iceberg_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution end-to-end: create → ``evolve_iceberg``
     (metadata-only RENAME ``o_totalprice``→``price_total`` + ADD
