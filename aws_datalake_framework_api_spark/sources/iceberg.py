@@ -1289,10 +1289,13 @@ def _parse_partition_by(
             kind, n, col = m.group(1), int(m.group(2)), m.group(3)
             f = src(col)
             if kind == "bucket":
-                if f["type"] not in ("int", "long", "string"):
+                if f["type"] not in (
+                    "int", "long", "string", "date", "timestamp",
+                    "timestamptz",
+                ):
                     raise ValueError(
-                        f"bucket writes support int/long/string sources, "
-                        f"not {f['type']} ({col})"
+                        f"bucket writes support int/long/string/date/"
+                        f"timestamp sources, not {f['type']} ({col})"
                     )
                 out.append({
                     "name": f"{col}_bucket", "transform": f"bucket[{n}]",
@@ -1363,7 +1366,7 @@ def _spec_from_meta(
                 f"cannot write under partition transform {t!r}"
             )
         if t.startswith("bucket[") and f["type"] not in (
-            "int", "long", "string",
+            "int", "long", "string", "date", "timestamp", "timestamptz",
         ):
             raise ValueError(
                 f"cannot stage writes for bucket over {f['type']} source"
@@ -1384,12 +1387,28 @@ def _bucket_udf(n: int, src_type: str):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    if src_type in ("int", "long"):
+    if src_type in ("int", "long", "date", "timestamp", "timestamptz"):
 
         def bucket_long(s):
             import numpy as np
 
-            v = s.to_numpy(dtype="int64", na_value=0).view("uint64")
+            # spec serialization: dates hash as epoch DAYS, timestamps
+            # as epoch MICROS, both as 8-byte little-endian longs
+            if src_type == "date":
+                iv = (
+                    pd.to_datetime(s)
+                    .values.astype("datetime64[D]")
+                    .astype("int64")
+                )
+            elif src_type in ("timestamp", "timestamptz"):
+                iv = (
+                    pd.to_datetime(s)
+                    .values.astype("datetime64[us]")
+                    .astype("int64")
+                )
+            else:
+                iv = s.to_numpy(dtype="int64", na_value=0)
+            v = iv.view("uint64")
             c1 = np.uint32(0xCC9E2D51)
             c2 = np.uint32(0x1B873593)
 

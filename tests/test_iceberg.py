@@ -668,6 +668,43 @@ def test_hidden_partitioning_day_write_and_prune(spark, tmp_path):
     assert sorted(r["k"] for r in pruned.collect()) == [1, 2]
 
 
+def test_hidden_partitioning_temporal_bucket(spark, tmp_path):
+    """bucket over a timestamp source: the writer hashes epoch MICROS
+    (numpy) and the read planner hashes the filter value's micros
+    (pure Python) — the round trip catches any unit or serialization
+    drift between them."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    stamps = [dt.datetime(2024, 1, d, 12) for d in (1, 2, 3, 4, 5, 6)]
+    df = spark.createDataFrame(
+        [(i, ts) for i, ts in enumerate(stamps)], "k int, ts timestamp"
+    )
+    write_iceberg(df, path, mode="error", partition_by=["bucket(3, ts)"])
+    full = read_iceberg(spark, path)
+    assert len(full.collect()) == 6
+    for i, ts in enumerate(stamps):
+        pruned = read_iceberg(
+            spark, path, partition_filter={"ts": ts.isoformat()}
+        )
+        assert i in {r["k"] for r in pruned.collect()}
+        assert len(pruned.inputFiles()) <= len(full.inputFiles())
+
+
+def test_hidden_partitioning_null_source_value(spark, tmp_path):
+    """A NULL source value transforms to a NULL partition value
+    (written as the default-partition dir, read back as null) and a
+    NULL filter value matches exactly those files."""
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (None, "b", 2.0)]).coalesce(1),
+        path, mode="error", partition_by=["bucket(4, k)"],
+    )
+    assert len(read_iceberg(spark, path).collect()) == 2
+    pruned = read_iceberg(spark, path, partition_filter={"k": None})
+    assert {r["part"] for r in pruned.collect()} == {"b"}
+
+
 def test_hidden_partitioning_truncate_upsert_roundtrip(spark, tmp_path):
     """truncate(2, part) through the FULL mutation surface: the
     upsert's staging must recompute the transform for the new rows
