@@ -331,6 +331,47 @@ def _resolve_read_schema(
     return phys, [l2p[c] for c in logical_parts], rename, l2p
 
 
+def _logical_scan(
+    spark: SparkSession, path: str, snap: _Snapshot, rels: list[str],
+    dv_map: dict | None, **tags,
+) -> DataFrame:
+    """Active-file scan projected to LOGICAL column names (identity on
+    unmapped tables) — the frame mutation predicates, joins and
+    assignments run against, so UPDATE/DELETE/MERGE work unchanged on
+    column-mapped tables."""
+    schema, part_cols, rename, _l2p = _resolve_read_schema(snap)
+    _enable_field_id_read(spark, snap, path, rels)
+    return _rename_back(
+        _scan_files(spark, path, snap, rels, schema, part_cols, dv_map,
+                    **tags),
+        rename,
+    )
+
+
+def _stage_mutation(
+    df: DataFrame, snap: _Snapshot, path: str, version: int,
+    data_change: bool = True,
+) -> list[dict]:
+    """Stage rewritten LOGICAL rows for a mutation commit: on mapped
+    tables the files/partitionValues/stats must spell PHYSICAL names
+    (+ parquet ids in id mode) — the same conversion the append path
+    applies."""
+    sj = json.loads(snap.metadata["schemaString"])
+    logical_parts = list(snap.metadata.get("partitionColumns") or [])
+    mode = _mapping_mode(snap)
+    if mode in ("none", ""):
+        return _stage_files(df, path, logical_parts, version,
+                            data_change=data_change)
+    l2p = {
+        f["name"]: (f.get("metadata") or {}).get(_CMAP_PHYS_KEY, f["name"])
+        for f in sj["fields"]
+    }
+    return _stage_files(
+        _to_physical_df(df, sj, mode), path,
+        [l2p[c] for c in logical_parts], version, data_change=data_change,
+    )
+
+
 def _to_physical_df(df: DataFrame, sj: dict, mode: str) -> DataFrame:
     """``df`` (logical names, any column order) renamed to the mapped
     schema's PHYSICAL spelling in schema order — what the data files
@@ -1281,17 +1322,16 @@ def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
                 f"minWriterVersion={writer} (install delta-spark)"
             )
     if _mapping_mode(snap) not in ("none", "") and operation not in (
-        "append",
-        "overwrite",
+        "append", "overwrite", "update", "delete", "merge", "optimize",
     ):
         raise ValueError(
             f"column-mapped table: {operation} is not implemented "
-            "(append/overwrite are; install delta-spark for the rest)"
+            "(install delta-spark for it)"
         )
     append_only = conf.get("delta.appendOnly") == "true" or (
         "appendOnly" in feats and conf.get("delta.appendOnly") != "false"
     )
-    if append_only and operation in ("overwrite", "delete", "update"):
+    if append_only and operation in ("overwrite", "delete", "update", "merge"):
         raise ValueError(
             f"table is append-only (delta.appendOnly): {operation} refused"
         )
@@ -1683,6 +1723,8 @@ def delete_partition(
     the O(1)-data delete an open table format exists to provide)."""
     snap, latest = _snapshot(spark, path)
     _check_write_protocol(snap, "delete")
+    # partitionValues spell stored (physical) keys on mapped tables
+    col_stored = _resolve_read_schema(snap)[3].get(column, column)
     now = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -1694,7 +1736,7 @@ def delete_partition(
         }
     ]
     for rel in sorted(snap.files):
-        if snap.partition_values(rel).get(column) == value:
+        if snap.partition_values(rel).get(col_stored) == value:
             rm = {
                 "path": rel,
                 "deletionTimestamp": now,
@@ -1731,16 +1773,13 @@ def update_delta(
     snap, latest = _snapshot(spark, path)
     _check_write_protocol(snap, "update")
     schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
-    part_cols = list(snap.metadata.get("partitionColumns") or [])
     cols = {f.name for f in schema.fields}
     bad = set(assignments) - cols
     if bad:
         raise ValueError(f"UPDATE assigns unknown columns: {sorted(bad)}")
     rels = sorted(snap.files)
     dv_map = _dv_map(path, snap, rels)
-    tagged = _scan_files(
-        spark, path, snap, rels, schema, part_cols, dv_map, keep_file=True
-    )
+    tagged = _logical_scan(spark, path, snap, rels, dv_map, keep_file=True)
     # File basenames holding >=1 matched row.  The collect is bounded
     # by the table's active-file count (planning-sized state, the same
     # bound the snapshot replay itself carries), and for the intended
@@ -1757,9 +1796,8 @@ def update_delta(
         if os.path.basename(urllib.parse.unquote(rel)) in hit_names
     ]
     types = {f.name: f.dataType for f in schema.fields}
-    rows = _scan_files(
-        spark, path, snap, hit_rels, schema, part_cols,
-        _dv_map(path, snap, hit_rels),
+    rows = _logical_scan(
+        spark, path, snap, hit_rels, _dv_map(path, snap, hit_rels)
     )
     matched = rows.filter(condition).count()
     updated = rows
@@ -1787,7 +1825,7 @@ def update_delta(
         if snap.files[rel].get("deletionVector"):
             rm["deletionVector"] = snap.files[rel]["deletionVector"]
         actions.append({"remove": rm})
-    actions.extend(_stage_files(updated, path, part_cols, version))
+    actions.extend(_stage_mutation(updated, snap, path, version))
     _commit(path, version, actions)
     return version, matched
 
@@ -1842,13 +1880,10 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
     decode path carries on read."""
     snap, latest = _snapshot(spark, path)
     _check_write_protocol(snap, "delete")
-    schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
-    part_cols = list(snap.metadata.get("partitionColumns") or [])
     rels = sorted(snap.files)
     dv_map = _dv_map(path, snap, rels)
-    tagged = _scan_files(
-        spark, path, snap, rels, schema, part_cols, dv_map,
-        keep_file=True, keep_pos=True,
+    tagged = _logical_scan(
+        spark, path, snap, rels, dv_map, keep_file=True, keep_pos=True
     )
     hits = tagged.filter(condition).select("_dl_file", "_dl_dv_pos").collect()
     if not hits:
@@ -1911,7 +1946,7 @@ def merge_delta(
     SQL equality): null-keyed source rows insert, null-keyed target
     rows are kept.  Returns {"version", "updated", "inserted"}."""
     snap, latest = _snapshot(spark, path)
-    _check_write_protocol(snap, "update")
+    _check_write_protocol(snap, "merge")
     schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
     part_cols = list(snap.metadata.get("partitionColumns") or [])
     source = _check_schema_compat(source, snap, part_cols)
@@ -1925,9 +1960,7 @@ def merge_delta(
         )
     rels = sorted(snap.files)
     dv_map = _dv_map(path, snap, rels)
-    target = _scan_files(
-        spark, path, snap, rels, schema, part_cols, dv_map, keep_file=True
-    )
+    target = _logical_scan(spark, path, snap, rels, dv_map, keep_file=True)
     hit_names = {
         r["_dl_file"]
         for r in target.join(source.select(*on), on, "left_semi")
@@ -1940,9 +1973,8 @@ def merge_delta(
         for rel in rels
         if os.path.basename(urllib.parse.unquote(rel)) in hit_names
     ]
-    hit_rows = _scan_files(
-        spark, path, snap, hit_rels, schema, part_cols,
-        _dv_map(path, snap, hit_rels),
+    hit_rows = _logical_scan(
+        spark, path, snap, hit_rels, _dv_map(path, snap, hit_rels)
     )
     kept = hit_rows.join(source.select(*on), on, "left_anti")
     matched_src = source.join(
@@ -1976,7 +2008,7 @@ def merge_delta(
         if snap.files[rel].get("deletionVector"):
             rm["deletionVector"] = snap.files[rel]["deletionVector"]
         actions.append({"remove": rm})
-    actions.extend(_stage_files(new_data, path, part_cols, version))
+    actions.extend(_stage_mutation(new_data, snap, path, version))
     _commit(path, version, actions)
     return {"version": version, "updated": n_updated, "inserted": n_inserted}
 
@@ -2052,16 +2084,23 @@ def optimize_delta(
     "files_before", "files_after", "partitions_compacted"}; nothing
     to do commits nothing."""
     snap, latest = _snapshot(spark, path)
-    _check_write_protocol(snap, "optimize")  # adds/removes no ROWS; passes
-    # the appendOnly gate (pure rearrangement) but not the mapped gate
-    schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
-    part_cols = list(snap.metadata.get("partitionColumns") or [])
+    _check_write_protocol(snap, "optimize")  # adds/removes no ROWS —
+    # passes the appendOnly gate (pure rearrangement)
+    # stored (physical on mapped tables) partition keys drive grouping;
+    # callers filter by LOGICAL name
+    _sch, part_stored, _ren, l2p = _resolve_read_schema(snap)
+    flt = (
+        {l2p.get(c, c): v for c, v in partition_filter.items()}
+        if partition_filter else None
+    )
     by_part: dict[tuple, list[str]] = {}
     for rel in sorted(snap.files):
         pv = snap.partition_values(rel)
-        if partition_filter and not _part_match(pv, partition_filter):
+        if flt and not _part_match(pv, flt):
             continue
-        by_part.setdefault(tuple(pv.get(c) for c in part_cols), []).append(rel)
+        by_part.setdefault(
+            tuple(pv.get(c) for c in part_stored), []
+        ).append(rel)
     version = latest + 1
     actions: list[dict] = [
         {
@@ -2100,9 +2139,8 @@ def optimize_delta(
             continue
         total = sum(int(snap.files[r].get("size") or 0) for r in group)
         n_out = max(1, -(-total // target_file_bytes))
-        rows = _scan_files(
-            spark, path, snap, group, schema, part_cols,
-            _dv_map(path, snap, group),
+        rows = _logical_scan(
+            spark, path, snap, group, _dv_map(path, snap, group)
         )
         if zorder_by:
             rows = (
@@ -2113,8 +2151,8 @@ def optimize_delta(
             )
         else:
             rows = rows.coalesce(n_out)
-        adds = _stage_files(
-            rows, path, part_cols, version, data_change=False
+        adds = _stage_mutation(
+            rows, snap, path, version, data_change=False
         )
         for rel in group:
             rm = {

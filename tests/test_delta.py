@@ -1757,21 +1757,12 @@ def test_column_mapping_id_mode_append_stamps_ids(spark, tmp_path):
     ]
 
 
-def test_column_mapping_mutations_still_refused(spark, tmp_path):
-    """Rewrite-style mutations on mapped tables stay refused (their
-    rewrite paths are logical-name-based); mergeSchema too (needs
-    column-id assignment)."""
-    from aws_datalake_framework_api_spark.sources.delta import (
-        delete_where_delta, optimize_delta, update_delta,
-    )
-
+def test_column_mapping_merge_schema_still_refused(spark, tmp_path):
+    """mergeSchema evolution on mapped tables stays refused (needs
+    column-id assignment).  (UPDATE/DELETE/MERGE/OPTIMIZE graduated
+    from this refusal late in r6 — see
+    test_column_mapping_rewrite_mutations.)"""
     path, _ = _mapped_table(spark, tmp_path)
-    with pytest.raises(ValueError, match="column-mapped"):
-        update_delta(spark, path, F.col("k") == 1, {"v": F.lit(9.0)})
-    with pytest.raises(ValueError, match="column-mapped"):
-        delete_where_delta(spark, path, F.col("k") == 1)
-    with pytest.raises(ValueError, match="column-mapped"):
-        optimize_delta(spark, path)
     with pytest.raises(ValueError, match="mergeSchema"):
         write_delta(
             _df(spark, [(9, "z", 9.0)]).withColumn("extra", F.lit(1)),
@@ -1806,3 +1797,95 @@ def test_column_mapping_survives_checkpoint(spark, tmp_path):
     back = read_delta(spark, path)
     assert back.columns == ["k", "part", "v"]
     assert len(_sorted_rows(back)) == 4
+
+
+def test_column_mapping_rewrite_mutations(spark, tmp_path):
+    """UPDATE / merge-on-read DELETE / MERGE / OPTIMIZE on a
+    column-mapped table: predicates and assignments spell LOGICAL
+    names, the rewritten files must spell PHYSICAL ones — a staging
+    path that leaked logical names would write files every other
+    mapped reader misreads as all-NULL."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta,
+        delete_where_delta,
+        merge_delta,
+        optimize_delta,
+        update_delta,
+    )
+
+    path = str(tmp_path / "cmap")
+    l2p = create_mapped_delta(
+        _df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]), path,
+        partition_by=["part"],
+    )
+    # copy-on-write UPDATE by logical predicate/assignment
+    _v, matched = update_delta(
+        spark, path, F.col("k") == 2, {"v": 20.0}
+    )
+    assert matched == 1
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "a", 20.0), (3, "b", 3.0),
+    ]
+    # merge-on-read DELETE (deletion vector, no rewrite)
+    _v, n = delete_where_delta(spark, path, F.col("k") == 1)
+    assert n == 1
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (2, "a", 20.0), (3, "b", 3.0),
+    ]
+    # MERGE: update k=3, insert k=9
+    out = merge_delta(
+        spark, path, _df(spark, [(3, "b", 30.0), (9, "c", 9.0)]),
+        on=["k"],
+    )
+    assert (out["updated"], out["inserted"]) == (1, 1)
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (2, "a", 20.0), (3, "b", 30.0), (9, "c", 9.0),
+    ]
+    # OPTIMIZE folds the DV and compacts — content unchanged
+    res = optimize_delta(spark, path, partition_filter={"part": "a"})
+    assert res["files_before"] >= 1
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (2, "a", 20.0), (3, "b", 30.0), (9, "c", 9.0),
+    ]
+    # every data file still spells ONLY physical names
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(path):
+        if f.endswith(".parquet") and not f.startswith(
+            ("_", "deletion_vector")
+        ):
+            names = set(
+                pq.ParquetFile(os.path.join(path, f)).schema.names
+            )
+            assert names <= set(l2p.values()), f
+    # logical partition pruning still works over the rewritten files
+    back = read_delta(spark, path, partition_filter={"part": "b"})
+    assert _sorted_rows(back) == [(3, "b", 30.0)]
+
+
+def test_column_mapping_id_mode_update(spark, tmp_path):
+    """The same UPDATE path in id mode: rewritten files must carry
+    parquet field ids (id-mode readers match on them; an id-less
+    rewrite would be the spec violation this reader itself refuses)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta,
+        update_delta,
+    )
+
+    path = str(tmp_path / "cmap")
+    create_mapped_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), path, mode="id"
+    )
+    update_delta(spark, path, F.col("k") == 1, {"v": 10.0})
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 10.0), (2, "b", 2.0),
+    ]
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(path):
+        if f.endswith(".parquet") and not f.startswith("_"):
+            sch = pq.ParquetFile(os.path.join(path, f)).schema_arrow
+            assert all(
+                (fld.metadata or {}).get(b"PARQUET:field_id") is not None
+                for fld in sch
+            ), f
