@@ -172,6 +172,7 @@ _ORDER = [
     "b_lake_iceberg_hidden",
     "b_lake_iceberg_specevolve",
     "b_lake_delta_v2cp",
+    "b_lake_delta_cmap_dml",
     "b_lake_delta_cdf",
     "b_lake_delta_cmap",
     "b_stream_delta_source",

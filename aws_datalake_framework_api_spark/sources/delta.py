@@ -1483,6 +1483,40 @@ def _merged_schema(df: DataFrame, snap: _Snapshot) -> StructType | None:
     )
 
 
+def _evolved_mapped_json(
+    evolved: StructType, snap: _Snapshot
+) -> tuple[dict, int]:
+    """schemaString JSON for an ADDITIVE mergeSchema on a mapped
+    table: declared fields keep their mapping metadata verbatim, each
+    genuinely-new field (nested subtree included) gets fresh column
+    ids past ``delta.columnMapping.maxColumnId`` and ``col-<uuid>``
+    physical names — the assignment the refusal used to punt to
+    delta-spark.  Returns (schema_json, new_max_id)."""
+    sj = json.loads(snap.metadata["schemaString"])
+    known = {f["name"] for f in sj.get("fields") or []}
+    conf = (snap.metadata or {}).get("configuration") or {}
+    declared_max = max(
+        [
+            int((f.get("metadata") or {}).get(_CMAP_ID_KEY) or 0)
+            for f in sj.get("fields") or []
+        ]
+        or [0]
+    )
+    counter = [
+        max(int(conf.get("delta.columnMapping.maxColumnId") or 0),
+            declared_max)
+    ]
+    fields = list(sj.get("fields") or [])
+    for f in evolved.fields:
+        if f.name in known:
+            continue
+        node = json.loads(StructType([f]).json())["fields"][0]
+        node = _assign_mapping({"type": "struct", "fields": [node]},
+                               counter)["fields"][0]
+        fields.append(node)
+    return {**sj, "fields": fields}, counter[0]
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -1516,6 +1550,8 @@ def write_delta(
         raise FileExistsError(f"delta table already exists at {path}")
     snap: _Snapshot | None = None
     evolved: StructType | None = None
+    evolved_sj: dict | None = None
+    evolved_max_id = 0
     if latest is not None:
         # Snapshot BEFORE committing: version numbering, protocol and
         # schema checks, txn dedup, and overwrite tombstones all need
@@ -1525,13 +1561,16 @@ def write_delta(
         snap, _ = _snapshot(spark, path, latest)
         op = "overwrite" if mode == "overwrite" else "append"
         _check_write_protocol(snap, op)
-        if merge_schema and _mapping_mode(snap) not in ("none", ""):
-            raise ValueError(
-                "mergeSchema on a column-mapped table needs column-id "
-                "assignment — not implemented (install delta-spark)"
-            )
         if merge_schema:
             evolved = _merged_schema(df, snap)
+            if evolved is not None and _mapping_mode(snap) not in (
+                "none", "",
+            ):
+                # mapped evolution: the new columns need column ids +
+                # physical names assigned past the table's maxColumnId
+                evolved_sj, evolved_max_id = _evolved_mapped_json(
+                    evolved, snap
+                )
         if evolved is None:
             df = _check_schema_compat(df, snap, partition_by)
         else:
@@ -1580,7 +1619,15 @@ def write_delta(
             # version as the data it admits — readers never see data
             # files the declared schema can't describe
             md = dict(snap.metadata)
-            md["schemaString"] = evolved.json()
+            if evolved_sj is not None:
+                md["schemaString"] = json.dumps(evolved_sj)
+                conf = dict(md.get("configuration") or {})
+                conf["delta.columnMapping.maxColumnId"] = str(
+                    evolved_max_id
+                )
+                md["configuration"] = conf
+            else:
+                md["schemaString"] = evolved.json()
             actions.append({"metaData": md})
         if mode == "overwrite":
             now = int(time.time() * 1000)
@@ -1600,7 +1647,11 @@ def write_delta(
         # column-mapped table: files/partitionValues/stats must spell
         # PHYSICAL names (+ parquet ids in id mode); validation above
         # ran against the LOGICAL schema
-        sj = json.loads(snap.metadata["schemaString"])
+        sj = (
+            evolved_sj
+            if evolved_sj is not None
+            else json.loads(snap.metadata["schemaString"])
+        )
         stage_df = _to_physical_df(df, sj, _mapping_mode(snap))
         l2p = {
             f["name"]: (f.get("metadata") or {}).get(_CMAP_PHYS_KEY, f["name"])
@@ -2992,6 +3043,67 @@ def scan_delta_v2cp(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_delta(spark, path)
         for v in range(3):
             os.unlink(_version_file(path, v))
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "b_lake_delta_cmap_dml",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum(
+               "CASE WHEN o_orderkey % 22 = 0 THEN o_totalprice + 250 "
+               "WHEN o_orderkey % 11 = 4 THEN o_totalprice + 750 "
+               "ELSE o_totalprice END"
+           )} AS total_price
+    FROM orders
+    WHERE (o_orderkey % 11 = 0 AND o_orderkey % 33 <> 11)
+       OR o_orderkey % 11 = 4
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_delta_cmap_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML lifecycle on a column-mapped table (late r6): create mapped
+    (keys ≡0 mod 11) → copy-on-write MERGE-update (+250 on keys ≡0
+    mod 22, rewriting only their files through the physical staging
+    path) → merge-on-read DV DELETE (keys ≡11 mod 33 — including any
+    row the update just touched, so a stale pre-update file surviving
+    the rewrite would double-count) → MERGE-insert (keys ≡4 mod 11 at
+    +750) → read.  Every mutation's predicate/source is LOGICAL and
+    every rewritten file must be PHYSICAL; a logical-named leak, a
+    lost rewrite, or a mis-folded DV changes the aggregate and fails
+    the hash compare."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"delta_cmapdml_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        complete = (
+            _table_version(path) == 3
+            and _mapping_mode(_snapshot(spark, path, 3)[0]) == "name"
+        )
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        create_mapped_delta(
+            orders.filter(F.col("o_orderkey") % 11 == 0), path
+        )
+        # UPDATE needs a literal per row-group: +250 as two-step —
+        # update_delta takes literals, so precompute via merge source
+        src_upd = orders.filter(F.col("o_orderkey") % 22 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(250.0)
+        )
+        merge_delta(spark, path, src_upd, on=["o_orderkey"])
+        delete_where_delta(spark, path, F.col("o_orderkey") % 33 == 11)
+        src = orders.filter(F.col("o_orderkey") % 11 == 4).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(750.0)
+        )
+        merge_delta(spark, path, src, on=["o_orderkey"])
     back = read_delta(spark, path)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),

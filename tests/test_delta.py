@@ -1757,17 +1757,53 @@ def test_column_mapping_id_mode_append_stamps_ids(spark, tmp_path):
     ]
 
 
-def test_column_mapping_merge_schema_still_refused(spark, tmp_path):
-    """mergeSchema evolution on mapped tables stays refused (needs
-    column-id assignment).  (UPDATE/DELETE/MERGE/OPTIMIZE graduated
-    from this refusal late in r6 — see
-    test_column_mapping_rewrite_mutations.)"""
-    path, _ = _mapped_table(spark, tmp_path)
-    with pytest.raises(ValueError, match="mergeSchema"):
-        write_delta(
-            _df(spark, [(9, "z", 9.0)]).withColumn("extra", F.lit(1)),
-            path, mode="append", merge_schema=True,
-        )
+def test_column_mapping_merge_schema_assigns_ids(spark, tmp_path):
+    """ADDITIVE mergeSchema on a mapped table assigns the new column a
+    fresh column id past maxColumnId and a col-<uuid> physical name;
+    pre-evolution files read the new column as NULL, and the new
+    file spells it physically.  (The last mapped-write refusal,
+    lifted late in r6.)"""
+    path, l2p = _mapped_table(spark, tmp_path)
+    write_delta(
+        _df(spark, [(9, "z", 9.0)]).withColumn("extra", F.lit(1)),
+        path, mode="append", merge_schema=True,
+    )
+    back = read_delta(spark, path)
+    assert back.columns == ["k", "part", "v", "extra"]
+    got = {(r["k"], r["extra"]) for r in back.collect()}
+    assert (9, 1) in got and (1, None) in got
+    # the evolved schemaString carries mapping metadata for the new
+    # column and bumps maxColumnId
+    snap = _snapshot_of(spark, path)
+    sj = json.loads(snap.metadata["schemaString"])
+    extra = next(f for f in sj["fields"] if f["name"] == "extra")
+    md = extra["metadata"]
+    assert md["delta.columnMapping.physicalName"].startswith("col-")
+    ids = [f["metadata"]["delta.columnMapping.id"] for f in sj["fields"]]
+    assert md["delta.columnMapping.id"] == max(ids)
+    assert int(
+        snap.metadata["configuration"]["delta.columnMapping.maxColumnId"]
+    ) == max(ids)
+    # the new data file spells ONLY physical names
+    import pyarrow.parquet as pq
+
+    phys = {
+        f["metadata"]["delta.columnMapping.physicalName"]
+        for f in sj["fields"]
+    }
+    newest = max(
+        (f for f in os.listdir(path) if f.endswith(".parquet")
+         and not f.startswith("_")),
+        key=lambda f: os.path.getmtime(os.path.join(path, f)),
+    )
+    names = set(pq.ParquetFile(os.path.join(path, newest)).schema.names)
+    assert names <= phys and len(names) == 4
+
+
+def _snapshot_of(spark, path):
+    from aws_datalake_framework_api_spark.sources.delta import _snapshot
+
+    return _snapshot(spark, path)[0]
 
 
 def test_legacy_writer_versions_gate_on_actual_capabilities(spark, tmp_path):
