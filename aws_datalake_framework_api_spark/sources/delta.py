@@ -1086,14 +1086,56 @@ def _scan_files(
     return out
 
 
+def _version_at_timestamp(path: str, ts) -> int:
+    """The latest version committed at-or-before ``ts`` (datetime, ISO
+    string, or epoch millis) — delta-spark's timestampAsOf rule.
+    Commit times come from ``commitInfo.timestamp``, falling back to
+    the commit file's mtime (the protocol's own fallback ordering)."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        millis = int(ts.timestamp() * 1000)
+    else:
+        millis = int(ts)
+    best = None
+    for v in _list_versions(path):
+        vf = _version_file(path, v)
+        t = None
+        with open(vf) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        t = a["commitInfo"].get("timestamp")
+                    break
+        if t is None:
+            t = int(os.path.getmtime(vf) * 1000)
+        if int(t) <= millis:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit at or before {millis} (table begins later)"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version_as_of: int | None = None,
     partition_filter: dict | None = None,
+    timestamp_as_of=None,
 ) -> DataFrame:
-    """Read a Delta table (latest version, or ``version_as_of`` for
-    time travel) into a DataFrame with the log-declared schema.
+    """Read a Delta table (latest version, ``version_as_of`` for
+    time travel, or ``timestamp_as_of`` — datetime / ISO string /
+    epoch millis — resolved to the latest commit at-or-before that
+    instant, delta-spark's timestampAsOf) into a DataFrame with the
+    log-declared schema.
 
     ``partition_filter`` (column → value or collection) prunes files
     at PLANNING time from the log's partitionValues — the equivalent
@@ -1101,6 +1143,12 @@ def read_delta(
     partition-selective reads on high-partition-count tables where
     the single-scan plan shape can't constant-fold partition
     predicates per branch."""
+    if timestamp_as_of is not None:
+        if version_as_of is not None:
+            raise ValueError(
+                "pass version_as_of OR timestamp_as_of, not both"
+            )
+        version_as_of = _version_at_timestamp(path, timestamp_as_of)
     snap, _ = _snapshot(spark, path, version_as_of)
     schema, part_cols, rename, l2p = _resolve_read_schema(snap)
     rels = sorted(snap.files)

@@ -841,9 +841,10 @@ def read_iceberg(
     path: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Read an Iceberg table (current snapshot, or ``snapshot_id`` for
-    time travel).  ``partition_filter`` (column → value or collection)
+    """Read an Iceberg table (current snapshot, ``snapshot_id`` for
+    time travel, or ``ref`` for a named tag/branch).  ``partition_filter`` (column → value or collection)
     prunes data files at PLANNING time from manifest partition values
     (identity transforms; other transforms conservatively keep).
     Positional deletes are applied as a distributed anti-join on
@@ -857,6 +858,13 @@ def read_iceberg(
     schema_json = _current_schema(meta)
     spark_schema = _schema_to_spark(schema_json)
     res = _resolution(meta)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR ref, not both")
+        r = (meta.get("refs") or {}).get(ref)
+        if r is None:
+            raise ValueError(f"no such ref: {ref!r}")
+        snapshot_id = int(r["snapshot-id"])
     snap = _snapshot_by_id(meta, snapshot_id)
     if snap is None:
         return spark.createDataFrame([], spark_schema)
@@ -1936,6 +1944,51 @@ def evolve_spec_iceberg(path: str, partition_by: list[str]) -> int:
     return version
 
 
+def tag_iceberg(
+    path: str, name: str, snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> int:
+    """Create/move a named ref (spec §References): ``tag`` pins a
+    snapshot immutably-by-convention (audit/reproducibility — "train
+    run X read THIS state"), ``branch`` is a movable head.  Metadata-
+    only commit; :func:`read_iceberg` resolves ``ref=`` through it and
+    :func:`expire_snapshots` never reclaims a ref'd snapshot."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be tag|branch, not {ref_type!r}")
+    meta = _load_metadata(path)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    if sid is None or not any(
+        s["snapshot-id"] == sid for s in meta.get("snapshots") or []
+    ):
+        raise ValueError(f"snapshot {sid} not in table history")
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    version = int(meta.pop("__file_version__")) + 1
+    _claim_metadata(path, meta, version)
+    return version
+
+
+def drop_ref_iceberg(path: str, name: str) -> int:
+    """Remove a named ref (metadata-only); its snapshot becomes
+    expirable again."""
+    meta = _load_metadata(path)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"no such ref: {name!r}")
+    del refs[name]
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    version = int(meta.pop("__file_version__")) + 1
+    _claim_metadata(path, meta, version)
+    return version
+
+
 def _carry_manifests(path: str, meta: dict) -> list[dict]:
     """The current snapshot's manifest_file records, re-read from its
     manifest list so an append/delete carries them forward unchanged
@@ -2834,6 +2887,10 @@ def expire_snapshots(
     )
     cur = meta.get("current-snapshot-id")
     keep = {s["snapshot-id"] for s in snaps[-keep_last:]} | ({cur} if cur else set())
+    # named refs PIN their snapshots — a tag exists to survive expiry
+    keep |= {
+        int(r["snapshot-id"]) for r in (meta.get("refs") or {}).values()
+    }
     dropped = [s for s in snaps if s["snapshot-id"] not in keep]
     if not dropped:
         return {"version": max(_metadata_versions(path)), "expired": 0,

@@ -1925,3 +1925,45 @@ def test_column_mapping_id_mode_update(spark, tmp_path):
                 (fld.metadata or {}).get(b"PARQUET:field_id") is not None
                 for fld in sch
             ), f
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """timestampAsOf resolves to the latest commit at-or-before the
+    instant (delta-spark's rule); an instant before the first commit
+    refuses."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    # pin distinguishable commit times (commitInfo.timestamp is millis)
+    def _stamp(v, millis):
+        vf = _version_file(path, v)
+        lines = open(vf).read().splitlines()
+        out = []
+        for ln in lines:
+            a = json.loads(ln)
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = millis
+            out.append(json.dumps(a))
+        open(vf, "w").write("\n".join(out) + "\n")
+
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    _stamp(0, 1_000_000_000_000)  # 2001-09-09T01:46:40Z
+    _stamp(1, 1_500_000_000_000)  # 2017-07-14
+    assert _sorted_rows(
+        read_delta(spark, path, timestamp_as_of=1_200_000_000_000)
+    ) == [(1, "a", 1.0)]
+    assert _sorted_rows(
+        read_delta(spark, path, timestamp_as_of="2020-01-01T00:00:00+00:00")
+    ) == [(1, "a", 1.0), (2, "b", 2.0)]
+    assert _sorted_rows(
+        read_delta(
+            spark, path,
+            timestamp_as_of=dt.datetime(2010, 1, 1,
+                                        tzinfo=dt.timezone.utc),
+        )
+    ) == [(1, "a", 1.0)]
+    with pytest.raises(ValueError, match="begins later"):
+        read_delta(spark, path, timestamp_as_of=999)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, path, version_as_of=0, timestamp_as_of=999)

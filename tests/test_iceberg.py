@@ -1242,3 +1242,37 @@ def test_delete_and_upsert_resolve_renamed_tables(spark, tmp_path):
         on=["k"],
     )
     assert _sorted_rows(read_iceberg(spark, path)) == [(2, "b", 20.0)]
+
+
+def test_refs_tag_read_and_expiry_pin(spark, tmp_path):
+    """Named refs: a tag pins a snapshot — read_iceberg(ref=) resolves
+    it, expire_snapshots must NOT reclaim it, and dropping the tag
+    makes it expirable again."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        drop_ref_iceberg,
+        expire_snapshots,
+        tag_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    tag_iceberg(path, "v1-audit")  # pins the current (first) snapshot
+    write_iceberg(_df(spark, [(9, "z", 9.0)]), path, mode="overwrite")
+    write_iceberg(_df(spark, [(10, "y", 10.0)]), path, mode="append")
+    assert _sorted_rows(read_iceberg(spark, path, ref="v1-audit")) == [
+        (1, "a", 1.0)
+    ]
+    out = expire_snapshots(spark, path, keep_last=1)
+    # the tagged snapshot survived the expiry
+    assert _sorted_rows(read_iceberg(spark, path, ref="v1-audit")) == [
+        (1, "a", 1.0)
+    ]
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (9, "z", 9.0), (10, "y", 10.0),
+    ]
+    with pytest.raises(ValueError, match="no such ref"):
+        read_iceberg(spark, path, ref="nope")
+    drop_ref_iceberg(path, "v1-audit")
+    expire_snapshots(spark, path, keep_last=1)
+    with pytest.raises(ValueError, match="no such ref"):
+        read_iceberg(spark, path, ref="v1-audit")
