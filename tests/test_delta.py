@@ -1967,3 +1967,19 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         read_delta(spark, path, timestamp_as_of=999)
     with pytest.raises(ValueError, match="not both"):
         read_delta(spark, path, version_as_of=0, timestamp_as_of=999)
+
+
+def test_v2_checkpoint_pyarrow_loader(spark, tmp_path):
+    """The sessionless loader (what the streaming source's DataSource
+    worker uses) must reconstruct v2 checkpoints too — JSON main,
+    parquet sidecar, no SparkSession."""
+    from aws_datalake_framework_api_spark.sources.delta import _snapshot
+
+    path = _v2_sidecar_table(spark, tmp_path)
+    snap_pa, v = _snapshot(None, path)
+    assert v == 1
+    snap_spark, _ = _snapshot(spark, path)
+    assert set(snap_pa.files) == set(snap_spark.files)
+    assert snap_pa.metadata["schemaString"] == (
+        snap_spark.metadata["schemaString"]
+    )
