@@ -836,15 +836,43 @@ def _resolved_union(
     return out
 
 
+def _snapshot_at_timestamp(meta: dict, ts) -> int:
+    """The snapshot current at-or-before ``ts`` (datetime, ISO string,
+    or epoch millis), resolved through the metadata's snapshot-log —
+    iceberg-spark's as-of-timestamp rule."""
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        millis = int(ts.timestamp() * 1000)
+    else:
+        millis = int(ts)
+    best = None
+    for e in sorted(
+        meta.get("snapshot-log") or [], key=lambda x: x["timestamp-ms"]
+    ):
+        if int(e["timestamp-ms"]) <= millis:
+            best = int(e["snapshot-id"])
+    if best is None:
+        raise ValueError(
+            f"no snapshot at or before {millis} (table begins later)"
+        )
+    return best
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     ref: str | None = None,
+    as_of_timestamp=None,
 ) -> DataFrame:
     """Read an Iceberg table (current snapshot, ``snapshot_id`` for
-    time travel, or ``ref`` for a named tag/branch).  ``partition_filter`` (column → value or collection)
+    time travel, ``ref`` for a named tag/branch, or
+    ``as_of_timestamp`` — datetime / ISO string / epoch millis —
+    resolved through the snapshot-log).  ``partition_filter`` (column → value or collection)
     prunes data files at PLANNING time from manifest partition values
     (identity transforms; other transforms conservatively keep).
     Positional deletes are applied as a distributed anti-join on
@@ -858,13 +886,17 @@ def read_iceberg(
     schema_json = _current_schema(meta)
     spark_schema = _schema_to_spark(schema_json)
     res = _resolution(meta)
+    if sum(x is not None for x in (snapshot_id, ref, as_of_timestamp)) > 1:
+        raise ValueError(
+            "pass at most one of snapshot_id / ref / as_of_timestamp"
+        )
     if ref is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass snapshot_id OR ref, not both")
         r = (meta.get("refs") or {}).get(ref)
         if r is None:
             raise ValueError(f"no such ref: {ref!r}")
         snapshot_id = int(r["snapshot-id"])
+    if as_of_timestamp is not None:
+        snapshot_id = _snapshot_at_timestamp(meta, as_of_timestamp)
     snap = _snapshot_by_id(meta, snapshot_id)
     if snap is None:
         return spark.createDataFrame([], spark_schema)

@@ -1276,3 +1276,36 @@ def test_refs_tag_read_and_expiry_pin(spark, tmp_path):
     expire_snapshots(spark, path, keep_last=1)
     with pytest.raises(ValueError, match="no such ref"):
         read_iceberg(spark, path, ref="v1-audit")
+
+
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    """as-of-timestamp resolves through the snapshot-log to the
+    snapshot current at-or-before the instant; earlier-than-history
+    refuses, and combining selectors refuses."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        _metadata_versions,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    # pin distinguishable log timestamps (same-millisecond commits
+    # would make the boundary untestable)
+    vers = _metadata_versions(path)
+    mf = os.path.join(_meta_dir(path), vers[max(vers)])
+    meta = json.load(open(mf))
+    assert len(meta["snapshot-log"]) == 2
+    meta["snapshot-log"][0]["timestamp-ms"] = 1_000_000_000_000
+    meta["snapshot-log"][1]["timestamp-ms"] = 1_500_000_000_000
+    json.dump(meta, open(mf, "w"))
+    assert _sorted_rows(
+        read_iceberg(spark, path, as_of_timestamp=1_200_000_000_000)
+    ) == [(1, "a", 1.0)]
+    assert _sorted_rows(
+        read_iceberg(spark, path,
+                     as_of_timestamp="2020-01-01T00:00:00+00:00")
+    ) == [(1, "a", 1.0), (2, "b", 2.0)]
+    with pytest.raises(ValueError, match="begins later"):
+        read_iceberg(spark, path, as_of_timestamp=999)
+    with pytest.raises(ValueError, match="at most one"):
+        read_iceberg(spark, path, snapshot_id=1, as_of_timestamp=999)
