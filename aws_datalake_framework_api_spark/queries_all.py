@@ -171,6 +171,7 @@ _ORDER = [
     "b_lake_iceberg_eqdelete",
     "b_lake_iceberg_hidden",
     "b_lake_iceberg_specevolve",
+    "b_lake_iceberg_tag",
     "b_lake_delta_v2cp",
     "b_lake_delta_cmap_dml",
     "b_lake_delta_cdf",

@@ -2656,6 +2656,57 @@ scan_iceberg_specevolve = query(
 )(scan_iceberg_specevolve)
 
 
+def scan_iceberg_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-ref time travel end-to-end: create (keys ≡0 mod 6) →
+    ``tag_iceberg("pre-overwrite")`` → OVERWRITE with keys ≡1 (mod 6)
+    → read ``ref="pre-overwrite"``.  The live table holds only the
+    overwrite; the tag must still resolve the ORIGINAL snapshot (and
+    by the expiry-pin rule would survive ``expire_snapshots``), so the
+    oracle is the pre-overwrite subset — a tag resolving to the wrong
+    snapshot, or ref resolution falling through to current state,
+    flips the aggregate entirely.  (spec §References; r6.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"iceberg_tag_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        meta = _load_metadata(path)
+        ops = [h["operation"] for h in history_iceberg(spark, path)]
+        complete = ops == ["append", "overwrite"] and "pre-overwrite" in (
+            meta.get("refs") or {}
+        )
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 6 == 0), path, mode="error"
+        )
+        tag_iceberg(path, "pre-overwrite")
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 6 == 1), path,
+            mode="overwrite",
+        )
+    back = read_iceberg(spark, path, ref="pre-overwrite")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+scan_iceberg_tag = query(
+    "b_lake_iceberg_tag",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 6 = 0
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_tag)
+
+
 def scan_iceberg_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution end-to-end: create → ``evolve_iceberg``
     (metadata-only RENAME ``o_totalprice``→``price_total`` + ADD
