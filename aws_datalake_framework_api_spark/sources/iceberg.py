@@ -1377,6 +1377,12 @@ def _parse_partition_by(
             "source": f["name"], "source-id": int(f["id"]),
             "ptype": f["type"], "stype": f["type"],
         })
+    names = [pf["name"] for pf in out]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"duplicate partition field names in spec: {names} "
+            "(two transforms of the same column with the same kind?)"
+        )
     return out
 
 

@@ -1309,3 +1309,12 @@ def test_as_of_timestamp_time_travel(spark, tmp_path):
         read_iceberg(spark, path, as_of_timestamp=999)
     with pytest.raises(ValueError, match="at most one"):
         read_iceberg(spark, path, snapshot_id=1, as_of_timestamp=999)
+
+
+def test_duplicate_partition_field_names_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="duplicate partition field"):
+        write_iceberg(
+            _df(spark, [(1, "a", 1.0)]), path, mode="error",
+            partition_by=["bucket(4, k)", "bucket(8, k)"],
+        )
