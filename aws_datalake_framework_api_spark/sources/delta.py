@@ -2633,6 +2633,61 @@ def read_delta_range(
     ).filter(cond)
 
 
+def restore_delta(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE to an earlier version (delta-spark's ``RESTORE TABLE``):
+    one commit that re-adds the target snapshot's files (their
+    deletion vectors and stats included) and tombstones every
+    currently-active file the target doesn't reference — metadata-only
+    in data terms (no file is copied or rewritten), history is
+    PRESERVED (the restore is a new version on top; time travel to the
+    un-restored state keeps working), and ``delta.appendOnly`` refuses
+    (a restore removes rows).  The target's metaData (schema) is
+    re-committed too, so a restore across a schema evolution reverts
+    the declared schema with the data."""
+    snap_cur, latest = _snapshot(spark, path)
+    _check_write_protocol(snap_cur, "overwrite")
+    snap_old, _ = _snapshot(spark, path, version)
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+            }
+        },
+        {"metaData": snap_old.metadata},
+    ]
+
+    def key(a: dict) -> tuple:
+        return (a["path"], _dv_uid(a.get("deletionVector")))
+
+    old_keys = {key(a) for a in snap_old.files.values()}
+    for rel in sorted(snap_cur.files):
+        a = snap_cur.files[rel]
+        if key(a) in old_keys:
+            continue
+        rm = {"path": rel, "deletionTimestamp": now, "dataChange": True}
+        if a.get("deletionVector"):
+            rm["deletionVector"] = a["deletionVector"]
+        actions.append({"remove": rm})
+    cur_keys = {key(a) for a in snap_cur.files.values()}
+    for rel in sorted(snap_old.files):
+        a = snap_old.files[rel]
+        if key(a) in cur_keys:
+            continue
+        missing = not os.path.isfile(os.path.join(path, rel))
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: data file {rel} "
+                "was vacuumed (RESTORE needs the old files on disk)"
+            )
+        actions.append({"add": {**a, "dataChange": True}})
+    new_version = latest + 1
+    _commit(path, new_version, actions)
+    return new_version
+
+
 def history_delta(spark: SparkSession, path: str) -> list[dict]:
     """Commit history from the log's ``commitInfo`` actions (oldest
     first): version, operation, timestamp — the audit surface a

@@ -1712,6 +1712,7 @@ def _commit_snapshot(
     operation: str,
     schema_json: dict | None = None,
     part_spec: list[dict] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit one snapshot: write the manifest list, then claim the
     next metadata version with ``os.link`` put-if-absent (the same
@@ -1788,15 +1789,33 @@ def _commit_snapshot(
         "manifest-list": ml_name,
         "schema-id": meta.get("current-schema-id", 0),
     }
-    if meta.get("current-snapshot-id") not in (None, -1):
-        snap["parent-snapshot-id"] = meta["current-snapshot-id"]
-    meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
-    meta["current-snapshot-id"] = sid
+    if branch is not None:
+        # branch commit: parent is the BRANCH head (fork from main on
+        # first write), the ref moves, main's current-snapshot-id and
+        # snapshot-log stay untouched — readers of the table see
+        # nothing until fast_forward_iceberg publishes the branch
+        # (the write-audit-publish pattern)
+        refs = dict(meta.get("refs") or {})
+        prev = refs.get(branch)
+        parent = (
+            int(prev["snapshot-id"]) if prev
+            else meta.get("current-snapshot-id")
+        )
+        if parent not in (None, -1):
+            snap["parent-snapshot-id"] = parent
+        meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
+        refs[branch] = {"snapshot-id": sid, "type": "branch"}
+        meta["refs"] = refs
+    else:
+        if meta.get("current-snapshot-id") not in (None, -1):
+            snap["parent-snapshot-id"] = meta["current-snapshot-id"]
+        meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
+        meta["current-snapshot-id"] = sid
+        meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+            {"timestamp-ms": now, "snapshot-id": sid}
+        ]
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now
-    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
-        {"timestamp-ms": now, "snapshot-id": sid}
-    ]
     _claim_metadata(path, meta, version)
     return version
 
@@ -2027,11 +2046,51 @@ def drop_ref_iceberg(path: str, name: str) -> int:
     return version
 
 
-def _carry_manifests(path: str, meta: dict) -> list[dict]:
-    """The current snapshot's manifest_file records, re-read from its
-    manifest list so an append/delete carries them forward unchanged
-    (sequence numbers included — inheritance must keep working)."""
-    snap = _snapshot_by_id(meta, None)
+def fast_forward_iceberg(path: str, branch: str) -> int:
+    """PUBLISH a branch: fast-forward main's current snapshot to the
+    branch head (iceberg-spark's ``fast_forward`` procedure — the
+    final step of write-audit-publish).  Refuses when main has moved
+    since the branch forked (the head no longer descends from
+    current), so a publish never silently drops concurrent commits."""
+    meta = _load_metadata(path)
+    refs = meta.get("refs") or {}
+    r = refs.get(branch)
+    if r is None or r.get("type") != "branch":
+        raise ValueError(f"no such branch: {branch!r}")
+    head = int(r["snapshot-id"])
+    cur = meta.get("current-snapshot-id")
+    by_id = {
+        s["snapshot-id"]: s for s in meta.get("snapshots") or []
+    }
+    node, ok = head, cur in (None, -1)
+    while node is not None and not ok:
+        if node == cur:
+            ok = True
+            break
+        node = by_id.get(node, {}).get("parent-snapshot-id")
+    if not ok:
+        raise ValueError(
+            f"cannot fast-forward: main moved since {branch!r} forked "
+            "(rebase the branch or merge manually)"
+        )
+    meta["current-snapshot-id"] = head
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": meta["last-updated-ms"], "snapshot-id": head}
+    ]
+    version = int(meta.pop("__file_version__")) + 1
+    _claim_metadata(path, meta, version)
+    return version
+
+
+def _carry_manifests(
+    path: str, meta: dict, snapshot_id: int | None = None
+) -> list[dict]:
+    """A snapshot's manifest_file records (current unless
+    ``snapshot_id`` given), re-read from its manifest list so an
+    append/delete carries them forward unchanged (sequence numbers
+    included — inheritance must keep working)."""
+    snap = _snapshot_by_id(meta, snapshot_id)
     if snap is None:
         return []
     location = meta.get("location") or path
@@ -2044,6 +2103,7 @@ def write_iceberg(
     path: str,
     mode: str = "error",
     partition_by: list[str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Write ``df`` as an Iceberg v2 table; returns the committed
     metadata version.  ``mode``: ``error`` (create), ``append``,
@@ -2060,6 +2120,8 @@ def write_iceberg(
     exists = bool(_metadata_versions(path))
     if exists and mode == "error":
         raise FileExistsError(f"iceberg table already exists at {path}")
+    if branch is not None and not exists:
+        raise ValueError("cannot create a table on a branch")
     if not exists:
         ids = iter(range(1, 10_000))
         ice = _spark_to_ice(df.schema, lambda: next(ids))
@@ -2087,7 +2149,16 @@ def write_iceberg(
                 f"{[(p['name'], p['transform']) for p in part_spec]}, "
                 f"write passed {partition_by}"
             )
-        carry = [] if mode == "overwrite" else _carry_manifests(path, base_meta)
+        if mode == "overwrite":
+            carry = []
+        elif branch is not None and branch in (base_meta.get("refs") or {}):
+            # append extends the BRANCH head, not main
+            carry = _carry_manifests(
+                path, base_meta,
+                int(base_meta["refs"][branch]["snapshot-id"]),
+            )
+        else:
+            carry = _carry_manifests(path, base_meta)
     os.makedirs(path, exist_ok=True)
     part_fields = part_spec
     files = _stage_data_files(df, path, part_spec, schema_json)
@@ -2115,6 +2186,7 @@ def write_iceberg(
         "append" if mode == "append" else ("append" if not exists else "overwrite"),
         schema_json=schema_json,
         part_spec=part_spec,
+        branch=branch,
     )
 
 

@@ -1983,3 +1983,45 @@ def test_v2_checkpoint_pyarrow_loader(spark, tmp_path):
     assert snap_pa.metadata["schemaString"] == (
         snap_spark.metadata["schemaString"]
     )
+
+
+def test_restore_delta_preserves_history(spark, tmp_path):
+    """RESTORE re-points the table at an old snapshot in ONE commit
+    without copying data; history to the un-restored state survives,
+    a vacuumed old file refuses, and appendOnly refuses."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta,
+        restore_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    delete_where_delta(spark, path, F.col("k") == 1)  # v2: DV delete
+    write_delta(_df(spark, [(9, "z", 9.0)]), path, mode="overwrite")
+    assert _sorted_rows(read_delta(spark, path)) == [(9, "z", 9.0)]
+    v = restore_delta(spark, path, 1)  # pre-delete, pre-overwrite
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0),
+    ]
+    # un-restored state still time-travels
+    assert _sorted_rows(read_delta(spark, path, version_as_of=3)) == [
+        (9, "z", 9.0)
+    ]
+    # restoring to the DV-delete version applies the vector again
+    restore_delta(spark, path, 2)
+    assert _sorted_rows(read_delta(spark, path)) == [(2, "b", 2.0)]
+    ops = [h["operation"] for h in
+           __import__("aws_datalake_framework_api_spark.sources.delta",
+                      fromlist=["history_delta"]).history_delta(spark, path)]
+    assert ops.count("RESTORE") == 2
+    # appendOnly refuses restores
+    import json as _json
+
+    snap_meta = _json.loads(
+        open(_version_file(path, 0)).readlines()[2]
+    )["metaData"]
+    snap_meta["configuration"] = {"delta.appendOnly": "true"}
+    _commit(path, v + 2, [{"metaData": snap_meta}])
+    with pytest.raises(ValueError, match="append-only"):
+        restore_delta(spark, path, 1)

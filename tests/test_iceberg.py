@@ -1318,3 +1318,40 @@ def test_duplicate_partition_field_names_refused(spark, tmp_path):
             _df(spark, [(1, "a", 1.0)]), path, mode="error",
             partition_by=["bucket(4, k)", "bucket(8, k)"],
         )
+
+
+def test_branch_write_audit_publish(spark, tmp_path):
+    """The WAP pattern: append to a BRANCH (main readers see nothing),
+    audit via ref=, then fast_forward publishes atomically.  A publish
+    after main moved refuses — never silently drops a concurrent
+    commit."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        fast_forward_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), path, mode="append",
+                  branch="audit")
+    write_iceberg(_df(spark, [(3, "c", 3.0)]), path, mode="append",
+                  branch="audit")
+    # main unchanged; the branch carries base + both staged appends
+    assert _sorted_rows(read_iceberg(spark, path)) == [(1, "a", 1.0)]
+    assert _sorted_rows(read_iceberg(spark, path, ref="audit")) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
+    ]
+    fast_forward_iceberg(path, "audit")
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
+    ]
+    # fork again, move main concurrently → publish must refuse
+    write_iceberg(_df(spark, [(4, "d", 4.0)]), path, mode="append",
+                  branch="audit2")
+    write_iceberg(_df(spark, [(9, "z", 9.0)]), path, mode="append")
+    with pytest.raises(ValueError, match="main moved"):
+        fast_forward_iceberg(path, "audit2")
+    with pytest.raises(ValueError, match="no such branch"):
+        fast_forward_iceberg(path, "nope")
+    with pytest.raises(ValueError, match="create a table on a branch"):
+        write_iceberg(_df(spark, [(0, "x", 0.0)]),
+                      str(tmp_path / "t2"), mode="error", branch="b")
