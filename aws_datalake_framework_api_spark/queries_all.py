@@ -9,40 +9,25 @@ first 50 registration-order entries, leaving every catalog/streaming/
 UDF/landing query without a correctness row.  So the dict is rebuilt
 below with:
 
-Round-6 rotation (VERDICT r5 item #1): the backlog-closing round.
-51 ids entered the round with no driver row in any prior round; the
-window holds 50, so the one deferred id is ``b_llm_dedup_semantic``
-— the only backlog id that is rows-only by design AND whose
-exact-oracle companion (``b_llm_dedup_semantic_recall``, full hash)
-sits inside the window: per the judge's own counting standard a
-rows-only id with a green recall twin is externally evidenced, so
-deferring it to slot 51 costs the least possible evidence.  The
-window is therefore exactly the round-5 staged slice (pre-cleared
-green twice in LOCAL_SWEEP_r06_prestage_cpus8/_sf0001.json) minus
-that one id, in the same staged order:
+Round-7 rotation (VERDICT r6 item #1): evidence-freshness round.
 
-1. slots 1-50: the never-checked backlog — ``b_scan_delta`` first
-   (round-5 Delta connector, newest code), then aggregates/UDF/
-   window/join variants, the BPE + projection + winnowing flagships,
-   analytics compositions, and the maintenance/stream stragglers;
+1. slots 1-16: the round-6 connector additions that have never had
+   a driver row — Iceberg v2 connector lifecycle ×7, Delta DV/MERGE/
+   CDF/column-mapping/v2-checkpoint ×6, the two Python-Data-Source
+   stream tails, SemDeDup.  All 16 pre-cleared green at three local
+   configs in LOCAL_SWEEP_r06_final/_full_cpus8/_full_sf0001.json.
+2. slots 17-50: 34 of the 53 stale r1/r2 greens — all 12 ids whose
+   latest driver row is r1, then the 22 most load-bearing r2 ids
+   (streaming windows/state first, then the UDF family, core joins,
+   relational basics);
    — the 50-entry boundary falls here —
-2. slot 51: ``b_llm_dedup_semantic`` (pinned by its in-window twin);
-3. the ROUND-7 staging: the round-6 additions — the Iceberg v2
-   connector and its lifecycle queries (``b_scan_iceberg``,
-   ``b_lake_iceberg_upsert``/``_evolve``/``_eqdelete``/``_hidden``/
-   ``_specevolve``), the Delta merge-on-read DV DELETE /
-   copy-on-write MERGE / change feed / column-mapping / v2-checkpoint
-   queries (``b_lake_delta_dv``/``_merge``/``_cdf``/``_cmap``/
-   ``_v2cp``) and the Python-Data-Source Delta/Iceberg stream tails
-   (``b_stream_delta_source``, ``b_stream_iceberg_source``) —
-   followed by the r1/r2-stale refresh list (VERDICT r5 item #5:
-   every id's latest driver row ≤2 rounds old);
-4. everything r2-r5-proved and unchanged, in registration order.
+3. the ROUND-8 staging: the 19 remaining r2-stale ids, then any
+   round-7 additions in registration order;
+4. everything r3-r6-proved and unchanged, in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
-round; prior-round sweep artifacts (LOCAL_SWEEP_r05*.json) showed
-the ENTIRE registry green under local[8]/8-shuffle-partitions and
-at sf0.001 as well as the default config, and this round's full
-sweep is committed as LOCAL_SWEEP_r06_final.json.
+round; the round-6 artifacts showed the ENTIRE registry green at
+three configs (LOCAL_SWEEP_r06_final/_full_cpus8/_full_sf0001) and
+this round's final sweep is re-committed before round close.
 """
 
 from __future__ import annotations
@@ -93,95 +78,36 @@ from . import envelope as _envelope  # noqa: F401  A11
 #: not registered are skipped; registered ids not listed append last.
 _ORDER = [
     # ==================================================================
-    # 50-ENTRY DRIVER WINDOW — ROUND 6 (backlog-closing round, VERDICT
-    # r5 item #1): the 51-id never-checked backlog minus
-    # b_llm_dedup_semantic (deferred to slot 51 — rows-only by design,
-    # pinned by its in-window exact-oracle recall twin).  The whole
-    # slice was pre-cleared green in round 5 at two parallelism
-    # settings and two scale factors (LOCAL_SWEEP_r06_prestage*.json).
-    # After this round every registered id has a driver row.
-    "b_scan_delta",  # round-5 Delta-protocol connector — newest code first
-    "b_agg_mode",
-    "b_agg_unpivot",
-    "b_api_pandas",
-    "b_attribution",
-    "b_attribution_linear",
-    "b_basket_pairs",
-    "b_diag_observe",
-    "b_diag_profile",
-    "b_graph_pagerank",
-    "b_join_dpp",
-    "b_join_editdist",
-    "b_join_nullsafe",
-    "b_join_range_grid",
-    "b_join_scd2",
-    "b_join_shj",
-    "b_llm_bpe_bounds",
-    "b_llm_bpe_encode",
-    "b_llm_bpe_pairs",
-    "b_llm_bpe_train",
-    "b_llm_chunk_rag",
-    "b_llm_corpus_report",
-    "b_llm_curation_funnel",
-    "b_llm_dedup_norm",
-    "b_llm_dedup_semantic_recall",
-    "b_llm_dedup_winnow",
-    "b_llm_mask_spans",
-    "b_llm_mix_tokens",
-    "b_llm_pca",
-    "b_llm_pca_var",
-    "b_llm_pref_pairs",
-    "b_llm_rp",
-    "b_llm_sft_format",
-    "b_llm_shards",
-    "b_llm_surprisal2",
-    "b_mm_resize",
-    "b_mv_retract",
-    "b_path_top",
-    "b_rfm",
-    "b_sessionize",
-    "b_set_except_all",
-    "b_set_intersect_all",
-    "b_stream_sjoin_outer",
-    "b_udf_arrow",
-    "b_udf_grouped_agg",
-    "b_udf_table",
-    "b_win_dist",
-    "b_win_streak",
-    "b_win_transitions",
-    "b_win_zscore",
-    # ---- 50-entry window boundary falls here (ids above get driver
-    #      rows; everything below relies on verify_local this round) --
-    # -- slot 51: the one deferred backlog id — rows-only by design,
-    #    externally pinned by b_llm_dedup_semantic_recall (in-window)
-    "b_llm_dedup_semantic",
-    # -- ROUND-7 WINDOW STAGING: the round-6 additions (Iceberg v2
-    #    connector + its eq-delete / hidden-partitioning / spec-
-    #    evolution lifecycles; Delta merge-on-read DV DELETE, copy-on-
-    #    write MERGE, change feed, column-mapping interop, and the v2
-    #    checkpoint lifecycle; the Python-Data-Source stream tails —
-    #    same staging precedent as b_scan_delta in r5) + the r1/r2-
-    #    stale refresh list (VERDICT r5 item #5 — every id's latest
-    #    driver row ≤2 rounds old).
-    "b_scan_iceberg",
-    "b_lake_delta_dv",
-    "b_lake_delta_merge",
+    # 50-ENTRY DRIVER WINDOW — ROUND 7 (VERDICT r6 item #1): slots
+    # 1-16 are the round-6 connector additions that have never had a
+    # driver row (Iceberg v2 connector ×7, Delta DV/MERGE/CDF/cmap/
+    # v2cp ×6, the two Python-Data-Source stream tails, SemDeDup) —
+    # all pre-cleared green at three configs in LOCAL_SWEEP_r06_final/
+    # _full_cpus8/_full_sf0001.json.  Slots 17-50 are 34 of the 53
+    # stale r1/r2 greens (all 12 r1 ids + the 22 most load-bearing r2
+    # ids — streaming, UDF families, core joins/relational), so every
+    # id's latest driver row becomes ≤5 rounds old; the remaining 19
+    # r2-stale ids are staged immediately after the boundary for r8.
+    "b_scan_iceberg",  # round-6 Iceberg-v2 connector — newest code first
     "b_lake_iceberg_upsert",
-    "b_lake_iceberg_evolve",
     "b_lake_iceberg_eqdelete",
     "b_lake_iceberg_hidden",
     "b_lake_iceberg_specevolve",
     "b_lake_iceberg_tag",
-    "b_lake_delta_v2cp",
-    "b_lake_delta_cmap_dml",
+    "b_lake_iceberg_evolve",
+    "b_lake_delta_dv",
+    "b_lake_delta_merge",
     "b_lake_delta_cdf",
     "b_lake_delta_cmap",
+    "b_lake_delta_cmap_dml",
+    "b_lake_delta_v2cp",
     "b_stream_delta_source",
     "b_stream_iceberg_source",
+    "b_llm_dedup_semantic",
+    # -- stale-refresh: the 12 ids whose latest driver row is r1 --
     "b_fn_null",
     "b_fn_map",
     "b_fn_explode",
-    "b_fn_array",
     "b_join_full",
     "b_join_bucketed",
     "b_join_asof_pandas",
@@ -190,11 +116,58 @@ _ORDER = [
     "b_llm_quality",
     "b_llm_langid",
     "b_llm_fingerprint",
-    "b_llm_textstats",
     "b_llm_neardup_cosine",
+    # -- stale-refresh: 22 of the 41 r2 ids (streaming first — the
+    #    container's Spark build moved under them via the
+    #    TIMESTAMP_NTZ migration — then UDFs, joins, relational) --
+    "b_stream_tumble",
+    "b_stream_slide",
+    "b_stream_session",
+    "b_stream_watermark",
+    "b_stream_dedup",
+    "b_stream_join",
+    "b_stream_stateful",
+    "b_udf_scalar",
+    "b_udf_pandas",
+    "b_udf_grouped",
+    "b_join_bcast",
+    "b_join_smj",
+    "b_join_asof",
+    "b_join_range",
     "b_join_star",
     "b_agg_q1",
-    # -- everything already hash-proved in r2-r5 and unchanged —
+    "b_fn_array",
+    "b_llm_textstats",
+    "b_project",
+    "b_filter_pred",
+    "b_sort",
+    "b_case_when",
+    # ---- 50-entry window boundary falls here (ids above get driver
+    #      rows; everything below relies on verify_local this round) --
+    # -- ROUND-8 WINDOW STAGING: the 19 remaining r2-stale ids
+    #    (VERDICT r6 item #1: "every remaining stale id lands in r8's
+    #    window"), followed by any round-7 additions registered below
+    #    them in module registration order.
+    "b_agg_pivot",
+    "b_agg_rollup",
+    "b_dedup_exact",
+    "b_envelope",
+    "b_fn_date",
+    "b_fn_hash",
+    "b_fn_mask",
+    "b_fn_math",
+    "b_fn_string",
+    "b_llm_dedup_exact",
+    "b_llm_join_modal",
+    "b_llm_knn",
+    "b_llm_knn_ivf",
+    "b_llm_knn_lsh",
+    "b_scan_json",
+    "b_set_union",
+    "b_sink_part",
+    "b_win_rank",
+    "b_win_topk",
+    # -- everything already hash-proved in r3-r6 and unchanged —
     #    last; registration order fills in any id not listed here.
 ]
 
