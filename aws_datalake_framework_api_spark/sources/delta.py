@@ -1105,6 +1105,10 @@ def _version_at_timestamp(path: str, ts) -> int:
     for v in _list_versions(path):
         vf = _version_file(path, v)
         t = None
+        # scan ALL actions: the protocol does not mandate commitInfo
+        # first, and a foreign writer that orders it later must not
+        # silently demote resolution to file mtime (ADVICE r6; same
+        # contract as history_delta).
         with open(vf) as fh:
             for line in fh:
                 line = line.strip()
@@ -1112,7 +1116,7 @@ def _version_at_timestamp(path: str, ts) -> int:
                     a = json.loads(line)
                     if "commitInfo" in a:
                         t = a["commitInfo"].get("timestamp")
-                    break
+                        break
         if t is None:
             t = int(os.path.getmtime(vf) * 1000)
         if int(t) <= millis:
@@ -2305,8 +2309,15 @@ def read_delta_changes(
     if latest is None:
         raise FileNotFoundError(f"no delta log at {path}")
     end = latest if ending_version is None else ending_version
+    if starting_version < 0:
+        raise ValueError(
+            "read_delta_changes: starting_version must be >= 0 — the "
+            "lower bound is exclusive, so changes-from-genesis are not "
+            "expressible; read the table itself for version 0's rows "
+            "(ADVICE r6)"
+        )
     # replay to starting_version for the before-state (old DVs)
-    state, _ = _snapshot(spark, path, starting_version) if starting_version >= 0 else (None, None)
+    state, _ = _snapshot(spark, path, starting_version)
     schema, part_cols, rename, _l2p = _resolve_read_schema(state)
     _enable_field_id_read(spark, state, path, sorted(state.files))
     out_parts: list[DataFrame] = []
@@ -2339,9 +2350,16 @@ def read_delta_changes(
         for p, a in adds.items():
             if not a.get("dataChange", True):
                 continue
-            if p in removes and _dv_uid(a.get("deletionVector")) != _dv_uid(
+            if p in removes and _dv_uid(a.get("deletionVector")) == _dv_uid(
                 removes[p].get("deletionVector")
             ):
+                # remove + re-add of the same path with an UNCHANGED
+                # deletion-vector uid: no row changed — emitting the
+                # file's rows as fresh inserts (with no matching
+                # delete) would double-count for the CDC consumer
+                # (ADVICE r6).  Skip the pair entirely.
+                continue
+            if p in removes:
                 # DV update on an existing path: delta of positions
                 old_a = (state.files or {}).get(p)
                 base = os.path.basename(urllib.parse.unquote(p))
@@ -2762,7 +2780,12 @@ def vacuum_delta(
                 pass  # malformed descriptor fails at READ time, loudly
     now = int(time.time() * 1000)
     cutoff = now - retention_ms
-    # tombstone timestamps from the full log (earliest wins per path)
+    # tombstone timestamps from the full log — LATEST wins per path.
+    # DV-update commits remove+re-add the same path (delete_where_delta),
+    # so the earliest remove can predate the tombstone that finally
+    # retired the file by days; aging on it would reclaim a file that
+    # recent-version time travel / concurrent readers still need.
+    # delta-spark likewise ages on the current tombstone (ADVICE r6).
     removed_at: dict[str, int] = {}
     for v in _list_versions(path):
         with open(_version_file(path, v)) as fh:
@@ -2774,7 +2797,7 @@ def vacuum_delta(
                 if "remove" in a:
                     rel = urllib.parse.unquote(a["remove"]["path"])
                     ts = a["remove"].get("deletionTimestamp") or 0
-                    removed_at.setdefault(rel, ts)
+                    removed_at[rel] = max(removed_at.get(rel, 0), ts)
     deleted = 0
     # walk the whole table tree: a foreign writer lays data out in
     # hive-style subdirectories, and a root-only listing would never

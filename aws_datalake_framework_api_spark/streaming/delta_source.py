@@ -24,7 +24,11 @@ Semantics (delta-spark parity):
 - ``startingVersion`` (default 0) controls where the tail begins;
   the initial batch replays from there, like delta-spark's option;
 - exactly-once: offsets are committed by the engine's checkpoint;
-  re-running a batch re-reads the same closed version range.
+  re-running a batch re-reads the same closed version range;
+- column mapping: top-level mapped tables resolve file columns and
+  partitionValues through the logical→physical map (``name`` mode by
+  physical name, ``id`` mode by parquet field id); nested mapped
+  fields refuse loudly rather than misread (ADVICE r6).
 """
 
 from __future__ import annotations
@@ -42,8 +46,13 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from ..sources.delta import (
+    _CMAP_ID_KEY,
+    _CMAP_PHYS_KEY,
     _list_versions,
     _load_dv_positions,
+    _logical_json,
+    _mapping_mode,
+    _physical_json,
     _snapshot,
     _table_version,
     _version_file,
@@ -56,8 +65,12 @@ class _DeltaFilePartition(InputPartition):
         file_path: str,
         part_values: dict,
         dv_positions: list[int],
-        fields: list[tuple[str, str]],  # (name, simpleString type)
-        part_cols: list[str],
+        # (logical name, simpleString type, physical/stored name,
+        #  columnMapping id or None) — physical==logical on unmapped
+        # tables; id set only in id mode, where files match by
+        # parquet field id rather than name.
+        fields: list[tuple[str, str, str, int | None]],
+        part_cols: list[str],  # STORED names (what partitionValues spell)
     ) -> None:
         self.file_path = file_path
         self.part_values = part_values
@@ -98,11 +111,54 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
-        fields = [(f.name, f.dataType.simpleString()) for f in self.schema.fields]
-        # partition columns = declared schema minus what the files hold;
-        # resolved from the log ONCE per planned range
+        # column-mapping resolution, ONCE per planned range: mapped
+        # tables spell PHYSICAL col-<uuid> names in the data files and
+        # in add.partitionValues, so matching file columns / partition
+        # keys by logical name would silently yield all-NULL rows — a
+        # misread, not a degradation (ADVICE r6; the batch reader and
+        # the iceberg_stream source both resolve this).  ``name`` mode
+        # resolves by physical name; ``id`` mode ships the columnMapping
+        # id so read() matches by parquet field id, like the batch
+        # reader's fieldId matching.
         snap, _ = _snapshot(None, self.path, hi)
-        part_cols = list(snap.metadata.get("partitionColumns") or [])
+        mode = _mapping_mode(snap)
+        sj = json.loads(snap.metadata["schemaString"])
+        if mode not in ("none", ""):
+            if mode not in ("name", "id"):
+                raise ValueError(
+                    f"delta_stream: unsupported {mode!r} column-mapping "
+                    "mode"
+                )
+            for f in sj.get("fields") or []:
+                if _physical_json(f["type"]) != _logical_json(f["type"]):
+                    raise ValueError(
+                        "delta_stream: nested column-mapped fields are "
+                        "not supported by the stream tail — read the "
+                        "table in batch (read_delta) instead"
+                    )
+        meta_by = {
+            f["name"]: (f.get("metadata") or {})
+            for f in sj.get("fields") or []
+        }
+        mapped = mode in ("name", "id")
+        fields = []
+        for fobj in self.schema.fields:
+            md = meta_by.get(fobj.name, {})
+            phys = md.get(_CMAP_PHYS_KEY, fobj.name) if mapped else fobj.name
+            fid = (
+                int(md[_CMAP_ID_KEY])
+                if mode == "id" and _CMAP_ID_KEY in md
+                else None
+            )
+            fields.append(
+                (fobj.name, fobj.dataType.simpleString(), phys, fid)
+            )
+        # partition columns = declared schema minus what the files hold;
+        # stored under PHYSICAL names on mapped tables
+        part_cols = [
+            meta_by.get(c, {}).get(_CMAP_PHYS_KEY, c) if mapped else c
+            for c in snap.metadata.get("partitionColumns") or []
+        ]
         out: list[_DeltaFilePartition] = []
         have = set(_list_versions(self.path))
         for v in range(lo + 1, hi + 1):
@@ -149,21 +205,51 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.file_path)
-        cols = table.column_names
+        cols = set(table.column_names)
+        by_id: dict[int, str] = {}
+        for fld in table.schema:
+            raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if raw is not None:
+                by_id[int(raw)] = fld.name
         deleted = set(partition.dv_positions)
+        # partition values are keyed by STORED (physical) names in the
+        # log; output keys are logical
         part_typed = {
-            name: _typed(partition.part_values.get(name), simple)
-            for name, simple in partition.fields
-            if name in partition.part_cols
+            name: _typed(partition.part_values.get(phys), simple)
+            for name, simple, phys, _fid in partition.fields
+            if phys in partition.part_cols
         }
+        # resolve each data column to the FILE's column name: by
+        # parquet field id in id mode (a file with no ids at all is a
+        # spec violation there — fail loudly, never all-NULL), by
+        # physical name otherwise; unresolved = column added after the
+        # file was written, served as NULL.
+        resolved: dict[str, str | None] = {}
+        for name, _simple, phys, fid in partition.fields:
+            if phys in partition.part_cols:
+                continue
+            if fid is not None:
+                if not by_id:
+                    raise ValueError(
+                        "delta_stream: id-mode table but "
+                        f"{partition.file_path} carries no parquet "
+                        "field ids — refusing to misread"
+                    )
+                resolved[name] = by_id.get(fid)
+            else:
+                resolved[name] = phys if phys in cols else None
         for pos, row in enumerate(table.to_pylist()):
             if pos in deleted:
                 continue
             yield tuple(
                 part_typed[name]
                 if name in part_typed
-                else row.get(name) if name in cols else None
-                for name, _ in partition.fields
+                else (
+                    row.get(resolved[name])
+                    if resolved[name] is not None
+                    else None
+                )
+                for name, _simple, _phys, _fid in partition.fields
             )
 
     def commit(self, end: dict) -> None:

@@ -2025,3 +2025,117 @@ def test_restore_delta_preserves_history(spark, tmp_path):
     _commit(path, v + 2, [{"metaData": snap_meta}])
     with pytest.raises(ValueError, match="append-only"):
         restore_delta(spark, path, 1)
+
+
+# ------------------------------------------------- ADVICE r6 fixes
+
+
+def test_vacuum_ages_on_latest_tombstone_per_path(spark, tmp_path):
+    """A path removed more than once (DV update, then a final rewrite)
+    must age from its LATEST deletionTimestamp: an ancient DV-update
+    remove must not let vacuum reclaim a file whose final tombstone is
+    seconds old (ADVICE r6 — delta-spark ages on the current
+    tombstone)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(i, "x", float(i)) for i in range(4)]).coalesce(1),
+        path, mode="error",
+    )                                               # v0: one data file
+    delete_where_delta(spark, path, F.col("k") == 1)  # v1: remove+re-add (DV)
+    write_delta(_df(spark, [(9, "z", 9.0)]).coalesce(1), path,
+                mode="overwrite")                     # v2: final tombstone
+    # backdate ONLY the v1 DV-update remove to the distant past
+    vf = _version_file(path, 1)
+    acts = [json.loads(ln) for ln in open(vf) if ln.strip()]
+    for a in acts:
+        if "remove" in a:
+            a["remove"]["deletionTimestamp"] = 1_000  # 1970
+    open(vf, "w").write("\n".join(json.dumps(a) for a in acts) + "\n")
+    # retention of 1h: the ancient v1 remove qualifies, the seconds-old
+    # v2 tombstone does not — the data file must survive
+    res = vacuum_delta(spark, path, retention_ms=3_600_000, force=True)
+    assert res["deleted_files"] == 0
+    # recent-version time travel still works
+    assert _sorted_rows(read_delta(spark, path, version_as_of=1)) == [
+        (0, "x", 0.0), (2, "x", 2.0), (3, "x", 3.0),
+    ]
+
+
+def test_changes_rejects_negative_starting_version(spark, tmp_path):
+    """Changes-from-genesis is not expressible (exclusive lower bound);
+    starting_version < 0 must refuse with a clear error, not crash in
+    schema resolution (ADVICE r6)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    with pytest.raises(ValueError, match="starting_version must be >= 0"):
+        read_delta_changes(spark, path, -1)
+
+
+def test_changes_skips_unchanged_dv_readd_pair(spark, tmp_path):
+    """A commit that removes and re-adds the same path with an
+    UNCHANGED deletion-vector uid changed no rows; the change feed
+    must emit nothing for it, not re-stream the file as fresh inserts
+    (ADVICE r6)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1),
+        path, mode="error",
+    )
+    add0 = next(
+        json.loads(ln)["add"]
+        for ln in open(_version_file(path, 0))
+        if ln.strip() and "\"add\"" in ln
+    )
+    _commit(path, 1, [
+        {"commitInfo": {"timestamp": 1_700_000_000_000,
+                        "operation": "REORG"}},
+        {"remove": {"path": add0["path"], "dataChange": True,
+                    "deletionTimestamp": 1_700_000_000_000}},
+        {"add": {**add0, "dataChange": True}},
+    ])
+    assert read_delta_changes(spark, path, 0, 1).count() == 0
+    # the table itself still reads whole
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0),
+    ]
+
+
+def test_timestamp_resolution_commitinfo_not_first(spark, tmp_path):
+    """The protocol does not mandate commitInfo first in a commit; a
+    foreign writer that orders it after other actions must still get
+    timestamp-based resolution from commitInfo.timestamp, not silently
+    fall back to file mtime (ADVICE r6)."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    for v, millis in ((0, 1_000_000_000_000), (1, 1_500_000_000_000)):
+        vf = _version_file(path, v)
+        acts = [json.loads(ln) for ln in open(vf) if ln.strip()]
+        rest, infos = [], []
+        for a in acts:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = millis
+                infos.append(a)
+            else:
+                rest.append(a)
+        open(vf, "w").write(
+            "\n".join(json.dumps(a) for a in rest + infos) + "\n"
+        )  # commitInfo LAST
+    assert _sorted_rows(
+        read_delta(spark, path, timestamp_as_of=1_200_000_000_000)
+    ) == [(1, "a", 1.0)]
+    assert _sorted_rows(
+        read_delta(spark, path, timestamp_as_of=1_600_000_000_000)
+    ) == [(1, "a", 1.0), (2, "b", 2.0)]

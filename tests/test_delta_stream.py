@@ -210,3 +210,46 @@ def test_iceberg_stream_resolves_renamed_columns_by_field_id(spark, tmp_path):
     assert sorted(tuple(r) for r in sunk.collect()) == [
         (1, "a", 1.0), (2, "b", 2.0)
     ]
+
+
+def test_stream_resolves_name_mapped_table(spark, tmp_path):
+    """columnMapping=name table: data files and add.partitionValues
+    spell physical col-<uuid> names — the tail must resolve them to
+    logical columns and typed partition values, never stream all-NULL
+    rows (ADVICE r6; parity with the batch reader)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta, write_delta as _wd,
+    )
+
+    register(spark)
+    t = str(tmp_path / "t")
+    create_mapped_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1),
+        t, partition_by=["part"],
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, t, out, ckpt)
+    assert _sunk(spark, out) == [(1, "a", 1.0), (2, "b", 2.0)]
+    # appended commits resolve too (append path writes physical names)
+    _wd(_df(spark, [(3, "a", 3.0)]).coalesce(1), t, mode="append",
+        partition_by=["part"])
+    _run(spark, t, out, ckpt)
+    assert _sunk(spark, out) == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+
+
+def test_stream_resolves_id_mapped_table_by_field_id(spark, tmp_path):
+    """columnMapping=id table: the tail matches file columns by parquet
+    field id, the matching the protocol demands there (ADVICE r6)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta,
+    )
+
+    register(spark)
+    t = str(tmp_path / "t")
+    create_mapped_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1), t,
+        mode="id",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, t, out, ckpt)
+    assert _sunk(spark, out) == [(1, "a", 1.0), (2, "b", 2.0)]
