@@ -665,12 +665,14 @@ def _snapshot(
 # leading format-version byte (1) and frame each DV as
 # <int32 BE size><bytes><int32 BE CRC-32>.
 #
-# Scale note: positions are decoded on the DRIVER and applied as one
-# broadcast (file, position) anti-join against the scan's
-# _metadata.row_index — bounded by deleted-rows-in-active-files, the
-# same in-memory bitmap bound delta-spark's own DV reads carry per
-# file; a table vacuumed/compacted at sane cadence keeps this small
-# relative to data.
+# Scale note: the DRIVER only carries the O(active files) descriptor
+# list; bitmap BYTES are decoded EXECUTOR-side (one mapInPandas task
+# batch per slice of DV files) into a (file, position) relation that
+# anti-joins the scan's _metadata.row_index — broadcast when the
+# descriptors' summed cardinality is small, shuffle otherwise.  A
+# 100 TB table with billions of deleted positions therefore never
+# funnels positions through one process (VERDICT r6; the same
+# distributed-apply shape as the Iceberg positional-delete path).
 
 _Z85_CHARS = (
     "0123456789abcdefghijklmnopqrstuvwxyz"
@@ -941,7 +943,7 @@ def _scan_files(
     rels: list[str],
     schema: StructType,
     part_cols: list[str],
-    dv_positions: dict[str, list[int]] | None = None,
+    dv_map: dict[str, dict] | None = None,
     keep_file: bool = False,
     keep_pos: bool = False,
 ) -> DataFrame:
@@ -950,11 +952,13 @@ def _scan_files(
     per-partition union branches below the cap, a single FileScan plus
     a broadcast file→partition-values join above it.
 
-    ``dv_positions`` (file basename → deleted row positions) applies
+    ``dv_map`` (file basename → ``deletionVector`` descriptor) applies
     deletion vectors: each row is tagged with the scan's
     ``_metadata.file_name`` / ``_metadata.row_index`` (deterministic
-    scan outputs — pushdown survives) and subtracted via one broadcast
-    LEFT ANTI join on (file, position).
+    scan outputs — pushdown survives) and subtracted via one LEFT ANTI
+    join on (file, position) against the EXECUTOR-decoded position
+    relation — broadcast when the descriptors' summed cardinality is
+    small, shuffled otherwise.
 
     ``keep_file`` retains the ``_dl_file`` basename column in the
     output — the copy-on-write UPDATE path uses it to attribute
@@ -971,7 +975,7 @@ def _scan_files(
     )
     types = {f.name: f.dataType for f in schema.fields}
     cols = [f.name for f in schema.fields]
-    want_dv = bool(dv_positions)
+    want_dv = bool(dv_map)
     want_pos = want_dv or keep_pos
     want_tag = want_pos or keep_file
     by_part: dict[tuple, list[str]] = {}
@@ -1063,22 +1067,11 @@ def _scan_files(
         for b in branches[1:]:
             out = out.unionByName(b)
     if want_dv:
-        import pandas as pd
-
-        deleted = spark.createDataFrame(
-            pd.DataFrame(
-                [
-                    (f, int(p))
-                    for f, ps in sorted(dv_positions.items())
-                    for p in ps
-                ],
-                columns=["_dl_file", "_dl_dv_pos"],
-            ),
-            "_dl_file string, _dl_dv_pos long",
-        )
-        out = out.join(
-            F.broadcast(deleted), ["_dl_file", "_dl_dv_pos"], "left_anti"
-        )
+        deleted = _dv_relation(spark, path, dv_map)
+        total = sum(int(d.get("cardinality") or 0) for d in dv_map.values())
+        if total <= _DV_BROADCAST_CAP:
+            deleted = F.broadcast(deleted)
+        out = out.join(deleted, ["_dl_file", "_dl_dv_pos"], "left_anti")
     if want_pos and not keep_pos:
         out = out.drop("_dl_dv_pos")
     if want_tag and not keep_file:
@@ -1175,16 +1168,96 @@ def read_delta(
 
 
 def _dv_map(path: str, snap: _Snapshot, rels: list[str]) -> dict | None:
-    """Decode the deletion vectors of the active files about to be
-    scanned (basename → deleted positions); None when no file carries
-    a non-empty DV, so DV-free tables pay nothing."""
-    out: dict[str, list[int]] = {}
+    """Deletion-vector DESCRIPTORS of the active files about to be
+    scanned (basename → the log's ``deletionVector`` dict); None when
+    no file carries a non-empty DV, so DV-free tables pay nothing.
+    Descriptors are planning-sized (O(files)); the bitmap bytes they
+    point at are decoded executor-side by :func:`_dv_relation`, never
+    on the driver (VERDICT r6)."""
+    out: dict[str, dict] = {}
     for rel in rels:
         dv = snap.files[rel].get("deletionVector")
         if dv and int(dv.get("cardinality") or 0) != 0:
             b = os.path.basename(urllib.parse.unquote(rel))
-            out[b] = _load_dv_positions(path, dv)
+            out[b] = dv
     return out or None
+
+
+#: Summed DV cardinality up to which the decoded (file, position)
+#: relation is broadcast into the anti-join; above it the join
+#: shuffles on (file, position) — billions of deleted positions must
+#: not be collected to the driver as a broadcast table.
+_DV_BROADCAST_CAP = 4_000_000
+
+
+def _dv_descriptor_df(spark: SparkSession, dv_map: dict[str, dict]):
+    """The descriptor map as a tiny DataFrame (one row per DV-carrying
+    file) — the unit both executor-side DV paths (read-apply and
+    delete-merge) distribute on."""
+    import pandas as pd
+
+    rows = [
+        (
+            b,
+            d["storageType"],
+            d["pathOrInlineDv"],
+            int(d.get("offset") or 0),
+            int(d["sizeInBytes"]),
+            int(d.get("cardinality") or 0),
+        )
+        for b, d in sorted(dv_map.items())
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "_dl_file", "_dv_st", "_dv_p", "_dv_off", "_dv_sz",
+                "_dv_card",
+            ],
+        ),
+        "_dl_file string, _dv_st string, _dv_p string, _dv_off long, "
+        "_dv_sz long, _dv_card long",
+    )
+
+
+def _dv_relation(
+    spark: SparkSession, path: str, dv_map: dict[str, dict]
+) -> DataFrame:
+    """Decode the deletion vectors EXECUTOR-side into a
+    ``(_dl_file, _dl_dv_pos)`` relation: the descriptors distribute
+    across tasks and each task reads + decodes its files' bitmap
+    bytes where it runs, so driver memory stays O(files) no matter
+    how many positions the table carries."""
+    import pandas as pd
+
+    desc = _dv_descriptor_df(spark, dv_map)
+    n = len(dv_map)
+    desc = desc.repartition(min(n, spark.sparkContext.defaultParallelism))
+    root = path
+
+    def decode(batches):
+        for pdf in batches:
+            for r in pdf.to_dict("records"):
+                dv = {
+                    "storageType": r["_dv_st"],
+                    "pathOrInlineDv": r["_dv_p"],
+                    "offset": int(r["_dv_off"]),
+                    "sizeInBytes": int(r["_dv_sz"]),
+                    "cardinality": int(r["_dv_card"]),
+                }
+                pos = _load_dv_positions(root, dv)
+                # chunk the output so one huge vector cannot balloon a
+                # single Arrow batch
+                for i in range(0, len(pos), 1 << 20):
+                    chunk = pos[i : i + (1 << 20)]
+                    yield pd.DataFrame(
+                        {
+                            "_dl_file": [r["_dl_file"]] * len(chunk),
+                            "_dl_dv_pos": pd.array(chunk, dtype="int64"),
+                        }
+                    )
+
+    return desc.mapInPandas(decode, "_dl_file string, _dl_dv_pos long")
 
 
 # ------------------------------------------------------------------ writer
@@ -1977,10 +2050,17 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
     protocol to (3, 7) + deletionVectors, exactly as delta-spark does
     when ``delta.enableDeletionVectors`` kicks in.
 
-    Returns ``(version, n_deleted)``; no match commits nothing.  The
-    matched (file, position) list passes through the driver — bounded
-    by rows deleted in THIS call, the same per-call bound the DV
-    decode path carries on read."""
+    Returns ``(version, n_deleted)``; no match commits nothing.
+    Matched positions NEVER pass through the driver: each touched
+    file's new bitmap (old positions ∪ this predicate's hits) is
+    merged and written EXECUTOR-side by one ``applyInPandas`` group
+    per file, and only the O(touched files) descriptor rows return to
+    the driver for the commit (VERDICT r6).  A retried task can leave
+    an orphan ``deletion_vector_*.bin`` behind (only the surviving
+    attempt's descriptor is committed) — vacuum reclaims those by
+    mtime, the same contract a failed commit already has."""
+    import pandas as pd
+
     snap, latest = _snapshot(spark, path)
     _check_write_protocol(snap, "delete")
     rels = sorted(snap.files)
@@ -1988,12 +2068,57 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
     tagged = _logical_scan(
         spark, path, snap, rels, dv_map, keep_file=True, keep_pos=True
     )
-    hits = tagged.filter(condition).select("_dl_file", "_dl_dv_pos").collect()
-    if not hits:
+    hits = tagged.filter(condition).select("_dl_file", "_dl_dv_pos")
+    # ship each touched file's OLD descriptor alongside its hits so the
+    # group task decodes exactly that one bitmap where it runs
+    if dv_map:
+        hits = hits.join(
+            F.broadcast(_dv_descriptor_df(spark, dv_map)), "_dl_file", "left"
+        )
+    else:
+        hits = (
+            hits.withColumn("_dv_st", F.lit(None).cast("string"))
+            .withColumn("_dv_p", F.lit(None).cast("string"))
+            .withColumn("_dv_off", F.lit(None).cast("long"))
+            .withColumn("_dv_sz", F.lit(None).cast("long"))
+            .withColumn("_dv_card", F.lit(None).cast("long"))
+        )
+    root = path
+
+    def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        base = pdf["_dl_file"].iloc[0]
+        st = pdf["_dv_st"].iloc[0]
+        old: list[int] = []
+        if isinstance(st, str) and st:
+            old = _load_dv_positions(
+                root,
+                {
+                    "storageType": st,
+                    "pathOrInlineDv": pdf["_dv_p"].iloc[0],
+                    "offset": int(pdf["_dv_off"].iloc[0]),
+                    "sizeInBytes": int(pdf["_dv_sz"].iloc[0]),
+                    "cardinality": int(pdf["_dv_card"].iloc[0]),
+                },
+            )
+        new = pdf["_dl_dv_pos"].astype("int64").tolist()
+        # the scan already subtracted the old vector, so hits are
+        # disjoint from `old`; the union's size is the simple sum
+        merged = sorted(set(old) | set(new))
+        dv = write_dv_file(root, merged)
+        return pd.DataFrame(
+            [{"_dl_file": base, "n_new": len(set(new)),
+              "descriptor": json.dumps(dv)}]
+        )
+
+    written = (
+        hits.groupBy("_dl_file")
+        .applyInPandas(
+            _write_group, "_dl_file string, n_new long, descriptor string"
+        )
+        .collect()  # O(touched files), never O(positions)
+    )
+    if not written:
         return latest, 0
-    by_file: dict[str, list[int]] = {}
-    for r in hits:
-        by_file.setdefault(r["_dl_file"], []).append(int(r["_dl_dv_pos"]))
     rel_of = {
         os.path.basename(urllib.parse.unquote(rel)): rel for rel in rels
     }
@@ -2010,21 +2135,21 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
     upgrade = _dv_protocol_upgrade(snap)
     if upgrade:
         actions.append(upgrade)
-    for base, new_pos in sorted(by_file.items()):
-        rel = rel_of[base]
+    n_deleted = 0
+    for r in sorted(written, key=lambda r: r["_dl_file"]):
+        rel = rel_of[r["_dl_file"]]
         a = snap.files[rel]
-        old = (dv_map or {}).get(base, [])
-        merged = sorted(set(old) | set(new_pos))
-        dv = write_dv_file(path, merged)
+        n_deleted += int(r["n_new"])
         rm = {"path": rel, "deletionTimestamp": now, "dataChange": True}
         if a.get("deletionVector"):
             rm["deletionVector"] = a["deletionVector"]
         actions.append({"remove": rm})
         actions.append({"add": {**{k: v for k, v in a.items()},
-                               "deletionVector": dv, "dataChange": True}})
+                               "deletionVector": json.loads(r["descriptor"]),
+                               "dataChange": True}})
     version = latest + 1
     _commit(path, version, actions)
-    return version, len(hits)
+    return version, n_deleted
 
 
 def merge_delta(

@@ -64,7 +64,11 @@ class _DeltaFilePartition(InputPartition):
         self,
         file_path: str,
         part_values: dict,
-        dv_positions: list[int],
+        # the log's deletionVector descriptor (or None): positions are
+        # decoded EXECUTOR-side in read(), so the planner ships O(1)
+        # bytes per file regardless of how many rows are deleted
+        dv: dict | None,
+        table_root: str,
         # (logical name, simpleString type, physical/stored name,
         #  columnMapping id or None) — physical==logical on unmapped
         # tables; id set only in id mode, where files match by
@@ -74,7 +78,8 @@ class _DeltaFilePartition(InputPartition):
     ) -> None:
         self.file_path = file_path
         self.part_values = part_values
-        self.dv_positions = dv_positions
+        self.dv = dv
+        self.table_root = table_root
         self.fields = fields
         self.part_cols = part_cols
 
@@ -185,16 +190,14 @@ class DeltaStreamReader(DataSourceStreamReader):
                 add = a["add"]
                 rel = urllib.parse.unquote(add["path"])
                 dv = add.get("deletionVector")
-                positions = (
-                    _load_dv_positions(self.path, dv)
-                    if dv and int(dv.get("cardinality") or 0)
-                    else []
-                )
+                if not (dv and int(dv.get("cardinality") or 0)):
+                    dv = None
                 out.append(
                     _DeltaFilePartition(
                         os.path.join(self.path, rel),
                         dict(add.get("partitionValues") or {}),
-                        positions,
+                        dv,
+                        self.path,
                         fields,
                         part_cols,
                     )
@@ -211,7 +214,11 @@ class DeltaStreamReader(DataSourceStreamReader):
             raw = (fld.metadata or {}).get(b"PARQUET:field_id")
             if raw is not None:
                 by_id[int(raw)] = fld.name
-        deleted = set(partition.dv_positions)
+        deleted = (
+            set(_load_dv_positions(partition.table_root, partition.dv))
+            if partition.dv
+            else set()
+        )
         # partition values are keyed by STORED (physical) names in the
         # log; output keys are logical
         part_typed = {

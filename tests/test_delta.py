@@ -2139,3 +2139,46 @@ def test_timestamp_resolution_commitinfo_not_first(spark, tmp_path):
     assert _sorted_rows(
         read_delta(spark, path, timestamp_as_of=1_600_000_000_000)
     ) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+# ------------------------------------- VERDICT r6: executor-side DV apply
+
+
+def test_dv_positions_never_materialize_on_the_driver(spark, tmp_path,
+                                                      monkeypatch):
+    """The scale contract for merge-on-read: deletion-vector BITMAPS are
+    decoded executor-side on read, and DELETE merges + writes the new
+    bitmaps executor-side — the driver only ever carries O(files)
+    descriptors.  Enforced by pid-guarding the decoder: any driver-
+    process decode trips the assertion, while executor processes (their
+    own module import, different pid) run the real one."""
+    import os as _os
+
+    from aws_datalake_framework_api_spark.sources import delta as D
+
+    path = str(tmp_path / "t")
+    rows = [(i, "a" if i % 2 else "b", float(i)) for i in range(100)]
+    write_delta(_df(spark, rows).coalesce(2), path, mode="error")
+
+    driver_pid = _os.getpid()
+    orig = D._load_dv_positions
+
+    def guard(p, dv):
+        assert _os.getpid() != driver_pid, "DV bitmap decoded on the driver"
+        return orig(p, dv)
+
+    monkeypatch.setattr(D, "_load_dv_positions", guard)
+
+    # merge-on-read DELETE: bitmap write happens in applyInPandas tasks
+    v1, n1 = D.delete_where_delta(spark, path, F.col("k") < 10)
+    assert n1 == 10
+    # second DELETE must merge the EXISTING vector — still executor-side
+    v2, n2 = D.delete_where_delta(spark, path, F.col("k") < 20)
+    assert n2 == 10
+    # read applies both vectors without a driver decode
+    got = _sorted_rows(read_delta(spark, path))
+    assert got == [(i, "a" if i % 2 else "b", float(i)) for i in range(20, 100)]
+    # and the decode is visibly a distributed operator, not a
+    # driver-built local relation of positions
+    plan = read_delta(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
