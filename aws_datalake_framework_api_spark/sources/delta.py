@@ -2152,32 +2152,92 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
     return version, n_deleted
 
 
+#: The default MERGE clause list — the classic upsert, and exactly
+#: what merge_delta did before clause parity (VERDICT r6 item #4).
+_MERGE_DEFAULT_CLAUSES = (
+    {"when": "matched", "action": "update"},
+    {"when": "not_matched", "action": "insert"},
+)
+
+
+def _check_merge_clauses(clauses, cols: list[str]) -> None:
+    legal = {
+        "matched": {"update", "delete"},
+        "not_matched": {"insert"},
+        "not_matched_by_source": {"update", "delete"},
+    }
+    for cl in clauses:
+        when, action = cl.get("when"), cl.get("action")
+        if when not in legal:
+            raise ValueError(f"unknown merge clause when={when!r}")
+        if action not in legal[when]:
+            raise ValueError(
+                f"WHEN {when} supports {sorted(legal[when])}, got "
+                f"{action!r}"
+            )
+        st = cl.get("set")
+        if st is not None:
+            if action != "update" and when != "not_matched":
+                raise ValueError(f"'set' is meaningless on {action!r}")
+            bad = set(st) - set(cols)
+            if bad:
+                raise ValueError(f"merge SET unknown columns: {sorted(bad)}")
+
+
 def merge_delta(
     spark: SparkSession,
     path: str,
     source: DataFrame,
     on: list[str],
+    clauses: list[dict] | tuple | None = None,
 ) -> dict:
-    """Copy-on-write MERGE (upsert): ``WHEN MATCHED THEN UPDATE SET *
-    WHEN NOT MATCHED THEN INSERT *`` keyed on ``on``.  Only the data
-    files containing matched target rows are rewritten (their
-    unmatched rows carried, matched rows replaced by the source
-    version, existing DVs folded in); unmatched source rows stage as
-    new files; everything commits atomically as remove+add in ONE
-    version — delta-spark's ``DeltaTable.merge`` cost model without
-    the dependency, and the open-format twin of the txlog path
-    ``b_lake_upsert`` proves.
+    """Copy-on-write MERGE with delta-spark's clause surface.
+
+    ``clauses`` is an ordered list (FIRST matching clause wins per
+    row, delta-spark's semantics) of::
+
+        {"when": "matched",               "action": "update",
+         "set": {col: sql_expr} | None,   "condition": sql | None}
+        {"when": "matched",               "action": "delete",
+         "condition": sql | None}
+        {"when": "not_matched",           "action": "insert",
+         "set": {col: sql_expr} | None,   "condition": sql | None}
+        {"when": "not_matched_by_source", "action": "update"|"delete",
+         "set": ..., "condition": sql | None}
+
+    Conditions and SET expressions are SQL strings over the aliased
+    sides — ``t.<col>`` (target) and ``s.<col>`` (source); a
+    ``not_matched`` condition sees only ``s.*``, a
+    ``not_matched_by_source`` condition only ``t.*``.  ``set: None``
+    means UPDATE/INSERT ``*``.  Default clauses = unconditional
+    update-all + insert-all (the classic upsert, back-compatible).
+
+    Cost model: only the data files containing rows a matched clause
+    may rewrite — or rows a by-source clause actually hits — are
+    rewritten (their untouched rows carried, existing DVs folded in);
+    qualifying unmatched source rows stage as new files; everything
+    commits atomically as remove+add in ONE version.
 
     ``source`` must match the table schema exactly and be UNIQUE on
     ``on`` (a duplicate-key source is refused — the protocol's
     multiple-matches error).  NULL join keys never match (standard
-    SQL equality): null-keyed source rows insert, null-keyed target
-    rows are kept.  Returns {"version", "updated", "inserted"}."""
+    SQL equality): null-keyed source rows are "not matched",
+    null-keyed target rows are "not matched by source".  Returns
+    {"version", "updated", "deleted", "inserted"}."""
+    from functools import reduce as _reduce
+
     snap, latest = _snapshot(spark, path)
     _check_write_protocol(snap, "merge")
     schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
     part_cols = list(snap.metadata.get("partitionColumns") or [])
     source = _check_schema_compat(source, snap, part_cols)
+    cols = [f.name for f in schema.fields]
+    types = {f.name: f.dataType for f in schema.fields}
+    clauses = [dict(c) for c in (clauses or _MERGE_DEFAULT_CLAUSES)]
+    _check_merge_clauses(clauses, cols)
+    matched_cl = [c for c in clauses if c["when"] == "matched"]
+    insert_cl = [c for c in clauses if c["when"] == "not_matched"]
+    bysrc_cl = [c for c in clauses if c["when"] == "not_matched_by_source"]
     dup = (
         source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
     )
@@ -2189,13 +2249,36 @@ def merge_delta(
     rels = sorted(snap.files)
     dv_map = _dv_map(path, snap, rels)
     target = _logical_scan(spark, path, snap, rels, dv_map, keep_file=True)
-    hit_names = {
-        r["_dl_file"]
-        for r in target.join(source.select(*on), on, "left_semi")
-        .select("_dl_file")
-        .distinct()
-        .collect()  # bounded by the table's active-file count
-    }
+    # hit files = rewrite set: files with source-matched rows (any
+    # matched clause may touch them) ∪ files whose UNmatched rows some
+    # by-source clause's condition actually hits — never the whole
+    # table just because a by-source clause exists.
+    hit_names: set[str] = set()
+    if matched_cl:
+        hit_names |= {
+            r["_dl_file"]
+            for r in target.join(source.select(*on), on, "left_semi")
+            .select("_dl_file")
+            .distinct()
+            .collect()  # bounded by the table's active-file count
+        }
+    if bysrc_cl:
+        any_cond = _reduce(
+            lambda a, b: a | b,
+            [
+                F.expr(c["condition"]) if c.get("condition") else F.lit(True)
+                for c in bysrc_cl
+            ],
+        )
+        hit_names |= {
+            r["_dl_file"]
+            for r in target.alias("t")
+            .join(source.select(*on), on, "left_anti")
+            .filter(any_cond)
+            .select("_dl_file")
+            .distinct()
+            .collect()
+        }
     hit_rels = [
         rel
         for rel in rels
@@ -2204,19 +2287,102 @@ def merge_delta(
     hit_rows = _logical_scan(
         spark, path, snap, hit_rels, _dv_map(path, snap, hit_rels)
     )
-    kept = hit_rows.join(source.select(*on), on, "left_anti")
-    matched_src = source.join(
-        hit_rows.select(*on).distinct(), on, "left_semi"
+    # one left join, each target row tagged with the index of the
+    # FIRST applicable clause (-1 = carried unchanged)
+    s_marked = source.withColumn("_dl_s", F.lit(True))
+    join_cond = _reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in on],
     )
-    inserts = source.join(target.select(*on).distinct(), on, "left_anti")
-    cols = [f.name for f in schema.fields]
-    new_data = (
-        kept.select(*cols)
-        .unionByName(matched_src.select(*cols))
-        .unionByName(inserts.select(*cols))
-    )
-    n_updated = matched_src.count()
-    n_inserted = inserts.count()
+    joined = hit_rows.alias("t").join(s_marked.alias("s"), join_cond, "left")
+    matched_pred = F.col("_dl_s").isNotNull()
+    case = None
+    for i, cl in enumerate(clauses):
+        if cl["when"] == "matched":
+            base = matched_pred
+        elif cl["when"] == "not_matched_by_source":
+            base = F.col("_dl_s").isNull()
+        else:
+            continue
+        c = base & (
+            F.expr(cl["condition"]) if cl.get("condition") else F.lit(True)
+        )
+        case = F.when(c, F.lit(i)) if case is None else case.when(c, F.lit(i))
+    action = case.otherwise(F.lit(-1)) if case is not None else F.lit(-1)
+    tagged = joined.withColumn("_dl_action", action)
+    counts = {
+        int(r["_dl_action"]): int(r["count"])
+        for r in tagged.groupBy("_dl_action").count().collect()
+    }
+    delete_ids = {
+        i
+        for i, cl in enumerate(clauses)
+        if cl["when"] in ("matched", "not_matched_by_source")
+        and cl["action"] == "delete"
+    }
+    update_ids = {
+        i
+        for i, cl in enumerate(clauses)
+        if cl["when"] in ("matched", "not_matched_by_source")
+        and cl["action"] == "update"
+    }
+    out_cols = []
+    for c in cols:
+        expr = F.col(f"t.`{c}`")
+        for i in sorted(update_ids):
+            cl = clauses[i]
+            st = cl.get("set")
+            if st is None:
+                val = (
+                    F.col(f"s.`{c}`")
+                    if cl["when"] == "matched"
+                    else F.col(f"t.`{c}`")
+                )
+            else:
+                val = F.expr(st[c]) if c in st else F.col(f"t.`{c}`")
+            expr = F.when(F.col("_dl_action") == i, val).otherwise(expr)
+        out_cols.append(expr.cast(types[c]).alias(c))
+    kept = tagged
+    if delete_ids:
+        kept = kept.filter(~F.col("_dl_action").isin(*sorted(delete_ids)))
+    new_data = kept.select(*out_cols)
+    n_inserted = 0
+    if insert_cl:
+        unmatched_src = source.alias("s").join(
+            target.select(*on).distinct(), on, "left_anti"
+        )
+        icase = None
+        for i, cl in enumerate(clauses):
+            if cl["when"] != "not_matched":
+                continue
+            c = (
+                F.expr(cl["condition"])
+                if cl.get("condition")
+                else F.lit(True)
+            )
+            icase = (
+                F.when(c, F.lit(i)) if icase is None else icase.when(c, F.lit(i))
+            )
+        ins_tagged = unmatched_src.withColumn(
+            "_dl_action", icase.otherwise(F.lit(-1))
+        ).filter(F.col("_dl_action") >= 0)
+        ins_cols = []
+        for c in cols:
+            expr = F.col(f"s.`{c}`")
+            for i, cl in enumerate(clauses):
+                if cl["when"] != "not_matched":
+                    continue
+                st = cl.get("set")
+                if st is not None and c in st:
+                    expr = F.when(
+                        F.col("_dl_action") == i, F.expr(st[c])
+                    ).otherwise(expr)
+            ins_cols.append(expr.cast(types[c]).alias(c))
+        inserts = ins_tagged.select(*ins_cols)
+        n_inserted = inserts.count()
+        new_data = new_data.unionByName(inserts)
+    n_updated = sum(counts.get(i, 0) for i in update_ids)
+    n_deleted = sum(counts.get(i, 0) for i in delete_ids)
     version = latest + 1
     now = int(time.time() * 1000)
     actions: list[dict] = [
@@ -2226,6 +2392,12 @@ def merge_delta(
                 "operation": "MERGE",
                 "operationParameters": {
                     "matchedPredicates": json.dumps(on),
+                    "clauses": json.dumps(
+                        [
+                            {k: v for k, v in cl.items() if k != "set"}
+                            for cl in clauses
+                        ]
+                    ),
                     "rewrittenFiles": len(hit_rels),
                 },
             }
@@ -2238,7 +2410,12 @@ def merge_delta(
         actions.append({"remove": rm})
     actions.extend(_stage_mutation(new_data, snap, path, version))
     _commit(path, version, actions)
-    return {"version": version, "updated": n_updated, "inserted": n_inserted}
+    return {
+        "version": version,
+        "updated": n_updated,
+        "deleted": n_deleted,
+        "inserted": n_inserted,
+    }
 
 
 def _zorder_column(rows: DataFrame, cols: list[str], bits: int = 8):
@@ -3130,27 +3307,32 @@ def scan_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o_orderpriority, count(*) AS n,
            {sql_money_sum(
-               "CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000 "
+               "CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice + 1000 "
                "ELSE o_totalprice END"
            )} AS total_price
     FROM orders
-    WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1
+    WHERE (o_orderkey % 3 = 0 AND o_orderkey % 12 <> 6)
+       OR o_orderkey % 3 = 1
     GROUP BY o_orderpriority
     """,
 )
 def scan_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Copy-on-write MERGE on the open Delta format: target = keys
-    ≡0 (mod 3); source = updated versions of keys ≡0 (mod 6) (price
-    +1000) plus brand-new keys ≡1 (mod 3).  ``merge_delta`` must
-    update the matched rows, insert the rest, rewrite ONLY the hit
-    files, and commit once; the oracle recomputes the merged state
-    arithmetically, so a lost update, a duplicated insert, or a
-    dropped unmatched row all fail the hash compare.  (VERDICT r5
-    missing #3 — MERGE on the deltalog write path; r6.)"""
+    """Copy-on-write MERGE with CONDITIONAL clauses on the open Delta
+    format: target = keys ≡0 (mod 3); source = keys ≡0 (mod 6) (price
+    +1000) plus brand-new keys ≡1 (mod 3).  The clause list exercises
+    first-match-wins: ``WHEN MATCHED AND t.o_orderkey % 12 = 0 THEN
+    UPDATE SET *`` takes half the matched rows, the unconditional
+    ``WHEN MATCHED THEN DELETE`` takes the rest (≡6 mod 12), and the
+    insert clause stages the new keys — so the final state encodes an
+    update, a conditional fall-through delete, AND inserts, each of
+    which the oracle recomputes arithmetically.  A mis-ordered clause
+    evaluation, a lost update, or a resurrected deleted key all fail
+    the hash compare.  (VERDICT r6 item #4 — merge clause parity;
+    r7.)"""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = _scratch(f"delta_merge_{os.path.basename(sf_dir.rstrip('/'))}")
+    path = _scratch(f"delta_mergec_{os.path.basename(sf_dir.rstrip('/'))}")
     complete = False
     try:
         complete = (
@@ -3167,7 +3349,15 @@ def scan_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         source = orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
             "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
         ).unionByName(orders.filter(F.col("o_orderkey") % 3 == 1))
-        merge_delta(spark, path, source, on=["o_orderkey"])
+        merge_delta(
+            spark, path, source, on=["o_orderkey"],
+            clauses=[
+                {"when": "matched", "action": "update",
+                 "condition": "t.o_orderkey % 12 = 0"},
+                {"when": "matched", "action": "delete"},
+                {"when": "not_matched", "action": "insert"},
+            ],
+        )
     back = read_delta(spark, path)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),

@@ -1374,7 +1374,7 @@ def test_merge_delta_folds_existing_dv(spark, tmp_path):
     )
     delete_where_delta(spark, path, F.col("k") == 2)
     out = merge_delta(spark, path, _df(spark, [(3, "C", 30.0)]), on=["k"])
-    assert out == {"version": 2, "updated": 1, "inserted": 0}
+    assert out == {"version": 2, "updated": 1, "deleted": 0, "inserted": 0}
     assert _sorted_rows(read_delta(spark, path)) == [
         (1, "a", 1.0), (3, "C", 30.0),
     ]
@@ -2182,3 +2182,95 @@ def test_dv_positions_never_materialize_on_the_driver(spark, tmp_path,
     # driver-built local relation of positions
     plan = read_delta(spark, path)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+# ------------------------------------- VERDICT r6 item 4: MERGE clauses
+
+
+def test_merge_clause_parity_matrix(spark, tmp_path):
+    """delta-spark's full MERGE clause surface in one statement:
+    conditional WHEN MATCHED UPDATE, WHEN MATCHED DELETE (first match
+    wins), conditional WHEN NOT MATCHED INSERT, and WHEN NOT MATCHED BY
+    SOURCE update/delete — with untouched files preserved."""
+    from aws_datalake_framework_api_spark.sources.delta import merge_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(k, "p", float(k) * 10) for k in range(1, 7)])
+        .coalesce(1),
+        path, mode="error",
+    )
+    source = _df(
+        spark,
+        [(4, "p", 99.0), (5, "p", 1.0), (6, "p", 88.0),
+         (7, "p", 7.0), (8, "p", 8.0)],
+    )
+    out = merge_delta(
+        spark, path, source, on=["k"],
+        clauses=[
+            {"when": "matched", "action": "update",
+             "set": {"v": "s.v"}, "condition": "s.v > t.v"},
+            {"when": "matched", "action": "delete"},
+            {"when": "not_matched", "action": "insert",
+             "condition": "s.k % 2 = 1"},
+            {"when": "not_matched_by_source", "action": "delete",
+             "condition": "t.k = 1"},
+            {"when": "not_matched_by_source", "action": "update",
+             "set": {"part": "'stale'"}, "condition": "t.k = 2"},
+        ],
+    )
+    # matched: k=4 updated (99>40), k=5 deleted (1<=50), k=6 updated;
+    # unmatched source: 7 inserts (odd), 8 dropped;
+    # by source: k=1 deleted, k=2 part-updated, k=3 carried.
+    assert (out["updated"], out["deleted"], out["inserted"]) == (3, 2, 1)
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (2, "stale", 20.0), (3, "p", 30.0), (4, "p", 99.0),
+        (6, "p", 88.0), (7, "p", 7.0),
+    ]
+
+
+def test_merge_update_only_and_delete_only(spark, tmp_path):
+    """Clause subsets: update-only merges insert nothing; matched-delete
+    merges act as a keyed anti-delete; by-source-delete alone prunes
+    rows absent from the source (the snapshot-sync idiom) and rewrites
+    ONLY the files its condition hits."""
+    from aws_datalake_framework_api_spark.sources.delta import merge_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
+        .coalesce(1),
+        path, mode="error",
+    )
+    # update-only: unmatched source rows are NOT inserted
+    out = merge_delta(
+        spark, path, _df(spark, [(1, "a", 10.0), (9, "z", 9.0)]), on=["k"],
+        clauses=[{"when": "matched", "action": "update"}],
+    )
+    assert (out["updated"], out["deleted"], out["inserted"]) == (1, 0, 0)
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 10.0), (2, "b", 2.0), (3, "c", 3.0),
+    ]
+    # matched-delete-only: source keys vanish, nothing else changes
+    out = merge_delta(
+        spark, path, _df(spark, [(2, "b", 0.0)]), on=["k"],
+        clauses=[{"when": "matched", "action": "delete"}],
+    )
+    assert (out["updated"], out["deleted"], out["inserted"]) == (0, 1, 0)
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 10.0), (3, "c", 3.0),
+    ]
+    # by-source-delete (full sync): keep only keys the source carries
+    out = merge_delta(
+        spark, path, _df(spark, [(1, "a", 10.0)]), on=["k"],
+        clauses=[{"when": "not_matched_by_source", "action": "delete"}],
+    )
+    assert (out["updated"], out["deleted"], out["inserted"]) == (0, 1, 0)
+    assert _sorted_rows(read_delta(spark, path)) == [(1, "a", 10.0)]
+    # bad clause shapes refuse
+    with pytest.raises(ValueError, match="unknown merge clause"):
+        merge_delta(spark, path, _df(spark, [(1, "a", 1.0)]), on=["k"],
+                    clauses=[{"when": "sometimes", "action": "update"}])
+    with pytest.raises(ValueError, match="supports"):
+        merge_delta(spark, path, _df(spark, [(1, "a", 1.0)]), on=["k"],
+                    clauses=[{"when": "not_matched", "action": "delete"}])
