@@ -167,6 +167,8 @@ _ORDER = [
     "b_sink_part",
     "b_win_rank",
     "b_win_topk",
+    # -- round-7 additions (registered this round, driver row due r8) --
+    "b_lake_iceberg_merge",
     # -- everything already hash-proved in r3-r6 and unchanged —
     #    last; registration order fills in any id not listed here.
 ]

@@ -2152,38 +2152,6 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
     return version, n_deleted
 
 
-#: The default MERGE clause list — the classic upsert, and exactly
-#: what merge_delta did before clause parity (VERDICT r6 item #4).
-_MERGE_DEFAULT_CLAUSES = (
-    {"when": "matched", "action": "update"},
-    {"when": "not_matched", "action": "insert"},
-)
-
-
-def _check_merge_clauses(clauses, cols: list[str]) -> None:
-    legal = {
-        "matched": {"update", "delete"},
-        "not_matched": {"insert"},
-        "not_matched_by_source": {"update", "delete"},
-    }
-    for cl in clauses:
-        when, action = cl.get("when"), cl.get("action")
-        if when not in legal:
-            raise ValueError(f"unknown merge clause when={when!r}")
-        if action not in legal[when]:
-            raise ValueError(
-                f"WHEN {when} supports {sorted(legal[when])}, got "
-                f"{action!r}"
-            )
-        st = cl.get("set")
-        if st is not None:
-            if action != "update" and when != "not_matched":
-                raise ValueError(f"'set' is meaningless on {action!r}")
-            bad = set(st) - set(cols)
-            if bad:
-                raise ValueError(f"merge SET unknown columns: {sorted(bad)}")
-
-
 def merge_delta(
     spark: SparkSession,
     path: str,
@@ -2224,7 +2192,12 @@ def merge_delta(
     SQL equality): null-keyed source rows are "not matched",
     null-keyed target rows are "not matched by source".  Returns
     {"version", "updated", "deleted", "inserted"}."""
-    from functools import reduce as _reduce
+    from .merge_clauses import (
+        DEFAULT_CLAUSES,
+        bysource_hit_condition,
+        check_clauses,
+        plan_merge,
+    )
 
     snap, latest = _snapshot(spark, path)
     _check_write_protocol(snap, "merge")
@@ -2233,11 +2206,9 @@ def merge_delta(
     source = _check_schema_compat(source, snap, part_cols)
     cols = [f.name for f in schema.fields]
     types = {f.name: f.dataType for f in schema.fields}
-    clauses = [dict(c) for c in (clauses or _MERGE_DEFAULT_CLAUSES)]
-    _check_merge_clauses(clauses, cols)
+    clauses = [dict(c) for c in (clauses or DEFAULT_CLAUSES)]
+    check_clauses(clauses, cols)
     matched_cl = [c for c in clauses if c["when"] == "matched"]
-    insert_cl = [c for c in clauses if c["when"] == "not_matched"]
-    bysrc_cl = [c for c in clauses if c["when"] == "not_matched_by_source"]
     dup = (
         source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
     )
@@ -2262,19 +2233,13 @@ def merge_delta(
             .distinct()
             .collect()  # bounded by the table's active-file count
         }
-    if bysrc_cl:
-        any_cond = _reduce(
-            lambda a, b: a | b,
-            [
-                F.expr(c["condition"]) if c.get("condition") else F.lit(True)
-                for c in bysrc_cl
-            ],
-        )
+    bysrc_cond = bysource_hit_condition(clauses)
+    if bysrc_cond is not None:
         hit_names |= {
             r["_dl_file"]
             for r in target.alias("t")
             .join(source.select(*on), on, "left_anti")
-            .filter(any_cond)
+            .filter(bysrc_cond)
             .select("_dl_file")
             .distinct()
             .collect()
@@ -2287,102 +2252,12 @@ def merge_delta(
     hit_rows = _logical_scan(
         spark, path, snap, hit_rels, _dv_map(path, snap, hit_rels)
     )
-    # one left join, each target row tagged with the index of the
-    # FIRST applicable clause (-1 = carried unchanged)
-    s_marked = source.withColumn("_dl_s", F.lit(True))
-    join_cond = _reduce(
-        lambda a, b: a & b,
-        [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in on],
+    new_data, stats = plan_merge(
+        hit_rows, source, on, clauses, cols, types, target.select(*on)
     )
-    joined = hit_rows.alias("t").join(s_marked.alias("s"), join_cond, "left")
-    matched_pred = F.col("_dl_s").isNotNull()
-    case = None
-    for i, cl in enumerate(clauses):
-        if cl["when"] == "matched":
-            base = matched_pred
-        elif cl["when"] == "not_matched_by_source":
-            base = F.col("_dl_s").isNull()
-        else:
-            continue
-        c = base & (
-            F.expr(cl["condition"]) if cl.get("condition") else F.lit(True)
-        )
-        case = F.when(c, F.lit(i)) if case is None else case.when(c, F.lit(i))
-    action = case.otherwise(F.lit(-1)) if case is not None else F.lit(-1)
-    tagged = joined.withColumn("_dl_action", action)
-    counts = {
-        int(r["_dl_action"]): int(r["count"])
-        for r in tagged.groupBy("_dl_action").count().collect()
-    }
-    delete_ids = {
-        i
-        for i, cl in enumerate(clauses)
-        if cl["when"] in ("matched", "not_matched_by_source")
-        and cl["action"] == "delete"
-    }
-    update_ids = {
-        i
-        for i, cl in enumerate(clauses)
-        if cl["when"] in ("matched", "not_matched_by_source")
-        and cl["action"] == "update"
-    }
-    out_cols = []
-    for c in cols:
-        expr = F.col(f"t.`{c}`")
-        for i in sorted(update_ids):
-            cl = clauses[i]
-            st = cl.get("set")
-            if st is None:
-                val = (
-                    F.col(f"s.`{c}`")
-                    if cl["when"] == "matched"
-                    else F.col(f"t.`{c}`")
-                )
-            else:
-                val = F.expr(st[c]) if c in st else F.col(f"t.`{c}`")
-            expr = F.when(F.col("_dl_action") == i, val).otherwise(expr)
-        out_cols.append(expr.cast(types[c]).alias(c))
-    kept = tagged
-    if delete_ids:
-        kept = kept.filter(~F.col("_dl_action").isin(*sorted(delete_ids)))
-    new_data = kept.select(*out_cols)
-    n_inserted = 0
-    if insert_cl:
-        unmatched_src = source.alias("s").join(
-            target.select(*on).distinct(), on, "left_anti"
-        )
-        icase = None
-        for i, cl in enumerate(clauses):
-            if cl["when"] != "not_matched":
-                continue
-            c = (
-                F.expr(cl["condition"])
-                if cl.get("condition")
-                else F.lit(True)
-            )
-            icase = (
-                F.when(c, F.lit(i)) if icase is None else icase.when(c, F.lit(i))
-            )
-        ins_tagged = unmatched_src.withColumn(
-            "_dl_action", icase.otherwise(F.lit(-1))
-        ).filter(F.col("_dl_action") >= 0)
-        ins_cols = []
-        for c in cols:
-            expr = F.col(f"s.`{c}`")
-            for i, cl in enumerate(clauses):
-                if cl["when"] != "not_matched":
-                    continue
-                st = cl.get("set")
-                if st is not None and c in st:
-                    expr = F.when(
-                        F.col("_dl_action") == i, F.expr(st[c])
-                    ).otherwise(expr)
-            ins_cols.append(expr.cast(types[c]).alias(c))
-        inserts = ins_tagged.select(*ins_cols)
-        n_inserted = inserts.count()
-        new_data = new_data.unionByName(inserts)
-    n_updated = sum(counts.get(i, 0) for i in update_ids)
-    n_deleted = sum(counts.get(i, 0) for i in delete_ids)
+    n_updated, n_deleted, n_inserted = (
+        stats["updated"], stats["deleted"], stats["inserted"],
+    )
     version = latest + 1
     now = int(time.time() * 1000)
     actions: list[dict] = [

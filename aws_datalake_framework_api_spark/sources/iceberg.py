@@ -967,9 +967,16 @@ def _plan_scan(
     res: dict | None = None,
     eq_deletes: list[dict] | None = None,
     schema_json: dict | None = None,
+    keep_file: bool = False,
 ) -> DataFrame:
+    """``keep_file`` retains the ``_ice_file`` basename column in the
+    output — the MERGE rewrite-set planner attributes matched rows to
+    the files that must be rewritten through it."""
     if not data:
-        return spark.createDataFrame([], spark_schema)
+        out = spark.createDataFrame([], spark_schema)
+        if keep_file:
+            out = out.withColumn("_ice_file", F.lit(None).cast("string"))
+        return out
     files = sorted({r["path"] for r in data})
 
     def build(want_tags: bool) -> DataFrame:
@@ -997,6 +1004,8 @@ def _plan_scan(
     # delete committed alongside them)
     live_eq = [d for d in (eq_deletes or []) if d["seq"] > min_seq]
     if not live_deletes and not live_eq:
+        if keep_file:
+            return build(True).drop("_ice_pos")
         return build(False)
     # Basenames key both joins (full paths differ between the writer's
     # URI form and the local scan's); a collision would misattribute
@@ -1057,6 +1066,8 @@ def _plan_scan(
         tagged = _apply_eq_deletes(
             spark, tagged, live_eq, data, base_seq, res, schema_json
         )
+    if keep_file:
+        return tagged.drop("_ice_pos")
     return tagged.drop("_ice_file", "_ice_pos")
 
 
@@ -2561,6 +2572,84 @@ scan_iceberg_upsert = query(
 )(scan_iceberg_upsert)
 
 
+def scan_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE with CONDITIONAL clauses on the Iceberg
+    format: target = keys ≡0 (mod 3) with a PRE-EXISTING positional
+    delete on keys ≡0 (mod 30) folded by the rewrite; source = keys
+    ≡0 (mod 6) (price +1000) plus new keys ≡1 (mod 3).  First-match-
+    wins: ``WHEN MATCHED AND t.o_orderkey % 12 = 0 UPDATE *``, then
+    unconditional ``WHEN MATCHED DELETE`` (≡6 mod 12), then INSERT —
+    one overwrite snapshot.  A resurrected position-deleted row, a
+    mis-ordered clause, or a lost insert all fail the hash compare.
+    (VERDICT r6 item #5 — Iceberg MERGE parity; r7.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"iceberg_merge_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        ops = [h["operation"] for h in history_iceberg(spark, path)]
+        complete = ops == ["append", "delete", "overwrite"]
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 3 == 0), path, mode="error"
+        )
+        delete_iceberg_rows(spark, path, F.col("o_orderkey") % 30 == 0)
+        source = orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        ).unionByName(orders.filter(F.col("o_orderkey") % 3 == 1))
+        merge_iceberg(
+            spark, path, source, on=["o_orderkey"],
+            clauses=[
+                {"when": "matched", "action": "update",
+                 "condition": "t.o_orderkey % 12 = 0"},
+                {"when": "matched", "action": "delete"},
+                {"when": "not_matched", "action": "insert"},
+            ],
+        )
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+# Oracle: matched = LIVE keys ≡0 (mod 6) (the ≡0 (mod 30) rows were
+# position-deleted first, so a dead ≡0 (mod 6) key is NOT matched —
+# its source row INSERTS fresh).  Updated = live ∧ %12=0 (+1000);
+# deleted = live ∧ %12=6; inserts = %3=1 keys plus the source rows
+# whose keys were dead (≡0 mod 30 ∧ ≡0 mod 6 ⇔ ≡0 mod 30).
+scan_iceberg_merge = query(
+    "b_lake_iceberg_merge",
+    f"""
+    WITH live AS (
+      SELECT * FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderkey % 30 <> 0
+    ),
+    merged AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM live
+      WHERE NOT (o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0)
+      UNION ALL
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 3 = 1 OR o_orderkey % 30 = 0
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_merge)
+
+
 def scan_iceberg_eqdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality-delete lifecycle end-to-end: create (keys ≡0 mod 4) →
     ``delete_by_key_iceberg`` on keys ≡0 (mod 8) — an O(keys)
@@ -2971,10 +3060,33 @@ def rewrite_data_files(
             spec_id=int(meta.get("default-spec-id", 0)),
         )
     ]
-    # kept files are EXISTING under the spec they were WRITTEN with —
-    # one manifest per spec id, each with that spec's partition record
-    # (writing an old-spec file's partition dict through the new
-    # spec's record schema would null its values)
+    new_manifests.extend(_existing_manifests(path, meta, kept, schema_json))
+    # carry ONLY the delete manifests (data manifests are replaced by
+    # the ADDED + EXISTING pair above)
+    carry = [
+        m for m in _carry_manifests(path, meta) if int(m.get("content") or 0) == 1
+    ]
+    v = _commit_snapshot(path, meta, new_manifests, carry, "replace")
+    return {"version": v, "files_before": len(compact),
+            "files_after": len(staged), "partitions_compacted": n_parts}
+
+
+def _file_size(rec: dict, path: str) -> int:
+    try:
+        return os.path.getsize(rec["path"])
+    except OSError:
+        return 0
+
+
+def _existing_manifests(
+    path: str, meta: dict, kept: list[dict], schema_json: dict
+) -> list[dict]:
+    """EXISTING-status data manifests for untouched files — one per
+    the spec id each file was WRITTEN with (writing an old-spec file's
+    partition dict through the new spec's record schema would null
+    its values), with sequence numbers explicit so delete gating keeps
+    working.  Shared by rewrite_data_files and merge_iceberg."""
+    out: list[dict] = []
     by_spec: dict[int, list[dict]] = {}
     for r in kept:
         by_spec.setdefault(int(r["spec_id"]), []).append(r)
@@ -2993,39 +3105,167 @@ def rewrite_data_files(
                     "record_count": r["record_count"],
                     "file_size_in_bytes": _file_size(r, path),
                     "lower_bounds": (
-                        [{"key": k, "value": v} for k, v in sorted(r["lower"].items())]
+                        [{"key": k, "value": v}
+                         for k, v in sorted(r["lower"].items())]
                         if r["lower"] else None
                     ),
                     "upper_bounds": (
-                        [{"key": k, "value": v} for k, v in sorted(r["upper"].items())]
+                        [{"key": k, "value": v}
+                         for k, v in sorted(r["upper"].items())]
                         if r["upper"] else None
                     ),
                 },
             }
             for r in recs
         ]
-        new_manifests.append(
+        out.append(
             _write_manifest(
                 path, kept_entries,
                 _spec_from_meta(meta, schema_json, spec_id=sid),
                 0, "data", schema_json, spec_id=sid,
             )
         )
-    # carry ONLY the delete manifests (data manifests are replaced by
-    # the ADDED + EXISTING pair above)
-    carry = [
-        m for m in _carry_manifests(path, meta) if int(m.get("content") or 0) == 1
+    return out
+
+
+def merge_iceberg(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    clauses: list[dict] | tuple | None = None,
+) -> dict:
+    """Copy-on-write MERGE in ONE snapshot with the shared clause
+    surface (see ``sources/merge_clauses.py``: conditional WHEN
+    MATCHED UPDATE/DELETE, WHEN NOT MATCHED INSERT, WHEN NOT MATCHED
+    BY SOURCE — first matching clause wins, delta-spark semantics).
+
+    Cost model (iceberg-spark's copy-on-write MERGE): only the data
+    files containing rows a matched clause may rewrite — or rows a
+    by-source clause actually hits — are rewritten.  The rewrite scan
+    is merge-on-read, so existing POSITION and EQUALITY deletes FOLD
+    into the rewritten rows exactly as ``rewrite_data_files`` folds
+    them: the new files take the commit's higher data sequence (prior
+    equality deletes stop covering them by the strict gate), position
+    deletes naming the replaced files become inert, and the untouched
+    files ride along as EXISTING manifest entries with their original
+    sequence numbers so every carried delete keeps applying to them.
+    One ``overwrite`` snapshot publishes added + existing data
+    manifests and the carried delete manifests together.
+
+    Contrast with :func:`upsert_iceberg` (merge-on-read: position-
+    delete + append, no rewrite): MERGE pays the rewrite now and
+    leaves no read debt; upsert defers the cost to readers until
+    compaction.  ``source`` must match the table schema exactly and
+    be UNIQUE on ``on``.  Returns {"version", "updated", "deleted",
+    "inserted"}.  (VERDICT r6 item #5; r7.)"""
+    from .merge_clauses import (
+        DEFAULT_CLAUSES,
+        bysource_hit_condition,
+        check_clauses,
+        plan_merge,
+    )
+
+    meta = _load_metadata(path)
+    schema_json = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema_json)
+    declared = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    got = {f.name: f.dataType.simpleString() for f in source.schema.fields}
+    if declared != got:
+        raise ValueError(
+            f"schema mismatch: table declares {declared}, merge has {got}"
+        )
+    snap = _snapshot_by_id(meta, None)
+    if snap is None:
+        raise ValueError("cannot merge into a table with no snapshot")
+    cols = [f.name for f in spark_schema.fields]
+    types = {f.name: f.dataType for f in spark_schema.fields}
+    clauses = [dict(c) for c in (clauses or DEFAULT_CLAUSES)]
+    check_clauses(clauses, cols)
+    matched_cl = [c for c in clauses if c["when"] == "matched"]
+    dup = (
+        source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"merge source has duplicate keys on {on} — a target row "
+            "would match more than one source row"
+        )
+    data, deletes, eq_deletes = _manifest_entries(path, meta, snap)
+    res = _resolution(meta)
+    part_spec = _spec_from_meta(meta, schema_json)
+    # LIVE rows (merge-on-read applied) tagged with their file — dead
+    # rows must neither count as matched nor resurrect in a rewrite
+    live = _plan_scan(
+        spark, spark_schema, data, deletes, res,
+        eq_deletes=eq_deletes, schema_json=schema_json, keep_file=True,
+    )
+    hit_names: set[str] = set()
+    if data and matched_cl:
+        hit_names |= {
+            r["_ice_file"]
+            for r in live.join(source.select(*on), on, "left_semi")
+            .select("_ice_file")
+            .distinct()
+            .collect()  # bounded by the table's active-file count
+        }
+    bysrc_cond = bysource_hit_condition(clauses)
+    if data and bysrc_cond is not None:
+        hit_names |= {
+            r["_ice_file"]
+            for r in live.alias("t")
+            .join(source.select(*on), on, "left_anti")
+            .filter(bysrc_cond)
+            .select("_ice_file")
+            .distinct()
+            .collect()
+        }
+    hit = [
+        r for r in data
+        if os.path.basename(urllib.parse.unquote(r["path"])) in hit_names
     ]
-    v = _commit_snapshot(path, meta, new_manifests, carry, "replace")
-    return {"version": v, "files_before": len(compact),
-            "files_after": len(staged), "partitions_compacted": n_parts}
-
-
-def _file_size(rec: dict, path: str) -> int:
-    try:
-        return os.path.getsize(rec["path"])
-    except OSError:
-        return 0
+    kept = [
+        r for r in data
+        if os.path.basename(urllib.parse.unquote(r["path"])) not in hit_names
+    ]
+    hit_rows = _plan_scan(
+        spark, spark_schema, hit, deletes, res,
+        eq_deletes=eq_deletes, schema_json=schema_json,
+    )
+    new_data, stats = plan_merge(
+        hit_rows, source, on, clauses, cols, types, live.select(*on)
+    )
+    if not hit and stats["inserted"] == 0:
+        return {"version": max(_metadata_versions(path)), **stats}
+    staged = _stage_data_files(new_data, path, part_spec, schema_json)
+    new_manifests: list[dict] = []
+    if staged:
+        added_entries = [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": f,
+            }
+            for f in staged
+        ]
+        new_manifests.append(
+            _write_manifest(
+                path, added_entries, part_spec, 0, "data", schema_json,
+                spec_id=int(meta.get("default-spec-id", 0)),
+            )
+        )
+    new_manifests.extend(_existing_manifests(path, meta, kept, schema_json))
+    # carry ONLY the delete manifests: data manifests are replaced by
+    # the ADDED + EXISTING pair, and the carried deletes stay correct
+    # for the kept files while going inert for the rewritten ones
+    carry = [
+        m for m in _carry_manifests(path, meta)
+        if int(m.get("content") or 0) == 1
+    ]
+    v = _commit_snapshot(path, meta, new_manifests, carry, "overwrite")
+    return {"version": v, **stats}
 
 
 def expire_snapshots(

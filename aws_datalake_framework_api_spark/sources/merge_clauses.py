@@ -1,0 +1,194 @@
+"""Shared MERGE clause engine for the Delta and Iceberg connectors.
+
+Both writers expose delta-spark's clause surface (ordered list, FIRST
+matching clause wins per row)::
+
+    {"when": "matched",               "action": "update",
+     "set": {col: sql_expr} | None,   "condition": sql | None}
+    {"when": "matched",               "action": "delete",
+     "condition": sql | None}
+    {"when": "not_matched",           "action": "insert",
+     "set": {col: sql_expr} | None,   "condition": sql | None}
+    {"when": "not_matched_by_source", "action": "update"|"delete",
+     "set": ..., "condition": sql | None}
+
+Conditions and SET expressions are SQL strings over the aliased sides
+— ``t.<col>`` (target) and ``s.<col>`` (source); ``set: None`` means
+UPDATE/INSERT ``*``.  The engine is pure DataFrame planning: ONE left
+join tags every target row of the rewrite set with the index of its
+first applicable clause, column values resolve through per-clause
+CASE chains, and the only driver materialization is the O(#clauses)
+action-count aggregate.  Connector-specific concerns — which files
+form the rewrite set, how rows stage, how the commit is published —
+stay in the connectors."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: The classic unconditional upsert — what both merges default to.
+DEFAULT_CLAUSES = (
+    {"when": "matched", "action": "update"},
+    {"when": "not_matched", "action": "insert"},
+)
+
+_LEGAL = {
+    "matched": {"update", "delete"},
+    "not_matched": {"insert"},
+    "not_matched_by_source": {"update", "delete"},
+}
+
+
+def check_clauses(clauses, cols: list[str]) -> None:
+    for cl in clauses:
+        when, action = cl.get("when"), cl.get("action")
+        if when not in _LEGAL:
+            raise ValueError(f"unknown merge clause when={when!r}")
+        if action not in _LEGAL[when]:
+            raise ValueError(
+                f"WHEN {when} supports {sorted(_LEGAL[when])}, got "
+                f"{action!r}"
+            )
+        st = cl.get("set")
+        if st is not None:
+            if action != "update" and when != "not_matched":
+                raise ValueError(f"'set' is meaningless on {action!r}")
+            bad = set(st) - set(cols)
+            if bad:
+                raise ValueError(f"merge SET unknown columns: {sorted(bad)}")
+
+
+def bysource_hit_condition(clauses) -> "F.Column | None":
+    """OR of the by-source clauses' conditions (over ``t.*``) — the
+    predicate connectors use to narrow the rewrite set to files a
+    by-source clause actually touches; None when no such clause."""
+    conds = [
+        F.expr(c["condition"]) if c.get("condition") else F.lit(True)
+        for c in clauses
+        if c["when"] == "not_matched_by_source"
+    ]
+    if not conds:
+        return None
+    return reduce(lambda a, b: a | b, conds)
+
+
+def plan_merge(
+    hit_rows: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    clauses: list[dict],
+    cols: list[str],
+    types: dict,
+    target_keys: DataFrame | None,
+) -> tuple[DataFrame, dict]:
+    """Resolve the clause list over the rewrite set.
+
+    ``hit_rows``: the target rows being rewritten (merge-on-read
+    applied, LOGICAL columns).  ``target_keys``: the FULL table's key
+    rows (insert candidacy is table-wide, not rewrite-set-wide); None
+    skips insert planning even if insert clauses exist.  Returns
+    ``(new_data, stats)`` where ``new_data`` holds the rewrite set's
+    surviving/updated rows plus qualifying inserts, in ``cols`` order,
+    and ``stats`` = {"updated", "deleted", "inserted"}."""
+    insert_cl = [c for c in clauses if c["when"] == "not_matched"]
+    s_marked = source.withColumn("_mg_s", F.lit(True))
+    join_cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in on],
+    )
+    joined = hit_rows.alias("t").join(s_marked.alias("s"), join_cond, "left")
+    case = None
+    for i, cl in enumerate(clauses):
+        if cl["when"] == "matched":
+            base = F.col("_mg_s").isNotNull()
+        elif cl["when"] == "not_matched_by_source":
+            base = F.col("_mg_s").isNull()
+        else:
+            continue
+        c = base & (
+            F.expr(cl["condition"]) if cl.get("condition") else F.lit(True)
+        )
+        case = F.when(c, F.lit(i)) if case is None else case.when(c, F.lit(i))
+    action = case.otherwise(F.lit(-1)) if case is not None else F.lit(-1)
+    tagged = joined.withColumn("_mg_action", action)
+    counts = {
+        int(r["_mg_action"]): int(r["count"])
+        for r in tagged.groupBy("_mg_action").count().collect()
+    }
+    delete_ids = {
+        i
+        for i, cl in enumerate(clauses)
+        if cl["when"] in ("matched", "not_matched_by_source")
+        and cl["action"] == "delete"
+    }
+    update_ids = {
+        i
+        for i, cl in enumerate(clauses)
+        if cl["when"] in ("matched", "not_matched_by_source")
+        and cl["action"] == "update"
+    }
+    out_cols = []
+    for c in cols:
+        expr = F.col(f"t.`{c}`")
+        for i in sorted(update_ids):
+            cl = clauses[i]
+            st = cl.get("set")
+            if st is None:
+                val = (
+                    F.col(f"s.`{c}`")
+                    if cl["when"] == "matched"
+                    else F.col(f"t.`{c}`")
+                )
+            else:
+                val = F.expr(st[c]) if c in st else F.col(f"t.`{c}`")
+            expr = F.when(F.col("_mg_action") == i, val).otherwise(expr)
+        out_cols.append(expr.cast(types[c]).alias(c))
+    kept = tagged
+    if delete_ids:
+        kept = kept.filter(~F.col("_mg_action").isin(*sorted(delete_ids)))
+    new_data = kept.select(*out_cols)
+    n_inserted = 0
+    if insert_cl and target_keys is not None:
+        unmatched_src = source.alias("s").join(
+            target_keys.distinct(), on, "left_anti"
+        )
+        icase = None
+        for i, cl in enumerate(clauses):
+            if cl["when"] != "not_matched":
+                continue
+            c = (
+                F.expr(cl["condition"])
+                if cl.get("condition")
+                else F.lit(True)
+            )
+            icase = (
+                F.when(c, F.lit(i))
+                if icase is None
+                else icase.when(c, F.lit(i))
+            )
+        ins_tagged = unmatched_src.withColumn(
+            "_mg_action", icase.otherwise(F.lit(-1))
+        ).filter(F.col("_mg_action") >= 0)
+        ins_cols = []
+        for c in cols:
+            expr = F.col(f"s.`{c}`")
+            for i, cl in enumerate(clauses):
+                if cl["when"] != "not_matched":
+                    continue
+                st = cl.get("set")
+                if st is not None and c in st:
+                    expr = F.when(
+                        F.col("_mg_action") == i, F.expr(st[c])
+                    ).otherwise(expr)
+            ins_cols.append(expr.cast(types[c]).alias(c))
+        inserts = ins_tagged.select(*ins_cols)
+        n_inserted = inserts.count()
+        new_data = new_data.unionByName(inserts)
+    return new_data, {
+        "updated": sum(counts.get(i, 0) for i in update_ids),
+        "deleted": sum(counts.get(i, 0) for i in delete_ids),
+        "inserted": n_inserted,
+    }

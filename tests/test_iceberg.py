@@ -1355,3 +1355,109 @@ def test_branch_write_audit_publish(spark, tmp_path):
     with pytest.raises(ValueError, match="create a table on a branch"):
         write_iceberg(_df(spark, [(0, "x", 0.0)]),
                       str(tmp_path / "t2"), mode="error", branch="b")
+
+
+# ---------------------------------- VERDICT r6 item 5: copy-on-write MERGE
+
+
+def test_merge_iceberg_clause_matrix_and_delete_fold(spark, tmp_path):
+    """merge_iceberg: conditional matched-update, fall-through
+    matched-delete, conditional insert, and by-source delete in ONE
+    snapshot — with a PRE-EXISTING positional delete folded into the
+    rewrite (a dead row must neither count as matched nor resurrect)
+    and untouched files preserved byte-identical."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        merge_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    # file A: k=1..3 ("a"), file B: k=4..6 ("b") — partition by part so
+    # the two files are separable
+    write_iceberg(
+        _df(spark, [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+                    (4, "b", 40.0), (5, "b", 50.0), (6, "b", 60.0)])
+        .repartition(1),
+        path, mode="error", partition_by=["part"],
+    )
+    # position-delete k=2 (merge-on-read) — the fold subject
+    assert delete_iceberg_rows(spark, path, F.col("k") == 2) == 2
+    untouched = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and "part=b" in root
+    }
+    source = _df(spark, [(1, "a", 99.0),   # matched, v>old -> update
+                         (3, "a", 1.0),    # matched, v<=old -> delete
+                         (2, "a", 2.0),    # key is DEAD -> insert (not matched)
+                         (7, "c", 7.0)])   # new -> insert
+    out = merge_iceberg(
+        spark, path, source, on=["k"],
+        clauses=[
+            {"when": "matched", "action": "update",
+             "condition": "s.v > t.v"},
+            {"when": "matched", "action": "delete"},
+            {"when": "not_matched", "action": "insert"},
+        ],
+    )
+    assert (out["updated"], out["deleted"], out["inserted"]) == (1, 1, 2)
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "a", 99.0), (2, "a", 2.0), (4, "b", 40.0), (5, "b", 50.0),
+        (6, "b", 60.0), (7, "c", 7.0),
+    ]
+    # file B (no matches) untouched on disk
+    for root, _d, files in os.walk(path):
+        for f in files:
+            if f in untouched:
+                assert os.path.getmtime(os.path.join(root, f)) == untouched[f]
+    # ONE new snapshot; operation recorded
+    hist = history_iceberg(spark, path)
+    assert hist[-1]["operation"] == "overwrite"
+    # time travel to the pre-merge snapshot still subtracts the DV
+    prev = hist[-2]["snapshot_id"]
+    assert _sorted_rows(
+        read_iceberg(spark, path, snapshot_id=prev)
+    ) == [(1, "a", 10.0), (3, "a", 30.0), (4, "b", 40.0),
+          (5, "b", 50.0), (6, "b", 60.0)]
+
+
+def test_merge_iceberg_folds_equality_deletes_and_by_source(spark, tmp_path):
+    """A prior equality delete must not resurrect in the rewrite, and
+    not_matched_by_source delete prunes rows absent from the source
+    while rewriting only the files its condition hits."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        merge_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0)])
+        .coalesce(1),
+        path, mode="error",
+    )
+    delete_by_key_iceberg(spark, path,
+                          _df(spark, [(2, "a", 2.0)]).select("k"))
+    out = merge_iceberg(
+        spark, path, _df(spark, [(1, "a", 10.0)]), on=["k"],
+        clauses=[
+            {"when": "matched", "action": "update"},
+            {"when": "not_matched_by_source", "action": "delete",
+             "condition": "t.k > 2"},
+        ],
+    )
+    # k=1 updated; k=2 already eq-deleted (must NOT count or return);
+    # k=3 by-source deleted; no inserts clause
+    assert (out["updated"], out["deleted"], out["inserted"]) == (1, 1, 0)
+    assert _sorted_rows(read_iceberg(spark, path)) == [(1, "a", 10.0)]
+    # duplicate-key source refuses
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_iceberg(spark, path,
+                      _df(spark, [(1, "x", 0.0), (1, "y", 0.0)]), on=["k"])
+    # no-op merge (nothing matched, nothing to insert) commits nothing
+    hist_len = len(history_iceberg(spark, path))
+    out = merge_iceberg(
+        spark, path, _df(spark, [(42, "z", 0.0)]), on=["k"],
+        clauses=[{"when": "matched", "action": "update"}],
+    )
+    assert (out["updated"], out["deleted"], out["inserted"]) == (0, 0, 0)
+    assert len(history_iceberg(spark, path)) == hist_len
