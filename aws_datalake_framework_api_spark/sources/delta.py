@@ -1263,6 +1263,34 @@ def _dv_relation(
 # ------------------------------------------------------------------ writer
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer claimed the version this commit computed.
+
+    Raised by the mutation paths (DELETE/UPDATE/MERGE/OPTIMIZE/
+    RESTORE/partition-delete), which read a snapshot and therefore
+    cannot be rebased blindly — delta-spark's winning-commit
+    reconciliation likewise fails these and asks the caller to re-run.
+    Blind appends never see this under contention: ``write_delta``
+    auto-rebases them onto the winner (see its retry loop)."""
+
+
+def _commit_mutation(
+    path: str, version: int, actions: list[dict], operation: str
+) -> None:
+    """Commit a snapshot-dependent mutation; a lost race surfaces as
+    :class:`CommitConflict` (deterministic, actionable) instead of a
+    bare FileExistsError."""
+    try:
+        _commit(path, version, actions)
+    except FileExistsError as e:
+        raise CommitConflict(
+            f"concurrent writer committed version {version} while this "
+            f"{operation} was computed against version {version - 1}; "
+            "the operation read a stale snapshot — re-run it against "
+            "the current table state"
+        ) from e
+
+
 def _commit(path: str, version: int, actions: list[dict]) -> None:
     """Publish one commit atomically: write a temp file, ``os.link``
     it to the version name — the link fails if the version exists, so
@@ -1784,8 +1812,62 @@ def write_delta(
         }
         stage_parts = [l2p[c] for c in partition_by]
     actions.extend(_stage_files(stage_df, path, stage_parts, version))
-    _commit(path, version, actions)
-    return version
+    # Optimistic-concurrency commit (VERDICT r6 item #3).  A BLIND
+    # append (mode="append", no schema evolution riding along) read
+    # nothing, so losing the version race is reconcilable: re-read the
+    # winners, refuse if any changed metadata/protocol (the append's
+    # schema validation is stale then), honor txn idempotence if a
+    # concurrent writer already applied this (appId, version), else
+    # rebase onto latest+1 — delta-spark's winning-commit
+    # reconciliation for its append class.  Everything else loses
+    # deterministically: create → FileExistsError (the documented
+    # contract), overwrite/evolving append → CommitConflict.
+    blind_append = mode == "append" and snap is not None and evolved is None
+    for _attempt in range(5):
+        try:
+            _commit(path, version, actions)
+            return version
+        except FileExistsError:
+            if snap is None:
+                raise  # racing CREATE: the table now exists
+            if not blind_append:
+                raise CommitConflict(
+                    f"concurrent writer committed version {version} "
+                    f"while this {mode} was computed against version "
+                    f"{version - 1} — re-run it against the current "
+                    "table state"
+                ) from None
+            latest2 = _table_version(path)
+            for w in range(version, latest2 + 1):
+                with open(_version_file(path, w)) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a = json.loads(line)
+                        if "metaData" in a or "protocol" in a:
+                            raise CommitConflict(
+                                f"concurrent commit {w} changed table "
+                                "metadata/protocol while this append was "
+                                "in flight — re-validate the write and "
+                                "retry"
+                            ) from None
+                        if (
+                            txn is not None
+                            and "txn" in a
+                            and a["txn"].get("appId") == txn[0]
+                            and int(a["txn"].get("version", -1))
+                            >= int(txn[1])
+                        ):
+                            # idempotent sink: a concurrent writer
+                            # already applied this app transaction —
+                            # our staged files become vacuumable orphans
+                            return w
+            version = latest2 + 1
+    raise CommitConflict(
+        "append lost the commit race 5 times — the table is under "
+        "write contention this writer cannot keep up with"
+    )
 
 
 def _assign_mapping(node, counter: list[int]):
@@ -1922,7 +2004,7 @@ def delete_partition(
                 rm["deletionVector"] = snap.files[rel]["deletionVector"]
             actions.append({"remove": rm})
     version = latest + 1
-    _commit(path, version, actions)
+    _commit_mutation(path, version, actions, "partition DELETE")
     return version
 
 
@@ -2002,7 +2084,7 @@ def update_delta(
             rm["deletionVector"] = snap.files[rel]["deletionVector"]
         actions.append({"remove": rm})
     actions.extend(_stage_mutation(updated, snap, path, version))
-    _commit(path, version, actions)
+    _commit_mutation(path, version, actions, "UPDATE")
     return version, matched
 
 
@@ -2148,7 +2230,7 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
                                "deletionVector": json.loads(r["descriptor"]),
                                "dataChange": True}})
     version = latest + 1
-    _commit(path, version, actions)
+    _commit_mutation(path, version, actions, "DELETE")
     return version, n_deleted
 
 
@@ -2284,7 +2366,7 @@ def merge_delta(
             rm["deletionVector"] = snap.files[rel]["deletionVector"]
         actions.append({"remove": rm})
     actions.extend(_stage_mutation(new_data, snap, path, version))
-    _commit(path, version, actions)
+    _commit_mutation(path, version, actions, "MERGE")
     return {
         "version": version,
         "updated": n_updated,
@@ -2450,7 +2532,7 @@ def optimize_delta(
     if not n_parts:
         return {"version": latest, "files_before": 0, "files_after": 0,
                 "partitions_compacted": 0}
-    _commit(path, version, actions)
+    _commit_mutation(path, version, actions, "OPTIMIZE")
     return {"version": version, "files_before": files_before,
             "files_after": files_after, "partitions_compacted": n_parts}
 
@@ -2879,7 +2961,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
             )
         actions.append({"add": {**a, "dataChange": True}})
     new_version = latest + 1
-    _commit(path, new_version, actions)
+    _commit_mutation(path, new_version, actions, "RESTORE")
     return new_version
 
 

@@ -1831,6 +1831,14 @@ def _commit_snapshot(
     return version
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer claimed the metadata version this commit
+    computed.  Snapshot-dependent operations (upsert, merge, delete,
+    compaction, evolution) surface it to the caller — they read a
+    snapshot and cannot be rebased blindly; ``write_iceberg`` appends
+    auto-rebase onto the winner instead (see its retry loop)."""
+
+
 def _claim_metadata(path: str, meta: dict, version: int) -> None:
     """Claim exactly metadata version N with ``os.link`` put-if-absent
     (concurrent committers conflict loudly, never rebase silently),
@@ -1842,8 +1850,10 @@ def _claim_metadata(path: str, meta: dict, version: int) -> None:
     try:
         os.link(tmp, final)  # put-if-absent: version claims are exclusive
     except FileExistsError as e:
-        raise RuntimeError(
-            f"iceberg commit conflict at version {version} ({path})"
+        raise CommitConflict(
+            f"iceberg commit conflict at version {version} ({path}) — "
+            "a concurrent writer won; re-read the table and retry the "
+            "operation"
         ) from e
     finally:
         os.unlink(tmp)
@@ -2189,15 +2199,72 @@ def write_iceberg(
             base_meta.get("default-spec-id", 0)
         ),
     )
-    return _commit_snapshot(
-        path,
-        base_meta,
-        [manifest],
-        carry,
-        "append" if mode == "append" else ("append" if not exists else "overwrite"),
-        schema_json=schema_json,
-        part_spec=part_spec,
-        branch=branch,
+    operation = (
+        "append" if mode == "append" else
+        ("append" if not exists else "overwrite")
+    )
+    # Optimistic-concurrency commit (VERDICT r6 item #3): an APPEND
+    # read nothing, so a lost version race is reconcilable — reload the
+    # metadata, refuse if the schema or partition spec moved (the
+    # write's validation is stale then), recompute the carried
+    # manifests against the winner's snapshot set, re-commit.  The
+    # staged data manifest file is version-agnostic (sequence numbers
+    # inherit at commit), so only the manifest LIST is rewritten per
+    # attempt; a retried attempt's list becomes an expire-reclaimable
+    # orphan.  Overwrites and mutations surface CommitConflict
+    # deterministically instead.
+    if mode != "append" or base_meta is None:
+        return _commit_snapshot(
+            path, base_meta, [manifest], carry, operation,
+            schema_json=schema_json, part_spec=part_spec, branch=branch,
+        )
+    last_seen = int(base_meta.get("__file_version__") or 0)
+    for _attempt in range(5):
+        try:
+            return _commit_snapshot(
+                path, base_meta, [manifest], carry, "append",
+                schema_json=schema_json, part_spec=part_spec, branch=branch,
+            )
+        except CommitConflict as conflict:
+            try:
+                fresh = _load_metadata(path)
+                fresh_schema = _current_schema(fresh)
+            except Exception:  # noqa: BLE001 — winner unreadable
+                raise conflict from None  # cannot reconcile, surface it
+            fresh_v = int(fresh.get("__file_version__") or 0)
+            if fresh_v <= last_seen:
+                # the next slot is claimed by something that is not
+                # readable table metadata (junk/partial claim) — there
+                # is no winner to rebase onto
+                raise conflict from None
+            last_seen = fresh_v
+            if json.dumps(fresh_schema["fields"], sort_keys=True) != (
+                json.dumps(schema_json["fields"], sort_keys=True)
+            ):
+                raise CommitConflict(
+                    "concurrent schema evolution while this append was "
+                    "in flight — re-validate the write and retry"
+                ) from None
+            fresh_spec = _spec_from_meta(fresh, fresh_schema)
+            if [(p["name"], p["transform"]) for p in fresh_spec] != [
+                (p["name"], p["transform"]) for p in part_spec
+            ]:
+                raise CommitConflict(
+                    "concurrent partition-spec evolution while this "
+                    "append was in flight — re-validate the write and "
+                    "retry"
+                ) from None
+            if branch is not None and branch in (fresh.get("refs") or {}):
+                carry = _carry_manifests(
+                    path, fresh,
+                    int(fresh["refs"][branch]["snapshot-id"]),
+                )
+            else:
+                carry = _carry_manifests(path, fresh)
+            base_meta = fresh
+    raise CommitConflict(
+        "append lost the commit race 5 times — the table is under "
+        "write contention this writer cannot keep up with"
     )
 
 
@@ -3334,8 +3401,9 @@ def expire_snapshots(
     try:
         os.link(tmp, final)
     except FileExistsError as e:
-        raise RuntimeError(
-            f"iceberg commit conflict at version {version} ({path})"
+        raise CommitConflict(
+            f"iceberg commit conflict at version {version} ({path}) — "
+            "a concurrent writer won; re-read the table and retry"
         ) from e
     finally:
         os.unlink(tmp)

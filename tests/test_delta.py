@@ -2274,3 +2274,122 @@ def test_merge_update_only_and_delete_only(spark, tmp_path):
     with pytest.raises(ValueError, match="supports"):
         merge_delta(spark, path, _df(spark, [(1, "a", 1.0)]), on=["k"],
                     clauses=[{"when": "not_matched", "action": "delete"}])
+
+
+# --------------------------------- VERDICT r6 item 3: concurrency retry
+
+
+def test_concurrent_blind_appends_both_land(spark, tmp_path, monkeypatch):
+    """Two interleaved appenders: the loser of the version race
+    auto-rebases onto the winner — both appends land, no row lost, no
+    version clobbered (delta-spark's winning-commit reconciliation
+    for the blind-append class)."""
+    from aws_datalake_framework_api_spark.sources import delta as D
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    orig = D._commit
+    state = {"raced": False}
+
+    def racing(p, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            # a competitor commits the SAME version first
+            D.write_delta(_df(spark, [(2, "b", 2.0)]), p, mode="append")
+        return orig(p, version, actions)
+
+    monkeypatch.setattr(D, "_commit", racing)
+    v = D.write_delta(_df(spark, [(3, "c", 3.0)]), path, mode="append")
+    assert v == 2  # rebased past the competitor's version 1
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
+    ]
+
+
+def test_concurrent_append_vs_metadata_change_refuses(
+    spark, tmp_path, monkeypatch
+):
+    """A winner that changed table metadata makes the loser's schema
+    validation stale: the rebase must REFUSE deterministically, not
+    rebase blindly."""
+    from aws_datalake_framework_api_spark.sources import delta as D
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    orig = D._commit
+    state = {"raced": False}
+
+    def racing(p, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            wide = spark.createDataFrame(
+                [(2, "b", 2.0, "t")],
+                "k int, part string, v double, tag string",
+            )
+            D.write_delta(wide, p, mode="append", merge_schema=True)
+        return orig(p, version, actions)
+
+    monkeypatch.setattr(D, "_commit", racing)
+    with pytest.raises(D.CommitConflict, match="metadata/protocol"):
+        D.write_delta(_df(spark, [(3, "c", 3.0)]), path, mode="append")
+
+
+def test_concurrent_mutations_refuse_deterministically(
+    spark, tmp_path, monkeypatch
+):
+    """Snapshot-dependent operations (DELETE / MERGE / overwrite) read
+    state a concurrent winner may have changed — they surface
+    CommitConflict with a re-run instruction, never a silent rebase."""
+    from aws_datalake_framework_api_spark.sources import delta as D
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1),
+        path, mode="error",
+    )
+    orig = D._commit
+    state = {"raced": False}
+
+    def racing(p, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            D.write_delta(_df(spark, [(9, "z", 9.0)]), p, mode="append")
+        return orig(p, version, actions)
+
+    monkeypatch.setattr(D, "_commit", racing)
+    with pytest.raises(D.CommitConflict, match="re-run"):
+        D.delete_where_delta(spark, path, F.col("k") == 1)
+    # the competitor's append won; the delete did NOT half-apply
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (9, "z", 9.0),
+    ]
+    state["raced"] = False
+    with pytest.raises(D.CommitConflict, match="re-run"):
+        D.write_delta(_df(spark, [(7, "q", 7.0)]), path, mode="overwrite")
+
+
+def test_concurrent_txn_append_is_idempotent(spark, tmp_path, monkeypatch):
+    """If a concurrent writer already applied the same (appId, version)
+    txn, the rebase recognizes it and returns the winner's version
+    instead of double-applying the batch."""
+    from aws_datalake_framework_api_spark.sources import delta as D
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    orig = D._commit
+    state = {"raced": False}
+
+    def racing(p, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            D.write_delta(_df(spark, [(5, "e", 5.0)]), p, mode="append",
+                          txn=("app", 7))
+        return orig(p, version, actions)
+
+    monkeypatch.setattr(D, "_commit", racing)
+    v = D.write_delta(_df(spark, [(5, "e", 5.0)]), path, mode="append",
+                      txn=("app", 7))
+    assert v == 1  # the competitor's commit IS this transaction
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (5, "e", 5.0),
+    ]

@@ -1461,3 +1461,89 @@ def test_merge_iceberg_folds_equality_deletes_and_by_source(spark, tmp_path):
     )
     assert (out["updated"], out["deleted"], out["inserted"]) == (0, 0, 0)
     assert len(history_iceberg(spark, path)) == hist_len
+
+
+# --------------------------------- VERDICT r6 item 3: concurrency retry
+
+
+def test_concurrent_iceberg_appends_both_land(spark, tmp_path, monkeypatch):
+    """Two interleaved appenders: the loser reloads the winner's
+    metadata, recomputes its carried manifests, and re-commits — both
+    appends land and the winner's rows are carried, not dropped."""
+    from aws_datalake_framework_api_spark.sources import iceberg as I
+
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    orig = I._claim_metadata
+    state = {"raced": False}
+
+    def racing(p, meta, version):
+        if not state["raced"]:
+            state["raced"] = True
+            I.write_iceberg(_df(spark, [(2, "b", 2.0)]), p, mode="append")
+        return orig(p, meta, version)
+
+    monkeypatch.setattr(I, "_claim_metadata", racing)
+    v = I.write_iceberg(_df(spark, [(3, "c", 3.0)]), path, mode="append")
+    assert v == 3  # rebased past the competitor's version 2
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
+    ]
+
+
+def test_concurrent_iceberg_mutations_refuse(spark, tmp_path, monkeypatch):
+    """Snapshot-dependent Iceberg operations (merge / overwrite /
+    delete) surface CommitConflict deterministically when a concurrent
+    writer wins — never a blind rebase of a stale snapshot set."""
+    from aws_datalake_framework_api_spark.sources import iceberg as I
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1),
+        path, mode="error",
+    )
+    orig = I._claim_metadata
+    state = {"raced": False}
+
+    def racing(p, meta, version):
+        if not state["raced"]:
+            state["raced"] = True
+            I.write_iceberg(_df(spark, [(9, "z", 9.0)]), p, mode="append")
+        return orig(p, meta, version)
+
+    monkeypatch.setattr(I, "_claim_metadata", racing)
+    with pytest.raises(I.CommitConflict, match="retry"):
+        I.merge_iceberg(spark, path, _df(spark, [(1, "a", 10.0)]),
+                        on=["k"])
+    # the competitor's append won; the merge did NOT half-apply
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (9, "z", 9.0),
+    ]
+    state["raced"] = False
+    with pytest.raises(I.CommitConflict, match="retry"):
+        I.write_iceberg(_df(spark, [(7, "q", 7.0)]), path,
+                        mode="overwrite")
+
+
+def test_concurrent_append_vs_schema_evolution_refuses(
+    spark, tmp_path, monkeypatch
+):
+    """A winner that evolved the schema makes the loser's validation
+    stale — the append rebase refuses instead of committing data the
+    new declared schema may not describe."""
+    from aws_datalake_framework_api_spark.sources import iceberg as I
+
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    orig = I._claim_metadata
+    state = {"raced": False}
+
+    def racing(p, meta, version):
+        if not state["raced"]:
+            state["raced"] = True
+            I.evolve_iceberg(p, add_columns=[("tag", "string")])
+        return orig(p, meta, version)
+
+    monkeypatch.setattr(I, "_claim_metadata", racing)
+    with pytest.raises(I.CommitConflict, match="schema evolution"):
+        I.write_iceberg(_df(spark, [(3, "c", 3.0)]), path, mode="append")
