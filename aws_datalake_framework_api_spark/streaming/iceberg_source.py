@@ -91,11 +91,20 @@ class IcebergStreamReader(DataSourceStreamReader):
         self.schema = schema
 
     def initialOffset(self) -> dict:
-        return {"pos": 0}  # before the first snapshot
+        return {"pos": 0, "sid": None}  # before the first snapshot
 
     def latestOffset(self) -> dict:
         meta = _load_metadata(self.path)
-        return {"pos": len(_ordered_snapshots(meta))}
+        snaps = _ordered_snapshots(meta)
+        # offsets ANCHOR their position to the snapshot id at pos-1:
+        # snapshot expiry shifts log positions, and a restart that
+        # silently re-interpreted an old position against the shifted
+        # log would re-read or skip snapshots — a misread.  The anchor
+        # turns that into the loud refusal below.
+        return {
+            "pos": len(snaps),
+            "sid": snaps[-1]["snapshot-id"] if snaps else None,
+        }
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["pos"]), int(end["pos"])
@@ -104,7 +113,18 @@ class IcebergStreamReader(DataSourceStreamReader):
         if hi > len(snaps):
             raise ValueError(
                 "iceberg_stream: offset past the snapshot log (snapshots "
-                "were expired?) — restart from a fresh checkpoint"
+                "were expired?) — the stream's starting snapshot is no "
+                "longer available; restart from a fresh checkpoint"
+            )
+        sid = start.get("sid")
+        if lo >= 1 and sid is not None and (
+            snaps[lo - 1]["snapshot-id"] != sid
+        ):
+            raise ValueError(
+                "iceberg_stream: the checkpoint's starting snapshot "
+                f"{sid} is no longer in the snapshot log (expired?) — "
+                "the positions after it have shifted; restart from a "
+                "fresh checkpoint"
             )
         names = [f.name for f in self.schema.fields]
         res = _resolution(meta)

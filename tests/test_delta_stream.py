@@ -253,3 +253,60 @@ def test_stream_resolves_id_mapped_table_by_field_id(spark, tmp_path):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     _run(spark, t, out, ckpt)
     assert _sunk(spark, out) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_delta_stream_restart_after_log_truncation_fails_clearly(
+    spark, tmp_path
+):
+    """Restarting a checkpointed tail whose NEXT version's commit JSON
+    was cleaned up must fail with the specific 'version gone' error,
+    never stream a gap as silence (VERDICT r6 item #6)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _version_file, checkpoint_delta,
+    )
+
+    register(spark)
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    write_delta(_df(spark, [(1, "a", 1.0)]).coalesce(1), t, mode="error")
+    _run(spark, t, out, ckpt)  # checkpoint now at version 0
+    write_delta(_df(spark, [(2, "b", 2.0)]).coalesce(1), t, mode="append")
+    write_delta(_df(spark, [(3, "c", 3.0)]).coalesce(1), t, mode="append")
+    checkpoint_delta(spark, t)  # snapshot replay survives the cleanup
+    os.unlink(_version_file(t, 1))  # the version the checkpoint needs next
+    with pytest.raises(Exception, match="JSON is gone|fresh checkpoint"):
+        _run(spark, t, out, ckpt)
+
+
+def test_iceberg_stream_restart_after_expiry_fails_clearly(spark, tmp_path):
+    """Snapshot expiry SHIFTS snapshot-log positions; a restarted tail
+    must detect that its anchored starting snapshot left the log and
+    refuse with the specific error — silently re-interpreting the old
+    position against the shifted log would re-read or skip snapshots
+    (VERDICT r6 item #6)."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        expire_snapshots, write_iceberg,
+    )
+    from aws_datalake_framework_api_spark.streaming.iceberg_source import (
+        register as ice_register,
+    )
+
+    ice_register(spark)
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberg_stream").load(t)
+            .writeStream.trigger(availableNow=True).format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt).start()
+        )
+        q.awaitTermination()
+
+    write_iceberg(_df(spark, [(1, "a", 1.0)]).coalesce(1), t, mode="error")
+    run()  # checkpoint anchored at snapshot 1
+    write_iceberg(_df(spark, [(2, "b", 2.0)]).coalesce(1), t, mode="append")
+    write_iceberg(_df(spark, [(3, "c", 3.0)]).coalesce(1), t, mode="append")
+    expire_snapshots(spark, t, keep_last=1)  # the anchor snapshot expires
+    with pytest.raises(Exception, match="no longer|fresh checkpoint"):
+        run()

@@ -1547,3 +1547,38 @@ def test_concurrent_append_vs_schema_evolution_refuses(
     monkeypatch.setattr(I, "_claim_metadata", racing)
     with pytest.raises(I.CommitConflict, match="schema evolution"):
         I.write_iceberg(_df(spark, [(3, "c", 3.0)]), path, mode="append")
+
+
+# ------------------------------ VERDICT r6 item 7: foreign plan-size gate
+
+
+def test_iceberg_many_partition_read_plans_single_scan(spark, tmp_path):
+    """A 500-partition Iceberg table must plan O(1) scan nodes — ONE
+    FileScan, no per-partition unions — with manifest-level partition
+    pruning and data-column pushdown intact (the Delta connector's
+    test_many_partition_read_plans_single_scan, mirrored per VERDICT
+    r6 item #7)."""
+    path = str(tmp_path / "t")
+    df = spark.range(500).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("string").alias("part"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    write_iceberg(df, path, mode="error", partition_by=["part"])
+    back = read_iceberg(spark, path)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "Union" not in plan
+    assert back.count() == 500
+    # planning-time partition pruning through manifest partition values
+    pruned = read_iceberg(spark, path, partition_filter={"part": ["7", "11"]})
+    assert sorted(r["k"] for r in pruned.collect()) == [7, 11]
+    assert len(pruned.inputFiles()) < len(back.inputFiles())
+    assert len(pruned.inputFiles()) <= 2
+    # data-column pushdown reaches the scan
+    plan2 = (
+        read_iceberg(spark, path)
+        .filter(F.col("k") > 490)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "GreaterThan(k,490)" in plan2
