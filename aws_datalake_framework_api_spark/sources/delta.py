@@ -2605,7 +2605,9 @@ def read_delta_changes(
         removes = {a["remove"]["path"]: a["remove"] for a in acts if "remove" in a}
         ins_files: dict[str, dict] = {}
         del_files: dict[str, dict] = {}
-        pos_deletes: dict[str, list[int]] = {}  # basename -> new positions
+        # DV updates: basename -> (new descriptor | None, old | None);
+        # positions decode EXECUTOR-side (same policy as the read path)
+        dv_changed: dict[str, tuple[dict | None, dict | None]] = {}
         for p, a in adds.items():
             if not a.get("dataChange", True):
                 continue
@@ -2622,17 +2624,23 @@ def read_delta_changes(
                 # DV update on an existing path: delta of positions
                 old_a = (state.files or {}).get(p)
                 base = os.path.basename(urllib.parse.unquote(p))
-                old_pos = set()
-                if old_a is not None and old_a.get("deletionVector"):
-                    old_pos = set(_load_dv_positions(path, old_a["deletionVector"]))
-                new_pos = set()
-                if a.get("deletionVector"):
-                    new_pos = set(_load_dv_positions(path, a["deletionVector"]))
-                grown = sorted(new_pos - old_pos)
-                if grown:
-                    pos_deletes[base] = grown
+                new_dv = a.get("deletionVector")
+                if new_dv and int(new_dv.get("cardinality") or 0):
+                    dv_changed[base] = (
+                        new_dv,
+                        (old_a or {}).get("deletionVector"),
+                    )
                 continue
             ins_files[p] = a
+
+        def _desc_map(files: dict[str, dict]) -> dict | None:
+            return {
+                os.path.basename(urllib.parse.unquote(p)): a["deletionVector"]
+                for p, a in files.items()
+                if a.get("deletionVector")
+                and int(a["deletionVector"].get("cardinality") or 0)
+            } or None
+
         for p, r in removes.items():
             if not r.get("dataChange", True) or p in adds:
                 continue
@@ -2641,42 +2649,24 @@ def read_delta_changes(
                 del_files[p] = old_a
         lit_v = F.lit(v).cast("long")
         if ins_files:
-            dv = {
-                os.path.basename(urllib.parse.unquote(p)): _load_dv_positions(
-                    path, a["deletionVector"]
-                )
-                for p, a in ins_files.items()
-                if a.get("deletionVector")
-                and int(a["deletionVector"].get("cardinality") or 0)
-            } or None
             out_parts.append(
-                scan(ins_files, dv)
+                scan(ins_files, _desc_map(ins_files))
                 .withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_version", lit_v)
             )
         if del_files:
-            dv = {
-                os.path.basename(urllib.parse.unquote(p)): _load_dv_positions(
-                    path, a["deletionVector"]
-                )
-                for p, a in del_files.items()
-                if a.get("deletionVector")
-                and int(a["deletionVector"].get("cardinality") or 0)
-            } or None
             out_parts.append(
-                scan(del_files, dv)
+                scan(del_files, _desc_map(del_files))
                 .withColumn("_change_type", F.lit("delete"))
                 .withColumn("_commit_version", lit_v)
             )
-        if pos_deletes:
-            import pandas as pd
-
+        if dv_changed:
             base_to_rel = {
                 os.path.basename(urllib.parse.unquote(p)): p
                 for p in (state.files or {})
             }
             fmap = {base_to_rel[b]: state.files[base_to_rel[b]]
-                    for b in pos_deletes if b in base_to_rel}
+                    for b in dv_changed if b in base_to_rel}
             tmp = _Snapshot()
             tmp.metadata = state.metadata
             tmp.files = fmap
@@ -2684,16 +2674,28 @@ def read_delta_changes(
                 spark, path, tmp, sorted(fmap), schema, part_cols,
                 None, keep_file=True, keep_pos=True,
             )
-            wanted = spark.createDataFrame(
-                pd.DataFrame(
-                    [(b, int(q)) for b, ps in sorted(pos_deletes.items())
-                     for q in ps],
-                    columns=["_dl_file", "_dl_dv_pos"],
-                ),
-                "_dl_file string, _dl_dv_pos long",
+            # grown positions = new vector minus old, both decoded
+            # executor-side; the join side is bounded by the commit's
+            # new-vector cardinalities, broadcast only when small
+            new_map = {b: nd for b, (nd, _od) in dv_changed.items() if nd}
+            old_map = {
+                b: od
+                for b, (_nd, od) in dv_changed.items()
+                if od and int(od.get("cardinality") or 0)
+            }
+            wanted = _dv_relation(spark, path, new_map)
+            if old_map:
+                wanted = wanted.join(
+                    _dv_relation(spark, path, old_map),
+                    ["_dl_file", "_dl_dv_pos"], "left_anti",
+                )
+            total = sum(
+                int(d.get("cardinality") or 0) for d in new_map.values()
             )
+            if total <= _DV_BROADCAST_CAP:
+                wanted = F.broadcast(wanted)
             out_parts.append(
-                tagged.join(F.broadcast(wanted), ["_dl_file", "_dl_dv_pos"])
+                tagged.join(wanted, ["_dl_file", "_dl_dv_pos"])
                 .drop("_dl_file", "_dl_dv_pos")
                 .withColumn("_change_type", F.lit("delete"))
                 .withColumn("_commit_version", lit_v)

@@ -2393,3 +2393,30 @@ def test_concurrent_txn_append_is_idempotent(spark, tmp_path, monkeypatch):
     assert _sorted_rows(read_delta(spark, path)) == [
         (1, "a", 1.0), (5, "e", 5.0),
     ]
+
+
+def test_change_feed_remove_of_dv_file_emits_only_live_rows(spark, tmp_path):
+    """A dataChange remove of a file that CARRIES a deletion vector
+    must surface only its LIVE rows as deletes (old DV applied,
+    executor-decoded) — and the overwrite's adds as inserts."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta, read_delta_changes,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(k, "p", float(k)) for k in range(5)]).coalesce(1),
+        path, mode="error",
+    )
+    delete_where_delta(spark, path, F.col("k") == 2)      # v1: DV
+    write_delta(_df(spark, [(9, "z", 9.0)]).coalesce(1),
+                path, mode="overwrite")                    # v2: remove+add
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in read_delta_changes(spark, path, 1, 2).collect()
+    )
+    # k=2 was already dead at v1 — it must NOT re-surface as a delete
+    assert got == [
+        (2, "delete", 0), (2, "delete", 1), (2, "delete", 3),
+        (2, "delete", 4), (2, "insert", 9),
+    ]
