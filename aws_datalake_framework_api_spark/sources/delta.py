@@ -355,7 +355,12 @@ def _stage_mutation(
     """Stage rewritten LOGICAL rows for a mutation commit: on mapped
     tables the files/partitionValues/stats must spell PHYSICAL names
     (+ parquet ids in id mode) — the same conversion the append path
-    applies."""
+    applies.  Data-changing rewrites re-enforce the table's CHECK
+    constraints (an UPDATE/MERGE can introduce a violating value);
+    pure rearrangement (OPTIMIZE) skips the guard — its rows already
+    passed on their original write."""
+    if data_change:
+        df = _constraint_guard(df, snap)
     sj = json.loads(snap.metadata["schemaString"])
     logical_parts = list(snap.metadata.get("partitionColumns") or [])
     mode = _mapping_mode(snap)
@@ -1417,7 +1422,7 @@ def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
 #: spec-violating classic checkpoint.
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "deletionVectors", "timestampNtz", "columnMapping",
-    "v2Checkpoint",
+    "v2Checkpoint", "checkConstraints",
 }
 _MAX_SIMPLE_WRITER_VERSION = 2
 
@@ -1425,8 +1430,11 @@ _MAX_SIMPLE_WRITER_VERSION = 2
 def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
     """Refuse to mutate a table whose protocol demands writer
     capabilities this implementation lacks (invariants, CDF, generated
-    / identity columns, CHECK constraints...), and honor
-    ``delta.appendOnly``.  Column-mapped tables admit ``append`` /
+    / identity columns...), and honor ``delta.appendOnly``.  CHECK
+    constraints (``delta.constraints.*``) are SUPPORTED: every write
+    path routes its logical rows through :func:`_constraint_guard`, so
+    the write job fails on a violating row exactly as delta-spark's
+    would (r7).  Column-mapped tables admit ``append`` /
     ``overwrite`` only (the writer renames to physical and stamps ids
     — see write_delta); their rewrite-style mutations stay refused.
 
@@ -1454,8 +1462,6 @@ def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
                 )
         elif writer <= 6:
             used = []
-            if any(k.startswith("delta.constraints.") for k in conf):
-                used.append("checkConstraints")
             if conf.get("delta.enableChangeDataFeed") == "true":
                 used.append("changeDataFeed")
             meta_key = _find_field_metadata_key(
@@ -1543,6 +1549,129 @@ def _find_invariant(fields, prefix: str = "") -> str | None:
             if hit is not None:
                 return hit
     return None
+
+
+def _table_constraints(snap: _Snapshot) -> dict[str, str]:
+    """The table's CHECK constraints: {name: sql_expr} from
+    ``delta.constraints.<name>`` configuration keys."""
+    conf = (snap.metadata or {}).get("configuration") or {}
+    pre = "delta.constraints."
+    return {k[len(pre):]: v for k, v in conf.items() if k.startswith(pre)}
+
+
+def _constraint_guard(df: DataFrame, snap: _Snapshot) -> DataFrame:
+    """Enforce the table's CHECK constraints on rows about to be
+    written: a violating row fails the WRITE JOB (delta-spark's
+    enforcement semantics — SQL three-valued logic, so a NULL
+    evaluation PASSES; only an explicit FALSE violates).  The guard
+    rides the first output column, like the non-nullable guard, so
+    column pruning can never elide it.  Runs on LOGICAL column names —
+    callers apply it before any physical rename."""
+    checks = _table_constraints(snap)
+    if not checks or not df.schema.fields:
+        return df
+    first = df.schema.fields[0]
+    guard = F.col(first.name)
+    for name, expr in sorted(checks.items()):
+        guard = F.when(
+            ~F.coalesce(F.expr(expr), F.lit(True)),
+            F.raise_error(
+                F.lit(
+                    f"CHECK constraint {name} ({expr}) violated by a "
+                    "written row"
+                )
+            ).cast(first.dataType),
+        ).otherwise(guard)
+    return df.select(
+        guard.alias(first.name),
+        *[F.col(f.name) for f in df.schema.fields[1:]],
+    )
+
+
+def add_constraint_delta(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """``ALTER TABLE ADD CONSTRAINT``: verify every EXISTING row
+    satisfies ``expr`` (delta-spark scans before admitting a
+    constraint), then commit the ``delta.constraints.<name>``
+    configuration — upgrading legacy protocols to minWriterVersion 3
+    (the version that bundles CHECK constraints) when needed.  Later
+    writes enforce it via :func:`_constraint_guard`."""
+    snap, latest = _snapshot(spark, path)
+    if name in _table_constraints(snap):
+        raise ValueError(f"constraint {name!r} already exists")
+    rels = sorted(snap.files)
+    rows = _logical_scan(spark, path, snap, rels, _dv_map(path, snap, rels))
+    violations = rows.filter(~F.coalesce(F.expr(expr), F.lit(True))).count()
+    if violations:
+        raise ValueError(
+            f"cannot add CHECK constraint {name} ({expr}): "
+            f"{violations} existing row(s) violate it"
+        )
+    md = dict(snap.metadata)
+    conf = dict(md.get("configuration") or {})
+    conf[f"delta.constraints.{name}"] = expr
+    md["configuration"] = conf
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+            }
+        }
+    ]
+    proto = snap.protocol or {}
+    writer = int(proto.get("minWriterVersion", 1))
+    feats = proto.get("writerFeatures")
+    if writer < 3:
+        actions.append(
+            {"protocol": {
+                "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                "minWriterVersion": 3,
+            }}
+        )
+    elif writer == 7 and "checkConstraints" not in (feats or []):
+        actions.append(
+            {"protocol": {
+                **proto,
+                "writerFeatures": sorted(
+                    set(feats or []) | {"checkConstraints"}
+                ),
+            }}
+        )
+    actions.append({"metaData": md})
+    version = latest + 1
+    _commit_mutation(path, version, actions, "ADD CONSTRAINT")
+    return version
+
+
+def drop_constraint_delta(spark: SparkSession, path: str, name: str) -> int:
+    """``ALTER TABLE DROP CONSTRAINT``: remove the configuration key;
+    existing data is untouched and later writes stop enforcing it."""
+    snap, latest = _snapshot(spark, path)
+    if name not in _table_constraints(snap):
+        raise ValueError(f"no CHECK constraint named {name!r}")
+    md = dict(snap.metadata)
+    conf = dict(md.get("configuration") or {})
+    del conf[f"delta.constraints.{name}"]
+    md["configuration"] = conf
+    version = latest + 1
+    _commit_mutation(
+        path, version,
+        [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "DROP CONSTRAINT",
+                    "operationParameters": {"name": name},
+                }
+            },
+            {"metaData": md},
+        ],
+        "DROP CONSTRAINT",
+    )
+    return version
 
 
 def _check_schema_compat(
@@ -1737,6 +1866,7 @@ def write_delta(
             df = df.select(*[f.name for f in evolved.fields])
         if txn is not None and int(txn[1]) <= snap.txns.get(txn[0], -1):
             return latest
+        df = _constraint_guard(df, snap)  # CHECK constraints (r7)
     os.makedirs(path, exist_ok=True)
     version = (latest + 1) if latest is not None else 0
     actions: list[dict] = [

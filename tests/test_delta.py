@@ -2420,3 +2420,78 @@ def test_change_feed_remove_of_dv_file_emits_only_live_rows(spark, tmp_path):
         (2, "delete", 0), (2, "delete", 1), (2, "delete", 3),
         (2, "delete", 4), (2, "insert", 9),
     ]
+
+
+# --------------------------------------------- r7: CHECK constraints
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """ADD CONSTRAINT verifies existing rows, later writes enforce it
+    (append, UPDATE, MERGE), NULL evaluations pass (SQL three-valued
+    logic), and DROP re-admits — delta-spark's CHECK surface."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        add_constraint_delta, drop_constraint_delta, merge_delta,
+        update_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), path,
+                mode="error")
+    v = add_constraint_delta(spark, path, "v_positive", "v > 0")
+    assert v == 1
+    # violating append fails the WRITE JOB and commits nothing
+    with pytest.raises(Exception, match="v_positive"):
+        write_delta(_df(spark, [(3, "c", -3.0)]), path, mode="append")
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0),
+    ]
+    # passing append lands; NULL evaluation passes (three-valued logic)
+    write_delta(
+        spark.createDataFrame([(4, "d", None)],
+                              "k int, part string, v double"),
+        path, mode="append",
+    )
+    # UPDATE that would violate fails; one that passes lands
+    with pytest.raises(Exception, match="v_positive"):
+        update_delta(spark, path, F.col("k") == 1, {"v": -5.0})
+    update_delta(spark, path, F.col("k") == 1, {"v": 10.0})
+    # MERGE enforcement
+    with pytest.raises(Exception, match="v_positive"):
+        merge_delta(spark, path, _df(spark, [(2, "b", -2.0)]), on=["k"])
+    # adding a constraint existing rows violate is refused
+    with pytest.raises(ValueError, match="existing row"):
+        add_constraint_delta(spark, path, "k_small", "k < 3")
+    # duplicate name refused; drop re-admits negative values
+    with pytest.raises(ValueError, match="already exists"):
+        add_constraint_delta(spark, path, "v_positive", "v > 0")
+    drop_constraint_delta(spark, path, "v_positive")
+    write_delta(_df(spark, [(9, "z", -9.0)]), path, mode="append")
+    assert (9, "z", -9.0) in _sorted_rows(read_delta(spark, path))
+
+
+def test_foreign_constraint_table_is_writable_with_enforcement(
+    spark, tmp_path
+):
+    """A foreign (1,3) table carrying delta.constraints.* — previously
+    refused by the legacy-version gate — is now writable, with the
+    constraint enforced."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    # retrofit the shape a legacy delta-spark writer leaves
+    acts = [json.loads(ln) for ln in open(_version_file(path, 0))]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.constraints.positive": "v > 0"
+            }
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 3}
+    open(_version_file(path, 0), "w").write(
+        "\n".join(json.dumps(a) for a in acts) + "\n"
+    )
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    with pytest.raises(Exception, match="positive"):
+        write_delta(_df(spark, [(3, "c", -1.0)]), path, mode="append")
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0),
+    ]
