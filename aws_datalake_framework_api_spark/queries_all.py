@@ -169,6 +169,7 @@ _ORDER = [
     "b_win_topk",
     # -- round-7 additions (registered this round, driver row due r8) --
     "b_lake_iceberg_merge",
+    "b_lake_delta_constraint",
     # -- everything already hash-proved in r3-r6 and unchanged —
     #    last; registration order fills in any id not listed here.
 ]

@@ -3639,3 +3639,67 @@ def scan_delta_cmap_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         money_sum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "b_lake_delta_constraint",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 5 = 0 OR o_orderkey % 5 = 1
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_delta_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint lifecycle (r7): create (keys ≡0 mod 5) → ADD
+    CONSTRAINT ``o_totalprice > 0`` (existing rows verified) → a
+    conforming append (keys ≡1 mod 5) lands through the enforcement
+    guard → a VIOLATING append (prices negated) must FAIL and commit
+    nothing.  The oracle recomputes the conforming union; a landed
+    violating row, a dropped conforming batch, or enforcement
+    silently disabled all fail the hash compare."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"delta_constraint_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        complete = (
+            _table_version(path) == 2
+            and "delta.constraints.price_positive"
+            in ((_snapshot(spark, path)[0].metadata or {}).get(
+                "configuration") or {})
+        )
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 5 == 0), path, mode="error"
+        )
+        add_constraint_delta(
+            spark, path, "price_positive", "o_totalprice > 0"
+        )
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 5 == 1), path, mode="append"
+        )
+        try:
+            write_delta(
+                orders.filter(F.col("o_orderkey") % 5 == 2).withColumn(
+                    "o_totalprice", -F.col("o_totalprice")
+                ),
+                path, mode="append",
+            )
+            raise AssertionError(
+                "violating append must fail the CHECK constraint"
+            )
+        except AssertionError:
+            raise
+        except Exception:
+            pass  # the enforcement guard failed the write job, as designed
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
