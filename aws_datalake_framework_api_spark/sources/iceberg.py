@@ -1551,6 +1551,45 @@ def _partition_value_col(pf: dict):
     raise ValueError(f"cannot write under partition transform {t!r}")
 
 
+def _required_guard(df: DataFrame, schema_json: dict) -> DataFrame:
+    """Enforce the schema's ``required`` (non-null) fields at WRITE
+    time: Spark types every file-source read nullable, so refusing
+    nullable write columns would refuse every read→transform→write
+    round-trip — instead a NULL reaching a required column fails the
+    write job (the Delta connector's AssertNotNull pattern).  A data
+    file holding NULL in a required field would be spec-corrupt for
+    every Iceberg reader; this keeps it unwritable (r7)."""
+    req = {
+        f["name"]
+        for f in schema_json.get("fields") or []
+        if f.get("required")
+    }
+    guard = [
+        f.name for f in df.schema.fields
+        if f.name in req and f.nullable
+    ]
+    if not guard:
+        return df
+    return df.select(
+        *[
+            F.when(
+                F.col(f.name).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"NULL value for required column {f.name!r} "
+                        "(iceberg schema enforcement)"
+                    )
+                ).cast(f.dataType),
+            )
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if f.name in guard
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
 def _stamp_field_ids(df: DataFrame, schema_json: dict) -> DataFrame:
     """Stamp parquet field ids from the table schema into the written
     files (spec requirement for writers; what makes rename-safe
@@ -1588,7 +1627,7 @@ def _stage_data_files(
     transform evaluation is the writer's job, JVM-side builtins for
     everything except bucket (Arrow-batched seed-0 murmur3)."""
     staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
-    w = _stamp_field_ids(df, schema_json)
+    w = _stamp_field_ids(_required_guard(df, schema_json), schema_json)
     for pf in part_spec:
         w = w.withColumn(f"_ice_p_{pf['name']}", _partition_value_col(pf))
     writer = w.write.mode("errorifexists")

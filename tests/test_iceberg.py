@@ -1582,3 +1582,38 @@ def test_iceberg_many_partition_read_plans_single_scan(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "GreaterThan(k,490)" in plan2
+
+
+def test_required_fields_enforced_on_write(spark, tmp_path):
+    """A table created from a non-nullable column records it
+    ``required``; a later append feeding NULL into it must fail the
+    write job (spec: required fields cannot hold NULL), while
+    non-null appends land."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField,
+        StructType as ST,
+    )
+
+    schema = ST([
+        StructField("k", IntegerType(), nullable=False),
+        StructField("part", StringType(), nullable=True),
+        StructField("v", DoubleType(), nullable=True),
+    ])
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, "a", 1.0)], schema), path, mode="error"
+    )
+    meta = _load_metadata(path)
+    fields = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    assert fields["k"]["required"] and not fields["part"]["required"]
+    # a nullable-typed append with no actual NULLs lands (runtime guard)
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    with pytest.raises(Exception, match="required column 'k'"):
+        write_iceberg(
+            spark.createDataFrame([(None, "c", 3.0)],
+                                  "k int, part string, v double"),
+            path, mode="append",
+        )
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0),
+    ]
