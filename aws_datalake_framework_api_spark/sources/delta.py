@@ -1422,7 +1422,7 @@ def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
 #: spec-violating classic checkpoint.
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "deletionVectors", "timestampNtz", "columnMapping",
-    "v2Checkpoint", "checkConstraints",
+    "v2Checkpoint", "checkConstraints", "generatedColumns",
 }
 _MAX_SIMPLE_WRITER_VERSION = 2
 
@@ -1464,8 +1464,11 @@ def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
             used = []
             if conf.get("delta.enableChangeDataFeed") == "true":
                 used.append("changeDataFeed")
+            # generated columns (writer v4) are ENFORCED, not refused
+            # (see _constraint_guard); identity columns need allocator
+            # state this writer lacks and stay refused
             meta_key = _find_field_metadata_key(
-                schema_fields, ("delta.generationExpression", "delta.identity.")
+                schema_fields, ("delta.identity.",)
             )
             if meta_key is not None:
                 used.append(meta_key)
@@ -1559,16 +1562,34 @@ def _table_constraints(snap: _Snapshot) -> dict[str, str]:
     return {k[len(pre):]: v for k, v in conf.items() if k.startswith(pre)}
 
 
+def _generated_exprs(snap: _Snapshot) -> dict[str, str]:
+    """Generated columns: {name: generation_sql} from top-level
+    ``delta.generationExpression`` field metadata."""
+    sj = json.loads(snap.metadata["schemaString"]) if snap.metadata else {}
+    out = {}
+    for f in sj.get("fields") or []:
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr is not None:
+            out[f["name"]] = expr
+    return out
+
+
 def _constraint_guard(df: DataFrame, snap: _Snapshot) -> DataFrame:
-    """Enforce the table's CHECK constraints on rows about to be
-    written: a violating row fails the WRITE JOB (delta-spark's
-    enforcement semantics — SQL three-valued logic, so a NULL
-    evaluation PASSES; only an explicit FALSE violates).  The guard
-    rides the first output column, like the non-nullable guard, so
-    column pruning can never elide it.  Runs on LOGICAL column names —
+    """Enforce the table's CHECK constraints AND generated-column
+    expressions on rows about to be written: a violating row fails the
+    WRITE JOB.  Constraints use delta-spark's enforcement semantics —
+    SQL three-valued logic, so a NULL evaluation PASSES; only an
+    explicit FALSE violates.  Generated columns use delta-spark's
+    provided-value rule: this writer's schema contract means every
+    column is always provided, and a provided value must EQUAL the
+    generation expression (null-safe), exactly what delta-spark checks
+    when a generated column is supplied explicitly.  The guard rides
+    the first output column, like the non-nullable guard, so column
+    pruning can never elide it.  Runs on LOGICAL column names —
     callers apply it before any physical rename."""
     checks = _table_constraints(snap)
-    if not checks or not df.schema.fields:
+    gen = _generated_exprs(snap)
+    if (not checks and not gen) or not df.schema.fields:
         return df
     first = df.schema.fields[0]
     guard = F.col(first.name)
@@ -1579,6 +1600,17 @@ def _constraint_guard(df: DataFrame, snap: _Snapshot) -> DataFrame:
                 F.lit(
                     f"CHECK constraint {name} ({expr}) violated by a "
                     "written row"
+                )
+            ).cast(first.dataType),
+        ).otherwise(guard)
+    for name, expr in sorted(gen.items()):
+        want = F.expr(expr).cast(df.schema[name].dataType)
+        guard = F.when(
+            ~F.col(name).eqNullSafe(want),
+            F.raise_error(
+                F.lit(
+                    f"generated column {name} does not match its "
+                    f"generation expression ({expr})"
                 )
             ).cast(first.dataType),
         ).otherwise(guard)

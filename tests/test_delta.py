@@ -2495,3 +2495,50 @@ def test_foreign_constraint_table_is_writable_with_enforcement(
     assert _sorted_rows(read_delta(spark, path)) == [
         (1, "a", 1.0), (2, "b", 2.0),
     ]
+
+
+def test_generated_columns_enforced_not_refused(spark, tmp_path):
+    """A foreign table with delta.generationExpression (writer v4)
+    is writable: provided values that EQUAL the expression land,
+    mismatching ones fail the write job — delta-spark's
+    provided-value rule for generated columns."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "p1", 1.0)]), path, mode="error")
+    acts = [json.loads(ln) for ln in open(_version_file(path, 0))]
+    for a in acts:
+        if "metaData" in a:
+            sj = json.loads(a["metaData"]["schemaString"])
+            for f in sj["fields"]:
+                if f["name"] == "part":
+                    f["metadata"] = {
+                        "delta.generationExpression":
+                            "concat('p', cast(k as string))"
+                    }
+            a["metaData"]["schemaString"] = json.dumps(sj)
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 4}
+    open(_version_file(path, 0), "w").write(
+        "\n".join(json.dumps(a) for a in acts) + "\n"
+    )
+    write_delta(_df(spark, [(2, "p2", 2.0)]), path, mode="append")
+    with pytest.raises(Exception, match="generation expression"):
+        write_delta(_df(spark, [(3, "wrong", 3.0)]), path, mode="append")
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "p1", 1.0), (2, "p2", 2.0),
+    ]
+    # UPDATE that would break the generation expression fails too
+    from aws_datalake_framework_api_spark.sources.delta import update_delta
+    with pytest.raises(Exception, match="generation expression"):
+        update_delta(spark, path, F.col("k") == 2, {"part": "nope"})
+    # identity columns stay refused
+    acts = [json.loads(ln) for ln in open(_version_file(path, 0))]
+    for a in acts:
+        if "metaData" in a:
+            sj = json.loads(a["metaData"]["schemaString"])
+            sj["fields"][0]["metadata"] = {"delta.identity.start": "1"}
+            a["metaData"]["schemaString"] = json.dumps(sj)
+    open(_version_file(path, 0), "w").write(
+        "\n".join(json.dumps(a) for a in acts) + "\n"
+    )
+    with pytest.raises(ValueError, match="identityColumns"):
+        write_delta(_df(spark, [(9, "p9", 9.0)]), path, mode="append")
