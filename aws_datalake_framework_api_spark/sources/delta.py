@@ -377,6 +377,74 @@ def _stage_mutation(
     )
 
 
+_CDC_DIR = "_change_data"
+
+
+def _cdf_enabled(snap: _Snapshot) -> bool:
+    conf = (snap.metadata or {}).get("configuration") or {}
+    return conf.get("delta.enableChangeDataFeed") == "true"
+
+
+def _stage_cdc(df: DataFrame, snap: _Snapshot, path: str) -> list[dict]:
+    """Stage row-level CHANGE DATA (table columns + ``_change_type``)
+    as parquet under ``_change_data/`` and return the protocol's
+    ``cdc`` actions ({path, partitionValues: {}, size, dataChange:
+    false}).  A commit that carries cdc actions is read from THEM
+    exclusively by CDF readers (the protocol's rule — mixing cdc and
+    add/remove derivation would double-count), so every mutation
+    writes its complete row-level change set.  On column-mapped
+    tables the data columns spell PHYSICAL names, like data files;
+    ``_change_type`` stays literal (it is not a schema column)."""
+    sj = json.loads(snap.metadata["schemaString"])
+    mode = _mapping_mode(snap)
+    data_cols = [f["name"] for f in sj.get("fields") or []]
+    if mode in ("name", "id"):
+        # the same rename _to_physical_df applies, inline so the
+        # _change_type column rides along in the one projection
+        phys = StructType.fromJson(
+            _physical_json(sj, with_ids=(mode == "id"))
+        )
+        src_types = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for lname, pf in zip(data_cols, phys.fields):
+            col = F.col(lname)
+            if pf.dataType != src_types[lname]:
+                col = col.cast(pf.dataType)
+            if pf.metadata:
+                cols.append(col.alias(pf.name, metadata=dict(pf.metadata)))
+            else:
+                cols.append(col.alias(pf.name))
+    else:
+        cols = [F.col(c) for c in data_cols]
+    staged_df = df.select(*cols, F.col("_change_type"))
+    cdc_dir = os.path.join(path, _CDC_DIR)
+    staging = os.path.join(path, f".staging-cdc-{uuid.uuid4().hex[:12]}")
+    staged_df.write.mode("overwrite").parquet(staging)
+    os.makedirs(cdc_dir, exist_ok=True)
+    actions: list[dict] = []
+    i = 0
+    for root, _dirs, files in os.walk(staging):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"cdc-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
+            i += 1
+            dst = os.path.join(cdc_dir, name)
+            os.replace(os.path.join(root, f), dst)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": urllib.parse.quote(f"{_CDC_DIR}/{name}"),
+                        "partitionValues": {},
+                        "size": os.path.getsize(dst),
+                        "dataChange": False,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return actions
+
+
 def _to_physical_df(df: DataFrame, sj: dict, mode: str) -> DataFrame:
     """``df`` (logical names, any column order) renamed to the mapped
     schema's PHYSICAL spelling in schema order — what the data files
@@ -1423,6 +1491,7 @@ def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "deletionVectors", "timestampNtz", "columnMapping",
     "v2Checkpoint", "checkConstraints", "generatedColumns",
+    "changeDataFeed",
 }
 _MAX_SIMPLE_WRITER_VERSION = 2
 
@@ -1462,8 +1531,8 @@ def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
                 )
         elif writer <= 6:
             used = []
-            if conf.get("delta.enableChangeDataFeed") == "true":
-                used.append("changeDataFeed")
+            # changeDataFeed (writer v4) is SUPPORTED: mutations stage
+            # row-level _change_data files (see _stage_cdc)
             # generated columns (writer v4) are ENFORCED, not refused
             # (see _constraint_guard); identity columns need allocator
             # state this writer lacks and stay refused
@@ -1675,6 +1744,51 @@ def add_constraint_delta(
     actions.append({"metaData": md})
     version = latest + 1
     _commit_mutation(path, version, actions, "ADD CONSTRAINT")
+    return version
+
+
+def alter_table_properties_delta(
+    spark: SparkSession,
+    path: str,
+    set_props: dict[str, str] | None = None,
+    unset: list[str] | None = None,
+) -> int:
+    """``ALTER TABLE SET/UNSET TBLPROPERTIES``: one metadata commit
+    updating ``configuration`` (e.g. ``delta.enableChangeDataFeed``,
+    ``delta.appendOnly``).  Constraint keys go through
+    :func:`add_constraint_delta` instead — they need the existing-row
+    verification scan."""
+    bad = [k for k in (set_props or {}) if k.startswith("delta.constraints.")]
+    if bad:
+        raise ValueError(
+            f"use add_constraint_delta for {bad} (existing rows must be "
+            "verified)"
+        )
+    snap, latest = _snapshot(spark, path)
+    md = dict(snap.metadata)
+    conf = dict(md.get("configuration") or {})
+    conf.update(set_props or {})
+    for k in unset or []:
+        conf.pop(k, None)
+    md["configuration"] = conf
+    version = latest + 1
+    _commit_mutation(
+        path, version,
+        [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(set_props or {}),
+                        "unset": json.dumps(unset or []),
+                    },
+                }
+            },
+            {"metaData": md},
+        ],
+        "SET TBLPROPERTIES",
+    )
     return version
 
 
@@ -2226,6 +2340,16 @@ def update_delta(
             c,
             F.when(condition, F.lit(v).cast(types[c])).otherwise(F.col(c)),
         )
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(snap) and matched:
+        pre = rows.filter(condition).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = rows.filter(condition)
+        for c, v in assignments.items():
+            post = post.withColumn(c, F.lit(v).cast(types[c]))
+        post = post.withColumn("_change_type", F.lit("update_postimage"))
+        cdc_actions = _stage_cdc(pre.unionByName(post), snap, path)
     version = latest + 1
     now = int(time.time() * 1000)
     actions: list[dict] = [
@@ -2246,6 +2370,7 @@ def update_delta(
             rm["deletionVector"] = snap.files[rel]["deletionVector"]
         actions.append({"remove": rm})
     actions.extend(_stage_mutation(updated, snap, path, version))
+    actions.extend(cdc_actions)
     _commit_mutation(path, version, actions, "UPDATE")
     return version, matched
 
@@ -2376,6 +2501,15 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
             }
         }
     ]
+    if _cdf_enabled(snap):
+        actions.extend(
+            _stage_cdc(
+                tagged.filter(condition)
+                .drop("_dl_file", "_dl_dv_pos")
+                .withColumn("_change_type", F.lit("delete")),
+                snap, path,
+            )
+        )
     upgrade = _dv_protocol_upgrade(snap)
     if upgrade:
         actions.append(upgrade)
@@ -2496,9 +2630,17 @@ def merge_delta(
     hit_rows = _logical_scan(
         spark, path, snap, hit_rels, _dv_map(path, snap, hit_rels)
     )
-    new_data, stats = plan_merge(
-        hit_rows, source, on, clauses, cols, types, target.select(*on)
+    want_cdc = _cdf_enabled(snap)
+    planned = plan_merge(
+        hit_rows, source, on, clauses, cols, types, target.select(*on),
+        want_changes=want_cdc,
     )
+    new_data, stats = planned[0], planned[1]
+    cdc_actions: list[dict] = []
+    if want_cdc and planned[2] is not None and (
+        stats["updated"] or stats["deleted"] or stats["inserted"]
+    ):
+        cdc_actions = _stage_cdc(planned[2], snap, path)
     n_updated, n_deleted, n_inserted = (
         stats["updated"], stats["deleted"], stats["inserted"],
     )
@@ -2528,6 +2670,7 @@ def merge_delta(
             rm["deletionVector"] = snap.files[rel]["deletionVector"]
         actions.append({"remove": rm})
     actions.extend(_stage_mutation(new_data, snap, path, version))
+    actions.extend(cdc_actions)
     _commit_mutation(path, version, actions, "MERGE")
     return {
         "version": version,
@@ -2763,6 +2906,51 @@ def read_delta_changes(
             )
         with open(vf) as fh:
             acts = [json.loads(line) for line in fh if line.strip()]
+        cdc_acts = [a["cdc"] for a in acts if "cdc" in a]
+        if cdc_acts:
+            # the protocol's rule: a commit carrying cdc actions is
+            # read from THEM exclusively — deriving from add/remove
+            # too would double-count the change set
+            from pyspark.sql.types import StringType, StructField
+
+            lit_v = F.lit(v).cast("long")
+            types_ = {f.name: f.dataType for f in schema.fields}
+            data_fields = [
+                f for f in schema.fields if f.name not in part_cols
+            ]
+            ct = StructField("_change_type", StringType())
+            for c in cdc_acts:
+                fpath = os.path.join(path, urllib.parse.unquote(c["path"]))
+                pvals = c.get("partitionValues") or {}
+                if pvals:
+                    # foreign writer: partition values live in the
+                    # action, data columns in the file
+                    body = spark.read.schema(
+                        StructType(data_fields + [ct])
+                    ).parquet(fpath)
+                    for pc in part_cols:
+                        body = body.withColumn(
+                            pc, F.lit(pvals.get(pc)).cast(types_[pc])
+                        )
+                else:
+                    # this writer: all columns live in the file
+                    body = spark.read.schema(
+                        StructType(list(schema.fields) + [ct])
+                    ).parquet(fpath)
+                if rename is not None:
+                    body = body.select(
+                        *[
+                            (F.col(p).cast(lt) if needs else F.col(p)).alias(l)
+                            for p, l, lt, needs in rename
+                        ],
+                        "_change_type",
+                    )
+                else:
+                    body = body.select(
+                        *[f.name for f in schema.fields], "_change_type"
+                    )
+                out_parts.append(body.withColumn("_commit_version", lit_v))
+            continue
         adds = {a["add"]["path"]: a["add"] for a in acts if "add" in a}
         removes = {a["remove"]["path"]: a["remove"] for a in acts if "remove" in a}
         ins_files: dict[str, dict] = {}

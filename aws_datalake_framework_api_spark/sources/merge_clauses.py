@@ -83,7 +83,8 @@ def plan_merge(
     cols: list[str],
     types: dict,
     target_keys: DataFrame | None,
-) -> tuple[DataFrame, dict]:
+    want_changes: bool = False,
+) -> tuple:
     """Resolve the clause list over the rewrite set.
 
     ``hit_rows``: the target rows being rewritten (merge-on-read
@@ -92,7 +93,13 @@ def plan_merge(
     skips insert planning even if insert clauses exist.  Returns
     ``(new_data, stats)`` where ``new_data`` holds the rewrite set's
     surviving/updated rows plus qualifying inserts, in ``cols`` order,
-    and ``stats`` = {"updated", "deleted", "inserted"}."""
+    and ``stats`` = {"updated", "deleted", "inserted"}.
+
+    ``want_changes=True`` returns ``(new_data, stats, changes)`` where
+    ``changes`` is the row-level change set (``cols`` +
+    ``_change_type`` ∈ {update_preimage, update_postimage, delete,
+    insert}) — what a CDF-enabled Delta merge must record — or None
+    when the clause list produced no changes."""
     insert_cl = [c for c in clauses if c["when"] == "not_matched"]
     s_marked = source.withColumn("_mg_s", F.lit(True))
     join_cond = reduce(
@@ -150,7 +157,28 @@ def plan_merge(
     if delete_ids:
         kept = kept.filter(~F.col("_mg_action").isin(*sorted(delete_ids)))
     new_data = kept.select(*out_cols)
+    t_cols = [F.col(f"t.`{c}`").alias(c) for c in cols]
+    change_parts = []
+    if want_changes and update_ids:
+        upd = tagged.filter(F.col("_mg_action").isin(*sorted(update_ids)))
+        change_parts.append(
+            upd.select(*t_cols).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+        )
+        change_parts.append(
+            upd.select(*out_cols).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        )
+    if want_changes and delete_ids:
+        change_parts.append(
+            tagged.filter(F.col("_mg_action").isin(*sorted(delete_ids)))
+            .select(*t_cols)
+            .withColumn("_change_type", F.lit("delete"))
+        )
     n_inserted = 0
+    inserts = None
     if insert_cl and target_keys is not None:
         unmatched_src = source.alias("s").join(
             target_keys.distinct(), on, "left_anti"
@@ -187,8 +215,18 @@ def plan_merge(
         inserts = ins_tagged.select(*ins_cols)
         n_inserted = inserts.count()
         new_data = new_data.unionByName(inserts)
-    return new_data, {
+    stats = {
         "updated": sum(counts.get(i, 0) for i in update_ids),
         "deleted": sum(counts.get(i, 0) for i in delete_ids),
         "inserted": n_inserted,
     }
+    if not want_changes:
+        return new_data, stats
+    if inserts is not None:
+        change_parts.append(
+            inserts.withColumn("_change_type", F.lit("insert"))
+        )
+    changes = None
+    for part in change_parts:
+        changes = part if changes is None else changes.unionByName(part)
+    return new_data, stats, changes

@@ -1807,8 +1807,10 @@ def _snapshot_of(spark, path):
 
 
 def test_legacy_writer_versions_gate_on_actual_capabilities(spark, tmp_path):
-    """A (2,5) table with nothing else configured is writable; the same
-    protocol with CDF enabled or a generated column declared refuses."""
+    """A (2,5) table with nothing else configured is writable; CDF
+    enabled on the same protocol is writable too since r7 (mutations
+    stage _change_data); an identity column — the one capability this
+    writer genuinely lacks — still refuses."""
     path, _ = _mapped_table(spark, tmp_path)
     with open(_version_file(path, 0)) as fh:
         lines = [json.loads(ln) for ln in fh if ln.strip()]
@@ -1819,8 +1821,20 @@ def test_legacy_writer_versions_gate_on_actual_capabilities(spark, tmp_path):
             ] = "true"
     with open(_version_file(path, 0), "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in lines))
-    with pytest.raises(ValueError, match="changeDataFeed"):
-        write_delta(_df(spark, [(9, "z", 9.0)]), path, mode="append")
+    write_delta(_df(spark, [(9, "z", 9.0)]), path, mode="append")
+    assert (9, "z", 9.0) in _sorted_rows(read_delta(spark, path))
+    # identity columns stay refused on the legacy bundle
+    with open(_version_file(path, 0)) as fh:
+        lines = [json.loads(ln) for ln in fh if ln.strip()]
+    for act in lines:
+        if "metaData" in act:
+            sj = json.loads(act["metaData"]["schemaString"])
+            sj["fields"][0]["metadata"]["delta.identity.start"] = "1"
+            act["metaData"]["schemaString"] = json.dumps(sj)
+    with open(_version_file(path, 0), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in lines))
+    with pytest.raises(ValueError, match="identityColumns"):
+        write_delta(_df(spark, [(8, "y", 8.0)]), path, mode="append")
 
 
 def test_column_mapping_survives_checkpoint(spark, tmp_path):
@@ -2542,3 +2556,89 @@ def test_generated_columns_enforced_not_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="identityColumns"):
         write_delta(_df(spark, [(9, "p9", 9.0)]), path, mode="append")
+
+
+# ----------------------------------------------------- r7: CDF writes
+
+
+def test_cdf_mutations_write_and_read_row_level_changes(spark, tmp_path):
+    """With delta.enableChangeDataFeed=true, DELETE/UPDATE/MERGE stage
+    row-level _change_data files (cdc actions, dataChange=false) and
+    read_delta_changes reads those commits from the cdc files
+    EXCLUSIVELY — update_preimage/postimage pairs instead of
+    file-granular delete+insert noise."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        alter_table_properties_delta, delete_where_delta, merge_delta,
+        read_delta_changes, update_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
+                    (4, "d", 4.0)]).coalesce(1),
+        path, mode="error",
+    )
+    alter_table_properties_delta(
+        spark, path, {"delta.enableChangeDataFeed": "true"}
+    )                                                        # v1
+    delete_where_delta(spark, path, F.col("k") == 2)         # v2
+    update_delta(spark, path, F.col("k") == 3, {"v": 30.0})  # v3
+    merge_delta(spark, path,
+                _df(spark, [(4, "d", 40.0), (9, "z", 9.0)]), on=["k"])  # v4
+
+    def changes(lo, hi):
+        return sorted(
+            (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+            for r in read_delta_changes(spark, path, lo, hi).collect()
+        )
+
+    # DELETE: exactly the deleted ROW, not the file's other rows
+    assert changes(1, 2) == [(2, "delete", 2, 2.0)]
+    # UPDATE: pre/post images, not delete+insert of the whole file
+    assert changes(2, 3) == [
+        (3, "update_postimage", 3, 30.0), (3, "update_preimage", 3, 3.0),
+    ]
+    # MERGE: row-level update pair + insert; carried rows are silent
+    assert changes(3, 4) == [
+        (4, "insert", 9, 9.0),
+        (4, "update_postimage", 4, 40.0), (4, "update_preimage", 4, 4.0),
+    ]
+    # the cdc actions exist and are dataChange=false under _change_data/
+    acts = [json.loads(ln) for ln in open(_version_file(path, 2))]
+    cdcs = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdcs and all(
+        not c["dataChange"] and c["path"].startswith("_change_data/")
+        for c in cdcs
+    )
+    # table state itself is unaffected by cdc files
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (3, "c", 30.0), (4, "d", 40.0), (9, "z", 9.0),
+    ]
+
+
+def test_cdf_foreign_v4_table_writable_and_append_derived(spark, tmp_path):
+    """A foreign writer-v4 CDF table is writable now; plain appends
+    carry no cdc actions and still derive as inserts."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    acts = [json.loads(ln) for ln in open(_version_file(path, 0))]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.enableChangeDataFeed": "true"
+            }
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 4}
+    open(_version_file(path, 0), "w").write(
+        "\n".join(json.dumps(a) for a in acts) + "\n"
+    )
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")  # v1
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in read_delta_changes(spark, path, 0, 1).collect()
+    )
+    assert got == [(1, "insert", 2)]
