@@ -170,6 +170,7 @@ _ORDER = [
     # -- round-7 additions (registered this round, driver row due r8) --
     "b_lake_iceberg_merge",
     "b_lake_delta_constraint",
+    "b_lake_delta_cdf_rows",
     # -- everything already hash-proved in r3-r6 and unchanged —
     #    last; registration order fills in any id not listed here.
 ]

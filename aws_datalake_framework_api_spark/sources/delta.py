@@ -3923,3 +3923,78 @@ def scan_delta_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         money_sum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "b_lake_delta_cdf_rows",
+    f"""
+    SELECT 'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+           count(*) AS n, {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 21 = 0
+    UNION ALL
+    SELECT 'update_preimage', 3, count(*), {sql_money_sum('o_totalprice')}
+    FROM orders WHERE o_orderkey % 14 = 0 AND o_orderkey % 42 <> 0
+    UNION ALL
+    SELECT 'update_postimage', 3, count(*),
+           {sql_money_sum('o_totalprice + 500')}
+    FROM orders WHERE o_orderkey % 14 = 0 AND o_orderkey % 42 <> 0
+    UNION ALL
+    SELECT 'insert', 3, count(*),
+           {sql_money_sum(
+               "CASE WHEN o_orderkey % 42 = 0 THEN o_totalprice + 500 "
+               "ELSE o_totalprice END"
+           )}
+    FROM orders WHERE o_orderkey % 7 = 1 OR o_orderkey % 42 = 0
+    """,
+)
+def scan_delta_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROPER Change Data Feed (r7): with ``enableChangeDataFeed`` on,
+    mutations stage row-level ``_change_data`` files and the change
+    read consumes THEM exclusively — so a DV DELETE surfaces exactly
+    its deleted rows and a MERGE surfaces update_preimage/postimage
+    pairs plus inserts, with carried rows silent (the file-diff
+    derivation `b_lake_delta_cdf` exercises would instead emit
+    file-granular delete+insert noise for the rewritten file).
+    Lifecycle: create (keys ≡0 mod 7) → SET TBLPROPERTIES CDF → DV
+    DELETE (≡0 mod 21) → MERGE (+500 on ≡0 mod 14, inserts ≡1 mod 7;
+    the mod-42 keys are DEAD at merge time so their source rows
+    INSERT).  The oracle recomputes all four change groups; an
+    over-emitted carried row, a missing preimage, or a misrouted
+    commit version fails the hash compare."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"delta_cdfrows_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        ops = [h["operation"] for h in history_delta(spark, path)]
+        complete = _table_version(path) == 3 and ops == [
+            "WRITE", "SET TBLPROPERTIES", "DELETE", "MERGE",
+        ]
+    except (FileNotFoundError, ValueError, IndexError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 7 == 0).coalesce(1),
+            path, mode="error",
+        )
+        alter_table_properties_delta(
+            spark, path, {"delta.enableChangeDataFeed": "true"}
+        )
+        delete_where_delta(spark, path, F.col("o_orderkey") % 21 == 0)
+        src = orders.filter(F.col("o_orderkey") % 14 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(500.0)
+        ).unionByName(orders.filter(F.col("o_orderkey") % 7 == 1))
+        merge_delta(spark, path, src, on=["o_orderkey"])
+    return (
+        read_delta_changes(spark, path, 1, 3)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+    )
