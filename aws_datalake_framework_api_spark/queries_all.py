@@ -171,6 +171,7 @@ _ORDER = [
     "b_lake_iceberg_merge",
     "b_lake_delta_constraint",
     "b_lake_delta_cdf_rows",
+    "b_lake_iceberg_changes",
     # -- everything already hash-proved in r3-r6 and unchanged —
     #    last; registration order fills in any id not listed here.
 ]

@@ -968,14 +968,19 @@ def _plan_scan(
     eq_deletes: list[dict] | None = None,
     schema_json: dict | None = None,
     keep_file: bool = False,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """``keep_file`` retains the ``_ice_file`` basename column in the
     output — the MERGE rewrite-set planner attributes matched rows to
-    the files that must be rewritten through it."""
+    the files that must be rewritten through it; ``keep_pos`` also
+    retains ``_ice_pos`` (the changelog reader joins position-delete
+    deltas on both)."""
     if not data:
         out = spark.createDataFrame([], spark_schema)
         if keep_file:
             out = out.withColumn("_ice_file", F.lit(None).cast("string"))
+        if keep_pos:
+            out = out.withColumn("_ice_pos", F.lit(None).cast("long"))
         return out
     files = sorted({r["path"] for r in data})
 
@@ -1004,8 +1009,13 @@ def _plan_scan(
     # delete committed alongside them)
     live_eq = [d for d in (eq_deletes or []) if d["seq"] > min_seq]
     if not live_deletes and not live_eq:
-        if keep_file:
-            return build(True).drop("_ice_pos")
+        if keep_file or keep_pos:
+            out = build(True)
+            if not keep_file:
+                out = out.drop("_ice_file")
+            if not keep_pos:
+                out = out.drop("_ice_pos")
+            return out
         return build(False)
     # Basenames key both joins (full paths differ between the writer's
     # URI form and the local scan's); a collision would misattribute
@@ -1066,9 +1076,12 @@ def _plan_scan(
         tagged = _apply_eq_deletes(
             spark, tagged, live_eq, data, base_seq, res, schema_json
         )
-    if keep_file:
-        return tagged.drop("_ice_pos")
-    return tagged.drop("_ice_file", "_ice_pos")
+    drop = []
+    if not keep_file:
+        drop.append("_ice_file")
+    if not keep_pos:
+        drop.append("_ice_pos")
+    return tagged.drop(*drop) if drop else tagged
 
 
 def _apply_eq_deletes(
@@ -1079,6 +1092,7 @@ def _apply_eq_deletes(
     base_seq: dict[str, int],
     res: dict | None,
     schema_json: dict | None,
+    collect_matches: bool = False,
 ) -> DataFrame:
     """Subtract equality-delete rows (content=2, the merge-on-read
     DELETE shape Flink CDC writes) from a tagged scan: one null-safe
@@ -1088,7 +1102,11 @@ def _apply_eq_deletes(
     written under a partitioned spec applies only to its own
     partition; one written unpartitioned applies globally — per the
     spec's scoping rule, which keeps a partition-local delete from
-    over-deleting equal keys elsewhere)."""
+    over-deleting equal keys elsewhere).
+
+    ``collect_matches=True`` inverts the join: return the rows the
+    deletes KILL (semi-join per group, deduped on the scan tags) —
+    what the changelog reader emits as row-level deletes."""
     if res is not None:
         raise ValueError(
             "equality deletes on a renamed-column table are not supported "
@@ -1123,6 +1141,7 @@ def _apply_eq_deletes(
         "_ice_file string, _ice_seq long, _ice_part string",
     )
     tagged = tagged.join(F.broadcast(smap), "_ice_file")
+    killed = None
     groups: dict[tuple, list[dict]] = {}
     for d in live_eq:
         groups.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
@@ -1175,7 +1194,17 @@ def _apply_eq_deletes(
             # null-safe: a delete row's NULL key matches NULL data
             # values, per the spec's IS-NOT-DISTINCT-FROM semantics
             cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
-        tagged = tagged.join(dr, cond, "left_anti")
+        if collect_matches:
+            hit = tagged.join(dr, cond, "left_semi")
+            killed = hit if killed is None else killed.unionByName(hit)
+        else:
+            tagged = tagged.join(dr, cond, "left_anti")
+    if collect_matches:
+        if killed is None:
+            killed = tagged.limit(0)
+        return killed.dropDuplicates(["_ice_file", "_ice_pos"]).drop(
+            "_ice_seq", "_ice_part"
+        )
     return tagged.drop("_ice_seq", "_ice_part")
 
 
@@ -1219,6 +1248,188 @@ def read_iceberg_range(
         eq_deletes=eq_deletes, schema_json=schema_json,
     )
     return out.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    path: str,
+    starting_snapshot_id: int | None = None,
+    ending_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Row-level changelog between snapshots (iceberg-spark's
+    ``create_changelog_view``): output = table columns +
+    ``_change_type`` ('insert' | 'delete') + ``_snapshot_id``.
+    ``starting_snapshot_id`` is EXCLUSIVE (None = from genesis),
+    ``ending_snapshot_id`` inclusive (None = current).  Per snapshot,
+    in sequence order:
+
+    - data files ADDED → their rows as inserts, with the snapshot's
+      own deletes applied — an upsert's NET effect streams, dead-on-
+      arrival rows stay silent;
+    - data files REMOVED → their rows AT THE PREVIOUS snapshot
+      (previous deletes applied) as deletes;
+    - NEW position-delete files → exactly the newly-dead rows of
+      still-active files as deletes (previously-dead positions were
+      already subtracted, so an overlapping foreign delete file
+      cannot double-emit);
+    - NEW equality-delete files → the rows they kill (null-safe
+      match, strict sequence gate, partition scope) as deletes.
+
+    A copy-on-write rewrite therefore surfaces file-granularly
+    (delete+insert pairs), the same contract as the Delta change feed
+    without cdc files; merge-on-read deletes surface row-level.
+    Expired starting snapshots refuse with a clear error.  (r7.)"""
+    meta = _load_metadata(path)
+    schema_json = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema_json)
+    res = _resolution(meta)
+    snaps = sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: (s.get("sequence-number", 0), s.get("timestamp-ms", 0)),
+    )
+    ids = [int(s["snapshot-id"]) for s in snaps]
+
+    def _index(sid, label):
+        try:
+            return ids.index(int(sid))
+        except ValueError:
+            raise ValueError(
+                f"{label} snapshot {sid} is not in the snapshot log "
+                "(expired?) — the changelog for this range is "
+                "unreconstructable"
+            ) from None
+
+    lo = 0 if starting_snapshot_id is None else _index(
+        starting_snapshot_id, "starting") + 1
+    hi = len(snaps) if ending_snapshot_id is None else _index(
+        ending_snapshot_id, "ending") + 1
+    ct = F.lit(None)
+    empty = (
+        spark.createDataFrame([], spark_schema)
+        .withColumn("_change_type", F.lit(None).cast("string"))
+        .withColumn("_snapshot_id", F.lit(None).cast("long"))
+    )
+    del ct
+    if lo >= hi:
+        return empty
+    if lo == 0:
+        prev_data, prev_del, prev_eq = [], [], []
+    else:
+        prev_data, prev_del, prev_eq = _manifest_entries(
+            path, meta, snaps[lo - 1]
+        )
+    import pandas as pd
+
+    out = None
+    for i in range(lo, hi):
+        cur = snaps[i]
+        cur_data, cur_del, cur_eq = _manifest_entries(path, meta, cur)
+        prev_paths = {r["path"] for r in prev_data}
+        cur_paths = {r["path"] for r in cur_data}
+        added = [r for r in cur_data if r["path"] not in prev_paths]
+        removed = [r for r in prev_data if r["path"] not in cur_paths]
+        survivors = [r for r in prev_data if r["path"] in cur_paths]
+        new_pos = [
+            d for d in cur_del
+            if d["path"] not in {x["path"] for x in prev_del}
+        ]
+        new_eq = [
+            d for d in cur_eq
+            if d["path"] not in {x["path"] for x in prev_eq}
+        ]
+        parts: list[DataFrame] = []
+        if added:
+            parts.append(
+                _plan_scan(
+                    spark, spark_schema, added, cur_del, res,
+                    eq_deletes=cur_eq, schema_json=schema_json,
+                ).withColumn("_change_type", F.lit("insert"))
+            )
+        if removed:
+            parts.append(
+                _plan_scan(
+                    spark, spark_schema, removed, prev_del, res,
+                    eq_deletes=prev_eq, schema_json=schema_json,
+                ).withColumn("_change_type", F.lit("delete"))
+            )
+        if new_pos and survivors:
+            tagged = _plan_scan(
+                spark, spark_schema, survivors, prev_del, res,
+                eq_deletes=prev_eq, schema_json=schema_json,
+                keep_file=True, keep_pos=True,
+            )
+            dseq = spark.createDataFrame(
+                pd.DataFrame(
+                    sorted(
+                        (os.path.basename(urllib.parse.unquote(d["path"])),
+                         d["seq"])
+                        for d in new_pos
+                    ),
+                    columns=["_ice_dfile", "_ice_dseq"],
+                ),
+                "_ice_dfile string, _ice_dseq long",
+            )
+            smap = spark.createDataFrame(
+                pd.DataFrame(
+                    sorted(
+                        (os.path.basename(urllib.parse.unquote(r["path"])),
+                         r["seq"])
+                        for r in survivors
+                    ),
+                    columns=["_ice_file", "_ice_seq"],
+                ),
+                "_ice_file string, _ice_seq long",
+            )
+            dfiles = sorted({d["path"] for d in new_pos})
+            del_rows = (
+                spark.read.schema("file_path string, pos long")
+                .parquet(*dfiles)
+                .withColumn(
+                    "_ice_dfile",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_name"), "/"), -1
+                    ),
+                )
+                .join(F.broadcast(dseq), "_ice_dfile")
+                .withColumn(
+                    "_ice_file",
+                    F.url_decode(
+                        F.element_at(F.split(F.col("file_path"), "/"), -1)
+                    ),
+                )
+                .join(F.broadcast(smap), "_ice_file")
+                .filter(F.col("_ice_dseq") >= F.col("_ice_seq"))
+                .select("_ice_file", F.col("pos").alias("_ice_pos"))
+            )
+            parts.append(
+                tagged.join(del_rows, ["_ice_file", "_ice_pos"], "left_semi")
+                .drop("_ice_file", "_ice_pos")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        if new_eq and survivors:
+            tagged = _plan_scan(
+                spark, spark_schema, survivors, prev_del, res,
+                eq_deletes=prev_eq, schema_json=schema_json,
+                keep_file=True, keep_pos=True,
+            )
+            base_seq = {
+                os.path.basename(urllib.parse.unquote(r["path"])): r["seq"]
+                for r in survivors
+            }
+            parts.append(
+                _apply_eq_deletes(
+                    spark, tagged, new_eq, survivors, base_seq, res,
+                    schema_json, collect_matches=True,
+                )
+                .drop("_ice_file", "_ice_pos")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        lit_s = F.lit(int(cur["snapshot-id"])).cast("long")
+        for p in parts:
+            p = p.withColumn("_snapshot_id", lit_s)
+            out = p if out is None else out.unionByName(p)
+        prev_data, prev_del, prev_eq = cur_data, cur_del, cur_eq
+    return out if out is not None else empty
 
 
 def history_iceberg(spark: SparkSession, path: str) -> list[dict]:
@@ -3468,3 +3679,88 @@ def expire_snapshots(
             os.unlink(full)
             n_del += 1
     return {"version": version, "expired": len(dropped), "files_deleted": n_del}
+
+
+@query(
+    "b_lake_iceberg_changes",
+    f"""
+    SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS step,
+           count(*) AS n, {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'insert', 2, count(*), {sql_money_sum('o_totalprice')}
+    FROM orders WHERE o_orderkey % 5 = 1
+    UNION ALL
+    SELECT 'delete', 3, count(*), {sql_money_sum('o_totalprice')}
+    FROM orders WHERE o_orderkey % 10 = 1
+    UNION ALL
+    SELECT 'delete', 4, count(*), {sql_money_sum('o_totalprice')}
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 'insert', 4, count(*), {sql_money_sum('o_totalprice + 500')}
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 'delete', 5, count(*), {sql_money_sum('o_totalprice')}
+    FROM orders WHERE o_orderkey % 20 = 5
+    """,
+)
+def scan_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog read over a full merge-on-read history (r7):
+    create (keys ≡0 mod 5) → append (≡1 mod 5) → positional DELETE
+    (≡1 mod 10) → single-snapshot UPSERT (+500 on ≡0 mod 10: its net
+    effect must stream as delete(old)+insert(new), never the carried
+    rows) → EQUALITY delete by key (≡5 mod 20).
+    ``read_iceberg_changes`` replays the whole log; snapshot ids map
+    to history ordinals via a 5-row broadcast join so the oracle can
+    pin every change group arithmetically — an over-emitted carried row,
+    a missed equality kill, or a double-counted overlap all fail the
+    hash compare."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"iceberg_changes_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        ops = [h["operation"] for h in history_iceberg(spark, path)]
+        complete = ops == [
+            "append", "append", "delete", "overwrite", "delete",
+        ]
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 5 == 0).coalesce(1),
+            path, mode="error",
+        )
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 5 == 1).coalesce(1),
+            path, mode="append",
+        )
+        delete_iceberg_rows(spark, path, F.col("o_orderkey") % 10 == 1)
+        upsert_iceberg(
+            spark, path,
+            orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(500.0)
+            ),
+            on=["o_orderkey"],
+        )
+        delete_by_key_iceberg(
+            spark, path,
+            orders.filter(F.col("o_orderkey") % 20 == 5)
+            .select("o_orderkey"),
+        )
+    steps = [
+        (int(h["snapshot_id"]), i + 1)
+        for i, h in enumerate(history_iceberg(spark, path))
+    ]
+    smap = spark.createDataFrame(steps, "_snapshot_id long, step long")
+    return (
+        read_iceberg_changes(spark, path)
+        .join(F.broadcast(smap), "_snapshot_id")
+        .groupBy(F.col("_change_type").alias("change_type"), "step")
+        .agg(
+            F.count("*").alias("n"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+    )

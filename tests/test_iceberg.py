@@ -1617,3 +1617,86 @@ def test_required_fields_enforced_on_write(spark, tmp_path):
     assert _sorted_rows(read_iceberg(spark, path)) == [
         (1, "a", 1.0), (2, "b", 2.0),
     ]
+
+
+# ----------------------------------------------- r7: changelog read
+
+
+def test_changelog_inserts_deletes_and_upsert_net_effect(spark, tmp_path):
+    """read_iceberg_changes: appends stream as inserts, positional
+    deletes as exactly the newly-dead rows, an upsert as its NET
+    effect (pos-deletes + inserts in one snapshot), equality deletes
+    as the rows they kill, and expired starting snapshots refuse."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        expire_snapshots, read_iceberg_changes, upsert_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1),
+        path, mode="error",
+    )                                                              # s1
+    write_iceberg(_df(spark, [(3, "c", 3.0)]).coalesce(1),
+                  path, mode="append")                             # s2
+    assert delete_iceberg_rows(spark, path, F.col("k") == 1) >= 1  # s3
+    upsert_iceberg(spark, path,
+                   _df(spark, [(3, "c", 30.0), (4, "d", 4.0)]),
+                   on=["k"])                                       # s4
+    delete_by_key_iceberg(spark, path,
+                          _df(spark, [(2, "b", 2.0)]).select("k"))  # s5
+    hist = history_iceberg(spark, path)
+    sids = [h["snapshot_id"] for h in hist]
+
+    def changes(lo, hi):
+        return sorted(
+            (r["_change_type"], r["k"], r["v"])
+            for r in read_iceberg_changes(spark, path, lo, hi).collect()
+        )
+
+    # genesis replay: everything net of the full history
+    assert changes(None, sids[0]) == [
+        ("insert", 1, 1.0), ("insert", 2, 2.0),
+    ]
+    assert changes(sids[0], sids[1]) == [("insert", 3, 3.0)]
+    # positional delete: ONLY the dead row, not the file's other row
+    assert changes(sids[1], sids[2]) == [("delete", 1, 1.0)]
+    # upsert: net effect = delete of the old k=3 version + 2 inserts
+    assert changes(sids[2], sids[3]) == [
+        ("delete", 3, 3.0), ("insert", 3, 30.0), ("insert", 4, 4.0),
+    ]
+    # equality delete: the killed row
+    assert changes(sids[3], sids[4]) == [("delete", 2, 2.0)]
+    # table state agrees with the accumulated changelog
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (3, "c", 30.0), (4, "d", 4.0),
+    ]
+    # expired starting snapshot refuses with the specific error
+    expire_snapshots(spark, path, keep_last=1)
+    with pytest.raises(ValueError, match="not in the snapshot log"):
+        read_iceberg_changes(spark, path, sids[0])
+
+
+def test_changelog_compaction_is_file_granular(spark, tmp_path):
+    """rewrite_data_files surfaces as delete+insert pairs (file-level
+    CDC contract) whose net row multiset is EMPTY — consumers
+    key-dedupe, same as the Delta derivation path documents."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        read_iceberg_changes, rewrite_data_files,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]).coalesce(1), path,
+                  mode="error")
+    write_iceberg(_df(spark, [(2, "b", 2.0)]).coalesce(1), path,
+                  mode="append")
+    out = rewrite_data_files(spark, path, target_file_bytes=1 << 20)
+    assert out["files_after"] >= 1
+    hist = history_iceberg(spark, path)
+    rows = read_iceberg_changes(
+        spark, path, hist[-2]["snapshot_id"], hist[-1]["snapshot_id"]
+    ).collect()
+    ins = sorted((r["k"], r["v"]) for r in rows
+                 if r["_change_type"] == "insert")
+    dels = sorted((r["k"], r["v"]) for r in rows
+                  if r["_change_type"] == "delete")
+    assert ins == dels == [(1, 1.0), (2, 2.0)]
