@@ -2604,9 +2604,33 @@ def merge_delta(
     # table just because a by-source clause exists.
     hit_names: set[str] = set()
     if matched_cl:
+        # stats-prune the matched-hit DISCOVERY for single-column keys:
+        # files whose add.stats bounds provably miss the source's key
+        # range cannot hold a match, so a key-clustered batch against a
+        # clustered table scans only the overlapping files here.
+        # By-source discovery and insert planning still see the full
+        # table; files without stats are conservatively kept.
+        cand_rels = rels
+        if len(on) == 1:
+            b = source.agg(
+                F.min(on[0]).alias("lo"), F.max(on[0]).alias("hi")
+            ).first()
+            if b["lo"] is not None:
+                _sch, _pc, _rn, l2p_m = _resolve_read_schema(snap)
+                cand_rels, _ = _prune_snapshot(
+                    snap, l2p_m.get(on[0], on[0]), b["lo"], b["hi"]
+                )
+        cand = (
+            target
+            if cand_rels == rels
+            else _logical_scan(
+                spark, path, snap, sorted(cand_rels),
+                _dv_map(path, snap, cand_rels), keep_file=True,
+            )
+        )
         hit_names |= {
             r["_dl_file"]
-            for r in target.join(source.select(*on), on, "left_semi")
+            for r in cand.join(source.select(*on), on, "left_semi")
             .select("_dl_file")
             .distinct()
             .collect()  # bounded by the table's active-file count

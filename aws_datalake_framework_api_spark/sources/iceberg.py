@@ -3519,9 +3519,47 @@ def merge_iceberg(
     )
     hit_names: set[str] = set()
     if data and matched_cl:
+        # manifest-bounds-prune the matched-hit DISCOVERY for single-
+        # column keys (metrics filtering, like read_iceberg_range):
+        # files whose lower/upper provably miss the source's key range
+        # cannot hold a match; boundless files conservatively kept.
+        cand = data
+        if len(on) == 1:
+            field = next(
+                (f for f in schema_json["fields"] if f["name"] == on[0]),
+                None,
+            )
+            if field is not None and isinstance(field["type"], str):
+                b = source.agg(
+                    F.min(on[0]).alias("lo"), F.max(on[0]).alias("hi")
+                ).first()
+                if b["lo"] is not None:
+                    fid, ftype = int(field["id"]), field["type"]
+                    kept_recs = []
+                    for rec in data:
+                        mn = _sv_decode(ftype, (rec["lower"] or {}).get(fid))
+                        mx = _sv_decode(ftype, (rec["upper"] or {}).get(fid))
+                        prunable = False
+                        if mn is not None and mx is not None:
+                            try:
+                                prunable = mx < b["lo"] or mn > b["hi"]
+                            except TypeError:
+                                prunable = False
+                        if not prunable:
+                            kept_recs.append(rec)
+                    cand = kept_recs
+        cand_live = (
+            live
+            if len(cand) == len(data)
+            else _plan_scan(
+                spark, spark_schema, cand, deletes, res,
+                eq_deletes=eq_deletes, schema_json=schema_json,
+                keep_file=True,
+            )
+        )
         hit_names |= {
             r["_ice_file"]
-            for r in live.join(source.select(*on), on, "left_semi")
+            for r in cand_live.join(source.select(*on), on, "left_semi")
             .select("_ice_file")
             .distinct()
             .collect()  # bounded by the table's active-file count

@@ -2642,3 +2642,42 @@ def test_cdf_foreign_v4_table_writable_and_append_derived(spark, tmp_path):
         for r in read_delta_changes(spark, path, 0, 1).collect()
     )
     assert got == [(1, "insert", 2)]
+
+
+def test_merge_hit_discovery_is_stats_pruned(spark, tmp_path, monkeypatch):
+    """A key-clustered merge source must discover its hit files against
+    only the stats-overlapping files: the pruned discovery scan reads
+    strictly fewer files than the table holds, and the merge result is
+    unchanged."""
+    from aws_datalake_framework_api_spark.sources import delta as D
+
+    path = str(tmp_path / "t")
+    # 4 disjoint-range files
+    for i, mode in zip(range(4), ["error", "append", "append", "append"]):
+        rows = [(k, "p", float(k)) for k in range(i * 100, i * 100 + 100)]
+        write_delta(
+            spark.createDataFrame(rows, "k int, part string, v double")
+            .coalesce(1),
+            path, mode=mode,
+        )
+    calls = {}
+    orig = D._prune_snapshot
+
+    def spy(snap, col, lo, hi):
+        kept, skipped = orig(snap, col, lo, hi)
+        calls["kept"], calls["skipped"] = len(kept), len(skipped)
+        return kept, skipped
+
+    monkeypatch.setattr(D, "_prune_snapshot", spy)
+    out = D.merge_delta(
+        spark, path,
+        _df(spark, [(105, "p", 9999.0), (110, "p", 8888.0)]), on=["k"],
+    )
+    assert (out["updated"], out["inserted"]) == (2, 0)
+    # discovery pruned to the one file whose range holds 105/110
+    assert calls == {"kept": 1, "skipped": 3}
+    got = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+    assert got[105] == 9999.0 and got[110] == 8888.0 and len(got) == 400
+    # only that file was rewritten
+    acts = [json.loads(ln) for ln in open(_version_file(path, 4))]
+    assert len([a for a in acts if "remove" in a]) == 1

@@ -1700,3 +1700,42 @@ def test_changelog_compaction_is_file_granular(spark, tmp_path):
     dels = sorted((r["k"], r["v"]) for r in rows
                   if r["_change_type"] == "delete")
     assert ins == dels == [(1, 1.0), (2, 2.0)]
+
+
+def test_merge_hit_discovery_is_bounds_pruned(spark, tmp_path):
+    """merge_iceberg's matched-hit discovery prunes by manifest
+    lower/upper bounds: a key-clustered source rewrites only the
+    overlapping file and untouched files stay byte-identical."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        merge_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    for i, mode in zip(range(4), ["error", "append", "append", "append"]):
+        rows = [(k, "p", float(k)) for k in range(i * 100, i * 100 + 100)]
+        write_iceberg(
+            spark.createDataFrame(rows, "k int, part string, v double")
+            .coalesce(1),
+            path, mode=mode,
+        )
+    untouched = {
+        os.path.join(root, f): os.path.getmtime(os.path.join(root, f))
+        for root, _d, files in os.walk(os.path.join(path, "data"))
+        for f in files if f.endswith(".parquet")
+    }
+    out = merge_iceberg(
+        spark, path,
+        _df(spark, [(205, "p", 9999.0)]), on=["k"],
+    )
+    assert (out["updated"], out["inserted"]) == (1, 0)
+    got = {r["k"]: r["v"] for r in read_iceberg(spark, path).collect()}
+    assert got[205] == 9999.0 and len(got) == 400
+    # exactly one pre-existing file left the snapshot; the other three
+    # are untouched on disk
+    moved = [
+        p for p, mt in untouched.items()
+        if not os.path.exists(p) or os.path.getmtime(p) != mt
+    ]
+    assert moved == []  # copy-on-write leaves originals in place
+    hist = history_iceberg(spark, path)
+    assert hist[-1]["operation"] == "overwrite"
