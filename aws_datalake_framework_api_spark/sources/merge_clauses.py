@@ -14,7 +14,9 @@ matching clause wins per row)::
 
 Conditions and SET expressions are SQL strings over the aliased sides
 — ``t.<col>`` (target) and ``s.<col>`` (source); ``set: None`` means
-UPDATE/INSERT ``*``.  The engine is pure DataFrame planning: ONE left
+UPDATE/INSERT ``*``.  A PARTIAL insert ``set`` NULLs the unspecified
+columns (delta-spark ``whenNotMatchedInsert(values=...)`` parity);
+only ``set: None`` carries source values for every column.  The engine is pure DataFrame planning: ONE left
 join tags every target row of the rewrite set with the index of its
 first applicable clause, column values resolve through per-clause
 CASE chains, and the only driver materialization is the O(#clauses)
@@ -73,6 +75,153 @@ def bysource_hit_condition(clauses) -> "F.Column | None":
     if not conds:
         return None
     return reduce(lambda a, b: a | b, conds)
+
+
+def plan_merge_mor(
+    tagged_rows: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    clauses: list[dict],
+    cols: list[str],
+    types: dict,
+    target_keys: DataFrame | None,
+    tag_cols: list[str],
+) -> tuple:
+    """Merge-on-read resolution of the clause list: instead of the
+    rewrite set's SURVIVING rows (copy-on-write), produce the rows the
+    merge TOUCHES so the connector can stage position deletes plus an
+    append — commit cost ∝ changed rows, never hit-file bytes.
+
+    ``tagged_rows``: candidate target rows (merge-on-read applied,
+    LOGICAL columns) carrying ``tag_cols`` (e.g. file/pos identity)
+    that survive into the touched output.  Returns
+    ``(touched, new_rows, stats)``:
+
+    - ``touched``: the ``tag_cols`` of every row hit by an update or
+      delete clause (both kill the old row version — an update is
+      delete + re-insert under merge-on-read);
+    - ``new_rows``: update POSTIMAGES plus qualifying inserts, in
+      ``cols`` order (the append);
+    - ``stats``: {"updated", "deleted", "inserted"}.
+
+    Same first-match-wins semantics, condition/SET dialect, and
+    O(#clauses) driver materialization as :func:`plan_merge`."""
+    insert_cl = [c for c in clauses if c["when"] == "not_matched"]
+    s_marked = source.withColumn("_mg_s", F.lit(True))
+    join_cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in on],
+    )
+    joined = tagged_rows.alias("t").join(
+        s_marked.alias("s"), join_cond, "left"
+    )
+    case = None
+    for i, cl in enumerate(clauses):
+        if cl["when"] == "matched":
+            base = F.col("_mg_s").isNotNull()
+        elif cl["when"] == "not_matched_by_source":
+            base = F.col("_mg_s").isNull()
+        else:
+            continue
+        c = base & (
+            F.expr(cl["condition"]) if cl.get("condition") else F.lit(True)
+        )
+        case = F.when(c, F.lit(i)) if case is None else case.when(c, F.lit(i))
+    action = case.otherwise(F.lit(-1)) if case is not None else F.lit(-1)
+    tagged = joined.withColumn("_mg_action", action)
+    counts = {
+        int(r["_mg_action"]): int(r["count"])
+        for r in tagged.groupBy("_mg_action").count().collect()
+    }
+    delete_ids = {
+        i
+        for i, cl in enumerate(clauses)
+        if cl["when"] in ("matched", "not_matched_by_source")
+        and cl["action"] == "delete"
+    }
+    update_ids = {
+        i
+        for i, cl in enumerate(clauses)
+        if cl["when"] in ("matched", "not_matched_by_source")
+        and cl["action"] == "update"
+    }
+    hit_ids = sorted(update_ids | delete_ids)
+    touched = (
+        tagged.filter(F.col("_mg_action").isin(*hit_ids))
+        if hit_ids
+        else tagged.limit(0)
+    ).select(*[F.col(f"t.`{c}`").alias(c) for c in tag_cols])
+    out_cols = []
+    for c in cols:
+        expr = F.col(f"t.`{c}`")
+        for i in sorted(update_ids):
+            cl = clauses[i]
+            st = cl.get("set")
+            if st is None:
+                val = (
+                    F.col(f"s.`{c}`")
+                    if cl["when"] == "matched"
+                    else F.col(f"t.`{c}`")
+                )
+            else:
+                val = F.expr(st[c]) if c in st else F.col(f"t.`{c}`")
+            expr = F.when(F.col("_mg_action") == i, val).otherwise(expr)
+        out_cols.append(expr.cast(types[c]).alias(c))
+    new_rows = (
+        tagged.filter(F.col("_mg_action").isin(*sorted(update_ids)))
+        if update_ids
+        else tagged.limit(0)
+    ).select(*out_cols)
+    n_inserted = 0
+    if insert_cl and target_keys is not None:
+        inserts = _plan_inserts(source, on, clauses, cols, types, target_keys)
+        n_inserted = inserts.count()
+        new_rows = new_rows.unionByName(inserts)
+    stats = {
+        "updated": sum(counts.get(i, 0) for i in update_ids),
+        "deleted": sum(counts.get(i, 0) for i in delete_ids),
+        "inserted": n_inserted,
+    }
+    return touched, new_rows, stats
+
+
+def _plan_inserts(
+    source: DataFrame,
+    on: list[str],
+    clauses: list[dict],
+    cols: list[str],
+    types: dict,
+    target_keys: DataFrame,
+) -> DataFrame:
+    """Insert planning shared by both strategies: source rows matching
+    no table-wide key, tagged by their first applicable not_matched
+    clause.  set=None is INSERT * (source value per column); a partial
+    set map NULLs the unspecified columns — delta-spark's
+    whenNotMatchedInsert(values=...) semantics (ADVICE r7)."""
+    unmatched_src = source.alias("s").join(
+        target_keys.distinct(), on, "left_anti"
+    )
+    icase = None
+    for i, cl in enumerate(clauses):
+        if cl["when"] != "not_matched":
+            continue
+        c = F.expr(cl["condition"]) if cl.get("condition") else F.lit(True)
+        icase = F.when(c, F.lit(i)) if icase is None else icase.when(c, F.lit(i))
+    ins_tagged = unmatched_src.withColumn(
+        "_mg_action", icase.otherwise(F.lit(-1))
+    ).filter(F.col("_mg_action") >= 0)
+    ins_cols = []
+    for c in cols:
+        expr = F.col(f"s.`{c}`")
+        for i, cl in enumerate(clauses):
+            if cl["when"] != "not_matched":
+                continue
+            st = cl.get("set")
+            if st is not None:
+                val = F.expr(st[c]) if c in st else F.lit(None)
+                expr = F.when(F.col("_mg_action") == i, val).otherwise(expr)
+        ins_cols.append(expr.cast(types[c]).alias(c))
+    return ins_tagged.select(*ins_cols)
 
 
 def plan_merge(
@@ -180,39 +329,7 @@ def plan_merge(
     n_inserted = 0
     inserts = None
     if insert_cl and target_keys is not None:
-        unmatched_src = source.alias("s").join(
-            target_keys.distinct(), on, "left_anti"
-        )
-        icase = None
-        for i, cl in enumerate(clauses):
-            if cl["when"] != "not_matched":
-                continue
-            c = (
-                F.expr(cl["condition"])
-                if cl.get("condition")
-                else F.lit(True)
-            )
-            icase = (
-                F.when(c, F.lit(i))
-                if icase is None
-                else icase.when(c, F.lit(i))
-            )
-        ins_tagged = unmatched_src.withColumn(
-            "_mg_action", icase.otherwise(F.lit(-1))
-        ).filter(F.col("_mg_action") >= 0)
-        ins_cols = []
-        for c in cols:
-            expr = F.col(f"s.`{c}`")
-            for i, cl in enumerate(clauses):
-                if cl["when"] != "not_matched":
-                    continue
-                st = cl.get("set")
-                if st is not None and c in st:
-                    expr = F.when(
-                        F.col("_mg_action") == i, F.expr(st[c])
-                    ).otherwise(expr)
-            ins_cols.append(expr.cast(types[c]).alias(c))
-        inserts = ins_tagged.select(*ins_cols)
+        inserts = _plan_inserts(source, on, clauses, cols, types, target_keys)
         n_inserted = inserts.count()
         new_data = new_data.unionByName(inserts)
     stats = {

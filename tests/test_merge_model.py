@@ -43,7 +43,10 @@ MATCHED_SETS = [
 ]
 INSERT_SETS = [
     (None, None),  # insert-all: the source row
-    ({"v": "s.v * 2"}, lambda s: {**s, "v": s["v"] * 2.0}),
+    # partial set: unspecified columns insert as NULL (delta-spark
+    # whenNotMatchedInsert(values=...) parity — ADVICE r7)
+    ({"k": "s.k", "v": "s.v * 2"},
+     lambda s: {"k": s["k"], "part": None, "v": s["v"] * 2.0}),
 ]
 BYSRC_SETS = [
     ({"part": "'stale'"}, lambda t: {**t, "part": "stale"}),
@@ -207,3 +210,30 @@ def test_check_clauses_rejects_malformed():
             [{"when": "matched", "action": "delete", "set": {"k": "1"}}],
             ["k"],
         )
+
+
+def test_partial_insert_set_nulls_unspecified_columns(spark):
+    """delta-spark whenNotMatchedInsert(values=...) parity (ADVICE r7):
+    a PARTIAL insert set map NULLs the columns it does not mention;
+    only set=None (INSERT *) carries every source column's value."""
+    tdf = spark.createDataFrame([(1, "p", 1.0)], "k int, part string, v double")
+    sdf = spark.createDataFrame(
+        [(2, "src", 5.0), (3, "src", 7.0)], "k int, part string, v double"
+    )
+    types = {f.name: f.dataType for f in tdf.schema.fields}
+    new_data, stats = plan_merge(
+        tdf, sdf, ["k"],
+        [
+            {"when": "not_matched", "action": "insert",
+             "set": {"k": "s.k", "v": "s.v * 10"}, "condition": "s.k = 2"},
+            {"when": "not_matched", "action": "insert"},
+        ],
+        ["k", "part", "v"], types, tdf.select("k"),
+    )
+    got = sorted(
+        (r["k"], r["part"], r["v"]) for r in new_data.collect()
+    )
+    # k=2 hits the partial-set clause: part inserts as NULL; k=3 falls
+    # through to INSERT * and carries the source part.
+    assert got == [(1, "p", 1.0), (2, None, 50.0), (3, "src", 7.0)]
+    assert stats == {"updated": 0, "deleted": 0, "inserted": 2}
