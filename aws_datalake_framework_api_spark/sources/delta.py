@@ -1771,24 +1771,50 @@ def alter_table_properties_delta(
     for k in unset or []:
         conf.pop(k, None)
     md["configuration"] = conf
-    version = latest + 1
-    _commit_mutation(
-        path, version,
-        [
-            {
-                "commitInfo": {
-                    "timestamp": int(time.time() * 1000),
-                    "operation": "SET TBLPROPERTIES",
-                    "operationParameters": {
-                        "properties": json.dumps(set_props or {}),
-                        "unset": json.dumps(unset or []),
-                    },
-                }
-            },
-            {"metaData": md},
-        ],
-        "SET TBLPROPERTIES",
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(set_props or {}),
+                    "unset": json.dumps(unset or []),
+                },
+            }
+        }
+    ]
+    # Enabling CDF must upgrade the protocol (delta-spark parity;
+    # ADVICE r7): a legacy writer-v2 client could otherwise mutate the
+    # table without writing cdc files, silently corrupting the feed.
+    # minWriterVersion 4 bundles changeDataFeed; on v7 the named
+    # writer feature carries it — mirrors add_constraint_delta.
+    cdf_on = (
+        str((set_props or {}).get("delta.enableChangeDataFeed", "")).lower()
+        == "true"
     )
+    if cdf_on:
+        proto = snap.protocol or {}
+        writer = int(proto.get("minWriterVersion", 1))
+        feats = proto.get("writerFeatures")
+        if writer < 4:
+            actions.append(
+                {"protocol": {
+                    "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+                    "minWriterVersion": 4,
+                }}
+            )
+        elif writer == 7 and "changeDataFeed" not in (feats or []):
+            actions.append(
+                {"protocol": {
+                    **proto,
+                    "writerFeatures": sorted(
+                        set(feats or []) | {"changeDataFeed"}
+                    ),
+                }}
+            )
+    actions.append({"metaData": md})
+    version = latest + 1
+    _commit_mutation(path, version, actions, "SET TBLPROPERTIES")
     return version
 
 
@@ -2536,6 +2562,7 @@ def merge_delta(
     source: DataFrame,
     on: list[str],
     clauses: list[dict] | tuple | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Copy-on-write MERGE with delta-spark's clause surface.
 
@@ -2569,7 +2596,13 @@ def merge_delta(
     multiple-matches error).  NULL join keys never match (standard
     SQL equality): null-keyed source rows are "not matched",
     null-keyed target rows are "not matched by source".  Returns
-    {"version", "updated", "deleted", "inserted"}."""
+    {"version", "updated", "deleted", "inserted"}.
+
+    ``txn=(app_id, version)`` embeds the protocol's ``txn`` action
+    exactly as :func:`write_delta` does: if ``version`` is not greater
+    than :func:`last_txn_version` for the app, the merge is a replayed
+    micro-batch and is skipped without a commit — the idempotence
+    half of foreachBatch exactly-once streaming MERGE (r8)."""
     from .merge_clauses import (
         DEFAULT_CLAUSES,
         bysource_hit_condition,
@@ -2578,6 +2611,11 @@ def merge_delta(
     )
 
     snap, latest = _snapshot(spark, path)
+    if txn is not None and int(txn[1]) <= snap.txns.get(txn[0], -1):
+        return {
+            "version": latest, "updated": 0, "deleted": 0,
+            "inserted": 0, "skipped": True,
+        }
     _check_write_protocol(snap, "merge")
     schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
     part_cols = list(snap.metadata.get("partitionColumns") or [])
@@ -2604,22 +2642,36 @@ def merge_delta(
     # table just because a by-source clause exists.
     hit_names: set[str] = set()
     if matched_cl:
-        # stats-prune the matched-hit DISCOVERY for single-column keys:
-        # files whose add.stats bounds provably miss the source's key
-        # range cannot hold a match, so a key-clustered batch against a
+        # stats-prune the matched-hit DISCOVERY: files whose add.stats
+        # bounds provably miss the source's key range on ANY key
+        # column cannot hold a match (equality on every key must hold
+        # simultaneously), so a key-clustered batch against a
         # clustered table scans only the overlapping files here.
-        # By-source discovery and insert planning still see the full
-        # table; files without stats are conservatively kept.
-        cand_rels = rels
-        if len(on) == 1:
-            b = source.agg(
-                F.min(on[0]).alias("lo"), F.max(on[0]).alias("hi")
-            ).first()
-            if b["lo"] is not None:
-                _sch, _pc, _rn, l2p_m = _resolve_read_schema(snap)
-                cand_rels, _ = _prune_snapshot(
-                    snap, l2p_m.get(on[0], on[0]), b["lo"], b["hi"]
+        # Composite keys conjoin per-column bounds (r8 — the
+        # reference's own audit-table access pattern is a 2-col key,
+        # source-system lambda_function.py:35-38).  By-source
+        # discovery and insert planning still see the full table;
+        # files without stats are conservatively kept; NULL source
+        # keys never equality-match, so min/max ignoring NULLs is
+        # sound.
+        b = source.agg(
+            *[
+                a
+                for i, c in enumerate(on)
+                for a in (
+                    F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}")
                 )
+            ]
+        ).first()
+        _sch, _pc, _rn, l2p_m = _resolve_read_schema(snap)
+        kept = set(rels)
+        for i, c in enumerate(on):
+            lo, hi = b[f"_lo{i}"], b[f"_hi{i}"]
+            if lo is None:
+                continue
+            col_kept, _ = _prune_snapshot(snap, l2p_m.get(c, c), lo, hi)
+            kept &= set(col_kept)
+        cand_rels = rels if len(kept) == len(rels) else sorted(kept)
         cand = (
             target
             if cand_rels == rels
@@ -2660,6 +2712,15 @@ def merge_delta(
         want_changes=want_cdc,
     )
     new_data, stats = planned[0], planned[1]
+    if not (stats["updated"] or stats["deleted"] or stats["inserted"]):
+        # Zero rows changed (every clause condition missed): skip the
+        # commit entirely, mirroring merge_iceberg's early return
+        # (ADVICE r7 ×2).  Committing here would be version churn, and
+        # on a CDF-enabled table the dataChange remove+add rewrite of
+        # hit files with NO cdc actions would make file-diff-deriving
+        # CDF readers (including read_delta_changes) surface carried
+        # rows as spurious delete+insert pairs.
+        return {"version": latest, "updated": 0, "deleted": 0, "inserted": 0}
     cdc_actions: list[dict] = []
     if want_cdc and planned[2] is not None and (
         stats["updated"] or stats["deleted"] or stats["inserted"]
@@ -2695,6 +2756,8 @@ def merge_delta(
         actions.append({"remove": rm})
     actions.extend(_stage_mutation(new_data, snap, path, version))
     actions.extend(cdc_actions)
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
     _commit_mutation(path, version, actions, "MERGE")
     return {
         "version": version,

@@ -2681,3 +2681,131 @@ def test_merge_hit_discovery_is_stats_pruned(spark, tmp_path, monkeypatch):
     # only that file was rewritten
     acts = [json.loads(ln) for ln in open(_version_file(path, 4))]
     assert len([a for a in acts if "remove" in a]) == 1
+
+
+def test_cdf_enable_upgrades_protocol(spark, tmp_path):
+    """ADVICE r7: enabling delta.enableChangeDataFeed must raise the
+    protocol (minWriterVersion 4 legacy, changeDataFeed feature on
+    v7) so a legacy writer-v2 client cannot legally mutate the table
+    without writing cdc files; unrelated properties leave it alone."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        alter_table_properties_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    # unrelated property: no protocol action in the commit
+    v = alter_table_properties_delta(
+        spark, path, {"delta.appendOnly": "false"}
+    )
+    acts = [json.loads(ln) for ln in open(_version_file(path, v))]
+    assert not any("protocol" in a for a in acts)
+    # CDF on a legacy (1,2) table: bump to minWriterVersion 4
+    v = alter_table_properties_delta(
+        spark, path, {"delta.enableChangeDataFeed": "true"}
+    )
+    acts = [json.loads(ln) for ln in open(_version_file(path, v))]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 4}]
+    # v7 table missing the feature: the named feature is appended
+    path7 = str(tmp_path / "t7")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path7, mode="error")
+    acts = [json.loads(ln) for ln in open(_version_file(path7, 0))]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["appendOnly"],
+            }
+    open(_version_file(path7, 0), "w").write(
+        "\n".join(json.dumps(a) for a in acts) + "\n"
+    )
+    v = alter_table_properties_delta(
+        spark, path7, {"delta.enableChangeDataFeed": "true"}
+    )
+    acts = [json.loads(ln) for ln in open(_version_file(path7, v))]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos and protos[0]["writerFeatures"] == [
+        "appendOnly", "changeDataFeed",
+    ]
+
+
+def test_merge_noop_commits_nothing(spark, tmp_path):
+    """ADVICE r7 ×2: a MERGE where every clause condition misses must
+    not commit — no version churn, and on a CDF table no dataChange
+    rewrite whose file-diff derivation would surface carried rows as
+    spurious delete+insert changes."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        alter_table_properties_delta, merge_delta, read_delta_changes,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1),
+        path, mode="error",
+    )
+    alter_table_properties_delta(
+        spark, path, {"delta.enableChangeDataFeed": "true"}
+    )                                                           # v1
+    # key 1 MATCHES (the hit-file discovery finds its file) but the
+    # clause condition excludes it; nothing inserts either
+    out = merge_delta(
+        spark, path, _df(spark, [(1, "a", 99.0), (7, "z", 7.0)]),
+        on=["k"],
+        clauses=[
+            {"when": "matched", "action": "update",
+             "condition": "s.v < t.v"},
+            {"when": "not_matched", "action": "insert",
+             "condition": "s.k > 100"},
+        ],
+    )
+    assert out == {"version": 1, "updated": 0, "deleted": 0,
+                   "inserted": 0}
+    assert not os.path.exists(_version_file(path, 2))
+    assert read_delta_changes(spark, path, 1, 1).count() == 0
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (1, "a", 1.0), (2, "b", 2.0),
+    ]
+
+
+def test_merge_composite_key_discovery_is_stats_pruned(
+    spark, tmp_path, monkeypatch
+):
+    """r8: a COMPOSITE merge key conjoins per-column stats bounds —
+    each column alone overlaps two files here, but only their
+    intersection (one file) is scanned for discovery and rewritten."""
+    from aws_datalake_framework_api_spark.sources import delta as D
+
+    path = str(tmp_path / "t")
+    # 4 files: k-range × part-value grid — (k,part) unique table-wide
+    specs = [(0, "a"), (0, "b"), (100, "a"), (100, "b")]
+    for i, (base, p) in enumerate(specs):
+        rows = [(k, p, float(k)) for k in range(base, base + 100)]
+        write_delta(
+            spark.createDataFrame(rows, "k int, part string, v double")
+            .coalesce(1),
+            path, mode="error" if i == 0 else "append",
+        )
+    calls = {}
+    orig = D._prune_snapshot
+
+    def spy(snap, col, lo, hi):
+        kept, skipped = orig(snap, col, lo, hi)
+        calls[col] = (len(kept), len(skipped))
+        return kept, skipped
+
+    monkeypatch.setattr(D, "_prune_snapshot", spy)
+    out = D.merge_delta(
+        spark, path, _df(spark, [(150, "a", 9999.0)]),
+        on=["k", "part"],
+    )
+    assert (out["updated"], out["inserted"]) == (1, 0)
+    # each column's bounds alone keep 2 of 4 files...
+    assert calls == {"k": (2, 2), "part": (2, 2)}
+    # ...but only their intersection (one file) was rewritten
+    acts = [json.loads(ln) for ln in open(_version_file(path, 4))]
+    assert len([a for a in acts if "remove" in a]) == 1
+    got = {(r["k"], r["part"]): r["v"]
+           for r in read_delta(spark, path).collect()}
+    assert got[(150, "a")] == 9999.0 and got[(150, "b")] == 150.0
+    assert len(got) == 400
