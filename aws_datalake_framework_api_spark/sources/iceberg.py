@@ -61,6 +61,7 @@ import struct
 import time
 import urllib.parse
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1092,7 +1093,7 @@ def _apply_eq_deletes(
     base_seq: dict[str, int],
     res: dict | None,
     schema_json: dict | None,
-    collect_matches: bool = False,
+    return_killed: bool = False,
 ) -> DataFrame:
     """Subtract equality-delete rows (content=2, the merge-on-read
     DELETE shape Flink CDC writes) from a tagged scan: one null-safe
@@ -1104,7 +1105,7 @@ def _apply_eq_deletes(
     spec's scoping rule, which keeps a partition-local delete from
     over-deleting equal keys elsewhere).
 
-    ``collect_matches=True`` inverts the join: return the rows the
+    ``return_killed=True`` inverts the join: return the rows the
     deletes KILL (semi-join per group, deduped on the scan tags) —
     what the changelog reader emits as row-level deletes."""
     if res is not None:
@@ -1194,12 +1195,12 @@ def _apply_eq_deletes(
             # null-safe: a delete row's NULL key matches NULL data
             # values, per the spec's IS-NOT-DISTINCT-FROM semantics
             cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
-        if collect_matches:
+        if return_killed:
             hit = tagged.join(dr, cond, "left_semi")
             killed = hit if killed is None else killed.unionByName(hit)
         else:
             tagged = tagged.join(dr, cond, "left_anti")
-    if collect_matches:
+    if return_killed:
         if killed is None:
             killed = tagged.limit(0)
         return killed.dropDuplicates(["_ice_file", "_ice_pos"]).drop(
@@ -1419,7 +1420,7 @@ def read_iceberg_changes(
             parts.append(
                 _apply_eq_deletes(
                     spark, tagged, new_eq, survivors, base_seq, res,
-                    schema_json, collect_matches=True,
+                    schema_json, return_killed=True,
                 )
                 .drop("_ice_file", "_ice_pos")
                 .withColumn("_change_type", F.lit("delete"))
@@ -1762,6 +1763,73 @@ def _partition_value_col(pf: dict):
     raise ValueError(f"cannot write under partition transform {t!r}")
 
 
+def _type_has_required(t) -> bool:
+    """Does an Iceberg type JSON contain any required slot BELOW its
+    own top level (struct field, list element, map value)?  Map keys
+    are always required by spec but unrepresentable as NULL in Spark's
+    MapType, so they need no guard."""
+    if not isinstance(t, dict):
+        return False
+    k = t.get("type")
+    if k == "struct":
+        return any(
+            f.get("required") or _type_has_required(f.get("type"))
+            for f in t.get("fields") or []
+        )
+    if k == "list":
+        return bool(t.get("element-required")) or _type_has_required(
+            t.get("element")
+        )
+    if k == "map":
+        return bool(t.get("value-required")) or _type_has_required(
+            t.get("value")
+        )
+    return False
+
+
+def _req_violation(col, t):
+    """Boolean Column: true when some required slot nested under
+    ``col`` (typed ``t``, which satisfies :func:`_type_has_required`)
+    holds NULL.  A NULL *container* is not itself a violation here —
+    its own required-ness is checked one level up — so every struct
+    probe is gated on the parent being present, and ``F.exists`` over
+    a NULL array/map returns NULL, coalesced to false by the caller."""
+    preds = []
+    k = t.get("type")
+    if k == "struct":
+        for f in t.get("fields") or []:
+            child = col.getField(f["name"])
+            if f.get("required"):
+                preds.append(col.isNotNull() & child.isNull())
+            if _type_has_required(f.get("type")):
+                preds.append(_req_violation(child, f["type"]))
+    elif k == "list":
+
+        def _elem(x):
+            es = []
+            if t.get("element-required"):
+                es.append(x.isNull())
+            if _type_has_required(t.get("element")):
+                es.append(_req_violation(x, t["element"]))
+            return reduce(lambda a, b: a | b, es)
+
+        preds.append(F.exists(col, _elem))
+    elif k == "map":
+
+        def _val(v):
+            vs = []
+            if t.get("value-required"):
+                vs.append(v.isNull())
+            if _type_has_required(t.get("value")):
+                vs.append(_req_violation(v, t["value"]))
+            return reduce(lambda a, b: a | b, vs)
+
+        preds.append(F.exists(F.map_values(col), _val))
+    return F.coalesce(
+        reduce(lambda a, b: a | b, preds), F.lit(False)
+    )
+
+
 def _required_guard(df: DataFrame, schema_json: dict) -> DataFrame:
     """Enforce the schema's ``required`` (non-null) fields at WRITE
     time: Spark types every file-source read nullable, so refusing
@@ -1769,36 +1837,45 @@ def _required_guard(df: DataFrame, schema_json: dict) -> DataFrame:
     round-trip — instead a NULL reaching a required column fails the
     write job (the Delta connector's AssertNotNull pattern).  A data
     file holding NULL in a required field would be spec-corrupt for
-    every Iceberg reader; this keeps it unwritable (r7)."""
-    req = {
-        f["name"]
-        for f in schema_json.get("fields") or []
-        if f.get("required")
+    every Iceberg reader; this keeps it unwritable (r7).  Required
+    slots NESTED in struct/list/map types are enforced too via
+    recursive NULL probes (ADVICE r7) — previously only top-level
+    fields were guarded."""
+    by_name = {
+        f["name"]: f for f in schema_json.get("fields") or []
     }
-    guard = [
-        f.name for f in df.schema.fields
-        if f.name in req and f.nullable
-    ]
-    if not guard:
-        return df
-    return df.select(
-        *[
-            F.when(
-                F.col(f.name).isNull(),
-                F.raise_error(
-                    F.lit(
-                        f"NULL value for required column {f.name!r} "
-                        "(iceberg schema enforcement)"
+    out_cols = []
+    guarded = False
+    for f in df.schema.fields:
+        sf = by_name.get(f.name)
+        expr = F.col(f.name)
+        if sf is not None:
+            viol = None
+            if sf.get("required") and f.nullable:
+                viol = expr.isNull()
+            if _type_has_required(sf.get("type")):
+                nested = _req_violation(expr, sf["type"])
+                viol = nested if viol is None else (viol | nested)
+            if viol is not None:
+                guarded = True
+                expr = (
+                    F.when(
+                        viol,
+                        F.raise_error(
+                            F.lit(
+                                "NULL value for required column "
+                                f"{f.name!r} or a required field "
+                                "nested in it (iceberg schema "
+                                "enforcement)"
+                            )
+                        ).cast(f.dataType),
                     )
-                ).cast(f.dataType),
-            )
-            .otherwise(F.col(f.name))
-            .alias(f.name)
-            if f.name in guard
-            else F.col(f.name)
-            for f in df.schema.fields
-        ]
-    )
+                    .otherwise(F.col(f.name))
+                )
+        out_cols.append(expr.alias(f.name))
+    if not guarded:
+        return df
+    return df.select(*out_cols)
 
 
 def _stamp_field_ids(df: DataFrame, schema_json: dict) -> DataFrame:
@@ -2967,6 +3044,87 @@ scan_iceberg_merge = query(
 )(scan_iceberg_merge)
 
 
+def scan_iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ MERGE (``merge_iceberg(strategy="mor")``, r8 —
+    VERDICT r7 item #4): the exact clause lifecycle of
+    ``b_lake_iceberg_merge`` — pre-existing positional delete folded,
+    conditional UPDATE, first-match-wins DELETE, INSERT — but NO data
+    file rewrites: touched rows stage as position-delete files,
+    postimages + inserts append, one overwrite snapshot.  The read
+    back must apply BOTH delete generations (the old one on original
+    files, the merge's on top) with sequence gating keeping the
+    appended postimages alive.  Same oracle as the COW twin — the two
+    strategies are semantically indistinguishable; only the cost
+    model differs (commit ∝ changed rows; pytest pins that no
+    original data file was removed)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(
+        f"iceberg_merge_mor_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    complete = False
+    try:
+        ops = [h["operation"] for h in history_iceberg(spark, path)]
+        complete = ops == ["append", "delete", "overwrite"]
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 3 == 0), path, mode="error"
+        )
+        delete_iceberg_rows(spark, path, F.col("o_orderkey") % 30 == 0)
+        source = orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        ).unionByName(orders.filter(F.col("o_orderkey") % 3 == 1))
+        merge_iceberg(
+            spark, path, source, on=["o_orderkey"],
+            clauses=[
+                {"when": "matched", "action": "update",
+                 "condition": "t.o_orderkey % 12 = 0"},
+                {"when": "matched", "action": "delete"},
+                {"when": "not_matched", "action": "insert"},
+            ],
+            strategy="mor",
+        )
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+# Oracle: identical to b_lake_iceberg_merge — merge-on-read and
+# copy-on-write must produce the same table state.
+scan_iceberg_merge_mor = query(
+    "b_lake_iceberg_merge_mor",
+    f"""
+    WITH live AS (
+      SELECT * FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderkey % 30 <> 0
+    ),
+    merged AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM live
+      WHERE NOT (o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0)
+      UNION ALL
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 3 = 1 OR o_orderkey % 30 = 0
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_merge_mor)
+
+
 def scan_iceberg_eqdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality-delete lifecycle end-to-end: create (keys ≡0 mod 4) →
     ``delete_by_key_iceberg`` on keys ≡0 (mod 8) — an O(keys)
@@ -3445,17 +3603,46 @@ def _existing_manifests(
     return out
 
 
+def last_txn_version_iceberg(
+    spark: SparkSession, path: str, app_id: str
+) -> int:
+    """Highest ``txn`` watermark committed for ``app_id`` via
+    :func:`merge_iceberg`'s ``txn=`` parameter, or -1.  Stored as
+    table property ``txn.<app_id>`` so it survives snapshot expiry —
+    a restarted streaming writer reads this to know which
+    micro-batches already landed (the Delta connector's
+    :func:`~.delta.last_txn_version` twin)."""
+    meta = _load_metadata(path)
+    return int((meta.get("properties") or {}).get(f"txn.{app_id}", -1))
+
+
 def merge_iceberg(
     spark: SparkSession,
     path: str,
     source: DataFrame,
     on: list[str],
     clauses: list[dict] | tuple | None = None,
+    txn: tuple[str, int] | None = None,
+    strategy: str = "cow",
 ) -> dict:
-    """Copy-on-write MERGE in ONE snapshot with the shared clause
-    surface (see ``sources/merge_clauses.py``: conditional WHEN
-    MATCHED UPDATE/DELETE, WHEN NOT MATCHED INSERT, WHEN NOT MATCHED
-    BY SOURCE — first matching clause wins, delta-spark semantics).
+    """MERGE in ONE snapshot with the shared clause surface (see
+    ``sources/merge_clauses.py``: conditional WHEN MATCHED
+    UPDATE/DELETE, WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY
+    SOURCE — first matching clause wins, delta-spark semantics), under
+    either write strategy iceberg-spark exposes as the
+    ``write.merge.mode`` table property:
+
+    - ``strategy="cow"`` (default, copy-on-write): hit files rewrite;
+    - ``strategy="mor"`` (merge-on-read, r8 — VERDICT r7 item #4): NO
+      data file rewrites.  Touched rows (update or delete clauses —
+      an update is delete + re-insert) stage as POSITION-DELETE files,
+      update postimages + inserts append as new data files, and one
+      ``overwrite`` snapshot publishes the delete manifest + data
+      manifest while every existing manifest carries forward
+      untouched.  Commit cost ∝ changed rows, not hit-file bytes —
+      the 100 TB path when updates touch a small fraction of a large
+      file; readers pay the delete-application debt until
+      ``rewrite_data_files`` folds it.
 
     Cost model (iceberg-spark's copy-on-write MERGE): only the data
     files containing rows a matched clause may rewrite — or rows a
@@ -3475,15 +3662,33 @@ def merge_iceberg(
     leaves no read debt; upsert defers the cost to readers until
     compaction.  ``source`` must match the table schema exactly and
     be UNIQUE on ``on``.  Returns {"version", "updated", "deleted",
-    "inserted"}.  (VERDICT r6 item #5; r7.)"""
+    "inserted"}.  (VERDICT r6 item #5; r7.)
+
+    ``txn=(app_id, version)`` gives the merge the same replayed-
+    micro-batch idempotence as Delta's ``txn`` action: the high-water
+    mark persists as table property ``txn.<app_id>`` (the pattern
+    Flink's Iceberg sink uses via its max-committed-checkpoint-id
+    summary — a property survives snapshot EXPIRY, which a summary
+    does not), and a merge whose version is not greater than the
+    stored mark skips without committing (r8, VERDICT item #3)."""
     from .merge_clauses import (
         DEFAULT_CLAUSES,
         bysource_hit_condition,
         check_clauses,
         plan_merge,
+        plan_merge_mor,
     )
 
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"unknown merge strategy {strategy!r}")
     meta = _load_metadata(path)
+    if txn is not None and int(txn[1]) <= int(
+        (meta.get("properties") or {}).get(f"txn.{txn[0]}", -1)
+    ):
+        return {
+            "version": max(_metadata_versions(path)), "updated": 0,
+            "deleted": 0, "inserted": 0, "skipped": True,
+        }
     schema_json = _current_schema(meta)
     spark_schema = _schema_to_spark(schema_json)
     declared = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
@@ -3517,37 +3722,129 @@ def merge_iceberg(
         spark, spark_schema, data, deletes, res,
         eq_deletes=eq_deletes, schema_json=schema_json, keep_file=True,
     )
+    # manifest-bounds-prune the matched-candidate set (metrics
+    # filtering, like read_iceberg_range): files whose lower/upper
+    # provably miss the source's key range on ANY key column cannot
+    # hold a match (the equality must hold on every key
+    # simultaneously), so composite keys conjoin per-column bounds
+    # (r8); boundless files / non-primitive key types are
+    # conservatively kept.  COW scans the survivors for hit-file
+    # discovery; MOR scans them for touched-row planning.
+    cand = data
+    if data and matched_cl:
+        key_fields = [
+            f
+            for c in on
+            for f in schema_json["fields"]
+            if f["name"] == c and isinstance(f["type"], str)
+        ]
+        if key_fields:
+            b = source.agg(
+                *[
+                    a
+                    for i, f in enumerate(key_fields)
+                    for a in (
+                        F.min(f["name"]).alias(f"_lo{i}"),
+                        F.max(f["name"]).alias(f"_hi{i}"),
+                    )
+                ]
+            ).first()
+            kept_recs = []
+            for rec in data:
+                prunable = False
+                for i, f in enumerate(key_fields):
+                    lo, hi = b[f"_lo{i}"], b[f"_hi{i}"]
+                    if lo is None:
+                        continue
+                    fid, ftype = int(f["id"]), f["type"]
+                    mn = _sv_decode(ftype, (rec["lower"] or {}).get(fid))
+                    mx = _sv_decode(ftype, (rec["upper"] or {}).get(fid))
+                    if mn is not None and mx is not None:
+                        try:
+                            if mx < lo or mn > hi:
+                                prunable = True
+                                break
+                        except TypeError:
+                            pass
+                if not prunable:
+                    kept_recs.append(rec)
+            cand = kept_recs
+    bysrc_cond = bysource_hit_condition(clauses)
+    if strategy == "mor":
+        # merge-on-read: no hit-FILE discovery at all — plan the
+        # touched ROWS directly over the pruned candidate scan (a
+        # by-source clause must see every live row, so it widens the
+        # scan back to the full table), stage them as position
+        # deletes, and append postimages + inserts.  Zero driver
+        # materialization beyond plan_merge_mor's O(#clauses) census
+        # and the O(files) path map.
+        scan_recs = data if bysrc_cond is not None else (
+            cand if matched_cl else []
+        )
+        tagged = _plan_scan(
+            spark, spark_schema, scan_recs, deletes, res,
+            eq_deletes=eq_deletes, schema_json=schema_json,
+            keep_file=True, keep_pos=True,
+        )
+        touched, new_rows, stats = plan_merge_mor(
+            tagged, source, on, clauses, cols, types, live.select(*on),
+            ["_ice_file", "_ice_pos"],
+        )
+        if not (stats["updated"] or stats["deleted"] or stats["inserted"]):
+            return {"version": max(_metadata_versions(path)), **stats}
+        new_manifests: list[dict] = []
+        if stats["updated"] or stats["deleted"]:
+            # position deletes name files by FULL path; the tags carry
+            # basenames — resolve through a broadcast map bounded by
+            # the scanned-file count (metadata-scale)
+            path_map = spark.createDataFrame(
+                [
+                    (os.path.basename(urllib.parse.unquote(r["path"])),
+                     r["path"])
+                    for r in scan_recs
+                ],
+                "_ice_file string, file_path string",
+            )
+            hits = touched.join(
+                F.broadcast(path_map), "_ice_file"
+            ).select("file_path", F.col("_ice_pos").alias("pos"))
+            del_files = _stage_pos_delete(spark, path, hits)
+            if del_files:
+                new_manifests.append(
+                    _delete_manifest(path, del_files, schema_json)
+                )
+        staged = _stage_data_files(new_rows, path, part_spec, schema_json)
+        if staged:
+            new_manifests.append(
+                _write_manifest(
+                    path,
+                    [
+                        {
+                            "status": 1,
+                            "snapshot_id": None,
+                            "sequence_number": None,
+                            "file_sequence_number": None,
+                            "data_file": f,
+                        }
+                        for f in staged
+                    ],
+                    part_spec, 0, "data", schema_json,
+                    spec_id=int(meta.get("default-spec-id", 0)),
+                )
+            )
+        # EVERY existing manifest carries forward untouched — the new
+        # deletes reference old files by path at the new sequence, the
+        # appended rows' higher data sequence escapes every prior
+        # delete's gate (same shape as upsert_iceberg)
+        carry = _carry_manifests(path, meta)
+        if txn is not None:
+            props = dict(meta.get("properties") or {})
+            props[f"txn.{txn[0]}"] = str(int(txn[1]))
+            meta["properties"] = props
+        v = _commit_snapshot(path, meta, new_manifests, carry, "overwrite")
+        return {"version": v, **stats}
     hit_names: set[str] = set()
     if data and matched_cl:
-        # manifest-bounds-prune the matched-hit DISCOVERY for single-
-        # column keys (metrics filtering, like read_iceberg_range):
-        # files whose lower/upper provably miss the source's key range
-        # cannot hold a match; boundless files conservatively kept.
-        cand = data
-        if len(on) == 1:
-            field = next(
-                (f for f in schema_json["fields"] if f["name"] == on[0]),
-                None,
-            )
-            if field is not None and isinstance(field["type"], str):
-                b = source.agg(
-                    F.min(on[0]).alias("lo"), F.max(on[0]).alias("hi")
-                ).first()
-                if b["lo"] is not None:
-                    fid, ftype = int(field["id"]), field["type"]
-                    kept_recs = []
-                    for rec in data:
-                        mn = _sv_decode(ftype, (rec["lower"] or {}).get(fid))
-                        mx = _sv_decode(ftype, (rec["upper"] or {}).get(fid))
-                        prunable = False
-                        if mn is not None and mx is not None:
-                            try:
-                                prunable = mx < b["lo"] or mn > b["hi"]
-                            except TypeError:
-                                prunable = False
-                        if not prunable:
-                            kept_recs.append(rec)
-                    cand = kept_recs
         cand_live = (
             live
             if len(cand) == len(data)
@@ -3564,7 +3861,6 @@ def merge_iceberg(
             .distinct()
             .collect()  # bounded by the table's active-file count
         }
-    bysrc_cond = bysource_hit_condition(clauses)
     if data and bysrc_cond is not None:
         hit_names |= {
             r["_ice_file"]
@@ -3619,6 +3915,12 @@ def merge_iceberg(
         m for m in _carry_manifests(path, meta)
         if int(m.get("content") or 0) == 1
     ]
+    if txn is not None:
+        # advance the watermark IN the committing metadata version —
+        # same atomicity as Delta's txn action riding the commit
+        props = dict(meta.get("properties") or {})
+        props[f"txn.{txn[0]}"] = str(int(txn[1]))
+        meta["properties"] = props
     v = _commit_snapshot(path, meta, new_manifests, carry, "overwrite")
     return {"version": v, **stats}
 

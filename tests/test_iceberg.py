@@ -1739,3 +1739,100 @@ def test_merge_hit_discovery_is_bounds_pruned(spark, tmp_path):
     assert moved == []  # copy-on-write leaves originals in place
     hist = history_iceberg(spark, path)
     assert hist[-1]["operation"] == "overwrite"
+
+
+def test_nested_required_fields_enforced_on_write(spark, tmp_path):
+    """ADVICE r7: required-ness must hold for fields NESTED inside
+    struct/list/map types, not just top-level columns — a NULL in a
+    nested required slot writes a file that is spec-corrupt for every
+    other Iceberg reader.  A NULL *container* stays legal when the
+    container itself is optional."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField,
+        StructType as ST,
+    )
+
+    inner = ST([
+        StructField("a", IntegerType(), nullable=False),
+        StructField("b", StringType(), nullable=True),
+    ])
+    schema = ST([
+        StructField("k", IntegerType(), nullable=False),
+        StructField("s", ST(inner.fields), nullable=True),
+        StructField("arr", ArrayType(IntegerType(), containsNull=False),
+                    nullable=True),
+    ])
+    path = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, (10, "x"), [1, 2])], schema),
+        path, mode="error",
+    )
+    meta = _load_metadata(path)
+    fields = {f["name"]: f for f in meta["schemas"][0]["fields"]}
+    assert fields["s"]["type"]["fields"][0]["required"]
+    assert fields["arr"]["type"]["element-required"]
+    nullable = "k int, s struct<a:int,b:string>, arr array<int>"
+    # NULL container is fine (s itself is optional), non-null nested ok
+    write_iceberg(
+        spark.createDataFrame([(2, None, None), (3, (30, None), [3])],
+                              nullable),
+        path, mode="append",
+    )
+    # NULL in the required struct field fails the write job
+    with pytest.raises(Exception, match="required column 's'"):
+        write_iceberg(
+            spark.createDataFrame([(4, (None, "y"), [4])], nullable),
+            path, mode="append",
+        )
+    # NULL list element fails the write job
+    with pytest.raises(Exception, match="required column 'arr'"):
+        write_iceberg(
+            spark.createDataFrame([(5, (50, "z"), [5, None])], nullable),
+            path, mode="append",
+        )
+    got = sorted(
+        (r["k"], tuple(r["s"]) if r["s"] else None,
+         tuple(r["arr"]) if r["arr"] is not None else None)
+        for r in read_iceberg(spark, path).collect()
+    )
+    assert got == [
+        (1, (10, "x"), (1, 2)), (2, None, None), (3, (30, None), (3,)),
+    ]
+
+
+def test_merge_composite_key_discovery_is_bounds_pruned(
+    spark, tmp_path, monkeypatch
+):
+    """r8: merge_iceberg conjoins per-column manifest bounds for a
+    COMPOSITE key — each key column alone overlaps two files, but
+    discovery scans only their one-file intersection."""
+    from aws_datalake_framework_api_spark.sources import iceberg as I
+
+    path = str(tmp_path / "t")
+    specs = [(0, "a"), (0, "b"), (100, "a"), (100, "b")]
+    for i, (base, p) in enumerate(specs):
+        rows = [(k, p, float(k)) for k in range(base, base + 100)]
+        write_iceberg(
+            spark.createDataFrame(rows, "k int, part string, v double")
+            .coalesce(1),
+            path, mode="error" if i == 0 else "append",
+        )
+    sizes = []
+    orig = I._plan_scan
+
+    def spy(spark_, schema_, data, *a, **kw):
+        sizes.append(len(data))
+        return orig(spark_, schema_, data, *a, **kw)
+
+    monkeypatch.setattr(I, "_plan_scan", spy)
+    out = I.merge_iceberg(
+        spark, path, _df(spark, [(150, "a", 9999.0)]),
+        on=["k", "part"],
+    )
+    assert (out["updated"], out["inserted"]) == (1, 0)
+    # full live scan saw 4 files; pruned discovery scan saw exactly 1
+    assert 4 in sizes and 1 in sizes
+    got = {(r["k"], r["part"]): r["v"]
+           for r in read_iceberg(spark, path).collect()}
+    assert got[(150, "a")] == 9999.0 and got[(150, "b")] == 150.0
+    assert len(got) == 400
