@@ -9,24 +9,22 @@ first 50 registration-order entries, leaving every catalog/streaming/
 UDF/landing query without a correctness row.  So the dict is rebuilt
 below with:
 
-Round-7 rotation (VERDICT r6 item #1): evidence-freshness round.
+Round-8 rotation (VERDICT r7 item #1): evidence-freshness round.
 
-1. slots 1-16: the round-6 connector additions that have never had
-   a driver row — Iceberg v2 connector lifecycle ×7, Delta DV/MERGE/
-   CDF/column-mapping/v2-checkpoint ×6, the two Python-Data-Source
-   stream tails, SemDeDup.  All 16 pre-cleared green at three local
-   configs in LOCAL_SWEEP_r06_final/_full_cpus8/_full_sf0001.json.
-2. slots 17-50: 34 of the 53 stale r1/r2 greens — all 12 ids whose
-   latest driver row is r1, then the 22 most load-bearing r2 ids
-   (streaming windows/state first, then the UDF family, core joins,
-   relational basics);
+1. slots 1-4: the round-7 additions that have never had a driver
+   row (Iceberg MERGE/changelog, Delta constraints/CDF-rows) — all
+   pre-cleared green at three local configs in LOCAL_SWEEP_r07_*
+   and by the r7 judge's independent re-run;
+2. slots 5-23: the 19 remaining r2-stale ids;
+3. slots 24-50: 27 of the 43 r3-stale ids (LLM dedup/sampling/text
+   first, then core joins/analytics);
    — the 50-entry boundary falls here —
-3. the ROUND-8 staging: the 19 remaining r2-stale ids, then any
-   round-7 additions in registration order;
-4. everything r3-r6-proved and unchanged, in registration order.
+4. the ROUND-9 staging: any round-8 additions (never checked),
+   then the 16 remaining r3-stale ids;
+5. everything r4-r7-proved and unchanged, in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
-round; the round-6 artifacts showed the ENTIRE registry green at
-three configs (LOCAL_SWEEP_r06_final/_full_cpus8/_full_sf0001) and
+round; the round-7 artifacts showed the ENTIRE registry green at
+three configs (LOCAL_SWEEP_r07_final/_full_cpus8/_full_sf0001) and
 this round's final sweep is re-committed before round close.
 """
 
@@ -60,6 +58,7 @@ from .streaming import ingest as _stream_ingest  # noqa: F401  A12/B9
 from .streaming import delta_source as _stream_delta_source  # noqa: F401  B9/B1 delta tail
 from .streaming import iceberg_source as _stream_iceberg_source  # noqa: F401  B9/B1 iceberg tail
 from .streaming import upsert as _stream_upsert  # noqa: F401  B9∪B1 lakehouse merge
+from .streaming import lake_sink as _stream_lake_sink  # noqa: F401  B9∪B1 connector sinks
 from . import catalog_queries as _catalog_queries  # noqa: F401  A1-A9
 from .operators import udfs as _udfs  # noqa: F401  B10
 from .operators import sql_surface as _sql_surface  # noqa: F401  SQL facade
@@ -78,76 +77,21 @@ from . import envelope as _envelope  # noqa: F401  A11
 #: not registered are skipped; registered ids not listed append last.
 _ORDER = [
     # ==================================================================
-    # 50-ENTRY DRIVER WINDOW — ROUND 7 (VERDICT r6 item #1): slots
-    # 1-16 are the round-6 connector additions that have never had a
-    # driver row (Iceberg v2 connector ×7, Delta DV/MERGE/CDF/cmap/
-    # v2cp ×6, the two Python-Data-Source stream tails, SemDeDup) —
-    # all pre-cleared green at three configs in LOCAL_SWEEP_r06_final/
-    # _full_cpus8/_full_sf0001.json.  Slots 17-50 are 34 of the 53
-    # stale r1/r2 greens (all 12 r1 ids + the 22 most load-bearing r2
-    # ids — streaming, UDF families, core joins/relational), so every
-    # id's latest driver row becomes ≤5 rounds old; the remaining 19
-    # r2-stale ids are staged immediately after the boundary for r8.
-    "b_scan_iceberg",  # round-6 Iceberg-v2 connector — newest code first
-    "b_lake_iceberg_upsert",
-    "b_lake_iceberg_eqdelete",
-    "b_lake_iceberg_hidden",
-    "b_lake_iceberg_specevolve",
-    "b_lake_iceberg_tag",
-    "b_lake_iceberg_evolve",
-    "b_lake_delta_dv",
-    "b_lake_delta_merge",
-    "b_lake_delta_cdf",
-    "b_lake_delta_cmap",
-    "b_lake_delta_cmap_dml",
-    "b_lake_delta_v2cp",
-    "b_stream_delta_source",
-    "b_stream_iceberg_source",
-    "b_llm_dedup_semantic",
-    # -- stale-refresh: the 12 ids whose latest driver row is r1 --
-    "b_fn_null",
-    "b_fn_map",
-    "b_fn_explode",
-    "b_join_full",
-    "b_join_bucketed",
-    "b_join_asof_pandas",
-    "b_win_frame",
-    "b_llm_tokens",
-    "b_llm_quality",
-    "b_llm_langid",
-    "b_llm_fingerprint",
-    "b_llm_neardup_cosine",
-    # -- stale-refresh: 22 of the 41 r2 ids (streaming first — the
-    #    container's Spark build moved under them via the
-    #    TIMESTAMP_NTZ migration — then UDFs, joins, relational) --
-    "b_stream_tumble",
-    "b_stream_slide",
-    "b_stream_session",
-    "b_stream_watermark",
-    "b_stream_dedup",
-    "b_stream_join",
-    "b_stream_stateful",
-    "b_udf_scalar",
-    "b_udf_pandas",
-    "b_udf_grouped",
-    "b_join_bcast",
-    "b_join_smj",
-    "b_join_asof",
-    "b_join_range",
-    "b_join_star",
-    "b_agg_q1",
-    "b_fn_array",
-    "b_llm_textstats",
-    "b_project",
-    "b_filter_pred",
-    "b_sort",
-    "b_case_when",
-    # ---- 50-entry window boundary falls here (ids above get driver
-    #      rows; everything below relies on verify_local this round) --
-    # -- ROUND-8 WINDOW STAGING: the 19 remaining r2-stale ids
-    #    (VERDICT r6 item #1: "every remaining stale id lands in r8's
-    #    window"), followed by any round-7 additions registered below
-    #    them in module registration order.
+    # 50-ENTRY DRIVER WINDOW — ROUND 8 (VERDICT r7 item #1): slots
+    # 1-4 are the round-7 additions that have never had a driver row
+    # (pre-cleared green at three configs in LOCAL_SWEEP_r07_final/
+    # _full_cpus8/_full_sf0001.json AND by the judge's independent
+    # re-run); slots 5-23 are the 19 remaining r2-stale ids; slots
+    # 24-50 are 27 of the 43 r3-stale ids (dedup/sampling/text
+    # pipeline first — the heaviest-traffic operators — then core
+    # joins/analytics).  After this round every id's latest driver
+    # row is ≤5 rounds old and only 16 r3 ids remain stale, staged
+    # first below the boundary for r9.
+    "b_lake_iceberg_merge",   # r7 additions — never driver-checked
+    "b_lake_delta_constraint",
+    "b_lake_delta_cdf_rows",
+    "b_lake_iceberg_changes",
+    # -- stale-refresh: the 19 remaining ids whose latest row is r2 --
     "b_agg_pivot",
     "b_agg_rollup",
     "b_dedup_exact",
@@ -167,12 +111,59 @@ _ORDER = [
     "b_sink_part",
     "b_win_rank",
     "b_win_topk",
-    # -- round-7 additions (registered this round, driver row due r8) --
-    "b_lake_iceberg_merge",
-    "b_lake_delta_constraint",
-    "b_lake_delta_cdf_rows",
-    "b_lake_iceberg_changes",
-    # -- everything already hash-proved in r3-r6 and unchanged —
+    # -- stale-refresh: 27 of the 43 r3 ids (LLM dedup/sampling/text
+    #    pipeline first, then core joins/analytics) --
+    "b_llm_dedup_fuzzy",
+    "b_llm_dedup_minhash",
+    "b_llm_dedup_ngram",
+    "b_llm_dedup_simhash",
+    "b_llm_dedup_simhash64",
+    "b_llm_neardup_lsh",
+    "b_llm_dedup_incr",
+    "b_llm_dedup_clusters",
+    "b_llm_dup_stats",
+    "b_llm_split_leakage",
+    "b_llm_decontaminate",
+    "b_llm_mix",
+    "b_llm_mix_epochs",
+    "b_llm_pack",
+    "b_llm_sample",
+    "b_llm_sample_exact",
+    "b_llm_shuffle",
+    "b_llm_surprisal",
+    "b_llm_repetition",
+    "b_llm_blocklist",
+    "b_llm_boilerplate",
+    "b_funnel",
+    "b_retention",
+    "b_topk",
+    "b_join_outer",
+    "b_join_semi",
+    "b_sql_q3",
+    # ---- 50-entry window boundary falls here (ids above get driver
+    #      rows; everything below relies on verify_local this round) --
+    # -- ROUND-9 WINDOW STAGING: any round-8 additions first (never
+    #    driver-checked), then the 16 remaining r3-stale ids.
+    "b_stream_delta_sink",    # r8 additions — streaming MERGE sinks
+    "b_stream_iceberg_sink",
+    "b_lake_iceberg_merge_mor",
+    "b_stream_delta_cdf",
+    "b_agg_collect",
+    "b_agg_cube",
+    "b_agg_distinct",
+    "b_agg_quantiles",
+    "b_fn_json",
+    "b_join_cross",
+    "b_join_salted",
+    "b_llm_len_buckets",
+    "b_mm_framesample",
+    "b_mm_meta",
+    "b_scan_csv",
+    "b_scan_evolve",
+    "b_set_intersect",
+    "b_sink_zorder",
+    "b_win_lag",
+    # -- everything already hash-proved in r4-r7 and unchanged —
     #    last; registration order fills in any id not listed here.
 ]
 
