@@ -28,7 +28,13 @@ Semantics (delta-spark parity):
 - column mapping: top-level mapped tables resolve file columns and
   partitionValues through the logical→physical map (``name`` mode by
   physical name, ``id`` mode by parquet field id); nested mapped
-  fields refuse loudly rather than misread (ADVICE r6).
+  fields refuse loudly rather than misread (ADVICE r6);
+- ``readChangeFeed=true`` (r8 — VERDICT r7 item #5) switches to the
+  CHANGE-FEED tail (:class:`DeltaCDFStreamReader`): micro-batches
+  emit row-level changes (table schema + ``_change_type`` +
+  ``_commit_version``) matching the batch ``read_delta_changes``
+  exactly, so update/delete-carrying commits stream without loss
+  instead of refusing.
 """
 
 from __future__ import annotations
@@ -48,6 +54,7 @@ from pyspark.sql.types import StructType
 from ..sources.delta import (
     _CMAP_ID_KEY,
     _CMAP_PHYS_KEY,
+    _dv_uid,
     _list_versions,
     _load_dv_positions,
     _logical_json,
@@ -263,19 +270,282 @@ class DeltaStreamReader(DataSourceStreamReader):
         pass  # offsets live in the engine checkpoint
 
 
+class _DeltaCDFPartition(InputPartition):
+    """One change-feed unit of a planned version range.  ``kind``:
+
+    - ``cdc``: a ``_change_data`` file — rows carry their own
+      ``_change_type`` column (update_preimage/postimage, insert,
+      delete);
+    - ``insert``: a dataChange add in a non-cdc commit — live rows
+      (DV subtracted) are inserts;
+    - ``delete``: a dataChange remove in a non-cdc commit — the
+      file's PREVIOUSLY-live rows (old DV applied) are deletes;
+    - ``dv_delta``: a remove+re-add with a grown deletion vector —
+      exactly the NEWLY-dead positions (new minus old) are deletes.
+
+    All DV decode happens executor-side in ``read()``; the planner
+    ships O(1) descriptor bytes per file."""
+
+    def __init__(
+        self,
+        kind: str,
+        file_path: str,
+        part_values: dict,
+        dv: dict | None,
+        old_dv: dict | None,
+        version: int,
+        table_root: str,
+        fields: list[tuple[str, str]],  # (name, simpleString type)
+        part_cols: list[str],
+        pvals_in_action: bool,  # cdc from a foreign writer: partition
+        # values live in the action, data columns in the file
+    ) -> None:
+        self.kind = kind
+        self.file_path = file_path
+        self.part_values = part_values
+        self.dv = dv
+        self.old_dv = old_dv
+        self.version = version
+        self.table_root = table_root
+        self.fields = fields
+        self.part_cols = part_cols
+        self.pvals_in_action = pvals_in_action
+
+
+class DeltaCDFStreamReader(DataSourceStreamReader):
+    """Streaming CHANGE-FEED tail (delta-spark's
+    ``readChangeFeed=true`` streaming role): each micro-batch emits
+    the row-level changes of ``(startVersion, endVersion]`` — the
+    same change set as the batch :func:`~..sources.delta
+    .read_delta_changes` — so update/delete-carrying commits stream
+    WITHOUT data loss instead of refusing (the plain tail's
+    correct-but-lossy contract).  cdc-carrying commits are read from
+    their ``_change_data`` files exclusively; others derive from
+    file diffs; ``dataChange: false`` rearrangements are invisible."""
+
+    def __init__(self, schema: StructType, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("delta_stream requires .load(<table path>)")
+        self.start = int(options.get("startingversion", 0))
+        # schema = table schema + _change_type + _commit_version
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start - 1}
+
+    def latestOffset(self) -> dict:
+        v = _table_version(self.path)
+        return {"version": v if v is not None else self.start - 1}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        # before-state at lo: old DVs + removed files' add records.
+        # _snapshot is checkpoint-aware, so planning stays log-sized.
+        state, _ = _snapshot(None, self.path, max(lo, 0))
+        if _mapping_mode(state) not in ("none", ""):
+            raise ValueError(
+                "delta_stream readChangeFeed: column-mapped tables are "
+                "not supported by the stream tail — read changes in "
+                "batch (read_delta_changes) instead"
+            )
+        fields = [
+            (f.name, f.dataType.simpleString())
+            for f in self.schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+        part_cols = list(state.metadata.get("partitionColumns") or [])
+        have = set(_list_versions(self.path))
+
+        def live_dv(a: dict) -> dict | None:
+            d = a.get("deletionVector")
+            return d if d and int(d.get("cardinality") or 0) else None
+
+        out: list[_DeltaCDFPartition] = []
+        for v in range(lo + 1, hi + 1):
+            if v not in have:
+                raise ValueError(
+                    f"delta_stream: version {v} JSON is gone (log "
+                    "cleanup) — the change feed for this range is "
+                    "unreconstructable; restart from a fresh checkpoint"
+                )
+            with open(_version_file(self.path, v)) as fh:
+                acts = [json.loads(line) for line in fh if line.strip()]
+            cdc_acts = [a["cdc"] for a in acts if "cdc" in a]
+            if cdc_acts:
+                # protocol rule: a cdc-carrying commit is read from its
+                # change files EXCLUSIVELY (deriving from add/remove too
+                # would double-count)
+                for c in cdc_acts:
+                    pvals = dict(c.get("partitionValues") or {})
+                    out.append(
+                        _DeltaCDFPartition(
+                            "cdc",
+                            os.path.join(
+                                self.path, urllib.parse.unquote(c["path"])
+                            ),
+                            pvals, None, None, v, self.path,
+                            fields, part_cols, bool(pvals),
+                        )
+                    )
+            else:
+                adds = {
+                    a["add"]["path"]: a["add"] for a in acts if "add" in a
+                }
+                removes = {
+                    a["remove"]["path"]: a["remove"]
+                    for a in acts
+                    if "remove" in a
+                }
+                for p, a in adds.items():
+                    if not a.get("dataChange", True):
+                        continue
+                    if p in removes and _dv_uid(
+                        a.get("deletionVector")
+                    ) == _dv_uid(removes[p].get("deletionVector")):
+                        continue  # unchanged-DV re-add: no row changed
+                    fp = os.path.join(self.path, urllib.parse.unquote(p))
+                    if p in removes:
+                        # grown deletion vector: newly-dead rows only
+                        old_a = (state.files or {}).get(p) or {}
+                        nd = live_dv(a)
+                        if nd:
+                            out.append(
+                                _DeltaCDFPartition(
+                                    "dv_delta", fp,
+                                    dict(a.get("partitionValues") or {}),
+                                    nd, live_dv(old_a), v, self.path,
+                                    fields, part_cols, True,
+                                )
+                            )
+                        continue
+                    out.append(
+                        _DeltaCDFPartition(
+                            "insert", fp,
+                            dict(a.get("partitionValues") or {}),
+                            live_dv(a), None, v, self.path,
+                            fields, part_cols, True,
+                        )
+                    )
+                for p, r in removes.items():
+                    if not r.get("dataChange", True) or p in adds:
+                        continue
+                    old_a = (state.files or {}).get(p)
+                    if old_a is None:
+                        continue
+                    out.append(
+                        _DeltaCDFPartition(
+                            "delete",
+                            os.path.join(
+                                self.path, urllib.parse.unquote(p)
+                            ),
+                            dict(old_a.get("partitionValues") or {}),
+                            live_dv(old_a), None, v, self.path,
+                            fields, part_cols, True,
+                        )
+                    )
+            for a in acts:
+                state.apply(a)
+        return out
+
+    def read(self, partition: _DeltaCDFPartition):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.file_path)
+        cols = set(table.column_names)
+        part_typed = {
+            name: _typed(partition.part_values.get(name), simple)
+            for name, simple in partition.fields
+            if name in partition.part_cols
+            and (partition.pvals_in_action or name not in cols)
+        }
+
+        def value(row, name):
+            if name in part_typed:
+                return part_typed[name]
+            return row.get(name) if name in cols else None
+
+        if partition.kind == "cdc":
+            for row in table.to_pylist():
+                yield tuple(
+                    [value(row, n) for n, _s in partition.fields]
+                    + [row.get("_change_type"), partition.version]
+                )
+            return
+        if partition.kind == "dv_delta":
+            dead = set(
+                _load_dv_positions(partition.table_root, partition.dv)
+            )
+            if partition.old_dv:
+                dead -= set(
+                    _load_dv_positions(
+                        partition.table_root, partition.old_dv
+                    )
+                )
+            keep = lambda pos: pos in dead  # noqa: E731
+            ctype = "delete"
+        elif partition.kind == "delete":
+            old = (
+                set(
+                    _load_dv_positions(
+                        partition.table_root, partition.dv
+                    )
+                )
+                if partition.dv
+                else set()
+            )
+            keep = lambda pos: pos not in old  # noqa: E731
+            ctype = "delete"
+        else:  # insert
+            dv = (
+                set(
+                    _load_dv_positions(
+                        partition.table_root, partition.dv
+                    )
+                )
+                if partition.dv
+                else set()
+            )
+            keep = lambda pos: pos not in dv  # noqa: E731
+            ctype = "insert"
+        for pos, row in enumerate(table.to_pylist()):
+            if not keep(pos):
+                continue
+            yield tuple(
+                [value(row, n) for n, _s in partition.fields]
+                + [ctype, partition.version]
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine checkpoint
+
+
 class DeltaStreamSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "delta_stream"
+
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
 
     def schema(self) -> StructType:
         path = self.options.get("path")
         if not path:
             raise ValueError("delta_stream requires .load(<table path>)")
         snap, _ = _snapshot(None, path)
-        return StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+        st = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+        if self._cdf():
+            st = st.add("_change_type", "string").add(
+                "_commit_version", "long"
+            )
+        return st
 
-    def streamReader(self, schema: StructType) -> DeltaStreamReader:
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._cdf():
+            return DeltaCDFStreamReader(schema, self.options)
         return DeltaStreamReader(schema, self.options)
 
 
@@ -342,6 +612,79 @@ def stream_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream of a Delta table's CHANGE FEED: enable CDF, run a
+    full-clause MERGE (conditional update, delete, insert — staging
+    real ``_change_data`` files with update pre/postimages), then
+    tail the change feed with ``readChangeFeed=true`` from the merge
+    version, sink to parquet, and aggregate the sunk changes by
+    ``_change_type``.  The oracle recomputes every change class
+    arithmetically from orders — a lost preimage, a double-read cdc
+    file, or a derived-when-cdc-present double count all fail the
+    hash compare.  Proves the stream can carry update/delete commits
+    WITHOUT data loss (the plain tail refuses them by design).  (r8,
+    VERDICT r7 item #5.)"""
+    import atexit as _atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import money_sum
+    from ..sources.delta import (
+        alter_table_properties_delta,
+        merge_delta,
+        write_delta,
+    )
+    from ..sources.readers import load_table
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tmp = _tempfile.mkdtemp(prefix="spark_graft_dcdf_")
+    _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+    t = os.path.join(tmp, "t")
+    write_delta(
+        orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(2),
+        t, mode="error",
+    )                                                            # v0
+    alter_table_properties_delta(
+        spark, t, {"delta.enableChangeDataFeed": "true"}
+    )                                                            # v1
+    source = orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    ).unionByName(orders.filter(F.col("o_orderkey") % 3 == 1))
+    merge_delta(
+        spark, t, source, on=["o_orderkey"],
+        clauses=[
+            {"when": "matched", "action": "update",
+             "condition": "t.o_orderkey % 12 = 0"},
+            {"when": "matched", "action": "delete"},
+            {"when": "not_matched", "action": "insert"},
+        ],
+    )                                                            # v2
+    out = os.path.join(tmp, "out")
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)
+        .load(t)
+        .writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("_change_type").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+        F.max("_commit_version").cast("long").alias("commit_version"),
+    )
+
+
 def _register_query() -> None:
     from ..functions.numeric import sql_money_sum
     from ..registry import query
@@ -356,6 +699,36 @@ def _register_query() -> None:
         GROUP BY o_orderpriority
         """,
     )(stream_from_delta)
+
+    # CDF change classes from the MERGE: matched ∧ %12=0 → update
+    # (preimage old price, postimage +1000), matched ∧ %12≠0 → delete,
+    # unmatched source keys (≡1 mod 3) → insert at original price.
+    query(
+        "b_stream_delta_cdf",
+        f"""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+          WHERE o_orderkey % 3 = 0
+        ),
+        changes AS (
+          SELECT 'update_preimage' AS ct, p FROM base WHERE k % 12 = 0
+          UNION ALL
+          SELECT 'update_postimage' AS ct, p + 1000 AS p FROM base
+          WHERE k % 12 = 0
+          UNION ALL
+          SELECT 'delete' AS ct, p FROM base
+          WHERE k % 6 = 0 AND k % 12 <> 0
+          UNION ALL
+          SELECT 'insert' AS ct, o_totalprice AS p FROM orders
+          WHERE o_orderkey % 3 = 1
+        )
+        SELECT ct AS _change_type, count(*) AS n,
+               {sql_money_sum('p')} AS total_price,
+               CAST(2 AS BIGINT) AS commit_version
+        FROM changes
+        GROUP BY ct
+        """,
+    )(stream_delta_cdf)
 
 
 _register_query()
