@@ -1836,3 +1836,98 @@ def test_merge_composite_key_discovery_is_bounds_pruned(
            for r in read_iceberg(spark, path).collect()}
     assert got[(150, "a")] == 9999.0 and got[(150, "b")] == 150.0
     assert len(got) == 400
+
+
+def test_mor_merge_matches_cow_and_rewrites_nothing(spark, tmp_path):
+    """strategy="mor" must land the exact table state the
+    copy-on-write strategy lands — full clause matrix incl. by-source
+    delete and a pre-existing positional delete — while rewriting NO
+    data file: touched rows stage as position deletes, postimages +
+    inserts append, existing files stay byte-identical (r8)."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        merge_iceberg,
+    )
+
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+            (4, "b", 40.0), (5, "b", 50.0), (6, "b", 60.0)]
+    source = _df(spark, [(1, "a", 99.0),   # matched, v>old -> update
+                         (3, "a", 1.0),    # matched, v<=old -> delete
+                         (2, "a", 2.0),    # key is DEAD -> insert
+                         (7, "c", 7.0)])   # new -> insert
+    clauses = [
+        {"when": "matched", "action": "update",
+         "condition": "s.v > t.v"},
+        {"when": "matched", "action": "delete"},
+        {"when": "not_matched", "action": "insert"},
+        {"when": "not_matched_by_source", "action": "delete",
+         "condition": "t.k = 6"},
+    ]
+    states, stats = [], []
+    for strat in ("cow", "mor"):
+        path = str(tmp_path / strat)
+        write_iceberg(
+            _df(spark, rows).repartition(1), path, mode="error",
+            partition_by=["part"],
+        )
+        assert delete_iceberg_rows(spark, path, F.col("k") == 2) == 2
+        before = {
+            os.path.join(root, f)
+            for root, _d, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet") and "delete-" not in f
+        }
+        out = merge_iceberg(
+            spark, path, source, on=["k"], clauses=clauses,
+            strategy=strat,
+        )
+        stats.append(
+            (out["updated"], out["deleted"], out["inserted"])
+        )
+        states.append(_sorted_rows(read_iceberg(spark, path)))
+        if strat == "mor":
+            # every pre-merge data file still present, none rewritten
+            assert before <= {
+                os.path.join(root, f)
+                for root, _d, files in os.walk(path)
+                for f in files
+            }
+    assert stats[0] == stats[1] == (1, 2, 2)
+    assert states[0] == states[1] == [
+        (1, "a", 99.0), (2, "a", 2.0), (4, "b", 40.0), (5, "b", 50.0),
+        (7, "c", 7.0),
+    ]
+
+
+def test_mor_merge_then_compaction_folds_the_read_debt(spark, tmp_path):
+    """rewrite_data_files after a MOR merge folds the merge's
+    position deletes: same visible state, no delete files applied on
+    the post-compaction read, and the pre-compaction snapshot still
+    time-travels with the deletes applied."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        merge_iceberg,
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(i, "a", float(i)) for i in range(1, 9)])
+        .repartition(1),
+        path, mode="error",
+    )
+    out = merge_iceberg(
+        spark, path,
+        _df(spark, [(2, "a", 200.0), (4, "a", 400.0), (9, "a", 9.0)]),
+        on=["k"], strategy="mor",
+    )
+    assert (out["updated"], out["inserted"]) == (2, 1)
+    exp = [(1, "a", 1.0), (2, "a", 200.0), (3, "a", 3.0),
+           (4, "a", 400.0), (5, "a", 5.0), (6, "a", 6.0),
+           (7, "a", 7.0), (8, "a", 8.0), (9, "a", 9.0)]
+    assert _sorted_rows(read_iceberg(spark, path)) == exp
+    pre = history_iceberg(spark, path)[-1]["snapshot_id"]
+    rewrite_data_files(spark, path)
+    assert _sorted_rows(read_iceberg(spark, path)) == exp
+    # time travel to the MOR snapshot still applies its deletes
+    assert _sorted_rows(
+        read_iceberg(spark, path, snapshot_id=pre)
+    ) == exp

@@ -8,7 +8,11 @@ Claims under test:
 - the changelog read of that merge snapshot is bounded by the
   CHANGED files, not the table;
 - Delta CDF DELETE staging cost rides the deleted-row count (cdc
-  files are row-level), not the table.
+  files are row-level), not the table;
+- (r8) merge_iceberg(strategy="mor") COMMIT BYTES ride the changed
+  rows, not the hit-file bytes: the same fixed-size source merged
+  merge-on-read writes a ~constant byte volume across 1x/10x/30x
+  while the copy-on-write commit's bytes grow with the hit files.
 
 Usage: python tools/merge_scale_probe.py
 """
@@ -28,6 +32,22 @@ def wall(fn):
     t0 = time.time()
     out = fn()
     return round(time.time() - t0, 3), out
+
+
+def _sizes(root: str) -> dict:
+    out = {}
+    for r, _dirs, fs in os.walk(root):
+        for f in fs:
+            p = os.path.join(r, f)
+            try:
+                out[p] = os.path.getsize(p)
+            except OSError:
+                pass
+    return out
+
+
+def _new_bytes(root: str, before: dict) -> int:
+    return sum(s for p, s in _sizes(root).items() if p not in before)
 
 
 def main() -> None:
@@ -94,9 +114,11 @@ def main() -> None:
             )
             src = src.cache()
             src.count()
+            pre_cow = _sizes(ice)
             t_merge, out = wall(
                 lambda: merge_iceberg(spark, ice, src, on=["o_orderkey"])
             )
+            cow_bytes = _new_bytes(ice, pre_cow)
             hist = history_iceberg(spark, ice)
             t_chg, n_chg = wall(
                 lambda: read_iceberg_changes(
@@ -104,6 +126,27 @@ def main() -> None:
                     hist[-1]["snapshot_id"],
                 ).count()
             )
+            # MOR twin on the post-COW table: a second fixed-size
+            # key-clustered source — commit bytes must NOT ride the
+            # hit-file bytes (r8)
+            src2 = orders.filter(
+                (F.col("o_orderkey") > 4000) & (F.col("o_orderkey") <= 12000)
+            ).dropDuplicates(["o_orderkey"]).limit(1000).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(2.0)
+            ).unionByName(
+                orders.dropDuplicates(["o_orderkey"]).select(
+                    (F.col("o_orderkey") + 2_000_000_000).alias("o_orderkey"),
+                    "o_orderpriority", "o_totalprice",
+                ).limit(200)
+            ).cache()
+            src2.count()
+            pre_mor = _sizes(ice)
+            t_mor, out_mor = wall(
+                lambda: merge_iceberg(
+                    spark, ice, src2, on=["o_orderkey"], strategy="mor"
+                )
+            )
+            mor_bytes = _new_bytes(ice, pre_mor)
             # Delta CDF delete: fixed ~1/97 of rows
             dl = os.path.join(tmp, "dl")
             write_delta(orders.repartition(8), dl, mode="error")
@@ -118,6 +161,9 @@ def main() -> None:
             report.append(
                 {"label": label, "rows": n, "build_s": t_build,
                  "merge_s": t_merge, "merged": out,
+                 "cow_commit_bytes": cow_bytes,
+                 "mor_merge_s": t_mor, "mor_merged": out_mor,
+                 "mor_commit_bytes": mor_bytes,
                  "changelog_s": t_chg, "changelog_rows": n_chg,
                  "cdf_delete_s": t_cdf}
             )
