@@ -148,6 +148,7 @@ _ORDER = [
     "b_stream_iceberg_sink",
     "b_lake_iceberg_merge_mor",
     "b_stream_delta_cdf",
+    "b_stream_iceberg_cdf",
     "b_agg_collect",
     "b_agg_cube",
     "b_agg_distinct",

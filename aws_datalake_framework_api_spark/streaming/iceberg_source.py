@@ -26,11 +26,23 @@ Semantics (iceberg-spark parity):
   also REFUSE by default: their row removals are invisible to an
   append-level stream, and iceberg-spark likewise fails on delete
   snapshots unless ``streaming-skip-delete-snapshots`` is set —
-  ``ignoreChanges=true`` is this source's equivalent skip switch.
+  ``ignoreChanges=true`` is this source's equivalent skip switch;
+- ``readChangeFeed=true`` (r8) switches to the row-level CHANGELOG
+  tail (:class:`IcebergChangesStreamReader`): micro-batches emit the
+  change set of the planned snapshot range (schema +
+  ``_change_type`` + ``_commit_snapshot_pos``) matching the batch
+  ``read_iceberg_changes`` — added files stream as inserts, removed
+  files as previous-state deletes (their prior position deletes
+  subtracted executor-side), NEW position-delete files as exactly
+  the newly-dead rows.  This goes BEYOND iceberg-spark, whose
+  streaming read is append-only; equality-delete snapshots refuse
+  loudly (their kill set needs the batch reader's distributed
+  semi-join — read those ranges with ``read_iceberg_changes``).
 """
 
 from __future__ import annotations
 
+import os
 import urllib.parse
 
 from pyspark.sql import SparkSession
@@ -208,18 +220,305 @@ class IcebergStreamReader(DataSourceStreamReader):
         pass
 
 
+def _colmap(table, resolve: dict | None) -> dict:
+    """Current-name → file-column-name map for one pyarrow table,
+    resolving renamed tables by parquet field id (same contract as
+    the batch reader's _resolved_union — silent NULLs for renamed
+    columns would be a misread)."""
+    if resolve is None:
+        return {n: n for n in table.column_names}
+    colmap: dict[str, str] = {}
+    for fld in table.schema:
+        raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if raw is not None:
+            fid = int(raw)
+        else:
+            if fld.name in resolve["ambiguous"]:
+                raise ValueError(
+                    f"iceberg_stream: cannot resolve column {fld.name!r}: "
+                    "no parquet field ids and the name maps to multiple "
+                    "field ids across schema history"
+                )
+            fid = resolve["name_to_id"].get(fld.name)
+        cur = resolve["ids"].get(fid) if fid is not None else None
+        if cur is not None:
+            colmap[cur] = fld.name
+    return colmap
+
+
+class _IceChangePartition(InputPartition):
+    """One changelog unit of a planned snapshot range.  ``kind``:
+
+    - ``ins``: a data file ADDED by the snapshot — live rows (the
+      snapshot's OWN new position deletes subtracted, so an upsert's
+      dead-on-arrival rows stay silent) are inserts;
+    - ``del``: a data file REMOVED by the snapshot — its
+      previous-state rows (prior position deletes subtracted) are
+      deletes;
+    - ``posdel``: a NEW position-delete file — exactly the
+      newly-dead rows (minus previously-dead positions) of data files
+      active across the transition are deletes.
+
+    Descriptors ship file PATHS only (delete-file paths, plus the
+    metadata-sized carried-file set for ``posdel`` scoping); all
+    parquet reads happen executor-side."""
+
+    def __init__(
+        self,
+        kind: str,
+        file_path: str,
+        aux_paths: list[str],
+        carried: frozenset,
+        snapshot_id: int,
+        names: list[str],
+        resolve: dict | None,
+    ) -> None:
+        self.kind = kind
+        self.file_path = file_path
+        self.aux_paths = aux_paths
+        self.carried = carried
+        self.snapshot_id = snapshot_id
+        self.names = names
+        self.resolve = resolve
+
+
+class IcebergChangesStreamReader(DataSourceStreamReader):
+    """Streaming row-level CHANGELOG tail (``readChangeFeed=true``):
+    each micro-batch emits the change set of the planned snapshot
+    range — the same contract as the batch
+    :func:`~..sources.iceberg.read_iceberg_changes` — so
+    delete/rewrite-carrying snapshots stream without loss instead of
+    refusing.  Output = table columns + ``_change_type`` +
+    ``_snapshot_id``.  Snapshots adding EQUALITY-delete files refuse:
+    their kill set is a distributed null-safe semi-join (batch-read
+    those ranges); position deletes, appends, and rewrites stream."""
+
+    def __init__(self, schema: StructType, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("iceberg_stream requires .load(<table path>)")
+        self.start_pos = int(options.get("startingpos", 0))
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        sid = None
+        if self.start_pos >= 1:
+            snaps = _ordered_snapshots(_load_metadata(self.path))
+            if self.start_pos > len(snaps):
+                raise ValueError(
+                    f"iceberg_stream: startingPos {self.start_pos} is "
+                    "past the snapshot log"
+                )
+            sid = snaps[self.start_pos - 1]["snapshot-id"]
+        return {"pos": self.start_pos, "sid": sid}
+
+    latestOffset = IcebergStreamReader.latestOffset
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        meta = _load_metadata(self.path)
+        snaps = _ordered_snapshots(meta)
+        if hi > len(snaps):
+            raise ValueError(
+                "iceberg_stream: offset past the snapshot log (snapshots "
+                "were expired?) — restart from a fresh checkpoint"
+            )
+        sid = start.get("sid")
+        if lo >= 1 and sid is not None and (
+            snaps[lo - 1]["snapshot-id"] != sid
+        ):
+            raise ValueError(
+                "iceberg_stream: the checkpoint's starting snapshot "
+                f"{sid} is no longer in the snapshot log (expired?) — "
+                "restart from a fresh checkpoint"
+            )
+        names = [
+            f.name
+            for f in self.schema.fields
+            if f.name not in ("_change_type", "_snapshot_id")
+        ]
+        res = _resolution(meta)
+        resolve = None
+        if res is not None:
+            cur_by_name = {f["name"]: int(f["id"]) for f in res["ordered"]}
+            ids = {}
+            for n in names:
+                fid = cur_by_name.get(n, res["name_to_id"].get(n))
+                if fid is not None:
+                    ids[int(fid)] = n
+            resolve = {
+                "ids": ids,
+                "name_to_id": res["name_to_id"],
+                "ambiguous": sorted(res["ambiguous"]),
+            }
+
+        def state(i):
+            if i < 0:
+                return [], [], []
+            return _manifest_entries(self.path, meta, snaps[i])
+
+        out: list[_IceChangePartition] = []
+        p_data, p_del, p_eq = state(lo - 1)
+        for i in range(lo, hi):
+            c_data, c_del, c_eq = state(i)
+            ssid = int(snaps[i]["snapshot-id"])
+            prev_paths = {r["path"] for r in p_data}
+            cur_paths = {r["path"] for r in c_data}
+            prev_dpaths = {r["path"] for r in p_del}
+            new_dels = sorted(
+                r["path"] for r in c_del if r["path"] not in prev_dpaths
+            )
+            if {r["path"] for r in c_eq} - {r["path"] for r in p_eq}:
+                raise ValueError(
+                    f"iceberg_stream: snapshot {ssid} adds EQUALITY-delete "
+                    "files; their kill set needs a distributed join the "
+                    "stream tail cannot plan — read this range in batch "
+                    "(read_iceberg_changes) and restart the stream past it"
+                )
+            for p in sorted(cur_paths - prev_paths):
+                out.append(
+                    _IceChangePartition(
+                        "ins", urllib.parse.unquote(p), new_dels,
+                        frozenset(), ssid, names, resolve,
+                    )
+                )
+            removed = sorted(prev_paths - cur_paths)
+            if removed and p_eq:
+                raise ValueError(
+                    f"iceberg_stream: snapshot {ssid} removes files from a "
+                    "state carrying equality deletes; previous-state rows "
+                    "need the batch reader's distributed kill-set join — "
+                    "read this range in batch (read_iceberg_changes)"
+                )
+            for p in removed:
+                out.append(
+                    _IceChangePartition(
+                        "del", urllib.parse.unquote(p),
+                        sorted(prev_dpaths), frozenset(), ssid, names,
+                        resolve,
+                    )
+                )
+            carried = frozenset(
+                urllib.parse.unquote(p) for p in (prev_paths & cur_paths)
+            )
+            if new_dels and p_eq:
+                raise ValueError(
+                    f"iceberg_stream: snapshot {ssid} position-deletes "
+                    "rows of a state carrying equality deletes; the "
+                    "newly-dead set needs the batch reader — read this "
+                    "range in batch (read_iceberg_changes)"
+                )
+            for p in new_dels:
+                out.append(
+                    _IceChangePartition(
+                        "posdel", urllib.parse.unquote(p),
+                        sorted(prev_dpaths), carried, ssid, names,
+                        resolve,
+                    )
+                )
+            p_data, p_del, p_eq = c_data, c_del, c_eq
+        return out
+
+    def read(self, partition: _IceChangePartition):
+        import pyarrow.parquet as pq
+
+        def del_positions(paths, data_file):
+            base = urllib.parse.unquote(os.path.basename(data_file))
+            dead: set[int] = set()
+            for dp in paths:
+                t = pq.read_table(
+                    urllib.parse.unquote(dp),
+                    columns=["file_path", "pos"],
+                )
+                for fp, pos in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("pos").to_pylist(),
+                ):
+                    if urllib.parse.unquote(os.path.basename(fp)) == base:
+                        dead.add(int(pos))
+            return dead
+
+        if partition.kind in ("ins", "del"):
+            table = pq.read_table(partition.file_path)
+            colmap = _colmap(table, partition.resolve)
+            dead = del_positions(partition.aux_paths, partition.file_path)
+            ctype = "insert" if partition.kind == "ins" else "delete"
+            for pos, row in enumerate(table.to_pylist()):
+                if pos in dead:
+                    continue
+                yield tuple(
+                    [
+                        row.get(colmap[n]) if n in colmap else None
+                        for n in partition.names
+                    ]
+                    + [ctype, partition.snapshot_id]
+                )
+            return
+        # posdel: the delete file names (file_path, pos) rows; emit the
+        # NEWLY-dead rows of files active across the transition
+        t = pq.read_table(
+            partition.file_path, columns=["file_path", "pos"]
+        )
+        by_file: dict[str, set[int]] = {}
+        for fp, pos in zip(
+            t.column("file_path").to_pylist(),
+            t.column("pos").to_pylist(),
+        ):
+            by_file.setdefault(urllib.parse.unquote(fp), set()).add(int(pos))
+        carried_base = {
+            os.path.basename(p): p for p in partition.carried
+        }
+        for fp, positions in sorted(by_file.items()):
+            actual = carried_base.get(os.path.basename(fp))
+            if actual is None:
+                continue  # added or removed in this snapshot: handled
+                # by the ins/del partitions (net effect), or foreign
+            already = del_positions(partition.aux_paths, actual)
+            fresh = positions - already
+            if not fresh:
+                continue
+            table = pq.read_table(actual)
+            colmap = _colmap(table, partition.resolve)
+            rows = table.to_pylist()
+            for pos in sorted(fresh):
+                if pos >= len(rows):
+                    continue
+                row = rows[pos]
+                yield tuple(
+                    [
+                        row.get(colmap[n]) if n in colmap else None
+                        for n in partition.names
+                    ]
+                    + ["delete", partition.snapshot_id]
+                )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class IcebergStreamSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "iceberg_stream"
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self) -> StructType:
         path = self.options.get("path")
         if not path:
             raise ValueError("iceberg_stream requires .load(<table path>)")
-        return _schema_to_spark(_current_schema(_load_metadata(path)))
+        st = _schema_to_spark(_current_schema(_load_metadata(path)))
+        if self._cdf():
+            st = st.add("_change_type", "string").add("_snapshot_id", "long")
+        return st
 
-    def streamReader(self, schema: StructType) -> IcebergStreamReader:
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self._cdf():
+            return IcebergChangesStreamReader(schema, self.options)
         return IcebergStreamReader(schema, self.options)
 
 
@@ -285,6 +584,74 @@ def stream_from_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream of an Iceberg table's row-level CHANGELOG: a
+    position-delete snapshot then a MERGE-ON-READ MERGE (update =
+    position delete + postimage insert) stream as insert/delete rows
+    via ``readChangeFeed=true`` — snapshots the append-only tail must
+    refuse.  The oracle recomputes every change class arithmetically;
+    a resurrected dead row, a double-emitted position, or a lost
+    postimage all fail the hash compare.  (r8 — pairs the MOR merge
+    writer with a streaming consumer of its changes.)"""
+    import atexit as _atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import money_sum
+    from ..sources.iceberg import (
+        delete_iceberg_rows,
+        merge_iceberg,
+        write_iceberg,
+    )
+    from ..sources.readers import load_table
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tmp = _tempfile.mkdtemp(prefix="spark_graft_icdf_")
+    _atexit.register(_shutil.rmtree, tmp, ignore_errors=True)
+    t = os.path.join(tmp, "t")
+    write_iceberg(
+        orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(2),
+        t, mode="error",
+    )                                                     # snapshot 1
+    delete_iceberg_rows(spark, t, F.col("o_orderkey") % 30 == 0)  # 2
+    source = orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    ).unionByName(orders.filter(F.col("o_orderkey") % 3 == 1))
+    merge_iceberg(
+        spark, t, source, on=["o_orderkey"],
+        clauses=[
+            {"when": "matched", "action": "update",
+             "condition": "t.o_orderkey % 12 = 0"},
+            {"when": "matched", "action": "delete"},
+            {"when": "not_matched", "action": "insert"},
+        ],
+        strategy="mor",
+    )                                                     # snapshot 3
+    out = os.path.join(tmp, "out")
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("readChangeFeed", "true")
+        .option("startingPos", 1)
+        .load(t)
+        .writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("_change_type").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
 def _register_query() -> None:
     from ..functions.numeric import sql_money_sum
     from ..registry import query
@@ -299,6 +666,39 @@ def _register_query() -> None:
         GROUP BY o_orderpriority
         """,
     )(stream_from_iceberg)
+
+    # Changelog classes: the position-delete snapshot kills ≡0 (mod
+    # 30); the MOR merge position-deletes every LIVE matched key (≡0
+    # mod 6 — update and delete clauses both kill the old version),
+    # re-inserts postimages for live ≡0 (mod 12), and inserts the
+    # unmatched source keys — ≡1 (mod 3) at original price plus the
+    # DEAD ≡0 (mod 30) keys at source (+1000) price.
+    query(
+        "b_stream_iceberg_cdf",
+        f"""
+        WITH b AS (
+          SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+          WHERE o_orderkey % 3 = 0
+        ),
+        live AS (SELECT * FROM b WHERE k % 30 <> 0),
+        changes AS (
+          SELECT 'delete' AS ct, p FROM b WHERE k % 30 = 0
+          UNION ALL
+          SELECT 'delete' AS ct, p FROM live WHERE k % 6 = 0
+          UNION ALL
+          SELECT 'insert' AS ct, p + 1000 AS p FROM live WHERE k % 12 = 0
+          UNION ALL
+          SELECT 'insert' AS ct, o_totalprice AS p FROM orders
+          WHERE o_orderkey % 3 = 1
+          UNION ALL
+          SELECT 'insert' AS ct, p + 1000 AS p FROM b WHERE k % 30 = 0
+        )
+        SELECT ct AS _change_type, count(*) AS n,
+               {sql_money_sum('p')} AS total_price
+        FROM changes
+        GROUP BY ct
+        """,
+    )(stream_iceberg_cdf)
 
 
 _register_query()

@@ -396,3 +396,121 @@ def test_cdf_stream_derives_noncdc_commits_and_dv_deltas(spark, tmp_path):
         [(i, "a", float(i), "delete", 1) for i in (0, 4)]
         + [(i, "a", float(i), "delete", 2) for i in (2, 6)]
     )
+
+
+# --------------------------------------------- Iceberg changelog tail
+
+
+def _run_ice(spark, table, out, ckpt, **opts):
+    reader = spark.readStream.format("iceberg_stream")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(table)
+        .writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_iceberg_changelog_stream_matches_batch_reader(spark, tmp_path):
+    """readChangeFeed=true: a position-delete snapshot, a MOR merge
+    (update + delete + insert), and a COW rewrite all stream as
+    row-level changes EQUAL to the batch read_iceberg_changes over
+    the same range — and the checkpoint advances (no re-emission)."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        delete_iceberg_rows,
+        history_iceberg,
+        merge_iceberg,
+        read_iceberg_changes,
+        write_iceberg,
+    )
+    from aws_datalake_framework_api_spark.streaming.iceberg_source import (
+        register as ice_register,
+    )
+
+    ice_register(spark)
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    write_iceberg(
+        _df(spark, [(i, "a", float(i)) for i in range(1, 9)])
+        .coalesce(1),
+        t, mode="error",
+    )                                                     # snap 1
+    delete_iceberg_rows(spark, t, F.col("k") == 8)        # snap 2
+    merge_iceberg(
+        spark, t,
+        _df(spark, [(1, "a", 100.0), (2, "a", 0.0), (9, "a", 9.0)]),
+        on=["k"],
+        clauses=[
+            {"when": "matched", "action": "update",
+             "condition": "s.v > t.v"},
+            {"when": "matched", "action": "delete"},
+            {"when": "not_matched", "action": "insert"},
+        ],
+        strategy="mor",
+    )                                                     # snap 3
+    merge_iceberg(
+        spark, t, _df(spark, [(3, "a", 300.0)]), on=["k"],
+    )                                                     # snap 4 (COW)
+    _run_ice(spark, t, out, ckpt, readChangeFeed="true", startingPos="1")
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .drop("_snapshot_id").collect()
+    )
+    hist = history_iceberg(spark, t)
+    batch = sorted(
+        tuple(r)
+        for r in read_iceberg_changes(
+            spark, t, hist[0]["snapshot_id"], hist[-1]["snapshot_id"]
+        ).drop("_snapshot_id").collect()
+    )
+    assert got == batch
+    # the explicit change classes, for readability of the contract:
+    assert got == sorted(
+        [(8, "a", 8.0, "delete")]                 # pos-delete snapshot
+        + [(1, "a", 1.0, "delete"),               # MOR update preimage
+           (1, "a", 100.0, "insert"),             # MOR update postimage
+           (2, "a", 2.0, "delete"),               # MOR delete clause
+           (9, "a", 9.0, "insert")]               # MOR insert
+        + [(i, "a", float(i), "delete")           # COW rewrite: whole
+           for i in (3, 4, 5, 6, 7)]              # hit file deletes...
+        + [(3, "a", 300.0, "insert")]             # ...and re-inserts
+        + [(i, "a", float(i), "insert") for i in (4, 5, 6, 7)]
+    )
+    # checkpoint advance: rerun emits nothing new
+    _run_ice(spark, t, out, ckpt, readChangeFeed="true", startingPos="1")
+    assert len(_sunk(spark, out)) == len(got)
+
+
+def test_iceberg_changelog_stream_refuses_equality_deletes(
+    spark, tmp_path
+):
+    """A snapshot adding an equality-delete file refuses the
+    changelog tail loudly (its kill set needs the batch reader's
+    distributed join) instead of under-emitting deletes."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        delete_by_key_iceberg,
+        write_iceberg,
+    )
+    from aws_datalake_framework_api_spark.streaming.iceberg_source import (
+        register as ice_register,
+    )
+
+    ice_register(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "a", 2.0)]).coalesce(1),
+        t, mode="error",
+    )
+    delete_by_key_iceberg(
+        spark, t, spark.createDataFrame([(2,)], "k int")
+    )
+    with pytest.raises(Exception, match="EQUALITY-delete"):
+        _run_ice(
+            spark, t, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            readChangeFeed="true",
+        )
