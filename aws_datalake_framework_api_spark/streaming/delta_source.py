@@ -343,6 +343,11 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         # before-state at lo: old DVs + removed files' add records.
         # _snapshot is checkpoint-aware, so planning stays log-sized.
         state, _ = _snapshot(None, self.path, max(lo, 0))
+        if lo < 0:
+            # version 0 is about to be planned as a change set: its
+            # before-state is EMPTY (the max(lo, 0) replay above was
+            # only for metadata/mapping-mode)
+            state.files = {}
         if _mapping_mode(state) not in ("none", ""):
             raise ValueError(
                 "delta_stream readChangeFeed: column-mapped tables are "
