@@ -94,15 +94,21 @@ def delta_merge_batch(path: str, on: list[str], app_id: str):
     return apply
 
 
-def iceberg_merge_batch(path: str, on: list[str], app_id: str):
+def iceberg_merge_batch(
+    path: str, on: list[str], app_id: str, strategy: str = "cow"
+):
     """foreachBatch callable maintaining an Iceberg table — the
-    ``txn.<app_id>`` property twin of :func:`delta_merge_batch`."""
+    ``txn.<app_id>`` property twin of :func:`delta_merge_batch`.
+    ``strategy="mor"`` merges merge-on-read: per-batch commit cost
+    rides the batch's changed rows (SCALE.md r8: flat commit bytes
+    across 30× table growth), the right default for a hot
+    continuously-merged table; compaction folds the read debt."""
     from ..sources.iceberg import merge_iceberg
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         merge_iceberg(
             batch_df.sparkSession, path, batch_df, on,
-            txn=(app_id, int(batch_id)),
+            txn=(app_id, int(batch_id)), strategy=strategy,
         )
 
     return apply
