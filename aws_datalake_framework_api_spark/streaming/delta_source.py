@@ -487,34 +487,26 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                         partition.table_root, partition.old_dv
                     )
                 )
-            keep = lambda pos: pos in dead  # noqa: E731
-            ctype = "delete"
-        elif partition.kind == "delete":
-            old = (
-                set(
-                    _load_dv_positions(
-                        partition.table_root, partition.dv
-                    )
+            # materialize ONLY the newly-dead positions (Table.take) —
+            # a point delete on a large file stays O(deleted rows)
+            idx = sorted(p for p in dead if p < table.num_rows)
+            for row in table.take(idx).to_pylist():
+                yield tuple(
+                    [value(row, n) for n, _s in partition.fields]
+                    + ["delete", partition.version]
                 )
-                if partition.dv
-                else set()
-            )
-            keep = lambda pos: pos not in old  # noqa: E731
-            ctype = "delete"
-        else:  # insert
-            dv = (
-                set(
-                    _load_dv_positions(
-                        partition.table_root, partition.dv
-                    )
-                )
-                if partition.dv
-                else set()
-            )
-            keep = lambda pos: pos not in dv  # noqa: E731
-            ctype = "insert"
+            return
+        # delete: the file's previously-live rows (old DV applied);
+        # insert: its live rows (own DV subtracted) — same scan shape,
+        # the descriptor's dv field carries the right vector
+        dead = (
+            set(_load_dv_positions(partition.table_root, partition.dv))
+            if partition.dv
+            else set()
+        )
+        ctype = "delete" if partition.kind == "delete" else "insert"
         for pos, row in enumerate(table.to_pylist()):
-            if not keep(pos):
+            if pos in dead:
                 continue
             yield tuple(
                 [value(row, n) for n, _s in partition.fields]

@@ -479,11 +479,11 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                 continue
             table = pq.read_table(actual)
             colmap = _colmap(table, partition.resolve)
-            rows = table.to_pylist()
-            for pos in sorted(fresh):
-                if pos >= len(rows):
-                    continue
-                row = rows[pos]
+            # materialize ONLY the dead positions (Table.take), never
+            # the whole file — a point delete on a large file stays
+            # O(deleted rows) here
+            idx = sorted(p for p in fresh if p < table.num_rows)
+            for row in table.take(idx).to_pylist():
                 yield tuple(
                     [
                         row.get(colmap[n]) if n in colmap else None

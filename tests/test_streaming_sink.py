@@ -155,3 +155,35 @@ def test_iceberg_txn_watermark_survives_snapshot_expiry(spark, tmp_path):
                         txn=("app", 1))
     assert out.get("skipped") is True
     assert _state(spark, read_iceberg, path) == {(1, 20, 3)}
+
+
+def test_iceberg_mor_sink_exactly_once_under_replay(spark, tmp_path, feed):
+    """The merge-on-read sink strategy carries the same exactly-once
+    guarantee: per-batch position-delete + append commits, replays
+    skip on the txn property — and no original data file rewrites."""
+    path = str(tmp_path / "tbl")
+    write_iceberg(_df(spark, [(1, 1, 1), (2, 2, 1), (3, 3, 1)]), path)
+    before = {
+        os.path.join(root, f)
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and "delete-" not in f
+    }
+    _run(spark, feed, str(tmp_path / "ck1"),
+         iceberg_merge_batch(path, ["k"], "app", strategy="mor"))
+    assert _state(spark, read_iceberg, path) == EXPECT
+    assert last_txn_version_iceberg(spark, path, "app") == 1
+    after = {
+        os.path.join(root, f)
+        for root, _d, files in os.walk(path)
+        for f in files
+    }
+    assert before <= after  # nothing rewritten
+    n_meta = len(glob.glob(os.path.join(path, "metadata", "v*.metadata.json")))
+    _run(spark, feed, str(tmp_path / "ck2"),
+         iceberg_merge_batch(path, ["k"], "app", strategy="mor"))
+    assert _state(spark, read_iceberg, path) == EXPECT
+    assert (
+        len(glob.glob(os.path.join(path, "metadata", "v*.metadata.json")))
+        == n_meta
+    )
