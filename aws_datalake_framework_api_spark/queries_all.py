@@ -60,6 +60,7 @@ from .streaming import iceberg_source as _stream_iceberg_source  # noqa: F401  B
 from .streaming import upsert as _stream_upsert  # noqa: F401  B9∪B1 lakehouse merge
 from .streaming import lake_sink as _stream_lake_sink  # noqa: F401  B9∪B1 connector sinks
 from .streaming import cdf_mv as _stream_cdf_mv  # noqa: F401  B9∪B1 CDC-maintained MV
+from .streaming import replicate as _stream_replicate  # noqa: F401  B9∪B1 cross-format CDC
 from . import catalog_queries as _catalog_queries  # noqa: F401  A1-A9
 from .operators import udfs as _udfs  # noqa: F401  B10
 from .operators import sql_surface as _sql_surface  # noqa: F401  SQL facade
@@ -151,6 +152,7 @@ _ORDER = [
     "b_stream_delta_cdf",
     "b_stream_iceberg_cdf",
     "b_stream_cdf_mv",
+    "b_stream_replicate",
     "b_agg_collect",
     "b_agg_cube",
     "b_agg_distinct",

@@ -187,3 +187,63 @@ def test_iceberg_mor_sink_exactly_once_under_replay(spark, tmp_path, feed):
         len(glob.glob(os.path.join(path, "metadata", "v*.metadata.json")))
         == n_meta
     )
+
+
+def test_cross_format_replication_converges_and_replays_noop(
+    spark, tmp_path
+):
+    """Delta→Iceberg CDC replication (streaming/replicate.py): the
+    replica converges to the source after every incremental run —
+    across a DV delete, a re-insert of a deleted key, and a
+    full-clause MERGE — and a fresh-checkpoint replay of the whole
+    feed is a state no-op (txn watermark)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        alter_table_properties_delta,
+        delete_where_delta,
+    )
+    from aws_datalake_framework_api_spark.streaming.replicate import (
+        run_replication,
+    )
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "src")
+    replica = str(tmp_path / "replica")
+    write_delta(
+        _df(spark, [(1, 1, 1), (2, 2, 1), (3, 3, 1), (4, 4, 1)])
+        .coalesce(1),
+        t,
+    )
+    alter_table_properties_delta(
+        spark, t, {"delta.enableChangeDataFeed": "true"}
+    )
+    write_iceberg(_df(spark, []).coalesce(1), replica)
+
+    def src_state():
+        return _state(spark, read_delta, t)
+
+    def rep_state():
+        return _state(spark, read_iceberg, replica)
+
+    ckpt = str(tmp_path / "ck")
+    run_replication(spark, t, replica, ["k"], ckpt)
+    assert rep_state() == src_state()
+    delete_where_delta(spark, t, F.col("k") == 2)           # DV delete
+    run_replication(spark, t, replica, ["k"], ckpt)
+    assert rep_state() == src_state() and (2, 2, 1) not in rep_state()
+    merge_delta(                                            # re-insert 2,
+        spark, t,                                           # update 1, add 5
+        _df(spark, [(1, 100, 2), (2, 22, 2), (5, 5, 2)]), on=["k"],
+    )
+    run_replication(spark, t, replica, ["k"], ckpt)
+    assert rep_state() == src_state() == {
+        (1, 100, 2), (2, 22, 2), (3, 3, 1), (4, 4, 1), (5, 5, 2),
+    }
+    # fresh checkpoint: the whole feed replays as batch 0 ≤ watermark
+    n_meta = len(glob.glob(
+        os.path.join(replica, "metadata", "v*.metadata.json")
+    ))
+    run_replication(spark, t, replica, ["k"], str(tmp_path / "ck2"))
+    assert rep_state() == src_state()
+    assert len(glob.glob(
+        os.path.join(replica, "metadata", "v*.metadata.json")
+    )) == n_meta
