@@ -237,3 +237,83 @@ def test_partial_insert_set_nulls_unspecified_columns(spark):
     # through to INSERT * and carries the source part.
     assert got == [(1, "p", 1.0), (2, None, 50.0), (3, "src", 7.0)]
     assert stats == {"updated": 0, "deleted": 0, "inserted": 2}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    tkeys=st.sets(st.integers(0, 7), min_size=1, max_size=6),
+    skeys=st.sets(st.integers(0, 9), min_size=1, max_size=6),
+    tv=st.integers(0, 9),
+    sv=st.integers(0, 9),
+    kinds=st.lists(
+        st.tuples(
+            st.sampled_from(["mu", "md", "ni", "bu", "bd"]),
+            st.integers(0, 3),
+            st.integers(0, 2),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_plan_merge_mor_equals_cow(spark, tkeys, skeys, tv, sv, kinds):
+    """The merge-on-read planner and the copy-on-write planner are the
+    same function observed differently: (target − touched) ∪ new_rows
+    must equal plan_merge's surviving set for every random clause
+    list, and the stats must agree.  A first-match-wins divergence, a
+    row touched twice, or an update surviving as both versions all
+    fail here."""
+    from aws_datalake_framework_api_spark.sources.merge_clauses import (
+        plan_merge_mor,
+    )
+
+    target = [
+        {"k": k, "part": f"p{k % 3}", "v": float((k * 3 + tv) % 10)}
+        for k in sorted(tkeys)
+    ]
+    source = [
+        {"k": k, "part": f"s{k % 2}", "v": float((k * 7 + sv) % 10)}
+        for k in sorted(skeys)
+    ]
+    clauses = [_clause(*t) for t in kinds]
+    cols = ["k", "part", "v"]
+    check_clauses(clauses, cols)
+    tdf = spark.createDataFrame(
+        [(r["k"], r["part"], r["v"]) for r in target],
+        "k int, part string, v double",
+    )
+    sdf = spark.createDataFrame(
+        [(r["k"], r["part"], r["v"]) for r in source],
+        "k int, part string, v double",
+    )
+    types = {f.name: f.dataType for f in tdf.schema.fields}
+    cow_data, cow_stats = plan_merge(
+        tdf, sdf, ["k"], clauses, cols, types, tdf.select("k")
+    )
+    # k is unique per target row — it doubles as the position tag
+    tagged = tdf.withColumn("_tag", tdf["k"].cast("long"))
+    touched, new_rows, mor_stats = plan_merge_mor(
+        tagged, sdf, ["k"], clauses, cols, types, tdf.select("k"),
+        ["_tag"],
+    )
+    assert mor_stats == cow_stats
+    dead = {int(r["_tag"]) for r in touched.collect()}
+    kept = [
+        (r["k"], r["part"], round(r["v"], 6))
+        for r in target
+        if r["k"] not in dead
+    ]
+    appended = [
+        (r["k"], r["part"], round(r["v"], 6)) for r in new_rows.collect()
+    ]
+    got = sorted(kept + appended)
+    want = sorted(
+        (r["k"], r["part"], round(r["v"], 6)) for r in cow_data.collect()
+    )
+    assert got == want, (clauses, got, want)
