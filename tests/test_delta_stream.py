@@ -514,3 +514,45 @@ def test_iceberg_changelog_stream_refuses_equality_deletes(
             spark, t, str(tmp_path / "out"), str(tmp_path / "ckpt"),
             readChangeFeed="true",
         )
+
+
+def test_cdf_stream_nullfills_added_column_for_old_files(spark, tmp_path):
+    """Additive schema evolution mid-history: the CDF tail serves the
+    CURRENT schema, so change rows derived from pre-evolution files
+    carry NULL for the added column while post-evolution changes carry
+    its values — never a misread, never a schema clash."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        alter_table_properties_delta,
+        merge_delta,
+    )
+
+    register(spark)
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    write_delta(_df(spark, [(1, "a", 1.0)]).coalesce(1), t)      # v0
+    alter_table_properties_delta(
+        spark, t, {"delta.enableChangeDataFeed": "true"}
+    )                                                            # v1
+    wide = spark.createDataFrame(
+        [(2, "b", 2.0, 20)], "k int, part string, v double, w int"
+    )
+    write_delta(wide.coalesce(1), t, mode="append",
+                merge_schema=True)                               # v2
+    merge_delta(
+        spark, t,
+        spark.createDataFrame(
+            [(1, "a", 10.0, 100)], "k int, part string, v double, w int"
+        ),
+        on=["k"],
+    )                                                            # v3
+    _run(spark, t, out, ckpt, readChangeFeed="true")
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    assert got == sorted([
+        (1, "a", 1.0, None, "insert", 0),            # pre-evolution file
+        (2, "b", 2.0, 20, "insert", 2),
+        (1, "a", 1.0, None, "update_preimage", 3),   # cdc preimage of a
+        # pre-evolution row: w was NULL before the update
+        (1, "a", 10.0, 100, "update_postimage", 3),
+    ])
