@@ -51,6 +51,7 @@ from .llm import semantic as _llm_semantic  # noqa: F401  B12 SemDeDup
 from .llm import projection as _llm_projection  # noqa: F401  B12 PCA
 from .llm import bpe as _llm_bpe  # noqa: F401  B11 BPE trainer
 from .llm import winnow as _llm_winnow  # noqa: F401  B11 winnowing fingerprints
+from .llm import dsir as _llm_dsir  # noqa: F401  B11 importance resampling
 from .operators import analytics as _analytics  # noqa: F401  B4/B5 compositions
 from .operators import timeseries as _timeseries  # noqa: F401  B5 gapfill/LOCF
 from .streaming import windows as _stream_windows  # noqa: F401  B9
@@ -153,6 +154,7 @@ _ORDER = [
     "b_stream_iceberg_cdf",
     "b_stream_cdf_mv",
     "b_stream_replicate",
+    "b_llm_dsir",
     "b_agg_collect",
     "b_agg_cube",
     "b_agg_distinct",

@@ -42,6 +42,7 @@ _BNLJ_ALLOWED = {
     "b_llm_bm25": "scalar — corpus avgdl/N 1-row join",
     "b_llm_bpe_bounds": "scorecard — bounds vs exact token counts",
     "b_llm_contrastive": "scalar — per-anchor panel × 1-row stats",
+    "b_llm_dsir": "scalar — 1-row length-normalizer bits join",
     "b_llm_dedup_minhash_recall": "scorecard — approx vs exact pairs",
     "b_llm_dedup_semantic_recall": "scorecard — approx vs exact pairs",
     "b_llm_dedup_simhash64_recall": "scorecard — approx vs exact pairs",
