@@ -103,6 +103,48 @@ def _typed(value: str | None, simple: str):
     return value
 
 
+def _resolve_start(options, path: str) -> int:
+    """First version of the tail: ``startingVersion`` (inclusive,
+    default 0), or ``startingTimestamp`` — the FIRST version committed
+    at-or-after the instant, delta-spark's streaming option (the dual
+    of the batch reader's at-or-before ``timestampAsOf``).  Commit
+    times come from ``commitInfo.timestamp``, falling back to the
+    commit file's mtime, same contract as ``_version_at_timestamp``."""
+    sts = options.get("startingtimestamp")
+    if sts is None:
+        return int(options.get("startingversion", 0))
+    if options.get("startingversion") is not None:
+        raise ValueError(
+            "delta_stream: startingVersion and startingTimestamp are "
+            "mutually exclusive"
+        )
+    import datetime as _dt
+
+    ts = _dt.datetime.fromisoformat(sts)
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    millis = int(ts.timestamp() * 1000)
+    for v in _list_versions(path):
+        vf = _version_file(path, v)
+        t = None
+        with open(vf) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        t = a["commitInfo"].get("timestamp")
+                        break
+        if t is None:
+            t = int(os.path.getmtime(vf) * 1000)
+        if int(t) >= millis:
+            return v
+    # nothing committed yet at/after the instant: start past the head
+    # (the stream picks up the next commit)
+    vs = _list_versions(path)
+    return (max(vs) + 1) if vs else 0
+
+
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options) -> None:
         self.path = options.get("path")
@@ -111,7 +153,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
-        self.start = int(options.get("startingversion", 0))
+        self.start = _resolve_start(options, self.path)
         self.schema = schema
 
     def initialOffset(self) -> dict:
@@ -327,7 +369,7 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("delta_stream requires .load(<table path>)")
-        self.start = int(options.get("startingversion", 0))
+        self.start = _resolve_start(options, self.path)
         # schema = table schema + _change_type + _commit_version
         self.schema = schema
 

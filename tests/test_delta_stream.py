@@ -556,3 +556,34 @@ def test_cdf_stream_nullfills_added_column_for_old_files(spark, tmp_path):
         # pre-evolution row: w was NULL before the update
         (1, "a", 10.0, 100, "update_postimage", 3),
     ])
+
+
+def test_starting_timestamp_resolves_first_version_at_or_after(
+    spark, tmp_path
+):
+    """startingTimestamp (delta-spark's streaming option) begins the
+    tail at the FIRST version committed at-or-after the instant — the
+    dual of batch timestampAsOf's at-or-before — and is mutually
+    exclusive with startingVersion."""
+    import datetime
+    import time
+
+    register(spark)
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]).coalesce(1), t, mode="error")
+    time.sleep(0.25)
+    cut = datetime.datetime.now(datetime.timezone.utc)
+    time.sleep(0.25)
+    write_delta(_df(spark, [(2, "b", 2.0)]).coalesce(1), t, mode="append")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, t, out, ckpt, startingTimestamp=cut.isoformat())
+    assert _sunk(spark, out) == [(2, "b", 2.0)]
+    # a pre-genesis instant tails everything
+    out2 = str(tmp_path / "out2")
+    _run(spark, t, out2, str(tmp_path / "ck2"),
+         startingTimestamp="1970-01-01T00:00:00+00:00")
+    assert len(_sunk(spark, out2)) == 2
+    # both options together refuse
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _run(spark, t, str(tmp_path / "o3"), str(tmp_path / "c3"),
+             startingVersion="0", startingTimestamp=cut.isoformat())
