@@ -92,6 +92,33 @@ def _active_files(path: str, meta: dict, snap: dict) -> tuple[set, set]:
     )
 
 
+def _start_offset(options, path: str, start_pos: int) -> dict:
+    """Anchored initial offset: ``startingSnapshotId`` (iceberg-spark's
+    ``start-snapshot-id`` — the tail begins AFTER that snapshot)
+    resolves to its log position; otherwise ``start_pos`` (a plain
+    position, 0 = genesis).  Both anchor the snapshot id at pos-1 so
+    expiry-shifted logs refuse loudly instead of re-reading."""
+    sid_opt = options.get("startingsnapshotid")
+    snaps = _ordered_snapshots(_load_metadata(path))
+    if sid_opt is not None:
+        want = int(sid_opt)
+        for i, s in enumerate(snaps):
+            if int(s["snapshot-id"]) == want:
+                return {"pos": i + 1, "sid": s["snapshot-id"]}
+        raise ValueError(
+            f"iceberg_stream: startingSnapshotId {want} is not in the "
+            "snapshot log (expired, or never existed)"
+        )
+    if start_pos >= 1:
+        if start_pos > len(snaps):
+            raise ValueError(
+                f"iceberg_stream: startingPos {start_pos} is past the "
+                "snapshot log"
+            )
+        return {"pos": start_pos, "sid": snaps[start_pos - 1]["snapshot-id"]}
+    return {"pos": 0, "sid": None}
+
+
 class IcebergStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options) -> None:
         self.path = options.get("path")
@@ -100,10 +127,11 @@ class IcebergStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        self.options = options
         self.schema = schema
 
     def initialOffset(self) -> dict:
-        return {"pos": 0, "sid": None}  # before the first snapshot
+        return _start_offset(self.options, self.path, 0)
 
     def latestOffset(self) -> dict:
         meta = _load_metadata(self.path)
@@ -297,20 +325,12 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("iceberg_stream requires .load(<table path>)")
+        self.options = options
         self.start_pos = int(options.get("startingpos", 0))
         self.schema = schema
 
     def initialOffset(self) -> dict:
-        sid = None
-        if self.start_pos >= 1:
-            snaps = _ordered_snapshots(_load_metadata(self.path))
-            if self.start_pos > len(snaps):
-                raise ValueError(
-                    f"iceberg_stream: startingPos {self.start_pos} is "
-                    "past the snapshot log"
-                )
-            sid = snaps[self.start_pos - 1]["snapshot-id"]
-        return {"pos": self.start_pos, "sid": sid}
+        return _start_offset(self.options, self.path, self.start_pos)
 
     latestOffset = IcebergStreamReader.latestOffset
 

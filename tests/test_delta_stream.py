@@ -587,3 +587,35 @@ def test_starting_timestamp_resolves_first_version_at_or_after(
     with pytest.raises(Exception, match="mutually exclusive"):
         _run(spark, t, str(tmp_path / "o3"), str(tmp_path / "c3"),
              startingVersion="0", startingTimestamp=cut.isoformat())
+
+
+def test_iceberg_starting_snapshot_id_skips_history(spark, tmp_path):
+    """startingSnapshotId (iceberg-spark's start-snapshot-id): the
+    tail begins AFTER the named snapshot, on both the append tail and
+    the changelog tail; an expired/unknown id refuses loudly."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        history_iceberg, write_iceberg,
+    )
+    from aws_datalake_framework_api_spark.streaming.iceberg_source import (
+        register as ice_register,
+    )
+
+    ice_register(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]).coalesce(1), t, mode="error")
+    write_iceberg(_df(spark, [(2, "b", 2.0)]).coalesce(1), t, mode="append")
+    first = history_iceberg(spark, t)[0]["snapshot_id"]
+    out = str(tmp_path / "out")
+    _run_ice(spark, t, out, str(tmp_path / "ck"),
+             startingSnapshotId=str(first))
+    assert _sunk(spark, out) == [(2, "b", 2.0)]
+    out2 = str(tmp_path / "out2")
+    _run_ice(spark, t, out2, str(tmp_path / "ck2"),
+             readChangeFeed="true", startingSnapshotId=str(first))
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out2)
+        .drop("_snapshot_id").collect()
+    ) == [(2, "b", 2.0, "insert")]
+    with pytest.raises(Exception, match="not in the snapshot log"):
+        _run_ice(spark, t, str(tmp_path / "o3"), str(tmp_path / "c3"),
+                 startingSnapshotId="12345")
