@@ -155,6 +155,7 @@ _ORDER = [
     "b_stream_cdf_mv",
     "b_stream_replicate",
     "b_llm_dsir",
+    "b_lake_delta_merge_mor",
     "b_agg_collect",
     "b_agg_cube",
     "b_agg_distinct",

@@ -2433,37 +2433,18 @@ def _dv_protocol_upgrade(snap: _Snapshot) -> dict | None:
     }
 
 
-def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, int]:
-    """Merge-on-read DELETE: write DELETION VECTORS for the matched
-    row positions instead of rewriting any data file — each affected
-    file's commit is remove(path, old dv) + add(path, new dv), where
-    the new vector is the union of the old positions and this
-    predicate's hits.  On a 100 TB table a 0.1 % delete costs one
-    bitmap write per touched file, not a multi-TB rewrite; readers
-    subtract the vectors until a compaction (``update_delta`` or an
-    overwrite) folds them in.  The first DV write upgrades the table
-    protocol to (3, 7) + deletionVectors, exactly as delta-spark does
-    when ``delta.enableDeletionVectors`` kicks in.
-
-    Returns ``(version, n_deleted)``; no match commits nothing.
-    Matched positions NEVER pass through the driver: each touched
-    file's new bitmap (old positions ∪ this predicate's hits) is
-    merged and written EXECUTOR-side by one ``applyInPandas`` group
-    per file, and only the O(touched files) descriptor rows return to
-    the driver for the commit (VERDICT r6).  A retried task can leave
-    an orphan ``deletion_vector_*.bin`` behind (only the surviving
-    attempt's descriptor is committed) — vacuum reclaims those by
-    mtime, the same contract a failed commit already has."""
+def _stage_dv_bitmaps(
+    spark: SparkSession, path: str, hits: DataFrame, dv_map: dict | None
+) -> list:
+    """Write one merged deletion-vector bitmap per touched file,
+    EXECUTOR-side (one ``applyInPandas`` group per file — the VERDICT
+    r6 contract shared by DELETE and merge-on-read MERGE).  ``hits``
+    is ``(_dl_file, _dl_dv_pos)`` rows of NEWLY-dead positions,
+    already disjoint from the old vectors because the scan they came
+    from subtracted those.  Returns the collected per-file descriptor
+    rows — O(touched files), never O(positions)."""
     import pandas as pd
 
-    snap, latest = _snapshot(spark, path)
-    _check_write_protocol(snap, "delete")
-    rels = sorted(snap.files)
-    dv_map = _dv_map(path, snap, rels)
-    tagged = _logical_scan(
-        spark, path, snap, rels, dv_map, keep_file=True, keep_pos=True
-    )
-    hits = tagged.filter(condition).select("_dl_file", "_dl_dv_pos")
     # ship each touched file's OLD descriptor alongside its hits so the
     # group task decodes exactly that one bitmap where it runs
     if dv_map:
@@ -2496,8 +2477,8 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
                 },
             )
         new = pdf["_dl_dv_pos"].astype("int64").tolist()
-        # the scan already subtracted the old vector, so hits are
-        # disjoint from `old`; the union's size is the simple sum
+        # hits are disjoint from `old` (see docstring), so the union's
+        # size is the simple sum
         merged = sorted(set(old) | set(new))
         dv = write_dv_file(root, merged)
         return pd.DataFrame(
@@ -2505,12 +2486,47 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
               "descriptor": json.dumps(dv)}]
         )
 
-    written = (
+    return (
         hits.groupBy("_dl_file")
         .applyInPandas(
             _write_group, "_dl_file string, n_new long, descriptor string"
         )
         .collect()  # O(touched files), never O(positions)
+    )
+
+
+def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, int]:
+    """Merge-on-read DELETE: write DELETION VECTORS for the matched
+    row positions instead of rewriting any data file — each affected
+    file's commit is remove(path, old dv) + add(path, new dv), where
+    the new vector is the union of the old positions and this
+    predicate's hits.  On a 100 TB table a 0.1 % delete costs one
+    bitmap write per touched file, not a multi-TB rewrite; readers
+    subtract the vectors until a compaction (``update_delta`` or an
+    overwrite) folds them in.  The first DV write upgrades the table
+    protocol to (3, 7) + deletionVectors, exactly as delta-spark does
+    when ``delta.enableDeletionVectors`` kicks in.
+
+    Returns ``(version, n_deleted)``; no match commits nothing.
+    Matched positions NEVER pass through the driver: each touched
+    file's new bitmap (old positions ∪ this predicate's hits) is
+    merged and written EXECUTOR-side by one ``applyInPandas`` group
+    per file, and only the O(touched files) descriptor rows return to
+    the driver for the commit (VERDICT r6).  A retried task can leave
+    an orphan ``deletion_vector_*.bin`` behind (only the surviving
+    attempt's descriptor is committed) — vacuum reclaims those by
+    mtime, the same contract a failed commit already has."""
+    snap, latest = _snapshot(spark, path)
+    _check_write_protocol(snap, "delete")
+    rels = sorted(snap.files)
+    dv_map = _dv_map(path, snap, rels)
+    tagged = _logical_scan(
+        spark, path, snap, rels, dv_map, keep_file=True, keep_pos=True
+    )
+    written = _stage_dv_bitmaps(
+        spark, path,
+        tagged.filter(condition).select("_dl_file", "_dl_dv_pos"),
+        dv_map,
     )
     if not written:
         return latest, 0
@@ -2556,6 +2572,90 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
     return version, n_deleted
 
 
+def _merge_delta_mor(
+    spark, path, snap, latest, source, on, clauses, cols, types,
+    target, rels, cand_rels, matched_cl, bysrc_cond, txn,
+) -> dict:
+    """merge_delta's MERGE-ON-READ body: no hit-FILE discovery, no
+    rewrites — plan the touched ROWS over the stats-pruned candidate
+    scan (a by-source clause widens it back to the full table), extend
+    each touched file's deletion vector executor-side, append
+    postimages + inserts, one commit.  Only O(touched files)
+    descriptor rows and the O(#clauses) census reach the driver."""
+    from .merge_clauses import plan_merge_mor
+
+    scan_rels = (
+        rels if bysrc_cond is not None
+        else (sorted(cand_rels) if matched_cl else [])
+    )
+    tagged = _logical_scan(
+        spark, path, snap, scan_rels, _dv_map(path, snap, scan_rels),
+        keep_file=True, keep_pos=True,
+    )
+    want_cdc = _cdf_enabled(snap)
+    planned = plan_merge_mor(
+        tagged, source, on, clauses, cols, types, target.select(*on),
+        ["_dl_file", "_dl_dv_pos"], want_changes=want_cdc,
+    )
+    touched, new_rows, stats = planned[0], planned[1], planned[2]
+    if not (stats["updated"] or stats["deleted"] or stats["inserted"]):
+        # zero rows changed: no commit (version churn + spurious
+        # file-diff CDF derivation otherwise — same contract as COW)
+        return {"version": latest, "updated": 0, "deleted": 0,
+                "inserted": 0}
+    written = []
+    if stats["updated"] or stats["deleted"]:
+        written = _stage_dv_bitmaps(
+            spark, path, touched, _dv_map(path, snap, scan_rels)
+        )
+    cdc_actions: list[dict] = []
+    if want_cdc and len(planned) > 3 and planned[3] is not None:
+        cdc_actions = _stage_cdc(planned[3], snap, path)
+    version = latest + 1
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "MERGE",
+                "operationParameters": {
+                    "matchedPredicates": json.dumps(on),
+                    "clauses": json.dumps(
+                        [
+                            {k: v for k, v in cl.items() if k != "set"}
+                            for cl in clauses
+                        ]
+                    ),
+                    "strategy": "merge-on-read",
+                },
+            }
+        }
+    ]
+    if written:
+        upgrade = _dv_protocol_upgrade(snap)
+        if upgrade:
+            actions.append(upgrade)
+    rel_of = {
+        os.path.basename(urllib.parse.unquote(rel)): rel for rel in rels
+    }
+    for r in sorted(written, key=lambda r: r["_dl_file"]):
+        rel = rel_of[r["_dl_file"]]
+        a = snap.files[rel]
+        rm = {"path": rel, "deletionTimestamp": now, "dataChange": True}
+        if a.get("deletionVector"):
+            rm["deletionVector"] = a["deletionVector"]
+        actions.append({"remove": rm})
+        actions.append({"add": {**{k: v for k, v in a.items()},
+                               "deletionVector": json.loads(r["descriptor"]),
+                               "dataChange": True}})
+    actions.extend(_stage_mutation(new_rows, snap, path, version))
+    actions.extend(cdc_actions)
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
+    _commit_mutation(path, version, actions, "MERGE")
+    return {"version": version, **stats}
+
+
 def merge_delta(
     spark: SparkSession,
     path: str,
@@ -2563,8 +2663,19 @@ def merge_delta(
     on: list[str],
     clauses: list[dict] | tuple | None = None,
     txn: tuple[str, int] | None = None,
+    strategy: str = "cow",
 ) -> dict:
-    """Copy-on-write MERGE with delta-spark's clause surface.
+    """MERGE with delta-spark's clause surface, copy-on-write by
+    default; ``strategy="mor"`` (r8) merges MERGE-ON-READ with
+    deletion vectors, delta-spark 3.1's DV-backed MERGE: NO data file
+    rewrites — touched rows (update or delete clauses; an update is
+    DV-kill + re-insert) extend each hit file's deletion vector
+    (bitmaps written executor-side, the DELETE path's machinery),
+    update postimages + inserts append as new files, one commit.
+    Commit cost rides the changed rows, not the hit-file bytes (the
+    Delta twin of ``merge_iceberg(strategy="mor")``; SCALE.md r8);
+    readers pay the DV debt until OPTIMIZE folds it.  On a
+    CDF-enabled table both strategies stage IDENTICAL cdc rows.
 
     ``clauses`` is an ordered list (FIRST matching clause wins per
     row, delta-spark's semantics) of::
@@ -2610,6 +2721,8 @@ def merge_delta(
         plan_merge,
     )
 
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"unknown merge strategy {strategy!r}")
     snap, latest = _snapshot(spark, path)
     if txn is not None and int(txn[1]) <= snap.txns.get(txn[0], -1):
         return {
@@ -2640,9 +2753,9 @@ def merge_delta(
     # matched clause may touch them) ∪ files whose UNmatched rows some
     # by-source clause's condition actually hits — never the whole
     # table just because a by-source clause exists.
-    hit_names: set[str] = set()
+    cand_rels = rels
     if matched_cl:
-        # stats-prune the matched-hit DISCOVERY: files whose add.stats
+        # stats-prune the matched-candidate set: files whose add.stats
         # bounds provably miss the source's key range on ANY key
         # column cannot hold a match (equality on every key must hold
         # simultaneously), so a key-clustered batch against a
@@ -2653,7 +2766,8 @@ def merge_delta(
         # discovery and insert planning still see the full table;
         # files without stats are conservatively kept; NULL source
         # keys never equality-match, so min/max ignoring NULLs is
-        # sound.
+        # sound.  COW scans the survivors for hit-file discovery; MOR
+        # scans them for touched-row planning.
         b = source.agg(
             *[
                 a
@@ -2672,6 +2786,14 @@ def merge_delta(
             col_kept, _ = _prune_snapshot(snap, l2p_m.get(c, c), lo, hi)
             kept &= set(col_kept)
         cand_rels = rels if len(kept) == len(rels) else sorted(kept)
+    bysrc_cond = bysource_hit_condition(clauses)
+    if strategy == "mor":
+        return _merge_delta_mor(
+            spark, path, snap, latest, source, on, clauses, cols, types,
+            target, rels, cand_rels, matched_cl, bysrc_cond, txn,
+        )
+    hit_names: set[str] = set()
+    if matched_cl:
         cand = (
             target
             if cand_rels == rels
@@ -2687,7 +2809,6 @@ def merge_delta(
             .distinct()
             .collect()  # bounded by the table's active-file count
         }
-    bysrc_cond = bysource_hit_condition(clauses)
     if bysrc_cond is not None:
         hit_names |= {
             r["_dl_file"]
@@ -3753,6 +3874,83 @@ def scan_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"when": "matched", "action": "delete"},
                 {"when": "not_matched", "action": "insert"},
             ],
+        )
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "b_lake_delta_merge_mor",
+    f"""
+    WITH live AS (
+      SELECT * FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderkey % 30 <> 0
+    ),
+    merged AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM live
+      WHERE NOT (o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0)
+      UNION ALL
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 3 = 1 OR o_orderkey % 30 = 0
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_delta_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ MERGE with deletion vectors
+    (``merge_delta(strategy="mor")``, r8 — the Delta twin of
+    ``b_lake_iceberg_merge_mor``, same oracle as the COW clause
+    lifecycle with a pre-existing DV folded in): touched rows extend
+    their files' deletion vectors (bitmaps written executor-side),
+    postimages + inserts append, NO data file rewrites.  The read
+    back must subtract BOTH DV generations (the prior DELETE's and
+    the merge's union) while the appended postimages stay live —
+    strategy equivalence and CDF parity are pinned in
+    tests/test_delta.py::test_mor_merge_matches_cow_with_identical_cdf."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(
+        f"delta_merge_mor_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    complete = False
+    try:
+        complete = (
+            _table_version(path) == 2
+            and history_delta(spark, path)[-1]["operation"] == "MERGE"
+        )
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 3 == 0), path, mode="error"
+        )
+        delete_where_delta(spark, path, F.col("o_orderkey") % 30 == 0)
+        source = orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        ).unionByName(orders.filter(F.col("o_orderkey") % 3 == 1))
+        merge_delta(
+            spark, path, source, on=["o_orderkey"],
+            clauses=[
+                {"when": "matched", "action": "update",
+                 "condition": "t.o_orderkey % 12 = 0"},
+                {"when": "matched", "action": "delete"},
+                {"when": "not_matched", "action": "insert"},
+            ],
+            strategy="mor",
         )
     back = read_delta(spark, path)
     return back.groupBy("o_orderpriority").agg(

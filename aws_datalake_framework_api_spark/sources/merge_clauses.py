@@ -86,6 +86,7 @@ def plan_merge_mor(
     types: dict,
     target_keys: DataFrame | None,
     tag_cols: list[str],
+    want_changes: bool = False,
 ) -> tuple:
     """Merge-on-read resolution of the clause list: instead of the
     rewrite set's SURVIVING rows (copy-on-write), produce the rows the
@@ -103,6 +104,12 @@ def plan_merge_mor(
     - ``new_rows``: update POSTIMAGES plus qualifying inserts, in
       ``cols`` order (the append);
     - ``stats``: {"updated", "deleted", "inserted"}.
+
+    ``want_changes=True`` appends a fourth element — the row-level
+    change set (``cols`` + ``_change_type``, same contract as
+    :func:`plan_merge`'s) — so a CDF-enabled merge-on-read merge
+    records identical cdc rows to its copy-on-write twin; None when
+    nothing changed.
 
     Same first-match-wins semantics, condition/SET dialect, and
     O(#clauses) driver materialization as :func:`plan_merge`."""
@@ -167,22 +174,51 @@ def plan_merge_mor(
                 val = F.expr(st[c]) if c in st else F.col(f"t.`{c}`")
             expr = F.when(F.col("_mg_action") == i, val).otherwise(expr)
         out_cols.append(expr.cast(types[c]).alias(c))
-    new_rows = (
+    upd_tagged = (
         tagged.filter(F.col("_mg_action").isin(*sorted(update_ids)))
         if update_ids
         else tagged.limit(0)
-    ).select(*out_cols)
+    )
+    new_rows = upd_tagged.select(*out_cols)
+    t_cols = [F.col(f"t.`{c}`").alias(c) for c in cols]
+    change_parts = []
+    if want_changes and update_ids:
+        change_parts.append(
+            upd_tagged.select(*t_cols).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+        )
+        change_parts.append(
+            upd_tagged.select(*out_cols).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        )
+    if want_changes and delete_ids:
+        change_parts.append(
+            tagged.filter(F.col("_mg_action").isin(*sorted(delete_ids)))
+            .select(*t_cols)
+            .withColumn("_change_type", F.lit("delete"))
+        )
     n_inserted = 0
     if insert_cl and target_keys is not None:
         inserts = _plan_inserts(source, on, clauses, cols, types, target_keys)
         n_inserted = inserts.count()
         new_rows = new_rows.unionByName(inserts)
+        if want_changes:
+            change_parts.append(
+                inserts.withColumn("_change_type", F.lit("insert"))
+            )
     stats = {
         "updated": sum(counts.get(i, 0) for i in update_ids),
         "deleted": sum(counts.get(i, 0) for i in delete_ids),
         "inserted": n_inserted,
     }
-    return touched, new_rows, stats
+    if not want_changes:
+        return touched, new_rows, stats
+    changes = None
+    for part in change_parts:
+        changes = part if changes is None else changes.unionByName(part)
+    return touched, new_rows, stats, changes
 
 
 def _plan_inserts(

@@ -2809,3 +2809,92 @@ def test_merge_composite_key_discovery_is_stats_pruned(
            for r in read_delta(spark, path).collect()}
     assert got[(150, "a")] == 9999.0 and got[(150, "b")] == 150.0
     assert len(got) == 400
+
+
+def test_mor_merge_matches_cow_with_identical_cdf(spark, tmp_path):
+    """merge_delta(strategy="mor"): deletion-vector MERGE lands the
+    exact state the copy-on-write strategy lands — full clause matrix
+    over a table with a PRE-EXISTING deletion vector — while
+    rewriting NO data file, and a CDF reader sees IDENTICAL change
+    rows from both strategies (r8; the Delta twin of
+    merge_iceberg(strategy='mor'))."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        alter_table_properties_delta,
+        delete_where_delta,
+        merge_delta,
+        read_delta_changes,
+    )
+
+    states, changes, stats = [], [], []
+    for strat in ("cow", "mor"):
+        path = str(tmp_path / strat)
+        write_delta(
+            spark.createDataFrame(
+                [(i, f"g{i % 3}", float(i)) for i in range(40)],
+                "k int, part string, v double",
+            ).coalesce(2),
+            path, mode="error",
+        )                                                        # v0
+        alter_table_properties_delta(
+            spark, path, {"delta.enableChangeDataFeed": "true"}
+        )                                                        # v1
+        delete_where_delta(spark, path, F.col("k") % 10 == 0)    # v2: DV
+        src = spark.createDataFrame(
+            [(i, "gX", 1000.0 + i) for i in range(0, 60, 4)],
+            "k int, part string, v double",
+        )
+        before = set(os.listdir(path))
+        out = merge_delta(
+            spark, path, src, ["k"],
+            clauses=[
+                {"when": "matched", "action": "update",
+                 "condition": "t.k % 8 = 0"},
+                {"when": "matched", "action": "delete"},
+                {"when": "not_matched", "action": "insert"},
+                {"when": "not_matched_by_source", "action": "delete",
+                 "condition": "t.k = 33"},
+            ],
+            strategy=strat,
+        )                                                        # v3
+        stats.append(
+            (out["updated"], out["deleted"], out["inserted"])
+        )
+        states.append(_sorted_rows(read_delta(spark, path)))
+        changes.append(sorted(
+            tuple(r)
+            for r in read_delta_changes(spark, path, 2, out["version"])
+            .collect()
+        ))
+        if strat == "mor":
+            # every pre-merge parquet file still present (DV-only kill)
+            gone = {
+                f for f in before - set(os.listdir(path))
+                if f.endswith(".parquet")
+            }
+            assert gone == set()
+    assert stats[0] == stats[1]
+    assert states[0] == states[1]
+    assert changes[0] == changes[1]  # CDF parity between strategies
+
+
+def test_mor_merge_replayed_txn_skips(spark, tmp_path):
+    """The txn watermark rides the MOR merge commit exactly as it
+    rides COW — a replayed micro-batch is a no-op."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        last_txn_version, merge_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]).coalesce(1), path, mode="error")
+    out = merge_delta(
+        spark, path, _df(spark, [(1, "a", 2.0)]), ["k"],
+        txn=("app", 0), strategy="mor",
+    )
+    assert out["updated"] == 1
+    assert last_txn_version(spark, path, "app") == 0
+    out = merge_delta(
+        spark, path, _df(spark, [(1, "a", 99.0)]), ["k"],
+        txn=("app", 0), strategy="mor",
+    )
+    assert out.get("skipped") is True
+    assert _sorted_rows(read_delta(spark, path)) == [(1, "a", 2.0)]
