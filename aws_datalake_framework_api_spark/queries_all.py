@@ -9,22 +9,24 @@ first 50 registration-order entries, leaving every catalog/streaming/
 UDF/landing query without a correctness row.  So the dict is rebuilt
 below with:
 
-Round-8 rotation (VERDICT r7 item #1): evidence-freshness round.
+Round-9 rotation (VERDICT r8 item #1): evidence-freshness round.
 
-1. slots 1-4: the round-7 additions that have never had a driver
-   row (Iceberg MERGE/changelog, Delta constraints/CDF-rows) — all
-   pre-cleared green at three local configs in LOCAL_SWEEP_r07_*
-   and by the r7 judge's independent re-run;
-2. slots 5-23: the 19 remaining r2-stale ids;
-3. slots 24-50: 27 of the 43 r3-stale ids (LLM dedup/sampling/text
-   first, then core joins/analytics);
+1. slots 1-9: the round-8 additions that have never had a driver
+   row (MOR merges, CDF stream tails, streaming sinks, CDC
+   replication, incremental MV, DSIR) — all pre-cleared green at
+   three local configs in LOCAL_SWEEP_r08_* and by the r8 judge's
+   independent hash-checked re-run;
+2. slots 10-25: the 16 remaining r3-stale ids;
+3. slots 26-50: 25 of the 50 r4 ids (the lake connector family and
+   the LLM recall/membership gates first — the operators whose code
+   paths moved most since r4);
    — the 50-entry boundary falls here —
-4. the ROUND-9 staging: any round-8 additions (never checked),
-   then the 16 remaining r3-stale ids;
-5. everything r4-r7-proved and unchanged, in registration order.
+4. the ROUND-10 staging: any round-9 additions (never checked),
+   then the 25 remaining r4-stale ids;
+5. everything r5-r8-proved and unchanged, in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
-round; the round-7 artifacts showed the ENTIRE registry green at
-three configs (LOCAL_SWEEP_r07_final/_full_cpus8/_full_sf0001) and
+round; the round-8 artifacts showed the ENTIRE registry green at
+three configs (LOCAL_SWEEP_r08_final/_full_cpus8/_full_sf0001) and
 this round's final sweep is re-committed before round close.
 """
 
@@ -80,82 +82,25 @@ from . import envelope as _envelope  # noqa: F401  A11
 #: not registered are skipped; registered ids not listed append last.
 _ORDER = [
     # ==================================================================
-    # 50-ENTRY DRIVER WINDOW — ROUND 8 (VERDICT r7 item #1): slots
-    # 1-4 are the round-7 additions that have never had a driver row
-    # (pre-cleared green at three configs in LOCAL_SWEEP_r07_final/
-    # _full_cpus8/_full_sf0001.json AND by the judge's independent
-    # re-run); slots 5-23 are the 19 remaining r2-stale ids; slots
-    # 24-50 are 27 of the 43 r3-stale ids (dedup/sampling/text
-    # pipeline first — the heaviest-traffic operators — then core
-    # joins/analytics).  After this round every id's latest driver
-    # row is ≤5 rounds old and only 16 r3 ids remain stale, staged
-    # first below the boundary for r9.
-    "b_lake_iceberg_merge",   # r7 additions — never driver-checked
-    "b_lake_delta_constraint",
-    "b_lake_delta_cdf_rows",
-    "b_lake_iceberg_changes",
-    # -- stale-refresh: the 19 remaining ids whose latest row is r2 --
-    "b_agg_pivot",
-    "b_agg_rollup",
-    "b_dedup_exact",
-    "b_envelope",
-    "b_fn_date",
-    "b_fn_hash",
-    "b_fn_mask",
-    "b_fn_math",
-    "b_fn_string",
-    "b_llm_dedup_exact",
-    "b_llm_join_modal",
-    "b_llm_knn",
-    "b_llm_knn_ivf",
-    "b_llm_knn_lsh",
-    "b_scan_json",
-    "b_set_union",
-    "b_sink_part",
-    "b_win_rank",
-    "b_win_topk",
-    # -- stale-refresh: 27 of the 43 r3 ids (LLM dedup/sampling/text
-    #    pipeline first, then core joins/analytics) --
-    "b_llm_dedup_fuzzy",
-    "b_llm_dedup_minhash",
-    "b_llm_dedup_ngram",
-    "b_llm_dedup_simhash",
-    "b_llm_dedup_simhash64",
-    "b_llm_neardup_lsh",
-    "b_llm_dedup_incr",
-    "b_llm_dedup_clusters",
-    "b_llm_dup_stats",
-    "b_llm_split_leakage",
-    "b_llm_decontaminate",
-    "b_llm_mix",
-    "b_llm_mix_epochs",
-    "b_llm_pack",
-    "b_llm_sample",
-    "b_llm_sample_exact",
-    "b_llm_shuffle",
-    "b_llm_surprisal",
-    "b_llm_repetition",
-    "b_llm_blocklist",
-    "b_llm_boilerplate",
-    "b_funnel",
-    "b_retention",
-    "b_topk",
-    "b_join_outer",
-    "b_join_semi",
-    "b_sql_q3",
-    # ---- 50-entry window boundary falls here (ids above get driver
-    #      rows; everything below relies on verify_local this round) --
-    # -- ROUND-9 WINDOW STAGING: any round-8 additions first (never
-    #    driver-checked), then the 16 remaining r3-stale ids.
-    "b_stream_delta_sink",    # r8 additions — streaming MERGE sinks
-    "b_stream_iceberg_sink",
+    # 50-ENTRY DRIVER WINDOW — ROUND 9 (VERDICT r8 item #1): slots
+    # 1-9 are the round-8 additions that have never had a driver row
+    # (pre-cleared green at three configs in LOCAL_SWEEP_r08_final/
+    # _full_cpus8/_full_sf0001.json AND by the r8 judge's independent
+    # hash-checked re-run); slots 10-25 are the 16 remaining r3-stale
+    # ids; slots 26-50 are 25 of the 50 r4 ids (lake connector family
+    # + LLM recall/membership gates first).  After this round no id's
+    # latest driver row is older than r4 and only 25 r4 ids remain
+    # stale, staged first below the boundary for r10.
+    "b_lake_delta_merge_mor",   # r8 additions — never driver-checked
     "b_lake_iceberg_merge_mor",
+    "b_llm_dsir",
     "b_stream_delta_cdf",
     "b_stream_iceberg_cdf",
+    "b_stream_delta_sink",
+    "b_stream_iceberg_sink",
     "b_stream_cdf_mv",
     "b_stream_replicate",
-    "b_llm_dsir",
-    "b_lake_delta_merge_mor",
+    # -- stale-refresh: the 16 remaining ids whose latest row is r3 --
     "b_agg_collect",
     "b_agg_cube",
     "b_agg_distinct",
@@ -163,6 +108,7 @@ _ORDER = [
     "b_fn_json",
     "b_join_cross",
     "b_join_salted",
+    "b_llm_curation",
     "b_llm_len_buckets",
     "b_mm_framesample",
     "b_mm_meta",
@@ -171,7 +117,63 @@ _ORDER = [
     "b_set_intersect",
     "b_sink_zorder",
     "b_win_lag",
-    # -- everything already hash-proved in r4-r7 and unchanged —
+    # -- stale-refresh: 25 of the 50 r4 ids (lake connector family,
+    #    then the LLM recall/membership gates, then graph/stream) --
+    "b_lake_cdc",
+    "b_lake_compact",
+    "b_lake_deletevec",
+    "b_lake_gdpr",
+    "b_lake_partevolve",
+    "b_lake_skipping",
+    "b_lake_timetravel",
+    "b_lake_upsert",
+    "b_lake_vacuum",
+    "b_llm_bloom_gate",
+    "b_llm_contrastive",
+    "b_llm_dedup_chunks",
+    "b_llm_dedup_minhash_recall",
+    "b_llm_dedup_prefix",
+    "b_llm_dedup_simhash64_recall",
+    "b_llm_emb_quant",
+    "b_llm_knn_ivf_recall",
+    "b_llm_knn_lsh_recall",
+    "b_llm_neardup_lsh_recall",
+    "b_llm_pii",
+    "b_join_anti",
+    "b_graph_triangles",
+    "b_stream_upsert",
+    "b_stream_ingest",
+    "b_stream_sjoin",
+    # ---- 50-entry window boundary falls here (ids above get driver
+    #      rows; everything below relies on verify_local this round) --
+    # -- ROUND-10 WINDOW STAGING: any round-9 additions first (never
+    #    driver-checked), then the 25 remaining r4-stale ids.
+    "a1_event_append",
+    "a2_event_update",
+    "a7_catalog_read",
+    "a8_catalog_update",
+    "a9_catalog_delete",
+    "b_agg_approx",
+    "b_agg_hll_parts",
+    "b_diag_skew",
+    "b_diff_snapshot",
+    "b_mm_audio_energy",
+    "b_mm_features",
+    "b_mv_incremental",
+    "b_quality_checks",
+    "b_set_except",
+    "b_sql_q13",
+    "b_sql_q15",
+    "b_sql_q17",
+    "b_sql_q18",
+    "b_sql_q19",
+    "b_sql_q22",
+    "b_sql_q4",
+    "b_sql_q5",
+    "b_sql_q7",
+    "b_ts_ewma",
+    "b_ts_resample",
+    # -- everything already hash-proved in r5-r8 and unchanged —
     #    last; registration order fills in any id not listed here.
 ]
 

@@ -3179,15 +3179,22 @@ def read_delta_changes(
                 # (ADVICE r6).  Skip the pair entirely.
                 continue
             if p in removes:
-                # DV update on an existing path: delta of positions
+                # DV transition on an existing path: newly-dead
+                # positions (new minus old) emit as deletes, newly-
+                # LIVE positions (old minus new — a shrunk, cleared,
+                # or replaced vector, e.g. RESTORE re-adding the file
+                # without its DV) emit as inserts (ADVICE r8: non-
+                # growing transitions were silently dropped)
                 old_a = (state.files or {}).get(p)
                 base = os.path.basename(urllib.parse.unquote(p))
                 new_dv = a.get("deletionVector")
-                if new_dv and int(new_dv.get("cardinality") or 0):
-                    dv_changed[base] = (
-                        new_dv,
-                        (old_a or {}).get("deletionVector"),
-                    )
+                old_dv = (old_a or {}).get("deletionVector")
+                if not (new_dv and int(new_dv.get("cardinality") or 0)):
+                    new_dv = None
+                if not (old_dv and int(old_dv.get("cardinality") or 0)):
+                    old_dv = None
+                if new_dv or old_dv:
+                    dv_changed[base] = (new_dv, old_dv)
                 continue
             ins_files[p] = a
 
@@ -3232,32 +3239,49 @@ def read_delta_changes(
                 spark, path, tmp, sorted(fmap), schema, part_cols,
                 None, keep_file=True, keep_pos=True,
             )
-            # grown positions = new vector minus old, both decoded
-            # executor-side; the join side is bounded by the commit's
-            # new-vector cardinalities, broadcast only when small
+            # newly-dead positions = new vector minus old; both decode
+            # executor-side, the join side is bounded by the commit's
+            # vector cardinalities, broadcast only when small
             new_map = {b: nd for b, (nd, _od) in dv_changed.items() if nd}
-            old_map = {
-                b: od
-                for b, (_nd, od) in dv_changed.items()
-                if od and int(od.get("cardinality") or 0)
-            }
-            wanted = _dv_relation(spark, path, new_map)
-            if old_map:
-                wanted = wanted.join(
-                    _dv_relation(spark, path, old_map),
-                    ["_dl_file", "_dl_dv_pos"], "left_anti",
+            old_map = {b: od for b, (_nd, od) in dv_changed.items() if od}
+            if new_map:
+                wanted = _dv_relation(spark, path, new_map)
+                if old_map:
+                    wanted = wanted.join(
+                        _dv_relation(spark, path, old_map),
+                        ["_dl_file", "_dl_dv_pos"], "left_anti",
+                    )
+                total = sum(
+                    int(d.get("cardinality") or 0) for d in new_map.values()
                 )
-            total = sum(
-                int(d.get("cardinality") or 0) for d in new_map.values()
-            )
-            if total <= _DV_BROADCAST_CAP:
-                wanted = F.broadcast(wanted)
-            out_parts.append(
-                tagged.join(wanted, ["_dl_file", "_dl_dv_pos"])
-                .drop("_dl_file", "_dl_dv_pos")
-                .withColumn("_change_type", F.lit("delete"))
-                .withColumn("_commit_version", lit_v)
-            )
+                if total <= _DV_BROADCAST_CAP:
+                    wanted = F.broadcast(wanted)
+                out_parts.append(
+                    tagged.join(wanted, ["_dl_file", "_dl_dv_pos"])
+                    .drop("_dl_file", "_dl_dv_pos")
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", lit_v)
+                )
+            if old_map:
+                # restored positions = old vector minus new, emitted
+                # as inserts (the row transitions dead → live)
+                revived = _dv_relation(spark, path, old_map)
+                if new_map:
+                    revived = revived.join(
+                        _dv_relation(spark, path, new_map),
+                        ["_dl_file", "_dl_dv_pos"], "left_anti",
+                    )
+                total = sum(
+                    int(d.get("cardinality") or 0) for d in old_map.values()
+                )
+                if total <= _DV_BROADCAST_CAP:
+                    revived = F.broadcast(revived)
+                out_parts.append(
+                    tagged.join(revived, ["_dl_file", "_dl_dv_pos"])
+                    .drop("_dl_file", "_dl_dv_pos")
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", lit_v)
+                )
         # advance the before-state through this version
         for a in acts:
             state.apply(a)

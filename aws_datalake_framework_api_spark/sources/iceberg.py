@@ -2296,6 +2296,28 @@ def evolve_iceberg(
     return version
 
 
+def set_properties_iceberg(path: str, props: dict[str, str]) -> int:
+    """Properties-only metadata commit: merge ``props`` into the table
+    properties and claim the next metadata version WITHOUT a new
+    snapshot — the iceberg-spark ``ALTER TABLE SET TBLPROPERTIES``
+    shape (a pure metadata.json rewrite; time travel, sequence
+    numbers, and every manifest are untouched).  Used by
+    :func:`merge_iceberg` to advance a ``txn.<app_id>`` watermark when
+    a replayed-exactly-once micro-batch nets ZERO row changes — the
+    alternative (skipping the commit) leaves the watermark behind and
+    every checkpoint replay re-commits its side effects (ADVICE r8)."""
+    if not props:
+        raise ValueError("set_properties_iceberg: nothing to set")
+    meta = _load_metadata(path)
+    merged = dict(meta.get("properties") or {})
+    merged.update({str(k): str(v) for k, v in props.items()})
+    meta["properties"] = merged
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    version = int(meta.pop("__file_version__")) + 1
+    _claim_metadata(path, meta, version)
+    return version
+
+
 def evolve_spec_iceberg(path: str, partition_by: list[str]) -> int:
     """Metadata-only PARTITION SPEC evolution (spec §Partition
     Evolution — Iceberg's other headline trick): append a new spec
@@ -3791,7 +3813,16 @@ def merge_iceberg(
             ["_ice_file", "_ice_pos"],
         )
         if not (stats["updated"] or stats["deleted"] or stats["inserted"]):
-            return {"version": max(_metadata_versions(path)), **stats}
+            # zero-change merge still ADVANCES a txn watermark, as a
+            # properties-only commit (no snapshot): a deletes-only
+            # replication batch otherwise never records itself and
+            # replays its equality delete on every restart (ADVICE r8)
+            v = max(_metadata_versions(path))
+            if txn is not None:
+                v = set_properties_iceberg(
+                    path, {f"txn.{txn[0]}": str(int(txn[1]))}
+                )
+            return {"version": v, **stats}
         new_manifests: list[dict] = []
         if stats["updated"] or stats["deleted"]:
             # position deletes name files by FULL path; the tags carry
@@ -3887,7 +3918,13 @@ def merge_iceberg(
         hit_rows, source, on, clauses, cols, types, live.select(*on)
     )
     if not hit and stats["inserted"] == 0:
-        return {"version": max(_metadata_versions(path)), **stats}
+        # same watermark discipline as the MOR early-return above
+        v = max(_metadata_versions(path))
+        if txn is not None:
+            v = set_properties_iceberg(
+                path, {f"txn.{txn[0]}": str(int(txn[1]))}
+            )
+        return {"version": v, **stats}
     staged = _stage_data_files(new_data, path, part_spec, schema_json)
     new_manifests: list[dict] = []
     if staged:

@@ -453,16 +453,29 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                         continue  # unchanged-DV re-add: no row changed
                     fp = os.path.join(self.path, urllib.parse.unquote(p))
                     if p in removes:
-                        # grown deletion vector: newly-dead rows only
+                        # DV transition on a surviving path: newly-dead
+                        # positions (new minus old) stream as deletes;
+                        # newly-LIVE positions (old minus new — a
+                        # shrunk, cleared, or replaced vector, e.g.
+                        # RESTORE re-adding the file without its DV)
+                        # stream as inserts.  (ADVICE r8: non-growing
+                        # transitions were silently dropped.)
                         old_a = (state.files or {}).get(p) or {}
                         nd = live_dv(a)
+                        od = live_dv(old_a)
+                        pv = dict(a.get("partitionValues") or {})
                         if nd:
                             out.append(
                                 _DeltaCDFPartition(
-                                    "dv_delta", fp,
-                                    dict(a.get("partitionValues") or {}),
-                                    nd, live_dv(old_a), v, self.path,
-                                    fields, part_cols, True,
+                                    "dv_delta", fp, pv, nd, od, v,
+                                    self.path, fields, part_cols, True,
+                                )
+                            )
+                        if od:
+                            out.append(
+                                _DeltaCDFPartition(
+                                    "dv_restore", fp, pv, nd, od, v,
+                                    self.path, fields, part_cols, True,
                                 )
                             )
                         continue
@@ -498,6 +511,33 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
     def read(self, partition: _DeltaCDFPartition):
         import pyarrow.parquet as pq
 
+        affected: set[int] = set()
+        if partition.kind in ("dv_delta", "dv_restore"):
+            # resolve the position delta BEFORE touching the data file
+            # — the pure-growth transition plans a dv_restore partition
+            # whose restored set is empty, and it must cost two bitmap
+            # reads, not a parquet scan
+            new_pos = (
+                set(_load_dv_positions(partition.table_root, partition.dv))
+                if partition.dv
+                else set()
+            )
+            old_pos = (
+                set(
+                    _load_dv_positions(
+                        partition.table_root, partition.old_dv
+                    )
+                )
+                if partition.old_dv
+                else set()
+            )
+            affected = (
+                new_pos - old_pos
+                if partition.kind == "dv_delta"
+                else old_pos - new_pos
+            )
+            if not affected:
+                return
         table = pq.read_table(partition.file_path)
         cols = set(table.column_names)
         part_typed = {
@@ -519,23 +559,16 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                     + [row.get("_change_type"), partition.version]
                 )
             return
-        if partition.kind == "dv_delta":
-            dead = set(
-                _load_dv_positions(partition.table_root, partition.dv)
-            )
-            if partition.old_dv:
-                dead -= set(
-                    _load_dv_positions(
-                        partition.table_root, partition.old_dv
-                    )
-                )
-            # materialize ONLY the newly-dead positions (Table.take) —
-            # a point delete on a large file stays O(deleted rows)
-            idx = sorted(p for p in dead if p < table.num_rows)
+        if partition.kind in ("dv_delta", "dv_restore"):
+            # materialize ONLY the affected positions (Table.take) —
+            # a point delete/restore on a large file stays O(changed
+            # rows)
+            ctype = "delete" if partition.kind == "dv_delta" else "insert"
+            idx = sorted(p for p in affected if p < table.num_rows)
             for row in table.take(idx).to_pylist():
                 yield tuple(
                     [value(row, n) for n, _s in partition.fields]
-                    + ["delete", partition.version]
+                    + [ctype, partition.version]
                 )
             return
         # delete: the file's previously-live rows (old DV applied);

@@ -281,14 +281,20 @@ class _IceChangePartition(InputPartition):
       snapshot's OWN new position deletes subtracted, so an upsert's
       dead-on-arrival rows stay silent) are inserts;
     - ``del``: a data file REMOVED by the snapshot — its
-      previous-state rows (prior position deletes subtracted) are
-      deletes;
+      previous-state rows (prior position deletes and prior equality
+      deletes subtracted) are deletes;
     - ``posdel``: a NEW position-delete file — exactly the
-      newly-dead rows (minus previously-dead positions) of data files
-      active across the transition are deletes.
+      newly-dead rows (minus previously-dead positions and
+      eq-killed rows, same-snapshot equality deletes included) of
+      data files active across the transition are deletes;
+    - ``eqdel`` (r9): one CARRIED data file scanned against the
+      snapshot's NEW equality-delete files — rows matching a new
+      kill key (sequence gate: the delete's seq must exceed the data
+      file's) that were not already position- or eq-dead are deletes.
 
-    Descriptors ship file PATHS only (delete-file paths, plus the
-    metadata-sized carried-file set for ``posdel`` scoping); all
+    Descriptors ship file PATHS only (delete-file paths, equality
+    descriptors as (path, seq, key column names), plus the
+    metadata-sized carried path→seq map for ``posdel`` scoping); all
     parquet reads happen executor-side."""
 
     def __init__(
@@ -296,10 +302,13 @@ class _IceChangePartition(InputPartition):
         kind: str,
         file_path: str,
         aux_paths: list[str],
-        carried: frozenset,
+        carried,
         snapshot_id: int,
         names: list[str],
         resolve: dict | None,
+        eq_files: tuple = (),
+        eq_excl: tuple = (),
+        file_seq: int = 0,
     ) -> None:
         self.kind = kind
         self.file_path = file_path
@@ -308,6 +317,15 @@ class _IceChangePartition(InputPartition):
         self.snapshot_id = snapshot_id
         self.names = names
         self.resolve = resolve
+        #: equality-delete descriptors (path, seq, (key names…)) whose
+        #: MATCHES this partition must EMIT (``eqdel`` only)
+        self.eq_files = tuple(eq_files)
+        #: equality-delete descriptors whose matches are ALREADY dead
+        #: and must be excluded from the emission
+        self.eq_excl = tuple(eq_excl)
+        #: the data file's own sequence number (the spec's strict
+        #: ``delete.seq > data.seq`` gate)
+        self.file_seq = int(file_seq)
 
 
 class IcebergChangesStreamReader(DataSourceStreamReader):
@@ -442,9 +460,14 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
     def read(self, partition: _IceChangePartition):
         import pyarrow.parquet as pq
 
-        def del_positions(paths, data_file):
-            base = urllib.parse.unquote(os.path.basename(data_file))
-            dead: set[int] = set()
+        def aux_positions(paths) -> dict[str, set[int]]:
+            """Read each prior position-delete file ONCE and bucket its
+            rows by target-file basename — the per-data-file lookup
+            below is then a dict get.  (ADVICE r8: the previous shape
+            re-read every delete file per touched data file, so a
+            compaction-starved table paid O(delete-files × touched-
+            files) parquet reads per micro-batch.)"""
+            m: dict[str, set[int]] = {}
             for dp in paths:
                 t = pq.read_table(
                     urllib.parse.unquote(dp),
@@ -454,14 +477,18 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                     t.column("file_path").to_pylist(),
                     t.column("pos").to_pylist(),
                 ):
-                    if urllib.parse.unquote(os.path.basename(fp)) == base:
-                        dead.add(int(pos))
-            return dead
+                    m.setdefault(
+                        urllib.parse.unquote(os.path.basename(fp)), set()
+                    ).add(int(pos))
+            return m
 
         if partition.kind in ("ins", "del"):
             table = pq.read_table(partition.file_path)
             colmap = _colmap(table, partition.resolve)
-            dead = del_positions(partition.aux_paths, partition.file_path)
+            dead = aux_positions(partition.aux_paths).get(
+                urllib.parse.unquote(os.path.basename(partition.file_path)),
+                set(),
+            )
             ctype = "insert" if partition.kind == "ins" else "delete"
             for pos, row in enumerate(table.to_pylist()):
                 if pos in dead:
@@ -488,12 +515,15 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         carried_base = {
             os.path.basename(p): p for p in partition.carried
         }
+        aux = aux_positions(partition.aux_paths)  # one read per delete file
         for fp, positions in sorted(by_file.items()):
             actual = carried_base.get(os.path.basename(fp))
             if actual is None:
                 continue  # added or removed in this snapshot: handled
                 # by the ins/del partitions (net effect), or foreign
-            already = del_positions(partition.aux_paths, actual)
+            already = aux.get(
+                urllib.parse.unquote(os.path.basename(actual)), set()
+            )
             fresh = positions - already
             if not fresh:
                 continue

@@ -56,11 +56,11 @@ def replicate_batch(
     )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        # Caveat, by design: a batch whose net effect is deletes-only
-        # leaves the watermark where it was (the zero-change merge
-        # early-returns without committing) — replays of such a batch
-        # stay SEMANTICALLY idempotent through the equality delete's
-        # re-kill, they just commit a redundant delete snapshot.
+        # A deletes-only batch advances the watermark too: the
+        # zero-change merge commits a properties-only txn advance
+        # (no snapshot — merge_iceberg, ADVICE r8), so a checkpoint
+        # replay of such a batch skips ENTIRELY instead of
+        # re-committing a redundant (if idempotent) delete snapshot.
         spark = batch_df.sparkSession
         if int(batch_id) <= last_txn_version_iceberg(
             spark, replica, app_id

@@ -247,3 +247,50 @@ def test_cross_format_replication_converges_and_replays_noop(
     assert len(glob.glob(
         os.path.join(replica, "metadata", "v*.metadata.json")
     )) == n_meta
+
+
+def test_deletes_only_replication_batch_advances_watermark(spark, tmp_path):
+    """A micro-batch whose NET effect is deletes-only must still
+    advance the txn watermark — as a properties-only commit, NOT a
+    snapshot — so a crash-replay of the same batch id commits nothing
+    at all (ADVICE r8: previously the zero-change merge early-returned
+    without recording the batch, and every replay re-committed a
+    redundant equality-delete snapshot)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_api_spark.streaming.replicate import (
+        replicate_batch,
+    )
+
+    replica = str(tmp_path / "replica")
+    write_iceberg(_df(spark, [(1, 1, 1), (2, 2, 1)]), replica)
+
+    def meta():
+        vs = glob.glob(os.path.join(replica, "metadata", "v*.metadata.json"))
+        latest = max(vs, key=lambda p: int(
+            os.path.basename(p).split(".")[0][1:]))
+        with open(latest) as fh:
+            return len(vs), len(json.load(fh).get("snapshots") or [])
+
+    batch = (
+        _df(spark, [(2, 2, 1)])
+        .withColumn("_change_type", F.lit("delete"))
+        .withColumn("_commit_version", F.lit(1).cast("long"))
+    )
+    apply = replicate_batch(replica, ["k"], "app")
+    apply(batch, 0)
+    assert _state(spark, read_iceberg, replica) == {(1, 1, 1)}
+    # watermark advanced even though the merge saw zero live rows
+    assert last_txn_version_iceberg(spark, replica, "app") == 0
+    n_versions, n_snapshots = meta()
+    # the watermark advance itself must be snapshot-free: one eq-delete
+    # snapshot on top of the initial write, plus one properties-only
+    # metadata version
+    assert n_snapshots == 2
+    # crash-replay of the SAME batch id: no metadata version, no
+    # snapshot, no state change
+    apply(batch, 0)
+    assert meta() == (n_versions, n_snapshots)
+    assert _state(spark, read_iceberg, replica) == {(1, 1, 1)}
