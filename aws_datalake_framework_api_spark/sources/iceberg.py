@@ -720,10 +720,57 @@ def _apply_transform(transform: str, value, src_type):
 # per task) and plan one branch per mapping, projecting each back to
 # the CURRENT names; files written before this engine stamped field
 # ids resolve through the history's unambiguous name→id map, and a
-# genuinely ambiguous id-less file is refused, never guessed.  Type
-# evolution (int→long promotion) is refused loudly — a by-name read
-# of a promoted column would die inside the scan with a cast error
+# genuinely ambiguous id-less file is refused, never guessed.  The
+# spec's LEGAL TYPE PROMOTIONS (r9, VERDICT r8 item #5 — int→long,
+# float→double, decimal precision widening at fixed scale) resolve
+# through the same branch machinery: each branch reads a promoted
+# column with the file's own PHYSICAL type (from the footer — Spark's
+# parquet reader refuses silent upcasts) and casts to the current
+# type, an exact value-preserving widening by construction.  Any
+# OTHER type change across history is refused loudly — a by-name read
+# of such a column would die inside the scan with a cast error
 # anyway; the gate turns that into a diagnosis.
+
+_DEC_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")
+
+
+def _promotable(frm, to) -> bool:
+    """True when ``frm → to`` is one of the spec's legal primitive
+    promotions (§Schema Evolution): int→long, float→double,
+    decimal(P,S)→decimal(P',S) with P' ≥ P.  Identity counts (the
+    caller decides whether a no-op is acceptable)."""
+    if not (isinstance(frm, str) and isinstance(to, str)):
+        return False
+    if frm == to:
+        return True
+    if (frm, to) in (("int", "long"), ("float", "double")):
+        return True
+    mf, mt = _DEC_RE.fullmatch(frm), _DEC_RE.fullmatch(to)
+    return bool(
+        mf
+        and mt
+        and int(mt.group(2)) == int(mf.group(2))
+        and int(mt.group(1)) >= int(mf.group(1))
+    )
+
+
+def _arrow_prim(at) -> str:
+    """A pyarrow field type as the canonical Iceberg primitive string
+    for the promotable families ('' for everything else — only
+    promotion decisions consult this)."""
+    import pyarrow as pa
+
+    if pa.types.is_int32(at):
+        return "int"
+    if pa.types.is_int64(at):
+        return "long"
+    if pa.types.is_float32(at):
+        return "float"
+    if pa.types.is_float64(at):
+        return "double"
+    if pa.types.is_decimal(at):
+        return f"decimal({at.precision}, {at.scale})"
+    return ""
 
 
 def _resolution(meta: dict) -> dict | None:
@@ -750,12 +797,19 @@ def _resolution(meta: dict) -> dict | None:
             if json.dumps(c["type"], sort_keys=True) != json.dumps(
                 f["type"], sort_keys=True
             ):
-                raise ValueError(
-                    f"column {c['name']!r} (field id {fid}) changed type "
-                    "across schema history — type evolution / nested "
-                    "struct evolution reads are not supported (install "
-                    "an iceberg-* library to read this table)"
-                )
+                if _promotable(f["type"], c["type"]):
+                    # legal promotion: old files read with their
+                    # physical type + cast through the branch path
+                    needs = True
+                else:
+                    raise ValueError(
+                        f"column {c['name']!r} (field id {fid}) changed "
+                        "type across schema history beyond the spec's "
+                        "legal promotions (int→long, float→double, "
+                        "decimal precision widening) — such reads are "
+                        "not supported (install an iceberg-* library "
+                        "to read this table)"
+                    )
     for fid, c in cur_fields.items():
         if name_ids.get(c["name"], set()) - {fid}:
             needs = True  # a live name once belonged to another id
@@ -804,24 +858,48 @@ def _resolved_union(
                     )
                 fid = res["name_to_id"].get(fld.name)
             if fid in res["by_id"]:
-                pairs.append((fld.name, fid))
+                # the footer's PHYSICAL type rides the group signature:
+                # a column promoted after this file was written (e.g.
+                # int→long) must be read at its file width and cast —
+                # Spark's parquet reader refuses silent upcasts
+                pairs.append((fld.name, fid, _arrow_prim(fld.type)))
         groups.setdefault(tuple(sorted(pairs)), []).append(f)
     branches = []
     for sig, gfiles in sorted(groups.items()):
-        have = {fid: fname for fname, fid in sig}
-        read_schema = StructType(
-            [
+        have = {fid: (fname, phys) for fname, fid, phys in sig}
+        read_fields = []
+        for fname, fid, phys in sig:
+            cur_t = res["by_id"][fid]["type"]
+            promoted = (
+                phys
+                and isinstance(cur_t, str)
+                and phys != cur_t
+                and _promotable(phys, cur_t)
+            )
+            read_fields.append(
                 StructField(
-                    fname, _ice_to_spark(res["by_id"][fid]["type"]), True
+                    fname,
+                    _ice_to_spark(phys if promoted else cur_t),
+                    True,
                 )
-                for fname, fid in sig
-            ]
-        )
+            )
+        read_schema = StructType(read_fields)
         proj = []
         for f in res["ordered"]:
             fid = int(f["id"])
             if fid in have:
-                proj.append(F.col(have[fid]).alias(f["name"]))
+                fname, phys = have[fid]
+                col = F.col(fname)
+                if (
+                    phys
+                    and isinstance(f["type"], str)
+                    and phys != f["type"]
+                    and _promotable(phys, f["type"])
+                ):
+                    # exact value-preserving widening (int⊂long,
+                    # float⊂double, decimal at fixed scale)
+                    col = col.cast(_ice_to_spark(f["type"]))
+                proj.append(col.alias(f["name"]))
             else:
                 proj.append(
                     F.lit(None).cast(_ice_to_spark(f["type"])).alias(f["name"])
@@ -1478,7 +1556,10 @@ def _file_stats(
             name = col.path_in_schema
             if name not in ids or not isinstance(ids[name][1], str):
                 continue
-            lo, hi = s.min, s.max
+            try:
+                lo, hi = s.min, s.max
+            except Exception:  # noqa: BLE001 — e.g. pyarrow cannot
+                continue  # extract decimal statistics; stats optional
             if isinstance(lo, bytes):
                 continue
             if name not in mins or lo < mins[name]:  # type: ignore[operator]
@@ -2196,6 +2277,7 @@ def evolve_iceberg(
     renames: dict[str, str] | None = None,
     add_columns: list[tuple[str, str]] | None = None,
     drop_columns: list[str] | None = None,
+    retype_columns: dict[str, str] | None = None,
 ) -> int:
     """Metadata-only schema evolution commit — the Iceberg core value
     proposition (spec §Schema Evolution: renames keep the field id,
@@ -2211,6 +2293,14 @@ def evolve_iceberg(
     files keep the bytes (reads stop selecting the column), and the
     freed NAME must not be re-added in the SAME commit (the id-reuse
     ambiguity that id-less legacy files cannot resolve).
+    ``retype_columns`` (r9, VERDICT r8 item #5): {name: new_type},
+    names referring to the POST-rename schema (retypes apply after
+    renames within the commit), restricted to the spec's LEGAL
+    promotions — int→long, float→double, decimal(P,S)→decimal(P',S)
+    with P' ≥ P; anything else refuses.  Old files read back through the footer-branch
+    machinery at their physical width and cast (exact by
+    construction).  Partition SOURCE columns refuse (manifest
+    partition records and bound serializations spell the old width).
 
     Renaming or dropping a partition SOURCE column is refused (the
     spec field name in partition specs and the manifest partition keys
@@ -2220,7 +2310,8 @@ def evolve_iceberg(
     renames = dict(renames or {})
     add_columns = list(add_columns or [])
     drop_columns = list(drop_columns or [])
-    if not renames and not add_columns and not drop_columns:
+    retype_columns = dict(retype_columns or {})
+    if not (renames or add_columns or drop_columns or retype_columns):
         raise ValueError("evolve_iceberg: nothing to do")
     meta = _load_metadata(path)
     cur = _current_schema(meta)
@@ -2280,6 +2371,26 @@ def evolve_iceberg(
             {"id": last_id, "name": name, "required": False, "type": ice_type}
         )
         post_names.add(name)
+    for name, new_t in retype_columns.items():
+        fld = next((f for f in fields if f["name"] == name), None)
+        if fld is None:
+            raise ValueError(f"retype: no such column {name!r}")
+        _ice_to_spark(new_t)  # must spell a real type
+        if fld["type"] == new_t:
+            raise ValueError(f"retype: {name!r} is already {new_t}")
+        if not _promotable(fld["type"], new_t):
+            raise ValueError(
+                f"retype: {fld['type']} → {new_t} on {name!r} is not a "
+                "legal promotion (spec allows int→long, float→double, "
+                "and decimal precision widening at fixed scale)"
+            )
+        if int(fld["id"]) in spec_sources:
+            raise ValueError(
+                f"retype: {name!r} is a partition source column "
+                "(refused — manifest partition records and bound "
+                "serializations spell the old width)"
+            )
+        fld["type"] = new_t
     prior = meta.get("schemas") or [
         {"schema-id": cur.get("schema-id", 0), "type": "struct",
          "fields": cur["fields"]}
@@ -3438,6 +3549,83 @@ scan_iceberg_evolve = query(
     GROUP BY o_orderpriority
     """,
 )(scan_iceberg_evolve)
+
+
+def scan_iceberg_retype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema TYPE-promotion evolution end-to-end (r9, VERDICT r8 item
+    #5): create with int columns → ``evolve_iceberg(retype_columns=
+    {int→long})`` (metadata-only, spec §Schema Evolution) → append
+    values ONLY a long can hold → read across both eras.  The
+    pre-promotion files physically store int32; the reader must serve
+    them at their file width and cast (the footer-branch machinery),
+    never misread 4-byte values as 8-byte.  The oracle rebuilds both
+    eras arithmetically — a truncated wide value, a misdecoded narrow
+    file, or a lost era all fail the hash compare."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"iceberg_retype_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        ops = [h["operation"] for h in history_iceberg(spark, path)]
+        types = {
+            f["name"]: f["type"]
+            for f in _current_schema(_load_metadata(path))["fields"]
+        }
+        complete = ops == ["append", "append"] and types.get(
+            "k"
+        ) == "long" and types.get("cents") == "long"
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        era1 = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+            F.col("o_orderpriority"),
+            F.col("o_orderkey").cast("int").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("int").alias("cents"),
+        )
+        write_iceberg(era1, path, mode="error")
+        evolve_iceberg(path, retype_columns={"k": "long", "cents": "long"})
+        era2 = orders.filter(F.col("o_orderkey") % 7 == 1).select(
+            F.col("o_orderpriority"),
+            (F.col("o_orderkey") + F.lit(4_000_000_000)).alias("k"),
+            (
+                F.round(F.col("o_totalprice") * 100).cast("long")
+                + F.lit(10_000_000_000)
+            ).alias("cents"),
+        )
+        write_iceberg(era2, path, mode="append")
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.max("k").alias("k_max"),
+    )
+
+
+scan_iceberg_retype = query(
+    "b_lake_iceberg_retype",
+    """
+    WITH era1 AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_orderkey AS INTEGER) AS BIGINT) AS k,
+             CAST(CAST(round(o_totalprice * 100) AS INTEGER) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    era2 AS (
+      SELECT o_orderpriority,
+             o_orderkey + 4000000000 AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) + 10000000000
+               AS cents
+      FROM orders WHERE o_orderkey % 7 = 1
+    ),
+    u AS (SELECT * FROM era1 UNION ALL SELECT * FROM era2)
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents_sum, max(k) AS k_max
+    FROM u GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_retype)
 
 
 # ------------------------------------------------------------- maintenance

@@ -32,12 +32,15 @@ Semantics (iceberg-spark parity):
   change set of the planned snapshot range (schema +
   ``_change_type`` + ``_commit_snapshot_pos``) matching the batch
   ``read_iceberg_changes`` — added files stream as inserts, removed
-  files as previous-state deletes (their prior position deletes
-  subtracted executor-side), NEW position-delete files as exactly
-  the newly-dead rows.  This goes BEYOND iceberg-spark, whose
-  streaming read is append-only; equality-delete snapshots refuse
-  loudly (their kill set needs the batch reader's distributed
-  semi-join — read those ranges with ``read_iceberg_changes``).
+  files as previous-state deletes (their prior position AND equality
+  deletes subtracted executor-side), NEW position-delete files as
+  exactly the newly-dead rows, and NEW equality-delete files (r9) as
+  the carried rows their keys kill under the spec's sequence gate.
+  This goes BEYOND iceberg-spark, whose streaming read is
+  append-only.  The one refusal left: a range whose resident
+  equality-key volume exceeds ``maxEqDeleteRows`` (the kill set then
+  needs the batch reader's distributed semi-join —
+  ``read_iceberg_changes``).
 """
 
 from __future__ import annotations
@@ -335,9 +338,15 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
     :func:`~..sources.iceberg.read_iceberg_changes` — so
     delete/rewrite-carrying snapshots stream without loss instead of
     refusing.  Output = table columns + ``_change_type`` +
-    ``_snapshot_id``.  Snapshots adding EQUALITY-delete files refuse:
-    their kill set is a distributed null-safe semi-join (batch-read
-    those ranges); position deletes, appends, and rewrites stream."""
+    ``_snapshot_id``.  Position deletes, appends, rewrites, AND
+    equality-delete snapshots (r9, VERDICT r8 item #2 — the
+    Flink-CDC-written shape) all stream: each ``eqdel`` task scans
+    one carried data file against the snapshot's new kill-key files
+    with the spec's strict sequence gate.  The per-task key residency
+    is bounded by ``maxEqDeleteRows`` (default 1e6) — a table whose
+    un-compacted eq-delete history outgrows it refuses loudly toward
+    the batch reader's distributed kill-set join
+    (``read_iceberg_changes``)."""
 
     def __init__(self, schema: StructType, options) -> None:
         self.path = options.get("path")
@@ -395,6 +404,38 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                 return [], [], []
             return _manifest_entries(self.path, meta, snaps[i])
 
+        cur_fields = {
+            int(f["id"]): f["name"]
+            for f in _current_schema(meta)["fields"]
+        }
+        max_eq_rows = int(self.options.get("maxeqdeleterows", 1_000_000))
+
+        def eq_desc(recs) -> tuple:
+            """(path, seq, (key names…)) descriptors, equality_ids
+            resolved through the CURRENT schema (field ids are the
+            spec's stable identity; a dropped key column refuses)."""
+            descs = []
+            for r in recs:
+                knames = []
+                for fid in r["equality_ids"]:
+                    n = cur_fields.get(int(fid))
+                    if n is None:
+                        raise ValueError(
+                            "iceberg_stream: equality delete "
+                            f"{r['path']} keys on field id {fid}, which "
+                            "is not in the current schema — read this "
+                            "range in batch (read_iceberg_changes)"
+                        )
+                    knames.append(n)
+                descs.append(
+                    (
+                        urllib.parse.unquote(r["path"]),
+                        int(r["seq"]),
+                        tuple(knames),
+                    )
+                )
+            return tuple(descs)
+
         out: list[_IceChangePartition] = []
         p_data, p_del, p_eq = state(lo - 1)
         for i in range(lo, hi):
@@ -406,54 +447,80 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
             new_dels = sorted(
                 r["path"] for r in c_del if r["path"] not in prev_dpaths
             )
-            if {r["path"] for r in c_eq} - {r["path"] for r in p_eq}:
+            prev_epaths = {r["path"] for r in p_eq}
+            new_eqs = [r for r in c_eq if r["path"] not in prev_epaths]
+            removed = sorted(prev_paths - cur_paths)
+            # Equality deletes stream per-task (r9, VERDICT r8 item
+            # #2): every task loads the key sets it must consult, so
+            # the planner gates on their TOTAL row count — a CDC
+            # writer's per-commit key files are tiny, but a table
+            # whose un-compacted eq-delete history outgrows the cap
+            # must use the batch reader's distributed kill-set join.
+            eq_rows = sum(int(r["record_count"]) for r in c_eq)
+            touches_eq = bool(new_eqs) or (
+                bool(p_eq) and bool(removed or new_dels)
+            )
+            if touches_eq and eq_rows > max_eq_rows:
                 raise ValueError(
-                    f"iceberg_stream: snapshot {ssid} adds EQUALITY-delete "
-                    "files; their kill set needs a distributed join the "
-                    "stream tail cannot plan — read this range in batch "
-                    "(read_iceberg_changes) and restart the stream past it"
+                    f"iceberg_stream: snapshot {ssid}'s change set needs "
+                    f"{eq_rows} equality-delete keys resident per task "
+                    f"(cap {max_eq_rows}, option maxEqDeleteRows) — read "
+                    "this range in batch (read_iceberg_changes), whose "
+                    "kill set is a distributed join"
                 )
+            prev_eq_d = eq_desc(p_eq)
+            seq_of = {r["path"]: int(r["seq"]) for r in p_data}
             for p in sorted(cur_paths - prev_paths):
+                # a file ADDED here outranks every delete in flight:
+                # its data sequence equals the snapshot's, and both
+                # prior and same-snapshot deletes gate on strictly-
+                # smaller sequences — no eq subtraction needed
                 out.append(
                     _IceChangePartition(
                         "ins", urllib.parse.unquote(p), new_dels,
                         frozenset(), ssid, names, resolve,
                     )
                 )
-            removed = sorted(prev_paths - cur_paths)
-            if removed and p_eq:
-                raise ValueError(
-                    f"iceberg_stream: snapshot {ssid} removes files from a "
-                    "state carrying equality deletes; previous-state rows "
-                    "need the batch reader's distributed kill-set join — "
-                    "read this range in batch (read_iceberg_changes)"
-                )
             for p in removed:
                 out.append(
                     _IceChangePartition(
                         "del", urllib.parse.unquote(p),
                         sorted(prev_dpaths), frozenset(), ssid, names,
-                        resolve,
+                        resolve, eq_excl=prev_eq_d,
+                        file_seq=seq_of.get(p, 0),
                     )
                 )
-            carried = frozenset(
-                urllib.parse.unquote(p) for p in (prev_paths & cur_paths)
-            )
-            if new_dels and p_eq:
-                raise ValueError(
-                    f"iceberg_stream: snapshot {ssid} position-deletes "
-                    "rows of a state carrying equality deletes; the "
-                    "newly-dead set needs the batch reader — read this "
-                    "range in batch (read_iceberg_changes)"
-                )
+            carried = {
+                urllib.parse.unquote(p): seq_of.get(p, 0)
+                for p in (prev_paths & cur_paths)
+            }
+            # posdel tasks exclude rows ANY equality delete kills —
+            # prior files (already dead) and same-snapshot ones (the
+            # eqdel task emits that overlap exactly once)
+            all_eq_d = eq_desc(c_eq)
             for p in new_dels:
                 out.append(
                     _IceChangePartition(
                         "posdel", urllib.parse.unquote(p),
                         sorted(prev_dpaths), carried, ssid, names,
-                        resolve,
+                        resolve, eq_excl=all_eq_d,
                     )
                 )
+            if new_eqs:
+                new_eq_d = eq_desc(new_eqs)
+                max_eq_seq = max(s for _p, s, _k in new_eq_d)
+                for p in sorted(prev_paths & cur_paths):
+                    fseq = seq_of.get(p, 0)
+                    if fseq >= max_eq_seq:
+                        continue  # sequence gate: nothing can kill it
+                    out.append(
+                        _IceChangePartition(
+                            "eqdel", urllib.parse.unquote(p),
+                            sorted(prev_dpaths), frozenset(), ssid,
+                            names, resolve, eq_files=new_eq_d,
+                            eq_excl=prev_eq_d, file_seq=fseq,
+                        )
+                    )
             p_data, p_del, p_eq = c_data, c_del, c_eq
         return out
 
@@ -482,6 +549,34 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                     ).add(int(pos))
             return m
 
+        def eq_sets(descs) -> list[tuple[int, tuple, set]]:
+            """Load equality-delete key files once: [(seq, key names,
+            {key tuples})].  Key columns resolve by field id through
+            the same _colmap contract as data files."""
+            out = []
+            for pth, seq, knames in descs:
+                t = pq.read_table(pth)
+                cm = _colmap(t, partition.resolve)
+                cols = [
+                    t.column(cm[n]).to_pylist()
+                    if n in cm
+                    else [None] * t.num_rows
+                    for n in knames
+                ]
+                out.append((int(seq), tuple(knames), set(zip(*cols))))
+            return out
+
+        def eq_dead(row, colmap, file_seq, sets) -> bool:
+            """True when a row matches a kill key whose delete file's
+            sequence strictly exceeds the data file's (spec gate);
+            NULL keys match null-safely (tuple equality)."""
+            for seq, knames, keys in sets:
+                if seq > file_seq and tuple(
+                    row.get(colmap.get(n)) for n in knames
+                ) in keys:
+                    return True
+            return False
+
         if partition.kind in ("ins", "del"):
             table = pq.read_table(partition.file_path)
             colmap = _colmap(table, partition.resolve)
@@ -489,10 +584,13 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                 urllib.parse.unquote(os.path.basename(partition.file_path)),
                 set(),
             )
+            excl = eq_sets(partition.eq_excl)
             ctype = "insert" if partition.kind == "ins" else "delete"
             for pos, row in enumerate(table.to_pylist()):
                 if pos in dead:
                     continue
+                if excl and eq_dead(row, colmap, partition.file_seq, excl):
+                    continue  # already eq-killed before this snapshot
                 yield tuple(
                     [
                         row.get(colmap[n]) if n in colmap else None
@@ -500,6 +598,31 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                     ]
                     + [ctype, partition.snapshot_id]
                 )
+            return
+        if partition.kind == "eqdel":
+            # one carried data file vs the snapshot's NEW kill keys:
+            # emit matches that were not already position- or eq-dead
+            match = eq_sets(partition.eq_files)
+            excl = eq_sets(partition.eq_excl)
+            dead = aux_positions(partition.aux_paths).get(
+                urllib.parse.unquote(os.path.basename(partition.file_path)),
+                set(),
+            )
+            table = pq.read_table(partition.file_path)
+            colmap = _colmap(table, partition.resolve)
+            for pos, row in enumerate(table.to_pylist()):
+                if pos in dead:
+                    continue
+                if excl and eq_dead(row, colmap, partition.file_seq, excl):
+                    continue
+                if eq_dead(row, colmap, partition.file_seq, match):
+                    yield tuple(
+                        [
+                            row.get(colmap[n]) if n in colmap else None
+                            for n in partition.names
+                        ]
+                        + ["delete", partition.snapshot_id]
+                    )
             return
         # posdel: the delete file names (file_path, pos) rows; emit the
         # NEWLY-dead rows of files active across the transition
@@ -516,6 +639,14 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
             os.path.basename(p): p for p in partition.carried
         }
         aux = aux_positions(partition.aux_paths)  # one read per delete file
+        excl = eq_sets(partition.eq_excl)
+        # carried is a path → data-sequence map (the eq gate needs the
+        # file's own sequence); iterating it yields the paths
+        carried_seq = (
+            dict(partition.carried)
+            if isinstance(partition.carried, dict)
+            else {p: 0 for p in partition.carried}
+        )
         for fp, positions in sorted(by_file.items()):
             actual = carried_base.get(os.path.basename(fp))
             if actual is None:
@@ -533,7 +664,11 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
             # the whole file — a point delete on a large file stays
             # O(deleted rows) here
             idx = sorted(p for p in fresh if p < table.num_rows)
+            fseq = int(carried_seq.get(actual, 0))
             for row in table.take(idx).to_pylist():
+                if excl and eq_dead(row, colmap, fseq, excl):
+                    continue  # eq-killed earlier (or by this
+                    # snapshot's eqdel task — which emits it instead)
                 yield tuple(
                     [
                         row.get(colmap[n]) if n in colmap else None
@@ -636,13 +771,15 @@ def stream_from_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream of an Iceberg table's row-level CHANGELOG: a
-    position-delete snapshot then a MERGE-ON-READ MERGE (update =
-    position delete + postimage insert) stream as insert/delete rows
-    via ``readChangeFeed=true`` — snapshots the append-only tail must
-    refuse.  The oracle recomputes every change class arithmetically;
-    a resurrected dead row, a double-emitted position, or a lost
-    postimage all fail the hash compare.  (r8 — pairs the MOR merge
-    writer with a streaming consumer of its changes.)"""
+    position-delete snapshot, a MERGE-ON-READ MERGE (update =
+    position delete + postimage insert), then an EQUALITY-delete
+    commit (``delete_by_key_iceberg`` — the Flink-CDC shape, r9)
+    stream as insert/delete rows via ``readChangeFeed=true`` —
+    snapshots the append-only tail must refuse.  The oracle
+    recomputes every change class arithmetically; a resurrected dead
+    row, a double-emitted position, a lost postimage, or an eq kill
+    that ignored the sequence gate (killing the original instead of
+    the re-inserted version) all fail the hash compare."""
     import atexit as _atexit
     import shutil as _shutil
     import tempfile as _tempfile
@@ -651,6 +788,7 @@ def stream_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.numeric import money_sum
     from ..sources.iceberg import (
+        delete_by_key_iceberg,
         delete_iceberg_rows,
         merge_iceberg,
         write_iceberg,
@@ -682,6 +820,11 @@ def stream_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         strategy="mor",
     )                                                     # snapshot 3
+    delete_by_key_iceberg(                                # snapshot 4:
+        spark, t,                                         # equality delete
+        orders.filter(F.col("o_orderkey") % 15 == 0)
+        .select("o_orderkey").distinct(),
+    )
     out = os.path.join(tmp, "out")
     q = (
         spark.readStream.format("iceberg_stream")
@@ -722,7 +865,12 @@ def _register_query() -> None:
     # mod 6 — update and delete clauses both kill the old version),
     # re-inserts postimages for live ≡0 (mod 12), and inserts the
     # unmatched source keys — ≡1 (mod 3) at original price plus the
-    # DEAD ≡0 (mod 30) keys at source (+1000) price.
+    # DEAD ≡0 (mod 30) keys at source (+1000) price.  The equality
+    # delete (keys ≡0 mod 15, r9) then kills the surviving ODD
+    # 15-multiples (never merge-matched: 15·odd is not ≡0 mod 6) at
+    # original price AND the re-inserted ≡0 (mod 30) rows at +1000 —
+    # the re-insert's data sequence postdates snapshot 2's kill, so
+    # only the LATEST version dies (the spec's sequence gate).
     query(
         "b_stream_iceberg_cdf",
         f"""
@@ -742,6 +890,10 @@ def _register_query() -> None:
           WHERE o_orderkey % 3 = 1
           UNION ALL
           SELECT 'insert' AS ct, p + 1000 AS p FROM b WHERE k % 30 = 0
+          UNION ALL
+          SELECT 'delete' AS ct, p FROM live WHERE k % 15 = 0
+          UNION ALL
+          SELECT 'delete' AS ct, p + 1000 AS p FROM b WHERE k % 30 = 0
         )
         SELECT ct AS _change_type, count(*) AS n,
                {sql_money_sum('p')} AS total_price

@@ -42,6 +42,16 @@ HEADLINE = [
     # streaming + python-kernel paths
     "b_stream_session",
     "b_udf_pandas",
+    # connector-era paths (r9, VERDICT r8 item #8): watch the lake
+    # machinery for cross-round regressions, not just the relational
+    # core.  b_lake_iceberg_merge_mor's fixture is _scratch-cached, so
+    # after the first run its timing isolates the MERGE-ON-READ READ
+    # path (two delete generations applied under sequence gates);
+    # b_stream_replicate rebuilds end-to-end EVERY run — Delta CDF
+    # write, stream tail, equality-delete + MOR merge replication into
+    # Iceberg.  Totals before r9 exclude these two (BASELINE.md note).
+    "b_lake_iceberg_merge_mor",
+    "b_stream_replicate",
 ]
 
 
@@ -97,12 +107,21 @@ def main() -> None:
         total += best
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    #: the pre-r9 18-query subtotal — THE number comparable to the
+    #: 26.34 s r1 baseline and to BENCH_r{1..8} (the r9 additions
+    #: widened the set; BASELINE.md round-9 note)
+    core18 = sum(
+        v
+        for k, v in per_query.items()
+        if k not in ("b_lake_iceberg_merge_mor", "b_stream_replicate")
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
+                "core18_wall": round(core18, 3),
                 "queries": per_query,
                 "sf": float(sf) if sf else None,
                 "raw_runs": raw_runs,

@@ -531,12 +531,84 @@ def test_iceberg_changelog_stream_matches_batch_reader(spark, tmp_path):
     assert len(_sunk(spark, out)) == len(got)
 
 
-def test_iceberg_changelog_stream_refuses_equality_deletes(
+def test_iceberg_changelog_stream_covers_equality_deletes(
     spark, tmp_path
 ):
-    """A snapshot adding an equality-delete file refuses the
-    changelog tail loudly (its kill set needs the batch reader's
-    distributed join) instead of under-emitting deletes."""
+    """Equality-delete snapshots STREAM (r9, VERDICT r8 item #2 —
+    previously refused): a delete_by_key kill, a re-insert of a
+    killed key, a SECOND eq delete of that key (sequence gate: only
+    the re-inserted version dies, the original is already dead), a
+    position delete landing on an eq-carrying state, and a COW
+    rewrite removing an eq-subtracted file — all matching the batch
+    read_iceberg_changes over the same range."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        delete_by_key_iceberg,
+        delete_iceberg_rows,
+        history_iceberg,
+        merge_iceberg,
+        read_iceberg_changes,
+        write_iceberg,
+    )
+    from aws_datalake_framework_api_spark.streaming.iceberg_source import (
+        register as ice_register,
+    )
+
+    ice_register(spark)
+    t = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def keys(*ks):
+        return spark.createDataFrame([(k,) for k in ks], "k int")
+
+    write_iceberg(
+        _df(spark, [(i, "a", float(i)) for i in range(1, 7)])
+        .coalesce(1),
+        t, mode="error",
+    )                                                     # snap 1
+    delete_by_key_iceberg(spark, t, keys(2, 4))           # snap 2: eq
+    write_iceberg(
+        _df(spark, [(2, "a", 22.0), (7, "a", 7.0)]).coalesce(1),
+        t, mode="append",
+    )                                                     # snap 3
+    delete_by_key_iceberg(spark, t, keys(2))              # snap 4: eq again
+    delete_iceberg_rows(spark, t, F.col("k") == 5)        # snap 5: posdel
+    merge_iceberg(
+        spark, t, _df(spark, [(6, "a", 600.0)]), on=["k"],
+    )                                                     # snap 6: COW
+    _run_ice(spark, t, out, ckpt, readChangeFeed="true", startingPos="1")
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .drop("_snapshot_id").collect()
+    )
+    hist = history_iceberg(spark, t)
+    batch = sorted(
+        tuple(r)
+        for r in read_iceberg_changes(
+            spark, t, hist[0]["snapshot_id"], hist[-1]["snapshot_id"]
+        ).drop("_snapshot_id").collect()
+    )
+    assert got == batch
+    assert got == sorted(
+        [(2, "a", 2.0, "delete"), (4, "a", 4.0, "delete")]  # snap 2 eq
+        + [(2, "a", 22.0, "insert"), (7, "a", 7.0, "insert")]  # snap 3
+        + [(2, "a", 22.0, "delete")]   # snap 4: ONLY the re-insert dies
+        + [(5, "a", 5.0, "delete")]    # snap 5: posdel on eq-carrying state
+        + [(1, "a", 1.0, "delete"), (3, "a", 3.0, "delete"),
+           (6, "a", 6.0, "delete"),    # snap 6 COW: prev-LIVE rows only
+           (1, "a", 1.0, "insert"), (3, "a", 3.0, "insert"),
+           (6, "a", 600.0, "insert")]
+    )
+    # checkpoint advance: rerun emits nothing new
+    _run_ice(spark, t, out, ckpt, readChangeFeed="true", startingPos="1")
+    assert len(_sunk(spark, out)) == len(got)
+
+
+def test_iceberg_changelog_stream_caps_equality_key_residency(
+    spark, tmp_path
+):
+    """The per-task key-set residency cap (maxEqDeleteRows) refuses
+    loudly toward the batch reader instead of silently loading an
+    unbounded kill set on every executor."""
     from aws_datalake_framework_api_spark.sources.iceberg import (
         delete_by_key_iceberg,
         write_iceberg,
@@ -548,17 +620,29 @@ def test_iceberg_changelog_stream_refuses_equality_deletes(
     ice_register(spark)
     t = str(tmp_path / "t")
     write_iceberg(
-        _df(spark, [(1, "a", 1.0), (2, "a", 2.0)]).coalesce(1),
+        _df(spark, [(i, "a", float(i)) for i in range(1, 9)])
+        .coalesce(1),
         t, mode="error",
     )
     delete_by_key_iceberg(
-        spark, t, spark.createDataFrame([(2,)], "k int")
+        spark, t, spark.createDataFrame([(k,) for k in (2, 4, 6)], "k int")
     )
-    with pytest.raises(Exception, match="EQUALITY-delete"):
+    with pytest.raises(Exception, match="maxEqDeleteRows"):
         _run_ice(
-            spark, t, str(tmp_path / "out"), str(tmp_path / "ckpt"),
-            readChangeFeed="true",
+            spark, t, str(tmp_path / "o1"), str(tmp_path / "c1"),
+            readChangeFeed="true", maxEqDeleteRows="2",
         )
+    # raising the cap streams the same range fine
+    out, ckpt = str(tmp_path / "o2"), str(tmp_path / "c2")
+    _run_ice(spark, t, out, ckpt, readChangeFeed="true",
+             maxEqDeleteRows="3")
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .drop("_snapshot_id").collect()
+    ) == sorted(
+        [(i, "a", float(i), "insert") for i in range(1, 9)]
+        + [(i, "a", float(i), "delete") for i in (2, 4, 6)]
+    )
 
 
 def test_cdf_stream_nullfills_added_column_for_old_files(spark, tmp_path):

@@ -1096,6 +1096,127 @@ def test_rename_partition_source_refused(spark, tmp_path):
         evolve_iceberg(path, renames={"part": "region"})
 
 
+def test_retype_promotions_read_across_eras(spark, tmp_path):
+    """Legal type promotions (int→long, float→double, decimal
+    widening — spec §Schema Evolution, r9): pre-promotion files read
+    at their PHYSICAL width and cast; post-promotion appends carry
+    values only the wide type can hold."""
+    import decimal
+
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg,
+    )
+
+    path = str(tmp_path / "promo")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 1.5, decimal.Decimal("12.34")),
+             (2, 2.5, decimal.Decimal("99.99"))],
+            "k int, v float, d decimal(6,2)",
+        ).coalesce(1),
+        path,
+    )
+    evolve_iceberg(
+        path,
+        retype_columns={
+            "k": "long", "v": "double", "d": "decimal(12, 2)",
+        },
+    )
+    write_iceberg(
+        spark.createDataFrame(
+            [(3_000_000_000, 3.25, decimal.Decimal("1234567890.12"))],
+            "k long, v double, d decimal(12,2)",
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    back = read_iceberg(spark, path)
+    assert back.schema.simpleString() == (
+        "struct<k:bigint,v:double,d:decimal(12,2)>"
+    )
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, 1.5, decimal.Decimal("12.34")),
+        (2, 2.5, decimal.Decimal("99.99")),
+        (3_000_000_000, 3.25, decimal.Decimal("1234567890.12")),
+    ]
+
+
+def test_retype_illegal_promotions_refused(spark, tmp_path):
+    """Narrowings and cross-family changes refuse loudly; so does a
+    partition-source promotion (manifest records spell the width)."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg,
+    )
+
+    path = str(tmp_path / "bad")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "a", 2.0)], "k int, part string, v double"
+        ),
+        path,
+        partition_by=["part"],
+    )
+    for bad in (
+        {"v": "float"},          # narrowing
+        {"k": "double"},         # cross-family
+        {"k": "string"},         # cross-family
+        {"part": "binary"},      # cross-family on a string
+        {"missing": "long"},     # no such column
+        {"k": "int"},            # no-op retype
+    ):
+        with pytest.raises(ValueError):
+            evolve_iceberg(path, retype_columns=bad)
+    with pytest.raises(ValueError, match="partition source"):
+        # legal promotion shape, but on a partition source column —
+        # make one by repartitioning a fresh table on an int column
+        p2 = str(tmp_path / "bad2")
+        write_iceberg(
+            spark.createDataFrame([(1, "a", 2.0)],
+                                  "k int, part string, v double"),
+            p2,
+            partition_by=["k"],
+        )
+        evolve_iceberg(p2, retype_columns={"k": "long"})
+
+
+def test_retype_composes_with_rename_and_merge(spark, tmp_path):
+    """Promotion + rename in ONE evolution commit, then a MERGE under
+    the new schema: matched-row discovery and the rewrite must read
+    old narrow files through the same branch-and-cast path."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg,
+        merge_iceberg,
+    )
+
+    path = str(tmp_path / "combo")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, part string, cents int"
+        ).coalesce(1),
+        path,
+    )
+    evolve_iceberg(
+        path,
+        renames={"cents": "amount"},
+        # retype names refer to the POST-rename schema (retypes apply
+        # after renames within the commit)
+        retype_columns={"amount": "long", "k": "long"},
+    )
+    out = merge_iceberg(
+        spark, path,
+        spark.createDataFrame(
+            [(2, "b", 9_000_000_000), (5, "c", 50)],
+            "k long, part string, amount long",
+        ),
+        on=["k"],
+    )
+    assert out["updated"] == 1 and out["inserted"] == 1
+    back = read_iceberg(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, "a", 10), (2, "b", 9_000_000_000), (5, "c", 50),
+    ]
+
+
 def test_idless_old_files_resolve_via_history_name_map(spark, tmp_path):
     """A file written by a pre-field-id writer resolves through the
     history's unambiguous name→id map."""
@@ -1170,9 +1291,11 @@ def test_range_read_prunes_after_rename(spark, tmp_path):
     assert _sorted_rows(back) == [(1, "a", 1.0)]
 
 
-def test_type_evolution_refused(spark, tmp_path):
-    """A live field id whose type changed across schema history must
-    refuse the read (promotion resolution is not implemented)."""
+def test_type_evolution_promotes_or_refuses(spark, tmp_path):
+    """A FOREIGN-written type change across schema history: a legal
+    promotion (int→long, r9) resolves — old int32 files read at their
+    physical width and serve long — while an illegal change (int→
+    string) still refuses the read loudly."""
     path = str(tmp_path / "tevo")
     write_iceberg(_df(spark, [(1, "a", 1.0)]), path)
     meta_dir = _meta_dir(path)
@@ -1182,15 +1305,24 @@ def test_type_evolution_refused(spark, tmp_path):
     mf = os.path.join(meta_dir, f"v{v}.metadata.json")
     with open(mf) as fh:
         meta = json.load(fh)
-    new = json.loads(json.dumps(meta["schemas"][0]))
-    new["schema-id"] = 1
-    for f in new["fields"]:
-        if f["name"] == "k":
-            f["type"] = "long"
-    meta["schemas"].append(new)
-    meta["current-schema-id"] = 1
-    with open(mf, "w") as fh:
-        json.dump(meta, fh)
+
+    def retype_k(t, sid):
+        m = json.loads(json.dumps(meta))
+        new = json.loads(json.dumps(m["schemas"][0]))
+        new["schema-id"] = sid
+        for f in new["fields"]:
+            if f["name"] == "k":
+                f["type"] = t
+        m["schemas"].append(new)
+        m["current-schema-id"] = sid
+        with open(mf, "w") as fh:
+            json.dump(m, fh)
+
+    retype_k("long", 1)
+    back = read_iceberg(spark, path)
+    assert dict(back.dtypes)["k"] == "bigint"
+    assert _sorted_rows(back) == [(1, "a", 1.0)]
+    retype_k("string", 2)
     with pytest.raises(ValueError, match="changed type"):
         read_iceberg(spark, path)
 

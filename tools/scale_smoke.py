@@ -62,6 +62,11 @@ SMOKE = [
     "b_llm_bm25",
     "b_graph_triangles",
     "b_llm_inverted",
+    # r9: DSIR importance resampling — the claim is ONE corpus
+    # explode+shuffle shared by all four consumers (ReusedExchange,
+    # tests/test_plans.py), so wall should ride the single tokenize
+    # pass ~linearly
+    "b_llm_dsir",
 ]
 
 
