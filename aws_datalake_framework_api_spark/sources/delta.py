@@ -67,6 +67,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import urllib.parse
@@ -95,8 +96,15 @@ _LOG = "_delta_log"
 #: actions resolved from ``_delta_log/_sidecars/`` (see ``_snapshot``).
 #: All three are current Databricks writer DEFAULTS, so refusing any
 #: of them walls off most modern Delta tables (VERDICT r5).
+#: ``typeWidening`` (+ its preview spelling) is supported (r9): the
+#: declared schemaString carries the WIDE type, old files keep narrow
+#: physicals, and Spark's parquet reader upcasts at scan (verified on
+#: this build: int32→long, float→double, decimal rescale); the
+#: pyarrow-side stream/changelog readers are width-agnostic
+#: (``to_pylist`` yields plain Python values).
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
+    "typeWidening", "typeWidening-preview",
 }
 _MAX_SIMPLE_READER_VERSION = 1
 #: Legacy (pre-feature) reader version that means exactly "column
@@ -1401,7 +1409,10 @@ def _footer_stats(dst: str) -> str | None:
             if s is None or not s.has_min_max:
                 continue
             name = col.path_in_schema
-            lo, hi = s.min, s.max
+            try:
+                lo, hi = s.min, s.max
+            except Exception:  # noqa: BLE001 — e.g. pyarrow cannot
+                continue  # extract decimal statistics; stats optional
             if isinstance(lo, bytes) or isinstance(hi, bytes):
                 continue
             if not isinstance(lo, (int, float, str, bool)):
@@ -1491,7 +1502,7 @@ def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "deletionVectors", "timestampNtz", "columnMapping",
     "v2Checkpoint", "checkConstraints", "generatedColumns",
-    "changeDataFeed",
+    "changeDataFeed", "typeWidening", "typeWidening-preview",
 }
 _MAX_SIMPLE_WRITER_VERSION = 2
 
@@ -1815,6 +1826,143 @@ def alter_table_properties_delta(
     actions.append({"metaData": md})
     version = latest + 1
     _commit_mutation(path, version, actions, "SET TBLPROPERTIES")
+    return version
+
+
+#: legal type widenings over Spark-JSON type names (the vocabulary
+#: schemaString uses) — the integral ladder, float→double, and decimal
+#: precision widening at fixed scale (the protocol's ``typeWidening``
+#: feature set this engine can serve exactly: Spark's parquet reader
+#: upcasts all of them natively, verified on this build)
+_WIDEN_OK = {
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
+    "float": {"double"},
+}
+_WIDEN_DEC_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")
+
+
+def _legal_widening(frm, to) -> bool:
+    if not (isinstance(frm, str) and isinstance(to, str)):
+        return False
+    if to in _WIDEN_OK.get(frm, ()):  # noqa: SIM118 — dict of sets
+        return True
+    mf = _WIDEN_DEC_RE.fullmatch(frm)
+    mt = _WIDEN_DEC_RE.fullmatch(to)
+    return bool(
+        mf
+        and mt
+        and int(mf.group(2)) == int(mt.group(2))
+        and int(mt.group(1)) >= int(mf.group(1))
+    )
+
+
+def widen_type_delta(
+    spark: SparkSession, path: str, retype_columns: dict[str, str]
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN ... TYPE`` widening — the
+    protocol's ``typeWidening`` reader+writer feature (r9, the Delta
+    twin of ``evolve_iceberg(retype_columns=)``): ONE metadata commit
+    rewrites ``schemaString`` with the wide types (Spark-JSON names —
+    ``integer→long``, ``byte→short|integer|long``, ``short→integer|
+    long``, ``float→double``, decimal precision widening at fixed
+    scale; anything else refuses), records each transition in the
+    field's ``delta.typeWidening`` metadata as the feature spec
+    requires, and upgrades the protocol to reader 3 / writer 7 with
+    ``typeWidening`` on BOTH lists — a legacy reader that ignored the
+    wide declared type would misread narrow physicals, so the read
+    gate must be explicit.  No data file is touched: old files keep
+    their narrow physical types and Spark's parquet reader upcasts at
+    scan.  Partition columns refuse (their log-serialized string
+    values and stats spell the old width)."""
+    if not retype_columns:
+        raise ValueError("widen_type_delta: nothing to widen")
+    snap, latest = _snapshot(spark, path)
+    _check_write_protocol(snap, "widen")
+    md = dict(snap.metadata)
+    schema = json.loads(md["schemaString"])
+    fields = [dict(f) for f in schema.get("fields") or []]
+    by_name = {f["name"]: f for f in fields}
+    part_cols = set(md.get("partitionColumns") or [])
+    version = latest + 1
+    for name, to in retype_columns.items():
+        f = by_name.get(name)
+        if f is None:
+            raise ValueError(f"widen: no such column {name!r}")
+        frm = f["type"]
+        if frm == to:
+            raise ValueError(f"widen: {name!r} is already {to}")
+        if not _legal_widening(frm, to):
+            raise ValueError(
+                f"widen: {frm} → {to} on {name!r} is not a legal type "
+                "widening (integral ladder, float→double, or decimal "
+                "precision widening at fixed scale)"
+            )
+        if name in part_cols:
+            raise ValueError(
+                f"widen: {name!r} is a partition column (refused — "
+                "log-serialized partition values and stats spell the "
+                "old width)"
+            )
+        meta = dict(f.get("metadata") or {})
+        meta["delta.typeWidening"] = list(
+            meta.get("delta.typeWidening") or []
+        ) + [{"fromType": frm, "toType": to, "tableVersion": version}]
+        f["metadata"] = meta
+        f["type"] = to
+    schema["fields"] = fields
+    md["schemaString"] = json.dumps(schema)
+    StructType.fromJson(json.loads(md["schemaString"]))  # must round-trip
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "CHANGE COLUMN",
+                "operationParameters": {
+                    "columns": json.dumps(retype_columns)
+                },
+            }
+        }
+    ]
+    proto = snap.protocol or {}
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    if "typeWidening" not in rf or "typeWidening" not in wf:
+        rf.add("typeWidening")
+        wf.add("typeWidening")
+        # upgrading a legacy protocol to (3, 7) must declare every
+        # capability the table ACTUALLY uses (same policy as
+        # _dv_protocol_upgrade)
+        conf = md.get("configuration") or {}
+        if "timestamp_ntz" in md["schemaString"]:
+            rf.add("timestampNtz")
+            wf.add("timestampNtz")
+        if conf.get("delta.appendOnly") == "true":
+            wf.add("appendOnly")
+        if conf.get("delta.enableChangeDataFeed") == "true":
+            wf.add("changeDataFeed")
+        if any(k.startswith("delta.constraints.") for k in conf):
+            wf.add("checkConstraints")
+        if _find_field_metadata_key(
+            fields, ("delta.generationExpression",)
+        ) is not None:
+            wf.add("generatedColumns")
+        if _mapping_mode(snap) not in ("none", ""):
+            rf.add("columnMapping")
+            wf.add("columnMapping")
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(rf),
+                    "writerFeatures": sorted(wf),
+                }
+            }
+        )
+    actions.append({"metaData": md})
+    _commit_mutation(path, version, actions, "CHANGE COLUMN")
     return version
 
 
@@ -4231,6 +4379,80 @@ def scan_delta_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "b_lake_delta_widen",
+    """
+    WITH era1 AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_orderkey AS INTEGER) AS BIGINT) AS k,
+             CAST(CAST(round(o_totalprice * 100) AS INTEGER) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderkey % 7 = 2
+    ),
+    era2 AS (
+      SELECT o_orderpriority,
+             o_orderkey + 4000000000 AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) + 10000000000
+               AS cents
+      FROM orders WHERE o_orderkey % 7 = 3
+    ),
+    u AS (SELECT * FROM era1 UNION ALL SELECT * FROM era2)
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents_sum, max(k) AS k_max
+    FROM u GROUP BY o_orderpriority
+    """,
+)
+def scan_delta_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING end-to-end (r9 — the protocol's ``typeWidening``
+    feature, the Delta twin of ``b_lake_iceberg_retype``): create with
+    int columns → ``widen_type_delta`` (ONE metadata commit: wide
+    schemaString, per-field transition metadata, reader-3/writer-7
+    protocol with the feature on both lists) → append values only a
+    long can hold → read across both eras.  Old files keep int32
+    physicals; the scan must upcast them under the wide declared
+    schema, never misread.  The oracle rebuilds both eras
+    arithmetically — a truncated wide value, a misdecoded narrow
+    file, or a lost era all fail the hash compare."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"delta_widen_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        snap, v = _snapshot(spark, path)
+        declared = json.loads(snap.metadata["schemaString"])
+        types = {f["name"]: f["type"] for f in declared["fields"]}
+        complete = v == 2 and types.get("k") == "long" and types.get(
+            "cents"
+        ) == "long"
+    except (FileNotFoundError, ValueError, KeyError, TypeError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        era1 = orders.filter(F.col("o_orderkey") % 7 == 2).select(
+            F.col("o_orderpriority"),
+            F.col("o_orderkey").cast("int").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("int").alias("cents"),
+        )
+        write_delta(era1, path, mode="error")                       # v0
+        widen_type_delta(spark, path, {"k": "long", "cents": "long"})  # v1
+        era2 = orders.filter(F.col("o_orderkey") % 7 == 3).select(
+            F.col("o_orderpriority"),
+            (F.col("o_orderkey") + F.lit(4_000_000_000)).alias("k"),
+            (
+                F.round(F.col("o_totalprice") * 100).cast("long")
+                + F.lit(10_000_000_000)
+            ).alias("cents"),
+        )
+        write_delta(era2, path, mode="append")                      # v2
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.max("k").alias("k_max"),
     )
 
 

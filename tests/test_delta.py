@@ -112,17 +112,18 @@ def test_checkpoint_caps_json_replay(spark, tmp_path):
 
 def test_unsupported_reader_features_refused(spark, tmp_path):
     """A table demanding a reader feature we don't implement (e.g.
-    typeWidening) must be refused, not misread.  (columnMapping,
-    deletionVectors and v2Checkpoint graduated from this list in r6.)"""
+    variantType) must be refused, not misread.  (columnMapping,
+    deletionVectors and v2Checkpoint graduated from this list in r6;
+    typeWidening in r9.)"""
     path = str(tmp_path / "t")
     write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
     _commit(
         path,
         1,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["typeWidening"]}}],
+                       "readerFeatures": ["variantType"]}}],
     )
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="variantType"):
         read_delta(spark, path)
     # time travel to the pre-upgrade version still works
     assert _sorted_rows(read_delta(spark, path, version_as_of=0)) == [
@@ -2898,3 +2899,144 @@ def test_mor_merge_replayed_txn_skips(spark, tmp_path):
     )
     assert out.get("skipped") is True
     assert _sorted_rows(read_delta(spark, path)) == [(1, "a", 2.0)]
+
+
+# ------------------------------------------------------ type widening (r9)
+
+
+def test_widen_type_reads_across_eras_and_mutates(spark, tmp_path):
+    """widen_type_delta (the protocol's typeWidening feature): old
+    int32/float32/decimal(6,2) physicals read back under the widened
+    declared schema; appends, DV deletes, and MERGE keep working on
+    the widened table; the protocol carries the feature on BOTH
+    lists; transitions are recorded in field metadata."""
+    import decimal
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta,
+        merge_delta,
+        widen_type_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 1.5, decimal.Decimal("12.34")),
+             (2, 2.5, decimal.Decimal("99.99"))],
+            "k int, v float, d decimal(6,2)",
+        ).coalesce(1),
+        path,
+        mode="error",
+    )
+    widen_type_delta(
+        spark, path, {"k": "long", "v": "double", "d": "decimal(12,2)"}
+    )
+    write_delta(
+        spark.createDataFrame(
+            [(3_000_000_000, 3.25, decimal.Decimal("1234567890.12"))],
+            "k long, v double, d decimal(12,2)",
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    back = read_delta(spark, path)
+    assert back.schema.simpleString() == (
+        "struct<k:bigint,v:double,d:decimal(12,2)>"
+    )
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, 1.5, decimal.Decimal("12.34")),
+        (2, 2.5, decimal.Decimal("99.99")),
+        (3_000_000_000, 3.25, decimal.Decimal("1234567890.12")),
+    ]
+    from aws_datalake_framework_api_spark.sources.delta import _snapshot
+
+    snap, _v = _snapshot(spark, path)
+    proto = snap.protocol
+    assert "typeWidening" in (proto.get("readerFeatures") or [])
+    assert "typeWidening" in (proto.get("writerFeatures") or [])
+    fields = json.loads(snap.metadata["schemaString"])["fields"]
+    trans = {
+        f["name"]: (f.get("metadata") or {}).get("delta.typeWidening")
+        for f in fields
+    }
+    assert trans["k"][0]["fromType"] == "integer"
+    assert trans["k"][0]["toType"] == "long"
+    # mutations on the widened table: DV delete + full MERGE
+    delete_where_delta(spark, path, F.col("k") == 1)
+    out = merge_delta(
+        spark, path,
+        spark.createDataFrame(
+            [(2, 9.0, decimal.Decimal("1.00")),
+             (7, 7.0, decimal.Decimal("7.77"))],
+            "k long, v double, d decimal(12,2)",
+        ),
+        on=["k"],
+    )
+    assert out["updated"] == 1 and out["inserted"] == 1
+    assert sorted(tuple(r) for r in read_delta(spark, path).collect()) == [
+        (2, 9.0, decimal.Decimal("1.00")),
+        (7, 7.0, decimal.Decimal("7.77")),
+        (3_000_000_000, 3.25, decimal.Decimal("1234567890.12")),
+    ]
+
+
+def test_widen_type_illegal_refused(spark, tmp_path):
+    """Narrowings, cross-family changes, partition columns, and
+    unknown columns all refuse; a legal widen on a legacy (1,2) table
+    upgrades the protocol to (3,7) declaring used capabilities."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        widen_type_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(1, "a", 1.0)]), path, mode="error",
+        partition_by=["part"],
+    )
+    for bad in (
+        {"k": "short"},        # narrowing
+        {"v": "float"},        # narrowing
+        {"k": "double"},       # cross-family
+        {"part": "binary"},    # cross-family + partition col
+        {"missing": "long"},   # no such column
+        {"k": "int"},          # no-op (int spells 'integer' in JSON)
+        {},                    # nothing to do
+    ):
+        with pytest.raises(ValueError):
+            widen_type_delta(spark, path, bad)
+    # a LEGAL widening shape on a partition column still refuses
+    p2 = str(tmp_path / "t2")
+    write_delta(
+        _df(spark, [(1, "a", 1.0)]), p2, mode="error", partition_by=["k"]
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        widen_type_delta(spark, p2, {"k": "long"})
+
+
+def test_foreign_widened_table_reads(spark, tmp_path):
+    """A FOREIGN-written typeWidening table (protocol declares the
+    feature, schemaString already wide, files narrow) reads without
+    our widen function ever running — the r8 refusal is gone."""
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    with open(_version_file(path, 0)) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    md = next(a["metaData"] for a in acts if "metaData" in a)
+    schema = json.loads(md["schemaString"])
+    for f in schema["fields"]:
+        if f["name"] == "k":
+            f["type"] = "long"
+    md = {**md, "schemaString": json.dumps(schema)}
+    _commit(
+        path,
+        1,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["typeWidening"],
+                          "writerFeatures": ["typeWidening"]}},
+            {"metaData": md},
+        ],
+    )
+    back = read_delta(spark, path)
+    assert dict(back.dtypes)["k"] == "bigint"
+    assert _sorted_rows(back) == [(1, "a", 1.0)]
