@@ -1503,6 +1503,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "deletionVectors", "timestampNtz", "columnMapping",
     "v2Checkpoint", "checkConstraints", "generatedColumns",
     "changeDataFeed", "typeWidening", "typeWidening-preview",
+    "identityColumns",
 }
 _MAX_SIMPLE_WRITER_VERSION = 2
 
@@ -1541,28 +1542,33 @@ def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
                     "(install delta-spark to write this table)"
                 )
         elif writer <= 6:
-            used = []
             # changeDataFeed (writer v4) is SUPPORTED: mutations stage
-            # row-level _change_data files (see _stage_cdc)
+            # row-level _change_data files (see _stage_cdc);
             # generated columns (writer v4) are ENFORCED, not refused
-            # (see _constraint_guard); identity columns need allocator
-            # state this writer lacks and stay refused
-            meta_key = _find_field_metadata_key(
-                schema_fields, ("delta.identity.",)
-            )
-            if meta_key is not None:
-                used.append(meta_key)
-            if used:
-                raise ValueError(
-                    "delta table uses writer capabilities this writer "
-                    f"lacks: {used} (minWriterVersion={writer}; install "
-                    "delta-spark to write this table)"
-                )
+            # (see _constraint_guard); identity columns (writer v6)
+            # are SUPPORTED since r9 — write_delta generates values
+            # and maintains the high watermark (per-operation gate
+            # below)
+            pass
         else:
             raise ValueError(
                 "delta table requires unsupported writer capabilities: "
                 f"minWriterVersion={writer} (install delta-spark)"
             )
+    # Identity columns (r9): append/overwrite GENERATE values and
+    # advance the high watermark in the same commit (write_delta);
+    # delete and optimize never mint rows so they pass untouched.
+    # update/merge would need watermark maintenance inside the rewrite
+    # planners (a merge INSERT mints rows) — refused, not misapplied.
+    if operation in ("update", "merge") and _find_field_metadata_key(
+        schema_fields, ("delta.identity.",)
+    ) is not None:
+        raise ValueError(
+            "table declares an identity column: update/merge watermark "
+            "maintenance is not implemented (append/overwrite/delete/"
+            "optimize are) — install delta-spark for identity "
+            "update/merge"
+        )
     if _mapping_mode(snap) not in ("none", "") and operation not in (
         "append", "overwrite", "update", "delete", "merge", "optimize",
     ):
@@ -1966,6 +1972,224 @@ def widen_type_delta(
     return version
 
 
+# ------------------------------------------------------ identity columns
+#
+# The protocol's identityColumns capability (legacy writer v6 / the
+# writer-7 feature): a column the WRITER populates from per-field
+# metadata — ``delta.identity.start`` / ``.step`` /
+# ``.allowExplicitInsert`` — tracking the furthest value handed out in
+# ``delta.identity.highWaterMark``, updated in the SAME commit as the
+# data (a crashed writer can therefore never reuse a value).
+# Generated values lie on the ``start + k·step`` lattice, are unique,
+# and may have gaps (both facts are the documented contract —
+# allocation here is ``lattice_base + step · monotonically_increasing_
+# id()``, a zero-shuffle whole-stage-codegen expression whose
+# per-partition id blocks leave holes); after an explicit insert the
+# watermark rounds UP to the next lattice point beyond the inserted
+# maximum so future generation cannot collide.
+
+
+def _identity_specs(snap: _Snapshot) -> dict[str, dict]:
+    """{column: {start, step, wm, allow_explicit}} for every top-level
+    identity column the schema declares."""
+    fields = (
+        json.loads(snap.metadata["schemaString"]) if snap.metadata else {}
+    ).get("fields") or []
+    out: dict[str, dict] = {}
+    for f in fields:
+        md = f.get("metadata") or {}
+        if not any(k.startswith("delta.identity.") for k in md):
+            continue
+        step = int(md.get("delta.identity.step", 1))
+        if step == 0:
+            raise ValueError(
+                f"identity column {f['name']!r} declares step 0"
+            )
+        wm = md.get("delta.identity.highWaterMark")
+        out[f["name"]] = {
+            "start": int(md.get("delta.identity.start", 1)),
+            "step": step,
+            "wm": int(wm) if wm is not None else None,
+            "allow_explicit": bool(
+                md.get("delta.identity.allowExplicitInsert", False)
+            ),
+        }
+    return out
+
+
+def _identity_extremum(
+    spark: SparkSession, path: str, adds: list[dict], col: str, step: int
+):
+    """The furthest ``col`` value (in step direction) among the staged
+    ``add`` actions — from footer stats when present, by reading the
+    staged files otherwise.  None when no rows landed."""
+    vals = []
+    missing = []
+    key = "maxValues" if step > 0 else "minValues"
+    for a in adds:
+        add = a.get("add") or {}
+        st = add.get("stats")
+        v = (json.loads(st).get(key) or {}).get(col) if st else None
+        if v is None:
+            missing.append(os.path.join(path, urllib.parse.unquote(add["path"])))
+        else:
+            vals.append(int(v))
+    if missing:
+        agg = F.max(col) if step > 0 else F.min(col)
+        row = spark.read.parquet(*missing).agg(agg).collect()[0]
+        if row[0] is not None:
+            vals.append(int(row[0]))
+    if not vals:
+        return None
+    return max(vals) if step > 0 else min(vals)
+
+
+def _identity_lattice_ceil(v: int, start: int, step: int) -> int:
+    """The nearest lattice point ``start + k·step`` (k ≥ 0) at-or-
+    beyond ``v`` in step direction."""
+    if step > 0:
+        k = max(0, -(-(v - start) // step))  # ceil((v-start)/step)
+    else:
+        k = max(0, -(-(start - v) // -step))  # ceil((start-v)/|step|)
+    return start + k * step
+
+
+def _identity_watermark_md(
+    spark: SparkSession,
+    path: str,
+    snap: _Snapshot,
+    specs: dict[str, dict],
+    explicit: set,
+    adds: list[dict],
+) -> dict | None:
+    """The updated ``metaData`` action body carrying the new
+    ``delta.identity.highWaterMark`` per touched identity column, or
+    None when nothing advanced (empty write)."""
+    md = dict(snap.metadata)
+    schema = json.loads(md["schemaString"])
+    fields = [dict(f) for f in schema.get("fields") or []]
+    changed = False
+    for f in fields:
+        spec = specs.get(f["name"])
+        if spec is None:
+            continue
+        ext = _identity_extremum(spark, path, adds, f["name"], spec["step"])
+        if ext is None:
+            continue
+        if f["name"] in explicit:
+            # explicit values may sit off-lattice: round the watermark
+            # UP to the next lattice point so generation never collides
+            new_wm = _identity_lattice_ceil(
+                ext, spec["start"], spec["step"]
+            )
+        else:
+            new_wm = ext
+        if spec["wm"] is not None:
+            new_wm = (
+                max(new_wm, spec["wm"])
+                if spec["step"] > 0
+                else min(new_wm, spec["wm"])
+            )
+        if new_wm != spec["wm"]:
+            meta = dict(f.get("metadata") or {})
+            meta["delta.identity.highWaterMark"] = int(new_wm)
+            f["metadata"] = meta
+            changed = True
+    if not changed:
+        return None
+    schema["fields"] = fields
+    md["schemaString"] = json.dumps(schema)
+    return md
+
+
+def create_identity_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    column: str,
+    start: int = 1,
+    step: int = 1,
+    allow_explicit: bool = False,
+    partition_by: list[str] | None = None,
+) -> int:
+    """CREATE a table with a ``GENERATED ... AS IDENTITY`` column (r9
+    — the capability the r8 verdict listed as the connector's last
+    refusal): ``column`` is appended to ``df``'s schema as a
+    non-nullable long the WRITER populates — values for the initial
+    rows are generated here, the identity metadata and the
+    ``identityColumns`` writer feature (reader 1 / writer 7) land in
+    the v0 commit, and the high watermark rides the same commit.
+    Later ``write_delta`` appends generate automatically."""
+    if step == 0:
+        raise ValueError("identity step must be nonzero")
+    if column in df.columns:
+        raise ValueError(
+            f"the identity column {column!r} is writer-populated; the "
+            "create df must not carry it"
+        )
+    partition_by = list(partition_by or [])
+    if column in partition_by:
+        raise ValueError("cannot partition by the identity column")
+    if _table_version(path) is not None:
+        raise FileExistsError(f"delta table already exists at {path}")
+    df2 = df.withColumn(
+        column,
+        (
+            F.lit(int(start))
+            + F.lit(int(step)) * F.monotonically_increasing_id()
+        ).cast("long"),
+    )
+    schema = json.loads(df2.schema.json())
+    for f in schema["fields"]:
+        if f["name"] == column:
+            f["nullable"] = False
+            f["metadata"] = {
+                "delta.identity.start": int(start),
+                "delta.identity.step": int(step),
+                "delta.identity.allowExplicitInsert": bool(allow_explicit),
+            }
+    os.makedirs(path, exist_ok=True)
+    adds = _stage_files(df2, path, partition_by, 0)
+    ext = _identity_extremum(spark, path, adds, column, int(step))
+    if ext is not None:
+        for f in schema["fields"]:
+            if f["name"] == column:
+                f["metadata"]["delta.identity.highWaterMark"] = int(ext)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "CREATE TABLE",
+                "operationParameters": {
+                    "identity": json.dumps(
+                        {"column": column, "start": start, "step": step}
+                    )
+                },
+            }
+        },
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["identityColumns"],
+            }
+        },
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": partition_by,
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    actions.extend(adds)
+    _commit(path, 0, actions)
+    return 0
+
+
 def drop_constraint_delta(spark: SparkSession, path: str, name: str) -> int:
     """``ALTER TABLE DROP CONSTRAINT``: remove the configuration key;
     existing data is untouched and later writes stop enforcing it."""
@@ -2154,6 +2378,8 @@ def write_delta(
     evolved: StructType | None = None
     evolved_sj: dict | None = None
     evolved_max_id = 0
+    id_specs: dict[str, dict] = {}
+    id_explicit: set[str] = set()
     if latest is not None:
         # Snapshot BEFORE committing: version numbering, protocol and
         # schema checks, txn dedup, and overwrite tombstones all need
@@ -2173,6 +2399,53 @@ def write_delta(
                 evolved_sj, evolved_max_id = _evolved_mapped_json(
                     evolved, snap
                 )
+        id_specs = _identity_specs(snap)
+        if id_specs:
+            if evolved is not None:
+                raise ValueError(
+                    "identity columns + merge_schema evolution in one "
+                    "write is not implemented"
+                )
+            if _mapping_mode(snap) not in ("none", ""):
+                raise ValueError(
+                    "identity columns on a column-mapped table are not "
+                    "implemented (install delta-spark)"
+                )
+            for name, spec in sorted(id_specs.items()):
+                if name in df.columns:
+                    if not spec["allow_explicit"]:
+                        raise ValueError(
+                            f"identity column {name!r} does not allow "
+                            "explicit inserts "
+                            "(delta.identity.allowExplicitInsert)"
+                        )
+                    id_explicit.add(name)
+                    continue
+                base = (
+                    spec["wm"] + spec["step"]
+                    if spec["wm"] is not None
+                    else spec["start"]
+                )
+                df = df.withColumn(
+                    name,
+                    (
+                        F.lit(base)
+                        + F.lit(spec["step"])
+                        * F.monotonically_increasing_id()
+                    ).cast("long"),
+                )
+            declared_order = [
+                f["name"]
+                for f in json.loads(snap.metadata["schemaString"])["fields"]
+            ]
+            extra = set(df.columns) - set(declared_order)
+            if extra:
+                # the reorder below would silently DROP them otherwise
+                raise ValueError(
+                    "write has columns not in the table schema: "
+                    f"{sorted(extra)}"
+                )
+            df = df.select(*declared_order)
         if evolved is None:
             df = _check_schema_compat(df, snap, partition_by)
         else:
@@ -2261,7 +2534,17 @@ def write_delta(
             for f in sj["fields"]
         }
         stage_parts = [l2p[c] for c in partition_by]
-    actions.extend(_stage_files(stage_df, path, stage_parts, version))
+    adds = _stage_files(stage_df, path, stage_parts, version)
+    if snap is not None and id_specs:
+        # the high watermark MUST ride the same commit as the rows it
+        # covers — a crash between the two could otherwise hand the
+        # same identity value out twice
+        md_wm = _identity_watermark_md(
+            spark, path, snap, id_specs, id_explicit, adds
+        )
+        if md_wm is not None:
+            actions.append({"metaData": md_wm})
+    actions.extend(adds)
     # Optimistic-concurrency commit (VERDICT r6 item #3).  A BLIND
     # append (mode="append", no schema evolution riding along) read
     # nothing, so losing the version race is reconcilable: re-read the
@@ -4453,6 +4736,74 @@ def scan_delta_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("cents").cast("long").alias("cents_sum"),
         F.max("k").alias("k_max"),
+    )
+
+
+@query(
+    "b_lake_delta_identity",
+    """
+    WITH c AS (
+      SELECT count(*) FILTER (WHERE o_orderkey % 7 = 4) AS n1,
+             count(*) FILTER (WHERE o_orderkey % 7 = 5) AS n2
+      FROM orders
+    )
+    SELECT n1 + n2 AS n,
+           n1 + n2 AS n_ids,
+           CAST(1000 AS BIGINT) AS id_min,
+           CAST(1000 + 3 * (n1 + n2 - 1) AS BIGINT) AS id_max,
+           CAST(1000 * (n1 + n2)
+                + (3 * (n1 + n2) * (n1 + n2 - 1)) // 2 AS BIGINT)
+             AS id_sum
+    FROM c
+    """,
+)
+def scan_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY column lifecycle (r9 — the connector's last refusal in
+    the r8 verdict): ``create_identity_delta`` generates values for
+    the initial slice and records start/step/highWaterMark; a later
+    plain append generates its own values FROM the watermark in the
+    same commit as its rows.  Both writes are single-partition, so the
+    allocator's per-partition blocks collapse to the dense lattice
+    ``1000 + 3k`` — the oracle closed-forms count/min/max/sum of the
+    UNION, so a duplicated value, a watermark that failed to advance
+    (era-2 colliding into era-1), or an off-lattice value all fail
+    the hash compare."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"delta_identity_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = False
+    try:
+        snap, v = _snapshot(spark, path)
+        fields = json.loads(snap.metadata["schemaString"])["fields"]
+        complete = v == 1 and any(
+            "delta.identity.highWaterMark" in (f.get("metadata") or {})
+            for f in fields
+        )
+    except (FileNotFoundError, ValueError, KeyError, TypeError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        create_identity_delta(
+            spark,
+            orders.filter(F.col("o_orderkey") % 7 == 4)
+            .select("o_orderpriority", "o_totalprice")
+            .coalesce(1),
+            path, "id", start=1000, step=3,
+        )                                                          # v0
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 7 == 5)
+            .select("o_orderpriority", "o_totalprice")
+            .coalesce(1),
+            path, mode="append",
+        )                                                          # v1
+    back = read_delta(spark, path)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("id").alias("n_ids"),
+        F.min("id").alias("id_min"),
+        F.max("id").alias("id_max"),
+        F.sum("id").alias("id_sum"),
     )
 
 

@@ -466,15 +466,16 @@ def test_invalid_mode_always_refused(spark, tmp_path):
 
 def test_unsupported_writer_features_refused(spark, tmp_path):
     """Appending to a table that requires a capability this writer
-    lacks (identity columns here) would corrupt its semantics —
-    refuse.  A columnMapping feature flag alone no longer refuses:
-    the writer handles the logical→physical rename itself."""
+    lacks (rowTracking here) would corrupt its semantics — refuse.
+    A columnMapping feature flag alone no longer refuses: the writer
+    handles the logical→physical rename itself.  (identityColumns
+    graduated from this list in r9.)"""
     path = str(tmp_path / "t")
     write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
     _commit(
         path, 1,
         [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
-                       "writerFeatures": ["identityColumns"]}}],
+                       "writerFeatures": ["rowTracking"]}}],
     )
     with pytest.raises(ValueError, match="writer capabilities"):
         write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
@@ -1810,8 +1811,10 @@ def _snapshot_of(spark, path):
 def test_legacy_writer_versions_gate_on_actual_capabilities(spark, tmp_path):
     """A (2,5) table with nothing else configured is writable; CDF
     enabled on the same protocol is writable too since r7 (mutations
-    stage _change_data); an identity column — the one capability this
-    writer genuinely lacks — still refuses."""
+    stage _change_data); an identity column on a COLUMN-MAPPED table
+    — the combination this writer doesn't implement — refuses with a
+    pointed diagnosis, never a silent misallocation (plain identity
+    tables write since r9)."""
     path, _ = _mapped_table(spark, tmp_path)
     with open(_version_file(path, 0)) as fh:
         lines = [json.loads(ln) for ln in fh if ln.strip()]
@@ -1824,7 +1827,7 @@ def test_legacy_writer_versions_gate_on_actual_capabilities(spark, tmp_path):
         fh.write("\n".join(json.dumps(a) for a in lines))
     write_delta(_df(spark, [(9, "z", 9.0)]), path, mode="append")
     assert (9, "z", 9.0) in _sorted_rows(read_delta(spark, path))
-    # identity columns stay refused on the legacy bundle
+    # identity + column mapping: the unimplemented combination refuses
     with open(_version_file(path, 0)) as fh:
         lines = [json.loads(ln) for ln in fh if ln.strip()]
     for act in lines:
@@ -1834,7 +1837,7 @@ def test_legacy_writer_versions_gate_on_actual_capabilities(spark, tmp_path):
             act["metaData"]["schemaString"] = json.dumps(sj)
     with open(_version_file(path, 0), "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in lines))
-    with pytest.raises(ValueError, match="identityColumns"):
+    with pytest.raises(ValueError, match="column-mapped"):
         write_delta(_df(spark, [(8, "y", 8.0)]), path, mode="append")
 
 
@@ -2545,7 +2548,8 @@ def test_generated_columns_enforced_not_refused(spark, tmp_path):
     from aws_datalake_framework_api_spark.sources.delta import update_delta
     with pytest.raises(Exception, match="generation expression"):
         update_delta(spark, path, F.col("k") == 2, {"part": "nope"})
-    # identity columns stay refused
+    # identity columns are writable since r9: explicit values still
+    # gate on allowExplicitInsert
     acts = [json.loads(ln) for ln in open(_version_file(path, 0))]
     for a in acts:
         if "metaData" in a:
@@ -2555,7 +2559,7 @@ def test_generated_columns_enforced_not_refused(spark, tmp_path):
     open(_version_file(path, 0), "w").write(
         "\n".join(json.dumps(a) for a in acts) + "\n"
     )
-    with pytest.raises(ValueError, match="identityColumns"):
+    with pytest.raises(ValueError, match="explicit"):
         write_delta(_df(spark, [(9, "p9", 9.0)]), path, mode="append")
 
 
@@ -3040,3 +3044,162 @@ def test_foreign_widened_table_reads(spark, tmp_path):
     back = read_delta(spark, path)
     assert dict(back.dtypes)["k"] == "bigint"
     assert _sorted_rows(back) == [(1, "a", 1.0)]
+
+
+# ---------------------------------------------------- identity columns (r9)
+
+
+def test_identity_create_append_and_watermark(spark, tmp_path):
+    """create_identity_delta + plain appends: values unique and on the
+    start+k·step lattice across MULTI-partition writes, the watermark
+    rides the same commit as its rows (one version per write), and a
+    fresh append never collides with any prior value."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _list_versions,
+        create_identity_delta,
+    )
+
+    path = str(tmp_path / "t")
+    create_identity_delta(
+        spark,
+        spark.createDataFrame([(c,) for c in "abc"], "name string"),
+        path, "id", start=100, step=5,
+    )
+    write_delta(
+        spark.createDataFrame([(c,) for c in "de"], "name string"),
+        path, mode="append",
+    )
+    write_delta(
+        spark.createDataFrame([(c,) for c in "fg"], "name string"),
+        path, mode="append",
+    )
+    rows = read_delta(spark, path).collect()
+    ids = [r["id"] for r in rows]
+    assert len(rows) == 7 and len(set(ids)) == 7
+    assert all((i - 100) % 5 == 0 and i >= 100 for i in ids)
+    # one commit per write: watermark never got its own version
+    assert _list_versions(path) == [0, 1, 2]
+
+
+def test_identity_explicit_insert_rounds_watermark_to_lattice(
+    spark, tmp_path
+):
+    """allowExplicitInsert=true accepts caller values (even
+    off-lattice) and rounds the watermark UP to the next lattice
+    point, so later generated values cannot collide."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_identity_delta,
+    )
+
+    path = str(tmp_path / "t")
+    create_identity_delta(
+        spark,
+        spark.createDataFrame([("a",)], "name string").coalesce(1),
+        path, "id", start=10, step=10, allow_explicit=True,
+    )
+    # off-lattice explicit value far beyond the watermark
+    write_delta(
+        spark.createDataFrame([("b", 1234)], "name string, id long"),
+        path, mode="append",
+    )
+    write_delta(
+        spark.createDataFrame([("c",)], "name string"),
+        path, mode="append",
+    )
+    got = {r["name"]: r["id"] for r in read_delta(spark, path).collect()}
+    assert got["a"] == 10 and got["b"] == 1234
+    # next generated value: first lattice point past 1234, plus step
+    assert got["c"] >= 1240 and (got["c"] - 10) % 10 == 0
+    assert len(set(got.values())) == 3
+
+
+def test_identity_refusals(spark, tmp_path):
+    """Explicit inserts refuse without the flag; update/merge refuse
+    (watermark maintenance in rewrites is not implemented); DV delete
+    and a second create refuse appropriately."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_identity_delta,
+        delete_where_delta,
+        merge_delta,
+        update_delta,
+    )
+
+    path = str(tmp_path / "t")
+    create_identity_delta(
+        spark,
+        spark.createDataFrame([("a",), ("b",)], "name string"),
+        path, "id",
+    )
+    with pytest.raises(ValueError, match="explicit"):
+        write_delta(
+            spark.createDataFrame([("x", 9)], "name string, id long"),
+            path, mode="append",
+        )
+    with pytest.raises(ValueError, match="identity"):
+        update_delta(spark, path, F.col("name") == "a", {"name": "z"})
+    with pytest.raises(ValueError, match="identity"):
+        merge_delta(
+            spark, path,
+            spark.createDataFrame([("q", 1)], "name string, id long"),
+            on=["id"],
+        )
+    # delete never mints rows — allowed
+    delete_where_delta(spark, path, F.col("name") == "a")
+    assert sorted(
+        r["name"] for r in read_delta(spark, path).collect()
+    ) == ["b"]
+    with pytest.raises(FileExistsError):
+        create_identity_delta(
+            spark, spark.createDataFrame([("z",)], "name string"),
+            path, "id2",
+        )
+
+
+def test_identity_foreign_legacy_v6_table_appends(spark, tmp_path):
+    """A FOREIGN legacy writer-v6 table declaring an identity column
+    (the shape r8 refused outright): a plain append now generates
+    values beyond the declared watermark and advances it."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([("a", 7)], "name string, id long")
+        .coalesce(1),
+        path, mode="error",
+    )
+    with open(_version_file(path, 0)) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    md = next(a["metaData"] for a in acts if "metaData" in a)
+    schema = json.loads(md["schemaString"])
+    for f in schema["fields"]:
+        if f["name"] == "id":
+            f["metadata"] = {
+                "delta.identity.start": 7,
+                "delta.identity.step": 7,
+                "delta.identity.highWaterMark": 7,
+                "delta.identity.allowExplicitInsert": False,
+            }
+    _commit(
+        path, 1,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+            {"metaData": {**md, "schemaString": json.dumps(schema)}},
+        ],
+    )
+    write_delta(
+        spark.createDataFrame([("b",), ("c",)], "name string"),
+        path, mode="append",
+    )
+    rows = {r["name"]: r["id"] for r in read_delta(spark, path).collect()}
+    assert rows["a"] == 7
+    assert rows["b"] != rows["c"]
+    assert all(v % 7 == 0 and v >= 14 for v in (rows["b"], rows["c"]))
+    # watermark advanced past everything handed out
+    from aws_datalake_framework_api_spark.sources.delta import _snapshot
+
+    snap, _ = _snapshot(spark, path)
+    f = next(
+        f for f in json.loads(snap.metadata["schemaString"])["fields"]
+        if f["name"] == "id"
+    )
+    assert int(f["metadata"]["delta.identity.highWaterMark"]) >= max(
+        rows.values()
+    )
