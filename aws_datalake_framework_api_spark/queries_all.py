@@ -148,9 +148,10 @@ _ORDER = [
     #      rows; everything below relies on verify_local this round) --
     # -- ROUND-10 WINDOW STAGING: any round-9 additions first (never
     #    driver-checked), then the 25 remaining r4-stale ids.
-    "b_lake_iceberg_retype",  # r9 additions — type/identity evolution
+    "b_lake_iceberg_retype",  # r9 additions — type/identity/rollback
     "b_lake_delta_widen",
     "b_lake_delta_identity",
+    "b_lake_iceberg_rollback",
     "a1_event_append",
     "a2_event_update",
     "a7_catalog_read",

@@ -2564,6 +2564,50 @@ def fast_forward_iceberg(path: str, branch: str) -> int:
     return version
 
 
+def rollback_iceberg(path: str, snapshot_id: int) -> int:
+    """iceberg-spark's ``rollback_to_snapshot`` procedure (r9):
+    metadata-only commit moving ``current-snapshot-id`` BACK to an
+    ANCESTOR of the current snapshot — no snapshot is created or
+    removed (contrast Delta's RESTORE, which re-adds files in a new
+    commit), history is preserved, and the rolled-past snapshots stay
+    time-travelable until :func:`expire_snapshots` reclaims them.
+    The next write commits with the rollback target as its parent, so
+    the abandoned suffix becomes a dead branch of the snapshot DAG.
+    Refuses a target that is not an ancestor (that operation is
+    ``set_current_snapshot`` in iceberg-spark — a different, history-
+    rewriting intent this engine keeps separate on purpose)."""
+    meta = _load_metadata(path)
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    sid = int(snapshot_id)
+    if sid not in by_id:
+        raise ValueError(f"snapshot {sid} not in table history")
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        raise ValueError("cannot roll back a table with no current snapshot")
+    if sid == cur:
+        raise ValueError(f"snapshot {sid} is already current")
+    node = by_id.get(cur, {}).get("parent-snapshot-id")
+    ok = False
+    while node is not None:
+        if node == sid:
+            ok = True
+            break
+        node = by_id.get(node, {}).get("parent-snapshot-id")
+    if not ok:
+        raise ValueError(
+            f"snapshot {sid} is not an ancestor of the current snapshot "
+            f"{cur} — rollback_to_snapshot only rewinds the main line"
+        )
+    meta["current-snapshot-id"] = sid
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": meta["last-updated-ms"], "snapshot-id": sid}
+    ]
+    version = int(meta.pop("__file_version__")) + 1
+    _claim_metadata(path, meta, version)
+    return version
+
+
 def _carry_manifests(
     path: str, meta: dict, snapshot_id: int | None = None
 ) -> list[dict]:
@@ -3549,6 +3593,68 @@ scan_iceberg_evolve = query(
     GROUP BY o_orderpriority
     """,
 )(scan_iceberg_evolve)
+
+
+def scan_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollback_to_snapshot end-to-end (r9): era-1 append → era-2
+    append → ROLLBACK to era-1 (metadata-only; era-2 becomes a dead
+    DAG branch, still time-travelable) → era-3 append on the rewound
+    line → read.  Final state must be era-1 ∪ era-3 with era-2's rows
+    GONE — a rollback that failed to move the head, or a post-
+    rollback append that parented on the abandoned suffix, both leak
+    era-2 rows and fail the hash compare."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(
+        f"iceberg_rollback_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    complete = False
+    try:
+        meta = _load_metadata(path)
+        by_id = {
+            s["snapshot-id"]: s for s in meta.get("snapshots") or []
+        }
+        cur = by_id.get(meta.get("current-snapshot-id")) or {}
+        complete = (
+            len(by_id) == 3
+            and (by_id.get(cur.get("parent-snapshot-id")) or {}).get(
+                "parent-snapshot-id"
+            ) is None
+        )
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 9 == 2), path, mode="error"
+        )                                                   # snap 1
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 9 == 5), path, mode="append"
+        )                                                   # snap 2
+        rollback_iceberg(
+            path, history_iceberg(spark, path)[0]["snapshot_id"]
+        )
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 9 == 7), path, mode="append"
+        )                                                   # snap 3
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+scan_iceberg_rollback = query(
+    "b_lake_iceberg_rollback",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 9 = 2 OR o_orderkey % 9 = 7
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_rollback)
 
 
 def scan_iceberg_retype(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2063,3 +2063,39 @@ def test_mor_merge_then_compaction_folds_the_read_debt(spark, tmp_path):
     assert _sorted_rows(
         read_iceberg(spark, path, snapshot_id=pre)
     ) == exp
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    """rollback_to_snapshot: metadata-only rewind — the abandoned
+    suffix stays time-travelable, the next write parents on the
+    rollback target, and non-ancestor / unknown / already-current
+    targets refuse."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        history_iceberg,
+        rollback_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path)              # s1
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), path, mode="append")  # s2
+    hist = history_iceberg(spark, path)
+    s1, s2 = hist[0]["snapshot_id"], hist[1]["snapshot_id"]
+    rollback_iceberg(path, s1)
+    assert _sorted_rows(read_iceberg(spark, path)) == [(1, "a", 1.0)]
+    # the rolled-past snapshot is still a valid time-travel target
+    assert _sorted_rows(read_iceberg(spark, path, snapshot_id=s2)) == [
+        (1, "a", 1.0), (2, "b", 2.0),
+    ]
+    # a write after rollback diverges from the abandoned suffix
+    write_iceberg(_df(spark, [(3, "c", 3.0)]), path, mode="append")  # s3
+    assert _sorted_rows(read_iceberg(spark, path)) == [
+        (1, "a", 1.0), (3, "c", 3.0),
+    ]
+    # refusals: s2 is no longer an ancestor of the new head
+    with pytest.raises(ValueError, match="not an ancestor"):
+        rollback_iceberg(path, s2)
+    with pytest.raises(ValueError, match="not in table history"):
+        rollback_iceberg(path, 123456789)
+    cur = history_iceberg(spark, path)[-1]["snapshot_id"]
+    with pytest.raises(ValueError, match="already current"):
+        rollback_iceberg(path, cur)
