@@ -54,6 +54,8 @@ from .llm import projection as _llm_projection  # noqa: F401  B12 PCA
 from .llm import bpe as _llm_bpe  # noqa: F401  B11 BPE trainer
 from .llm import winnow as _llm_winnow  # noqa: F401  B11 winnowing fingerprints
 from .llm import dsir as _llm_dsir  # noqa: F401  B11 importance resampling
+from .llm import substr as _llm_substr  # noqa: F401  B11 ExactSubstr dedup
+from .llm import corpus_stats as _llm_corpus_stats  # noqa: F401  B11 entropy/Zipf
 from .operators import analytics as _analytics  # noqa: F401  B4/B5 compositions
 from .operators import timeseries as _timeseries  # noqa: F401  B5 gapfill/LOCF
 from .streaming import windows as _stream_windows  # noqa: F401  B9
@@ -152,6 +154,14 @@ _ORDER = [
     "b_lake_delta_widen",
     "b_lake_delta_identity",
     "b_lake_iceberg_rollback",
+    "b_lake_iceberg_wap",      # r9 additions — maintenance/clone ids
+    "b_lake_iceberg_expire",
+    "b_lake_iceberg_compact",
+    "b_lake_delta_optimize",
+    "b_lake_delta_clone",
+    "b_llm_dedup_substr",      # r9 additions — LLM curation ops
+    "b_llm_char_entropy",
+    "b_llm_zipf",
     "a1_event_append",
     "a2_event_update",
     "a7_catalog_read",

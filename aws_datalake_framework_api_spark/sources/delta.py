@@ -4105,6 +4105,65 @@ def vacuum_delta(
     return {"deleted_files": deleted, "retained_version": latest}
 
 
+def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
+    """SHALLOW CLONE (delta-spark's ``CREATE TABLE ... SHALLOW CLONE``):
+    create a NEW table at ``dst`` whose version-0 commit references the
+    source's active data files by ABSOLUTE path — zero bytes copied,
+    O(active files) metadata work.  The clone gets a fresh table id
+    (it is a different table to any downstream consumer), inherits the
+    source's schema, partitioning, configuration, and protocol (the
+    features travel with the referenced files — a cloned file may
+    carry a deletion vector or field-id mapping), and diverges freely:
+    appends land under ``dst``, deletes/updates rewrite into ``dst``
+    or stack clone-local DVs on the referenced files; the SOURCE is
+    never touched.  Source DV descriptors are rewritten from
+    table-root-relative (``u``) to absolute (``p``) storage so they
+    keep resolving from the clone's root.
+
+    Two protocol-documented caveats, both inherited from delta-spark:
+    ``vacuum_delta`` on the clone only walks the clone directory, so
+    referenced source bytes are never reclaimed by the clone (correct
+    — it doesn't own them); and vacuuming the SOURCE can delete files
+    the clone still references (the clone is a dependent reader —
+    retention windows must cover clone lifetimes)."""
+    snap, latest = _snapshot(spark, src)
+    if _table_version(dst) is not None:
+        raise FileExistsError(f"delta table already exists at {dst}")
+    md = dict(snap.metadata)
+    md["id"] = uuid.uuid4().hex
+    md["createdTime"] = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src, "sourceVersion": latest
+                },
+                "timestamp": int(time.time() * 1000),
+            }
+        },
+        {"protocol": dict(snap.protocol)},
+        {"metaData": md},
+    ]
+    for rel in sorted(snap.files):
+        a = dict(snap.files[rel])
+        abs_path = os.path.join(src, urllib.parse.unquote(rel))
+        a["path"] = urllib.parse.quote(os.path.abspath(abs_path))
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            a["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": os.path.abspath(
+                    _dv_file_path(src, dv)
+                ),
+            }
+        a["dataChange"] = True
+        actions.append({"add": a})
+    _commit(dst, 0, actions)
+    return 0
+
+
 # ------------------------------------------------------------------ query
 
 
@@ -4880,3 +4939,136 @@ def scan_delta_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice").alias("total_price"),
         )
     )
+
+
+def scan_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE end-to-end (r9): three multi-file appends (the
+    small-file problem) → a merge-on-read DELETE (deletion vector) →
+    ``optimize_delta`` with ``zorder_by`` on the numeric key, which
+    folds the DV into the rewrite and emits every add/remove with
+    ``dataChange: false`` → read.  The content hash proves bin-packing
+    + Z-ORDER clustering + DV fold changed no surviving row; the
+    ``compacted`` column pins the physical outcome (active files
+    collapsed to ≤ 2); and the read-debt payoff is pytest-pinned
+    (tests/test_delta.py asserts the post-OPTIMIZE snapshot carries no
+    deletion vectors and a CDF tail skips the dataChange=false
+    commit).  At 100 TB this is the audit-table cure: per-flush files
+    compact without the table ever going offline."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(
+        f"delta_optimize_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    complete = False
+    try:
+        complete = (
+            history_delta(spark, path)[-1]["operation"] == "OPTIMIZE"
+        )
+    except (FileNotFoundError, ValueError, IndexError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 8 == 3).repartition(4),
+            path, mode="error",
+        )
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 8 == 4).repartition(4),
+            path, mode="append",
+        )
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 8 == 5).repartition(4),
+            path, mode="append",
+        )                                                   # 12 small files
+        delete_where_delta(spark, path, F.col("o_orderkey") % 16 == 3)
+        optimize_delta(
+            spark, path, zorder_by=["o_orderkey"]
+        )                                                   # fold + cluster
+    snap, _latest = _snapshot(spark, path)
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    ).withColumn(
+        "compacted", F.lit(int(len(snap.files) <= 2)).cast("long")
+    )
+
+
+scan_delta_optimize = query(
+    "b_lake_delta_optimize",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price,
+           CAST(1 AS BIGINT) AS compacted
+    FROM orders
+    WHERE (o_orderkey % 8 = 3 AND o_orderkey % 16 <> 3)
+       OR o_orderkey % 8 = 4 OR o_orderkey % 8 = 5
+    GROUP BY o_orderpriority
+    """,
+)(scan_delta_optimize)
+
+
+def scan_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE end-to-end (r9): source table (two appends + a
+    merge-on-read DELETE so a cloned file carries a deletion vector) →
+    ``clone_delta`` (version-0 commit referencing the source files by
+    absolute path, zero bytes copied) → the CLONE diverges with an
+    append and a second DELETE that stacks a clone-local DV on a
+    referenced source file → read the clone.  The hash compare fails
+    if the clone dropped the inherited DV (resurrected rows), wrote
+    its divergent DV against the source root, or leaked the append
+    into the source; source-never-touched is pytest-pinned
+    (tests/test_delta.py re-reads the source after the clone
+    mutations)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    src = _scratch(
+        f"delta_clone_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    dst = _scratch(
+        f"delta_clone_dst_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    complete = False
+    try:
+        complete = (
+            _table_version(src) == 2
+            and history_delta(spark, dst)[-1]["operation"] == "DELETE"
+        )
+    except (FileNotFoundError, ValueError, IndexError):
+        complete = False
+    if not complete:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 14 == 0), src, mode="error"
+        )
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 14 == 7), src, mode="append"
+        )
+        delete_where_delta(spark, src, F.col("o_orderkey") % 28 == 0)
+        clone_delta(spark, src, dst)                        # zero-copy fork
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 7 == 1), dst, mode="append"
+        )                                                   # clone-only era
+        delete_where_delta(spark, dst, F.col("o_orderkey") % 28 == 7)
+    back = read_delta(spark, dst)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+scan_delta_clone = query(
+    "b_lake_delta_clone",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE (o_orderkey % 7 = 0 AND o_orderkey % 28 <> 0
+           AND o_orderkey % 28 <> 7)
+       OR o_orderkey % 7 = 1
+    GROUP BY o_orderpriority
+    """,
+)(scan_delta_clone)

@@ -4435,3 +4435,219 @@ def scan_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice").alias("total_price"),
         )
     )
+
+
+# ------------------------------------------------- WAP / expire / compact ids
+
+
+def scan_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (r9): era-1 on main → era-2 staged on an
+    ``audit`` BRANCH (main's readers untouched) → audit gate runs a
+    real expectation against the branch read (no non-positive prices,
+    non-empty) → ``fast_forward`` publishes the branch head to main
+    atomically.  This is iceberg-spark's WAP workflow (the
+    ``spark.wap.branch`` + ``fast_forward`` procedure pair).  A write
+    that leaked to main before publish, a gate that read main instead
+    of the branch, or a fast-forward that dropped era-1 all fail the
+    hash compare; the main-stays-clean half is pinned in pytest
+    (tests/test_iceberg.py)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(
+        f"iceberg_wap_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    complete = False
+    try:
+        meta = _load_metadata(path)
+        refs = meta.get("refs") or {}
+        complete = (
+            refs.get("audit", {}).get("type") == "branch"
+            and int(refs["audit"]["snapshot-id"])
+            == meta.get("current-snapshot-id")
+            and len(meta.get("snapshots") or []) == 2
+        )
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 6 == 0), path, mode="error"
+        )                                                   # era 1, main
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 6 == 1),
+            path, mode="append", branch="audit",
+        )                                                   # era 2, staged
+        staged = read_iceberg(spark, path, ref="audit")
+        bad = staged.filter(
+            (F.col("o_totalprice") <= 0) | F.col("o_orderkey").isNull()
+        ).limit(1).count()                                  # audit gate:
+        if bad or staged.limit(1).count() == 0:             # bounded probe,
+            raise ValueError("WAP audit failed; not publishing")  # 0/1 rows
+        fast_forward_iceberg(path, "audit")                 # publish
+    back = read_iceberg(spark, path)                        # main, post-publish
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+scan_iceberg_wap = query(
+    "b_lake_iceberg_wap",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 6 = 0 OR o_orderkey % 6 = 1
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_wap)
+
+
+def scan_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiration end-to-end (r9): three append eras + a tag
+    pinning era-2 → ``expire_snapshots(keep_last=1)`` → read.  The
+    current snapshot must read the full three-era union (expiry is
+    reference-driven, never row-destructive), the tag-pinned snapshot
+    must SURVIVE (named refs pin), and every data/manifest file no
+    surviving snapshot references must be physically gone — the
+    ``orphaned`` column counts on-disk data files minus live-reachable
+    ones and hashes against the oracle's literal 0, so a reclaim that
+    deleted a LIVE file (read breaks), skipped a dead one (orphaned
+    > 0), or dropped the pinned ref all fail."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(
+        f"iceberg_expire_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    complete = False
+    try:
+        meta = _load_metadata(path)
+        refs = meta.get("refs") or {}
+        complete = (
+            len(meta.get("snapshots") or []) == 2  # era-3 head + tagged era-2
+            and refs.get("pin-era2", {}).get("type") == "tag"
+        )
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 11 == 0), path, mode="error"
+        )                                                   # era 1 (expires)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 11 == 1), path, mode="append"
+        )                                                   # era 2 (tag-pinned)
+        tag_iceberg(path, "pin-era2")
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 11 == 2), path, mode="append"
+        )                                                   # era 3 (current)
+        expire_snapshots(spark, path, keep_last=1)
+    # live-reachable data files across ALL surviving snapshots
+    meta = _load_metadata(path)
+    live: set[str] = set()
+    for s in meta.get("snapshots") or []:
+        data, _d, _e = _manifest_entries(path, meta, s)
+        live |= {os.path.basename(r["path"]) for r in data}
+    ddir = os.path.join(path, "data")
+    on_disk = {
+        f for f in (os.listdir(ddir) if os.path.isdir(ddir) else [])
+        if f.endswith(".parquet")
+    }
+    orphaned = len(on_disk - live)
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    ).withColumn("orphaned", F.lit(int(orphaned)).cast("long"))
+
+
+scan_iceberg_expire = query(
+    "b_lake_iceberg_expire",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price,
+           CAST(0 AS BIGINT) AS orphaned
+    FROM orders
+    WHERE o_orderkey % 11 IN (0, 1, 2)
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_expire)
+
+
+def scan_iceberg_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rewrite_data_files`` compaction end-to-end (r9): three
+    multi-file appends (the small-file problem) → a positional DELETE
+    and an equality DELETE (merge-on-read debt) → compaction that
+    FOLDS both delete kinds into the rewritten files → read.  The
+    ``compacted`` column pins the physical outcome (active data-file
+    count collapsed to ≤ 2) while the content hash proves the fold
+    changed no surviving row — a compaction that resurrected a deleted
+    row, dropped a live one, or failed to shrink the file count all
+    fail.  At 100 TB this is the read-debt payoff for MOR deletes;
+    commit cost rides the compaction group, never table size."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(
+        f"iceberg_compact_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    complete = False
+    try:
+        meta = _load_metadata(path)
+        ops = [
+            (s.get("summary") or {}).get("operation")
+            for s in meta.get("snapshots") or []
+        ]
+        complete = ops.count("replace") == 1
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 8 == 0).repartition(4),
+            path, mode="error",
+        )
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 8 == 1).repartition(4),
+            path, mode="append",
+        )
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 8 == 2).repartition(4),
+            path, mode="append",
+        )                                                   # 12 small files
+        delete_iceberg_rows(
+            spark, path, F.col("o_orderkey") % 16 == 0
+        )                                                   # positional MOR
+        delete_by_key_iceberg(
+            spark, path,
+            orders.filter(F.col("o_orderkey") % 16 == 9)
+            .select("o_orderkey"),
+        )                                                   # equality MOR
+        rewrite_data_files(spark, path)
+    meta = _load_metadata(path)
+    snap = _snapshot_by_id(meta, None)
+    data, _d, _e = _manifest_entries(path, meta, snap)
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    ).withColumn(
+        "compacted", F.lit(int(len(data) <= 2)).cast("long")
+    )
+
+
+scan_iceberg_compact = query(
+    "b_lake_iceberg_compact",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price,
+           CAST(1 AS BIGINT) AS compacted
+    FROM orders
+    WHERE (o_orderkey % 8 = 0 AND o_orderkey % 16 <> 0)
+       OR (o_orderkey % 8 = 1 AND o_orderkey % 16 <> 9)
+       OR o_orderkey % 8 = 2
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_compact)

@@ -3203,3 +3203,118 @@ def test_identity_foreign_legacy_v6_table_appends(spark, tmp_path):
     assert int(f["metadata"]["delta.identity.highWaterMark"]) >= max(
         rows.values()
     )
+
+
+# ------------------------------------------------------------ shallow clone
+
+
+def test_clone_reads_source_state_and_diverges(spark, tmp_path):
+    """A shallow clone reads the source's state (including an
+    inherited deletion vector), then diverges; the SOURCE is byte-for-
+    byte untouched by clone mutations."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        clone_delta,
+        delete_where_delta,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = _df(spark, [(k, "a" if k % 2 else "b", float(k)) for k in range(20)])
+    write_delta(df, src, mode="error")
+    delete_where_delta(spark, src, F.col("k") < 4)  # src carries a DV
+    src_before = _sorted_rows(read_delta(spark, src))
+    src_log_before = sorted(os.listdir(os.path.join(src, "_delta_log")))
+
+    clone_delta(spark, src, dst)
+    assert _sorted_rows(read_delta(spark, dst)) == src_before  # incl. DV
+
+    # diverge: append + a clone-local DV stacked on a referenced file
+    write_delta(
+        _df(spark, [(100, "z", 100.0)]), dst, mode="append"
+    )
+    delete_where_delta(spark, dst, F.col("k") == 10)
+    got = _sorted_rows(read_delta(spark, dst))
+    assert (100, "z", 100.0) in got
+    assert not any(r[0] == 10 for r in got)
+    assert not any(r[0] < 4 for r in got)  # inherited DV still applies
+
+    # source untouched: same rows, same log, no new files in its root
+    assert _sorted_rows(read_delta(spark, src)) == src_before
+    assert sorted(os.listdir(os.path.join(src, "_delta_log"))) == (
+        src_log_before
+    )
+
+
+def test_clone_vacuum_never_reclaims_source_bytes(spark, tmp_path):
+    """vacuum on the clone walks only the clone directory, so the
+    referenced source parquet files survive even when the clone has
+    removed them from its own state."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        clone_delta,
+        delete_where_delta,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), src, mode="error")
+    src_parquet = {
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    }
+    clone_delta(spark, src, dst)
+    # clone rewrites everything (copy-on-write UPDATE-like overwrite):
+    # referenced files leave the clone's state entirely
+    write_delta(
+        _df(spark, [(3, "c", 3.0)]), dst, mode="overwrite"
+    )
+    vacuum_delta(spark, dst, retention_ms=0, force=True)
+    assert {
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    } == src_parquet
+    assert _sorted_rows(read_delta(spark, src)) == [
+        (1, "a", 1.0), (2, "b", 2.0)
+    ]
+    delete_where_delta(spark, dst, F.col("k") == 3)  # clone stays writable
+
+
+def test_clone_refuses_existing_destination(spark, tmp_path):
+    from aws_datalake_framework_api_spark.sources.delta import clone_delta
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(_df(spark, [(1, "a", 1.0)]), src, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]), dst, mode="error")
+    with pytest.raises(FileExistsError):
+        clone_delta(spark, src, dst)
+
+
+# ---------------------------------------------------------------- OPTIMIZE
+
+
+def test_optimize_folds_dvs_and_cdf_skips_it(spark, tmp_path):
+    """Post-OPTIMIZE the snapshot carries no deletion vectors (the
+    rewrite folds them) and a CDF read across the OPTIMIZE version
+    yields zero changes (dataChange=false commits are invisible to
+    incremental consumers)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _snapshot,
+        alter_table_properties_delta,
+        delete_where_delta,
+        optimize_delta,
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "t")
+    df = _df(spark, [(k, "a", float(k)) for k in range(40)])
+    write_delta(df.repartition(4), path, mode="error")
+    alter_table_properties_delta(
+        spark, path, {"delta.enableChangeDataFeed": "true"}
+    )
+    delete_where_delta(spark, path, F.col("k") % 10 == 0)
+    before = _sorted_rows(read_delta(spark, path))
+    res = optimize_delta(spark, path, zorder_by=["k"])
+    assert res["files_after"] < res["files_before"]
+    assert _sorted_rows(read_delta(spark, path)) == before
+    snap, latest = _snapshot(spark, path)
+    assert not any(
+        a.get("deletionVector") for a in snap.files.values()
+    )
+    assert (
+        read_delta_changes(spark, path, res["version"], latest).count() == 0
+    )

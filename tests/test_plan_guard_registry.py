@@ -60,6 +60,7 @@ _BNLJ_ALLOWED = {
     "b_llm_shards": "scalar — global count row for shard sizing",
     "b_llm_surprisal": "scalar — corpus token total 1-row join",
     "b_llm_tfidf": "scalar — corpus doc count 1-row join",
+    "b_llm_zipf": "scalar — 1-row integer-moment slope fit join",
     "b_quality_checks": "scalar — 1-row × 1-row expectation stats",
     "b_ts_gapfill": "spine — distinct types × broadcast day spine",
 }
