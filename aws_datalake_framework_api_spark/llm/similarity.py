@@ -703,3 +703,120 @@ def llm_emb_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_e9"),
     )
+
+
+# ------------------------------------------------------------------ PQ ANN
+
+
+@query("b_llm_knn_pq")  # rows-only: ANN is approximate by design; recall vs
+# the exact b_llm_knn baseline is hash-gated via b_llm_knn_pq_recall.
+def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (FAISS PQ / Jégou et al. 2011): the
+    64-d embedding splits into PQ_M=8 subspaces of 8 dims; each
+    subspace gets its own K=16-centroid L2 codebook (Lloyd on the same
+    bounded 2048-row sample the IVF quantizer uses, first-k init —
+    deterministic); every corpus vector encodes to 8 four-bit codes
+    (4 BYTES per vector vs 256 for float32 — the memory-bound regime
+    at 100 TB, 64× smaller than the corpus).  Queries score by ADC
+    (asymmetric distance computation): one query×centroid lookup table
+    per subspace, approximate inner product = Σ_m LUT_m[code_m] — a
+    table gather per candidate, no float dot against raw vectors.
+    Per batch, each query's top candidates by ADC get an EXACT cosine
+    rerank (the batch slab is already in memory), and the global top-5
+    ranks on the rounded exact score with an id tie-break — the shared
+    final contract of the kNN family.
+
+    100 TB shape: codebooks + query LUTs are driver-trained on bounded
+    samples and ride in the task closure (PQ_M·K·8 doubles ≈ 8 KB);
+    encoding + ADC is ONE map-only numpy pass over the corpus; the
+    only shuffle carries per-(batch, query) candidate rows — bounded
+    by panel × PQ_BATCH_CAND per batch.  Recall tunes with K and
+    PQ_BATCH_CAND; memory with PQ_M·log2(K) bits/vector."""
+    PQ_M, PQ_K, PQ_ITERS, PQ_BATCH_CAND, TOP_K = 8, 32, 10, 64, 5
+    D_SUB = EMB_DIM // PQ_M
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # --- train per-subspace codebooks on the bounded, deterministic
+    # sample (normalized vectors — PQ approximates the cosine's ip)
+    sample_rows = (
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .orderBy("vec_id")
+        .limit(2048)
+        .select("embedding")
+        .collect()
+    )
+    S = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    Sn = S / np.sqrt((S * S).sum(axis=1))[:, None]
+    books = np.empty((PQ_M, PQ_K, D_SUB))
+    for m in range(PQ_M):
+        sub = Sn[:, m * D_SUB : (m + 1) * D_SUB]
+        C = sub[:PQ_K].copy()  # deterministic init: first k sample rows
+        for _ in range(PQ_ITERS):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(PQ_K):
+                members = sub[assign == c]
+                if len(members):  # empty cell keeps its old centroid
+                    C[c] = members.mean(axis=0)
+        books[m] = C
+
+    # --- query panel LUTs, driver-side (bounded by panel_filter cap)
+    q_rows = panel_filter(emb).select("vec_id", "embedding").collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
+    # LUT[m]: queries × K — <q_m, centroid> per subspace
+    lut = np.stack(
+        [
+            Qn[:, m * D_SUB : (m + 1) * D_SUB] @ books[m].T
+            for m in range(PQ_M)
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            B = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Bn = B / np.sqrt((B * B).sum(axis=1))[:, None]
+            # encode: 8 four-bit codes per vector
+            approx = np.zeros((len(q_ids), len(n_ids)))
+            for m in range(PQ_M):
+                sub = Bn[:, m * D_SUB : (m + 1) * D_SUB]
+                d2 = (
+                    (sub[:, None, :] - books[m][None, :, :]) ** 2
+                ).sum(axis=2)
+                codes = np.argmin(d2, axis=1)
+                approx += lut[m][:, codes]  # ADC gather, queries × batch
+            c = min(PQ_BATCH_CAND, approx.shape[1])
+            cand = np.argpartition(-approx, c - 1, axis=1)[:, :c]
+            # exact rerank of the ADC candidates against the in-memory
+            # batch slab — queries × c dots, not queries × batch
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                rows = cand[qi]
+                sims = Bn[rows] @ Qn[qi]
+                out_q.append(np.full(c, q_ids[qi]))
+                out_n.append(n_ids[rows])
+                out_s.append(sims)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        score, "q_id bigint, n_id bigint, cos_sim double"
+    )
+    pairs = partial.filter(F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", F.round("cos_sim", 8).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )

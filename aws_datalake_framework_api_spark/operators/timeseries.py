@@ -482,3 +482,58 @@ def ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy("day").agg(
         F.max("live").cast("long").alias("peak_concurrency")
     )
+
+
+# ------------------------------------------------------------ anomaly flags
+
+# Rolling z-score anomaly detection on the daily value totals per
+# event type — the ops-monitoring primitive (did today's volume leave
+# the trailing-28-day band?).  Everything decision-bearing is exact
+# integer arithmetic on a DOLLAR grid: daily totals sum on the cent
+# grid then round to whole dollars (dollars/day ≲ 1e7 at any
+# plausible SF), so the trailing-window moments obey
+# n·S2 ≤ 28·(1e7)²·28 ≈ 8e16 and S1² ≤ (2.8e8)² ≈ 8e16 — both inside
+# BIGINT — and the 3σ test cross-multiplies to
+# (x·n − S1)² > 9·(n·S2 − S1²) with zero float ops (population σ; the
+# statistic is *defined* on the dollar grid, the b_stat_* treatment).
+# The current day is EXCLUDED from its own baseline (1 PRECEDING), so
+# a spike can't suppress itself; short histories (n < 14) never flag.
+# Plan shape: one fact-sized map-combinable groupBy to (type, day),
+# then ONE exchange on event_type for the window — rollup-sized work.
+_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(round(sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0)
+              AS BIGINT) AS dollars
+  FROM events
+  GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+),
+win AS (
+  SELECT event_type, day, dollars,
+         count(*)              OVER w AS n,
+         sum(dollars)          OVER w AS s1,
+         sum(dollars * dollars) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, dollars,
+       CAST(coalesce(n, 0) AS BIGINT) AS base_n,
+       CASE WHEN n >= 14
+             AND (dollars * n - s1) * (dollars * n - s1)
+                 > 9 * (n * s2 - s1 * s1)
+            THEN 1 ELSE 0 END AS anomaly
+FROM win
+"""
+
+
+@query("b_ts_anomaly", _ANOMALY_SQL)
+def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window 3σ anomaly flags on per-type daily totals —
+    shared-text SQL on both engines; see the kernel notes above for
+    the dollar-grid overflow budget and the self-exclusion frame."""
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ANOMALY_SQL)

@@ -21,8 +21,10 @@ Round-9 rotation (VERDICT r8 item #1): evidence-freshness round.
    the LLM recall/membership gates first — the operators whose code
    paths moved most since r4);
    — the 50-entry boundary falls here —
-4. the ROUND-10 staging: any round-9 additions (never checked),
-   then the 25 remaining r4-stale ids;
+4. the ROUND-10 staging: the 17 round-9 additions (never
+   driver-checked — connector maintenance/clone/convert ids, the
+   LLM curation/PQ family, b_ts_anomaly), then the 25 remaining
+   r4-stale ids;
 5. everything r5-r8-proved and unchanged, in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
 round; the round-8 artifacts showed the ENTIRE registry green at
@@ -162,6 +164,11 @@ _ORDER = [
     "b_llm_dedup_substr",      # r9 additions — LLM curation ops
     "b_llm_char_entropy",
     "b_llm_zipf",
+    "b_llm_knn_pq",            # r9 additions — PQ ANN + gates/meta
+    "b_llm_knn_pq_recall",
+    "b_lake_iceberg_meta",
+    "b_ts_anomaly",
+    "b_lake_convert",
     "a1_event_append",
     "a2_event_update",
     "a7_catalog_read",

@@ -4164,6 +4164,106 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
     return 0
 
 
+def convert_iceberg_to_delta(spark: SparkSession, src: str, dst: str) -> int:
+    """Zero-copy Iceberg→Delta conversion (the UniForm/`CONVERT TO
+    DELTA` interop direction): write a Delta log at ``dst`` whose
+    version-0 commit references the Iceberg table's CURRENT-snapshot
+    data files by absolute path — both formats store parquet, so no
+    byte moves.  The converted table then lives a normal Delta life
+    (appends land under ``dst``, deletes stack DVs on the referenced
+    files); the Iceberg source is never touched and keeps its own
+    history.
+
+    Honest gates: a snapshot carrying position or equality deletes
+    refuses (Delta cannot express another format's delete files —
+    run ``rewrite_data_files`` first, which FOLDS them, then convert);
+    non-identity partition transforms refuse (bucket/truncate/day have
+    no Delta partitionValues equivalent — Iceberg prunes through the
+    transform, Delta can't).  Identity partitioning carries over: the
+    spec tuple becomes the add's ``partitionValues`` (stringified, the
+    log's wire form) and readers inject values from the log exactly as
+    for a native table — the parquet's own copy of the source column
+    is simply not read (reference: iceberg data files CONTAIN
+    partition source columns; Delta data files don't)."""
+    from .iceberg import (
+        _current_schema,
+        _load_metadata,
+        _manifest_entries,
+        _schema_to_spark,
+        _snapshot_by_id,
+        _spec_from_meta,
+    )
+
+    if _table_version(dst) is not None:
+        raise FileExistsError(f"delta table already exists at {dst}")
+    meta = _load_metadata(src)
+    schema_json = _current_schema(meta)
+    spark_schema = _schema_to_spark(schema_json)
+    spec = _spec_from_meta(meta, schema_json)
+    bad = [pf for pf in spec if pf.get("transform") != "identity"]
+    if bad:
+        raise ValueError(
+            "cannot convert non-identity partition transforms to Delta: "
+            f"{[pf['name'] for pf in bad]} — compact to an identity "
+            "layout or read through the Iceberg connector"
+        )
+    part_cols = [pf["name"] for pf in spec]
+    snap = _snapshot_by_id(meta, None)
+    if snap is None:
+        data: list[dict] = []
+    else:
+        data, deletes, eq_deletes = _manifest_entries(src, meta, snap)
+        if deletes or eq_deletes:
+            raise ValueError(
+                "iceberg snapshot carries merge-on-read deletes "
+                f"({len(deletes)} positional, {len(eq_deletes)} equality) "
+                "— rewrite_data_files folds them; convert after compaction"
+            )
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "CONVERT",
+                "operationParameters": {"source": src, "format": "iceberg"},
+                "timestamp": now,
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": spark_schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": now,
+            }
+        },
+    ]
+    for rec in sorted(data, key=lambda r: r["path"]):
+        ap = os.path.abspath(rec["path"])
+        actions.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(ap),
+                    "partitionValues": {
+                        c: (None if rec["partition"].get(c) is None
+                            else str(rec["partition"][c]))
+                        for c in part_cols
+                    },
+                    "size": os.path.getsize(ap),
+                    "modificationTime": now,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {"numRecords": int(rec.get("record_count") or 0)}
+                    ),
+                }
+            }
+        )
+    _commit(dst, 0, actions)
+    return 0
+
+
 # ------------------------------------------------------------------ query
 
 
@@ -5072,3 +5172,67 @@ scan_delta_clone = query(
     GROUP BY o_orderpriority
     """,
 )(scan_delta_clone)
+
+
+def scan_lake_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg→Delta zero-copy conversion end-to-end (r9): a
+    partitioned Iceberg table (two identity-partitioned appends) →
+    ``convert_iceberg_to_delta`` (version-0 Delta log referencing the
+    Iceberg parquet in place) → a DELTA-side append era → read as
+    Delta.  The hash fails if conversion dropped a file, mangled the
+    carried partitionValues (the injected values feed the group key),
+    or leaked the Delta append back; the refusal gates (MOR deletes,
+    non-identity transforms) and source-untouched are pytest-pinned
+    (tests/test_delta.py)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    from .iceberg import write_iceberg
+
+    src = _scratch(
+        f"convert_ice_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    dst = _scratch(
+        f"convert_delta_dst_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    complete = False
+    try:
+        complete = (
+            _table_version(dst) == 1
+            and history_delta(spark, dst)[0]["operation"] == "CONVERT"
+        )
+    except (FileNotFoundError, ValueError, IndexError):
+        complete = False
+    if not complete:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 9 == 4).coalesce(1),
+            src, mode="error", partition_by=["o_orderpriority"],
+        )
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 9 == 5).coalesce(1),
+            src, mode="append", partition_by=["o_orderpriority"],
+        )
+        convert_iceberg_to_delta(spark, src, dst)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 9 == 6), dst,
+            mode="append", partition_by=["o_orderpriority"],
+        )                                                   # delta-side era
+    back = read_delta(spark, dst)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+scan_lake_convert = query(
+    "b_lake_convert",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 9 IN (4, 5, 6)
+    GROUP BY o_orderpriority
+    """,
+)(scan_lake_convert)

@@ -4651,3 +4651,164 @@ scan_iceberg_compact = query(
     GROUP BY o_orderpriority
     """,
 )(scan_iceberg_compact)
+
+
+# ---------------------------------------------------------- metadata tables
+
+
+def read_iceberg_meta(
+    spark: SparkSession, path: str, table: str = "files"
+) -> DataFrame:
+    """Iceberg METADATA TABLES (iceberg-spark's ``SELECT * FROM
+    tbl.files / .partitions / .snapshots / .history / .refs``) as
+    DataFrames — the introspection surface operators (compaction
+    targeting, small-file monitoring, snapshot auditing) build on.
+
+    - ``files``: one row per live data file of the current snapshot —
+      file path, partition (JSON string of the spec tuple), record
+      count, sequence number, spec id.
+    - ``partitions``: files grouped by partition tuple — file count +
+      summed record count (what ``rewrite_data_files`` consults to
+      find compaction debt).
+    - ``snapshots``: snapshot id, parent, sequence number, committed
+      timestamp, operation.
+    - ``history``: the snapshot-log (made_current_at, snapshot_id) —
+      every head movement incl. rollbacks/fast-forwards.
+    - ``refs``: name, type (branch|tag), pinned snapshot id.
+
+    All five relations are METADATA-sized: ``snapshots``/``history``/
+    ``refs`` are O(snapshots); ``files``/``partitions`` are O(active
+    files) — the same planning-sized bound every commit path in this
+    connector already holds driver-side (at extreme file counts the
+    manifest read itself distributes; documented switch, same bound)."""
+    meta = _load_metadata(path)
+    if table == "snapshots":
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                (None if s.get("parent-snapshot-id") is None
+                 else int(s["parent-snapshot-id"])),
+                int(s.get("sequence-number", 0)),
+                (None if s.get("timestamp-ms") is None
+                 else int(s["timestamp-ms"])),
+                (s.get("summary") or {}).get("operation"),
+            )
+            for s in meta.get("snapshots") or []
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, sequence_number long, "
+            "committed_at_ms long, operation string",
+        )
+    if table == "history":
+        rows = [
+            (int(e["timestamp-ms"]), int(e["snapshot-id"]))
+            for e in meta.get("snapshot-log") or []
+        ]
+        return spark.createDataFrame(
+            rows, "made_current_at_ms long, snapshot_id long"
+        )
+    if table == "refs":
+        rows = [
+            (name, r.get("type"), int(r["snapshot-id"]))
+            for name, r in sorted((meta.get("refs") or {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+    if table in ("files", "partitions"):
+        snap = _snapshot_by_id(meta, None)
+        if snap is None:
+            data = []
+        else:
+            data, _d, _e = _manifest_entries(path, meta, snap)
+        schema_json = _current_schema(meta)
+        part_names = [
+            pf["name"] for pf in _spec_from_meta(meta, schema_json)
+        ]
+        rows = [
+            (
+                rec["path"],
+                json.dumps(
+                    {c: rec["partition"].get(c) for c in part_names},
+                    sort_keys=True,
+                ),
+                int(rec.get("record_count") or 0),
+                int(rec.get("seq") or 0),
+                int(rec.get("spec_id") or 0),
+            )
+            for rec in data
+        ]
+        files = spark.createDataFrame(
+            rows,
+            "file_path string, partition string, record_count long, "
+            "sequence_number long, spec_id long",
+        )
+        if table == "files":
+            return files
+        return files.groupBy("partition").agg(
+            F.count("*").alias("file_count"),
+            F.sum("record_count").cast("long").alias("record_count"),
+        )
+    raise ValueError(
+        f"unknown metadata table {table!r} "
+        "(files|partitions|snapshots|history|refs)"
+    )
+
+
+def scan_iceberg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-tables surface end-to-end (r9): a PARTITIONED table
+    (identity on o_orderpriority) built with two single-file-per-
+    partition appends, introspected through ``read_iceberg_meta``:
+    the ``partitions`` relation (per-partition file count + manifest
+    record counts) joined with the snapshot count.  The oracle
+    recomputes record counts from the fixture — a manifest that
+    under/over-counted records, lost a partition tuple, or a
+    partitions rollup that double-counted files all fail the hash;
+    file_count pins the write path's one-file-per-partition-per-append
+    layout and n_snapshots the two-commit history."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(
+        f"iceberg_meta_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    complete = False
+    try:
+        meta = _load_metadata(path)
+        complete = len(meta.get("snapshots") or []) == 2
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 10 == 3).coalesce(1),
+            path, mode="error", partition_by=["o_orderpriority"],
+        )
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 10 == 6).coalesce(1),
+            path, mode="append", partition_by=["o_orderpriority"],
+        )
+    parts = read_iceberg_meta(spark, path, "partitions")
+    n_snaps = read_iceberg_meta(spark, path, "snapshots").count()
+    return parts.select(
+        F.get_json_object("partition", "$.o_orderpriority").alias(
+            "o_orderpriority"
+        ),
+        "file_count",
+        "record_count",
+    ).withColumn("n_snapshots", F.lit(int(n_snaps)).cast("long"))
+
+
+scan_iceberg_meta = query(
+    "b_lake_iceberg_meta",
+    """
+    SELECT o_orderpriority,
+           CAST(2 AS BIGINT) AS file_count,
+           CAST(count(*) AS BIGINT) AS record_count,
+           CAST(2 AS BIGINT) AS n_snapshots
+    FROM orders
+    WHERE o_orderkey % 10 IN (3, 6)
+    GROUP BY o_orderpriority
+    """,
+)(scan_iceberg_meta)

@@ -3318,3 +3318,66 @@ def test_optimize_folds_dvs_and_cdf_skips_it(spark, tmp_path):
     assert (
         read_delta_changes(spark, path, res["version"], latest).count() == 0
     )
+
+
+# ------------------------------------------------- iceberg -> delta convert
+
+
+def test_convert_iceberg_reads_and_diverges_without_touching_source(
+    spark, tmp_path
+):
+    from aws_datalake_framework_api_spark.sources.delta import (
+        convert_iceberg_to_delta,
+        delete_where_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    src, dst = str(tmp_path / "ice"), str(tmp_path / "dl")
+    df = _df(spark, [(k, "a" if k % 2 else "b", float(k)) for k in range(10)])
+    write_iceberg(df.coalesce(1), src, mode="error", partition_by=["part"])
+    src_rows = _sorted_rows(read_iceberg(spark, src))
+
+    convert_iceberg_to_delta(spark, src, dst)
+    assert _sorted_rows(read_delta(spark, dst)) == src_rows
+
+    # diverge delta-side: append + DV delete on a referenced file
+    write_delta(
+        _df(spark, [(100, "a", 100.0)]), dst, mode="append",
+        partition_by=["part"],
+    )
+    delete_where_delta(spark, dst, F.col("k") == 2)
+    got = _sorted_rows(read_delta(spark, dst))
+    assert (100, "a", 100.0) in got and not any(r[0] == 2 for r in got)
+    # iceberg source unaffected by the delta-side life
+    assert _sorted_rows(read_iceberg(spark, src)) == src_rows
+
+
+def test_convert_refuses_mor_deletes_and_hidden_transforms(spark, tmp_path):
+    from aws_datalake_framework_api_spark.sources.delta import (
+        convert_iceberg_to_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        delete_by_key_iceberg,
+        write_iceberg,
+    )
+
+    # MOR deletes present -> refuse toward compaction
+    src1 = str(tmp_path / "ice1")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), src1, mode="error")
+    delete_by_key_iceberg(
+        spark, src1, spark.createDataFrame([(1,)], "k int")
+    )
+    with pytest.raises(ValueError, match="rewrite_data_files"):
+        convert_iceberg_to_delta(spark, src1, str(tmp_path / "d1"))
+
+    # hidden transform -> refuse (Delta cannot express bucket pruning)
+    src2 = str(tmp_path / "ice2")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+        src2, mode="error", partition_by=["bucket(4, k)"],
+    )
+    with pytest.raises(ValueError, match="identity"):
+        convert_iceberg_to_delta(spark, src2, str(tmp_path / "d2"))

@@ -2099,3 +2099,48 @@ def test_rollback_to_snapshot(spark, tmp_path):
     cur = history_iceberg(spark, path)[-1]["snapshot_id"]
     with pytest.raises(ValueError, match="already current"):
         rollback_iceberg(path, cur)
+
+
+def test_metadata_tables_reflect_table_state(spark, tmp_path):
+    """read_iceberg_meta's five relations agree with the table: files
+    record-counts sum to the row count, partitions roll files up,
+    snapshots/history track commits, refs list tags."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        read_iceberg_meta,
+        tag_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1),
+        path, mode="error", partition_by=["part"],
+    )
+    write_iceberg(
+        _df(spark, [(3, "a", 3.0)]).coalesce(1),
+        path, mode="append", partition_by=["part"],
+    )
+    tag_iceberg(path, "v1")
+
+    files = read_iceberg_meta(spark, path, "files")
+    assert files.count() == 3  # one file per partition per append
+    assert (
+        files.agg(F.sum("record_count")).collect()[0][0]
+        == read_iceberg(spark, path).count()
+        == 3
+    )
+    parts = {
+        r["partition"]: (r["file_count"], r["record_count"])
+        for r in read_iceberg_meta(spark, path, "partitions").collect()
+    }
+    assert parts == {'{"part": "a"}': (2, 2), '{"part": "b"}': (1, 1)}
+    snaps = read_iceberg_meta(spark, path, "snapshots").collect()
+    assert len(snaps) == 2
+    assert {s["operation"] for s in snaps} <= {"append", "overwrite"}
+    hist = read_iceberg_meta(spark, path, "history").collect()
+    assert [h["snapshot_id"] for h in hist] == [
+        s["snapshot_id"] for s in sorted(snaps, key=lambda s: s["sequence_number"])
+    ]
+    refs = read_iceberg_meta(spark, path, "refs").collect()
+    assert [(r["name"], r["type"]) for r in refs] == [("v1", "tag")]
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        read_iceberg_meta(spark, path, "nope")

@@ -1382,3 +1382,87 @@ def test_sketch_scorecards_hold_invariants(spark, sf_dir):
     f2 = QUERIES["b_agg_f2sketch"](spark, sf_dir).collect()[0]
     mean_est = f2["est_f2_sum"] / f2["n_rows"]
     assert abs(mean_est - f2["exact_f2"]) / f2["exact_f2"] < 0.6
+
+
+def test_exact_substr_scores_planted_shared_span(spark):
+    """ExactSubstr semantics (b_llm_dedup_substr): a K-token span
+    planted verbatim in two documents makes BOTH docs' dup_win
+    positive and exactly counts the shared windows; a doc sharing
+    nothing scores 0 and never flags."""
+    import pandas as pd
+    import tempfile
+
+    from aws_datalake_framework_api_spark.llm import substr as smod
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        (0, "u0 v0 w0 x0 " + shared + " y0 z0"),
+        (1, "u1 v1 w1 x1 " + shared + " y1 z1"),
+        (2, "m0 m1 m2 m3 m4 m5 m6 m7 m8 m9 n0 n1"),  # no shared window
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["t"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(f"{td}/documents.parquet")
+        rows = {
+            r["doc_id"]: r for r in smod.llm_dedup_substr(spark, td).collect()
+        }
+    # docs 0/1: 14 tokens -> 7 windows each; ONLY the pure-shared
+    # window (positions 5..12 == the planted 8 tokens) exists in both
+    assert rows[0]["dup_win"] == 1 and rows[1]["dup_win"] == 1
+    assert rows[0]["n_win"] == 7
+    assert rows[2]["dup_win"] == 0 and rows[2]["dup_flag"] == 0
+
+
+def test_char_entropy_orders_text_above_padding(spark):
+    """Character entropy (b_llm_char_entropy): constant padding scores
+    0 bits and is dropped; natural-ish text clears the 1.5-bit keep
+    floor."""
+    import pandas as pd
+    import tempfile
+
+    from aws_datalake_framework_api_spark.llm import corpus_stats as cmod
+
+    docs = [
+        (0, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # one symbol: 0 bits
+        (1, "the quick brown fox jumps over the lazy dog"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["t"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(f"{td}/documents.parquet")
+        rows = {
+            r["doc_id"]: r for r in cmod.llm_char_entropy(spark, td).collect()
+        }
+    assert rows[0]["sum_bits"] == 0 and rows[0]["keep"] == 0
+    assert rows[1]["mean_bits"] > 1.5 and rows[1]["keep"] == 1
+    assert rows[1]["n_distinct"] > rows[0]["n_distinct"] == 1
+
+
+def test_pq_recall_vs_exact(spark, sf_dir):
+    """PQ-ADC ANN recall against the brute-force baseline clears the
+    scorecard floor (50%) with the margin the gate relies on."""
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["b_llm_knn"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in QUERIES["b_llm_knn_pq"](spark, sf_dir).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f} < 0.5"

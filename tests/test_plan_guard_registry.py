@@ -49,6 +49,7 @@ _BNLJ_ALLOWED = {
     "b_llm_emb_quant": "scalar — global quantization range 1-row join",
     "b_llm_knn_ivf_recall": "scorecard — approx vs exact neighbors",
     "b_llm_knn_lsh_recall": "scorecard — approx vs exact neighbors",
+    "b_llm_knn_pq_recall": "scorecard — approx vs exact neighbors",
     "b_llm_len_buckets": "scalar — corpus length stats 1-row join",
     "b_llm_mix": "scalar — domain totals × target proportions",
     "b_llm_mix_epochs": "scalar — domain totals × epoch weights",
