@@ -21,10 +21,10 @@ Round-9 rotation (VERDICT r8 item #1): evidence-freshness round.
    the LLM recall/membership gates first — the operators whose code
    paths moved most since r4);
    — the 50-entry boundary falls here —
-4. the ROUND-10 staging: the 17 round-9 additions (never
-   driver-checked — connector maintenance/clone/convert ids, the
-   LLM curation/PQ family, b_ts_anomaly), then the 25 remaining
-   r4-stale ids;
+4. the ROUND-10 staging: the 18 round-9 additions (never
+   driver-checked — connector maintenance/clone ids, both zero-copy
+   convert directions, the LLM curation/PQ family, b_ts_anomaly),
+   then the 25 remaining r4-stale ids;
 5. everything r5-r8-proved and unchanged, in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
 round; the round-8 artifacts showed the ENTIRE registry green at
@@ -169,6 +169,7 @@ _ORDER = [
     "b_lake_iceberg_meta",
     "b_ts_anomaly",
     "b_lake_convert",
+    "b_lake_convert_reverse",
     "a1_event_append",
     "a2_event_update",
     "a7_catalog_read",

@@ -4812,3 +4812,171 @@ scan_iceberg_meta = query(
     GROUP BY o_orderpriority
     """,
 )(scan_iceberg_meta)
+
+
+# ----------------------------------------------------- delta -> iceberg
+
+
+def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
+    """Zero-copy Delta→Iceberg conversion — the reverse of
+    ``convert_iceberg_to_delta`` (sources/delta.py), completing the
+    round trip: commit an Iceberg v1-metadata table at ``dst`` whose
+    single ADDED manifest references the Delta table's active parquet
+    by absolute path.  No bytes move; the converted table then lives a
+    normal Iceberg life (appends/deletes/tags/branches land under
+    ``dst``) while the Delta source keeps its own log and history.
+
+    Honest gates, each the mirror of a format impedance: files
+    carrying deletion vectors refuse (Iceberg cannot reference
+    another format's delete encoding — ``optimize_delta`` folds them;
+    convert after), PARTITIONED Delta tables refuse (Delta data files
+    do NOT contain their partition columns — the values live in the
+    log — while Iceberg data files must carry the partition source
+    columns), and column-mapping tables refuse (their parquet columns
+    bear physical ``col-<uuid>`` names the Iceberg name-based
+    resolution would never match).  The referenced files carry no
+    parquet field ids, which is exactly the connector's id-less
+    legacy-file read path (resolved through the unambiguous
+    history name→id map); files written Iceberg-side afterwards are
+    id-stamped as usual, and the mixed table reads through the same
+    branch machinery (pinned in pytest)."""
+    from .delta import _snapshot as _delta_snapshot
+    from .delta import _table_version as _delta_table_version
+
+    if _metadata_versions(dst):
+        raise FileExistsError(f"iceberg table already exists at {dst}")
+    if _delta_table_version(src) is None:
+        raise FileNotFoundError(f"no delta log at {src}")
+    snap, _latest = _delta_snapshot(spark, src)
+    md = snap.metadata or {}
+    if md.get("partitionColumns"):
+        raise ValueError(
+            "cannot convert a partitioned Delta table: Delta data files "
+            f"lack the partition columns {md['partitionColumns']} that "
+            "Iceberg data files must contain — rewrite unpartitioned "
+            "first, or read through the Delta connector"
+        )
+    if (md.get("configuration") or {}).get("delta.columnMapping.mode") in (
+        "name", "id"
+    ):
+        raise ValueError(
+            "cannot convert a column-mapping Delta table: its parquet "
+            "columns bear physical names Iceberg name resolution would "
+            "not match"
+        )
+    dv_files = [
+        rel for rel, a in snap.files.items()
+        if a.get("deletionVector")
+        and int(a["deletionVector"].get("cardinality") or 0) != 0
+    ]
+    if dv_files:
+        raise ValueError(
+            f"delta snapshot carries deletion vectors on {len(dv_files)} "
+            "file(s) — optimize_delta folds them; convert after compaction"
+        )
+    from pyspark.sql.types import StructType as _ST
+
+    spark_schema = _ST.fromJson(json.loads(md["schemaString"]))
+    ids = iter(range(1, 10_000))
+    ice = _spark_to_ice(spark_schema, lambda: next(ids))
+    schema_json = {"schema-id": 0, "type": "struct", "fields": ice["fields"]}
+    import urllib.parse as _up
+
+    import pyarrow.parquet as _pq
+
+    data_files: list[dict] = []
+    for rel in sorted(snap.files):
+        ap = os.path.abspath(os.path.join(src, _up.unquote(rel)))
+        data_files.append(
+            {
+                "content": 0,
+                "file_path": ap,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": _pq.ParquetFile(ap).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(ap),
+                # bounds omitted (conservative keep): the delta footer
+                # stats key by NAME, iceberg bounds by FIELD ID — a
+                # wrong mapping would mis-prune, absence never does
+                "lower_bounds": None,
+                "upper_bounds": None,
+            }
+        )
+    os.makedirs(dst, exist_ok=True)
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": f,
+        }
+        for f in data_files
+    ]
+    manifest = _write_manifest(
+        dst, entries, [], 0, "data", schema_json, spec_id=0
+    )
+    return _commit_snapshot(
+        dst, None, [manifest], [], "append",
+        schema_json=schema_json, part_spec=[],
+    )
+
+
+def scan_lake_convert_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta→Iceberg zero-copy conversion end-to-end (r9): a Delta
+    table (two appends) → ``convert_delta_to_iceberg`` (v1 metadata +
+    one manifest referencing the Delta parquet in place) → an
+    ICEBERG-side append era (id-stamped files joining the id-less
+    referenced ones) → read as Iceberg.  The hash fails if conversion
+    dropped or double-referenced a file, the id-less name→id
+    resolution mis-mapped a column, or the iceberg append leaked back;
+    refusal gates (DVs, partitioned, column mapping) and
+    source-untouched are pytest-pinned (tests/test_iceberg.py)."""
+    from .delta import write_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    src = _scratch(
+        f"convert_delta_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    dst = _scratch(
+        f"convert_ice_dst_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    complete = False
+    try:
+        meta = _load_metadata(dst)
+        complete = len(meta.get("snapshots") or []) == 2
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 9 == 7), src, mode="error"
+        )
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 9 == 8), src, mode="append"
+        )
+        convert_delta_to_iceberg(spark, src, dst)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 9 == 0),
+            dst, mode="append",
+        )                                                   # iceberg era
+    back = read_iceberg(spark, dst)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+scan_lake_convert_reverse = query(
+    "b_lake_convert_reverse",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 9 IN (7, 8, 0)
+    GROUP BY o_orderpriority
+    """,
+)(scan_lake_convert_reverse)

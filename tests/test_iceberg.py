@@ -2144,3 +2144,94 @@ def test_metadata_tables_reflect_table_state(spark, tmp_path):
     assert [(r["name"], r["type"]) for r in refs] == [("v1", "tag")]
     with pytest.raises(ValueError, match="unknown metadata table"):
         read_iceberg_meta(spark, path, "nope")
+
+
+def test_convert_delta_reads_and_diverges_without_touching_source(
+    spark, tmp_path
+):
+    from aws_datalake_framework_api_spark.sources.delta import (
+        read_delta,
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+        delete_iceberg_rows,
+    )
+
+    src, dst = str(tmp_path / "dl"), str(tmp_path / "ice")
+    df = _df(spark, [(k, "a" if k % 2 else "b", float(k)) for k in range(10)])
+    write_delta(df, src, mode="error")
+    src_rows = _sorted_rows(read_delta(spark, src))
+
+    convert_delta_to_iceberg(spark, src, dst)
+    assert _sorted_rows(read_iceberg(spark, dst)) == src_rows
+
+    # iceberg-side life: append (id-stamped files) + positional delete
+    write_iceberg(_df(spark, [(100, "z", 100.0)]), dst, mode="append")
+    delete_iceberg_rows(spark, dst, F.col("k") == 2)
+    got = _sorted_rows(read_iceberg(spark, dst))
+    assert (100, "z", 100.0) in got and not any(r[0] == 2 for r in got)
+    # delta source unaffected
+    assert _sorted_rows(read_delta(spark, src)) == src_rows
+
+
+def test_convert_delta_refusal_gates(spark, tmp_path):
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta,
+        delete_where_delta,
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+    )
+
+    # deletion vectors -> refuse toward optimize
+    s1 = str(tmp_path / "d1")
+    write_delta(_df(spark, [(k, "a", float(k)) for k in range(8)]), s1,
+                mode="error")
+    delete_where_delta(spark, s1, F.col("k") == 1)
+    with pytest.raises(ValueError, match="optimize_delta"):
+        convert_delta_to_iceberg(spark, s1, str(tmp_path / "i1"))
+
+    # partitioned -> refuse (delta files lack the partition column)
+    s2 = str(tmp_path / "d2")
+    write_delta(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), s2,
+                mode="error", partition_by=["part"])
+    with pytest.raises(ValueError, match="partitioned"):
+        convert_delta_to_iceberg(spark, s2, str(tmp_path / "i2"))
+
+    # column mapping -> refuse (physical col-<uuid> parquet names)
+    s3 = str(tmp_path / "d3")
+    create_mapped_delta(_df(spark, [(1, "a", 1.0)]), s3, mode="name")
+    with pytest.raises(ValueError, match="column-mapping"):
+        convert_delta_to_iceberg(spark, s3, str(tmp_path / "i3"))
+
+
+def test_convert_round_trip_delta_iceberg_delta(spark, tmp_path):
+    """delta → iceberg → delta: both conversions are zero-copy
+    references to the SAME original parquet; content survives both
+    hops and each table diverges independently afterwards."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        convert_iceberg_to_delta,
+        read_delta,
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+    )
+
+    a = str(tmp_path / "a_delta")
+    b = str(tmp_path / "b_ice")
+    c = str(tmp_path / "c_delta")
+    df = _df(spark, [(k, "a", float(k)) for k in range(6)])
+    write_delta(df, a, mode="error")
+    convert_delta_to_iceberg(spark, a, b)
+    convert_iceberg_to_delta(spark, b, c)
+    want = _sorted_rows(read_delta(spark, a))
+    assert _sorted_rows(read_iceberg(spark, b)) == want
+    assert _sorted_rows(read_delta(spark, c)) == want
+    # diverge the last hop; the first two stay put
+    write_delta(_df(spark, [(9, "z", 9.0)]), c, mode="append")
+    assert _sorted_rows(read_delta(spark, a)) == want
+    assert _sorted_rows(read_iceberg(spark, b)) == want
+    assert (9, "z", 9.0) in _sorted_rows(read_delta(spark, c))
