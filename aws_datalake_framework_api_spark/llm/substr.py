@@ -49,6 +49,13 @@ SUBSTR_K = 8
 #: (cross-multiplied, no float compare).
 SUBSTR_FLAG_NUM = 1
 SUBSTR_FLAG_DEN = 5
+#: Production scale switch: shuffle 8-byte xxhash64(window) instead of
+#: the ~50-byte window string (≈6× fewer shuffle bytes through the two
+#: window-keyed exchanges).  Default OFF so the driver-checked id runs
+#: the exact string semantics the oracle recomputes; the hashed plan's
+#: OUTPUT equivalence (modulo 64-bit collisions, ~n²/2⁶⁵) is pinned in
+#: tests/test_llm_ops.py and the wall-time win measured in SCALE.md.
+SUBSTR_HASH_SHUFFLE = False
 
 _WIN_CTE = f"""
     WITH toks AS (
@@ -88,14 +95,22 @@ _WIN_CTE = f"""
     GROUP BY wins.doc_id
     """,
 )
-def llm_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_substr(
+    spark: SparkSession, sf_dir: str, hash_shuffle: bool | None = None
+) -> DataFrame:
     """Per-document exact-substring duplication fraction: the share of
     a doc's K-token windows that also occur verbatim in at least one
     OTHER document, plus a cross-multiplied ≥20% flag.  This is the
     ExactSubstr curation signal (Lee et al. 2022) in relational form —
     window generation is one transform/slice HOF pass, the duplicate
     set is one groupBy on the window string, and the scoring is a
-    left join back; nothing is all-pairs."""
+    left join back; nothing is all-pairs.
+
+    ``hash_shuffle`` (default: module constant SUBSTR_HASH_SHUFFLE)
+    replaces the shuffled window STRING with its xxhash64 — the 100 TB
+    shuffle-bytes knob; output-equivalent modulo 64-bit collisions."""
+    if hash_shuffle is None:
+        hash_shuffle = SUBSTR_HASH_SHUFFLE
     docs = load_table(spark, sf_dir, "documents")
     # The window fan-out multiplies each doc into ~n_tokens K-token
     # strings — orders of magnitude more bytes than the input — so its
@@ -123,6 +138,10 @@ def llm_dedup_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
+    if hash_shuffle:
+        # 8-byte key through BOTH window-keyed exchanges (the distinct-
+        # doc groupBy and the join back) instead of the ~50-byte string
+        wins = wins.select("doc_id", F.xxhash64("w").alias("w"))
     shared = (
         wins.groupBy("w")
         .agg(F.count_distinct("doc_id").alias("ndoc"))

@@ -1466,3 +1466,20 @@ def test_pq_recall_vs_exact(spark, sf_dir):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"recall {recall:.2f} < 0.5"
+
+
+def test_exact_substr_hash_shuffle_is_output_equivalent(spark, sf_dir):
+    """The xxhash64 shuffle-compression switch (SUBSTR_HASH_SHUFFLE,
+    the 100 TB shuffle-bytes knob) must not change a single output row
+    vs the oracle-checked string plan."""
+    from aws_datalake_framework_api_spark.llm.substr import llm_dedup_substr
+
+    base = {
+        r["doc_id"]: (r["n_win"], r["dup_win"], r["dup_flag"])
+        for r in llm_dedup_substr(spark, sf_dir, hash_shuffle=False).collect()
+    }
+    hashed = {
+        r["doc_id"]: (r["n_win"], r["dup_win"], r["dup_flag"])
+        for r in llm_dedup_substr(spark, sf_dir, hash_shuffle=True).collect()
+    }
+    assert base == hashed
