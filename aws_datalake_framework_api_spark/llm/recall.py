@@ -185,8 +185,8 @@ def llm_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes + 64-candidate ADC shortlist with exact rerank) against the
     brute-force top-5.  Measured 0.86 at sf0.01 / 0.84 at sf0.001 /
     0.63 at sf0.1; floored at 50% like the IVF gate — PQ trades the
-    most memory (4 bytes/vector) for the coarsest approximate
-    geometry, and the floor bounds that trade."""
+    most memory (5 bytes/vector: 8 codes × log2(PQ_K=32) bits) for the
+    coarsest approximate geometry, and the floor bounds that trade."""
     return _recall_frame(
         llm_knn(spark, sf_dir), llm_knn_pq(spark, sf_dir), ["q_id", "n_id"], 50
     )

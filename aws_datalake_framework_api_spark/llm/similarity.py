@@ -713,11 +713,13 @@ def llm_emb_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (FAISS PQ / Jégou et al. 2011): the
     64-d embedding splits into PQ_M=8 subspaces of 8 dims; each
-    subspace gets its own K=16-centroid L2 codebook (Lloyd on the same
+    subspace gets its own K=32-centroid L2 codebook (Lloyd on the same
     bounded 2048-row sample the IVF quantizer uses, first-k init —
-    deterministic); every corpus vector encodes to 8 four-bit codes
-    (4 BYTES per vector vs 256 for float32 — the memory-bound regime
-    at 100 TB, 64× smaller than the corpus).  Queries score by ADC
+    deterministic); every corpus vector encodes to 8 five-bit codes
+    (40 bits = 5 BYTES per vector vs 256 for float32 — the
+    memory-bound regime at 100 TB, ~51× smaller than the corpus).
+    ADVICE r9: docstring previously said K=16 / 4 bytes while the code
+    uses PQ_K=32; figures now match the code.  Queries score by ADC
     (asymmetric distance computation): one query×centroid lookup table
     per subspace, approximate inner product = Σ_m LUT_m[code_m] — a
     table gather per candidate, no float dot against raw vectors.
@@ -747,6 +749,13 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     S = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     Sn = S / np.sqrt((S * S).sum(axis=1))[:, None]
+    if len(Sn) < PQ_K:
+        # ADVICE r9: first-k init would otherwise raise an opaque numpy
+        # broadcast error on a fixture with < PQ_K sampled vectors.
+        raise ValueError(
+            f"PQ codebook training needs >= {PQ_K} sampled embeddings, "
+            f"got {len(Sn)}; shrink PQ_K or widen the sample filter"
+        )
     books = np.empty((PQ_M, PQ_K, D_SUB))
     for m in range(PQ_M):
         sub = Sn[:, m * D_SUB : (m + 1) * D_SUB]
@@ -780,7 +789,7 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             B = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             Bn = B / np.sqrt((B * B).sum(axis=1))[:, None]
-            # encode: 8 four-bit codes per vector
+            # encode: 8 five-bit codes per vector (PQ_K=32)
             approx = np.zeros((len(q_ids), len(n_ids)))
             for m in range(PQ_M):
                 sub = Bn[:, m * D_SUB : (m + 1) * D_SUB]

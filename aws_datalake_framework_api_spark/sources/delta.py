@@ -4164,6 +4164,42 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
     return 0
 
 
+def _ice_partition_to_delta_str(value, ice_type: str) -> str | None:
+    """Serialize one Iceberg identity-partition value (avro-decoded
+    PHYSICAL form: bool, int days for date, long micros for
+    timestamp/timestamptz, int/long/str as-is) into Delta's
+    partition-value wire string (PROTOCOL.md "Partition Value
+    Serialization"): booleans lowercase ``true``/``false``, dates
+    ``yyyy-MM-dd``, timestamps ``yyyy-MM-dd HH:mm:ss.SSSSSS``.
+    ADVICE r9: Python ``str()`` produced ``'True'`` and raw epoch-day
+    ints here, which the Delta reader's string→type cast misreads.
+    Unsupported partition types refuse loudly (the honest-gate
+    pattern) rather than write a wrong log."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if ice_type == "boolean":
+        return "true" if value else "false"
+    if ice_type == "date":
+        return (_dt.date(1970, 1, 1) + _dt.timedelta(days=int(value))).isoformat()
+    if ice_type in ("timestamp", "timestamptz"):
+        micros = int(value)
+        base = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=micros)
+        return base.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if ice_type in ("int", "long", "string") or ice_type.startswith(
+        "decimal("
+    ):
+        return str(value)
+    if ice_type in ("float", "double"):
+        return repr(float(value))
+    raise ValueError(
+        f"cannot serialize iceberg partition type {ice_type!r} into "
+        "Delta partitionValues — convert after repartitioning to a "
+        "supported identity type"
+    )
+
+
 def convert_iceberg_to_delta(spark: SparkSession, src: str, dst: str) -> int:
     """Zero-copy Iceberg→Delta conversion (the UniForm/`CONVERT TO
     DELTA` interop direction): write a Delta log at ``dst`` whose
@@ -4208,6 +4244,7 @@ def convert_iceberg_to_delta(spark: SparkSession, src: str, dst: str) -> int:
             "layout or read through the Iceberg connector"
         )
     part_cols = [pf["name"] for pf in spec]
+    part_types = {pf["name"]: pf["ptype"] for pf in spec}
     snap = _snapshot_by_id(meta, None)
     if snap is None:
         data: list[dict] = []
@@ -4247,8 +4284,9 @@ def convert_iceberg_to_delta(spark: SparkSession, src: str, dst: str) -> int:
                 "add": {
                     "path": urllib.parse.quote(ap),
                     "partitionValues": {
-                        c: (None if rec["partition"].get(c) is None
-                            else str(rec["partition"][c]))
+                        c: _ice_partition_to_delta_str(
+                            rec["partition"].get(c), part_types[c]
+                        )
                         for c in part_cols
                     },
                     "size": os.path.getsize(ap),

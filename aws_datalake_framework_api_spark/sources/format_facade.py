@@ -1,0 +1,505 @@
+"""Batch ``spark.read.format("delta") / .format("iceberg")`` facade
+over the two from-scratch open-table-format connectors (VERDICT r9
+item #2): a lakehouse user's first gesture is
+``spark.read.format("delta").load(path)``, and until now batch reads
+were function-call API only (``read_delta`` / ``read_iceberg``) while
+the STREAMING side already shipped ``format("delta_stream")`` /
+``format("iceberg_stream")`` Python DataSources.
+
+Built on Spark 4's Python Data Source API (the same public seam as
+``sources/python_source.py`` and the streaming tails): the
+driver-side ``partitions()`` call plans from the table log/metadata
+(planning-sized JSON/avro — never data bytes) and emits one
+:class:`InputPartition` per live data file; the EXECUTOR-side
+``read()`` opens that one parquet with pyarrow, resolves columns
+(parquet field ids on mapped/renamed tables), injects Delta partition
+values from the log, and subtracts merge-on-read deletes — Delta
+deletion vectors decoded from the shipped O(1) descriptor, Iceberg
+positional + equality delete files gated by sequence number and
+partition scope (gating decided at PLANNING time per data file, so a
+task reads only the delete files that can apply to it).
+
+Scale shape: file-parallel reads with data bytes moving
+executor-side, never through the driver.  The facade trades the
+native readers' JVM parquet scan (whole-stage codegen, vectorized
+readers, pushdown) for drop-in ``format()`` compatibility — the
+function-call API (``read_delta`` / ``read_iceberg``) remains the
+performance path, and :func:`register_lake_view` bridges the two by
+registering the NATIVE reader's DataFrame as a temp view so the raw
+SQL surface (operators/sql_surface.py) can address lake tables.
+
+Options (keys lowercased by Spark):
+
+- delta: ``versionAsOf`` (int) / ``timestampAsOf`` (ISO) — the batch
+  time-travel pair, mutually exclusive like ``read_delta``'s;
+- iceberg: ``snapshotId`` / ``ref`` (tag or branch) /
+  ``asOfTimestamp`` — at most one, like ``read_iceberg``'s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import urllib.parse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ..functions.numeric import money_sum, sql_money_sum
+from ..registry import query
+from ..streaming.delta_source import (
+    _DeltaFilePartition,
+    read_file_partition,
+    resolve_file_fields,
+)
+from ..streaming.iceberg_source import _colmap
+from .delta import _snapshot, _version_at_timestamp
+from .iceberg import (
+    _current_schema,
+    _load_metadata,
+    _manifest_entries,
+    _resolution,
+    _schema_to_spark,
+    _snapshot_at_timestamp,
+    _snapshot_by_id,
+)
+from .landing import _scratch
+from .readers import load_table
+
+
+# ------------------------------------------------------------- delta batch
+
+
+def _delta_version(options, path: str) -> int | None:
+    v = options.get("versionasof")
+    ts = options.get("timestampasof")
+    if v is not None and ts is not None:
+        raise ValueError(
+            "format('delta'): pass versionAsOf OR timestampAsOf, not both"
+        )
+    if ts is not None:
+        return _version_at_timestamp(path, ts)
+    return int(v) if v is not None else None
+
+
+class DeltaBatchReader(DataSourceReader):
+    """One :class:`_DeltaFilePartition` per ACTIVE file of the
+    resolved snapshot — the same partition currency (and the same
+    executor-side ``read_file_partition``) as the streaming tail, so
+    column mapping, partition-value injection, and DV subtraction are
+    one proven code path, not two."""
+
+    def __init__(self, schema: StructType, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("format('delta') requires .load(<table path>)")
+        self.version = _delta_version(options, self.path)
+        self.schema = schema
+
+    def partitions(self):
+        snap, _ = _snapshot(None, self.path, self.version)
+        fields, part_cols = resolve_file_fields(snap, self.schema)
+        out: list[_DeltaFilePartition] = []
+        for rel in sorted(snap.files):
+            add = snap.files[rel]
+            dv = add.get("deletionVector")
+            if not (dv and int(dv.get("cardinality") or 0)):
+                dv = None
+            out.append(
+                _DeltaFilePartition(
+                    os.path.join(self.path, urllib.parse.unquote(rel)),
+                    dict(add.get("partitionValues") or {}),
+                    dv,
+                    self.path,
+                    fields,
+                    part_cols,
+                )
+            )
+        return out
+
+    def read(self, partition: _DeltaFilePartition):
+        return read_file_partition(partition)
+
+
+class DeltaBatchSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "delta"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("format('delta') requires .load(<table path>)")
+        snap, _ = _snapshot(None, path, _delta_version(self.options, path))
+        return StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return DeltaBatchReader(schema, self.options)
+
+
+# ----------------------------------------------------------- iceberg batch
+
+
+class _IceScanPartition(InputPartition):
+    def __init__(
+        self,
+        file_path: str,
+        names: list[str],
+        resolve: dict | None,
+        # positional-delete files whose sequence gate (delete seq >=
+        # this file's data seq) passed at planning time; read() scans
+        # them and keeps positions targeting THIS file's basename
+        pos_delete_files: list[str],
+        # (delete file path, equality column names) — sequence gate
+        # (STRICTLY greater) and partition scope already applied at
+        # planning time per the spec's rules
+        eq_deletes: list[tuple[str, tuple[str, ...]]],
+    ) -> None:
+        self.file_path = file_path
+        self.names = names
+        self.resolve = resolve
+        self.pos_delete_files = pos_delete_files
+        self.eq_deletes = eq_deletes
+
+
+class IcebergBatchReader(DataSourceReader):
+    """One :class:`_IceScanPartition` per live data file of the
+    resolved snapshot.  Merge-on-read gating — which delete files CAN
+    apply to which data file (sequence numbers, equality partition
+    scope) — is decided driver-side from planning-sized manifests, so
+    each task opens only its own data file plus the delete files that
+    survived its gates."""
+
+    def __init__(self, schema: StructType, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "format('iceberg') requires .load(<table path>)"
+            )
+        self.options = options
+        self.schema = schema
+
+    def _snap(self, meta: dict) -> dict | None:
+        sid = self.options.get("snapshotid")
+        ref = self.options.get("ref")
+        ts = self.options.get("asoftimestamp")
+        if sum(x is not None for x in (sid, ref, ts)) > 1:
+            raise ValueError(
+                "format('iceberg'): pass at most one of snapshotId / "
+                "ref / asOfTimestamp"
+            )
+        if ref is not None:
+            r = (meta.get("refs") or {}).get(ref)
+            if r is None:
+                raise ValueError(f"no such ref: {ref!r}")
+            sid = int(r["snapshot-id"])
+        if ts is not None:
+            sid = _snapshot_at_timestamp(meta, ts)
+        return _snapshot_by_id(meta, int(sid) if sid is not None else None)
+
+    def partitions(self):
+        meta = _load_metadata(self.path)
+        snap = self._snap(meta)
+        names = [f.name for f in self.schema.fields]
+        if snap is None:
+            return []
+        data, deletes, eq_deletes = _manifest_entries(self.path, meta, snap)
+        res = _resolution(meta)
+        resolve = None
+        if res is not None:
+            if eq_deletes:
+                # same refusal as the native reader's _apply_eq_deletes
+                raise ValueError(
+                    "equality deletes on a renamed-column table are not "
+                    "supported by this reader"
+                )
+            cur_by_name = {f["name"]: int(f["id"]) for f in res["ordered"]}
+            ids = {}
+            for n in names:
+                fid = cur_by_name.get(n, res["name_to_id"].get(n))
+                if fid is not None:
+                    ids[int(fid)] = n
+            resolve = {
+                "ids": ids,
+                "name_to_id": res["name_to_id"],
+                "ambiguous": sorted(res["ambiguous"]),
+            }
+        schema_json = _current_schema(meta)
+        by_id = {int(f["id"]): f for f in schema_json["fields"]}
+
+        def pjson(p: dict | None) -> str | None:
+            return json.dumps(p, sort_keys=True, default=str) if p else None
+
+        out: list[_IceScanPartition] = []
+        for rec in sorted(data, key=lambda r: r["path"]):
+            pos_files = sorted(
+                d["path"] for d in deletes if d["seq"] >= rec["seq"]
+            )
+            eqs: list[tuple[str, tuple[str, ...]]] = []
+            for d in sorted(eq_deletes, key=lambda d: d["path"]):
+                # STRICT gate: an equality delete at sequence S removes
+                # rows only from data files with data seq < S, scoped
+                # to the delete file's partition when it has one
+                if d["seq"] <= rec["seq"]:
+                    continue
+                dp = pjson(d.get("partition"))
+                if dp is not None and dp != pjson(rec.get("partition")):
+                    continue
+                cols = []
+                for fid in sorted(d["equality_ids"]):
+                    f = by_id.get(int(fid))
+                    if f is None or not isinstance(f.get("type"), str):
+                        raise ValueError(
+                            "equality delete on unresolvable/nested "
+                            f"field id {fid} is not supported"
+                        )
+                    cols.append(f["name"])
+                eqs.append((d["path"], tuple(cols)))
+            out.append(
+                _IceScanPartition(
+                    urllib.parse.unquote(rec["path"]),
+                    names,
+                    resolve,
+                    pos_files,
+                    eqs,
+                )
+            )
+        return out
+
+    def read(self, partition: _IceScanPartition):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.file_path)
+        colmap = _colmap(table, partition.resolve)
+        my_base = os.path.basename(partition.file_path)
+        dead: set[int] = set()
+        for dfile in partition.pos_delete_files:
+            dt = pq.read_table(dfile, columns=["file_path", "pos"])
+            for fp, pos in zip(
+                dt.column("file_path").to_pylist(),
+                dt.column("pos").to_pylist(),
+            ):
+                if os.path.basename(urllib.parse.unquote(fp)) == my_base:
+                    dead.add(int(pos))
+        eq_sets: list[tuple[tuple[str, ...], set]] = []
+        for dfile, cols in partition.eq_deletes:
+            dt = pq.read_table(dfile, columns=list(cols))
+            keys = set(
+                zip(*[dt.column(c).to_pylist() for c in cols])
+            )
+            eq_sets.append((cols, keys))
+        for pos, row in enumerate(table.to_pylist()):
+            if pos in dead:
+                continue
+            if eq_sets:
+                # Python tuple equality matches NULL to NULL, the
+                # spec's IS-NOT-DISTINCT-FROM semantics
+                vals = {
+                    n: row.get(colmap[n]) if n in colmap else None
+                    for n in partition.names
+                }
+                if any(
+                    tuple(vals.get(c) for c in cols) in keys
+                    for cols, keys in eq_sets
+                ):
+                    continue
+            yield tuple(
+                row.get(colmap[n]) if n in colmap else None
+                for n in partition.names
+            )
+
+
+class IcebergBatchSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "format('iceberg') requires .load(<table path>)"
+            )
+        return _schema_to_spark(_current_schema(_load_metadata(path)))
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return IcebergBatchReader(schema, self.options)
+
+
+def register_formats(spark: SparkSession) -> None:
+    """Register both batch facades (idempotent per session)."""
+    for src in (DeltaBatchSource, IcebergBatchSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:  # noqa: BLE001 — already registered
+            pass
+
+
+def register_lake_view(
+    spark: SparkSession, name: str, path: str, fmt: str = "delta"
+) -> None:
+    """Expose a lake table to ``spark.sql`` under ``name`` through the
+    NATIVE batch reader (the performance path: JVM parquet scan,
+    pushdown, DV/delete subtraction as distributed anti-joins) — the
+    bridge that lets the raw SQL surface address Delta/Iceberg tables
+    without a Python call per query."""
+    if fmt == "delta":
+        from .delta import read_delta
+
+        read_delta(spark, path).createOrReplaceTempView(name)
+    elif fmt == "iceberg":
+        from .iceberg import read_iceberg
+
+        read_iceberg(spark, path).createOrReplaceTempView(name)
+    else:
+        raise ValueError(f"unknown lake format {fmt!r}")
+
+
+# ---------------------------------------------------------------- queries
+
+
+@query(
+    "b_scan_delta_fmt",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_delta_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.format("delta").load(path)`` end to end: build a
+    partitioned Delta table, merge-on-read DELETE half of it (deletion
+    vectors — zero files rewritten), then read it back through the
+    registered batch DataSource facade and aggregate.  The oracle
+    recomputes the surviving aggregate from the fixture, so a misread
+    partition value, a resurrected DV-deleted row, or a lost file all
+    fail the hash compare.  (The native ``read_delta`` twin of this
+    shape is ``b_lake_delta_dv``; this id certifies the FORMAT facade
+    plumbing: schema from the log, per-file partition planning,
+    executor-side pyarrow read + DV subtraction, Arrow-free row
+    assembly through the Python DataSource seam.)"""
+    from .delta import _table_version, delete_where_delta, write_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"delta_fmt_{os.path.basename(sf_dir.rstrip('/'))}")
+    if _table_version(path) != 1:
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 6 == 0),
+            path,
+            mode="error",
+            partition_by=["o_orderpriority"],
+        )
+        delete_where_delta(spark, path, F.col("o_orderkey") % 12 == 0)
+    register_formats(spark)
+    back = spark.read.format("delta").load(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "b_scan_iceberg_fmt",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 6 = 1
+      AND o_orderkey % 18 <> 1
+      AND o_orderkey % 30 <> 7
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_iceberg_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.format("iceberg").load(path)`` end to end over a
+    merge-on-read v2 table carrying BOTH delete shapes: build a
+    partitioned Iceberg table, position-delete one key slice
+    (``delete_iceberg_rows`` — content=1 files), equality-delete
+    another (``delete_by_key_iceberg`` — content=2, the Flink-CDC
+    shape), then read through the batch DataSource facade.  The
+    oracle recomputes the doubly-subtracted aggregate, so a sequence
+    gate applied the wrong way, an unscoped equality delete, or a
+    missed positional subtraction all fail the hash compare."""
+    from .iceberg import (
+        delete_by_key_iceberg,
+        delete_iceberg_rows,
+        write_iceberg,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"iceberg_fmt_{os.path.basename(sf_dir.rstrip('/'))}")
+    done = os.path.join(path, "_fixture_complete")
+    if not os.path.exists(done):
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg(
+            orders.filter(F.col("o_orderkey") % 6 == 1),
+            path,
+            mode="error",
+            partition_by=["o_orderpriority"],
+        )
+        delete_iceberg_rows(spark, path, F.col("o_orderkey") % 18 == 1)
+        delete_by_key_iceberg(
+            spark,
+            path,
+            orders.filter(
+                (F.col("o_orderkey") % 6 == 1)
+                & (F.col("o_orderkey") % 30 == 7)
+            ).select("o_orderkey"),
+        )
+        open(done, "w").close()
+    register_formats(spark)
+    back = spark.read.format("iceberg").load(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "b_sql_lake",
+    f"""
+    SELECT c_mktsegment, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ``spark.sql`` over a REGISTERED lake view (VERDICT r9 item
+    #2's second half): the DV-carrying Delta fixture registers as a
+    temp view through the NATIVE reader (:func:`register_lake_view`),
+    then one SQL statement joins it against a parquet view — proving
+    the SQL surface can address a lake table with its merge-on-read
+    state intact (the deleted half must stay deleted THROUGH the view
+    seam).  Plan shape: the view body IS the native reader's plan —
+    partition-value injection and the DV anti-join inline under the
+    join, with the dimension side broadcast by AQE."""
+    scan_delta_fmt(spark, sf_dir)  # ensure the fixture exists
+    path = _scratch(f"delta_fmt_{os.path.basename(sf_dir.rstrip('/'))}")
+    register_lake_view(spark, "lake_orders", path, fmt="delta")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_v"
+    )
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, count(*) AS n,
+               {sql_money_sum('o_totalprice')} AS total_price
+        FROM lake_orders JOIN customer_v ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )

@@ -1582,6 +1582,15 @@ def _file_stats(
 
 
 def _typed_part_value(ice_type: str, raw: str | None):
+    """Type a partition path segment (Spark's partitionBy directory
+    name) into the manifest's avro PHYSICAL form: the avro schema
+    (``_avro_prim``) spells date as int epoch-days and timestamp as
+    long epoch-micros, so the ISO strings Spark writes into directory
+    names must convert here (previously they rode through as strings
+    and the avro encoder crashed — date/timestamp identity partitions
+    were unwritable)."""
+    import datetime as _dt
+
     if raw is None:
         return None
     if ice_type == "int":
@@ -1592,6 +1601,17 @@ def _typed_part_value(ice_type: str, raw: str | None):
         return float(raw)
     if ice_type == "boolean":
         return raw == "true"
+    if ice_type == "date":
+        return (_dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)).days
+    if ice_type in ("timestamp", "timestamptz"):
+        ts = _dt.datetime.fromisoformat(raw)
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        delta = ts - _dt.datetime(1970, 1, 1)
+        return (
+            (delta.days * 86_400 + delta.seconds) * 1_000_000
+            + delta.microseconds
+        )
     return str(raw)
 
 

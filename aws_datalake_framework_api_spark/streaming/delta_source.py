@@ -92,6 +92,8 @@ class _DeltaFilePartition(InputPartition):
 
 
 def _typed(value: str | None, simple: str):
+    """Type one partition-value wire string (the log's serialization,
+    PROTOCOL.md "Partition Value Serialization") for row assembly."""
     if value is None:
         return None
     if simple in ("int", "bigint", "smallint", "tinyint"):
@@ -100,6 +102,18 @@ def _typed(value: str | None, simple: str):
         return float(value)
     if simple == "boolean":
         return value == "true"
+    if simple == "date":
+        import datetime as _dt
+
+        return _dt.date.fromisoformat(value)
+    if simple.startswith("timestamp"):
+        import datetime as _dt
+
+        return _dt.datetime.fromisoformat(value)
+    if simple.startswith("decimal("):
+        import decimal as _dec
+
+        return _dec.Decimal(value)
     return value
 
 
@@ -145,6 +159,117 @@ def _resolve_start(options, path: str) -> int:
     return (max(vs) + 1) if vs else 0
 
 
+def resolve_file_fields(
+    snap, schema: StructType
+) -> tuple[list[tuple[str, str, str, int | None]], list[str]]:
+    """Column-mapping resolution, ONCE per planned read: mapped tables
+    spell PHYSICAL col-<uuid> names in the data files and in
+    add.partitionValues, so matching file columns / partition keys by
+    logical name would silently yield all-NULL rows — a misread, not a
+    degradation (ADVICE r6; the batch reader resolves this too).
+    ``name`` mode resolves by physical name; ``id`` mode ships the
+    columnMapping id so read() matches by parquet field id.  Returns
+    (fields, part_cols) in :class:`_DeltaFilePartition`'s currency:
+    fields = (logical name, simpleString type, physical name, field id
+    or None); part_cols = STORED partition-column names.  Shared by
+    the streaming tail and the batch ``spark.read.format("delta")``
+    facade (sources/format_facade.py)."""
+    mode = _mapping_mode(snap)
+    sj = json.loads(snap.metadata["schemaString"])
+    if mode not in ("none", ""):
+        if mode not in ("name", "id"):
+            raise ValueError(
+                f"delta read: unsupported {mode!r} column-mapping mode"
+            )
+        for f in sj.get("fields") or []:
+            if _physical_json(f["type"]) != _logical_json(f["type"]):
+                raise ValueError(
+                    "delta read: nested column-mapped fields are not "
+                    "supported by the row-level reader — use the batch "
+                    "function API (read_delta) instead"
+                )
+    meta_by = {
+        f["name"]: (f.get("metadata") or {})
+        for f in sj.get("fields") or []
+    }
+    mapped = mode in ("name", "id")
+    fields = []
+    for fobj in schema.fields:
+        md = meta_by.get(fobj.name, {})
+        phys = md.get(_CMAP_PHYS_KEY, fobj.name) if mapped else fobj.name
+        fid = (
+            int(md[_CMAP_ID_KEY])
+            if mode == "id" and _CMAP_ID_KEY in md
+            else None
+        )
+        fields.append((fobj.name, fobj.dataType.simpleString(), phys, fid))
+    # partition columns = declared schema minus what the files hold;
+    # stored under PHYSICAL names on mapped tables
+    part_cols = [
+        meta_by.get(c, {}).get(_CMAP_PHYS_KEY, c) if mapped else c
+        for c in snap.metadata.get("partitionColumns") or []
+    ]
+    return fields, part_cols
+
+
+def read_file_partition(partition: _DeltaFilePartition):
+    """Executor-side read of one planned Delta data file: open the
+    parquet with pyarrow, resolve columns (by parquet field id in id
+    mode, by physical name otherwise; unresolved = column added after
+    the file was written, served as NULL), inject the log's partition
+    values, and subtract deletion-vector positions decoded from the
+    shipped descriptor.  Shared by the streaming tail and the batch
+    format facade."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(partition.file_path)
+    cols = set(table.column_names)
+    by_id: dict[int, str] = {}
+    for fld in table.schema:
+        raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if raw is not None:
+            by_id[int(raw)] = fld.name
+    deleted = (
+        set(_load_dv_positions(partition.table_root, partition.dv))
+        if partition.dv
+        else set()
+    )
+    # partition values are keyed by STORED (physical) names in the
+    # log; output keys are logical
+    part_typed = {
+        name: _typed(partition.part_values.get(phys), simple)
+        for name, simple, phys, _fid in partition.fields
+        if phys in partition.part_cols
+    }
+    resolved: dict[str, str | None] = {}
+    for name, _simple, phys, fid in partition.fields:
+        if phys in partition.part_cols:
+            continue
+        if fid is not None:
+            if not by_id:
+                raise ValueError(
+                    "delta read: id-mode table but "
+                    f"{partition.file_path} carries no parquet field "
+                    "ids — refusing to misread"
+                )
+            resolved[name] = by_id.get(fid)
+        else:
+            resolved[name] = phys if phys in cols else None
+    for pos, row in enumerate(table.to_pylist()):
+        if pos in deleted:
+            continue
+        yield tuple(
+            part_typed[name]
+            if name in part_typed
+            else (
+                row.get(resolved[name])
+                if resolved[name] is not None
+                else None
+            )
+            for name, _simple, _phys, _fid in partition.fields
+        )
+
+
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options) -> None:
         self.path = options.get("path")
@@ -165,54 +290,8 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
-        # column-mapping resolution, ONCE per planned range: mapped
-        # tables spell PHYSICAL col-<uuid> names in the data files and
-        # in add.partitionValues, so matching file columns / partition
-        # keys by logical name would silently yield all-NULL rows — a
-        # misread, not a degradation (ADVICE r6; the batch reader and
-        # the iceberg_stream source both resolve this).  ``name`` mode
-        # resolves by physical name; ``id`` mode ships the columnMapping
-        # id so read() matches by parquet field id, like the batch
-        # reader's fieldId matching.
         snap, _ = _snapshot(None, self.path, hi)
-        mode = _mapping_mode(snap)
-        sj = json.loads(snap.metadata["schemaString"])
-        if mode not in ("none", ""):
-            if mode not in ("name", "id"):
-                raise ValueError(
-                    f"delta_stream: unsupported {mode!r} column-mapping "
-                    "mode"
-                )
-            for f in sj.get("fields") or []:
-                if _physical_json(f["type"]) != _logical_json(f["type"]):
-                    raise ValueError(
-                        "delta_stream: nested column-mapped fields are "
-                        "not supported by the stream tail — read the "
-                        "table in batch (read_delta) instead"
-                    )
-        meta_by = {
-            f["name"]: (f.get("metadata") or {})
-            for f in sj.get("fields") or []
-        }
-        mapped = mode in ("name", "id")
-        fields = []
-        for fobj in self.schema.fields:
-            md = meta_by.get(fobj.name, {})
-            phys = md.get(_CMAP_PHYS_KEY, fobj.name) if mapped else fobj.name
-            fid = (
-                int(md[_CMAP_ID_KEY])
-                if mode == "id" and _CMAP_ID_KEY in md
-                else None
-            )
-            fields.append(
-                (fobj.name, fobj.dataType.simpleString(), phys, fid)
-            )
-        # partition columns = declared schema minus what the files hold;
-        # stored under PHYSICAL names on mapped tables
-        part_cols = [
-            meta_by.get(c, {}).get(_CMAP_PHYS_KEY, c) if mapped else c
-            for c in snap.metadata.get("partitionColumns") or []
-        ]
+        fields, part_cols = resolve_file_fields(snap, self.schema)
         out: list[_DeltaFilePartition] = []
         have = set(_list_versions(self.path))
         for v in range(lo + 1, hi + 1):
@@ -254,59 +333,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _DeltaFilePartition):
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(partition.file_path)
-        cols = set(table.column_names)
-        by_id: dict[int, str] = {}
-        for fld in table.schema:
-            raw = (fld.metadata or {}).get(b"PARQUET:field_id")
-            if raw is not None:
-                by_id[int(raw)] = fld.name
-        deleted = (
-            set(_load_dv_positions(partition.table_root, partition.dv))
-            if partition.dv
-            else set()
-        )
-        # partition values are keyed by STORED (physical) names in the
-        # log; output keys are logical
-        part_typed = {
-            name: _typed(partition.part_values.get(phys), simple)
-            for name, simple, phys, _fid in partition.fields
-            if phys in partition.part_cols
-        }
-        # resolve each data column to the FILE's column name: by
-        # parquet field id in id mode (a file with no ids at all is a
-        # spec violation there — fail loudly, never all-NULL), by
-        # physical name otherwise; unresolved = column added after the
-        # file was written, served as NULL.
-        resolved: dict[str, str | None] = {}
-        for name, _simple, phys, fid in partition.fields:
-            if phys in partition.part_cols:
-                continue
-            if fid is not None:
-                if not by_id:
-                    raise ValueError(
-                        "delta_stream: id-mode table but "
-                        f"{partition.file_path} carries no parquet "
-                        "field ids — refusing to misread"
-                    )
-                resolved[name] = by_id.get(fid)
-            else:
-                resolved[name] = phys if phys in cols else None
-        for pos, row in enumerate(table.to_pylist()):
-            if pos in deleted:
-                continue
-            yield tuple(
-                part_typed[name]
-                if name in part_typed
-                else (
-                    row.get(resolved[name])
-                    if resolved[name] is not None
-                    else None
-                )
-                for name, _simple, _phys, _fid in partition.fields
-            )
+        return read_file_partition(partition)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the engine checkpoint

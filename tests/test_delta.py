@@ -3355,6 +3355,54 @@ def test_convert_iceberg_reads_and_diverges_without_touching_source(
     assert _sorted_rows(read_iceberg(spark, src)) == src_rows
 
 
+def test_convert_serializes_date_and_bool_partitions(spark, tmp_path):
+    """ADVICE r9: identity partition values of date/boolean type must
+    land in Delta's wire form ('yyyy-MM-dd', lowercase 'true'/'false')
+    — Python str() of the avro physical form (epoch-day int, 'True')
+    made the Delta reader misread the injected partition columns."""
+    import datetime as dt
+    import json as _json
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        convert_iceberg_to_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    src, dst = str(tmp_path / "ice"), str(tmp_path / "dl")
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 2), True, 1.0),
+            (2, dt.date(2024, 1, 2), False, 2.0),
+            (3, dt.date(2024, 3, 4), True, 3.0),
+        ],
+        "k int, d date, flag boolean, v double",
+    )
+    write_iceberg(df, src, mode="error", partition_by=["d", "flag"])
+    src_rows = _sorted_rows(read_iceberg(spark, src))
+
+    convert_iceberg_to_delta(spark, src, dst)
+    assert _sorted_rows(read_delta(spark, dst)) == src_rows
+
+    # the log itself must spell the protocol wire forms
+    pvals = set()
+    with open(
+        os.path.join(dst, "_delta_log", "00000000000000000000.json")
+    ) as fh:
+        for line in fh:
+            a = _json.loads(line).get("add")
+            if a:
+                pv = a["partitionValues"]
+                pvals.add((pv["d"], pv["flag"]))
+    assert pvals == {
+        ("2024-01-02", "true"),
+        ("2024-01-02", "false"),
+        ("2024-03-04", "true"),
+    }
+
+
 def test_convert_refuses_mor_deletes_and_hidden_transforms(spark, tmp_path):
     from aws_datalake_framework_api_spark.sources.delta import (
         convert_iceberg_to_delta,
