@@ -1,0 +1,195 @@
+"""Batch ``spark.read.format("delta"/"iceberg")`` facade
+(sources/format_facade.py): the public ``format()`` gesture must
+return the same rows as the native function-call readers across the
+protocol features each connector implements — time travel, column
+mapping, deletion vectors, renamed-column resolution, and
+merge-on-read delete gating."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_datalake_framework_api_spark.sources.delta import (
+    create_mapped_delta,
+    delete_where_delta,
+    read_delta,
+    write_delta,
+)
+from aws_datalake_framework_api_spark.sources.format_facade import (
+    register_formats,
+    register_lake_view,
+)
+from aws_datalake_framework_api_spark.sources.iceberg import (
+    delete_by_key_iceberg,
+    delete_iceberg_rows,
+    evolve_iceberg,
+    read_iceberg,
+    write_iceberg,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, part string, v double")
+
+
+# ------------------------------------------------------------------ delta
+
+
+def test_delta_format_matches_native_with_dvs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(k, "a" if k % 2 else "b", float(k)) for k in range(20)]),
+        path,
+        mode="error",
+        partition_by=["part"],
+    )
+    delete_where_delta(spark, path, F.col("k") % 5 == 0)
+    register_formats(spark)
+    got = spark.read.format("delta").load(path)
+    native = read_delta(spark, path)
+    # same names and types (nullability flags may differ: the facade
+    # serves the log's declared schema, the native reader the scan's)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in native.schema.fields
+    ]
+    assert _rows(got) == _rows(native)
+    assert not any(r[0] % 5 == 0 for r in got.collect())
+
+
+def test_delta_format_time_travel_options(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    register_formats(spark)
+    v0 = spark.read.format("delta").option("versionAsOf", 0).load(path)
+    assert _rows(v0) == [(1, "a", 1.0)]
+    latest = spark.read.format("delta").load(path)
+    assert len(_rows(latest)) == 2
+    # timestampAsOf far in the future resolves to the latest version
+    ts = (
+        dt.datetime.now(dt.timezone.utc) + dt.timedelta(days=1)
+    ).isoformat()
+    both = (
+        spark.read.format("delta").option("timestampAsOf", ts).load(path)
+    )
+    assert len(_rows(both)) == 2
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("delta").option("versionAsOf", 0).option(
+            "timestampAsOf", ts
+        ).load(path).collect()
+
+
+def test_delta_format_column_mapped_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_mapped_delta(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+        path,
+        partition_by=["part"],
+    )
+    register_formats(spark)
+    got = spark.read.format("delta").load(path)
+    # logical names out, physical col-<uuid> names resolved inside
+    assert got.columns == ["k", "part", "v"]
+    assert _rows(got) == _rows(read_delta(spark, path))
+
+
+def test_register_lake_view_serves_sql(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(k, "a", float(k)) for k in range(10)]),
+        path,
+        mode="error",
+    )
+    delete_where_delta(spark, path, F.col("k") >= 5)
+    register_lake_view(spark, "fmt_facade_t", path, fmt="delta")
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(v) AS s FROM fmt_facade_t"
+    ).collect()[0]
+    assert (got["n"], got["s"]) == (5, 10.0)
+
+
+# ---------------------------------------------------------------- iceberg
+
+
+def test_iceberg_format_matches_native_with_mor_deletes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg(
+        _df(spark, [(k, "a" if k % 2 else "b", float(k)) for k in range(20)]),
+        path,
+        mode="error",
+        partition_by=["part"],
+    )
+    # positional deletes (content=1) + equality deletes (content=2)
+    delete_iceberg_rows(spark, path, F.col("k") % 5 == 0)
+    delete_by_key_iceberg(
+        spark, path, spark.createDataFrame([(7,), (11,)], "k int")
+    )
+    register_formats(spark)
+    got = spark.read.format("iceberg").load(path)
+    assert _rows(got) == _rows(read_iceberg(spark, path))
+    ks = {r[0] for r in got.collect()}
+    assert ks.isdisjoint({0, 5, 10, 15, 7, 11})
+
+
+def test_iceberg_format_eq_delete_sequence_gate(spark, tmp_path):
+    """Rows appended AFTER an equality delete must survive it (the
+    strict sequence gate): delete key k=1, then re-append k=1 — the
+    facade read keeps exactly the re-appended row."""
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), path, mode="error")
+    delete_by_key_iceberg(
+        spark, path, spark.createDataFrame([(1,)], "k int")
+    )
+    write_iceberg(_df(spark, [(1, "a", 9.0)]), path, mode="append")
+    register_formats(spark)
+    got = _rows(spark.read.format("iceberg").load(path))
+    assert got == [(1, "a", 9.0), (2, "b", 2.0)]
+    assert got == _rows(read_iceberg(spark, path))
+
+
+def test_iceberg_format_renamed_table_resolves_by_field_id(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    evolve_iceberg(path, renames={"v": "val"})
+    write_iceberg(
+        spark.createDataFrame(
+            [(2, "b", 2.0)], "k int, part string, val double"
+        ),
+        path,
+        mode="append",
+    )
+    register_formats(spark)
+    got = spark.read.format("iceberg").load(path)
+    assert got.columns == ["k", "part", "val"]
+    # pre-rename file's column must surface under the NEW name
+    assert _rows(got) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_iceberg_format_snapshot_ref_options(spark, tmp_path):
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        _load_metadata,
+        tag_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), path, mode="append")
+    meta = _load_metadata(path)
+    first = min(
+        meta["snapshots"], key=lambda s: s.get("sequence-number", 0)
+    )["snapshot-id"]
+    tag_iceberg(path, "v1", snapshot_id=first)
+    register_formats(spark)
+    by_id = (
+        spark.read.format("iceberg").option("snapshotId", first).load(path)
+    )
+    assert _rows(by_id) == [(1, "a", 1.0)]
+    by_ref = spark.read.format("iceberg").option("ref", "v1").load(path)
+    assert _rows(by_ref) == [(1, "a", 1.0)]
