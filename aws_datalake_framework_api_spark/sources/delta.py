@@ -1558,17 +1558,11 @@ def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
     # Identity columns (r9): append/overwrite GENERATE values and
     # advance the high watermark in the same commit (write_delta);
     # delete and optimize never mint rows so they pass untouched.
-    # update/merge would need watermark maintenance inside the rewrite
-    # planners (a merge INSERT mints rows) — refused, not misapplied.
-    if operation in ("update", "merge") and _find_field_metadata_key(
-        schema_fields, ("delta.identity.",)
-    ) is not None:
-        raise ValueError(
-            "table declares an identity column: update/merge watermark "
-            "maintenance is not implemented (append/overwrite/delete/"
-            "optimize are) — install delta-spark for identity "
-            "update/merge"
-        )
+    # update/merge (r10, VERDICT r9 item #5): rewrites PRESERVE
+    # existing identity values (explicit SET on the column refuses,
+    # UPDATE * excludes it), merge INSERTs draw from the lattice and
+    # advance the watermark in the same commit — see
+    # _identity_merge_prep and the update_delta assignment guard.
     if _mapping_mode(snap) not in ("none", "") and operation not in (
         "append", "overwrite", "update", "delete", "merge", "optimize",
     ):
@@ -2102,6 +2096,83 @@ def _identity_watermark_md(
     return md
 
 
+def _identity_merge_prep(
+    snap: _Snapshot, source: DataFrame, clauses: list[dict], cols: list[str]
+) -> tuple[DataFrame, list[dict], dict]:
+    """Identity-column MERGE preparation (r10, VERDICT r9 item #5 —
+    the refusal this replaces said "update/merge watermark maintenance
+    is not implemented").  delta-spark-matching semantics:
+
+    - an UPDATE clause whose ``set`` names an identity column refuses
+      (identity values are writer-owned; delta-spark throws the same);
+    - ``UPDATE *`` keeps the target's identity value: the None set is
+      rewritten to an explicit per-column map EXCLUDING identity
+      columns (by-source updates already keep target values);
+    - a source missing the identity column gets it synthesized as
+      NULL, so ``INSERT *`` means GENERATE for it; a source that
+      CARRIES the column (or an insert ``set`` naming it) is an
+      explicit insert — allowed only with
+      ``delta.identity.allowExplicitInsert``, and the watermark then
+      rounds up to the next lattice point past the inserted maximum;
+    - generated values come from ``base + step·id`` with
+      ``base = highWaterMark + step`` (gaps allowed — discarded
+      candidates and id-block holes are the documented contract).
+
+    Returns (source, clauses, gen_ident) where gen_ident feeds
+    :func:`merge_clauses._plan_inserts`' NULL-fill generation."""
+    specs = _identity_specs(snap)
+    if not specs:
+        return source, clauses, {}
+    if _mapping_mode(snap) not in ("none", ""):
+        raise ValueError(
+            "identity columns on a column-mapped table are not "
+            "implemented (install delta-spark)"
+        )
+    insert_cl = [c for c in clauses if c["when"] == "not_matched"]
+    out_clauses = []
+    for cl in clauses:
+        cl = dict(cl)
+        if cl["action"] == "update":
+            st = cl.get("set")
+            if st is None:
+                if cl["when"] == "matched":
+                    # UPDATE *: take source values for every column
+                    # EXCEPT identity (target value kept)
+                    cl["set"] = {
+                        c: f"s.`{c}`" for c in cols if c not in specs
+                    }
+            else:
+                bad = sorted(set(st) & set(specs))
+                if bad:
+                    raise ValueError(
+                        f"cannot UPDATE identity column(s) {bad}: identity "
+                        "values are writer-owned"
+                    )
+        out_clauses.append(cl)
+    gen_ident: dict[str, tuple[int, int]] = {}
+    for name, spec in sorted(specs.items()):
+        explicit = any(
+            (cl.get("set") is None and name in source.columns)
+            or name in (cl.get("set") or {})
+            for cl in insert_cl
+        )
+        if explicit and not spec["allow_explicit"]:
+            raise ValueError(
+                f"identity column {name!r} does not allow explicit "
+                "inserts (delta.identity.allowExplicitInsert) — drop the "
+                "column from the merge source / insert set to generate"
+            )
+        if name not in source.columns:
+            source = source.withColumn(name, F.lit(None).cast("long"))
+        base = (
+            spec["wm"] + spec["step"]
+            if spec["wm"] is not None
+            else spec["start"]
+        )
+        gen_ident[name] = (base, spec["step"])
+    return source, out_clauses, gen_ident
+
+
 def create_identity_delta(
     spark: SparkSession,
     df: DataFrame,
@@ -2219,7 +2290,8 @@ def drop_constraint_delta(spark: SparkSession, path: str, name: str) -> int:
 
 
 def _check_schema_compat(
-    df: DataFrame, snap: _Snapshot, partition_by: list[str]
+    df: DataFrame, snap: _Snapshot, partition_by: list[str],
+    skip_null_check: set | None = None,
 ) -> DataFrame:
     """Append/overwrite must match the table's declared schema and
     partitioning exactly (no schema evolution support): a mismatched
@@ -2235,7 +2307,13 @@ def _check_schema_compat(
     (Spark's own ``AssertNotNull`` semantics) — the WRITE JOB fails if
     an actual NULL appears, so no NULL ever lands where the log schema
     says none can exist (ADVICE r5).  Returns the (possibly guarded)
-    DataFrame to write."""
+    DataFrame to write.
+
+    ``skip_null_check``: columns exempted from the null guard — the
+    identity MERGE path validates its source through here, where a
+    synthesized NULL identity column MEANS "generate" and the real
+    non-null enforcement happens at the staged write (the generated
+    frame still flows through this guard on its way to parquet)."""
     declared = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
     want = {f.name: f.dataType.simpleString() for f in declared.fields}
     got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -2247,7 +2325,9 @@ def _check_schema_compat(
     guard = [
         f.name
         for f in declared.fields
-        if not f.nullable and df.schema[f.name].nullable
+        if not f.nullable
+        and df.schema[f.name].nullable
+        and f.name not in (skip_null_check or set())
     ]
     if guard:
         df = df.select(
@@ -2768,6 +2848,15 @@ def update_delta(
     bad = set(assignments) - cols
     if bad:
         raise ValueError(f"UPDATE assigns unknown columns: {sorted(bad)}")
+    ident = sorted(set(assignments) & set(_identity_specs(snap)))
+    if ident:
+        # identity values are writer-owned (delta-spark throws the
+        # same); rewrites PRESERVE untouched columns, so an update that
+        # doesn't name the column keeps every row's value (r10)
+        raise ValueError(
+            f"cannot UPDATE identity column(s) {ident}: identity values "
+            "are writer-owned"
+        )
     rels = sorted(snap.files)
     dv_map = _dv_map(path, snap, rels)
     tagged = _logical_scan(spark, path, snap, rels, dv_map, keep_file=True)
@@ -3003,9 +3092,10 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
     return version, n_deleted
 
 
-def _merge_delta_mor(
+def _merge_delta_mor(  # gen_ident threaded from merge_delta's prep
     spark, path, snap, latest, source, on, clauses, cols, types,
     target, rels, cand_rels, matched_cl, bysrc_cond, txn,
+    gen_ident: dict | None = None,
 ) -> dict:
     """merge_delta's MERGE-ON-READ body: no hit-FILE discovery, no
     rewrites — plan the touched ROWS over the stats-pruned candidate
@@ -3027,6 +3117,7 @@ def _merge_delta_mor(
     planned = plan_merge_mor(
         tagged, source, on, clauses, cols, types, target.select(*on),
         ["_dl_file", "_dl_dv_pos"], want_changes=want_cdc,
+        gen_ident=gen_ident,
     )
     touched, new_rows, stats = planned[0], planned[1], planned[2]
     if not (stats["updated"] or stats["deleted"] or stats["inserted"]):
@@ -3079,7 +3170,16 @@ def _merge_delta_mor(
         actions.append({"add": {**{k: v for k, v in a.items()},
                                "deletionVector": json.loads(r["descriptor"]),
                                "dataChange": True}})
-    actions.extend(_stage_mutation(new_rows, snap, path, version))
+    adds = _stage_mutation(new_rows, snap, path, version)
+    if gen_ident:
+        # watermark in the same commit as the minted values (see the
+        # COW twin above)
+        md_wm = _identity_watermark_md(
+            spark, path, snap, _identity_specs(snap), set(gen_ident), adds
+        )
+        if md_wm is not None:
+            actions.append({"metaData": md_wm})
+    actions.extend(adds)
     actions.extend(cdc_actions)
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
@@ -3163,10 +3263,18 @@ def merge_delta(
     _check_write_protocol(snap, "merge")
     schema = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
     part_cols = list(snap.metadata.get("partitionColumns") or [])
-    source = _check_schema_compat(source, snap, part_cols)
     cols = [f.name for f in schema.fields]
     types = {f.name: f.dataType for f in schema.fields}
     clauses = [dict(c) for c in (clauses or DEFAULT_CLAUSES)]
+    # identity columns (r10): synthesize a NULL source column for
+    # generated inserts, rewrite UPDATE * to keep target values,
+    # gate explicit inserts — BEFORE schema-compat sees the source
+    source, clauses, gen_ident = _identity_merge_prep(
+        snap, source, clauses, cols
+    )
+    source = _check_schema_compat(
+        source, snap, part_cols, skip_null_check=set(gen_ident)
+    )
     check_clauses(clauses, cols)
     matched_cl = [c for c in clauses if c["when"] == "matched"]
     dup = (
@@ -3222,6 +3330,7 @@ def merge_delta(
         return _merge_delta_mor(
             spark, path, snap, latest, source, on, clauses, cols, types,
             target, rels, cand_rels, matched_cl, bysrc_cond, txn,
+            gen_ident=gen_ident,
         )
     hit_names: set[str] = set()
     if matched_cl:
@@ -3261,7 +3370,7 @@ def merge_delta(
     want_cdc = _cdf_enabled(snap)
     planned = plan_merge(
         hit_rows, source, on, clauses, cols, types, target.select(*on),
-        want_changes=want_cdc,
+        want_changes=want_cdc, gen_ident=gen_ident,
     )
     new_data, stats = planned[0], planned[1]
     if not (stats["updated"] or stats["deleted"] or stats["inserted"]):
@@ -3306,7 +3415,17 @@ def merge_delta(
         if snap.files[rel].get("deletionVector"):
             rm["deletionVector"] = snap.files[rel]["deletionVector"]
         actions.append({"remove": rm})
-    actions.extend(_stage_mutation(new_data, snap, path, version))
+    adds = _stage_mutation(new_data, snap, path, version)
+    if gen_ident:
+        # the watermark rides the SAME commit as the minted values —
+        # the same crash-safety contract as write_delta's appends;
+        # lattice-ceil rounding makes explicit off-lattice inserts safe
+        md_wm = _identity_watermark_md(
+            spark, path, snap, _identity_specs(snap), set(gen_ident), adds
+        )
+        if md_wm is not None:
+            actions.append({"metaData": md_wm})
+    actions.extend(adds)
     actions.extend(cdc_actions)
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})

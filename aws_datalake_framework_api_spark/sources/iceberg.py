@@ -1034,8 +1034,95 @@ def read_iceberg(
         data = kept
     return _plan_scan(
         spark, spark_schema, data, deletes, res,
-        eq_deletes=eq_deletes, schema_json=schema_json,
+        eq_deletes=eq_deletes, schema_json=schema_json, meta=meta,
     )
+
+
+_CONST_WIRE_TYPES = {
+    "boolean", "int", "long", "float", "double", "string",
+    "date", "timestamp", "timestamptz",
+}
+
+
+def _const_wire(value, ice_type: str) -> str | None:
+    """One identity-partition value, avro PHYSICAL form (bool, int
+    epoch-days for date, long epoch-micros for timestamp) → a string
+    Spark's cast reads back to the declared type exactly."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if ice_type == "boolean":
+        return "true" if value else "false"
+    if ice_type == "date":
+        return (
+            _dt.date(1970, 1, 1) + _dt.timedelta(days=int(value))
+        ).isoformat()
+    if ice_type in ("timestamp", "timestamptz"):
+        return (
+            _dt.datetime(1970, 1, 1)
+            + _dt.timedelta(microseconds=int(value))
+        ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    return str(value)
+
+
+def _identity_const_plan(
+    meta: dict, schema_json: dict, data: list[dict]
+) -> tuple[list[str], dict[str, dict]] | None:
+    """Identity-partition CONSTANTS plan (spec §Column Projection:
+    readers MUST serve identity-transform source columns from the
+    manifest's partition metadata — the rule that makes migrated /
+    converted data files, which may LACK those columns, readable; for
+    conforming writers the metadata equals the file contents, so this
+    is also a free column-pruning win on native tables).  Returns
+    (source column names, file basename → {col: wire string}) for the
+    columns that are identity sources under EVERY spec_id present in
+    ``data`` with the key present in every partition tuple; None when
+    no column qualifies (evolved/mixed specs conservatively read the
+    columns from the files, which native writers always populate)."""
+    if not data:
+        return None
+    id_to_name = {int(f["id"]): f["name"] for f in schema_json["fields"]}
+    type_by_name = {f["name"]: f["type"] for f in schema_json["fields"]}
+    per_spec: dict[int, dict[str, str]] = {}
+    for sid in {r["spec_id"] for r in data}:
+        m: dict[str, str] = {}
+        for pf in _spec_fields(meta, sid):
+            if pf.get("transform") != "identity":
+                continue
+            src = id_to_name.get(int(pf.get("source-id", -1)))
+            if src is None or type_by_name.get(src) not in _CONST_WIRE_TYPES:
+                continue
+            m[src] = pf["name"]
+        per_spec[sid] = m
+    maps = list(per_spec.values())
+    const_cols = sorted(
+        c
+        for c in set.intersection(*(set(m) for m in maps))
+        # the partition-record key must agree across specs
+        if len({m[c] for m in maps}) == 1
+    ) if maps else []
+    if not const_cols:
+        return None
+    pf_name = {c: maps[0][c] for c in const_cols}
+    files: dict[str, dict] = {}
+    for rec in data:
+        part = rec.get("partition") or {}
+        if any(pf_name[c] not in part for c in const_cols):
+            return None  # conservative: read the columns from files
+        b = os.path.basename(urllib.parse.unquote(rec["path"]))
+        if b in files:
+            # a basename collision would inject the WRONG constants —
+            # refuse like the delete-attribution paths
+            raise ValueError(
+                "cannot inject partition constants: duplicate data "
+                "file basenames"
+            )
+        files[b] = {
+            c: _const_wire(part[pf_name[c]], type_by_name[c])
+            for c in const_cols
+        }
+    return const_cols, files
 
 
 def _plan_scan(
@@ -1048,6 +1135,7 @@ def _plan_scan(
     schema_json: dict | None = None,
     keep_file: bool = False,
     keep_pos: bool = False,
+    meta: dict | None = None,
 ) -> DataFrame:
     """``keep_file`` retains the ``_ice_file`` basename column in the
     output — the MERGE rewrite-set planner attributes matched rows to
@@ -1062,6 +1150,30 @@ def _plan_scan(
             out = out.withColumn("_ice_pos", F.lit(None).cast("long"))
         return out
     files = sorted({r["path"] for r in data})
+    inject = (
+        _identity_const_plan(meta, schema_json, data)
+        if meta is not None and schema_json is not None and res is None
+        else None
+    )
+    if (
+        res is not None
+        and meta is not None
+        and (meta.get("properties") or {}).get("converted-from-delta")
+        and any(
+            pf.get("transform") == "identity"
+            for sid in {r["spec_id"] for r in data}
+            for pf in _spec_fields(meta, sid)
+        )
+    ):
+        # a converted table's referenced files LACK their identity
+        # partition columns; the renamed-table union reads by field id
+        # from the files and would silently NULL-fill them — refuse
+        # rather than misread (rewrite_data_files materializes the
+        # columns and lifts this)
+        raise ValueError(
+            "renamed-column reads on a converted partitioned Delta "
+            "table are not supported — rewrite_data_files first"
+        )
 
     def build(want_tags: bool) -> DataFrame:
         tags = (
@@ -1071,6 +1183,51 @@ def _plan_scan(
         )
         if res is not None:
             return _resolved_union(spark, files, res, tags)
+        if inject is not None:
+            # identity-partition sources come from the manifest's
+            # partition metadata (spec §Column Projection): ONE
+            # FileScan over the remaining columns + a broadcast
+            # basename→constants map join, keyed on the scan's
+            # deterministic ``_metadata.file_name`` so data-column
+            # pushdown survives — same shape as the Delta reader's
+            # single-scan partition injection.
+            import pandas as pd
+
+            const_cols, cmap = inject
+            scan_schema = StructType(
+                [f for f in spark_schema.fields if f.name not in const_cols]
+            )
+            types_ = {f.name: f.dataType for f in spark_schema.fields}
+            df = spark.read.schema(scan_schema).parquet(*files)
+            extra = [F.col("_metadata.file_name").alias("_ice_file")]
+            if want_tags:
+                extra.append(
+                    F.col("_metadata.row_index").alias("_ice_pos")
+                )
+            df = df.select("*", *extra)
+            pmap = spark.createDataFrame(
+                pd.DataFrame(
+                    sorted(
+                        (b, *[vals[c] for c in const_cols])
+                        for b, vals in cmap.items()
+                    ),
+                    columns=["_ice_file", *const_cols],
+                ),
+                ", ".join(
+                    ["_ice_file string"]
+                    + [f"`{c}` string" for c in const_cols]
+                ),
+            )
+            joined = df.join(F.broadcast(pmap), "_ice_file")
+            out_cols = [
+                F.col(c).cast(types_[c]).alias(c)
+                if c in const_cols
+                else F.col(c)
+                for c in [f.name for f in spark_schema.fields]
+            ]
+            if want_tags:
+                out_cols += [F.col("_ice_file"), F.col("_ice_pos")]
+            return joined.select(*out_cols)
         df = spark.read.schema(spark_schema).parquet(*files)
         if want_tags:
             df = df.select(
@@ -1324,7 +1481,7 @@ def read_iceberg_range(
             kept.append(rec)
     out = _plan_scan(
         spark, spark_schema, kept, deletes, _resolution(meta),
-        eq_deletes=eq_deletes, schema_json=schema_json,
+        eq_deletes=eq_deletes, schema_json=schema_json, meta=meta,
     )
     return out.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
 
@@ -1421,20 +1578,20 @@ def read_iceberg_changes(
             parts.append(
                 _plan_scan(
                     spark, spark_schema, added, cur_del, res,
-                    eq_deletes=cur_eq, schema_json=schema_json,
+                    eq_deletes=cur_eq, schema_json=schema_json, meta=meta,
                 ).withColumn("_change_type", F.lit("insert"))
             )
         if removed:
             parts.append(
                 _plan_scan(
                     spark, spark_schema, removed, prev_del, res,
-                    eq_deletes=prev_eq, schema_json=schema_json,
+                    eq_deletes=prev_eq, schema_json=schema_json, meta=meta,
                 ).withColumn("_change_type", F.lit("delete"))
             )
         if new_pos and survivors:
             tagged = _plan_scan(
                 spark, spark_schema, survivors, prev_del, res,
-                eq_deletes=prev_eq, schema_json=schema_json,
+                eq_deletes=prev_eq, schema_json=schema_json, meta=meta,
                 keep_file=True, keep_pos=True,
             )
             dseq = spark.createDataFrame(
@@ -1488,7 +1645,7 @@ def read_iceberg_changes(
         if new_eq and survivors:
             tagged = _plan_scan(
                 spark, spark_schema, survivors, prev_del, res,
-                eq_deletes=prev_eq, schema_json=schema_json,
+                eq_deletes=prev_eq, schema_json=schema_json, meta=meta,
                 keep_file=True, keep_pos=True,
             )
             base_seq = {
@@ -2152,11 +2309,13 @@ def _commit_snapshot(
     schema_json: dict | None = None,
     part_spec: list[dict] | None = None,
     branch: str | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Commit one snapshot: write the manifest list, then claim the
     next metadata version with ``os.link`` put-if-absent (the same
     optimistic-concurrency shape as the Delta connector's log) and
-    atomically repoint ``version-hint.text``."""
+    atomically repoint ``version-hint.text``.  ``properties`` seeds
+    the table properties on a FIRST commit (ignored otherwise)."""
     now = int(time.time() * 1000)
     os.makedirs(_meta_dir(path), exist_ok=True)
     if base_meta is None:
@@ -2190,7 +2349,7 @@ def _commit_snapshot(
             "last-partition-id": 999 + len(fields),
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
-            "properties": {},
+            "properties": dict(properties or {}),
             "snapshots": [],
             "snapshot-log": [],
             "metadata-log": [],
@@ -2865,11 +3024,47 @@ def delete_iceberg_rows(spark: SparkSession, path: str, condition) -> int:
         return max(_metadata_versions(path))
     files = sorted({r["path"] for r in data})
     res = _resolution(meta)
-    if res is None:
+    inject = (
+        _identity_const_plan(meta, schema_json, data)
+        if res is None
+        else None
+    )
+    if res is None and inject is None:
         scan = spark.read.schema(spark_schema).parquet(*files)
         hits = scan.filter(condition).select(
             F.col("_metadata.file_path").alias("file_path"),
             F.col("_metadata.row_index").alias("pos"),
+        )
+    elif res is None:
+        # identity-partition constants (converted tables' files LACK
+        # the columns; a raw scan would NULL them and a partition-
+        # column condition would silently match nothing): scan through
+        # _plan_scan's injection, then map basenames back to full
+        # paths for the delete rows
+        import pandas as pd
+
+        tagged = _plan_scan(
+            spark, spark_schema, data, [], None,
+            schema_json=schema_json, keep_file=True, keep_pos=True,
+            meta=meta,
+        )
+        full = spark.createDataFrame(
+            pd.DataFrame(
+                sorted(
+                    (
+                        os.path.basename(urllib.parse.unquote(p)),
+                        urllib.parse.unquote(p),
+                    )
+                    for p in files
+                ),
+                columns=["_ice_file", "file_path"],
+            ),
+            "_ice_file string, file_path string",
+        )
+        hits = (
+            tagged.filter(condition)
+            .join(F.broadcast(full), "_ice_file")
+            .select("file_path", F.col("_ice_pos").alias("pos"))
         )
     else:
         # renamed table: the condition names CURRENT columns — a
@@ -3853,7 +4048,7 @@ def rewrite_data_files(
     # their original sequence numbers and stay covered.
     rows = _plan_scan(
         spark, spark_schema, compact, deletes, _resolution(meta),
-        eq_deletes=eq_deletes, schema_json=schema_json,
+        eq_deletes=eq_deletes, schema_json=schema_json, meta=meta,
     )
     total = sum(_file_size(r, path) for r in compact)
     n_out = max(1, -(-total // target_file_bytes))
@@ -4057,6 +4252,7 @@ def merge_iceberg(
     live = _plan_scan(
         spark, spark_schema, data, deletes, res,
         eq_deletes=eq_deletes, schema_json=schema_json, keep_file=True,
+        meta=meta,
     )
     # manifest-bounds-prune the matched-candidate set (metrics
     # filtering, like read_iceberg_range): files whose lower/upper
@@ -4119,7 +4315,7 @@ def merge_iceberg(
         )
         tagged = _plan_scan(
             spark, spark_schema, scan_recs, deletes, res,
-            eq_deletes=eq_deletes, schema_json=schema_json,
+            eq_deletes=eq_deletes, schema_json=schema_json, meta=meta,
             keep_file=True, keep_pos=True,
         )
         touched, new_rows, stats = plan_merge_mor(
@@ -4195,7 +4391,7 @@ def merge_iceberg(
             if len(cand) == len(data)
             else _plan_scan(
                 spark, spark_schema, cand, deletes, res,
-                eq_deletes=eq_deletes, schema_json=schema_json,
+                eq_deletes=eq_deletes, schema_json=schema_json, meta=meta,
                 keep_file=True,
             )
         )
@@ -4226,7 +4422,7 @@ def merge_iceberg(
     ]
     hit_rows = _plan_scan(
         spark, spark_schema, hit, deletes, res,
-        eq_deletes=eq_deletes, schema_json=schema_json,
+        eq_deletes=eq_deletes, schema_json=schema_json, meta=meta,
     )
     new_data, stats = plan_merge(
         hit_rows, source, on, clauses, cols, types, live.select(*on)
@@ -4837,6 +5033,39 @@ scan_iceberg_meta = query(
 # ----------------------------------------------------- delta -> iceberg
 
 
+def _delta_wire_to_physical(value: str | None, ice_type: str):
+    """One Delta partition-value wire string (PROTOCOL.md "Partition
+    Value Serialization": lowercase booleans, ISO dates,
+    ``yyyy-MM-dd HH:mm:ss[.SSSSSS]`` timestamps) → the manifest's avro
+    PHYSICAL form (bool, int epoch-days, long epoch-micros) — the
+    inverse of ``_const_wire`` / delta.py's
+    ``_ice_partition_to_delta_str``."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if ice_type == "boolean":
+        return value == "true"
+    if ice_type in ("int", "long"):
+        return int(value)
+    if ice_type in ("float", "double"):
+        return float(value)
+    if ice_type == "date":
+        return (
+            _dt.date.fromisoformat(value) - _dt.date(1970, 1, 1)
+        ).days
+    if ice_type in ("timestamp", "timestamptz"):
+        ts = _dt.datetime.fromisoformat(value)
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        delta = ts - _dt.datetime(1970, 1, 1)
+        return (
+            (delta.days * 86_400 + delta.seconds) * 1_000_000
+            + delta.microseconds
+        )
+    return str(value)
+
+
 def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
     """Zero-copy Delta→Iceberg conversion — the reverse of
     ``convert_iceberg_to_delta`` (sources/delta.py), completing the
@@ -4849,17 +5078,25 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
     Honest gates, each the mirror of a format impedance: files
     carrying deletion vectors refuse (Iceberg cannot reference
     another format's delete encoding — ``optimize_delta`` folds them;
-    convert after), PARTITIONED Delta tables refuse (Delta data files
-    do NOT contain their partition columns — the values live in the
-    log — while Iceberg data files must carry the partition source
-    columns), and column-mapping tables refuse (their parquet columns
-    bear physical ``col-<uuid>`` names the Iceberg name-based
-    resolution would never match).  The referenced files carry no
-    parquet field ids, which is exactly the connector's id-less
-    legacy-file read path (resolved through the unambiguous
-    history name→id map); files written Iceberg-side afterwards are
-    id-stamped as usual, and the mixed table reads through the same
-    branch machinery (pinned in pytest)."""
+    convert after), and column-mapping tables refuse (their parquet
+    columns bear physical ``col-<uuid>`` names the Iceberg name-based
+    resolution would never match).  PARTITIONED Delta tables convert
+    (r10, VERDICT r9 item #4): the log's ``partitionColumns`` become
+    an IDENTITY partition spec and each add's ``partitionValues``
+    the file's manifest partition tuple.  Delta data files do NOT
+    contain their partition columns, but the Iceberg spec doesn't
+    require them to — §Column Projection says readers serve
+    identity-transform source columns from partition metadata (the
+    migrated-Hive-table rule), which ``_plan_scan``'s constants
+    injection implements; the table property ``converted-from-delta``
+    marks the provenance so the one remaining unsupported corner
+    (renamed-column reads, whose by-field-id union can't inject)
+    refuses loudly.  The referenced files carry no parquet field ids,
+    which is exactly the connector's id-less legacy-file read path
+    (resolved through the unambiguous history name→id map); files
+    written Iceberg-side afterwards are id-stamped as usual, and the
+    mixed table reads through the same branch machinery (pinned in
+    pytest)."""
     from .delta import _snapshot as _delta_snapshot
     from .delta import _table_version as _delta_table_version
 
@@ -4869,13 +5106,6 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
         raise FileNotFoundError(f"no delta log at {src}")
     snap, _latest = _delta_snapshot(spark, src)
     md = snap.metadata or {}
-    if md.get("partitionColumns"):
-        raise ValueError(
-            "cannot convert a partitioned Delta table: Delta data files "
-            f"lack the partition columns {md['partitionColumns']} that "
-            "Iceberg data files must contain — rewrite unpartitioned "
-            "first, or read through the Delta connector"
-        )
     if (md.get("configuration") or {}).get("delta.columnMapping.mode") in (
         "name", "id"
     ):
@@ -4900,6 +5130,27 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
     ids = iter(range(1, 10_000))
     ice = _spark_to_ice(spark_schema, lambda: next(ids))
     schema_json = {"schema-id": 0, "type": "struct", "fields": ice["fields"]}
+    part_cols = list(md.get("partitionColumns") or [])
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    part_spec: list[dict] = []
+    for c in part_cols:
+        f = by_name.get(c)
+        if f is None or not isinstance(f.get("type"), str):
+            raise ValueError(
+                f"cannot convert: partition column {c!r} is missing or "
+                "non-primitive in the schema"
+            )
+        if f["type"] not in _CONST_WIRE_TYPES:
+            raise ValueError(
+                f"cannot convert partition column {c!r} of type "
+                f"{f['type']!r}: no identity-constant injection for it — "
+                "rewrite unpartitioned first"
+            )
+        part_spec.append({
+            "name": c, "transform": "identity", "source": c,
+            "source-id": int(f["id"]), "ptype": f["type"],
+            "stype": f["type"],
+        })
     import urllib.parse as _up
 
     import pyarrow.parquet as _pq
@@ -4907,12 +5158,18 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
     data_files: list[dict] = []
     for rel in sorted(snap.files):
         ap = os.path.abspath(os.path.join(src, _up.unquote(rel)))
+        pvals = snap.partition_values(rel)
         data_files.append(
             {
                 "content": 0,
                 "file_path": ap,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": {
+                    pf["name"]: _delta_wire_to_physical(
+                        pvals.get(pf["name"]), pf["ptype"]
+                    )
+                    for pf in part_spec
+                },
                 "record_count": _pq.ParquetFile(ap).metadata.num_rows,
                 "file_size_in_bytes": os.path.getsize(ap),
                 # bounds omitted (conservative keep): the delta footer
@@ -4934,23 +5191,32 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
         for f in data_files
     ]
     manifest = _write_manifest(
-        dst, entries, [], 0, "data", schema_json, spec_id=0
+        dst, entries, part_spec, 0, "data", schema_json, spec_id=0
     )
     return _commit_snapshot(
         dst, None, [manifest], [], "append",
-        schema_json=schema_json, part_spec=[],
+        schema_json=schema_json, part_spec=part_spec,
+        properties=(
+            {"converted-from-delta": "true"} if part_spec else None
+        ),
     )
 
 
 def scan_lake_convert_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta→Iceberg zero-copy conversion end-to-end (r9): a Delta
-    table (two appends) → ``convert_delta_to_iceberg`` (v1 metadata +
-    one manifest referencing the Delta parquet in place) → an
-    ICEBERG-side append era (id-stamped files joining the id-less
-    referenced ones) → read as Iceberg.  The hash fails if conversion
-    dropped or double-referenced a file, the id-less name→id
-    resolution mis-mapped a column, or the iceberg append leaked back;
-    refusal gates (DVs, partitioned, column mapping) and
+    """Delta→Iceberg zero-copy conversion end-to-end (r9; fixture
+    widened to a PARTITIONED source in r10, VERDICT r9 item #4): a
+    Delta table (two appends, partitioned by o_orderpriority) →
+    ``convert_delta_to_iceberg`` (v1 metadata + one manifest whose
+    identity partition tuples come from the Delta log's
+    partitionValues, referencing the Delta parquet in place) → an
+    ICEBERG-side append era (id-stamped files that CONTAIN the
+    partition column, joining the id-less referenced ones that DON'T
+    — the read serves the latter from partition metadata via the
+    constants injection) → read as Iceberg, grouped on the injected
+    column.  The hash fails if conversion dropped or
+    double-referenced a file, a partition tuple mis-serialized, the
+    constants injection mis-served a file, or the iceberg append
+    leaked back; refusal gates (DVs, column mapping) and
     source-untouched are pytest-pinned (tests/test_iceberg.py)."""
     from .delta import write_delta
 
@@ -4958,10 +5224,10 @@ def scan_lake_convert_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     src = _scratch(
-        f"convert_delta_src_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"convert_delta_part_src_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     dst = _scratch(
-        f"convert_ice_dst_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"convert_ice_part_dst_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     complete = False
     try:
@@ -4973,15 +5239,17 @@ def scan_lake_convert_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
         write_delta(
-            orders.filter(F.col("o_orderkey") % 9 == 7), src, mode="error"
+            orders.filter(F.col("o_orderkey") % 9 == 7), src, mode="error",
+            partition_by=["o_orderpriority"],
         )
         write_delta(
-            orders.filter(F.col("o_orderkey") % 9 == 8), src, mode="append"
+            orders.filter(F.col("o_orderkey") % 9 == 8), src, mode="append",
+            partition_by=["o_orderpriority"],
         )
         convert_delta_to_iceberg(spark, src, dst)
         write_iceberg(
             orders.filter(F.col("o_orderkey") % 9 == 0),
-            dst, mode="append",
+            dst, mode="append", partition_by=["o_orderpriority"],
         )                                                   # iceberg era
     back = read_iceberg(spark, dst)
     return back.groupBy("o_orderpriority").agg(

@@ -87,6 +87,7 @@ def plan_merge_mor(
     target_keys: DataFrame | None,
     tag_cols: list[str],
     want_changes: bool = False,
+    gen_ident: dict | None = None,
 ) -> tuple:
     """Merge-on-read resolution of the clause list: instead of the
     rewrite set's SURVIVING rows (copy-on-write), produce the rows the
@@ -201,7 +202,9 @@ def plan_merge_mor(
         )
     n_inserted = 0
     if insert_cl and target_keys is not None:
-        inserts = _plan_inserts(source, on, clauses, cols, types, target_keys)
+        inserts = _plan_inserts(
+            source, on, clauses, cols, types, target_keys, gen_ident
+        )
         n_inserted = inserts.count()
         new_rows = new_rows.unionByName(inserts)
         if want_changes:
@@ -228,12 +231,21 @@ def _plan_inserts(
     cols: list[str],
     types: dict,
     target_keys: DataFrame,
+    gen_ident: dict | None = None,
 ) -> DataFrame:
     """Insert planning shared by both strategies: source rows matching
     no table-wide key, tagged by their first applicable not_matched
     clause.  set=None is INSERT * (source value per column); a partial
     set map NULLs the unspecified columns — delta-spark's
-    whenNotMatchedInsert(values=...) semantics (ADVICE r7)."""
+    whenNotMatchedInsert(values=...) semantics (ADVICE r7).
+
+    ``gen_ident`` ({column: (base, step)}, r10 — Delta identity
+    MERGE): inserted rows whose identity column planned to NULL (the
+    generate path: INSERT * over a synthesized-NULL source column, or
+    a partial set omitting it) receive ``base + step·id`` lattice
+    values HERE, before the rows reach the change feed or the stage —
+    a zero-shuffle codegen expression, unique across the merge's
+    single insert frame."""
     unmatched_src = source.alias("s").join(
         target_keys.distinct(), on, "left_anti"
     )
@@ -257,7 +269,19 @@ def _plan_inserts(
                 val = F.expr(st[c]) if c in st else F.lit(None)
                 expr = F.when(F.col("_mg_action") == i, val).otherwise(expr)
         ins_cols.append(expr.cast(types[c]).alias(c))
-    return ins_tagged.select(*ins_cols)
+    out = ins_tagged.select(*ins_cols)
+    for c, (base, step) in sorted((gen_ident or {}).items()):
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNull(),
+                (
+                    F.lit(int(base))
+                    + F.lit(int(step)) * F.monotonically_increasing_id()
+                ).cast("long"),
+            ).otherwise(F.col(c)),
+        )
+    return out
 
 
 def plan_merge(
@@ -269,6 +293,7 @@ def plan_merge(
     types: dict,
     target_keys: DataFrame | None,
     want_changes: bool = False,
+    gen_ident: dict | None = None,
 ) -> tuple:
     """Resolve the clause list over the rewrite set.
 
@@ -365,7 +390,9 @@ def plan_merge(
     n_inserted = 0
     inserts = None
     if insert_cl and target_keys is not None:
-        inserts = _plan_inserts(source, on, clauses, cols, types, target_keys)
+        inserts = _plan_inserts(
+            source, on, clauses, cols, types, target_keys, gen_ident
+        )
         n_inserted = inserts.count()
         new_data = new_data.unionByName(inserts)
     stats = {

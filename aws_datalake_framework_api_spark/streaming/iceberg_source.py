@@ -37,9 +37,11 @@ Semantics (iceberg-spark parity):
   exactly the newly-dead rows, and NEW equality-delete files (r9) as
   the carried rows their keys kill under the spec's sequence gate.
   This goes BEYOND iceberg-spark, whose streaming read is
-  append-only.  The one refusal left: a range whose resident
-  equality-key volume exceeds ``maxEqDeleteRows`` (the kill set then
-  needs the batch reader's distributed semi-join —
+  append-only.  The one refusal left: a SINGLE equality-delete key
+  file larger than ``maxEqDeleteRows`` (r10 — tasks consult key files
+  one at a time, so a long backlog of small per-commit files streams
+  fine; one oversized file needs ``rewrite_position_delete_files``-
+  style compaction or the batch reader's distributed semi-join,
   ``read_iceberg_changes``).
 """
 
@@ -342,11 +344,13 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
     equality-delete snapshots (r9, VERDICT r8 item #2 — the
     Flink-CDC-written shape) all stream: each ``eqdel`` task scans
     one carried data file against the snapshot's new kill-key files
-    with the spec's strict sequence gate.  The per-task key residency
-    is bounded by ``maxEqDeleteRows`` (default 1e6) — a table whose
-    un-compacted eq-delete history outgrows it refuses loudly toward
-    the batch reader's distributed kill-set join
-    (``read_iceberg_changes``)."""
+    with the spec's strict sequence gate.  Key files are consulted
+    ONE AT A TIME (r10, VERDICT r9 item #3), so per-task residency is
+    bounded by the LARGEST single key file — capped at
+    ``maxEqDeleteRows`` (default 1e6); a backlog of many small
+    per-commit files no longer gates, only a single oversized file
+    refuses toward compaction or the batch reader's distributed
+    kill-set join (``read_iceberg_changes``)."""
 
     def __init__(self, schema: StructType, options) -> None:
         self.path = options.get("path")
@@ -451,22 +455,26 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
             new_eqs = [r for r in c_eq if r["path"] not in prev_epaths]
             removed = sorted(prev_paths - cur_paths)
             # Equality deletes stream per-task (r9, VERDICT r8 item
-            # #2): every task loads the key sets it must consult, so
-            # the planner gates on their TOTAL row count — a CDC
-            # writer's per-commit key files are tiny, but a table
-            # whose un-compacted eq-delete history outgrows the cap
-            # must use the batch reader's distributed kill-set join.
-            eq_rows = sum(int(r["record_count"]) for r in c_eq)
+            # #2).  r10 (VERDICT r9 item #3): tasks consult delete
+            # files ONE AT A TIME (eq_kill_flags), so peak residency
+            # is the LARGEST single key file — a long un-compacted
+            # CDC backlog of small per-commit files streams without
+            # refusing; only a single oversized key file (what
+            # rewrite_position_delete_files compacts) still gates.
+            eq_rows = max(
+                (int(r["record_count"]) for r in c_eq), default=0
+            )
             touches_eq = bool(new_eqs) or (
                 bool(p_eq) and bool(removed or new_dels)
             )
             if touches_eq and eq_rows > max_eq_rows:
                 raise ValueError(
                     f"iceberg_stream: snapshot {ssid}'s change set needs "
-                    f"{eq_rows} equality-delete keys resident per task "
-                    f"(cap {max_eq_rows}, option maxEqDeleteRows) — read "
-                    "this range in batch (read_iceberg_changes), whose "
-                    "kill set is a distributed join"
+                    f"a {eq_rows}-row equality-delete key file resident "
+                    f"per task (cap {max_eq_rows}, option "
+                    "maxEqDeleteRows) — read this range in batch "
+                    "(read_iceberg_changes), whose kill set is a "
+                    "distributed join"
                 )
             prev_eq_d = eq_desc(p_eq)
             seq_of = {r["path"]: int(r["seq"]) for r in p_data}
@@ -549,33 +557,43 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                     ).add(int(pos))
             return m
 
-        def eq_sets(descs) -> list[tuple[int, tuple, set]]:
-            """Load equality-delete key files once: [(seq, key names,
-            {key tuples})].  Key columns resolve by field id through
-            the same _colmap contract as data files."""
-            out = []
+        def eq_kill_flags(entries, descs) -> bytearray:
+            """Per-row kill flags from equality-delete descriptors,
+            processed ONE DELETE FILE AT A TIME: peak key residency is
+            a SINGLE file's rows plus one flag byte per scanned row —
+            a long un-compacted CDC backlog (many small delete files)
+            streams without the former total-backlog residency
+            (VERDICT r9 item #3; the planner's cap now gates on the
+            largest single file).  ``entries``: [(row dict, colmap,
+            data-file sequence)].  A row is killed when ANY delete
+            file with sequence STRICTLY above its data file's carries
+            a matching key (spec gate); NULL keys match null-safely
+            (tuple equality).  Delete files sharing a key-column set
+            reuse one row-key extraction pass."""
+            flags = bytearray(len(entries))
+            groups: dict[tuple, list[tuple[str, int]]] = {}
             for pth, seq, knames in descs:
-                t = pq.read_table(pth)
-                cm = _colmap(t, partition.resolve)
-                cols = [
-                    t.column(cm[n]).to_pylist()
-                    if n in cm
-                    else [None] * t.num_rows
-                    for n in knames
+                groups.setdefault(tuple(knames), []).append((pth, int(seq)))
+            for knames, files in sorted(groups.items()):
+                row_keys = [
+                    (tuple(r.get(cm.get(n)) for n in knames), fseq)
+                    for r, cm, fseq in entries
                 ]
-                out.append((int(seq), tuple(knames), set(zip(*cols))))
-            return out
-
-        def eq_dead(row, colmap, file_seq, sets) -> bool:
-            """True when a row matches a kill key whose delete file's
-            sequence strictly exceeds the data file's (spec gate);
-            NULL keys match null-safely (tuple equality)."""
-            for seq, knames, keys in sets:
-                if seq > file_seq and tuple(
-                    row.get(colmap.get(n)) for n in knames
-                ) in keys:
-                    return True
-            return False
+                for pth, seq in sorted(files):
+                    t = pq.read_table(pth)
+                    cm = _colmap(t, partition.resolve)
+                    cols = [
+                        t.column(cm[n]).to_pylist()
+                        if n in cm
+                        else [None] * t.num_rows
+                        for n in knames
+                    ]
+                    keys = set(zip(*cols))
+                    for i, (rk, fseq) in enumerate(row_keys):
+                        if not flags[i] and seq > fseq and rk in keys:
+                            flags[i] = 1
+                    del keys
+            return flags
 
         if partition.kind in ("ins", "del"):
             table = pq.read_table(partition.file_path)
@@ -584,12 +602,18 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                 urllib.parse.unquote(os.path.basename(partition.file_path)),
                 set(),
             )
-            excl = eq_sets(partition.eq_excl)
+            live = [
+                row
+                for pos, row in enumerate(table.to_pylist())
+                if pos not in dead
+            ]
+            excl_flags = eq_kill_flags(
+                [(r, colmap, partition.file_seq) for r in live],
+                partition.eq_excl,
+            )
             ctype = "insert" if partition.kind == "ins" else "delete"
-            for pos, row in enumerate(table.to_pylist()):
-                if pos in dead:
-                    continue
-                if excl and eq_dead(row, colmap, partition.file_seq, excl):
+            for i, row in enumerate(live):
+                if excl_flags[i]:
                     continue  # already eq-killed before this snapshot
                 yield tuple(
                     [
@@ -602,20 +626,22 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
         if partition.kind == "eqdel":
             # one carried data file vs the snapshot's NEW kill keys:
             # emit matches that were not already position- or eq-dead
-            match = eq_sets(partition.eq_files)
-            excl = eq_sets(partition.eq_excl)
             dead = aux_positions(partition.aux_paths).get(
                 urllib.parse.unquote(os.path.basename(partition.file_path)),
                 set(),
             )
             table = pq.read_table(partition.file_path)
             colmap = _colmap(table, partition.resolve)
-            for pos, row in enumerate(table.to_pylist()):
-                if pos in dead:
-                    continue
-                if excl and eq_dead(row, colmap, partition.file_seq, excl):
-                    continue
-                if eq_dead(row, colmap, partition.file_seq, match):
+            live = [
+                row
+                for pos, row in enumerate(table.to_pylist())
+                if pos not in dead
+            ]
+            entries = [(r, colmap, partition.file_seq) for r in live]
+            excl_flags = eq_kill_flags(entries, partition.eq_excl)
+            match_flags = eq_kill_flags(entries, partition.eq_files)
+            for i, row in enumerate(live):
+                if not excl_flags[i] and match_flags[i]:
                     yield tuple(
                         [
                             row.get(colmap[n]) if n in colmap else None
@@ -639,7 +665,6 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
             os.path.basename(p): p for p in partition.carried
         }
         aux = aux_positions(partition.aux_paths)  # one read per delete file
-        excl = eq_sets(partition.eq_excl)
         # carried is a path → data-sequence map (the eq gate needs the
         # file's own sequence); iterating it yields the paths
         carried_seq = (
@@ -647,6 +672,11 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
             if isinstance(partition.carried, dict)
             else {p: 0 for p in partition.carried}
         )
+        # gather the newly-dead rows of EVERY target file first, then
+        # run ONE eq-exclusion pass over the combined batch — per-file
+        # passes would re-read each delete file per target file (the
+        # ADVICE-r8 quadratic shape)
+        entries: list[tuple[dict, dict, int]] = []
         for fp, positions in sorted(by_file.items()):
             actual = carried_base.get(os.path.basename(fp))
             if actual is None:
@@ -666,16 +696,19 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
             idx = sorted(p for p in fresh if p < table.num_rows)
             fseq = int(carried_seq.get(actual, 0))
             for row in table.take(idx).to_pylist():
-                if excl and eq_dead(row, colmap, fseq, excl):
-                    continue  # eq-killed earlier (or by this
-                    # snapshot's eqdel task — which emits it instead)
-                yield tuple(
-                    [
-                        row.get(colmap[n]) if n in colmap else None
-                        for n in partition.names
-                    ]
-                    + ["delete", partition.snapshot_id]
-                )
+                entries.append((row, colmap, fseq))
+        excl_flags = eq_kill_flags(entries, partition.eq_excl)
+        for i, (row, colmap, _fseq) in enumerate(entries):
+            if excl_flags[i]:
+                continue  # eq-killed earlier (or by this snapshot's
+                # eqdel task — which emits it instead)
+            yield tuple(
+                [
+                    row.get(colmap[n]) if n in colmap else None
+                    for n in partition.names
+                ]
+                + ["delete", partition.snapshot_id]
+            )
 
     def commit(self, end: dict) -> None:
         pass

@@ -3114,9 +3114,9 @@ def test_identity_explicit_insert_rounds_watermark_to_lattice(
 
 
 def test_identity_refusals(spark, tmp_path):
-    """Explicit inserts refuse without the flag; update/merge refuse
-    (watermark maintenance in rewrites is not implemented); DV delete
-    and a second create refuse appropriately."""
+    """Explicit inserts refuse without the flag (appends AND merge
+    sources carrying the column); UPDATE naming the identity column
+    refuses; DV delete and a second create refuse appropriately."""
     from aws_datalake_framework_api_spark.sources.delta import (
         create_identity_delta,
         delete_where_delta,
@@ -3135,13 +3135,23 @@ def test_identity_refusals(spark, tmp_path):
             spark.createDataFrame([("x", 9)], "name string, id long"),
             path, mode="append",
         )
-    with pytest.raises(ValueError, match="identity"):
-        update_delta(spark, path, F.col("name") == "a", {"name": "z"})
-    with pytest.raises(ValueError, match="identity"):
+    with pytest.raises(ValueError, match="writer-owned"):
+        update_delta(spark, path, F.col("name") == "a", {"id": 99})
+    # merge source CARRYING the identity column + INSERT * = explicit
+    with pytest.raises(ValueError, match="explicit"):
         merge_delta(
             spark, path,
             spark.createDataFrame([("q", 1)], "name string, id long"),
             on=["id"],
+        )
+    # update SET naming the identity column inside a merge clause
+    with pytest.raises(ValueError, match="writer-owned"):
+        merge_delta(
+            spark, path,
+            spark.createDataFrame([("q",)], "name string"),
+            on=["name"],
+            clauses=[{"when": "matched", "action": "update",
+                      "set": {"id": "s.`id`"}}],
         )
     # delete never mints rows — allowed
     delete_where_delta(spark, path, F.col("name") == "a")
@@ -3153,6 +3163,125 @@ def test_identity_refusals(spark, tmp_path):
             spark, spark.createDataFrame([("z",)], "name string"),
             path, "id2",
         )
+
+
+def test_identity_update_preserves_values(spark, tmp_path):
+    """VERDICT r9 item #5: UPDATE on an identity table works when the
+    assignments don't name the identity column — the rewrite carries
+    every row's identity value unchanged and the watermark stays put
+    (no rows minted)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _identity_specs,
+        _snapshot,
+        create_identity_delta,
+        update_delta,
+    )
+
+    path = str(tmp_path / "t")
+    create_identity_delta(
+        spark,
+        spark.createDataFrame([("a", 1.0), ("b", 2.0)], "name string, v double"),
+        path, "id", start=7, step=3,
+    )
+    before = {r["name"]: r["id"] for r in read_delta(spark, path).collect()}
+    wm_before = _identity_specs(_snapshot(spark, path)[0])["id"]["wm"]
+    version, matched = update_delta(
+        spark, path, F.col("name") == "a", {"v": 10.0}
+    )
+    assert matched == 1
+    got = {r["name"]: (r["id"], r["v"]) for r in read_delta(spark, path).collect()}
+    assert got["a"] == (before["a"], 10.0)
+    assert got["b"] == (before["b"], 2.0)
+    assert _identity_specs(_snapshot(spark, path)[0])["id"]["wm"] == wm_before
+
+
+@pytest.mark.parametrize("strategy", ["cow", "mor"])
+def test_identity_merge_generates_and_advances_watermark(
+    spark, tmp_path, strategy
+):
+    """VERDICT r9 item #5: MERGE on an identity table — matched
+    updates keep the target's identity value (UPDATE * excludes the
+    column), unmatched inserts GENERATE unique on-lattice values from
+    a source that simply omits the column, and the high watermark
+    advances in the SAME commit, so a second merge cannot collide."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _identity_specs,
+        _list_versions,
+        _snapshot,
+        create_identity_delta,
+        merge_delta,
+    )
+
+    path = str(tmp_path / f"t_{strategy}")
+    create_identity_delta(
+        spark,
+        spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], "name string, v double"
+        ),
+        path, "id", start=100, step=5,
+    )
+    before = {r["name"]: r["id"] for r in read_delta(spark, path).collect()}
+    # upsert: update a (keeps id), insert c + d (generated ids)
+    res = merge_delta(
+        spark, path,
+        spark.createDataFrame(
+            [("a", 11.0), ("c", 3.0), ("d", 4.0)], "name string, v double"
+        ),
+        on=["name"], strategy=strategy,
+    )
+    assert res["updated"] == 1 and res["inserted"] == 2
+    rows = {r["name"]: r for r in read_delta(spark, path).collect()}
+    assert rows["a"]["id"] == before["a"] and rows["a"]["v"] == 11.0
+    assert rows["b"]["id"] == before["b"]
+    ids = [r["id"] for r in rows.values()]
+    assert len(set(ids)) == 4
+    assert all((i - 100) % 5 == 0 and i >= 100 for i in ids)
+    # watermark rode the merge commit (no extra version) and covers
+    # the minted values
+    wm = _identity_specs(_snapshot(spark, path)[0])["id"]["wm"]
+    assert wm >= max(ids)
+    assert len(_list_versions(path)) == 2
+    # a second merge's generated values cannot collide
+    merge_delta(
+        spark, path,
+        spark.createDataFrame([("e", 5.0)], "name string, v double"),
+        on=["name"], strategy=strategy,
+    )
+    ids2 = [r["id"] for r in read_delta(spark, path).collect()]
+    assert len(set(ids2)) == 5
+
+
+def test_identity_merge_explicit_insert_with_flag(spark, tmp_path):
+    """allowExplicitInsert=true merges take the source's identity
+    values (INSERT *) and the watermark rounds up to the next lattice
+    point past the inserted maximum, so later generation is safe."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _identity_specs,
+        _snapshot,
+        create_identity_delta,
+        merge_delta,
+        write_delta as _wd,
+    )
+
+    path = str(tmp_path / "t")
+    create_identity_delta(
+        spark,
+        spark.createDataFrame([("a",)], "name string").coalesce(1),
+        path, "id", start=10, step=10, allow_explicit=True,
+    )
+    merge_delta(
+        spark, path,
+        spark.createDataFrame([("b", 1234)], "name string, id long"),
+        on=["name"],
+    )
+    got = {r["name"]: r["id"] for r in read_delta(spark, path).collect()}
+    assert got["b"] == 1234
+    wm = _identity_specs(_snapshot(spark, path)[0])["id"]["wm"]
+    assert wm >= 1240 and (wm - 10) % 10 == 0
+    # later plain append generates past the ceiled watermark
+    _wd(spark.createDataFrame([("c",)], "name string"), path, mode="append")
+    got2 = {r["name"]: r["id"] for r in read_delta(spark, path).collect()}
+    assert got2["c"] > 1234 and len(set(got2.values())) == 3
 
 
 def test_identity_foreign_legacy_v6_table_appends(spark, tmp_path):
