@@ -18,11 +18,12 @@ Round-10 rotation (VERDICT r9 item #1): evidence-freshness round.
    LOCAL_SWEEP_r09_* and by the r9 judge's independent hash-checked
    re-run;
 2. slots 19-43: the 25 remaining r4-stale ids;
-3. slots 44-46: this round's additions (the batch
-   ``spark.read.format()`` facade pair + SQL-over-lake-view),
+3. slots 44-49: this round's additions (the batch
+   ``spark.read.format()`` facade pair, SQL-over-lake-view,
+   add_files/CONVERT-TO-DELTA migration, position-delete rewrite),
    driver-checked the same round they ship;
-   — the 50-entry boundary falls after 4 more registration-order
-     r5 ids —
+   — the 50-entry boundary falls after 1 more registration-order
+     r5 id —
 4. everything r5-r9-proved and unchanged, in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
 round; the round-9 artifacts showed the ENTIRE registry green at
@@ -79,6 +80,7 @@ from .sources import delta as _delta  # noqa: F401  B1 Delta-protocol connector
 from .sources import iceberg as _iceberg  # noqa: F401  B1 Iceberg-v2 connector
 from .sources import python_source as _python_source  # noqa: F401  B1 PyDS
 from .sources import format_facade as _format_facade  # noqa: F401  B1 read.format facade
+from .sources import migrate as _migrate  # noqa: F401  B1 add_files / CONVERT TO DELTA
 from . import envelope as _envelope  # noqa: F401  A11
 
 #: Explicit export order (see module docstring).  Ids listed here but
@@ -145,6 +147,9 @@ _ORDER = [
     "b_scan_delta_fmt",
     "b_scan_iceberg_fmt",
     "b_sql_lake",
+    "b_lake_addfiles",
+    "b_lake_convert_parquet",
+    "b_lake_iceberg_rewrite_posdel",
     # ---- 50-entry window boundary falls here (ids above get driver
     #      rows; everything below relies on verify_local this round) --
     # -- ROUND-11 WINDOW STAGING: any r10 additions that overflowed

@@ -1155,23 +1155,26 @@ def _plan_scan(
         if meta is not None and schema_json is not None and res is None
         else None
     )
+    props = (meta.get("properties") or {}) if meta is not None else {}
     if (
         res is not None
-        and meta is not None
-        and (meta.get("properties") or {}).get("converted-from-delta")
+        and (
+            props.get("converted-from-delta")
+            or props.get("migrated-data-files")
+        )
         and any(
             pf.get("transform") == "identity"
             for sid in {r["spec_id"] for r in data}
             for pf in _spec_fields(meta, sid)
         )
     ):
-        # a converted table's referenced files LACK their identity
-        # partition columns; the renamed-table union reads by field id
-        # from the files and would silently NULL-fill them — refuse
-        # rather than misread (rewrite_data_files materializes the
-        # columns and lifts this)
+        # a converted/migrated table's referenced files LACK their
+        # identity partition columns; the renamed-table union reads by
+        # field id from the files and would silently NULL-fill them —
+        # refuse rather than misread (rewrite_data_files materializes
+        # the columns and lifts this)
         raise ValueError(
-            "renamed-column reads on a converted partitioned Delta "
+            "renamed-column reads on a converted/migrated partitioned "
             "table are not supported — rewrite_data_files first"
         )
 
@@ -4132,6 +4135,146 @@ def _existing_manifests(
             )
         )
     return out
+
+
+def _existing_delete_manifests(
+    path: str, meta: dict, recs: list[dict], schema_json: dict
+) -> list[dict]:
+    """EXISTING-status DELETE manifests for carried-forward delete
+    files (equality deletes a position-delete rewrite must not touch)
+    — per written spec id, sequence numbers explicit so the strict
+    gates keep working; the content=2 ``equality_ids`` ride along."""
+    out: list[dict] = []
+    # group by (spec_id, has-partition-scope): a GLOBAL equality
+    # delete's manifest has an EMPTY partition record even when the
+    # manifest's spec_id names a partitioned spec (that's how
+    # delete_by_key_iceberg writes them) — re-serializing it under the
+    # spec's record schema would decode back as {col: None}, silently
+    # partition-scoping the delete to nothing (over-resurrection).
+    by_spec: dict[tuple[int, bool], list[dict]] = {}
+    for r in recs:
+        scoped = bool(r.get("partition"))
+        by_spec.setdefault((int(r["spec_id"]), scoped), []).append(r)
+    for (sid, scoped), rs in sorted(by_spec.items()):
+        spec = (
+            _spec_from_meta(meta, schema_json, spec_id=sid) if scoped else []
+        )
+        entries = [
+            {
+                "status": 0,
+                "snapshot_id": None,
+                "sequence_number": r["seq"],
+                "file_sequence_number": r["seq"],
+                "data_file": {
+                    "content": 2,
+                    "file_path": r["path"],
+                    "file_format": "PARQUET",
+                    "partition": r["partition"] if scoped else {},
+                    "record_count": r["record_count"],
+                    "file_size_in_bytes": _file_size(r, path),
+                    "lower_bounds": (
+                        [{"key": k, "value": v}
+                         for k, v in sorted(r["lower"].items())]
+                        if r["lower"] else None
+                    ),
+                    "upper_bounds": (
+                        [{"key": k, "value": v}
+                         for k, v in sorted(r["upper"].items())]
+                        if r["upper"] else None
+                    ),
+                    "equality_ids": list(r["equality_ids"]),
+                },
+            }
+            for r in sorted(rs, key=lambda r: r["path"])
+        ]
+        out.append(
+            _write_manifest(
+                path, entries, spec, 0, "deletes", schema_json,
+                spec_id=sid,
+            )
+        )
+    return out
+
+
+def rewrite_position_delete_files(spark: SparkSession, path: str) -> dict:
+    """Position-delete maintenance (iceberg-spark's
+    ``rewrite_position_delete_files`` action — the compaction this
+    connector's streaming residency gate points at): consolidate the
+    current snapshot's position-delete files into ONE sorted file and
+    DROP DANGLING rows (deletes naming data files no longer in the
+    snapshot — what ``rewrite_data_files`` leaves behind after folding
+    their targets).  Row content of the table is UNCHANGED by
+    construction: surviving delete rows name the same (file, pos)
+    targets.
+
+    Sequencing safety: a position delete's target is EXPLICIT, so
+    re-committing the surviving rows at the new snapshot's (higher)
+    sequence number cannot widen their scope — uuid data-file names
+    make a same-name later file impossible.  EQUALITY deletes are the
+    opposite (their scope IS the sequence gate), so they carry forward
+    untouched with their original sequence numbers via EXISTING-status
+    manifests and this action never rewrites them.
+
+    Scale shape: the delete rows scan + dangling filter + rewrite run
+    DISTRIBUTED (delete files are data-sized on a CDC-heavy table);
+    only O(files) names reach the driver.  Returns {"version",
+    "delete_files_before", "delete_files_after", "dangling_dropped"};
+    fewer than two position-delete files and nothing dangling commits
+    nothing."""
+    import pandas as pd
+
+    meta = _load_metadata(path)
+    schema_json = _current_schema(meta)
+    snap = _snapshot_by_id(meta, None)
+    noop = {
+        "version": max(_metadata_versions(path)),
+        "delete_files_before": 0, "delete_files_after": 0,
+        "dangling_dropped": 0,
+    }
+    if snap is None:
+        return noop
+    data, deletes, eq_deletes = _manifest_entries(path, meta, snap)
+    if not deletes:
+        return noop
+    live = sorted(
+        {os.path.basename(urllib.parse.unquote(r["path"])) for r in data}
+    )
+    dfiles = sorted({d["path"] for d in deletes})
+    rows = spark.read.schema("file_path string, pos long").parquet(*dfiles)
+    live_df = spark.createDataFrame(
+        pd.DataFrame(live, columns=["_b"]), "_b string"
+    )
+    tagged = rows.withColumn(
+        "_b", F.url_decode(F.element_at(F.split(F.col("file_path"), "/"), -1))
+    )
+    kept = tagged.join(F.broadcast(live_df), "_b", "left_semi").drop("_b")
+    total = rows.count()
+    surviving = kept.count()
+    dangling = total - surviving
+    if len(deletes) <= 1 and dangling == 0:
+        return {**noop, "delete_files_before": len(deletes),
+                "delete_files_after": len(deletes)}
+    del_files = _stage_pos_delete(spark, path, kept)
+    new_manifests: list[dict] = []
+    if del_files:
+        new_manifests.append(_delete_manifest(path, del_files, schema_json))
+    if eq_deletes:
+        new_manifests.extend(
+            _existing_delete_manifests(path, meta, eq_deletes, schema_json)
+        )
+    # carry ONLY the data manifests (every delete manifest is replaced
+    # by the consolidated + eq-EXISTING pair above)
+    carry = [
+        m for m in _carry_manifests(path, meta)
+        if int(m.get("content") or 0) == 0
+    ]
+    v = _commit_snapshot(path, meta, new_manifests, carry, "replace")
+    return {
+        "version": v,
+        "delete_files_before": len(deletes),
+        "delete_files_after": len(del_files),
+        "dangling_dropped": int(dangling),
+    }
 
 
 def last_txn_version_iceberg(
