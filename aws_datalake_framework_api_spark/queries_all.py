@@ -18,12 +18,11 @@ Round-10 rotation (VERDICT r9 item #1): evidence-freshness round.
    LOCAL_SWEEP_r09_* and by the r9 judge's independent hash-checked
    re-run;
 2. slots 19-43: the 25 remaining r4-stale ids;
-3. slots 44-49: this round's additions (the batch
-   ``spark.read.format()`` facade pair, SQL-over-lake-view,
-   add_files/CONVERT-TO-DELTA migration, position-delete rewrite),
-   driver-checked the same round they ship;
-   — the 50-entry boundary falls after 1 more registration-order
-     r5 id —
+3. slots 44-50: this round's additions (the batch
+   ``spark.read.format()`` facade pair, batch CDF through it,
+   SQL-over-lake-view, add_files/CONVERT-TO-DELTA migration,
+   position-delete rewrite), driver-checked the same round they
+   ship — the 50-entry boundary falls exactly here;
 4. everything r5-r9-proved and unchanged, in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
 round; the round-9 artifacts showed the ENTIRE registry green at
@@ -150,6 +149,7 @@ _ORDER = [
     "b_lake_addfiles",
     "b_lake_convert_parquet",
     "b_lake_iceberg_rewrite_posdel",
+    "b_lake_delta_cdf_fmt",
     # ---- 50-entry window boundary falls here (ids above get driver
     #      rows; everything below relies on verify_local this round) --
     # -- ROUND-11 WINDOW STAGING: any r10 additions that overflowed

@@ -128,19 +128,82 @@ class DeltaBatchReader(DataSourceReader):
         return read_file_partition(partition)
 
 
+class DeltaCDFBatchReader(DataSourceReader):
+    """Batch CHANGE-FEED read (delta-spark's
+    ``spark.read.format("delta").option("readChangeFeed", "true")``):
+    the inclusive ``startingVersion`` … ``endingVersion`` (default
+    latest) range plans through the SAME per-version change machinery
+    as the streaming tail (``DeltaCDFStreamReader.partitions`` — cdc
+    files exclusively where present, file diffs otherwise, DV deltas
+    as exactly the newly-dead positions), one executor-side partition
+    per change unit.  Output: table schema + ``_change_type`` +
+    ``_commit_version``, matching ``read_delta_changes``."""
+
+    def __init__(self, schema: StructType, options) -> None:
+        from ..streaming.delta_source import DeltaCDFStreamReader
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("format('delta') requires .load(<table path>)")
+        if options.get("versionasof") or options.get("timestampasof"):
+            raise ValueError(
+                "format('delta'): readChangeFeed and versionAsOf/"
+                "timestampAsOf are mutually exclusive"
+            )
+        self._delegate = DeltaCDFStreamReader(schema, options)
+        start = int(options.get("startingversion", 0))
+        from .delta import _table_version
+
+        latest = _table_version(self.path)
+        if latest is None:
+            raise FileNotFoundError(f"no delta log at {self.path}")
+        end = int(options.get("endingversion", latest))
+        if end > latest:
+            raise ValueError(
+                f"endingVersion {end} is past the latest version {latest}"
+            )
+        # batch CDF is INCLUSIVE of startingVersion; the stream planner
+        # plans (lo, hi]
+        self.lo, self.hi = start - 1, end
+
+    def partitions(self):
+        return self._delegate.partitions(
+            {"version": self.lo}, {"version": self.hi}
+        )
+
+    def read(self, partition):
+        return self._delegate.read(partition)
+
+
 class DeltaBatchSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "delta"
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self) -> StructType:
         path = self.options.get("path")
         if not path:
             raise ValueError("format('delta') requires .load(<table path>)")
-        snap, _ = _snapshot(None, path, _delta_version(self.options, path))
-        return StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+        snap, _ = _snapshot(
+            None, path,
+            None if self._cdf() else _delta_version(self.options, path),
+        )
+        st = StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+        if self._cdf():
+            st = st.add("_change_type", "string").add(
+                "_commit_version", "long"
+            )
+        return st
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._cdf():
+            return DeltaCDFBatchReader(schema, self.options)
         return DeltaBatchReader(schema, self.options)
 
 
@@ -464,6 +527,59 @@ def scan_iceberg_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_formats(spark)
     back = spark.read.format("iceberg").load(path)
     return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "b_lake_delta_cdf_fmt",
+    f"""
+    SELECT 'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+           count(*) AS n, {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 21 = 0
+    UNION ALL
+    SELECT 'update_preimage', 3, count(*), {sql_money_sum('o_totalprice')}
+    FROM orders WHERE o_orderkey % 14 = 0 AND o_orderkey % 42 <> 0
+    UNION ALL
+    SELECT 'update_postimage', 3, count(*),
+           {sql_money_sum('o_totalprice + 500')}
+    FROM orders WHERE o_orderkey % 14 = 0 AND o_orderkey % 42 <> 0
+    UNION ALL
+    SELECT 'insert', 3, count(*),
+           {sql_money_sum(
+               "CASE WHEN o_orderkey % 42 = 0 THEN o_totalprice + 500 "
+               "ELSE o_totalprice END"
+           )}
+    FROM orders WHERE o_orderkey % 7 = 1 OR o_orderkey % 42 = 0
+    """,
+)
+def lake_delta_cdf_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CHANGE FEED through the format facade — delta-spark's
+    ``spark.read.format("delta").option("readChangeFeed", "true")
+    .option("startingVersion", 2)`` gesture — over the SAME
+    CDF-enabled fixture as ``b_lake_delta_cdf_rows`` (create → enable
+    CDF → DV DELETE → MERGE), with the same oracle: the facade's
+    change rows must be EXACTLY the native ``read_delta_changes``
+    set — cdc files consumed where present, the inclusive
+    startingVersion honored (the stream planner's range is
+    exclusive-lo; an off-by-one here double-counts or drops version
+    2's deletes and fails the hash)."""
+    from .delta import scan_delta_cdf_rows
+
+    scan_delta_cdf_rows(spark, sf_dir)  # build/refresh the fixture
+    path = _scratch(f"delta_cdfrows_{os.path.basename(sf_dir.rstrip('/'))}")
+    register_formats(spark)
+    changes = (
+        spark.read.format("delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)
+        .load(path)
+    )
+    return changes.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
         F.count("*").alias("n"),
         money_sum("o_totalprice").alias("total_price"),
     )

@@ -115,6 +115,51 @@ def test_register_lake_view_serves_sql(spark, tmp_path):
     assert (got["n"], got["s"]) == (5, 10.0)
 
 
+def test_delta_format_batch_cdf(spark, tmp_path):
+    """Batch readChangeFeed through the facade: inclusive
+    startingVersion/endingVersion, rows identical to
+    read_delta_changes over the same range."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        alter_table_properties_delta,
+        read_delta_changes,
+    )
+    from aws_datalake_framework_api_spark.sources.format_facade import (
+        register_formats,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), path, mode="error")
+    alter_table_properties_delta(
+        spark, path, {"delta.enableChangeDataFeed": "true"}
+    )
+    write_delta(_df(spark, [(3, "c", 3.0)]), path, mode="append")  # v2
+    delete_where_delta(spark, path, F.col("k") == 1)               # v3
+    register_formats(spark)
+    got = _rows(
+        spark.read.format("delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)
+        .load(path)
+    )
+    assert got == _rows(read_delta_changes(spark, path, 1, 3))
+    assert got == [
+        (1, "a", 1.0, "delete", 3),
+        (3, "c", 3.0, "insert", 2),
+    ]
+    only_v2 = _rows(
+        spark.read.format("delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)
+        .option("endingVersion", 2)
+        .load(path)
+    )
+    assert only_v2 == [(3, "c", 3.0, "insert", 2)]
+    with pytest.raises(Exception, match="mutually exclusive"):
+        spark.read.format("delta").option("readChangeFeed", "true").option(
+            "versionAsOf", 1
+        ).load(path).collect()
+
+
 # ---------------------------------------------------------------- iceberg
 
 
