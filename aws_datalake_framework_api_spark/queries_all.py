@@ -152,9 +152,61 @@ _ORDER = [
     "b_lake_delta_cdf_fmt",
     # ---- 50-entry window boundary falls here (ids above get driver
     #      rows; everything below relies on verify_local this round) --
-    # -- ROUND-11 WINDOW STAGING: any r10 additions that overflowed
-    #    the window first, then the oldest-evidence (r5) ids.
-    # -- everything already hash-proved in r5-r9 and unchanged —
+    # -- ROUND-11 WINDOW STAGING: after r10 no id's driver evidence is
+    #    older than r5; the 50 r5 ids below are the entire remaining
+    #    stale set and exactly fill the next window (any r11 additions
+    #    should displace from the END of this block).
+    "a6_catalog_create",
+    "b_agg_bitmap",
+    "b_agg_cmsketch",
+    "b_agg_f2sketch",
+    "b_agg_gsets",
+    "b_agg_heavyhitters",
+    "b_agg_histogram",
+    "b_agg_listagg",
+    "b_agg_quantile_cutoffs",
+    "b_agg_regression",
+    "b_agg_salted",
+    "b_diag_checksum",
+    "b_fn_bitwise",
+    "b_fn_struct",
+    "b_fn_url",
+    "b_fn_variant",
+    "b_fn_winsorize",
+    "b_fn_xml",
+    "b_gen_synthetic",
+    "b_lake_restore",
+    "b_lake_schema_evolve",
+    "b_llm_bm25",
+    "b_llm_inverted",
+    "b_llm_keyword_search",
+    "b_llm_sample_weighted",
+    "b_llm_tfidf",
+    "b_scan_corrupt",
+    "b_scan_orc",
+    "b_scan_text",
+    "b_source_python",
+    "b_sql_q10",
+    "b_sql_q11",
+    "b_sql_q12",
+    "b_sql_q14",
+    "b_sql_q16",
+    "b_sql_q2",
+    "b_sql_q20",
+    "b_sql_q21",
+    "b_sql_q6",
+    "b_sql_q8",
+    "b_sql_q9",
+    "b_stat_abtest",
+    "b_stat_chi2",
+    "b_stat_corr",
+    "b_ts_concurrency",
+    "b_ts_cumulative_users",
+    "b_ts_forecast_naive",
+    "b_ts_gapfill",
+    "b_ts_locf",
+    "b_ts_rolling_dau",
+    # -- everything already hash-proved in r6-r9 and unchanged —
     #    last; registration order fills in any id not listed here.
 ]
 
