@@ -361,8 +361,14 @@ def rfm(
     # count per range) converts local ranks to global.
     import pandas as pd
 
+    # one persisted per-customer rollup feeds the count, the three
+    # rank passes, AND their three partition-size jobs — without it
+    # the full fact-table aggregation re-executes ~7 times (review
+    # finding), on the exact scale path this switch exists for
+    per_cust = per_cust.persist()
     n = per_cust.count()
-    base = max(1, n // 4)
+    base = n // 4  # review finding: max(1, ...) diverged from
+    # ntile below n=4 rows (Spark gives each row its own bucket)
     extra = n % 4  # ntile: first `extra` buckets hold base+1 rows
     bounds = []
     acc = 0

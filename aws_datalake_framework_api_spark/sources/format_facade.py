@@ -63,6 +63,7 @@ from ..streaming.iceberg_source import _colmap
 from .delta import _snapshot, _version_at_timestamp
 from .iceberg import (
     _current_schema,
+    _identity_const_plan,
     _load_metadata,
     _manifest_entries,
     _resolution,
@@ -151,13 +152,25 @@ class DeltaCDFBatchReader(DataSourceReader):
                 "timestampAsOf are mutually exclusive"
             )
         self._delegate = DeltaCDFStreamReader(schema, options)
-        start = int(options.get("startingversion", 0))
+        # startingVersion OR startingTimestamp (the delegate's
+        # _resolve_start already arbitrates the pair — review finding:
+        # a timestamp must not silently fall back to version 0)
+        start = self._delegate.start
         from .delta import _table_version
 
         latest = _table_version(self.path)
         if latest is None:
             raise FileNotFoundError(f"no delta log at {self.path}")
-        end = int(options.get("endingversion", latest))
+        ets = options.get("endingtimestamp")
+        if options.get("endingversion") is not None and ets is not None:
+            raise ValueError(
+                "format('delta'): endingVersion and endingTimestamp are "
+                "mutually exclusive"
+            )
+        if ets is not None:
+            end = _version_at_timestamp(self.path, ets)
+        else:
+            end = int(options.get("endingversion", latest))
         if end > latest:
             raise ValueError(
                 f"endingVersion {end} is past the latest version {latest}"
@@ -224,12 +237,17 @@ class _IceScanPartition(InputPartition):
         # (STRICTLY greater) and partition scope already applied at
         # planning time per the spec's rules
         eq_deletes: list[tuple[str, tuple[str, ...]]],
+        # identity-partition constants for THIS file (typed Python
+        # values; spec §Column Projection) — converted/migrated files
+        # LACK the columns, so reading them by name would NULL-fill
+        consts: dict | None = None,
     ) -> None:
         self.file_path = file_path
         self.names = names
         self.resolve = resolve
         self.pos_delete_files = pos_delete_files
         self.eq_deletes = eq_deletes
+        self.consts = consts or {}
 
 
 class IcebergBatchReader(DataSourceReader):
@@ -296,6 +314,14 @@ class IcebergBatchReader(DataSourceReader):
             }
         schema_json = _current_schema(meta)
         by_id = {int(f["id"]): f for f in schema_json["fields"]}
+        # identity-partition constants (typed for row assembly) — the
+        # same plan the native reader injects; None on evolved specs
+        const_plan = (
+            _identity_const_plan(meta, schema_json, data, typed=True)
+            if resolve is None
+            else None
+        )
+        const_files = const_plan[1] if const_plan else {}
 
         def pjson(p: dict | None) -> str | None:
             return json.dumps(p, sort_keys=True, default=str) if p else None
@@ -332,6 +358,11 @@ class IcebergBatchReader(DataSourceReader):
                     resolve,
                     pos_files,
                     eqs,
+                    const_files.get(
+                        os.path.basename(
+                            urllib.parse.unquote(rec["path"])
+                        )
+                    ),
                 )
             )
         return out
@@ -358,25 +389,26 @@ class IcebergBatchReader(DataSourceReader):
                 zip(*[dt.column(c).to_pylist() for c in cols])
             )
             eq_sets.append((cols, keys))
+        consts = partition.consts
+
+        def val(row, n):
+            if n in consts:  # identity partition source: metadata wins
+                return consts[n]
+            return row.get(colmap[n]) if n in colmap else None
+
         for pos, row in enumerate(table.to_pylist()):
             if pos in dead:
                 continue
             if eq_sets:
                 # Python tuple equality matches NULL to NULL, the
                 # spec's IS-NOT-DISTINCT-FROM semantics
-                vals = {
-                    n: row.get(colmap[n]) if n in colmap else None
-                    for n in partition.names
-                }
+                vals = {n: val(row, n) for n in partition.names}
                 if any(
                     tuple(vals.get(c) for c in cols) in keys
                     for cols, keys in eq_sets
                 ):
                     continue
-            yield tuple(
-                row.get(colmap[n]) if n in colmap else None
-                for n in partition.names
-            )
+            yield tuple(val(row, n) for n in partition.names)
 
 
 class IcebergBatchSource(DataSource):
@@ -397,12 +429,17 @@ class IcebergBatchSource(DataSource):
 
 
 def register_formats(spark: SparkSession) -> None:
-    """Register both batch facades (idempotent per session)."""
+    """Register both batch facades (idempotent per session — Spark 4
+    REPLACES a re-registered Python data source with a warning, so
+    only a genuine already-exists error is swallowed; anything else
+    must surface, not turn into a later 'format not found' mystery
+    (review finding))."""
     for src in (DeltaBatchSource, IcebergBatchSource):
         try:
             spark.dataSource.register(src)
-        except Exception:  # noqa: BLE001 — already registered
-            pass
+        except Exception as e:  # noqa: BLE001
+            if "already" not in str(e).lower():
+                raise
 
 
 def register_lake_view(

@@ -1066,8 +1066,32 @@ def _const_wire(value, ice_type: str) -> str | None:
     return str(value)
 
 
+def _const_typed(value, ice_type: str):
+    """One identity-partition value, avro PHYSICAL form → the Python
+    value a row-assembling (pyarrow-side) reader yields: date objects
+    from epoch-days, datetimes from epoch-micros — the typed twin of
+    ``_const_wire`` (which targets Spark's string cast)."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if ice_type == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(value))
+    if ice_type in ("timestamp", "timestamptz"):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=int(value)
+        )
+    if ice_type in ("int", "long"):
+        return int(value)
+    if ice_type in ("float", "double"):
+        return float(value)
+    if ice_type == "boolean":
+        return bool(value)
+    return value
+
+
 def _identity_const_plan(
-    meta: dict, schema_json: dict, data: list[dict]
+    meta: dict, schema_json: dict, data: list[dict], typed: bool = False
 ) -> tuple[list[str], dict[str, dict]] | None:
     """Identity-partition CONSTANTS plan (spec §Column Projection:
     readers MUST serve identity-transform source columns from the
@@ -1075,11 +1099,15 @@ def _identity_const_plan(
     converted data files, which may LACK those columns, readable; for
     conforming writers the metadata equals the file contents, so this
     is also a free column-pruning win on native tables).  Returns
-    (source column names, file basename → {col: wire string}) for the
+    (source column names, file basename → {col: value}) for the
     columns that are identity sources under EVERY spec_id present in
     ``data`` with the key present in every partition tuple; None when
     no column qualifies (evolved/mixed specs conservatively read the
-    columns from the files, which native writers always populate)."""
+    columns from the files, which native writers always populate).
+    Values are Spark-castable WIRE STRINGS by default (the JVM-scan
+    injection path) or typed Python values with ``typed=True`` (the
+    pyarrow row-assembling readers — the batch format facade and the
+    streaming tails)."""
     if not data:
         return None
     id_to_name = {int(f["id"]): f["name"] for f in schema_json["fields"]}
@@ -1118,8 +1146,9 @@ def _identity_const_plan(
                 "cannot inject partition constants: duplicate data "
                 "file basenames"
             )
+        conv = _const_typed if typed else _const_wire
         files[b] = {
-            c: _const_wire(part[pf_name[c]], type_by_name[c])
+            c: conv(part[pf_name[c]], type_by_name[c])
             for c in const_cols
         }
     return const_cols, files

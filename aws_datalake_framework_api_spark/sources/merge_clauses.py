@@ -281,6 +281,16 @@ def _plan_inserts(
                 ).cast("long"),
             ).otherwise(F.col(c)),
         )
+    if gen_ident:
+        # Mint ONCE: monotonically_increasing_id is NONDETERMINISTIC
+        # across plan re-evaluations, and the insert subplan is
+        # consumed by TWO jobs on a CDF-enabled merge (the data stage
+        # and the _change_data stage) — re-evaluation would hand the
+        # change feed different identity values than the committed
+        # table rows.  localCheckpoint materializes the minted rows at
+        # first use; both consumers then read the same blocks, and a
+        # lost block fails loudly instead of silently re-minting.
+        out = out.localCheckpoint(eager=False)
     return out
 
 

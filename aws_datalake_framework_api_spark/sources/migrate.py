@@ -148,12 +148,58 @@ def _typed_physical(v: str | None, ice_type: str):
     return v
 
 
+def _prepare_migration(
+    spark: SparkSession, src: str, dst: str
+) -> tuple[list[str], list[tuple[str, dict]], dict, "object"]:
+    """Shared migration prologue (both directions): walk + link the
+    layout, infer partition types, and build the FULL table schema —
+    the data-column half MERGED ACROSS EVERY file's footer
+    (mergeSchema; review finding: a first-file-only schema silently
+    drops columns added later in a schema-evolved source), the
+    partition half appended with the inferred types."""
+    import pyspark.sql.types as T
+
+    part_cols, files = _walk_hive_layout(src)
+    files = _link_unique(files, dst)
+    file_schema = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[ap for ap, _v in files])
+        .schema
+    )
+    for f in file_schema.fields:
+        if f.name in part_cols:
+            raise ValueError(
+                f"data files already contain partition column {f.name!r} "
+                "— not a hive layout; load the directory as plain parquet"
+            )
+    part_types = {
+        c: _infer_part_type([vals[c] for _p, vals in files])
+        for c in part_cols
+    }
+    full = T.StructType(
+        list(file_schema.fields)
+        + [
+            T.StructField(
+                c,
+                {"long": T.LongType(), "date": T.DateType()}.get(
+                    part_types[c], T.StringType()
+                ),
+                True,
+            )
+            for c in part_cols
+        ]
+    )
+    return part_cols, files, part_types, full
+
+
 def add_files_iceberg(spark: SparkSession, src: str, dst: str) -> int:
     """iceberg-spark's ``add_files``/``migrate`` procedure: register a
     hive-layout (or flat) parquet directory as an Iceberg v2 table at
     ``dst`` — zero bytes move; the manifest references the source
-    parquet by absolute path.  Schema = the parquet footprint (footer
-    merge via Spark's reader over the data files alone) + the
+    parquet by absolute path (hardlinked under dst/data with unique
+    basenames).  Schema = the parquet footprint MERGED across every
+    file's footer (mergeSchema — schema-evolved sources keep their
+    late columns) + the
     path-derived partition columns; the spec is identity over those.
     The referenced files carry no parquet field ids (the id-less
     legacy read path) and LACK the partition columns (served from
@@ -170,34 +216,7 @@ def add_files_iceberg(spark: SparkSession, src: str, dst: str) -> int:
 
     if _metadata_versions(dst):
         raise FileExistsError(f"iceberg table already exists at {dst}")
-    part_cols, files = _walk_hive_layout(src)
-    files = _link_unique(files, dst)
-    file_schema = spark.read.parquet(files[0][0]).schema
-    for f in file_schema.fields:
-        if f.name in part_cols:
-            raise ValueError(
-                f"data files already contain partition column {f.name!r} "
-                "— not a hive layout; load the directory as plain parquet"
-            )
-    part_types = {
-        c: _infer_part_type([vals[c] for _p, vals in files])
-        for c in part_cols
-    }
-    import pyspark.sql.types as T
-
-    full = T.StructType(
-        list(file_schema.fields)
-        + [
-            T.StructField(
-                c,
-                {"long": T.LongType(), "date": T.DateType()}.get(
-                    part_types[c], T.StringType()
-                ),
-                True,
-            )
-            for c in part_cols
-        ]
-    )
+    part_cols, files, part_types, full = _prepare_migration(spark, src, dst)
     ids = iter(range(1, 10_000))
     ice = _spark_to_ice(full, lambda: next(ids))
     schema_json = {"schema-id": 0, "type": "struct", "fields": ice["fields"]}
@@ -264,34 +283,7 @@ def convert_parquet_to_delta(spark: SparkSession, src: str, dst: str) -> int:
 
     if _table_version(dst) is not None:
         raise FileExistsError(f"delta table already exists at {dst}")
-    part_cols, files = _walk_hive_layout(src)
-    files = _link_unique(files, dst)
-    file_schema = spark.read.parquet(files[0][0]).schema
-    for f in file_schema.fields:
-        if f.name in part_cols:
-            raise ValueError(
-                f"data files already contain partition column {f.name!r} "
-                "— not a hive layout; load the directory as plain parquet"
-            )
-    part_types = {
-        c: _infer_part_type([vals[c] for _p, vals in files])
-        for c in part_cols
-    }
-    import pyspark.sql.types as T
-
-    full = T.StructType(
-        list(file_schema.fields)
-        + [
-            T.StructField(
-                c,
-                {"long": T.LongType(), "date": T.DateType()}.get(
-                    part_types[c], T.StringType()
-                ),
-                True,
-            )
-            for c in part_cols
-        ]
-    )
+    part_cols, files, part_types, full = _prepare_migration(spark, src, dst)
     import pyarrow.parquet as _pq
 
     now = int(time.time() * 1000)

@@ -69,7 +69,8 @@ from ..sources.iceberg import (
 
 class _IceFilePartition(InputPartition):
     def __init__(
-        self, file_path: str, names: list[str], resolve: dict | None
+        self, file_path: str, names: list[str], resolve: dict | None,
+        consts: dict | None = None,
     ) -> None:
         self.file_path = file_path
         self.names = names
@@ -78,6 +79,11 @@ class _IceFilePartition(InputPartition):
         #: current name, unambiguous history name → id, ambiguous
         #: names.  None for never-renamed tables (by-name fast path).
         self.resolve = resolve
+        #: identity-partition constants for THIS file (typed values,
+        #: spec §Column Projection) — converted/migrated tables'
+        #: referenced files LACK the columns; reading them by name
+        #: would silently NULL-fill (r10 review finding).
+        self.consts = consts or {}
 
 
 def _ordered_snapshots(meta: dict) -> list[dict]:
@@ -189,6 +195,31 @@ class IcebergStreamReader(DataSourceStreamReader):
                 "name_to_id": res["name_to_id"],
                 "ambiguous": sorted(res["ambiguous"]),
             }
+        # converted/migrated provenance: the referenced files LACK
+        # their identity partition columns — ship typed constants per
+        # added file (spec §Column Projection); native tables skip the
+        # plan (their files contain the columns, by-name reads stand)
+        const_files: dict = {}
+        if (meta.get("properties") or {}).get("converted-from-delta") or (
+            meta.get("properties") or {}
+        ).get("migrated-data-files"):
+            from ..sources.iceberg import (
+                _current_schema as _cur,
+                _identity_const_plan as _icp,
+            )
+
+            hi_snap = snaps[hi - 1] if hi >= 1 else None
+            if hi_snap is not None:
+                data, _d, _e = _manifest_entries(self.path, meta, hi_snap)
+                if resolve is not None:
+                    raise ValueError(
+                        "iceberg_stream: renamed-column streaming on a "
+                        "converted/migrated partitioned table is not "
+                        "supported — read in batch (read_iceberg)"
+                    )
+                plan = _icp(meta, _cur(meta), data, typed=True)
+                if plan is not None:
+                    const_files = plan[1]
         out: list[_IceFilePartition] = []
         prev, prev_del = (
             _active_files(self.path, meta, snaps[lo - 1])
@@ -208,8 +239,12 @@ class IcebergStreamReader(DataSourceStreamReader):
                     "by key)"
                 )
             for p in sorted(cur - prev):
+                up = urllib.parse.unquote(p)
                 out.append(
-                    _IceFilePartition(urllib.parse.unquote(p), names, resolve)
+                    _IceFilePartition(
+                        up, names, resolve,
+                        const_files.get(os.path.basename(up)),
+                    )
                 )
             prev, prev_del = cur, cur_del
         return out
@@ -243,9 +278,12 @@ class IcebergStreamReader(DataSourceStreamReader):
                 cur = r["ids"].get(fid) if fid is not None else None
                 if cur is not None:
                     colmap[cur] = fld.name
+        consts = partition.consts
         for row in table.to_pylist():
             yield tuple(
-                row.get(colmap[n]) if n in colmap else None
+                consts[n]
+                if n in consts  # identity source: metadata wins
+                else (row.get(colmap[n]) if n in colmap else None)
                 for n in partition.names
             )
 
@@ -402,6 +440,21 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                 "name_to_id": res["name_to_id"],
                 "ambiguous": sorted(res["ambiguous"]),
             }
+
+        props = meta.get("properties") or {}
+        if props.get("converted-from-delta") or props.get(
+            "migrated-data-files"
+        ):
+            # the referenced files LACK their identity partition
+            # columns; this reader's four change kinds assemble rows
+            # by file column name and would NULL-fill them — refuse
+            # toward the batch changelog reader, whose _plan_scan
+            # injects the constants (r10 review finding)
+            raise ValueError(
+                "iceberg_stream readChangeFeed: converted/migrated "
+                "tables are not supported by the stream tail — read "
+                "changes in batch (read_iceberg_changes) instead"
+            )
 
         def state(i):
             if i < 0:

@@ -3251,6 +3251,50 @@ def test_identity_merge_generates_and_advances_watermark(
     assert len(set(ids2)) == 5
 
 
+def test_identity_merge_cdf_rows_match_table_values(spark, tmp_path):
+    """r10 review finding: generated identity values ride a
+    nondeterministic expression, and a CDF-enabled merge evaluates the
+    insert subplan twice (data stage + _change_data stage) — the
+    minted rows are localCheckpoint'ed so the change feed carries
+    EXACTLY the committed values."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        alter_table_properties_delta,
+        create_identity_delta,
+        merge_delta,
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "t")
+    create_identity_delta(
+        spark,
+        spark.createDataFrame([("a", 1.0)], "name string, v double"),
+        path, "id", start=5, step=5,
+    )
+    alter_table_properties_delta(
+        spark, path, {"delta.enableChangeDataFeed": "true"}
+    )
+    merge_delta(
+        spark, path,
+        spark.createDataFrame(
+            [(f"n{i}", float(i)) for i in range(30)],
+            "name string, v double",
+        ).repartition(4),
+        on=["name"],
+    )
+    table_ids = {
+        r["name"]: r["id"] for r in read_delta(spark, path).collect()
+    }
+    cdc_inserts = {
+        r["name"]: r["id"]
+        for r in read_delta_changes(spark, path, 1, 2)
+        .filter(F.col("_change_type") == "insert")
+        .collect()
+    }
+    assert cdc_inserts == {
+        k: v for k, v in table_ids.items() if k != "a"
+    }
+
+
 def test_identity_merge_explicit_insert_with_flag(spark, tmp_path):
     """allowExplicitInsert=true merges take the source's identity
     values (INSERT *) and the watermark rounds up to the next lattice

@@ -217,6 +217,64 @@ def test_iceberg_format_renamed_table_resolves_by_field_id(spark, tmp_path):
     assert _rows(got) == [(1, "a", 1.0), (2, "b", 2.0)]
 
 
+def test_iceberg_format_serves_constants_on_converted_tables(
+    spark, tmp_path
+):
+    """r10 review finding: converted/migrated tables' referenced
+    files LACK their identity partition columns — the facade and the
+    streaming append tail must serve them from partition metadata,
+    not silently NULL-fill."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+    )
+    from aws_datalake_framework_api_spark.streaming.iceberg_source import (
+        register as ice_register,
+    )
+
+    src, dst = str(tmp_path / "dl"), str(tmp_path / "ice")
+    write_delta(
+        _df(spark, [(k, "a" if k % 2 else "b", float(k)) for k in range(8)]),
+        src, mode="error", partition_by=["part"],
+    )
+    convert_delta_to_iceberg(spark, src, dst)
+    register_formats(spark)
+    got = _rows(spark.read.format("iceberg").load(dst))
+    assert got == _rows(read_iceberg(spark, dst))
+    assert not any(r[1] is None for r in got)
+
+    # streaming append tail: same constants service
+    ice_register(spark)
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .load(dst)
+        .writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = _rows(spark.read.parquet(out))
+    assert streamed == got
+
+    # changelog tail refuses toward the batch changelog reader
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="read_iceberg_changes"):
+        q2 = (
+            spark.readStream.format("iceberg_stream")
+            .option("readChangeFeed", "true")
+            .load(dst)
+            .writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", str(tmp_path / "o2"))
+            .option("checkpointLocation", str(tmp_path / "c2"))
+            .start()
+        )
+        q2.awaitTermination()
+
+
 def test_iceberg_format_snapshot_ref_options(spark, tmp_path):
     from aws_datalake_framework_api_spark.sources.iceberg import (
         _load_metadata,
