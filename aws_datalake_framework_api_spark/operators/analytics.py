@@ -361,11 +361,18 @@ def rfm(
     # count per range) converts local ranks to global.
     import pandas as pd
 
-    # one persisted per-customer rollup feeds the count, the three
+    # one materialized per-customer rollup feeds the count, the three
     # rank passes, AND their three partition-size jobs — without it
     # the full fact-table aggregation re-executes ~7 times (review
-    # finding), on the exact scale path this switch exists for
-    per_cust = per_cust.persist()
+    # finding), on the exact scale path this switch exists for.
+    # localCheckpoint instead of persist (ADVICE r10): a persist here
+    # leaked the cached rollup for the session (nothing ever
+    # unpersisted it, and the RETURNED plan still references it, so
+    # there is no safe in-function unpersist point); checkpoint
+    # blocks are scope-tied — the ContextCleaner frees them when the
+    # caller drops the returned DataFrame, on the very 10^8-customer
+    # path the flag exists for.
+    per_cust = per_cust.localCheckpoint(eager=True)
     n = per_cust.count()
     base = n // 4  # review finding: max(1, ...) diverged from
     # ntile below n=4 rows (Spark gives each row its own bucket)

@@ -1975,12 +1975,73 @@ def widen_type_delta(
 # ``delta.identity.highWaterMark``, updated in the SAME commit as the
 # data (a crashed writer can therefore never reuse a value).
 # Generated values lie on the ``start + k·step`` lattice, are unique,
-# and may have gaps (both facts are the documented contract —
-# allocation here is ``lattice_base + step · monotonically_increasing_
-# id()``, a zero-shuffle whole-stage-codegen expression whose
-# per-partition id blocks leave holes); after an explicit insert the
-# watermark rounds UP to the next lattice point beyond the inserted
-# maximum so future generation cannot collide.
+# and may have gaps (the documented contract); allocation here is
+# CONTIGUOUS per batch — ``base .. base+step·(n-1)`` via
+# :func:`_mint_identity_block` (ADVICE r10: the earlier
+# ``monotonically_increasing_id`` mint left 2^33-sized holes per
+# partition, burning the long lattice billions at a time) — and after
+# an explicit insert the watermark rounds UP to the next lattice
+# point beyond the inserted maximum so future generation cannot
+# collide.
+
+
+def _mint_identity_block(
+    df: DataFrame, column: str, base: int, step: int
+) -> DataFrame:
+    """Contiguous identity allocation for CREATE/append staging
+    (ADVICE r10 — the merge insert frame has its own NULL-fill twin in
+    merge_clauses._mint_identity_contiguous): mint EXACTLY
+    ``base .. base+step·(n-1)`` for the batch.
+
+    1. pin the batch with an EAGER localCheckpoint: the count pass and
+       the staging pass must observe identical partition layout and
+       intra-partition row order, or a nondeterministic source could
+       shift rows between blocks and DUPLICATE a minted value;
+    2. one planning-sized count-per-partition job builds the offset
+       map (O(partitions) rows to the driver);
+    3. each row's value is ``base + step·(offset[pid] + pos)`` where
+       ``pos`` is monotonically_increasing_id's low 33 bits over the
+       PINNED frame — the row's intra-partition position.  The offset
+       map broadcast-joins on spark_partition_id, so the data side
+       never shuffles and the whole mint adds one checkpoint pass,
+       not a window sort."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    df = df.localCheckpoint(eager=True)
+    pid = F.spark_partition_id()
+    counts = sorted(
+        (int(r["_id_pid"]), int(r["n"]))
+        for r in df.groupBy(pid.alias("_id_pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if not counts:
+        return df.withColumn(column, F.lit(None).cast("long"))
+    offs, run = [], 0
+    for p, n in counts:
+        offs.append((p, run))
+        run += n
+    omap = spark.createDataFrame(
+        pd.DataFrame(offs, columns=["_id_pid", "_id_off"]),
+        "_id_pid int, _id_off long",
+    )
+    pos = F.monotonically_increasing_id() - (
+        pid.cast("long") * F.lit(1 << 33)
+    )
+    return (
+        df.withColumn("_id_pid", pid)
+        .withColumn("_id_pos", pos)
+        .join(F.broadcast(omap), "_id_pid")
+        .withColumn(
+            column,
+            (
+                F.lit(int(base))
+                + F.lit(int(step)) * (F.col("_id_off") + F.col("_id_pos"))
+            ).cast("long"),
+        )
+        .drop("_id_pid", "_id_pos", "_id_off")
+    )
 
 
 def _identity_specs(snap: _Snapshot) -> dict[str, dict]:
@@ -2062,12 +2123,18 @@ def _identity_watermark_md(
     md = dict(snap.metadata)
     schema = json.loads(md["schemaString"])
     fields = [dict(f) for f in schema.get("fields") or []]
+    # column-mapped tables: staged files and their footer stats spell
+    # PHYSICAL names — translate before reading the extremum (r11,
+    # VERDICT r10 item #8)
+    _sch, _pc, _ren, l2p = _resolve_read_schema(snap)
     changed = False
     for f in fields:
         spec = specs.get(f["name"])
         if spec is None:
             continue
-        ext = _identity_extremum(spark, path, adds, f["name"], spec["step"])
+        ext = _identity_extremum(
+            spark, path, adds, l2p.get(f["name"], f["name"]), spec["step"]
+        )
         if ext is None:
             continue
         if f["name"] in explicit:
@@ -2123,11 +2190,11 @@ def _identity_merge_prep(
     specs = _identity_specs(snap)
     if not specs:
         return source, clauses, {}
-    if _mapping_mode(snap) not in ("none", ""):
-        raise ValueError(
-            "identity columns on a column-mapped table are not "
-            "implemented (install delta-spark)"
-        )
+    # column-mapped tables work too (r11, VERDICT r10 item #8): the
+    # merge plans entirely over LOGICAL names (the scan renames back,
+    # _stage_mutation renames forward via _to_physical_df), and the
+    # watermark reader translates logical→physical where it touches
+    # stats/files (_identity_watermark_md)
     insert_cl = [c for c in clauses if c["when"] == "not_matched"]
     out_clauses = []
     for cl in clauses:
@@ -2203,13 +2270,7 @@ def create_identity_delta(
         raise ValueError("cannot partition by the identity column")
     if _table_version(path) is not None:
         raise FileExistsError(f"delta table already exists at {path}")
-    df2 = df.withColumn(
-        column,
-        (
-            F.lit(int(start))
-            + F.lit(int(step)) * F.monotonically_increasing_id()
-        ).cast("long"),
-    )
+    df2 = _mint_identity_block(df, column, int(start), int(step))
     schema = json.loads(df2.schema.json())
     for f in schema["fields"]:
         if f["name"] == column:
@@ -2486,11 +2547,6 @@ def write_delta(
                     "identity columns + merge_schema evolution in one "
                     "write is not implemented"
                 )
-            if _mapping_mode(snap) not in ("none", ""):
-                raise ValueError(
-                    "identity columns on a column-mapped table are not "
-                    "implemented (install delta-spark)"
-                )
             for name, spec in sorted(id_specs.items()):
                 if name in df.columns:
                     if not spec["allow_explicit"]:
@@ -2506,13 +2562,8 @@ def write_delta(
                     if spec["wm"] is not None
                     else spec["start"]
                 )
-                df = df.withColumn(
-                    name,
-                    (
-                        F.lit(base)
-                        + F.lit(spec["step"])
-                        * F.monotonically_increasing_id()
-                    ).cast("long"),
+                df = _mint_identity_block(
+                    df, name, int(base), int(spec["step"])
                 )
             declared_order = [
                 f["name"]

@@ -1133,6 +1133,10 @@ def _identity_const_plan(
     if not const_cols:
         return None
     pf_name = {c: maps[0][c] for c in const_cols}
+    props = (meta.get("properties") or {}) if meta is not None else {}
+    injection_required = bool(
+        props.get("converted-from-delta") or props.get("migrated-data-files")
+    )
     files: dict[str, dict] = {}
     for rec in data:
         part = rec.get("partition") or {}
@@ -1140,11 +1144,21 @@ def _identity_const_plan(
             return None  # conservative: read the columns from files
         b = os.path.basename(urllib.parse.unquote(rec["path"]))
         if b in files:
-            # a basename collision would inject the WRONG constants —
+            if not injection_required:
+                # a native table's files DO carry the identity columns
+                # (injection is only a pruning optimization here) — a
+                # foreign writer's basename collision must not turn a
+                # previously-fine plain read into an error (ADVICE r10):
+                # fall back to reading the columns from the files
+                return None
+            # converted/migrated provenance: the referenced files LACK
+            # the identity columns, so constants are the ONLY correct
+            # source and a collision would inject the WRONG ones —
             # refuse like the delete-attribution paths
             raise ValueError(
                 "cannot inject partition constants: duplicate data "
-                "file basenames"
+                "file basenames on a converted/migrated table — "
+                "rewrite_data_files first"
             )
         conv = _const_typed if typed else _const_wire
         files[b] = {
@@ -1181,31 +1195,15 @@ def _plan_scan(
     files = sorted({r["path"] for r in data})
     inject = (
         _identity_const_plan(meta, schema_json, data)
-        if meta is not None and schema_json is not None and res is None
+        if meta is not None and schema_json is not None
         else None
     )
-    props = (meta.get("properties") or {}) if meta is not None else {}
-    if (
-        res is not None
-        and (
-            props.get("converted-from-delta")
-            or props.get("migrated-data-files")
-        )
-        and any(
-            pf.get("transform") == "identity"
-            for sid in {r["spec_id"] for r in data}
-            for pf in _spec_fields(meta, sid)
-        )
-    ):
-        # a converted/migrated table's referenced files LACK their
-        # identity partition columns; the renamed-table union reads by
-        # field id from the files and would silently NULL-fill them —
-        # refuse rather than misread (rewrite_data_files materializes
-        # the columns and lifts this)
-        raise ValueError(
-            "renamed-column reads on a converted/migrated partitioned "
-            "table are not supported — rewrite_data_files first"
-        )
+    # r11 (VERDICT r10 item #6): the renamed-column union now serves
+    # identity constants too (build() joins the broadcast basename→
+    # constants map on top of _resolved_union), so the r10 refusal on
+    # renamed converted/migrated tables is LIFTED — id-less foreign
+    # files resolve data columns through the unambiguous history
+    # name→id map and partition columns from manifest metadata.
 
     def build(want_tags: bool) -> DataFrame:
         tags = (
@@ -1214,7 +1212,55 @@ def _plan_scan(
             else None
         )
         if res is not None:
-            return _resolved_union(spark, files, res, tags)
+            if inject is None:
+                return _resolved_union(spark, files, res, tags)
+            # renamed table over converted/migrated (or pruning-
+            # eligible) identity partitions: the union NULL-fills the
+            # partition columns (the files lack them and carry no
+            # ids), so overwrite them from the broadcast basename→
+            # constants map — the same §Column Projection service as
+            # the unrenamed single-scan branch below (r11, VERDICT
+            # r10 item #6)
+            import pandas as pd
+
+            const_cols, cmap = inject
+            utags = [("_ice_file", "file_name")] + (
+                [("_ice_pos", "row_index")] if want_tags else []
+            )
+            out = _resolved_union(spark, files, res, utags)
+            types_ = {f.name: f.dataType for f in spark_schema.fields}
+            pmap = spark.createDataFrame(
+                pd.DataFrame(
+                    sorted(
+                        (b, *[vals[c] for c in const_cols])
+                        for b, vals in cmap.items()
+                    ),
+                    columns=["_ice_file"]
+                    + [f"_ice_const_{i}" for i in range(len(const_cols))],
+                ),
+                ", ".join(
+                    ["_ice_file string"]
+                    + [
+                        f"_ice_const_{i} string"
+                        for i in range(len(const_cols))
+                    ]
+                ),
+            )
+            joined = out.join(F.broadcast(pmap), "_ice_file")
+            sel = []
+            for f in spark_schema.fields:
+                if f.name in const_cols:
+                    i = const_cols.index(f.name)
+                    sel.append(
+                        F.col(f"_ice_const_{i}")
+                        .cast(types_[f.name])
+                        .alias(f.name)
+                    )
+                else:
+                    sel.append(F.col(f.name))
+            if want_tags:
+                sel += [F.col("_ice_file"), F.col("_ice_pos")]
+            return joined.select(*sel)
         if inject is not None:
             # identity-partition sources come from the manifest's
             # partition metadata (spec §Column Projection): ONE
@@ -5247,10 +5293,15 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
     normal Iceberg life (appends/deletes/tags/branches land under
     ``dst``) while the Delta source keeps its own log and history.
 
-    Honest gates, each the mirror of a format impedance: files
-    carrying deletion vectors refuse (Iceberg cannot reference
-    another format's delete encoding — ``optimize_delta`` folds them;
-    convert after), and column-mapping tables refuse (their parquet
+    DELETION-VECTOR-carrying snapshots convert too (r11, VERDICT r10
+    item #4): Iceberg cannot reference Delta's DV encoding, but it
+    does not need to — each file's vector MATERIALIZES as Iceberg
+    position-delete rows (content=1 parquet, ``(file_path, pos)``)
+    in the SAME v1 commit, decoded executor-side from the shipped
+    descriptors (the Delta reader's own ``_dv_relation``), still zero
+    data-file copies.  Same-sequence gating makes them apply: the
+    reader's rule is delete-seq >= data-seq.  The one remaining gate
+    of that family: column-mapping tables refuse (their parquet
     columns bear physical ``col-<uuid>`` names the Iceberg name-based
     resolution would never match).  PARTITIONED Delta tables convert
     (r10, VERDICT r9 item #4): the log's ``partitionColumns`` become
@@ -5286,16 +5337,23 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
             "columns bear physical names Iceberg name resolution would "
             "not match"
         )
-    dv_files = [
-        rel for rel, a in snap.files.items()
-        if a.get("deletionVector")
-        and int(a["deletionVector"].get("cardinality") or 0) != 0
-    ]
-    if dv_files:
-        raise ValueError(
-            f"delta snapshot carries deletion vectors on {len(dv_files)} "
-            "file(s) — optimize_delta folds them; convert after compaction"
-        )
+    import urllib.parse as _up
+
+    dv_map: dict[str, dict] = {}
+    basenames: set[str] = set()
+    for rel, a in snap.files.items():
+        b = os.path.basename(_up.unquote(rel))
+        if b in basenames:
+            # DV positions and partition tuples key by basename below;
+            # a collision would misattribute them — refuse loudly
+            raise ValueError(
+                "cannot convert: duplicate data file basenames in the "
+                "delta snapshot"
+            )
+        basenames.add(b)
+        dv = a.get("deletionVector")
+        if dv and int(dv.get("cardinality") or 0) != 0:
+            dv_map[b] = dv
     from pyspark.sql.types import StructType as _ST
 
     spark_schema = _ST.fromJson(json.loads(md["schemaString"]))
@@ -5362,11 +5420,45 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
         }
         for f in data_files
     ]
-    manifest = _write_manifest(
-        dst, entries, part_spec, 0, "data", schema_json, spec_id=0
-    )
+    manifests = [
+        _write_manifest(
+            dst, entries, part_spec, 0, "data", schema_json, spec_id=0
+        )
+    ]
+    if dv_map:
+        # materialize the deletion vectors as position-delete files in
+        # the same v1 commit: decode executor-side from the shipped
+        # descriptors ((basename, pos) relation), map basenames back
+        # to the absolute referenced paths, stage sorted parquet —
+        # zero data-file copies, and the same-sequence commit makes
+        # the reader's delete-seq >= data-seq gate apply them
+        import pandas as _pd
+
+        from .delta import _dv_relation
+
+        abs_of = sorted(
+            (
+                os.path.basename(_up.unquote(rel)),
+                os.path.abspath(os.path.join(src, _up.unquote(rel))),
+            )
+            for rel in snap.files
+        )
+        amap = spark.createDataFrame(
+            _pd.DataFrame(abs_of, columns=["_dl_file", "file_path"]),
+            "_dl_file string, file_path string",
+        )
+        hits = (
+            _dv_relation(spark, src, dv_map)
+            .join(F.broadcast(amap), "_dl_file")
+            .select("file_path", F.col("_dl_dv_pos").alias("pos"))
+        )
+        del_files = _stage_pos_delete(spark, dst, hits)
+        if del_files:
+            manifests.append(
+                _delete_manifest(dst, del_files, schema_json)
+            )
     return _commit_snapshot(
-        dst, None, [manifest], [], "append",
+        dst, None, manifests, [], "append",
         schema_json=schema_json, part_spec=part_spec,
         properties=(
             {"converted-from-delta": "true"} if part_spec else None
@@ -5385,12 +5477,14 @@ def scan_lake_convert_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition column, joining the id-less referenced ones that DON'T
     — the read serves the latter from partition metadata via the
     constants injection) → read as Iceberg, grouped on the injected
-    column.  The hash fails if conversion dropped or
-    double-referenced a file, a partition tuple mis-serialized, the
-    constants injection mis-served a file, or the iceberg append
-    leaked back; refusal gates (DVs, column mapping) and
+    column.  Widened in r11 (VERDICT r10 item #4): the Delta source
+    carries a merge-on-read DELETE (deletion vectors) before
+    conversion, so the commit also materializes position-delete files
+    — the oracle recomputes the subtracted aggregate, and a resurrected
+    DV-deleted row, a mis-gated position delete, or a dropped file all
+    fail the hash.  Refusal gates (column mapping) and
     source-untouched are pytest-pinned (tests/test_iceberg.py)."""
-    from .delta import write_delta
+    from .delta import delete_where_delta, write_delta
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
@@ -5418,6 +5512,7 @@ def scan_lake_convert_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_orderkey") % 9 == 8), src, mode="append",
             partition_by=["o_orderpriority"],
         )
+        delete_where_delta(spark, src, F.col("o_orderkey") % 18 == 7)
         convert_delta_to_iceberg(spark, src, dst)
         write_iceberg(
             orders.filter(F.col("o_orderkey") % 9 == 0),
@@ -5436,7 +5531,7 @@ scan_lake_convert_reverse = query(
     SELECT o_orderpriority, count(*) AS n,
            {sql_money_sum('o_totalprice')} AS total_price
     FROM orders
-    WHERE o_orderkey % 9 IN (7, 8, 0)
+    WHERE o_orderkey % 9 IN (7, 8, 0) AND o_orderkey % 18 <> 7
     GROUP BY o_orderpriority
     """,
 )(scan_lake_convert_reverse)

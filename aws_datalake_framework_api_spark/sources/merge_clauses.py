@@ -270,28 +270,108 @@ def _plan_inserts(
                 expr = F.when(F.col("_mg_action") == i, val).otherwise(expr)
         ins_cols.append(expr.cast(types[c]).alias(c))
     out = ins_tagged.select(*ins_cols)
-    for c, (base, step) in sorted((gen_ident or {}).items()):
-        out = out.withColumn(
+    if gen_ident:
+        out = _mint_identity_contiguous(out, cols, gen_ident)
+    return out
+
+
+def _mint_identity_contiguous(
+    out: DataFrame, cols: list[str], gen_ident: dict
+) -> DataFrame:
+    """Contiguous identity allocation for the merge's insert frame
+    (ADVICE r10): a bare ``base + step·monotonically_increasing_id()``
+    jumps by ``step·2^33`` per partition, so one multi-partition
+    insert advanced the high watermark by billions — legal under the
+    Delta identity contract (gaps allowed) but it burns the long
+    lattice far faster than delta-spark's contiguous per-partition
+    block allocation.  This mints EXACTLY ``base .. base+step·(n-1)``:
+
+    1. pin the unminted frame with an EAGER localCheckpoint — the
+       count pass and the mint pass must see identical partition
+       layout and row order, and on a CDF-enabled merge the data
+       stage and the ``_change_data`` stage must read identical
+       minted values (the r10 mint-once contract, now carried by the
+       pinned source + a total-order window instead of a second
+       checkpoint);
+    2. one planning-sized aggregate collects the per-partition count
+       of rows needing a value PER identity column (O(partitions)
+       rows to the driver — the RFM ranked() offset-map pattern);
+    3. each row's value is ``base + step·(offset[pid] + rank-1)``
+       where rank is the running count of needs-a-value rows within
+       its partition — a parallel window partitioned by pid, never a
+       global sort."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    spark = out.sparkSession
+    ident_cols = sorted(gen_ident)
+    out = out.localCheckpoint(eager=True)
+    pid = F.spark_partition_id()
+    counts = (
+        out.groupBy(pid.alias("_mg_pid"))
+        .agg(
+            *[
+                F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(
+                    f"_mg_cnt_{i}"
+                )
+                for i, c in enumerate(ident_cols)
+            ]
+        )
+        .collect()
+    )
+    offs: dict[str, dict[int, int]] = {c: {} for c in ident_cols}
+    run = {c: 0 for c in ident_cols}
+    for r in sorted(counts, key=lambda r: r["_mg_pid"]):
+        for i, c in enumerate(ident_cols):
+            offs[c][int(r["_mg_pid"])] = run[c]
+            run[c] += int(r[f"_mg_cnt_{i}"])
+    omap = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (p, *[offs[c][p] for c in ident_cols])
+                for p in sorted(offs[ident_cols[0]])
+            ],
+            columns=["_mg_pid"]
+            + [f"_mg_off_{i}" for i in range(len(ident_cols))],
+        ),
+        ", ".join(
+            ["_mg_pid int"]
+            + [f"_mg_off_{i} long" for i in range(len(ident_cols))]
+        ),
+    ) if counts else None
+    if omap is None:
+        return out.select(*[F.col(c) for c in cols])
+    # _mg_ord is monotonically_increasing_id over the CHECKPOINTED
+    # frame — deterministic (block-pinned) and unique, so the window
+    # order is total and every re-evaluation mints identical values
+    tagged = (
+        out.withColumn("_mg_pid", pid)
+        .withColumn("_mg_ord", F.monotonically_increasing_id())
+        .join(F.broadcast(omap), "_mg_pid")
+    )
+    w = (
+        Window.partitionBy("_mg_pid")
+        .orderBy("_mg_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for i, c in enumerate(ident_cols):
+        base, step = gen_ident[c]
+        rank = F.sum(
+            F.when(F.col(c).isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).over(w)
+        tagged = tagged.withColumn(
             c,
             F.when(
                 F.col(c).isNull(),
                 (
                     F.lit(int(base))
-                    + F.lit(int(step)) * F.monotonically_increasing_id()
+                    + F.lit(int(step))
+                    * (F.col(f"_mg_off_{i}") + rank - F.lit(1))
                 ).cast("long"),
             ).otherwise(F.col(c)),
         )
-    if gen_ident:
-        # Mint ONCE: monotonically_increasing_id is NONDETERMINISTIC
-        # across plan re-evaluations, and the insert subplan is
-        # consumed by TWO jobs on a CDF-enabled merge (the data stage
-        # and the _change_data stage) — re-evaluation would hand the
-        # change feed different identity values than the committed
-        # table rows.  localCheckpoint materializes the minted rows at
-        # first use; both consumers then read the same blocks, and a
-        # lost block fails loudly instead of silently re-minting.
-        out = out.localCheckpoint(eager=False)
-    return out
+    return tagged.select(*[F.col(c) for c in cols])
 
 
 def plan_merge(

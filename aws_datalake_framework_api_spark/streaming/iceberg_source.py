@@ -369,6 +369,12 @@ class _IceChangePartition(InputPartition):
         #: the data file's own sequence number (the spec's strict
         #: ``delete.seq > data.seq`` gate)
         self.file_seq = int(file_seq)
+        #: identity-partition constants for THIS data file (typed,
+        #: spec §Column Projection; converted/migrated tables only —
+        #: the referenced files lack the columns), and the
+        #: basename→constants map for posdel's carried files
+        self.consts: dict | None = None
+        self.consts_map: dict | None = None
 
 
 class IcebergChangesStreamReader(DataSourceStreamReader):
@@ -442,19 +448,27 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
             }
 
         props = meta.get("properties") or {}
-        if props.get("converted-from-delta") or props.get(
-            "migrated-data-files"
-        ):
-            # the referenced files LACK their identity partition
-            # columns; this reader's four change kinds assemble rows
-            # by file column name and would NULL-fill them — refuse
-            # toward the batch changelog reader, whose _plan_scan
-            # injects the constants (r10 review finding)
+        inject_consts = bool(
+            props.get("converted-from-delta")
+            or props.get("migrated-data-files")
+        )
+        if inject_consts and resolve is not None:
+            # the one remaining unsupported corner, same policy as the
+            # batch readers (_plan_scan and the format facade): the
+            # renamed-column path reads by field id and cannot inject
             raise ValueError(
-                "iceberg_stream readChangeFeed: converted/migrated "
-                "tables are not supported by the stream tail — read "
-                "changes in batch (read_iceberg_changes) instead"
+                "iceberg_stream readChangeFeed: renamed-column "
+                "streaming on a converted/migrated partitioned table "
+                "is not supported — read changes in batch "
+                "(read_iceberg_changes)"
             )
+        # converted/migrated provenance (r11, VERDICT r10 item #5 —
+        # this replaces the r10 blanket refusal): the referenced files
+        # LACK their identity partition columns, so every change kind
+        # that assembles rows from a DATA file ships that file's typed
+        # constants (spec §Column Projection) and merges them into the
+        # row dicts before assembly and equality-key extraction.
+        all_recs: dict[str, dict] = {}
 
         def state(i):
             if i < 0:
@@ -495,8 +509,14 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
 
         out: list[_IceChangePartition] = []
         p_data, p_del, p_eq = state(lo - 1)
+        if inject_consts:
+            for r in p_data:
+                all_recs.setdefault(r["path"], r)
         for i in range(lo, hi):
             c_data, c_del, c_eq = state(i)
+            if inject_consts:
+                for r in c_data:
+                    all_recs.setdefault(r["path"], r)
             ssid = int(snaps[i]["snapshot-id"])
             prev_paths = {r["path"] for r in p_data}
             cur_paths = {r["path"] for r in c_data}
@@ -583,6 +603,29 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                         )
                     )
             p_data, p_del, p_eq = c_data, c_del, c_eq
+        if inject_consts and all_recs:
+            from ..sources.iceberg import (
+                _current_schema as _cur,
+                _identity_const_plan as _icp,
+            )
+
+            plan = _icp(
+                meta, _cur(meta), list(all_recs.values()), typed=True
+            )
+            if plan is not None:
+                cmap = plan[1]
+                for part in out:
+                    if part.kind in ("ins", "del", "eqdel"):
+                        part.consts = cmap.get(
+                            os.path.basename(part.file_path)
+                        )
+                    else:  # posdel reads the carried data files
+                        part.consts_map = {
+                            os.path.basename(p): cmap.get(
+                                os.path.basename(p)
+                            )
+                            for p in part.carried
+                        }
         return out
 
     def read(self, partition: _IceChangePartition):
@@ -648,6 +691,16 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                     del keys
             return flags
 
+        def merge_consts(rows: list[dict], colmap: dict, consts) -> dict:
+            """Inject a converted/migrated file's identity-partition
+            constants into its row dicts (and the colmap, so both row
+            assembly and equality-key extraction see them)."""
+            if not consts:
+                return colmap
+            for row in rows:
+                row.update(consts)
+            return {**colmap, **{n: n for n in consts}}
+
         if partition.kind in ("ins", "del"):
             table = pq.read_table(partition.file_path)
             colmap = _colmap(table, partition.resolve)
@@ -660,6 +713,7 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                 for pos, row in enumerate(table.to_pylist())
                 if pos not in dead
             ]
+            colmap = merge_consts(live, colmap, partition.consts)
             excl_flags = eq_kill_flags(
                 [(r, colmap, partition.file_seq) for r in live],
                 partition.eq_excl,
@@ -690,6 +744,7 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                 for pos, row in enumerate(table.to_pylist())
                 if pos not in dead
             ]
+            colmap = merge_consts(live, colmap, partition.consts)
             entries = [(r, colmap, partition.file_seq) for r in live]
             excl_flags = eq_kill_flags(entries, partition.eq_excl)
             match_flags = eq_kill_flags(entries, partition.eq_files)
@@ -748,7 +803,13 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
             # O(deleted rows) here
             idx = sorted(p for p in fresh if p < table.num_rows)
             fseq = int(carried_seq.get(actual, 0))
-            for row in table.take(idx).to_pylist():
+            rows = table.take(idx).to_pylist()
+            colmap = merge_consts(
+                rows,
+                colmap,
+                (partition.consts_map or {}).get(os.path.basename(actual)),
+            )
+            for row in rows:
                 entries.append((row, colmap, fseq))
         excl_flags = eq_kill_flags(entries, partition.eq_excl)
         for i, (row, colmap, _fseq) in enumerate(entries):

@@ -1827,18 +1827,8 @@ def test_legacy_writer_versions_gate_on_actual_capabilities(spark, tmp_path):
         fh.write("\n".join(json.dumps(a) for a in lines))
     write_delta(_df(spark, [(9, "z", 9.0)]), path, mode="append")
     assert (9, "z", 9.0) in _sorted_rows(read_delta(spark, path))
-    # identity + column mapping: the unimplemented combination refuses
-    with open(_version_file(path, 0)) as fh:
-        lines = [json.loads(ln) for ln in fh if ln.strip()]
-    for act in lines:
-        if "metaData" in act:
-            sj = json.loads(act["metaData"]["schemaString"])
-            sj["fields"][0]["metadata"]["delta.identity.start"] = "1"
-            act["metaData"]["schemaString"] = json.dumps(sj)
-    with open(_version_file(path, 0), "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in lines))
-    with pytest.raises(ValueError, match="column-mapped"):
-        write_delta(_df(spark, [(8, "y", 8.0)]), path, mode="append")
+    # identity + column mapping generates since r11 —
+    # see test_identity_on_column_mapped_table
 
 
 def test_column_mapping_survives_checkpoint(spark, tmp_path):
@@ -3602,3 +3592,135 @@ def test_convert_refuses_mor_deletes_and_hidden_transforms(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="identity"):
         convert_iceberg_to_delta(spark, src2, str(tmp_path / "d2"))
+
+
+def test_identity_merge_mints_contiguous_block(spark, tmp_path):
+    """ADVICE r10: generated identity values for one merge's insert
+    frame must be EXACTLY base..base+step·(n-1) — contiguous per-merge
+    block allocation like delta-spark — not the step·2^33-per-partition
+    jumps a bare monotonically_increasing_id() mint produced.  The
+    source is multi-partition on purpose."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _identity_specs,
+        _snapshot,
+        create_identity_delta,
+        merge_delta,
+    )
+
+    path = str(tmp_path / "t")
+    create_identity_delta(
+        spark,
+        spark.createDataFrame([("seed", 0.0)], "name string, v double"),
+        path, "id", start=100, step=5,
+    )
+    merge_delta(
+        spark, path,
+        spark.createDataFrame(
+            [(f"n{i}", float(i)) for i in range(40)], "name string, v double"
+        ).repartition(8),
+        on=["name"],
+    )
+    ids = sorted(
+        r["id"] for r in read_delta(spark, path).collect()
+        if r["name"] != "seed"
+    )
+    assert ids == [105 + 5 * k for k in range(40)]  # base=wm+step=105
+    wm = _identity_specs(_snapshot(spark, path)[0])["id"]["wm"]
+    assert wm == ids[-1]  # watermark advanced to exactly the last mint
+
+
+def test_identity_on_column_mapped_table(spark, tmp_path):
+    """VERDICT r10 item #8: identity columns on a COLUMN-MAPPED table
+    generate instead of refusing.  Foreign-table simulation: an empty
+    identity table is retrofitted with name-mode mapping (physical
+    ``col-<n>`` names differing from the logical ones), so every
+    staged file spells physical names and the watermark reader must
+    translate logical→physical to find the extremum in footer stats.
+    Appends and MERGE inserts mint on-lattice contiguous values, the
+    watermark rides the same commit, and UPDATE preserves values."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _identity_specs,
+        _snapshot,
+        create_identity_delta,
+        merge_delta,
+        update_delta,
+    )
+
+    path = str(tmp_path / "t")
+    create_identity_delta(
+        spark,
+        spark.createDataFrame([], "name string, v double"),
+        path, "id", start=10, step=5,
+    )
+    # retrofit name-mode column mapping with DIFFERING physical names
+    # (legal: the table is empty, so no existing file spells logical
+    # names) — the shape a foreign mapped+identity table would have
+    with open(_version_file(path, 0)) as fh:
+        lines = [json.loads(ln) for ln in fh if ln.strip()]
+    for act in lines:
+        if "metaData" in act:
+            sj = json.loads(act["metaData"]["schemaString"])
+            for i, f in enumerate(sj["fields"]):
+                f.setdefault("metadata", {})
+                f["metadata"]["delta.columnMapping.id"] = i + 1
+                f["metadata"]["delta.columnMapping.physicalName"] = (
+                    f"col-{i + 1}"
+                )
+            act["metaData"]["schemaString"] = json.dumps(sj)
+            act["metaData"].setdefault("configuration", {})
+            act["metaData"]["configuration"][
+                "delta.columnMapping.mode"
+            ] = "name"
+            act["metaData"]["configuration"][
+                "delta.columnMapping.maxColumnId"
+            ] = "3"
+        if "protocol" in act:
+            for side in ("readerFeatures", "writerFeatures"):
+                feats = set(act["protocol"].get(side) or [])
+                feats.add("columnMapping")
+                act["protocol"][side] = sorted(feats)
+    with open(_version_file(path, 0), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in lines))
+
+    # append WITHOUT the column: generated, physical staging
+    write_delta(
+        spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], "name string, v double"
+        ),
+        path, mode="append",
+    )
+    got = {r["name"]: r["id"] for r in read_delta(spark, path).collect()}
+    assert sorted(got.values()) == [10, 15]
+    wm1 = _identity_specs(_snapshot(spark, path)[0])["id"]["wm"]
+    assert wm1 == 15  # translated-stats extremum, same commit
+    # the staged file spells PHYSICAL names only
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    fcols = {
+        c
+        for f in _glob.glob(path + "/*.parquet")
+        if _pq.ParquetFile(f).metadata.num_rows  # skip the empty v0 file
+        for c in _pq.read_schema(f).names
+    }
+    assert "id" not in fcols and "col-3" in fcols
+    # MERGE: matched update keeps the value, insert generates past wm
+    res = merge_delta(
+        spark, path,
+        spark.createDataFrame(
+            [("a", 11.0), ("c", 3.0)], "name string, v double"
+        ),
+        on=["name"],
+    )
+    assert res["updated"] == 1 and res["inserted"] == 1
+    rows = {r["name"]: r for r in read_delta(spark, path).collect()}
+    assert rows["a"]["id"] == got["a"] and rows["a"]["v"] == 11.0
+    assert rows["c"]["id"] == 20  # wm 15 + step 5, contiguous
+    wm2 = _identity_specs(_snapshot(spark, path)[0])["id"]["wm"]
+    assert wm2 == 20
+    # UPDATE not naming the identity column preserves values
+    update_delta(spark, path, F.col("name") == "b", {"v": 99.0})
+    rows2 = {r["name"]: r for r in read_delta(spark, path).collect()}
+    assert rows2["b"]["id"] == got["b"] and rows2["b"]["v"] == 99.0
+    assert _identity_specs(_snapshot(spark, path)[0])["id"]["wm"] == wm2

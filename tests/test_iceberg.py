@@ -2178,26 +2178,70 @@ def test_convert_delta_reads_and_diverges_without_touching_source(
 def test_convert_delta_refusal_gates(spark, tmp_path):
     from aws_datalake_framework_api_spark.sources.delta import (
         create_mapped_delta,
-        delete_where_delta,
-        write_delta,
     )
     from aws_datalake_framework_api_spark.sources.iceberg import (
         convert_delta_to_iceberg,
     )
 
-    # deletion vectors -> refuse toward optimize
-    s1 = str(tmp_path / "d1")
-    write_delta(_df(spark, [(k, "a", float(k)) for k in range(8)]), s1,
-                mode="error")
-    delete_where_delta(spark, s1, F.col("k") == 1)
-    with pytest.raises(ValueError, match="optimize_delta"):
-        convert_delta_to_iceberg(spark, s1, str(tmp_path / "i1"))
-
-    # column mapping -> refuse (physical col-<uuid> parquet names)
+    # column mapping -> refuse (physical col-<uuid> parquet names).
+    # (The deletion-vector gate was LIFTED in r11, VERDICT r10 item
+    # #4 — see test_convert_dv_carrying_delta_to_iceberg.)
     s3 = str(tmp_path / "d3")
     create_mapped_delta(_df(spark, [(1, "a", 1.0)]), s3, mode="name")
     with pytest.raises(ValueError, match="column-mapping"):
         convert_delta_to_iceberg(spark, s3, str(tmp_path / "i3"))
+
+
+def test_convert_dv_carrying_delta_to_iceberg(spark, tmp_path):
+    """VERDICT r10 item #4: a mid-life Delta table with merge-on-read
+    deletes converts — each file's deletion vector materializes as
+    Iceberg position-delete rows (content=1) in the same v1 commit,
+    zero data-file copies.  The converted table reads identically to
+    the Delta source through BOTH the native reader and the format
+    facade, lives a normal iceberg life on top, and the Delta source
+    stays untouched."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta,
+        read_delta,
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.format_facade import (
+        register_formats,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+        delete_iceberg_rows,
+    )
+
+    src, dst = str(tmp_path / "d"), str(tmp_path / "i")
+    write_delta(
+        _df(spark, [(k, "a" if k % 2 else "b", float(k)) for k in range(20)]),
+        src, mode="error", partition_by=["part"],
+    )
+    delete_where_delta(spark, src, F.col("k") % 5 == 0)  # DVs, 2 files
+    want = _sorted_rows(read_delta(spark, src))
+    assert len(want) == 16
+    convert_delta_to_iceberg(spark, src, dst)
+    assert _sorted_rows(read_iceberg(spark, dst)) == want
+    register_formats(spark)
+    assert _sorted_rows(
+        spark.read.format("iceberg").load(dst)
+        .select("k", "part", "v")
+    ) == want
+    # no data bytes copied: every content=0 entry points into src
+    import glob as _glob
+
+    copied = [
+        f for f in _glob.glob(dst + "/data/*.parquet")
+        if "delete-" not in os.path.basename(f)
+    ]
+    assert copied == []
+    # iceberg-side life on top; delta source untouched
+    delete_iceberg_rows(spark, dst, F.col("k") == 3)
+    assert _sorted_rows(read_iceberg(spark, dst)) == [
+        r for r in want if r[0] != 3
+    ]
+    assert _sorted_rows(read_delta(spark, src)) == want
 
 
 def test_convert_partitioned_delta_to_iceberg(spark, tmp_path):
@@ -2304,3 +2348,50 @@ def test_convert_round_trip_delta_iceberg_delta(spark, tmp_path):
     assert _sorted_rows(read_delta(spark, a)) == want
     assert _sorted_rows(read_iceberg(spark, b)) == want
     assert (9, "z", 9.0) in _sorted_rows(read_delta(spark, c))
+
+
+def test_identity_const_plan_collision_native_vs_converted():
+    """ADVICE r10: a duplicate data-file basename must downgrade the
+    constants plan to None (read the columns from the files) on a
+    NATIVE table — injection is only a pruning optimization there —
+    and keep the loud refusal only on converted/migrated provenance,
+    where the files lack the columns and constants are the sole
+    correct source."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        _identity_const_plan,
+    )
+
+    schema_json = {
+        "fields": [
+            {"id": 1, "name": "part", "type": "string"},
+            {"id": 2, "name": "v", "type": "long"},
+        ]
+    }
+    meta = {
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"transform": "identity", "source-id": 1,
+                     "name": "part"}
+                ],
+            }
+        ],
+        "properties": {},
+    }
+    collide = [
+        {"spec_id": 0, "path": "/a/f1.parquet", "partition": {"part": "x"}},
+        {"spec_id": 0, "path": "/b/f1.parquet", "partition": {"part": "y"}},
+    ]
+    assert _identity_const_plan(meta, schema_json, collide) is None
+    # no collision: the plan stands
+    clean = [
+        {"spec_id": 0, "path": "/a/f1.parquet", "partition": {"part": "x"}},
+        {"spec_id": 0, "path": "/b/f2.parquet", "partition": {"part": "y"}},
+    ]
+    cols, files = _identity_const_plan(meta, schema_json, clean)
+    assert cols == ["part"] and set(files) == {"f1.parquet", "f2.parquet"}
+    # converted provenance: collision must refuse, not misread
+    meta["properties"] = {"converted-from-delta": "true"}
+    with pytest.raises(ValueError, match="duplicate data"):
+        _identity_const_plan(meta, schema_json, collide)
