@@ -285,6 +285,11 @@ class IcebergBatchReader(DataSourceReader):
             )
         self.options = options
         self.schema = schema
+        # per-task equality-kill-set chunk size (rows), matching the
+        # changelog stream tail's option of the same name
+        self.eq_chunk = max(
+            1, int(options.get("maxeqdeleterows", 1 << 16))
+        )
 
     def _snap(self, meta: dict) -> dict | None:
         sid = self.options.get("snapshotid")
@@ -404,13 +409,6 @@ class IcebergBatchReader(DataSourceReader):
             ):
                 if os.path.basename(urllib.parse.unquote(fp)) == my_base:
                     dead.add(int(pos))
-        eq_sets: list[tuple[tuple[str, ...], set]] = []
-        for dfile, cols in partition.eq_deletes:
-            dt = pq.read_table(dfile, columns=list(cols))
-            keys = set(
-                zip(*[dt.column(c).to_pylist() for c in cols])
-            )
-            eq_sets.append((cols, keys))
         consts = partition.consts
 
         def val(row, n):
@@ -418,18 +416,50 @@ class IcebergBatchReader(DataSourceReader):
                 return consts[n]
             return row.get(colmap[n]) if n in colmap else None
 
-        for pos, row in enumerate(table.to_pylist()):
-            if pos in dead:
+        live = [
+            row
+            for pos, row in enumerate(table.to_pylist())
+            if pos not in dead
+        ]
+        killed = bytearray(len(live))
+        if partition.eq_deletes:
+            # Equality kill sets stream in bounded chunks (r11, same
+            # shape as the changelog tail's eq_kill_flags): one key
+            # extraction pass per distinct key-column set, then each
+            # delete file's keys materialize maxEqDeleteRows at a
+            # time — an arbitrarily large key file never holds its
+            # whole key set resident in the task.  Python tuple
+            # equality matches NULL to NULL, the spec's
+            # IS-NOT-DISTINCT-FROM semantics.
+            groups: dict[tuple, list[str]] = {}
+            for dfile, cols in partition.eq_deletes:
+                groups.setdefault(tuple(cols), []).append(dfile)
+            for cols, dfiles in sorted(groups.items()):
+                row_keys = [
+                    tuple(val(r, c) for c in cols) for r in live
+                ]
+                for dfile in sorted(dfiles):
+                    pf = pq.ParquetFile(dfile)
+                    for batch in pf.iter_batches(
+                        batch_size=self.eq_chunk, columns=list(cols)
+                    ):
+                        keys = set(
+                            zip(
+                                *[
+                                    batch.column(
+                                        batch.schema.get_field_index(c)
+                                    ).to_pylist()
+                                    for c in cols
+                                ]
+                            )
+                        )
+                        for i, rk in enumerate(row_keys):
+                            if not killed[i] and rk in keys:
+                                killed[i] = 1
+                        del keys
+        for i, row in enumerate(live):
+            if killed[i]:
                 continue
-            if eq_sets:
-                # Python tuple equality matches NULL to NULL, the
-                # spec's IS-NOT-DISTINCT-FROM semantics
-                vals = {n: val(row, n) for n in partition.names}
-                if any(
-                    tuple(vals.get(c) for c in cols) in keys
-                    for cols, keys in eq_sets
-                ):
-                    continue
             yield tuple(val(row, n) for n in partition.names)
 
 
@@ -742,3 +772,95 @@ def sql_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dv_census={census}"
         )
     return spark.createDataFrame(got, via_view.schema)
+
+@query(
+    "b_sql_lake_iceberg",
+    f"""
+    SELECT c_mktsegment, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 6 = 1
+      AND o_orderkey % 18 <> 1
+      AND o_orderkey % 30 <> 7
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_lake_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ``spark.sql`` over a registered ICEBERG view (r11 — the
+    second-format twin of ``b_sql_lake``): the merge-on-read v2
+    fixture carrying BOTH delete shapes (position deletes + equality
+    deletes, the ``b_scan_iceberg_fmt`` table) registers as a temp
+    view through the NATIVE reader (:func:`register_lake_view`
+    ``fmt="iceberg"``), then one SQL statement joins it against a
+    parquet view — the doubly-subtracted MOR state must hold THROUGH
+    the view seam (a resurrected position-deleted row, an unscoped
+    equality delete, or a mis-gated sequence all fail the hash).
+
+    Cross-checked and pinned exactly like ``b_sql_lake`` (VERDICT r10
+    item #1's hardening pattern): the view-seam result is verified
+    in-query against the parquet truth, divergence raises with the
+    fixture's delete census, and the verified 5 rows return as a
+    local relation so driver-side re-collection cannot observe a
+    different answer.  The o_custkey column is absent from the
+    iceberg fixture on purpose — the join key rides o_orderkey→
+    custkey through the source table — so the SQL joins the lake view
+    to BOTH parquet views (orders for the key, customer for the
+    segment), proving a three-way plan through the seam."""
+    from .iceberg import _load_metadata
+
+    scan_iceberg_fmt(spark, sf_dir)  # ensure the fixture exists
+    path = _scratch(f"iceberg_fmt_{os.path.basename(sf_dir.rstrip('/'))}")
+    register_lake_view(spark, "lake_orders_ice", path, fmt="iceberg")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    orders.select("o_orderkey", "o_custkey").createOrReplaceTempView(
+        "orders_keys_v"
+    )
+    customer.createOrReplaceTempView("customer_seg_v")
+    via_view = spark.sql(
+        f"""
+        SELECT c_mktsegment, count(*) AS n,
+               {sql_money_sum('lake_orders_ice.o_totalprice')} AS total_price
+        FROM lake_orders_ice
+        JOIN orders_keys_v USING (o_orderkey)
+        JOIN customer_seg_v ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+    def _canon_cell(x):
+        import decimal
+
+        return float(x) if isinstance(x, decimal.Decimal) else x
+
+    def _canon(rows):
+        return sorted(tuple(_canon_cell(c) for c in r) for r in rows)
+
+    got = via_view.collect()
+    truth_df = (
+        orders.filter(
+            (F.col("o_orderkey") % 6 == 1)
+            & (F.col("o_orderkey") % 18 != 1)
+            & (F.col("o_orderkey") % 30 != 7)
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+    )
+    truth = _canon(map(tuple, truth_df.collect()))
+    if _canon(map(tuple, got)) != truth:
+        meta = _load_metadata(path)
+        census = {
+            (s.get("summary") or {}).get("operation"): s.get("snapshot-id")
+            for s in meta.get("snapshots") or []
+        }
+        raise ValueError(
+            "b_sql_lake_iceberg view-seam result diverged from parquet "
+            f"truth: view={_canon(map(tuple, got))} truth={truth} "
+            f"snapshots={census}"
+        )
+    return spark.createDataFrame(got, via_view.schema)
+

@@ -37,12 +37,11 @@ Semantics (iceberg-spark parity):
   exactly the newly-dead rows, and NEW equality-delete files (r9) as
   the carried rows their keys kill under the spec's sequence gate.
   This goes BEYOND iceberg-spark, whose streaming read is
-  append-only.  The one refusal left: a SINGLE equality-delete key
-  file larger than ``maxEqDeleteRows`` (r10 — tasks consult key files
-  one at a time, so a long backlog of small per-commit files streams
-  fine; one oversized file needs ``rewrite_position_delete_files``-
-  style compaction or the batch reader's distributed semi-join,
-  ``read_iceberg_changes``).
+  append-only.  Equality-delete key files of ANY size stream (r11):
+  tasks consult key files one at a time (r10) in bounded
+  ``maxEqDeleteRows``-row batches (pyarrow ``iter_batches``), so
+  per-task key residency is one chunk regardless of file shape — the
+  r10 oversized-single-file refusal is gone.
 """
 
 from __future__ import annotations
@@ -292,14 +291,15 @@ class IcebergStreamReader(DataSourceStreamReader):
 
 
 def _colmap(table, resolve: dict | None) -> dict:
-    """Current-name → file-column-name map for one pyarrow table,
-    resolving renamed tables by parquet field id (same contract as
-    the batch reader's _resolved_union — silent NULLs for renamed
-    columns would be a misread)."""
+    """Current-name → file-column-name map for one pyarrow table OR
+    schema, resolving renamed tables by parquet field id (same
+    contract as the batch reader's _resolved_union — silent NULLs for
+    renamed columns would be a misread)."""
+    schema = table.schema if hasattr(table, "column_names") else table
     if resolve is None:
-        return {n: n for n in table.column_names}
+        return {n: n for n in schema.names}
     colmap: dict[str, str] = {}
-    for fld in table.schema:
+    for fld in schema:
         raw = (fld.metadata or {}).get(b"PARQUET:field_id")
         if raw is not None:
             fid = int(raw)
@@ -389,12 +389,11 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
     Flink-CDC-written shape) all stream: each ``eqdel`` task scans
     one carried data file against the snapshot's new kill-key files
     with the spec's strict sequence gate.  Key files are consulted
-    ONE AT A TIME (r10, VERDICT r9 item #3), so per-task residency is
-    bounded by the LARGEST single key file — capped at
-    ``maxEqDeleteRows`` (default 1e6); a backlog of many small
-    per-commit files no longer gates, only a single oversized file
-    refuses toward compaction or the batch reader's distributed
-    kill-set join (``read_iceberg_changes``)."""
+    ONE AT A TIME (r10, VERDICT r9 item #3) and, within a file, one
+    bounded batch at a time (r11): ``maxEqDeleteRows`` (default 64k)
+    is the chunk size, so per-task key residency is one chunk no
+    matter how a CDC writer shaped its delete files — neither a long
+    backlog of small files nor a single oversized file refuses."""
 
     def __init__(self, schema: StructType, options) -> None:
         self.path = options.get("path")
@@ -479,7 +478,6 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
             int(f["id"]): f["name"]
             for f in _current_schema(meta)["fields"]
         }
-        max_eq_rows = int(self.options.get("maxeqdeleterows", 1_000_000))
 
         def eq_desc(recs) -> tuple:
             """(path, seq, (key names…)) descriptors, equality_ids
@@ -528,27 +526,12 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
             new_eqs = [r for r in c_eq if r["path"] not in prev_epaths]
             removed = sorted(prev_paths - cur_paths)
             # Equality deletes stream per-task (r9, VERDICT r8 item
-            # #2).  r10 (VERDICT r9 item #3): tasks consult delete
-            # files ONE AT A TIME (eq_kill_flags), so peak residency
-            # is the LARGEST single key file — a long un-compacted
-            # CDC backlog of small per-commit files streams without
-            # refusing; only a single oversized key file (what
-            # rewrite_position_delete_files compacts) still gates.
-            eq_rows = max(
-                (int(r["record_count"]) for r in c_eq), default=0
-            )
-            touches_eq = bool(new_eqs) or (
-                bool(p_eq) and bool(removed or new_dels)
-            )
-            if touches_eq and eq_rows > max_eq_rows:
-                raise ValueError(
-                    f"iceberg_stream: snapshot {ssid}'s change set needs "
-                    f"a {eq_rows}-row equality-delete key file resident "
-                    f"per task (cap {max_eq_rows}, option "
-                    "maxEqDeleteRows) — read this range in batch "
-                    "(read_iceberg_changes), whose kill set is a "
-                    "distributed join"
-                )
+            # #2) with files consulted ONE AT A TIME (r10) and, since
+            # r11, in BOUNDED BATCHES within each file (eq_kill_flags'
+            # iter_batches chunking) — per-task key residency is one
+            # maxEqDeleteRows-sized chunk, so NO key-file shape
+            # refuses anymore: not a long backlog of small files, not
+            # a single oversized file.
             prev_eq_d = eq_desc(p_eq)
             seq_of = {r["path"]: int(r["seq"]) for r in p_data}
             for p in sorted(cur_paths - prev_paths):
@@ -653,19 +636,29 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                     ).add(int(pos))
             return m
 
+        # maxEqDeleteRows (default 64k) is the key-set CHUNK size now,
+        # not a refusal threshold (r11 — the r10 largest-single-file
+        # gate is gone): key files stream through pyarrow iter_batches
+        # in chunks of at most this many rows, so per-task residency
+        # is one chunk + one flag byte per scanned row no matter how
+        # large a single delete file grows
+        eq_chunk = max(
+            1, int(self.options.get("maxeqdeleterows", 1 << 16))
+        )
+
         def eq_kill_flags(entries, descs) -> bytearray:
             """Per-row kill flags from equality-delete descriptors,
-            processed ONE DELETE FILE AT A TIME: peak key residency is
-            a SINGLE file's rows plus one flag byte per scanned row —
-            a long un-compacted CDC backlog (many small delete files)
-            streams without the former total-backlog residency
-            (VERDICT r9 item #3; the planner's cap now gates on the
-            largest single file).  ``entries``: [(row dict, colmap,
-            data-file sequence)].  A row is killed when ANY delete
-            file with sequence STRICTLY above its data file's carries
-            a matching key (spec gate); NULL keys match null-safely
-            (tuple equality).  Delete files sharing a key-column set
-            reuse one row-key extraction pass."""
+            processed ONE DELETE FILE AT A TIME and, within a file,
+            ONE BOUNDED BATCH AT A TIME (r11, the last refusal of the
+            r9/r10 residency series): peak key residency is
+            ``eq_chunk`` rows — an arbitrarily large single key file
+            (the case that still refused in r10) now streams.
+            ``entries``: [(row dict, colmap, data-file sequence)].  A
+            row is killed when ANY delete file with sequence STRICTLY
+            above its data file's carries a matching key (spec gate);
+            NULL keys match null-safely (tuple equality).  Delete
+            files sharing a key-column set reuse one row-key
+            extraction pass."""
             flags = bytearray(len(entries))
             groups: dict[tuple, list[tuple[str, int]]] = {}
             for pth, seq, knames in descs:
@@ -675,20 +668,36 @@ class IcebergChangesStreamReader(DataSourceStreamReader):
                     (tuple(r.get(cm.get(n)) for n in knames), fseq)
                     for r, cm, fseq in entries
                 ]
-                for pth, seq in sorted(files):
-                    t = pq.read_table(pth)
-                    cm = _colmap(t, partition.resolve)
-                    cols = [
-                        t.column(cm[n]).to_pylist()
-                        if n in cm
-                        else [None] * t.num_rows
-                        for n in knames
-                    ]
-                    keys = set(zip(*cols))
+
+                def mark(keys, seq):
                     for i, (rk, fseq) in enumerate(row_keys):
                         if not flags[i] and seq > fseq and rk in keys:
                             flags[i] = 1
-                    del keys
+
+                for pth, seq in sorted(files):
+                    pf = pq.ParquetFile(pth)
+                    cm = _colmap(pf.schema_arrow, partition.resolve)
+                    file_cols = [cm[n] for n in knames if n in cm]
+                    if not file_cols:
+                        # no key column present in the file: every row
+                        # carries the all-NULL key
+                        if pf.metadata.num_rows:
+                            mark({(None,) * len(knames)}, seq)
+                        continue
+                    for batch in pf.iter_batches(
+                        batch_size=eq_chunk, columns=file_cols
+                    ):
+                        cols = [
+                            batch.column(
+                                file_cols.index(cm[n])
+                            ).to_pylist()
+                            if n in cm
+                            else [None] * batch.num_rows
+                            for n in knames
+                        ]
+                        keys = set(zip(*cols))
+                        mark(keys, seq)
+                        del keys
             return flags
 
         def merge_consts(rows: list[dict], colmap: dict, consts) -> dict:

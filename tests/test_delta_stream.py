@@ -603,12 +603,14 @@ def test_iceberg_changelog_stream_covers_equality_deletes(
     assert len(_sunk(spark, out)) == len(got)
 
 
-def test_iceberg_changelog_stream_caps_equality_key_residency(
+def test_iceberg_changelog_stream_chunks_oversized_key_files(
     spark, tmp_path
 ):
-    """The per-task key-set residency cap (maxEqDeleteRows) refuses
-    loudly toward the batch reader instead of silently loading an
-    unbounded kill set on every executor."""
+    """r11 (the last refusal of the residency series): a single
+    equality-delete key file LARGER than maxEqDeleteRows streams
+    correctly — the option is the per-task key-chunk size now
+    (iter_batches), not a refusal threshold.  A 3-key file processed
+    with chunk=2 must kill exactly the same rows."""
     from aws_datalake_framework_api_spark.sources.iceberg import (
         delete_by_key_iceberg,
         write_iceberg,
@@ -627,22 +629,26 @@ def test_iceberg_changelog_stream_caps_equality_key_residency(
     delete_by_key_iceberg(
         spark, t, spark.createDataFrame([(k,) for k in (2, 4, 6)], "k int")
     )
-    with pytest.raises(Exception, match="maxEqDeleteRows"):
-        _run_ice(
-            spark, t, str(tmp_path / "o1"), str(tmp_path / "c1"),
-            readChangeFeed="true", maxEqDeleteRows="2",
-        )
-    # raising the cap streams the same range fine
-    out, ckpt = str(tmp_path / "o2"), str(tmp_path / "c2")
-    _run_ice(spark, t, out, ckpt, readChangeFeed="true",
-             maxEqDeleteRows="3")
-    assert sorted(
-        tuple(r) for r in spark.read.parquet(out)
-        .drop("_snapshot_id").collect()
-    ) == sorted(
+    expected = sorted(
         [(i, "a", float(i), "insert") for i in range(1, 9)]
         + [(i, "a", float(i), "delete") for i in (2, 4, 6)]
     )
+    # chunk (2) < the single key file's rows (3): streams, same rows
+    out, ckpt = str(tmp_path / "o1"), str(tmp_path / "c1")
+    _run_ice(spark, t, out, ckpt, readChangeFeed="true",
+             maxEqDeleteRows="2")
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .drop("_snapshot_id").collect()
+    ) == expected
+    # and with a chunk larger than the file
+    out2, ckpt2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    _run_ice(spark, t, out2, ckpt2, readChangeFeed="true",
+             maxEqDeleteRows="1000")
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out2)
+        .drop("_snapshot_id").collect()
+    ) == expected
 
 
 def test_iceberg_changelog_streams_eq_backlog_beyond_total_cap(

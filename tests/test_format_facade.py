@@ -192,6 +192,15 @@ def test_iceberg_format_matches_native_with_mor_deletes(spark, tmp_path):
     assert _rows(got) == _rows(read_iceberg(spark, path))
     ks = {r[0] for r in got.collect()}
     assert ks.isdisjoint({0, 5, 10, 15, 7, 11})
+    # r11: equality kill sets stream in bounded chunks — a chunk size
+    # smaller than the key file (2 keys, chunk 1) must kill the same
+    # rows, not a subset
+    chunked = (
+        spark.read.format("iceberg")
+        .option("maxEqDeleteRows", 1)
+        .load(path)
+    )
+    assert _rows(chunked) == _rows(got)
 
 
 def test_iceberg_format_eq_delete_sequence_gate(spark, tmp_path):
