@@ -13,12 +13,13 @@ Round-11 rotation (VERDICT r10 items #1/#2): the red-row retry round.
 
 1. slot 1: ``b_sql_lake`` — the r10 window's single hash-FAIL, now
    hardened (deterministic fixture layout + in-query parquet-truth
-   cross-check + pinned verified result) and run FIRST; slot 2:
-   ``b_sql_lake_iceberg``, the r11-new second-format view-seam twin
-   (new ids are driver-checked the round they ship);
-2. slots 3-50: 48 of the 50 remaining r5-stale ids — the entire
-   stale set except ``b_ts_locf``/``b_ts_rolling_dau``, displaced to
-   slots 51-52 by the window boundary (they lead the r12 window);
+   cross-check + pinned verified result) and run FIRST; slots 2-3:
+   ``b_sql_lake_iceberg`` and ``b_lake_delta_rename``, the r11-new
+   ids (new ids are driver-checked the round they ship);
+2. slots 4-50: 47 of the 50 remaining r5-stale ids — the entire
+   stale set except ``b_ts_gapfill``/``b_ts_locf``/
+   ``b_ts_rolling_dau``, displaced to slots 51-53 by the window
+   boundary (they lead the r12 window);
 3. the full r10 window (all hash-green in CORRECTNESS_r10) follows,
    then everything r6-r10-proved in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
@@ -88,14 +89,18 @@ _ORDER = [
     # hardened (deterministic fixture layout, in-query parquet-truth
     # cross-check, pinned verified result; see format_facade.sql_lake
     # and tests/test_sql_lake_equivalence.py) — run FIRST so its green
-    # row is unconditional on the rest of the window.  Slots 2-50 are
-    # 49 of the 50 remaining r5-stale ids (the entire stale set minus
-    # b_ts_rolling_dau, which the 50-entry boundary displaces to
-    # position 51 — it leads the r12 window).  All slots pre-cleared
-    # green at three local configs (LOCAL_SWEEP_r11_*).
+    # row is unconditional on the rest of the window.  Slots 2-3 are
+    # the r11-new ids (b_sql_lake_iceberg, b_lake_delta_rename —
+    # driver-checked the round they ship); slots 4-50 are 47 of the 50
+    # remaining r5-stale ids (the entire stale set minus the three the
+    # boundary displaces to slots 51-53 — they lead the r12 window).
+    # All slots pre-cleared green at three local configs
+    # (LOCAL_SWEEP_r11_*).
     "b_sql_lake",  # r10 red row, hardened — first (VERDICT r10 #1)
     "b_sql_lake_iceberg",  # r11 addition: the second-format view-seam
     #                        twin, driver-checked the round it ships
+    "b_lake_delta_rename",  # r11 addition: column-mapping evolution
+    #                         lifecycle (upgrade→rename→append→DV)
     "a6_catalog_create",
     "b_agg_bitmap",
     "b_agg_cmsketch",
@@ -146,8 +151,9 @@ _ORDER = [
     "b_ts_gapfill",
     "b_ts_locf",
     "b_ts_rolling_dau",
-    # ---- 50-entry window boundary: b_ts_locf / b_ts_rolling_dau
-    #      above are slots 51-52 (displaced, lead the r12 window). ----
+    # ---- 50-entry window boundary: b_ts_gapfill / b_ts_locf /
+    #      b_ts_rolling_dau above are slots 51-53 (displaced, lead the
+    #      r12 window). ----
     # -- the r10 window (every id below hash-green in r10; b_sql_lake
     #    moved to slot 1 above) --
     "b_lake_iceberg_retype",

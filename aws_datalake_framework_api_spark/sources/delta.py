@@ -1182,14 +1182,17 @@ def _version_at_timestamp(path: str, ts) -> int:
         # scan ALL actions: the protocol does not mandate commitInfo
         # first, and a foreign writer that orders it later must not
         # silently demote resolution to file mtime (ADVICE r6; same
-        # contract as history_delta).
+        # contract as history_delta).  inCommitTimestamp (r11) is the
+        # AUTHORITATIVE commit clock when present — the feature exists
+        # precisely because wall timestamps / file mtimes drift.
         with open(vf) as fh:
             for line in fh:
                 line = line.strip()
                 if line:
                     a = json.loads(line)
                     if "commitInfo" in a:
-                        t = a["commitInfo"].get("timestamp")
+                        ci = a["commitInfo"]
+                        t = ci.get("inCommitTimestamp", ci.get("timestamp"))
                         break
         if t is None:
             t = int(os.path.getmtime(vf) * 1000)
@@ -1355,12 +1358,69 @@ class CommitConflict(RuntimeError):
     auto-rebases them onto the winner (see its retry loop)."""
 
 
+_ICT_KEY = "delta.enableInCommitTimestamps"
+
+
+def _last_ict(path: str, version: int) -> int | None:
+    """The previous commit's ``inCommitTimestamp`` (the monotonicity
+    floor for version ``version``); None when there is no previous
+    JSON commit (checkpointed away / v0) or it carries no ICT."""
+    if version <= 0:
+        return None
+    vf = _version_file(path, version - 1)
+    try:
+        with open(vf) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        t = a["commitInfo"].get("inCommitTimestamp")
+                        return int(t) if t is not None else None
+    except FileNotFoundError:
+        return None
+    return None
+
+
+def _apply_ict(
+    path: str, version: int, actions: list[dict], conf: dict | None
+) -> list[dict]:
+    """In-Commit Timestamps (the protocol's ``inCommitTimestamp``
+    writer feature, r11): when ``delta.enableInCommitTimestamps`` is
+    set, every commit's ``commitInfo`` MUST be the FIRST action and
+    carry a MONOTONICALLY increasing ``inCommitTimestamp`` — the
+    commit's authoritative wall clock, immune to file-mtime drift
+    (log copies, backup restores).  Clamped to strictly exceed the
+    previous commit's ICT, exactly delta-spark's rule."""
+    if not conf or conf.get(_ICT_KEY) != "true":
+        return actions
+    now = int(time.time() * 1000)
+    prev = _last_ict(path, version)
+    ict = max(now, (prev or 0) + 1)
+    ci = next((a for a in actions if "commitInfo" in a), None)
+    if ci is None:
+        ci = {"commitInfo": {"timestamp": now, "operation": "WRITE"}}
+        actions = [ci] + list(actions)
+    else:
+        actions = [ci] + [a for a in actions if a is not ci]
+    ci["commitInfo"]["inCommitTimestamp"] = ict
+    return actions
+
+
 def _commit_mutation(
-    path: str, version: int, actions: list[dict], operation: str
+    path: str, version: int, actions: list[dict], operation: str,
+    snap: _Snapshot | None = None,
 ) -> None:
     """Commit a snapshot-dependent mutation; a lost race surfaces as
     :class:`CommitConflict` (deterministic, actionable) instead of a
-    bare FileExistsError."""
+    bare FileExistsError.  ``snap`` (the PRE-commit snapshot) lets the
+    commit honor table-level commit obligations — currently In-Commit
+    Timestamps (:func:`_apply_ict`)."""
+    if snap is not None:
+        actions = _apply_ict(
+            path, version, actions,
+            (snap.metadata or {}).get("configuration"),
+        )
     try:
         _commit(path, version, actions)
     except FileExistsError as e:
@@ -1503,7 +1563,13 @@ _SUPPORTED_WRITER_FEATURES = {
     "appendOnly", "deletionVectors", "timestampNtz", "columnMapping",
     "v2Checkpoint", "checkConstraints", "generatedColumns",
     "changeDataFeed", "typeWidening", "typeWidening-preview",
-    "identityColumns",
+    "identityColumns", "inCommitTimestamp",
+    # "supported" = the capability gate is PER DECLARATION, not per
+    # protocol listing: a table whose protocol lists invariants but
+    # declares none is writable; any ACTUALLY DECLARED invariant still
+    # refuses in _check_write_protocol (_find_invariant) because this
+    # writer does not evaluate invariant expressions.
+    "invariants",
 }
 _MAX_SIMPLE_WRITER_VERSION = 2
 
@@ -1565,6 +1631,7 @@ def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
     # _identity_merge_prep and the update_delta assignment guard.
     if _mapping_mode(snap) not in ("none", "") and operation not in (
         "append", "overwrite", "update", "delete", "merge", "optimize",
+        "rename column", "drop column",  # metadata-only evolutions (r11)
     ):
         raise ValueError(
             f"column-mapped table: {operation} is not implemented "
@@ -1754,7 +1821,7 @@ def add_constraint_delta(
         )
     actions.append({"metaData": md})
     version = latest + 1
-    _commit_mutation(path, version, actions, "ADD CONSTRAINT")
+    _commit_mutation(path, version, actions, "ADD CONSTRAINT", snap=snap)
     return version
 
 
@@ -1823,9 +1890,70 @@ def alter_table_properties_delta(
                     ),
                 }}
             )
-    actions.append({"metaData": md})
     version = latest + 1
-    _commit_mutation(path, version, actions, "SET TBLPROPERTIES")
+    ict_on = (
+        str((set_props or {}).get(_ICT_KEY, "")).lower() == "true"
+        and ((snap.metadata or {}).get("configuration") or {}).get(_ICT_KEY)
+        != "true"
+    )
+    if ict_on:
+        # In-Commit Timestamps enablement (r11, the protocol's
+        # ``inCommitTimestamp`` writer feature): the ENABLEMENT commit
+        # itself must carry the first inCommitTimestamp, and the
+        # enablement version/timestamp land in the configuration so
+        # readers know where the mtime→ICT cutover sits.  The feature
+        # is writer-side only — minReaderVersion stays; a legacy
+        # protocol converts to writer-7 with its implied feature set.
+        ict = max(int(time.time() * 1000), (_last_ict(path, version) or 0) + 1)
+        conf["delta.inCommitTimestampEnablementVersion"] = str(version)
+        conf["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+        md["configuration"] = conf
+        actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+        proto = snap.protocol or {}
+        writer = int(proto.get("minWriterVersion", 1))
+        feats = set(proto.get("writerFeatures") or [])
+        if writer == 7:
+            feats.add("inCommitTimestamp")
+        else:
+            # expand the legacy bundle into explicit features — but
+            # only the capabilities the table ACTUALLY USES (the same
+            # used-not-versioned philosophy as _check_write_protocol;
+            # listing a dormant appendOnly would flip this engine's
+            # conservative feature-implies-append-only gate, and a
+            # dormant invariants/identity listing adds nothing)
+            feats = {"inCommitTimestamp"}
+            if conf.get("delta.appendOnly") == "true":
+                feats.add("appendOnly")
+            if any(k.startswith("delta.constraints.") for k in conf):
+                feats.add("checkConstraints")
+            if conf.get("delta.enableChangeDataFeed") == "true":
+                feats.add("changeDataFeed")
+            if (conf.get(_CMAP_MODE_KEY) or "none") != "none":
+                feats.add("columnMapping")
+            sj_fields = json.loads(md["schemaString"]).get("fields")
+            # check the two per-field capabilities INDEPENDENTLY (a
+            # table can carry both; the helper returns only the first)
+            if _find_field_metadata_key(
+                sj_fields, ("delta.generationExpression",)
+            ):
+                feats.add("generatedColumns")
+            if _find_field_metadata_key(sj_fields, ("delta.identity.",)):
+                feats.add("identityColumns")
+        new_proto = {
+            "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(feats),
+        }
+        if new_proto["minReaderVersion"] >= 3 or proto.get(
+            "readerFeatures"
+        ) is not None:
+            new_proto["minReaderVersion"] = 3
+            new_proto["readerFeatures"] = sorted(
+                set(proto.get("readerFeatures") or [])
+            )
+        actions.append({"protocol": new_proto})
+    actions.append({"metaData": md})
+    _commit_mutation(path, version, actions, "SET TBLPROPERTIES", snap=snap)
     return version
 
 
@@ -1962,7 +2090,7 @@ def widen_type_delta(
             }
         )
     actions.append({"metaData": md})
-    _commit_mutation(path, version, actions, "CHANGE COLUMN")
+    _commit_mutation(path, version, actions, "CHANGE COLUMN", snap=snap)
     return version
 
 
@@ -2346,6 +2474,7 @@ def drop_constraint_delta(spark: SparkSession, path: str, name: str) -> int:
             {"metaData": md},
         ],
         "DROP CONSTRAINT",
+        snap=snap,
     )
     return version
 
@@ -2687,9 +2816,17 @@ def write_delta(
     # deterministically: create → FileExistsError (the documented
     # contract), overwrite/evolving append → CommitConflict.
     blind_append = mode == "append" and snap is not None and evolved is None
+    ict_conf = (
+        (snap.metadata or {}).get("configuration") if snap is not None
+        else None
+    )
     for _attempt in range(5):
         try:
-            _commit(path, version, actions)
+            # inject per ATTEMPT: a rebase moves `version`, and the
+            # in-commit timestamp must exceed the NEW predecessor's
+            _commit(
+                path, version, _apply_ict(path, version, actions, ict_conf)
+            )
             return version
         except FileExistsError:
             if snap is None:
@@ -2734,11 +2871,16 @@ def write_delta(
     )
 
 
-def _assign_mapping(node, counter: list[int]):
+def _assign_mapping(node, counter: list[int], phys=None):
     """schemaString subtree with ``delta.columnMapping.id`` /
     ``.physicalName`` metadata assigned to EVERY struct field (the
     spec requires both on all fields when mapping is enabled), ids
-    sequential via ``counter``, physical names ``col-<uuid>``."""
+    sequential via ``counter``.  ``phys`` picks each field's physical
+    name — default fresh ``col-<uuid>`` (CREATE); the UPGRADE path
+    passes the field's CURRENT name, because the already-written data
+    files spell exactly that."""
+    if phys is None:
+        phys = lambda f: f"col-{uuid.uuid4()}"  # noqa: E731
     if isinstance(node, dict):
         t = node.get("type")
         if t == "struct":
@@ -2748,11 +2890,11 @@ def _assign_mapping(node, counter: list[int]):
                 fields.append(
                     {
                         **f,
-                        "type": _assign_mapping(f["type"], counter),
+                        "type": _assign_mapping(f["type"], counter, phys),
                         "metadata": {
                             **(f.get("metadata") or {}),
                             "delta.columnMapping.id": counter[0],
-                            _CMAP_PHYS_KEY: f"col-{uuid.uuid4()}",
+                            _CMAP_PHYS_KEY: phys(f),
                         },
                     }
                 )
@@ -2760,13 +2902,17 @@ def _assign_mapping(node, counter: list[int]):
         if t == "array":
             return {
                 **node,
-                "elementType": _assign_mapping(node["elementType"], counter),
+                "elementType": _assign_mapping(
+                    node["elementType"], counter, phys
+                ),
             }
         if t == "map":
             return {
                 **node,
-                "keyType": _assign_mapping(node["keyType"], counter),
-                "valueType": _assign_mapping(node["valueType"], counter),
+                "keyType": _assign_mapping(node["keyType"], counter, phys),
+                "valueType": _assign_mapping(
+                    node["valueType"], counter, phys
+                ),
             }
     return node
 
@@ -2786,11 +2932,11 @@ def create_mapped_delta(
     ``(2, 5)`` signals the capability — the exact on-disk shape a
     Databricks-default writer produces, which is what makes this the
     reader's interop fixture.  Returns the top-level
-    logical→physical assignment.  Creation only: later mutations go
-    through the standard gates, which refuse mapped tables (rename /
-    drop evolution — the reason id+physicalName exist — is not
-    implemented, and a half-faithful writer is worse than a refusal).
-    """
+    logical→physical assignment.  Rename / drop evolution — the
+    reason id+physicalName exist — lives in
+    :func:`rename_column_delta` / :func:`drop_column_delta` (r11),
+    and :func:`upgrade_column_mapping_delta` retrofits mapping onto a
+    plain table so ANY table can evolve."""
     if _table_version(path) is not None:
         raise FileExistsError(f"delta table already exists at {path}")
     if mode not in ("name", "id"):
@@ -2837,6 +2983,228 @@ def create_mapped_delta(
     return l2p
 
 
+def _evolution_refs_guard(snap: _Snapshot, names: set[str], op: str) -> None:
+    """Refuse a rename/drop that would orphan a reference: CHECK
+    constraints (``delta.constraints.*`` configuration values) and
+    generated-column expressions are SQL strings over the CURRENT
+    logical names — delta-spark refuses these evolutions too rather
+    than silently breaking enforcement."""
+    import re as _re
+
+    conf = (snap.metadata or {}).get("configuration") or {}
+    exprs = {
+        k: v for k, v in conf.items() if k.startswith("delta.constraints.")
+    }
+    for f in json.loads(snap.metadata["schemaString"]).get("fields") or []:
+        ge = (f.get("metadata") or {}).get("delta.generationExpression")
+        if ge:
+            exprs[f"generation of {f['name']!r}"] = ge
+    for where, expr in sorted(exprs.items()):
+        for n in sorted(names):
+            if _re.search(rf"(?<![A-Za-z0-9_`]){_re.escape(n)}(?![A-Za-z0-9_])", expr):
+                raise ValueError(
+                    f"cannot {op} column {n!r}: referenced by {where} "
+                    f"({expr!r}) — drop the constraint / generated "
+                    "column first"
+                )
+
+
+def upgrade_column_mapping_delta(spark: SparkSession, path: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES
+    (``delta.columnMapping.mode = 'name'``) on an EXISTING unmapped
+    table (r11) — the delta-spark upgrade that unlocks RENAME/DROP
+    COLUMN: every field (nested included) gets a column id and a
+    physicalName equal to its CURRENT name (the already-written data
+    files spell exactly that, so the upgrade is metadata-only and
+    zero-copy), maxColumnId lands in the configuration, and the
+    protocol gains the capability — legacy ``(2, 5)`` floor, or the
+    ``columnMapping`` reader+writer feature on a features protocol.
+    Post-upgrade appends keep writing the SAME physical names until a
+    rename moves the logical one; files written after a rename still
+    spell the stable physical name, which is the whole point."""
+    snap, latest = _snapshot(spark, path)
+    if _mapping_mode(snap) not in ("none", ""):
+        raise ValueError("table already has column mapping enabled")
+    _check_write_protocol(snap, "upgrade-mapping")
+    sj = json.loads(snap.metadata["schemaString"])
+    counter = [0]
+    mapped = _assign_mapping(sj, counter, phys=lambda f: f["name"])
+    md = dict(snap.metadata)
+    md["schemaString"] = json.dumps(mapped)
+    conf = dict(md.get("configuration") or {})
+    conf[_CMAP_MODE_KEY] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(counter[0])
+    md["configuration"] = conf
+    proto = snap.protocol
+    r = int(proto.get("minReaderVersion", 1))
+    w = int(proto.get("minWriterVersion", 1))
+    if w == 7 or proto.get("writerFeatures") is not None:
+        rf = set(proto.get("readerFeatures") or [])
+        wf = set(proto.get("writerFeatures") or [])
+        rf.add("columnMapping")
+        wf.add("columnMapping")
+        new_proto = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rf),
+            "writerFeatures": sorted(wf),
+        }
+    else:
+        new_proto = {
+            "minReaderVersion": max(r, 2),
+            "minWriterVersion": max(w, 5),
+        }
+    version = latest + 1
+    _commit_mutation(
+        path, version,
+        [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(
+                            {_CMAP_MODE_KEY: "name"}
+                        )
+                    },
+                }
+            },
+            {"protocol": new_proto},
+            {"metaData": md},
+        ],
+        "upgrade column mapping",
+        snap=snap,
+    )
+    return version
+
+
+def rename_column_delta(
+    spark: SparkSession, path: str, renames: dict[str, str]
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN (r11): metadata-only on a
+    column-mapped table — the field's LOGICAL name changes while its
+    column id and physicalName stay, so no data file is touched and
+    every existing file keeps resolving (delta-spark's exact
+    mechanic).  Renamed partition columns update
+    ``partitionColumns`` (logical names there; the log's
+    partitionValues key physical names and stand).  Refuses: unmapped
+    tables (run :func:`upgrade_column_mapping_delta` first), unknown
+    columns, collisions, and names referenced by CHECK constraints or
+    generated columns."""
+    snap, latest = _snapshot(spark, path)
+    _check_write_protocol(snap, "rename column")
+    if _mapping_mode(snap) in ("none", ""):
+        raise ValueError(
+            "RENAME COLUMN needs column mapping — run "
+            "upgrade_column_mapping_delta first (delta-spark requires "
+            "the same)"
+        )
+    sj = json.loads(snap.metadata["schemaString"])
+    by_name = {f["name"]: f for f in sj.get("fields") or []}
+    for old, new in sorted(renames.items()):
+        if old not in by_name:
+            raise ValueError(f"no such column: {old!r}")
+        if new in by_name and new not in renames:
+            raise ValueError(f"column {new!r} already exists")
+    if len(set(renames.values())) != len(renames):
+        raise ValueError("rename targets collide")
+    _evolution_refs_guard(snap, set(renames), "rename")
+    fields = []
+    for f in sj.get("fields") or []:
+        if f["name"] in renames:
+            f = {**f, "name": renames[f["name"]]}
+        fields.append(f)
+    seen = [f["name"] for f in fields]
+    if len(set(seen)) != len(seen):
+        raise ValueError(f"rename would collide logical names: {seen}")
+    sj = {**sj, "fields": fields}
+    md = dict(snap.metadata)
+    md["schemaString"] = json.dumps(sj)
+    md["partitionColumns"] = [
+        renames.get(c, c) for c in md.get("partitionColumns") or []
+    ]
+    version = latest + 1
+    _commit_mutation(
+        path, version,
+        [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "RENAME COLUMN",
+                    "operationParameters": {
+                        "renames": json.dumps(dict(sorted(renames.items())))
+                    },
+                }
+            },
+            {"metaData": md},
+        ],
+        "RENAME COLUMN",
+        snap=snap,
+    )
+    return version
+
+
+def drop_column_delta(
+    spark: SparkSession, path: str, columns: list[str] | str
+) -> int:
+    """ALTER TABLE ... DROP COLUMN (r11): metadata-only on a
+    column-mapped table — the field leaves the schema, the physical
+    column stays in the already-written files and readers simply stop
+    projecting it (delta-spark's mechanic; VACUUM-style physical
+    reclamation is a rewrite, not a drop).  Refuses: unmapped tables,
+    partition columns, identity columns (writer-owned state rides the
+    field), the last remaining column, and names referenced by CHECK
+    constraints or generated columns."""
+    if isinstance(columns, str):
+        columns = [columns]
+    snap, latest = _snapshot(spark, path)
+    _check_write_protocol(snap, "drop column")
+    if _mapping_mode(snap) in ("none", ""):
+        raise ValueError(
+            "DROP COLUMN needs column mapping — run "
+            "upgrade_column_mapping_delta first (delta-spark requires "
+            "the same)"
+        )
+    sj = json.loads(snap.metadata["schemaString"])
+    by_name = {f["name"]: f for f in sj.get("fields") or []}
+    parts = set(snap.metadata.get("partitionColumns") or [])
+    for c in columns:
+        if c not in by_name:
+            raise ValueError(f"no such column: {c!r}")
+        if c in parts:
+            raise ValueError(f"cannot drop partition column {c!r}")
+        if any(
+            k.startswith("delta.identity.")
+            for k in (by_name[c].get("metadata") or {})
+        ):
+            raise ValueError(f"cannot drop identity column {c!r}")
+    _evolution_refs_guard(snap, set(columns), "drop")
+    fields = [f for f in sj.get("fields") or [] if f["name"] not in set(columns)]
+    if not fields:
+        raise ValueError("cannot drop every column")
+    md = dict(snap.metadata)
+    md["schemaString"] = json.dumps({**sj, "fields": fields})
+    version = latest + 1
+    _commit_mutation(
+        path, version,
+        [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "DROP COLUMNS",
+                    "operationParameters": {
+                        "columns": json.dumps(sorted(columns))
+                    },
+                }
+            },
+            {"metaData": md},
+        ],
+        "DROP COLUMNS",
+        snap=snap,
+    )
+    return version
+
+
 def delete_partition(
     spark: SparkSession, path: str, column: str, value: str
 ) -> int:
@@ -2868,7 +3236,7 @@ def delete_partition(
                 rm["deletionVector"] = snap.files[rel]["deletionVector"]
             actions.append({"remove": rm})
     version = latest + 1
-    _commit_mutation(path, version, actions, "partition DELETE")
+    _commit_mutation(path, version, actions, "partition DELETE", snap=snap)
     return version
 
 
@@ -2968,7 +3336,7 @@ def update_delta(
         actions.append({"remove": rm})
     actions.extend(_stage_mutation(updated, snap, path, version))
     actions.extend(cdc_actions)
-    _commit_mutation(path, version, actions, "UPDATE")
+    _commit_mutation(path, version, actions, "UPDATE", snap=snap)
     return version, matched
 
 
@@ -3139,7 +3507,7 @@ def delete_where_delta(spark: SparkSession, path: str, condition) -> tuple[int, 
                                "deletionVector": json.loads(r["descriptor"]),
                                "dataChange": True}})
     version = latest + 1
-    _commit_mutation(path, version, actions, "DELETE")
+    _commit_mutation(path, version, actions, "DELETE", snap=snap)
     return version, n_deleted
 
 
@@ -3234,7 +3602,7 @@ def _merge_delta_mor(  # gen_ident threaded from merge_delta's prep
     actions.extend(cdc_actions)
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
-    _commit_mutation(path, version, actions, "MERGE")
+    _commit_mutation(path, version, actions, "MERGE", snap=snap)
     return {"version": version, **stats}
 
 
@@ -3480,7 +3848,7 @@ def merge_delta(
     actions.extend(cdc_actions)
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
-    _commit_mutation(path, version, actions, "MERGE")
+    _commit_mutation(path, version, actions, "MERGE", snap=snap)
     return {
         "version": version,
         "updated": n_updated,
@@ -3646,7 +4014,7 @@ def optimize_delta(
     if not n_parts:
         return {"version": latest, "files_before": 0, "files_after": 0,
                 "partitions_compacted": 0}
-    _commit_mutation(path, version, actions, "OPTIMIZE")
+    _commit_mutation(path, version, actions, "OPTIMIZE", snap=snap)
     return {"version": version, "files_before": files_before,
             "files_after": files_after, "partitions_compacted": n_parts}
 
@@ -4146,7 +4514,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
             )
         actions.append({"add": {**a, "dataChange": True}})
     new_version = latest + 1
-    _commit_mutation(path, new_version, actions, "RESTORE")
+    _commit_mutation(path, new_version, actions, "RESTORE", snap=snap_cur)
     return new_version
 
 
@@ -4169,7 +4537,11 @@ def history_delta(spark: SparkSession, path: str) -> list[dict]:
             {
                 "version": v,
                 "operation": info.get("operation"),
-                "timestamp": info.get("timestamp"),
+                # inCommitTimestamp (r11) is the authoritative clock
+                # when the feature is on — DESCRIBE HISTORY shows it
+                "timestamp": info.get(
+                    "inCommitTimestamp", info.get("timestamp")
+                ),
             }
         )
     return out
@@ -4330,6 +4702,17 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
             }
         a["dataChange"] = True
         actions.append({"add": a})
+    conf = dict(md.get("configuration") or {})
+    if conf.get(_ICT_KEY) == "true":
+        # the clone is a NEW table: the inherited enablement
+        # version/timestamp point into the SOURCE's history and would
+        # misdate the clone's cutover — re-anchor them at v0 and stamp
+        # the clone's own first in-commit timestamp (r11)
+        ict = int(time.time() * 1000)
+        conf["delta.inCommitTimestampEnablementVersion"] = "0"
+        conf["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+        md["configuration"] = conf
+        actions[0]["commitInfo"]["inCommitTimestamp"] = ict
     _commit(dst, 0, actions)
     return 0
 
@@ -5301,6 +5684,66 @@ def scan_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "compacted", F.lit(int(len(snap.files) <= 2)).cast("long")
     )
+
+
+def scan_delta_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping EVOLUTION end to end (r11): a PLAIN partitioned
+    Delta table upgrades to name-mode mapping
+    (:func:`upgrade_column_mapping_delta`, metadata-only — existing
+    files keep their spelled names as stable physicals), RENAMES both
+    a data column and the PARTITION column
+    (:func:`rename_column_delta` — ids/physicals stand, so nothing
+    rewrites), appends a second era under the NEW logical names, and
+    DV-deletes a slice addressed by the new names.  The read groups on
+    the renamed partition column over the renamed money column; the
+    oracle recomputes the subtracted union from source parquet — a
+    file that stopped resolving post-rename, an append that leaked the
+    logical name into the file, a partition value lost in the
+    partitionColumns update, or a DV applied to the wrong era all fail
+    the hash."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"delta_rename_{os.path.basename(sf_dir.rstrip('/'))}")
+    if _table_version(path) != 4:
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 10 == 2)
+            .repartition(2, "o_orderkey"),
+            path, mode="error", partition_by=["o_orderpriority"],
+        )                                                    # v0: plain era
+        upgrade_column_mapping_delta(spark, path)            # v1
+        rename_column_delta(
+            spark, path,
+            {"o_orderpriority": "priority", "o_totalprice": "price_v2"},
+        )                                                    # v2
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 10 == 7).select(
+                F.col("o_orderkey"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_totalprice").alias("price_v2"),
+            ).repartition(2, "o_orderkey"),
+            path, mode="append", partition_by=["priority"],
+        )                                                    # v3: new-name era
+        delete_where_delta(spark, path, F.col("o_orderkey") % 20 == 2)  # v4
+    back = read_delta(spark, path)
+    return back.groupBy("priority").agg(
+        F.count("*").alias("n"),
+        money_sum("price_v2").alias("total_price"),
+    )
+
+
+scan_delta_rename = query(
+    "b_lake_delta_rename",
+    f"""
+    SELECT o_orderpriority AS priority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE (o_orderkey % 10 = 2 OR o_orderkey % 10 = 7)
+      AND o_orderkey % 20 <> 2
+    GROUP BY o_orderpriority
+    """,
+)(scan_delta_rename)
 
 
 scan_delta_optimize = query(

@@ -147,7 +147,11 @@ def _resolve_start(options, path: str) -> int:
                 if line:
                     a = json.loads(line)
                     if "commitInfo" in a:
-                        t = a["commitInfo"].get("timestamp")
+                        ci = a["commitInfo"]
+                        # inCommitTimestamp (r11) is authoritative
+                        t = ci.get(
+                            "inCommitTimestamp", ci.get("timestamp")
+                        )
                         break
         if t is None:
             t = int(os.path.getmtime(vf) * 1000)

@@ -3724,3 +3724,231 @@ def test_identity_on_column_mapped_table(spark, tmp_path):
     rows2 = {r["name"]: r for r in read_delta(spark, path).collect()}
     assert rows2["b"]["id"] == got["b"] and rows2["b"]["v"] == 99.0
     assert _identity_specs(_snapshot(spark, path)[0])["id"]["wm"] == wm2
+
+
+def test_upgrade_mapping_rename_drop_lifecycle(spark, tmp_path):
+    """r11 column evolution: upgrade a PLAIN table to name-mode
+    mapping (metadata-only, physicalName = current name), rename data
+    AND partition columns (ids/physical names stable, so every
+    existing file keeps resolving), append under the new logical
+    names, run mapped DML, time-travel to pre-rename names, then drop
+    a column (metadata-only; files untouched)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _mapping_mode,
+        _snapshot,
+        delete_where_delta,
+        drop_column_delta,
+        rename_column_delta,
+        upgrade_column_mapping_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(k, "a" if k % 2 else "b", float(k)) for k in range(8)]),
+        path, mode="error", partition_by=["part"],
+    )
+    # rename before mapping refuses toward the upgrade
+    with pytest.raises(ValueError, match="upgrade_column_mapping_delta"):
+        rename_column_delta(spark, path, {"v": "amount"})
+    upgrade_column_mapping_delta(spark, path)
+    snap, _ = _snapshot(spark, path)
+    assert _mapping_mode(snap) == "name"
+    # upgrade is zero-copy and reads are unchanged
+    assert _sorted_rows(read_delta(spark, path)) == [
+        (k, "a" if k % 2 else "b", float(k)) for k in range(8)
+    ]
+    # double upgrade refuses
+    with pytest.raises(ValueError, match="already"):
+        upgrade_column_mapping_delta(spark, path)
+    v_pre_rename = rename_column_delta(
+        spark, path, {"v": "amount", "part": "region"}
+    ) - 1
+    back = read_delta(spark, path)
+    assert back.columns == ["k", "region", "amount"]
+    # partition filter by the NEW logical name prunes through mapping
+    assert (
+        read_delta(spark, path, partition_filter={"region": "a"}).count()
+        == 4
+    )
+    # append under the new logical names; the staged file spells the
+    # STABLE physical (= original) names
+    write_delta(
+        spark.createDataFrame(
+            [(100, "a", 100.0)], "k int, region string, amount double"
+        ),
+        path, mode="append", partition_by=["region"],
+    )
+    assert (100, "a", 100.0) in _sorted_rows(read_delta(spark, path))
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    assert all(
+        set(_pq.read_schema(f).names) <= {"k", "v"}
+        for f in _glob.glob(path + "/**/*.parquet", recursive=True)
+    ), "a data file spells a logical name (physical must be stable)"
+    # mapped DML on the renamed table: DV delete by new names
+    delete_where_delta(
+        spark, path, (F.col("region") == "a") & (F.col("k") == 1)
+    )
+    assert not any(
+        r[0] == 1 for r in read_delta(spark, path).collect()
+    )
+    # time travel to the pre-rename version shows the OLD names
+    old = read_delta(spark, path, version_as_of=v_pre_rename)
+    assert old.columns == ["k", "part", "v"]
+    # drop refusals: partition column, unknown column
+    with pytest.raises(ValueError, match="partition"):
+        drop_column_delta(spark, path, "region")
+    with pytest.raises(ValueError, match="no such column"):
+        drop_column_delta(spark, path, "nope")
+    # drop a data column: metadata-only, remaining data intact
+    drop_column_delta(spark, path, "k")
+    got = read_delta(spark, path)
+    assert got.columns == ["region", "amount"]
+    assert (("a", 100.0) in _sorted_rows(got))
+
+
+def test_rename_refuses_constraint_reference(spark, tmp_path):
+    from aws_datalake_framework_api_spark.sources.delta import (
+        add_constraint_delta,
+        rename_column_delta,
+        upgrade_column_mapping_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    add_constraint_delta(spark, path, "v_positive", "v > 0")
+    upgrade_column_mapping_delta(spark, path)
+    with pytest.raises(ValueError, match="v_positive"):
+        rename_column_delta(spark, path, {"v": "amount"})
+    with pytest.raises(ValueError, match="v_positive"):
+        from aws_datalake_framework_api_spark.sources.delta import (
+            drop_column_delta,
+        )
+
+        drop_column_delta(spark, path, "v")
+    # renaming an UNreferenced column is fine
+    rename_column_delta(spark, path, {"k": "key"})
+    assert read_delta(spark, path).columns == ["key", "part", "v"]
+
+
+def test_in_commit_timestamps_lifecycle(spark, tmp_path):
+    """r11: the protocol's In-Commit Timestamps writer feature.
+    Enabling ``delta.enableInCommitTimestamps`` upgrades the protocol
+    (writer-7 + the feature, legacy bundle expanded), stamps the
+    enablement commit itself, records the enablement version and
+    timestamp in the configuration, and every later commit carries a
+    STRICTLY increasing ``inCommitTimestamp`` as its first action's
+    commitInfo.  History and timestamp time travel use the ICT as the
+    authoritative clock — a corrupted/drifted wall ``timestamp`` field
+    must not change resolution."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _snapshot,
+        _version_at_timestamp,
+        alter_table_properties_delta,
+        delete_where_delta,
+        history_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")   # v0
+    alter_table_properties_delta(
+        spark, path, {"delta.enableInCommitTimestamps": "true"}
+    )                                                              # v1
+    snap, _ = _snapshot(spark, path)
+    conf = snap.metadata["configuration"]
+    assert conf["delta.inCommitTimestampEnablementVersion"] == "1"
+    proto = snap.protocol
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")  # v2
+    delete_where_delta(spark, path, F.col("k") == 1)               # v3
+
+    def commit_info(v):
+        with open(_version_file(path, v)) as fh:
+            lines = [json.loads(ln) for ln in fh if ln.strip()]
+        assert "commitInfo" in lines[0], "commitInfo must be FIRST"
+        return lines[0]["commitInfo"]
+
+    icts = [commit_info(v).get("inCommitTimestamp") for v in (1, 2, 3)]
+    assert all(t is not None for t in icts)
+    assert icts[0] < icts[1] < icts[2]
+    assert int(conf["delta.inCommitTimestampEnablementTimestamp"]) == icts[0]
+    assert commit_info(0).get("inCommitTimestamp") is None  # pre-enable
+    # history shows the ICT clock
+    hist = {h["version"]: h["timestamp"] for h in history_delta(spark, path)}
+    assert hist[2] == icts[1] and hist[3] == icts[2]
+    # timestamp time travel resolves on ICT even when the wall
+    # `timestamp` field is corrupted (clock drift / log copy)
+    with open(_version_file(path, 3)) as fh:
+        lines = [json.loads(ln) for ln in fh if ln.strip()]
+    lines[0]["commitInfo"]["timestamp"] = 12345  # ancient nonsense
+    with open(_version_file(path, 3), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in lines))
+    assert _version_at_timestamp(path, icts[2]) == 3
+    assert _version_at_timestamp(path, icts[2] - 1) == 2
+    # the table still reads fine and the DV delete held
+    assert _sorted_rows(read_delta(spark, path)) == [(2, "b", 2.0)]
+
+
+def test_in_commit_timestamps_monotonic_vs_clock(spark, tmp_path):
+    """A previous ICT far in the FUTURE (writer clock skew) must not
+    produce a non-increasing timestamp: the next commit clamps to
+    prev+1, delta-spark's rule."""
+    import json as _json
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        alter_table_properties_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    alter_table_properties_delta(
+        spark, path, {"delta.enableInCommitTimestamps": "true"}
+    )
+    # push v1's ICT 10 minutes into the future
+    future = int((__import__("time").time() + 600) * 1000)
+    with open(_version_file(path, 1)) as fh:
+        lines = [_json.loads(ln) for ln in fh if ln.strip()]
+    lines[0]["commitInfo"]["inCommitTimestamp"] = future
+    with open(_version_file(path, 1), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in lines))
+    write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")  # v2
+    with open(_version_file(path, 2)) as fh:
+        lines = [_json.loads(ln) for ln in fh if ln.strip()]
+    assert lines[0]["commitInfo"]["inCommitTimestamp"] == future + 1
+
+
+def test_in_commit_timestamps_clone_reanchors(spark, tmp_path):
+    """A shallow clone of an ICT table is a NEW table: the enablement
+    version/timestamp must re-anchor at the clone's v0 (the inherited
+    ones point into the SOURCE's history) and the clone's commits keep
+    their own monotonic ICT sequence."""
+    import json as _json
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _snapshot,
+        alter_table_properties_delta,
+        clone_delta,
+    )
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "c")
+    write_delta(_df(spark, [(1, "a", 1.0)]), src, mode="error")
+    alter_table_properties_delta(
+        spark, src, {"delta.enableInCommitTimestamps": "true"}
+    )
+    clone_delta(spark, src, dst)
+    snap, _ = _snapshot(spark, dst)
+    conf = snap.metadata["configuration"]
+    assert conf["delta.inCommitTimestampEnablementVersion"] == "0"
+    with open(_version_file(dst, 0)) as fh:
+        ci = [_json.loads(ln) for ln in fh if ln.strip()][0]["commitInfo"]
+    assert ci["inCommitTimestamp"] == int(
+        conf["delta.inCommitTimestampEnablementTimestamp"]
+    )
+    # clone-side commits continue the clone's own ICT sequence
+    write_delta(_df(spark, [(2, "b", 2.0)]), dst, mode="append")
+    with open(_version_file(dst, 1)) as fh:
+        ci1 = [_json.loads(ln) for ln in fh if ln.strip()][0]["commitInfo"]
+    assert ci1["inCommitTimestamp"] > ci["inCommitTimestamp"]
