@@ -1342,49 +1342,13 @@ def _plan_scan(
                 "cannot apply deletes: duplicate data file basenames"
             )
         base_seq[b] = r["seq"]
-    import pandas as pd
-
     tagged = build(True)
     if live_deletes:
-        dseq = spark.createDataFrame(
-            pd.DataFrame(
-                sorted(
-                    (os.path.basename(urllib.parse.unquote(d["path"])), d["seq"])
-                    for d in live_deletes
-                ),
-                columns=["_ice_dfile", "_ice_dseq"],
-            ),
-            "_ice_dfile string, _ice_dseq long",
-        )
-        dmap = spark.createDataFrame(
-            pd.DataFrame(
-                sorted(base_seq.items()), columns=["_ice_file", "_ice_seq"]
-            ),
-            "_ice_file string, _ice_seq long",
-        )
-        dfiles = sorted({d["path"] for d in live_deletes})
-        # Delete rows name their target file as a full URI; normalize to
-        # basename.  The scan of delete files is DISTRIBUTED — at scale
-        # positional-delete files are data-sized, never driver state.
-        del_rows = (
-            spark.read.schema("file_path string, pos long").parquet(*dfiles)
-            .withColumn(
-                "_ice_dfile",
-                F.element_at(F.split(F.col("_metadata.file_name"), "/"), -1),
-            )
-            .join(F.broadcast(dseq), "_ice_dfile")
-            .withColumn(
-                "_ice_file",
-                F.url_decode(F.element_at(F.split(F.col("file_path"), "/"), -1)),
-            )
-            .join(F.broadcast(dmap), "_ice_file")
-            # a delete applies to files whose data sequence <= delete's
-            .filter(F.col("_ice_dseq") >= F.col("_ice_seq"))
-            .select("_ice_file", F.col("pos").alias("_ice_pos"))
-        )
+        del_rows = _pos_kill_rows(spark, live_deletes, base_seq)
         # No forced broadcast on the delete rows: position-delete files
         # are DATA-sized at scale (unlike the planning-sized seq maps
-        # above) — AQE picks broadcast when they happen to be small.
+        # inside the helper) — AQE picks broadcast when they happen to
+        # be small.
         tagged = tagged.join(del_rows, ["_ice_file", "_ice_pos"], "left_anti")
     if live_eq:
         tagged = _apply_eq_deletes(
@@ -1396,6 +1360,53 @@ def _plan_scan(
     if not keep_pos:
         drop.append("_ice_pos")
     return tagged.drop(*drop) if drop else tagged
+
+
+def _pos_kill_rows(
+    spark: SparkSession, live_deletes: list[dict], base_seq: dict[str, int]
+) -> DataFrame:
+    """``(_ice_file, _ice_pos)`` rows the position-delete files KILL,
+    sequence-gated (a delete applies to files whose data sequence <=
+    the delete's) and basename-keyed — the scan subtraction in
+    :func:`_plan_scan` and the DV materialization in
+    ``convert_iceberg_to_delta`` (sources/delta.py) share this.
+    Delete rows name their target file as a full URI; normalize to
+    basename.  The scan of delete files is DISTRIBUTED — at scale
+    positional-delete files are data-sized, never driver state."""
+    import pandas as pd
+
+    dseq = spark.createDataFrame(
+        pd.DataFrame(
+            sorted(
+                (os.path.basename(urllib.parse.unquote(d["path"])), d["seq"])
+                for d in live_deletes
+            ),
+            columns=["_ice_dfile", "_ice_dseq"],
+        ),
+        "_ice_dfile string, _ice_dseq long",
+    )
+    dmap = spark.createDataFrame(
+        pd.DataFrame(
+            sorted(base_seq.items()), columns=["_ice_file", "_ice_seq"]
+        ),
+        "_ice_file string, _ice_seq long",
+    )
+    dfiles = sorted({d["path"] for d in live_deletes})
+    return (
+        spark.read.schema("file_path string, pos long").parquet(*dfiles)
+        .withColumn(
+            "_ice_dfile",
+            F.element_at(F.split(F.col("_metadata.file_name"), "/"), -1),
+        )
+        .join(F.broadcast(dseq), "_ice_dfile")
+        .withColumn(
+            "_ice_file",
+            F.url_decode(F.element_at(F.split(F.col("file_path"), "/"), -1)),
+        )
+        .join(F.broadcast(dmap), "_ice_file")
+        .filter(F.col("_ice_dseq") >= F.col("_ice_seq"))
+        .select("_ice_file", F.col("pos").alias("_ice_pos"))
+    )
 
 
 def _apply_eq_deletes(

@@ -3566,32 +3566,118 @@ def test_convert_serializes_date_and_bool_partitions(spark, tmp_path):
     }
 
 
-def test_convert_refuses_mor_deletes_and_hidden_transforms(spark, tmp_path):
+def test_convert_materializes_mor_deletes_as_dvs(spark, tmp_path):
+    """r11 (VERDICT r10 'missing' #2, reverse direction): a snapshot
+    carrying BOTH merge-on-read delete shapes converts — the killed
+    positions materialize as Delta deletion vectors in the version-0
+    commit, zero data files copied, protocol upgraded to (3, 7) +
+    deletionVectors."""
     from aws_datalake_framework_api_spark.sources.delta import (
+        _snapshot,
         convert_iceberg_to_delta,
     )
     from aws_datalake_framework_api_spark.sources.iceberg import (
         delete_by_key_iceberg,
+        delete_iceberg_rows,
+        read_iceberg,
         write_iceberg,
     )
 
-    # MOR deletes present -> refuse toward compaction
-    src1 = str(tmp_path / "ice1")
-    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), src1, mode="error")
-    delete_by_key_iceberg(
-        spark, src1, spark.createDataFrame([(1,)], "k int")
-    )
-    with pytest.raises(ValueError, match="rewrite_data_files"):
-        convert_iceberg_to_delta(spark, src1, str(tmp_path / "d1"))
-
-    # hidden transform -> refuse (Delta cannot express bucket pruning)
-    src2 = str(tmp_path / "ice2")
+    src, dst = str(tmp_path / "ice"), str(tmp_path / "dl")
+    df = _df(spark, [(k, "a" if k % 2 else "b", float(k)) for k in range(20)])
+    write_iceberg(df.coalesce(1), src, mode="error", partition_by=["part"])
     write_iceberg(
-        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
-        src2, mode="error", partition_by=["bucket(4, k)"],
+        _df(spark, [(k, "c", float(k)) for k in range(20, 30)]).coalesce(1),
+        src, mode="append", partition_by=["part"],
     )
-    with pytest.raises(ValueError, match="identity"):
-        convert_iceberg_to_delta(spark, src2, str(tmp_path / "d2"))
+    delete_iceberg_rows(spark, src, F.col("k") % 5 == 0)  # position deletes
+    delete_by_key_iceberg(  # equality deletes (Flink-CDC shape)
+        spark, src, spark.createDataFrame([(3,), (21,)], "k int")
+    )
+    truth = _sorted_rows(read_iceberg(spark, src))
+    assert len(truth) == 30 - 6 - 2
+
+    convert_iceberg_to_delta(spark, src, dst)
+    assert _sorted_rows(read_delta(spark, dst)) == truth
+    # zero-copy: every referenced data file still lives under src
+    snap, _ = _snapshot(spark, dst)
+    import urllib.parse as _up
+
+    assert snap.files and all(
+        _up.unquote(rel).startswith(src) for rel in snap.files
+    )
+    # DVs attached where the deletes landed; protocol declares them
+    dv_cards = sorted(
+        int(a["deletionVector"]["cardinality"])
+        for a in snap.files.values()
+        if a.get("deletionVector")
+    )
+    assert sum(dv_cards) == 8
+    assert snap.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in snap.protocol["readerFeatures"]
+    # the source table is untouched by the conversion
+    assert _sorted_rows(read_iceberg(spark, src)) == truth
+    # and the converted table lives a normal delta DV life afterwards
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta,
+    )
+
+    delete_where_delta(spark, dst, F.col("k") == 7)
+    got = _sorted_rows(read_delta(spark, dst))
+    assert not any(r[0] == 7 for r in got) and len(got) == len(truth) - 1
+
+
+def test_convert_drops_hidden_transform_partitioning(spark, tmp_path):
+    """r11: bucket/truncate spec fields have no Delta partitionValues
+    equivalent, but native files CONTAIN the source columns — the
+    field is dropped from the Delta partitioning (pruning loss only),
+    identity fields still carry over."""
+    import json as _json
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        convert_iceberg_to_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    src, dst = str(tmp_path / "ice2"), str(tmp_path / "dl2")
+    df = _df(spark, [(k, "a" if k % 2 else "b", float(k)) for k in range(12)])
+    write_iceberg(
+        df, src, mode="error", partition_by=["part", "bucket(4, k)"]
+    )
+    truth = _sorted_rows(read_iceberg(spark, src))
+    convert_iceberg_to_delta(spark, src, dst)
+    assert _sorted_rows(read_delta(spark, dst)) == truth
+    with open(
+        os.path.join(dst, "_delta_log", "00000000000000000000.json")
+    ) as fh:
+        metas = [
+            _json.loads(line)["metaData"]
+            for line in fh
+            if '"metaData"' in line
+        ]
+    assert metas[0]["partitionColumns"] == ["part"]
+
+
+def test_convert_refuses_renamed_history(spark, tmp_path):
+    """r11: a renamed-column schema history used to convert silently
+    into a MISREADING Delta table (files spell era names, Delta reads
+    by name) — now it refuses toward rewrite_data_files."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        convert_iceberg_to_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        evolve_iceberg,
+        write_iceberg,
+    )
+
+    src = str(tmp_path / "ice3")
+    write_iceberg(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), src, mode="error")
+    evolve_iceberg(src, renames={"v": "val"})
+    with pytest.raises(ValueError, match="renamed"):
+        convert_iceberg_to_delta(spark, src, str(tmp_path / "d3"))
 
 
 def test_identity_merge_mints_contiguous_block(spark, tmp_path):
