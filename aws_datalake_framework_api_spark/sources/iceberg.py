@@ -2399,12 +2399,21 @@ def _commit_snapshot(
     part_spec: list[dict] | None = None,
     branch: str | None = None,
     properties: dict | None = None,
+    schemas_json: list[dict] | None = None,
+    last_column_id: int | None = None,
 ) -> int:
     """Commit one snapshot: write the manifest list, then claim the
     next metadata version with ``os.link`` put-if-absent (the same
     optimistic-concurrency shape as the Delta connector's log) and
     atomically repoint ``version-hint.text``.  ``properties`` seeds
-    the table properties on a FIRST commit (ignored otherwise)."""
+    the table properties on a FIRST commit (ignored otherwise).
+    ``schemas_json`` (first commit only) seeds a FULL schema history
+    — each entry carries its ``schema-id``, the LAST is current; the
+    column-mapped Delta conversion uses this to record the physical-
+    name era schema 0 under the logical current schema 1, so id-less
+    referenced files resolve through the name→id history map.
+    ``last_column_id`` overrides the top-level max when the history
+    allocated nested/structural ids past it."""
     now = int(time.time() * 1000)
     os.makedirs(_meta_dir(path), exist_ok=True)
     if base_meta is None:
@@ -2425,14 +2434,26 @@ def _commit_snapshot(
             "location": path,
             "last-sequence-number": 0,
             "last-updated-ms": now,
-            "last-column-id": max(
-                [int(f["id"]) for f in schema_json["fields"]] or [0]
+            "last-column-id": (
+                last_column_id
+                if last_column_id is not None
+                else max(
+                    [int(f["id"]) for f in schema_json["fields"]] or [0]
+                )
             ),
-            "schemas": [
-                {"schema-id": 0, "type": "struct",
-                 "fields": schema_json["fields"]}
-            ],
-            "current-schema-id": 0,
+            "schemas": (
+                schemas_json
+                if schemas_json is not None
+                else [
+                    {"schema-id": 0, "type": "struct",
+                     "fields": schema_json["fields"]}
+                ]
+            ),
+            "current-schema-id": (
+                int(schemas_json[-1]["schema-id"])
+                if schemas_json is not None
+                else 0
+            ),
             "partition-specs": [{"spec-id": 0, "fields": fields}],
             "default-spec-id": 0,
             "last-partition-id": 999 + len(fields),
@@ -5295,6 +5316,100 @@ def _delta_wire_to_physical(value: str | None, ice_type: str):
     return str(value)
 
 
+def _delta_mapped_ice_fields(
+    sj: dict,
+) -> tuple[list[dict], list[dict], int]:
+    """Delta column-mapping schemaString → ``(physical-named iceberg
+    fields, logical-named iceberg fields, last_column_id)``: every
+    struct field's Iceberg id IS its ``delta.columnMapping.id`` (so
+    id-mode parquet footers, which stamp that id, resolve by field id
+    unchanged), and the structural ids Iceberg additionally requires
+    (list element / map key+value) are allocated past the mapping's
+    max in one traversal shared by both outputs — matching positions
+    carry matching ids, which is the invariant the name→id history
+    resolution rests on (Delta column-mapping spec: PROTOCOL.md
+    §Column Mapping; Iceberg spec §Schemas)."""
+    PHYS = "delta.columnMapping.physicalName"
+    CID = "delta.columnMapping.id"
+
+    def max_id(tj) -> int:
+        if isinstance(tj, dict) and tj.get("type") == "struct":
+            m = 0
+            for f in tj["fields"]:
+                fid = int((f.get("metadata") or {}).get(CID) or 0)
+                m = max(m, fid, max_id(f["type"]))
+            return m
+        if isinstance(tj, dict) and tj.get("type") == "array":
+            return max_id(tj["elementType"])
+        if isinstance(tj, dict) and tj.get("type") == "map":
+            return max(max_id(tj["keyType"]), max_id(tj["valueType"]))
+        return 0
+
+    counter = [max_id(sj)]
+
+    def alloc() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    def conv_type(tj) -> tuple:
+        if isinstance(tj, dict) and tj.get("type") == "struct":
+            pairs = [conv_field(f) for f in tj["fields"]]
+            return (
+                {"type": "struct", "fields": [p for p, _ in pairs]},
+                {"type": "struct", "fields": [l for _, l in pairs]},
+            )
+        if isinstance(tj, dict) and tj.get("type") == "array":
+            eid = alloc()
+            ep, el = conv_type(tj["elementType"])
+            req = not tj.get("containsNull", True)
+            return (
+                {"type": "list", "element-id": eid,
+                 "element-required": req, "element": ep},
+                {"type": "list", "element-id": eid,
+                 "element-required": req, "element": el},
+            )
+        if isinstance(tj, dict) and tj.get("type") == "map":
+            kid, vid = alloc(), alloc()
+            kp, kl = conv_type(tj["keyType"])
+            vp, vl = conv_type(tj["valueType"])
+            req = not tj.get("valueContainsNull", True)
+            return (
+                {"type": "map", "key-id": kid, "value-id": vid,
+                 "key": kp, "value-required": req, "value": vp},
+                {"type": "map", "key-id": kid, "value-id": vid,
+                 "key": kl, "value-required": req, "value": vl},
+            )
+        from pyspark.sql.types import StructType as _ST
+
+        dt = _ST.fromJson(
+            {"type": "struct",
+             "fields": [{"name": "x", "type": tj, "nullable": True,
+                         "metadata": {}}]}
+        ).fields[0].dataType
+        p = _spark_to_ice(dt, alloc)  # primitive: never allocates
+        return (p, p)
+
+    def conv_field(fj: dict) -> tuple:
+        md = fj.get("metadata") or {}
+        if CID not in md:
+            raise ValueError(
+                f"column-mapped delta field {fj['name']!r} carries no "
+                "delta.columnMapping.id — cannot convert"
+            )
+        tp, tl = conv_type(fj["type"])
+        base = {
+            "id": int(md[CID]),
+            "required": not fj.get("nullable", True),
+        }
+        return (
+            {**base, "name": md.get(PHYS, fj["name"]), "type": tp},
+            {**base, "name": fj["name"], "type": tl},
+        )
+
+    pairs = [conv_field(f) for f in sj["fields"]]
+    return [p for p, _ in pairs], [l for _, l in pairs], counter[0]
+
+
 def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
     """Zero-copy Delta→Iceberg conversion — the reverse of
     ``convert_iceberg_to_delta`` (sources/delta.py), completing the
@@ -5311,10 +5426,14 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
     in the SAME v1 commit, decoded executor-side from the shipped
     descriptors (the Delta reader's own ``_dv_relation``), still zero
     data-file copies.  Same-sequence gating makes them apply: the
-    reader's rule is delete-seq >= data-seq.  The one remaining gate
-    of that family: column-mapping tables refuse (their parquet
-    columns bear physical ``col-<uuid>`` names the Iceberg name-based
-    resolution would never match).  PARTITIONED Delta tables convert
+    reader's rule is delete-seq >= data-seq.  COLUMN-MAPPED tables
+    convert too (r11, closing the family's last gate): the metadata
+    records a physical-name era schema 0 under the logical current
+    schema 1 with SHARED field ids, so name-mode id-less files
+    resolve through the unambiguous history name→id map and id-mode
+    files by their stamped parquet field id (== the mapping id ==
+    the Iceberg field id); only nested physical/logical divergence
+    and genuinely ambiguous names refuse.  PARTITIONED Delta tables convert
     (r10, VERDICT r9 item #4): the log's ``partitionColumns`` become
     an IDENTITY partition spec and each add's ``partitionValues``
     the file's manifest partition tuple.  Delta data files do NOT
@@ -5340,13 +5459,12 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
         raise FileNotFoundError(f"no delta log at {src}")
     snap, _latest = _delta_snapshot(spark, src)
     md = snap.metadata or {}
-    if (md.get("configuration") or {}).get("delta.columnMapping.mode") in (
-        "name", "id"
-    ):
+    cmap_mode = (md.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    )
+    if cmap_mode not in (None, "", "none", "name", "id"):
         raise ValueError(
-            "cannot convert a column-mapping Delta table: its parquet "
-            "columns bear physical names Iceberg name resolution would "
-            "not match"
+            f"unsupported delta.columnMapping.mode {cmap_mode!r}"
         )
     import urllib.parse as _up
 
@@ -5367,10 +5485,73 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
             dv_map[b] = dv
     from pyspark.sql.types import StructType as _ST
 
-    spark_schema = _ST.fromJson(json.loads(md["schemaString"]))
-    ids = iter(range(1, 10_000))
-    ice = _spark_to_ice(spark_schema, lambda: next(ids))
-    schema_json = {"schema-id": 0, "type": "struct", "fields": ice["fields"]}
+    sj = json.loads(md["schemaString"])
+    schemas_json: list[dict] | None = None
+    last_column_id: int | None = None
+    l2p: dict[str, str] = {}
+    if cmap_mode in ("name", "id"):
+        # COLUMN-MAPPED tables convert (r11, closing the r10 refusal):
+        # the files spell PHYSICAL names, so the Iceberg metadata
+        # records TWO schemas sharing field ids — schema 0 under the
+        # physical names (the era the referenced files belong to),
+        # schema 1 (current) under the logical names.  Reads then go
+        # through the same machinery as any renamed-history table:
+        # id-less name-mode files resolve via the unambiguous history
+        # name→id map; id-mode files carry parquet field ids equal to
+        # delta.columnMapping.id, which IS the Iceberg field id here.
+        phys_fields, log_fields, last_column_id = (
+            _delta_mapped_ice_fields(sj)
+        )
+        if any(
+            p["type"] != l["type"]
+            for p, l in zip(phys_fields, log_fields)
+        ):
+            # a NESTED physical/logical divergence cannot be served by
+            # the top-level name→id resolution — refuse, never misread
+            raise ValueError(
+                "cannot convert: nested fields of this column-mapped "
+                "delta table have physical names differing from their "
+                "logical names — rewrite unmapped first"
+            )
+        if cmap_mode == "name":
+            # id-less files resolve BY NAME through history: any name
+            # serving two field ids would be ambiguous at read time
+            name_ids: dict[str, set[int]] = {}
+            for flist in (phys_fields, log_fields):
+                for f in flist:
+                    name_ids.setdefault(f["name"], set()).add(f["id"])
+            dup = sorted(
+                n for n, fids in name_ids.items() if len(fids) > 1
+            )
+            if dup:
+                raise ValueError(
+                    "cannot convert: column names serve multiple "
+                    f"mapped field ids across physical/logical forms "
+                    f"({dup}) — id-less files would be ambiguous"
+                )
+        if phys_fields == log_fields:  # mapped but never renamed
+            schema_json = {
+                "schema-id": 0, "type": "struct", "fields": log_fields
+            }
+        else:
+            schemas_json = [
+                {"schema-id": 0, "type": "struct", "fields": phys_fields},
+                {"schema-id": 1, "type": "struct", "fields": log_fields},
+            ]
+            schema_json = schemas_json[1]
+        l2p = {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            for f in sj["fields"]
+        }
+    else:
+        spark_schema = _ST.fromJson(sj)
+        ids = iter(range(1, 10_000))
+        ice = _spark_to_ice(spark_schema, lambda: next(ids))
+        schema_json = {
+            "schema-id": 0, "type": "struct", "fields": ice["fields"]
+        }
     part_cols = list(md.get("partitionColumns") or [])
     by_name = {f["name"]: f for f in schema_json["fields"]}
     part_spec: list[dict] = []
@@ -5406,8 +5587,12 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
                 "file_path": ap,
                 "file_format": "PARQUET",
                 "partition": {
+                    # the delta log keys partitionValues by STORED
+                    # (physical on mapped tables) name; the manifest
+                    # tuple keys by the spec field's logical name
                     pf["name"]: _delta_wire_to_physical(
-                        pvals.get(pf["name"]), pf["ptype"]
+                        pvals.get(l2p.get(pf["name"], pf["name"])),
+                        pf["ptype"],
                     )
                     for pf in part_spec
                 },
@@ -5474,6 +5659,8 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
         properties=(
             {"converted-from-delta": "true"} if part_spec else None
         ),
+        schemas_json=schemas_json,
+        last_column_id=last_column_id,
     )
 
 

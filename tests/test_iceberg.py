@@ -2175,21 +2175,85 @@ def test_convert_delta_reads_and_diverges_without_touching_source(
     assert _sorted_rows(read_delta(spark, src)) == src_rows
 
 
-def test_convert_delta_refusal_gates(spark, tmp_path):
+def test_convert_mapped_delta_to_iceberg(spark, tmp_path):
+    """r11 (the family's last gate): a column-mapped Delta table
+    (physical ``col-<uuid>`` parquet names) converts — the Iceberg
+    metadata records the physical-name era schema 0 under the logical
+    current schema 1 with shared field ids, and id-less files resolve
+    through the history name→id map.  Both mapping modes."""
     from aws_datalake_framework_api_spark.sources.delta import (
         create_mapped_delta,
     )
     from aws_datalake_framework_api_spark.sources.iceberg import (
         convert_delta_to_iceberg,
+        read_iceberg,
+        write_iceberg,
     )
 
-    # column mapping -> refuse (physical col-<uuid> parquet names).
-    # (The deletion-vector gate was LIFTED in r11, VERDICT r10 item
-    # #4 — see test_convert_dv_carrying_delta_to_iceberg.)
-    s3 = str(tmp_path / "d3")
-    create_mapped_delta(_df(spark, [(1, "a", 1.0)]), s3, mode="name")
-    with pytest.raises(ValueError, match="column-mapping"):
-        convert_delta_to_iceberg(spark, s3, str(tmp_path / "i3"))
+    for mode in ("name", "id"):
+        s = str(tmp_path / f"d_{mode}")
+        i = str(tmp_path / f"i_{mode}")
+        create_mapped_delta(
+            _df(spark, [(k, "a" if k % 2 else "b", float(k))
+                        for k in range(8)]),
+            s, mode=mode,
+        )
+        from aws_datalake_framework_api_spark.sources.delta import (
+            read_delta,
+        )
+
+        truth = _sorted_rows(read_delta(spark, s))
+        convert_delta_to_iceberg(spark, s, i)
+        got_df = read_iceberg(spark, i)
+        assert [f.name for f in got_df.schema.fields] == ["k", "part", "v"]
+        assert _sorted_rows(got_df) == truth
+        # iceberg-side life on top (id-stamped files under logical
+        # names joining the physical-named referenced ones)
+        write_iceberg(_df(spark, [(100, "z", 100.0)]), i, mode="append")
+        assert (100, "z", 100.0) in _sorted_rows(read_iceberg(spark, i))
+        assert _sorted_rows(read_delta(spark, s)) == truth  # untouched
+
+
+def test_convert_upgraded_renamed_partitioned_mapped_delta(
+    spark, tmp_path
+):
+    """r11, the full mid-life shape in one table: plain partitioned
+    Delta → upgrade to column mapping (physical names pinned to what
+    the files spell) → RENAME a data column and the partition column
+    → DV DELETE → convert to Iceberg.  The converted read must serve
+    logical names, inject the renamed partition column from manifest
+    metadata, and keep the DV-deleted rows dead via the materialized
+    position deletes."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta,
+        read_delta,
+        rename_column_delta,
+        upgrade_column_mapping_delta,
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+        read_iceberg,
+    )
+
+    s, i = str(tmp_path / "dm"), str(tmp_path / "im")
+    write_delta(
+        _df(spark, [(k, "a" if k % 2 else "b", float(k))
+                    for k in range(10)]),
+        s, mode="error", partition_by=["part"],
+    )
+    upgrade_column_mapping_delta(spark, s)
+    rename_column_delta(spark, s, {"v": "val", "part": "bucket"})
+    delete_where_delta(spark, s, F.col("k") % 5 == 0)
+    truth = _sorted_rows(read_delta(spark, s))
+    assert len(truth) == 8
+
+    convert_delta_to_iceberg(spark, s, i)
+    got_df = read_iceberg(spark, i)
+    assert [f.name for f in got_df.schema.fields] == [
+        "k", "bucket", "val"
+    ]
+    assert _sorted_rows(got_df) == truth
 
 
 def test_convert_dv_carrying_delta_to_iceberg(spark, tmp_path):
