@@ -90,17 +90,23 @@ _ORDER = [
     # cross-check, pinned verified result; see format_facade.sql_lake
     # and tests/test_sql_lake_equivalence.py) — run FIRST so its green
     # row is unconditional on the rest of the window.  Slots 2-3 are
-    # the r11-new ids (b_sql_lake_iceberg, b_lake_delta_rename —
-    # driver-checked the round they ship); slots 4-50 are 47 of the 50
-    # remaining r5-stale ids (the entire stale set minus the three the
-    # boundary displaces to slots 51-53 — they lead the r12 window).
-    # All slots pre-cleared green at three local configs
+    # the r11-new ids (b_sql_lake_iceberg, b_lake_delta_rename,
+    # b_lake_uniform) plus b_lake_convert, whose fixture/oracle were
+    # WIDENED this round (MOR deletes materialize as DVs) — changed
+    # ids are driver-checked the round they change; slots 6-50 are 45
+    # of the 50 remaining r5-stale ids (the stale set minus the five
+    # the boundary displaces to slots 51-55 — they lead the r12
+    # window).  All slots pre-cleared green at three local configs
     # (LOCAL_SWEEP_r11_*).
     "b_sql_lake",  # r10 red row, hardened — first (VERDICT r10 #1)
     "b_sql_lake_iceberg",  # r11 addition: the second-format view-seam
     #                        twin, driver-checked the round it ships
     "b_lake_delta_rename",  # r11 addition: column-mapping evolution
     #                         lifecycle (upgrade→rename→append→DV)
+    "b_lake_uniform",  # r11 addition: UniForm dual-format directory
+    #                    (delta write path, iceberg read protocol)
+    "b_lake_convert",  # oracle WIDENED r11 (MOR deletes → DVs) —
+    #                    re-evidenced the round it changed
     "a6_catalog_create",
     "b_agg_bitmap",
     "b_agg_cmsketch",
@@ -151,9 +157,11 @@ _ORDER = [
     "b_ts_gapfill",
     "b_ts_locf",
     "b_ts_rolling_dau",
-    # ---- 50-entry window boundary: b_ts_gapfill / b_ts_locf /
-    #      b_ts_rolling_dau above are slots 51-53 (displaced, lead the
-    #      r12 window). ----
+    # ---- 50-entry window boundary (slot 50 = b_ts_concurrency):
+    #      b_ts_cumulative_users / b_ts_forecast_naive / b_ts_gapfill
+    #      / b_ts_locf / b_ts_rolling_dau above are slots 51-55
+    #      (displaced by the five r11 head slots, lead the r12
+    #      window). ----
     # -- the r10 window (every id below hash-green in r10; b_sql_lake
     #    moved to slot 1 above) --
     "b_lake_iceberg_retype",
@@ -172,7 +180,7 @@ _ORDER = [
     "b_llm_knn_pq_recall",
     "b_lake_iceberg_meta",
     "b_ts_anomaly",
-    "b_lake_convert",
+    # (b_lake_convert moved to the r11 head slots — oracle widened)
     "b_lake_convert_reverse",
     "a1_event_append",
     "a2_event_update",

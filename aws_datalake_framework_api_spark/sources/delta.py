@@ -4620,8 +4620,13 @@ def vacuum_delta(
     # reclaim their tombstoned files (VERDICT r5).  The log dir and
     # in-flight staging dirs are never entered.
     for root, dirs, files in os.walk(path):
+        # "metadata" is the Iceberg side of a UniForm table
+        # (enable_uniform_iceberg): its manifests/position-delete
+        # files are another format's live state, never Delta debris
         dirs[:] = [
-            d for d in dirs if d != _LOG and not d.startswith(".staging-")
+            d for d in dirs
+            if d != _LOG and d != "metadata"
+            and not d.startswith(".staging-")
         ]
         rel_root = os.path.relpath(root, path)
         for f in files:

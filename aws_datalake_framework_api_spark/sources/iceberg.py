@@ -3061,11 +3061,15 @@ def write_iceberg(
     )
 
 
-def _stage_pos_delete(spark: SparkSession, path: str, hits) -> list[dict]:
+def _stage_pos_delete(
+    spark: SparkSession, path: str, hits, subdir: str = "data"
+) -> list[dict]:
     """Stage the matched (file_path, pos) rows as sorted parquet
     position-delete file(s); returns their data_file records (empty
-    when nothing matched)."""
-    ddir = os.path.join(path, "data")
+    when nothing matched).  ``subdir`` places them — the UniForm
+    generator uses ``metadata`` so ``vacuum_delta``'s tree walk (which
+    skips that directory) can never reclaim Iceberg-owned deletes."""
+    ddir = os.path.join(path, subdir)
     os.makedirs(ddir, exist_ok=True)
     staging = os.path.join(path, f"_stage-{uuid.uuid4().hex[:12]}")
     hits.orderBy("file_path", "pos").coalesce(1).write.mode(
@@ -5411,6 +5415,20 @@ def _delta_mapped_ice_fields(
 
 
 def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
+    """Thin public wrapper over :func:`_delta_commit_to_iceberg` —
+    see that docstring for the full conversion contract."""
+    if _metadata_versions(dst):
+        raise FileExistsError(f"iceberg table already exists at {dst}")
+    return _delta_commit_to_iceberg(spark, src, dst)
+
+
+def _delta_commit_to_iceberg(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    base_meta: dict | None = None,
+    delete_subdir: str = "data",
+) -> int:
     """Zero-copy Delta→Iceberg conversion — the reverse of
     ``convert_iceberg_to_delta`` (sources/delta.py), completing the
     round trip: commit an Iceberg v1-metadata table at ``dst`` whose
@@ -5453,8 +5471,6 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
     from .delta import _snapshot as _delta_snapshot
     from .delta import _table_version as _delta_table_version
 
-    if _metadata_versions(dst):
-        raise FileExistsError(f"iceberg table already exists at {dst}")
     if _delta_table_version(src) is None:
         raise FileNotFoundError(f"no delta log at {src}")
     snap, _latest = _delta_snapshot(spark, src)
@@ -5573,6 +5589,64 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
             "source-id": int(f["id"]), "ptype": f["type"],
             "stype": f["type"],
         })
+    if base_meta is not None:
+        # UniForm REFRESH: reconcile this delta snapshot's schema with
+        # the existing iceberg history IN the base metadata — a schema
+        # the history has not seen yet is APPENDED (same ids for
+        # unchanged fields: sequential allocation is prefix-stable for
+        # delta's append-at-end evolution, and mapped tables reuse the
+        # mapping ids outright), current-schema-id moves to it, and a
+        # partition-spec change refuses (a respec'd table needs a
+        # fresh enable, not a silent spec swap).
+        existing = list(base_meta.get("schemas") or [])
+        sid_max = max(
+            (int(s["schema-id"]) for s in existing), default=-1
+        )
+        cur_sid = None
+        for cand in (schemas_json or [schema_json]):
+            hit = next(
+                (s for s in existing if s["fields"] == cand["fields"]),
+                None,
+            )
+            if hit is None:
+                sid_max += 1
+                hit = {
+                    "schema-id": sid_max,
+                    "type": "struct",
+                    "fields": cand["fields"],
+                }
+                existing.append(hit)
+            cur_sid = int(hit["schema-id"])
+        base_meta["schemas"] = existing
+        base_meta["current-schema-id"] = cur_sid
+        base_meta["last-column-id"] = max(
+            int(base_meta.get("last-column-id") or 0),
+            last_column_id
+            if last_column_id is not None
+            else max(
+                [int(f["id"]) for f in schema_json["fields"]] or [0]
+            ),
+        )
+        dsid = int(base_meta.get("default-spec-id", 0))
+        base_spec = next(
+            (
+                s
+                for s in base_meta.get("partition-specs") or []
+                if int(s.get("spec-id", 0)) == dsid
+            ),
+            {},
+        ).get("fields") or []
+        if [
+            (f["name"], f["transform"], int(f["source-id"]))
+            for f in base_spec
+        ] != [
+            (pf["name"], pf["transform"], int(pf["source-id"]))
+            for pf in part_spec
+        ]:
+            raise ValueError(
+                "delta partitioning changed since UniForm was enabled "
+                "— drop the iceberg metadata and re-enable"
+            )
     import urllib.parse as _up
 
     import pyarrow.parquet as _pq
@@ -5648,13 +5722,16 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
             .join(F.broadcast(amap), "_dl_file")
             .select("file_path", F.col("_dl_dv_pos").alias("pos"))
         )
-        del_files = _stage_pos_delete(spark, dst, hits)
+        del_files = _stage_pos_delete(
+            spark, dst, hits, subdir=delete_subdir
+        )
         if del_files:
             manifests.append(
                 _delete_manifest(dst, del_files, schema_json)
             )
     return _commit_snapshot(
-        dst, None, manifests, [], "append",
+        dst, base_meta, manifests, [],
+        "append" if base_meta is None else "replace",
         schema_json=schema_json, part_spec=part_spec,
         properties=(
             {"converted-from-delta": "true"} if part_spec else None
@@ -5662,6 +5739,131 @@ def convert_delta_to_iceberg(spark: SparkSession, src: str, dst: str) -> int:
         schemas_json=schemas_json,
         last_column_id=last_column_id,
     )
+
+
+def enable_uniform_iceberg(spark: SparkSession, path: str) -> int:
+    """Delta UniForm (universal format), re-expressed from the public
+    feature description (delta.io: *Universal Format* — one copy of
+    the data, readable through BOTH protocols): generate Iceberg
+    metadata INSIDE the Delta table's own directory, referencing the
+    same parquet data files the Delta log references.  ``metadata/``
+    (the Iceberg side) sits next to ``_delta_log/``; neither reader
+    ever lists the other's directory, so ``read_delta(path)`` and
+    ``read_iceberg(path)`` serve the same rows from the same bytes.
+
+    Contract (matching the upstream feature):
+
+    - Delta stays the WRITE path; the Iceberg side is a read protocol.
+      Mutating the table through an Iceberg writer is out of contract
+      (the Delta log would never see it).
+    - The Iceberg snapshot is pinned to the Delta version it was
+      generated from — call :func:`refresh_uniform_iceberg` after
+      Delta commits to re-point it (upstream regenerates
+      asynchronously post-commit; here the call is explicit).
+    - Deletion vectors materialize as Iceberg position-delete files
+      under ``metadata/`` — a directory ``vacuum_delta`` skips — so a
+      vacuum can never reclaim Iceberg-owned delete files.  The
+      inverse hazard is the shallow-clone one: a vacuum after an
+      OPTIMIZE/overwrite reclaims parquet a STALE Iceberg snapshot
+      may still reference — refresh before vacuuming, the same
+      dependent-reader contract ``clone_delta`` documents.
+
+    All the conversion machinery is shared with
+    :func:`convert_delta_to_iceberg` (column-mapped schema history,
+    identity-partition constants provenance, DV materialization)."""
+    if _metadata_versions(path):
+        raise FileExistsError(
+            f"iceberg metadata already exists at {path} — "
+            "refresh_uniform_iceberg re-points it after delta commits"
+        )
+    return _delta_commit_to_iceberg(
+        spark, path, path, delete_subdir="metadata"
+    )
+
+
+def refresh_uniform_iceberg(spark: SparkSession, path: str) -> int:
+    """Re-point the UniForm Iceberg metadata at the CURRENT Delta
+    snapshot (see :func:`enable_uniform_iceberg`): one new Iceberg
+    snapshot whose manifests list the Delta version's live files and
+    freshly-materialized DV position-deletes.  Schema evolution since
+    the last refresh APPENDS to the Iceberg schema history (ids are
+    prefix-stable for Delta's append-at-end evolution and identical
+    for mapped tables, so old snapshots keep resolving); a partition
+    respec refuses toward re-enabling."""
+    if not _metadata_versions(path):
+        raise FileNotFoundError(
+            f"no uniform iceberg metadata at {path} — "
+            "enable_uniform_iceberg first"
+        )
+    return _delta_commit_to_iceberg(
+        spark, path, path,
+        base_meta=_load_metadata(path),
+        delete_subdir="metadata",
+    )
+
+
+def scan_lake_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm end-to-end (r11): a partitioned Delta table → enable
+    UniForm (Iceberg metadata in the same directory) → a Delta-side
+    era ON TOP (append + merge-on-read DV DELETE) → refresh → read the
+    SAME directory as ICEBERG and aggregate.  The oracle recomputes
+    the post-era aggregate from the fixture, so a stale pinned
+    snapshot (refresh not re-pointing), a resurrected DV-deleted row
+    (delete files lost or mis-gated), or a partition value served
+    wrong through the provenance injection all fail the hash.  The
+    Delta-side read equality and the vacuum-safety of the
+    metadata-dir delete files are pytest-pinned
+    (tests/test_iceberg.py)."""
+    from .delta import (
+        _table_version as _dtv,
+        delete_where_delta,
+        write_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(
+        f"uniform_delta_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    # complete = delta at version 2 (create/append/delete) AND the
+    # iceberg side at metadata v2 (enable + refresh) — a crash between
+    # the delta era and the refresh rebuilds from a clean slate
+    if not (_dtv(path) == 2 and len(_metadata_versions(path)) >= 2):
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 11 == 3)
+            .repartition(2, "o_orderkey")
+            .sortWithinPartitions("o_orderkey"),
+            path, mode="error", partition_by=["o_orderpriority"],
+        )
+        enable_uniform_iceberg(spark, path)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 11 == 8)
+            .repartition(2, "o_orderkey")
+            .sortWithinPartitions("o_orderkey"),
+            path, mode="append", partition_by=["o_orderpriority"],
+        )
+        delete_where_delta(spark, path, F.col("o_orderkey") % 33 == 3)
+        refresh_uniform_iceberg(spark, path)
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+scan_lake_uniform = query(
+    "b_lake_uniform",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {sql_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE (o_orderkey % 11 = 3 AND o_orderkey % 33 <> 3)
+       OR o_orderkey % 11 = 8
+    GROUP BY o_orderpriority
+    """,
+)(scan_lake_uniform)
 
 
 def scan_lake_convert_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2459,3 +2459,104 @@ def test_identity_const_plan_collision_native_vs_converted():
     meta["properties"] = {"converted-from-delta": "true"}
     with pytest.raises(ValueError, match="duplicate data"):
         _identity_const_plan(meta, schema_json, collide)
+
+
+# ------------------------------------------------------------ uniform
+
+
+def test_uniform_dual_format_reads_and_refresh(spark, tmp_path):
+    """r11 UniForm: one directory, two read protocols.  Iceberg reads
+    the same bytes Delta reads; a Delta era on top is invisible to the
+    Iceberg side until refresh re-points the snapshot; DVs materialize
+    as position deletes that survive a vacuum."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        enable_uniform_iceberg,
+        read_iceberg,
+        refresh_uniform_iceberg,
+    )
+
+    path = str(tmp_path / "u")
+    write_delta(
+        _df(spark, [(k, "a" if k % 2 else "b", float(k))
+                    for k in range(10)]),
+        path, mode="error", partition_by=["part"],
+    )
+    enable_uniform_iceberg(spark, path)
+    v0 = _sorted_rows(read_delta(spark, path))
+    assert _sorted_rows(read_iceberg(spark, path)) == v0
+
+    # delta era on top: append + DV delete — iceberg snapshot is
+    # PINNED until refresh (the upstream contract)
+    write_delta(
+        _df(spark, [(k, "c", float(k)) for k in range(10, 14)]),
+        path, mode="append", partition_by=["part"],
+    )
+    delete_where_delta(spark, path, F.col("k") % 5 == 1)
+    assert _sorted_rows(read_iceberg(spark, path)) == v0  # pinned
+    refresh_uniform_iceberg(spark, path)
+    truth = _sorted_rows(read_delta(spark, path))
+    assert len(truth) == 14 - 3
+    assert _sorted_rows(read_iceberg(spark, path)) == truth
+
+    # vacuum never reclaims the iceberg-owned position-delete files
+    # (they live under metadata/, which the walk skips)
+    vacuum_delta(spark, path, retention_ms=0, force=True)
+    assert _sorted_rows(read_iceberg(spark, path)) == truth
+    assert _sorted_rows(read_delta(spark, path)) == truth
+
+
+def test_uniform_schema_evolution_appends_history(spark, tmp_path):
+    """A Delta-side schema widening (append-at-end column) refreshes
+    into an APPENDED iceberg schema: old snapshots keep their ids,
+    the new column reads NULL from pre-evolution files."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        _load_metadata,
+        enable_uniform_iceberg,
+        read_iceberg,
+        refresh_uniform_iceberg,
+    )
+
+    path = str(tmp_path / "ue")
+    write_delta(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double"),
+        path, mode="error",
+    )
+    enable_uniform_iceberg(spark, path)
+    write_delta(
+        spark.createDataFrame(
+            [(3, 3.0, "x")], "k int, v double, tag string"
+        ),
+        path, mode="append", merge_schema=True,
+    )
+    refresh_uniform_iceberg(spark, path)
+    got = _sorted_rows(read_iceberg(spark, path))
+    assert got == [(1, 1.0, None), (2, 2.0, None), (3, 3.0, "x")]
+    meta = _load_metadata(path)
+    assert len(meta["schemas"]) == 2 and meta["current-schema-id"] == 1
+
+
+def test_uniform_enable_refresh_gates(spark, tmp_path):
+    from aws_datalake_framework_api_spark.sources.delta import (
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        enable_uniform_iceberg,
+        refresh_uniform_iceberg,
+    )
+
+    path = str(tmp_path / "ug")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    with pytest.raises(FileNotFoundError, match="enable_uniform"):
+        refresh_uniform_iceberg(spark, path)
+    enable_uniform_iceberg(spark, path)
+    with pytest.raises(FileExistsError, match="refresh_uniform"):
+        enable_uniform_iceberg(spark, path)
