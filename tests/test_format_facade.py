@@ -388,3 +388,69 @@ def test_iceberg_format_renamed_converted_table_serves_constants(
         read_iceberg(spark, dst, partition_filter={"part": "a"})
         .select("k", "part", "amount")
     ) == [r for r in want if r[1] == "a"]
+
+
+def test_facade_reads_converted_mapped_delta(spark, tmp_path):
+    """r11: a column-mapped Delta table converted to Iceberg (schema 0
+    = physical names, schema 1 = logical, shared ids) must read the
+    SAME rows under the LOGICAL names through the format facade as
+    through the native reader — a silent NULL-fill of the physical-
+    named columns is the failure this pins against."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta,
+        read_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.format_facade import (
+        register_formats,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+        read_iceberg,
+    )
+
+    src, dst = str(tmp_path / "dm"), str(tmp_path / "im")
+    create_mapped_delta(
+        _df(spark, [(k, "a" if k % 2 else "b", float(k))
+                    for k in range(8)]),
+        src, mode="name",
+    )
+    truth = _rows(read_delta(spark, src))
+    convert_delta_to_iceberg(spark, src, dst)
+    assert _rows(read_iceberg(spark, dst)) == truth
+    register_formats(spark)
+    got = spark.read.format("iceberg").load(dst)
+    assert got.columns == ["k", "part", "v"]
+    assert _rows(got) == truth
+    assert not any(c is None for r in truth for c in r)
+
+
+def test_facade_reads_uniform_directory(spark, tmp_path):
+    """r11 UniForm through the facade: the same directory serves
+    spark.read.format('delta') AND spark.read.format('iceberg') with
+    identical rows after a refresh."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta,
+        read_delta,
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.format_facade import (
+        register_formats,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        enable_uniform_iceberg,
+        refresh_uniform_iceberg,
+    )
+
+    path = str(tmp_path / "u")
+    write_delta(
+        _df(spark, [(k, "a" if k % 2 else "b", float(k))
+                    for k in range(10)]),
+        path, mode="error", partition_by=["part"],
+    )
+    enable_uniform_iceberg(spark, path)
+    delete_where_delta(spark, path, F.col("k") % 4 == 2)
+    refresh_uniform_iceberg(spark, path)
+    truth = _rows(read_delta(spark, path))
+    register_formats(spark)
+    assert _rows(spark.read.format("delta").load(path)) == truth
+    assert _rows(spark.read.format("iceberg").load(path)) == truth

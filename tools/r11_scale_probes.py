@@ -10,9 +10,15 @@
   the chunk bounds);
 - contiguous identity minting: append wall at 1× vs 10× rows (the
   eager-checkpoint pin + count pass are the added cost; both scale
-  linearly with the batch, not the table).
+  linearly with the batch, not the table);
+- MOR Iceberg→Delta conversion: wall at 1× vs 10× merge-on-read
+  delete volume (kills plan distributed, one executor-side DV bitmap
+  per touched file, zero data-file copies);
+- UniForm enable + refresh: wall at 1× vs 8× file count (both are
+  O(files) metadata passes — per-file footer/DV work, never data).
 
-Usage: python tools/r11_scale_probes.py [convert|eqchunk|mint|all]
+Usage: python tools/r11_scale_probes.py
+       [convert|eqchunk|mint|morconv|uniform|all]
 """
 
 from __future__ import annotations
@@ -173,6 +179,112 @@ def probe_mint(spark) -> None:
 
 from pyspark.sql import functions as F  # noqa: E402  (probe_mint uses it)
 
+def probe_morconv(spark) -> None:
+    """Iceberg→Delta conversion of a MOR-carrying snapshot: the DV
+    materialization must cost distributed kill-plan work ∝ deleted
+    rows + O(touched files) driver metadata — never a data copy."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _snapshot,
+        convert_iceberg_to_delta,
+        read_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        delete_by_key_iceberg,
+        delete_iceberg_rows,
+        write_iceberg,
+    )
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    orders = load_table(spark, SF01, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    for label, posmod, eqmod in (("1x", 500, 700), ("10x", 50, 70)):
+        base = tempfile.mkdtemp(prefix="probe_morconv_")
+        src, dst = base + "/ice", base + "/dl"
+        write_iceberg(
+            orders.repartition(8), src, mode="error",
+            partition_by=["o_orderpriority"],
+        )
+        delete_iceberg_rows(
+            spark, src, F.col("o_orderkey") % posmod == 0
+        )
+        delete_by_key_iceberg(
+            spark, src,
+            orders.filter(F.col("o_orderkey") % eqmod == 1).select(
+                "o_orderkey"
+            ),
+        )
+        t0 = time.time()
+        convert_iceberg_to_delta(spark, src, dst)
+        wall = time.time() - t0
+        snap, _ = _snapshot(spark, dst)
+        dv_files = sum(
+            1 for a in snap.files.values() if a.get("deletionVector")
+        )
+        dv_card = sum(
+            int((a.get("deletionVector") or {}).get("cardinality") or 0)
+            for a in snap.files.values()
+        )
+        copied = sum(
+            1
+            for root, _, fs in os.walk(dst)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n = read_delta(spark, dst).count()
+        print(
+            f"[morconv {label}] wall {wall:.2f}s; files_with_dv "
+            f"{dv_files}; dv_cardinality {dv_card}; live rows {n}; "
+            f"data parquet copied into dst: {copied} (expect 0)"
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def probe_uniform(spark) -> None:
+    """UniForm enable + refresh walls at 1× vs 8× file count — both
+    O(files) metadata passes (footer row counts + manifest writes),
+    zero data bytes."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        delete_where_delta,
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        enable_uniform_iceberg,
+        read_iceberg,
+        refresh_uniform_iceberg,
+    )
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    orders = load_table(spark, SF01, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    for label, parts in (("1x files", 4), ("8x files", 32)):
+        base = tempfile.mkdtemp(prefix="probe_uniform_")
+        path = base + "/t"
+        write_delta(
+            orders.repartition(parts), path, mode="error",
+            partition_by=["o_orderpriority"],
+        )
+        t0 = time.time()
+        enable_uniform_iceberg(spark, path)
+        w_enable = time.time() - t0
+        delete_where_delta(spark, path, F.col("o_orderkey") % 97 == 0)
+        t0 = time.time()
+        refresh_uniform_iceberg(spark, path)
+        w_refresh = time.time() - t0
+        n = read_iceberg(spark, path).count()
+        print(
+            f"[uniform {label}] enable {w_enable:.2f}s; refresh "
+            f"(with DV materialization) {w_refresh:.2f}s; iceberg "
+            f"rows {n}"
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
+
 if __name__ == "__main__":
     from aws_datalake_framework_api_spark.session import get_spark
 
@@ -184,3 +296,7 @@ if __name__ == "__main__":
         probe_eqchunk(spark)
     if which in ("mint", "all"):
         probe_mint(spark)
+    if which in ("morconv", "all"):
+        probe_morconv(spark)
+    if which in ("uniform", "all"):
+        probe_uniform(spark)
