@@ -2560,3 +2560,45 @@ def test_uniform_enable_refresh_gates(spark, tmp_path):
     enable_uniform_iceberg(spark, path)
     with pytest.raises(FileExistsError, match="refresh_uniform"):
         enable_uniform_iceberg(spark, path)
+
+
+def test_uniform_mapped_rename_refresh(spark, tmp_path):
+    """UniForm on a COLUMN-MAPPED Delta table across a rename: enable
+    records the physical/logical schema pair; a Delta-side RENAME +
+    append + refresh appends the new logical schema to the Iceberg
+    history (same field ids), and the Iceberg read serves the renamed
+    names over all file eras."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        create_mapped_delta,
+        read_delta,
+        rename_column_delta,
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        enable_uniform_iceberg,
+        read_iceberg,
+        refresh_uniform_iceberg,
+    )
+
+    path = str(tmp_path / "um")
+    create_mapped_delta(
+        _df(spark, [(k, "a" if k % 2 else "b", float(k))
+                    for k in range(6)]),
+        path,
+    )
+    enable_uniform_iceberg(spark, path)
+    assert _sorted_rows(read_iceberg(spark, path)) == _sorted_rows(
+        read_delta(spark, path)
+    )
+    rename_column_delta(spark, path, {"v": "val"})
+    write_delta(
+        spark.createDataFrame(
+            [(100, "c", 100.0)], "k int, part string, val double"
+        ),
+        path, mode="append",
+    )
+    refresh_uniform_iceberg(spark, path)
+    got = read_iceberg(spark, path)
+    assert [f.name for f in got.schema.fields] == ["k", "part", "val"]
+    assert _sorted_rows(got) == _sorted_rows(read_delta(spark, path))
+    assert (100, "c", 100.0) in _sorted_rows(got)
