@@ -495,21 +495,49 @@ def register_formats(spark: SparkSession) -> None:
 
 
 def register_lake_view(
-    spark: SparkSession, name: str, path: str, fmt: str = "delta"
+    spark: SparkSession,
+    name: str,
+    path: str,
+    fmt: str = "delta",
+    *,
+    version_as_of: int | None = None,
+    timestamp_as_of=None,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> None:
     """Expose a lake table to ``spark.sql`` under ``name`` through the
     NATIVE batch reader (the performance path: JVM parquet scan,
     pushdown, DV/delete subtraction as distributed anti-joins) — the
     bridge that lets the raw SQL surface address Delta/Iceberg tables
-    without a Python call per query."""
+    without a Python call per query.  Time travel registers too
+    (r11): ``version_as_of``/``timestamp_as_of`` for Delta,
+    ``snapshot_id``/``ref``/``timestamp_as_of`` for Iceberg — the SQL
+    analogue of delta-spark's ``VERSION AS OF`` / iceberg-spark's
+    ``FOR SYSTEM_VERSION AS OF``."""
     if fmt == "delta":
         from .delta import read_delta
 
-        read_delta(spark, path).createOrReplaceTempView(name)
+        if snapshot_id is not None or ref is not None:
+            raise ValueError(
+                "snapshot_id/ref are iceberg options; delta time "
+                "travel uses version_as_of/timestamp_as_of"
+            )
+        read_delta(
+            spark, path, version_as_of=version_as_of,
+            timestamp_as_of=timestamp_as_of,
+        ).createOrReplaceTempView(name)
     elif fmt == "iceberg":
         from .iceberg import read_iceberg
 
-        read_iceberg(spark, path).createOrReplaceTempView(name)
+        if version_as_of is not None:
+            raise ValueError(
+                "version_as_of is a delta option; iceberg time travel "
+                "uses snapshot_id/ref/timestamp_as_of"
+            )
+        read_iceberg(
+            spark, path, snapshot_id=snapshot_id, ref=ref,
+            as_of_timestamp=timestamp_as_of,
+        ).createOrReplaceTempView(name)
     else:
         raise ValueError(f"unknown lake format {fmt!r}")
 

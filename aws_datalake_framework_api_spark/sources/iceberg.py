@@ -981,57 +981,9 @@ def read_iceberg(
         return spark.createDataFrame([], spark_schema)
     data, deletes, eq_deletes = _manifest_entries(path, meta, snap)
     if partition_filter:
-        # Hidden partitioning: filters name SOURCE columns; each spec
-        # field sourced from a filtered column gets the filter values
-        # pushed through its transform (identity/bucket/truncate/
-        # year/month/day/hour) and compared against the file's
-        # manifest partition value.  Unevaluable combinations keep
-        # the file — pruning is an optimization, never a correctness
-        # lever.
-        id_to_name = {int(f["id"]): f["name"] for f in schema_json["fields"]}
-        type_by_name = {f["name"]: f["type"] for f in schema_json["fields"]}
-        kept = []
-        for rec in data:
-            fields = _spec_fields(meta, rec["spec_id"])
-            ok = True
-            for c, want in partition_filter.items():
-                wants = (
-                    list(want)
-                    if isinstance(want, (set, list, tuple))
-                    else [want]
-                )
-                for pf in fields:
-                    sid = pf.get("source-id")
-                    src = (
-                        id_to_name.get(int(sid)) if sid is not None
-                        else (pf["name"] if pf.get("transform") == "identity"
-                              else None)
-                    )
-                    if src != c or pf["name"] not in rec["partition"]:
-                        continue
-                    try:
-                        twant = {
-                            _apply_transform(
-                                pf.get("transform", "identity"),
-                                w,
-                                type_by_name.get(c),
-                            )
-                            for w in wants
-                        }
-                    except _Unprunable:
-                        continue  # keep — can't evaluate this transform
-                    have = rec["partition"].get(pf["name"])
-                    allowed = {
-                        None if t is None else str(t) for t in twant
-                    }
-                    if (None if have is None else str(have)) not in allowed:
-                        ok = False
-                        break
-                if not ok:
-                    break
-            if ok:
-                kept.append(rec)
-        data = kept
+        data = _prune_partition_filter(
+            meta, schema_json, data, partition_filter
+        )
     return _plan_scan(
         spark, spark_schema, data, deletes, res,
         eq_deletes=eq_deletes, schema_json=schema_json, meta=meta,
@@ -1531,6 +1483,63 @@ def _apply_eq_deletes(
             "_ice_seq", "_ice_part"
         )
     return tagged.drop("_ice_seq", "_ice_part")
+
+
+def _prune_partition_filter(
+    meta: dict, schema_json: dict, data: list[dict], partition_filter: dict
+) -> list[dict]:
+    """Planning-time file pruning through HIDDEN partitioning: filters
+    name SOURCE columns; each spec field sourced from a filtered
+    column gets the filter values pushed through its transform
+    (identity/bucket/truncate/year/month/day/hour) and compared
+    against the file's manifest partition value.  Unevaluable
+    combinations keep the file — pruning is an optimization, never a
+    correctness lever.  Shared by :func:`read_iceberg` and the
+    partition-scoped :func:`rewrite_data_files`."""
+    id_to_name = {int(f["id"]): f["name"] for f in schema_json["fields"]}
+    type_by_name = {f["name"]: f["type"] for f in schema_json["fields"]}
+    kept = []
+    for rec in data:
+        fields = _spec_fields(meta, rec["spec_id"])
+        ok = True
+        for c, want in partition_filter.items():
+            wants = (
+                list(want)
+                if isinstance(want, (set, list, tuple))
+                else [want]
+            )
+            for pf in fields:
+                sid = pf.get("source-id")
+                src = (
+                    id_to_name.get(int(sid)) if sid is not None
+                    else (pf["name"] if pf.get("transform") == "identity"
+                          else None)
+                )
+                if src != c or pf["name"] not in rec["partition"]:
+                    continue
+                try:
+                    twant = {
+                        _apply_transform(
+                            pf.get("transform", "identity"),
+                            w,
+                            type_by_name.get(c),
+                        )
+                        for w in wants
+                    }
+                except _Unprunable:
+                    continue  # keep — can't evaluate this transform
+                have = rec["partition"].get(pf["name"])
+                allowed = {
+                    None if t is None else str(t) for t in twant
+                }
+                if (None if have is None else str(have)) not in allowed:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            kept.append(rec)
+    return kept
 
 
 def read_iceberg_range(
@@ -4070,6 +4079,7 @@ def rewrite_data_files(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    partition_filter: dict | None = None,
 ) -> dict:
     """Compaction (the iceberg-spark ``rewrite_data_files`` action):
     within each partition, groups of small data files — and any file a
@@ -4084,6 +4094,14 @@ def rewrite_data_files(
     been FOLDED into the rewritten rows).  Row content is unchanged;
     this is the read-debt payoff for merge-on-read deletes and the
     small-file cure for append-heavy tables.
+
+    ``partition_filter`` scopes the pass (iceberg-spark's
+    ``rewrite_data_files(where => ...)`` partition-predicate gesture —
+    compact only today's partition): filters name SOURCE columns
+    pushed through the spec transforms exactly like the read-time
+    pruning; out-of-scope files ride as EXISTING entries untouched.
+    At 100 TB a maintenance pass that cannot scope to the recent
+    partitions re-reads the whole table for nothing.
 
     Returns {"version", "files_before", "files_after",
     "partitions_compacted"}; nothing to compact commits nothing."""
@@ -4109,6 +4127,14 @@ def rewrite_data_files(
             }
         except Exception:  # noqa: BLE001 — unreadable -> treat none targeted
             pass
+    in_scope: set[int] | None = None
+    if partition_filter:
+        in_scope = {
+            id(r)
+            for r in _prune_partition_filter(
+                meta, schema_json, data, partition_filter
+            )
+        }
     by_part: dict[tuple, list[dict]] = {}
     part_spec = _spec_from_meta(meta, schema_json)
     part_names = [pf["name"] for pf in part_spec]
@@ -4121,6 +4147,12 @@ def rewrite_data_files(
     for key, recs in sorted(by_part.items(), key=lambda kv: str(kv[0])):
         import os as _os
 
+        if in_scope is not None:
+            out = [r for r in recs if id(r) not in in_scope]
+            recs = [r for r in recs if id(r) in in_scope]
+            kept.extend(out)
+            if not recs:
+                continue
         small = [r for r in recs if _file_size(r, path) < target_file_bytes]
         dv_hit = [
             r for r in recs

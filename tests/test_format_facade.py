@@ -454,3 +454,39 @@ def test_facade_reads_uniform_directory(spark, tmp_path):
     register_formats(spark)
     assert _rows(spark.read.format("delta").load(path)) == truth
     assert _rows(spark.read.format("iceberg").load(path)) == truth
+
+
+def test_register_lake_view_time_travel(spark, tmp_path):
+    """r11: register_lake_view registers a PINNED historical version —
+    the SQL analogue of VERSION AS OF / FOR SYSTEM_VERSION AS OF, both
+    formats."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.format_facade import (
+        register_lake_view,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        _load_metadata,
+        write_iceberg,
+    )
+
+    d, i = str(tmp_path / "d"), str(tmp_path / "i")
+    write_delta(_df(spark, [(1, "a", 1.0)]), d, mode="error")
+    write_delta(_df(spark, [(2, "b", 2.0)]), d, mode="append")
+    register_lake_view(spark, "dv0", d, fmt="delta", version_as_of=0)
+    register_lake_view(spark, "dv1", d, fmt="delta")
+    assert spark.sql("SELECT count(*) n FROM dv0").collect()[0][0] == 1
+    assert spark.sql("SELECT count(*) n FROM dv1").collect()[0][0] == 2
+
+    write_iceberg(_df(spark, [(1, "a", 1.0)]), i, mode="error")
+    sid0 = _load_metadata(i)["current-snapshot-id"]
+    write_iceberg(_df(spark, [(2, "b", 2.0)]), i, mode="append")
+    register_lake_view(spark, "iv0", i, fmt="iceberg", snapshot_id=sid0)
+    register_lake_view(spark, "iv1", i, fmt="iceberg")
+    assert spark.sql("SELECT count(*) n FROM iv0").collect()[0][0] == 1
+    assert spark.sql("SELECT count(*) n FROM iv1").collect()[0][0] == 2
+    with pytest.raises(ValueError, match="delta option"):
+        register_lake_view(spark, "x", i, fmt="iceberg", version_as_of=0)
+    with pytest.raises(ValueError, match="iceberg option"):
+        register_lake_view(spark, "x", d, fmt="delta", ref="main")

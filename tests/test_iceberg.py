@@ -2602,3 +2602,48 @@ def test_uniform_mapped_rename_refresh(spark, tmp_path):
     assert [f.name for f in got.schema.fields] == ["k", "part", "val"]
     assert _sorted_rows(got) == _sorted_rows(read_delta(spark, path))
     assert (100, "c", 100.0) in _sorted_rows(got)
+
+
+def test_rewrite_data_files_partition_scoped(spark, tmp_path):
+    """r11: rewrite_data_files(partition_filter=...) compacts ONLY the
+    scoped partition — out-of-scope small files ride as EXISTING
+    entries untouched (at 100 TB a maintenance pass must scope to the
+    recent partitions)."""
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        _load_metadata,
+        _manifest_entries,
+        _snapshot_by_id,
+        read_iceberg,
+        rewrite_data_files,
+        write_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(3):  # 3 small files per partition
+        write_iceberg(
+            _df(spark, [(10 * i + j, "a" if j % 2 else "b", float(j))
+                        for j in range(6)]).coalesce(1),
+            path, mode="error" if i == 0 else "append",
+            partition_by=["part"],
+        )
+    before = _sorted_rows(read_iceberg(spark, path))
+
+    def files_by_part():
+        meta = _load_metadata(path)
+        snap = _snapshot_by_id(meta, None)
+        data, _, _ = _manifest_entries(path, meta, snap)
+        out: dict[str, list[str]] = {}
+        for r in data:
+            out.setdefault(r["partition"].get("part"), []).append(
+                r["path"]
+            )
+        return out
+
+    pre = files_by_part()
+    assert len(pre["a"]) == 3 and len(pre["b"]) == 3
+    res = rewrite_data_files(spark, path, partition_filter={"part": "a"})
+    assert res["partitions_compacted"] == 1
+    post = files_by_part()
+    assert len(post["a"]) == 1
+    assert sorted(post["b"]) == sorted(pre["b"])  # untouched, same files
+    assert _sorted_rows(read_iceberg(spark, path)) == before
