@@ -105,6 +105,8 @@ _ORDER = [
     #                         lifecycle (upgrade→rename→append→DV)
     "b_lake_uniform",  # r11 addition: UniForm dual-format directory
     #                    (delta write path, iceberg read protocol)
+    "b_lake_delta_rowids",  # r11 addition: row tracking (stable row
+    #                         ids across DV deletes, watermarked mints)
     "b_lake_convert",  # oracle WIDENED r11 (MOR deletes → DVs) —
     #                    re-evidenced the round it changed
     "a6_catalog_create",

@@ -168,12 +168,22 @@ class _Snapshot:
         self.protocol: dict = {"minReaderVersion": 1}
         self.files: dict[str, dict] = {}
         self.txns: dict[str, int] = {}
+        # domain metadata (the protocol's domainMetadata action, r11):
+        # latest configuration per domain; a removed=true action
+        # tombstones the domain
+        self.domains: dict[str, str] = {}
 
     def apply(self, action: dict) -> None:
         if "metaData" in action:
             self.metadata = action["metaData"]
         elif "protocol" in action:
             self.protocol = action["protocol"]
+        elif "domainMetadata" in action:
+            dm = action["domainMetadata"]
+            if dm.get("removed"):
+                self.domains.pop(dm.get("domain"), None)
+            else:
+                self.domains[dm["domain"]] = dm.get("configuration") or ""
         elif "add" in action:
             a = action["add"]
             self.files[a["path"]] = a
@@ -702,7 +712,10 @@ def _snapshot(
                     f"v2 checkpoint file claims version {cpm['version']} "
                     f"but is named {cp_version} — refusing corrupt state"
                 )
-            for key in ("protocol", "metaData", "add", "remove", "txn"):
+            for key in (
+                "protocol", "metaData", "add", "remove", "txn",
+                "domainMetadata",
+            ):
                 if d.get(key) is not None:
                     snap.apply({key: d[key]})
         start = cp_version + 1
@@ -1407,6 +1420,82 @@ def _apply_ict(
     return actions
 
 
+_RT_DOMAIN = "delta.rowTracking"
+
+
+def _rt_enabled(snap: _Snapshot | None) -> bool:
+    if snap is None or snap.metadata is None:
+        return False
+    conf = snap.metadata.get("configuration") or {}
+    return conf.get("delta.enableRowTracking") == "true"
+
+
+def _rt_hwm(snap: _Snapshot) -> int:
+    """The row-id high watermark (highest ISSUED id; -1 before any)
+    from the ``delta.rowTracking`` domain metadata."""
+    raw = snap.domains.get(_RT_DOMAIN)
+    if not raw:
+        return -1
+    try:
+        return int(json.loads(raw).get("rowIdHighWaterMark", -1))
+    except (ValueError, TypeError):
+        return -1
+
+
+def _add_num_records(path: str, a: dict) -> int:
+    """Physical row count of an add — stats.numRecords, else the
+    parquet footer (foreign adds may omit stats)."""
+    st = a.get("stats")
+    if st:
+        s = json.loads(st) if isinstance(st, str) else st
+        n = s.get("numRecords")
+        if n is not None:
+            return int(n)
+    import pyarrow.parquet as pq
+
+    full = urllib.parse.unquote(a["path"])
+    if not os.path.isabs(full):
+        full = os.path.join(path, full)
+    return pq.ParquetFile(full).metadata.num_rows
+
+
+def _apply_row_tracking(
+    path: str, version: int, actions: list[dict], snap: _Snapshot | None
+) -> list[dict]:
+    """Row-tracking commit obligation (the protocol's ``rowTracking``
+    writer feature): every NEW add (one lacking a ``baseRowId`` — a
+    DV-update's re-add keeps its original) gets a fresh contiguous id
+    range ``hwm+1 .. hwm+numRecords`` plus ``defaultRowCommitVersion``
+    = this commit's version, and the ``delta.rowTracking`` domain
+    metadata advances the high watermark IN THE SAME COMMIT — ids are
+    never re-issued, even across a crash, because the watermark and
+    the adds are one atomic action list.  No-op on untracked tables."""
+    if not _rt_enabled(snap):
+        return actions
+    hwm = _rt_hwm(snap)
+    assigned = False
+    for act in actions:
+        a = act.get("add")
+        if a is None or a.get("baseRowId") is not None:
+            continue
+        n = _add_num_records(path, a)
+        a["baseRowId"] = hwm + 1
+        a["defaultRowCommitVersion"] = version
+        hwm += n
+        assigned = True
+    if assigned:
+        actions = actions + [
+            {"domainMetadata": {
+                "domain": _RT_DOMAIN,
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": hwm}
+                ),
+                "removed": False,
+            }}
+        ]
+    return actions
+
+
 def _commit_mutation(
     path: str, version: int, actions: list[dict], operation: str,
     snap: _Snapshot | None = None,
@@ -1414,13 +1503,15 @@ def _commit_mutation(
     """Commit a snapshot-dependent mutation; a lost race surfaces as
     :class:`CommitConflict` (deterministic, actionable) instead of a
     bare FileExistsError.  ``snap`` (the PRE-commit snapshot) lets the
-    commit honor table-level commit obligations — currently In-Commit
-    Timestamps (:func:`_apply_ict`)."""
+    commit honor table-level commit obligations — In-Commit
+    Timestamps (:func:`_apply_ict`) and row tracking
+    (:func:`_apply_row_tracking`)."""
     if snap is not None:
         actions = _apply_ict(
             path, version, actions,
             (snap.metadata or {}).get("configuration"),
         )
+        actions = _apply_row_tracking(path, version, actions, snap)
     try:
         _commit(path, version, actions)
     except FileExistsError as e:
@@ -1564,6 +1655,13 @@ _SUPPORTED_WRITER_FEATURES = {
     "v2Checkpoint", "checkConstraints", "generatedColumns",
     "changeDataFeed", "typeWidening", "typeWidening-preview",
     "identityColumns", "inCommitTimestamp",
+    # rowTracking (r11): fresh base row ids on every commit's adds +
+    # high-watermark domain metadata are maintained by
+    # _apply_row_tracking on every commit path; operations that COPY
+    # rows into new files (update/merge/optimize) are refused
+    # per-operation below because this writer does not materialize
+    # row ids into rewritten files.
+    "rowTracking", "domainMetadata",
     # "supported" = the capability gate is PER DECLARATION, not per
     # protocol listing: a table whose protocol lists invariants but
     # declares none is writable; any ACTUALLY DECLARED invariant still
@@ -1632,10 +1730,26 @@ def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
     if _mapping_mode(snap) not in ("none", "") and operation not in (
         "append", "overwrite", "update", "delete", "merge", "optimize",
         "rename column", "drop column",  # metadata-only evolutions (r11)
+        "enable row tracking",  # metadata-only backfill (r11)
     ):
         raise ValueError(
             f"column-mapped table: {operation} is not implemented "
             "(install delta-spark for it)"
+        )
+    # Row tracking (r11): appends mint fresh base row ids and DELETE
+    # only stacks DVs (file identity unchanged — ids stable), but
+    # update/merge/optimize COPY surviving rows into new files, where
+    # the protocol requires the copied rows' ids to be PRESERVED via
+    # materialized row-id columns — not implemented, so those refuse
+    # rather than silently re-mint (delta-spark preserves here).
+    if conf.get("delta.enableRowTracking") == "true" and operation in (
+        "update", "merge", "optimize",
+    ):
+        raise ValueError(
+            f"row tracking is enabled: {operation} would copy rows "
+            "into new files without materializing their row ids — "
+            "use append/delete, or install delta-spark for preserved "
+            "rewrites"
         )
     append_only = conf.get("delta.appendOnly") == "true" or (
         "appendOnly" in feats and conf.get("delta.appendOnly") != "false"
@@ -2825,12 +2939,27 @@ def write_delta(
             # inject per ATTEMPT: a rebase moves `version`, and the
             # in-commit timestamp must exceed the NEW predecessor's
             _commit(
-                path, version, _apply_ict(path, version, actions, ict_conf)
+                path, version,
+                _apply_row_tracking(
+                    path, version,
+                    _apply_ict(path, version, actions, ict_conf),
+                    snap,
+                ),
             )
             return version
         except FileExistsError:
             if snap is None:
                 raise  # racing CREATE: the table now exists
+            if _rt_enabled(snap):
+                # a row-tracked append reads the id high watermark
+                # from its snapshot — a blind rebase onto a
+                # concurrent commit could re-issue ids that commit
+                # already minted; surface the conflict instead
+                raise CommitConflict(
+                    f"concurrent writer committed version {version} "
+                    "while this row-tracked append was in flight — "
+                    "re-run against the current table state"
+                ) from None
             if not blind_append:
                 raise CommitConflict(
                     f"concurrent writer committed version {version} "
@@ -4279,23 +4408,30 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     produce and this reader already consumes."""
     snap, latest = _snapshot(spark, path)
     v2 = "v2Checkpoint" in set(snap.protocol.get("writerFeatures") or [])
+    blank = {"protocol": None, "metaData": None, "add": None,
+             "remove": None, "txn": None, "domainMetadata": None}
     rows = [
-        {"protocol": snap.protocol, "metaData": None, "add": None,
-         "remove": None, "txn": None},
-        {"protocol": None, "metaData": snap.metadata, "add": None,
-         "remove": None, "txn": None},
+        {**blank, "protocol": snap.protocol},
+        {**blank, "metaData": snap.metadata},
     ]
     for app, v in sorted(snap.txns.items()):
+        rows.append({**blank, "txn": {"appId": app, "version": v}})
+    # domain metadata must survive checkpointing (the protocol lists
+    # domainMetadata among checkpoint actions): dropping the
+    # delta.rowTracking domain would reset the row-id high watermark
+    # and re-mint already-issued ids after log cleanup
+    for domain, config in sorted(snap.domains.items()):
         rows.append(
-            {"protocol": None, "metaData": None, "add": None,
-             "remove": None, "txn": {"appId": app, "version": v}}
+            {**blank, "domainMetadata": {
+                "domain": domain, "configuration": config,
+                "removed": False,
+            }}
         )
     for rel in sorted(snap.files):
         a = snap.files[rel]
         rows.append(
             {
-                "protocol": None,
-                "metaData": None,
+                **blank,
                 "add": {
                     "path": rel,
                     "partitionValues": snap.partition_values(rel),
@@ -4309,9 +4445,12 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
                     # DVs must survive too — dropping one would
                     # resurrect its deleted rows after log cleanup
                     "deletionVector": a.get("deletionVector"),
+                    # row-tracking fields (None on untracked tables)
+                    "baseRowId": a.get("baseRowId"),
+                    "defaultRowCommitVersion": a.get(
+                        "defaultRowCommitVersion"
+                    ),
                 },
-                "remove": None,
-                "txn": None,
             }
         )
     schema = (
@@ -4329,9 +4468,12 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
         "add struct<path:string,partitionValues:map<string,string>,"
         "size:long,modificationTime:long,dataChange:boolean,stats:string,"
         "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-        "offset:int,sizeInBytes:int,cardinality:long>>, "
+        "offset:int,sizeInBytes:int,cardinality:long>,"
+        "baseRowId:long,defaultRowCommitVersion:long>, "
         "remove struct<path:string,deletionTimestamp:long,dataChange:boolean>, "
-        "txn struct<appId:string,version:long>"
+        "txn struct<appId:string,version:long>, "
+        "domainMetadata struct<domain:string,configuration:string,"
+        "removed:boolean>"
     )
     if v2:
         add_rows = [r for r in rows if r["add"] is not None]
@@ -4387,6 +4529,165 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
         json.dump({"version": latest, "size": len(rows)}, fh)
     os.replace(lc_tmp, lc)
     return latest
+
+
+def enable_row_tracking_delta(spark: SparkSession, path: str) -> int:
+    """Enable ROW TRACKING (the protocol's ``rowTracking`` writer
+    feature + ``delta.rowTracking`` domain metadata): every row gets a
+    stable 64-bit id — ``baseRowId`` of its file + its position — and
+    the id survives deletion-vector DELETEs (file identity unchanged)
+    while appends mint fresh contiguous ranges above the high
+    watermark, which advances in the SAME commit as the adds.  This
+    commit BACKFILLS the existing files (remove + re-add with
+    ``baseRowId``/``defaultRowCommitVersion``, dataChange=false — a
+    pure metadata rearrangement streaming consumers skip), upgrades
+    the protocol to writer 7 with ``rowTracking`` + ``domainMetadata``
+    (legacy capability bundles expand to the features actually in
+    use, the ``_dv_protocol_upgrade`` policy), and sets
+    ``delta.enableRowTracking``.  Scope honesty: operations that COPY
+    rows into new files (update/merge/optimize) refuse on tracked
+    tables because this writer does not materialize row ids into
+    rewritten files — append/overwrite/DV-delete are the supported
+    lifecycle, and :func:`read_delta_row_ids` serves the ids."""
+    snap, latest = _snapshot(spark, path)
+    _check_write_protocol(snap, "enable row tracking")
+    conf = dict((snap.metadata or {}).get("configuration") or {})
+    if conf.get("delta.enableRowTracking") == "true":
+        raise ValueError(f"row tracking already enabled at {path}")
+    proto = snap.protocol
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    reader = int(proto.get("minReaderVersion", 1))
+    wf |= {"rowTracking", "domainMetadata"}
+    schema_str = (snap.metadata or {}).get("schemaString") or ""
+    if "timestamp_ntz" in schema_str:
+        rf.add("timestampNtz")
+        wf.add("timestampNtz")
+    if conf.get("delta.appendOnly") == "true":
+        wf.add("appendOnly")
+    if conf.get("delta.enableChangeDataFeed") == "true":
+        wf.add("changeDataFeed")
+    if _mapping_mode(snap) not in ("none", ""):
+        wf.add("columnMapping")
+        reader = max(reader, 2)
+    if any(k.startswith("delta.constraints.") for k in conf):
+        wf.add("checkConstraints")
+    fields = (json.loads(schema_str) if schema_str else {}).get("fields")
+    if _find_field_metadata_key(fields, ("delta.generationExpression",)):
+        wf.add("generatedColumns")
+    if _find_field_metadata_key(fields, ("delta.identity.",)):
+        wf.add("identityColumns")
+    if "deletionVectors" in wf:
+        rf.add("deletionVectors")
+    if rf:
+        reader = max(reader, 3)
+    proto_action: dict = {
+        "minReaderVersion": reader,
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wf),
+    }
+    if reader >= 3:
+        proto_action["readerFeatures"] = sorted(rf)
+    conf["delta.enableRowTracking"] = "true"
+    now = int(time.time() * 1000)
+    version = latest + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "ENABLE ROW TRACKING",
+                "operationParameters": {},
+            }
+        },
+        {"protocol": proto_action},
+        {"metaData": {**snap.metadata, "configuration": conf}},
+    ]
+    hwm = -1
+    for rel in sorted(snap.files):
+        a = snap.files[rel]
+        n = _add_num_records(path, a)
+        rm = {"path": rel, "deletionTimestamp": now, "dataChange": False}
+        if a.get("deletionVector"):
+            rm["deletionVector"] = a["deletionVector"]
+        actions.append({"remove": rm})
+        actions.append(
+            {"add": {
+                **a,
+                "baseRowId": hwm + 1,
+                "defaultRowCommitVersion": version,
+                "dataChange": False,
+            }}
+        )
+        hwm += n
+    actions.append(
+        {"domainMetadata": {
+            "domain": _RT_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False,
+        }}
+    )
+    _commit_mutation(
+        path, version, actions, "ENABLE ROW TRACKING", snap=snap
+    )
+    return version
+
+
+def read_delta_row_ids(spark: SparkSession, path: str) -> DataFrame:
+    """Read a row-tracked table WITH its stable row identities: the
+    table columns plus ``_row_id`` (baseRowId + position — the
+    protocol's fresh-row rule; this writer never rewrites tracked
+    files, so every row is a fresh row) and ``_row_commit_version``
+    (the file's defaultRowCommitVersion).  DV-deleted rows are
+    subtracted before ids attach, so a surviving row keeps the same
+    id across deletes — the property CDC and feature-store consumers
+    key on.  One broadcast basename→(base, version) map over the
+    ordinary logical scan; no extra shuffle."""
+    snap, _latest = _snapshot(spark, path)
+    if not _rt_enabled(snap):
+        raise ValueError(
+            f"row tracking is not enabled at {path} — "
+            "enable_row_tracking_delta first"
+        )
+    rels = sorted(snap.files)
+    rows = []
+    for rel in rels:
+        a = snap.files[rel]
+        if a.get("baseRowId") is None:
+            raise ValueError(
+                f"active file {rel!r} carries no baseRowId — the table "
+                "was written by a non-tracking writer after enablement"
+            )
+        rows.append(
+            (
+                os.path.basename(urllib.parse.unquote(rel)),
+                int(a["baseRowId"]),
+                int(a.get("defaultRowCommitVersion") or 0),
+            )
+        )
+    dv_map = _dv_map(path, snap, rels)
+    tagged = _logical_scan(
+        spark, path, snap, rels, dv_map, keep_file=True, keep_pos=True
+    )
+    if not rows:
+        return (
+            tagged.withColumn("_row_id", F.lit(None).cast("long"))
+            .withColumn("_row_commit_version", F.lit(None).cast("long"))
+            .drop("_dl_file", "_dl_dv_pos")
+        )
+    import pandas as pd
+
+    m = spark.createDataFrame(
+        pd.DataFrame(
+            sorted(rows), columns=["_dl_file", "_rt_base", "_rt_dcv"]
+        ),
+        "_dl_file string, _rt_base long, _rt_dcv long",
+    )
+    return (
+        tagged.join(F.broadcast(m), "_dl_file")
+        .withColumn("_row_id", F.col("_rt_base") + F.col("_dl_dv_pos"))
+        .withColumn("_row_commit_version", F.col("_rt_dcv"))
+        .drop("_dl_file", "_dl_dv_pos", "_rt_base", "_rt_dcv")
+    )
 
 
 def _prune_snapshot(
@@ -5937,6 +6238,68 @@ scan_delta_clone = query(
     GROUP BY o_orderpriority
     """,
 )(scan_delta_clone)
+
+
+def scan_delta_rowids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING end-to-end (r11): create → enable (backfill ids
+    over the sorted single file) → append a second era (ids continue
+    above the watermark) → DV DELETE (survivors KEEP their ids).  The
+    fixture pins the physical row order (coalesce(1) + sort), so the
+    oracle recomputes every id as ``row_number() - 1`` over the same
+    order — a re-minted id after the delete, a watermark that failed
+    to advance, a backfill in the wrong order, or a lost
+    defaultRowCommitVersion all fail the hash."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = _scratch(f"rowids_{os.path.basename(sf_dir.rstrip('/'))}")
+    complete = _table_version(path) == 3 and (
+        history_delta(spark, path)[-1]["operation"] == "DELETE"
+    )
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 26 == 2)
+            .coalesce(1)
+            .sortWithinPartitions("o_orderkey"),
+            path, mode="error",
+        )
+        enable_row_tracking_delta(spark, path)                 # v1
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 26 == 15)
+            .coalesce(1)
+            .sortWithinPartitions("o_orderkey"),
+            path, mode="append",
+        )                                                      # v2
+        delete_where_delta(spark, path, F.col("o_orderkey") % 78 == 2)
+    back = read_delta_row_ids(spark, path)
+    return back.select(
+        "o_orderkey",
+        F.col("_row_id").alias("row_id"),
+        F.col("_row_commit_version").alias("commit_version"),
+    )
+
+
+scan_delta_rowids = query(
+    "b_lake_delta_rowids",
+    """
+    WITH era1 AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+             CAST(1 AS BIGINT) AS commit_version
+      FROM orders WHERE o_orderkey % 26 = 2
+    ), era2 AS (
+      SELECT o_orderkey,
+             (SELECT count(*) FROM orders WHERE o_orderkey % 26 = 2)
+             + row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+             CAST(2 AS BIGINT) AS commit_version
+      FROM orders WHERE o_orderkey % 26 = 15
+    )
+    SELECT o_orderkey, row_id, commit_version
+    FROM (SELECT * FROM era1 UNION ALL SELECT * FROM era2)
+    WHERE o_orderkey % 78 <> 2
+    """,
+)(scan_delta_rowids)
 
 
 def scan_lake_convert(spark: SparkSession, sf_dir: str) -> DataFrame:

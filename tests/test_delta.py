@@ -466,16 +466,17 @@ def test_invalid_mode_always_refused(spark, tmp_path):
 
 def test_unsupported_writer_features_refused(spark, tmp_path):
     """Appending to a table that requires a capability this writer
-    lacks (rowTracking here) would corrupt its semantics — refuse.
-    A columnMapping feature flag alone no longer refuses: the writer
-    handles the logical→physical rename itself.  (identityColumns
-    graduated from this list in r9.)"""
+    lacks (liquid clustering here) would corrupt its semantics —
+    refuse.  A columnMapping feature flag alone no longer refuses:
+    the writer handles the logical→physical rename itself.
+    (identityColumns graduated from this list in r9; rowTracking in
+    r11 — see test_row_tracking_lifecycle.)"""
     path = str(tmp_path / "t")
     write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
     _commit(
         path, 1,
         [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
-                       "writerFeatures": ["rowTracking"]}}],
+                       "writerFeatures": ["clustering"]}}],
     )
     with pytest.raises(ValueError, match="writer capabilities"):
         write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
@@ -4038,3 +4039,114 @@ def test_in_commit_timestamps_clone_reanchors(spark, tmp_path):
     with open(_version_file(dst, 1)) as fh:
         ci1 = [_json.loads(ln) for ln in fh if ln.strip()][0]["commitInfo"]
     assert ci1["inCommitTimestamp"] > ci["inCommitTimestamp"]
+
+
+# ---------------------------------------------------------- row tracking
+
+
+def test_row_tracking_lifecycle(spark, tmp_path):
+    """r11 rowTracking: enable backfills stable ids, appends mint
+    above the watermark, DV deletes keep survivors' ids, and
+    row-copying operations refuse (no materialization)."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _snapshot,
+        delete_where_delta,
+        enable_row_tracking_delta,
+        optimize_delta,
+        read_delta_row_ids,
+        update_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(k, "a", float(k)) for k in range(10)])
+        .coalesce(1).sortWithinPartitions("k"),
+        path, mode="error",
+    )
+    with pytest.raises(ValueError, match="not enabled"):
+        read_delta_row_ids(spark, path)
+    enable_row_tracking_delta(spark, path)
+    with pytest.raises(ValueError, match="already enabled"):
+        enable_row_tracking_delta(spark, path)
+
+    ids0 = {
+        r["k"]: r["_row_id"]
+        for r in read_delta_row_ids(spark, path).collect()
+    }
+    assert ids0 == {k: k for k in range(10)}  # sorted single file
+
+    # append mints ABOVE the watermark, same commit
+    write_delta(
+        _df(spark, [(k, "b", float(k)) for k in range(100, 105)])
+        .coalesce(1).sortWithinPartitions("k"),
+        path, mode="append",
+    )
+    got = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta_row_ids(spark, path).collect()
+    }
+    assert got[100] == (10, 2) and got[104] == (14, 2)
+    assert got[0] == (0, 1)
+
+    # DV delete: survivors KEEP their ids
+    delete_where_delta(spark, path, F.col("k").isin(0, 3, 101))
+    after = {
+        r["k"]: r["_row_id"]
+        for r in read_delta_row_ids(spark, path).collect()
+    }
+    assert 0 not in after and 3 not in after and 101 not in after
+    assert after[4] == 4 and after[102] == 12
+
+    # high watermark persisted in domain metadata
+    snap, _ = _snapshot(spark, path)
+    import json as _json
+
+    assert _json.loads(snap.domains["delta.rowTracking"]) == {
+        "rowIdHighWaterMark": 14
+    }
+    assert "rowTracking" in snap.protocol["writerFeatures"]
+    assert "domainMetadata" in snap.protocol["writerFeatures"]
+
+    # row-copying operations refuse rather than re-mint
+    with pytest.raises(ValueError, match="row tracking"):
+        update_delta(spark, path, F.col("k") == 4, {"v": F.lit(0.0)})
+    with pytest.raises(ValueError, match="row tracking"):
+        optimize_delta(spark, path)
+
+
+def test_row_tracking_survives_checkpoint(spark, tmp_path):
+    """The rowTracking domain metadata and per-add baseRowId must ride
+    through a parquet checkpoint: after log-prefix cleanup the next
+    append still mints above the watermark and reads still serve the
+    original ids."""
+    import os as _os
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        checkpoint_delta,
+        enable_row_tracking_delta,
+        read_delta_row_ids,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(k, "a", float(k)) for k in range(6)])
+        .coalesce(1).sortWithinPartitions("k"),
+        path, mode="error",
+    )
+    enable_row_tracking_delta(spark, path)
+    checkpoint_delta(spark, path)
+    # delete the JSON prefix the checkpoint replaces
+    for v in (0, 1):
+        _os.unlink(
+            _os.path.join(path, "_delta_log", f"{v:020d}.json")
+        )
+    write_delta(
+        _df(spark, [(100, "b", 100.0)]), path, mode="append",
+    )
+    got = {
+        r["k"]: r["_row_id"]
+        for r in read_delta_row_ids(spark, path).collect()
+    }
+    assert got == {**{k: k for k in range(6)}, 100: 6}
