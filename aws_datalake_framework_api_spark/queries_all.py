@@ -91,13 +91,13 @@ _ORDER = [
     # and tests/test_sql_lake_equivalence.py) — run FIRST so its green
     # row is unconditional on the rest of the window.  Slots 2-3 are
     # the r11-new ids (b_sql_lake_iceberg, b_lake_delta_rename,
-    # b_lake_uniform) plus b_lake_convert, whose fixture/oracle were
-    # WIDENED this round (MOR deletes materialize as DVs) — changed
-    # ids are driver-checked the round they change; slots 6-50 are 45
-    # of the 50 remaining r5-stale ids (the stale set minus the five
-    # the boundary displaces to slots 51-55 — they lead the r12
-    # window).  All slots pre-cleared green at three local configs
-    # (LOCAL_SWEEP_r11_*).
+    # b_lake_uniform, b_lake_delta_rowids) plus b_lake_convert, whose
+    # fixture/oracle were WIDENED this round (MOR deletes materialize
+    # as DVs) — changed ids are driver-checked the round they change;
+    # slots 7-50 are 44 of the 50 remaining r5-stale ids (the stale
+    # set minus the six the boundary displaces to slots 51-56 — they
+    # lead the r12 window).  All slots pre-cleared green at three
+    # local configs (LOCAL_SWEEP_r11_*).
     "b_sql_lake",  # r10 red row, hardened — first (VERDICT r10 #1)
     "b_sql_lake_iceberg",  # r11 addition: the second-format view-seam
     #                        twin, driver-checked the round it ships
@@ -159,11 +159,11 @@ _ORDER = [
     "b_ts_gapfill",
     "b_ts_locf",
     "b_ts_rolling_dau",
-    # ---- 50-entry window boundary (slot 50 = b_ts_concurrency):
-    #      b_ts_cumulative_users / b_ts_forecast_naive / b_ts_gapfill
-    #      / b_ts_locf / b_ts_rolling_dau above are slots 51-55
-    #      (displaced by the five r11 head slots, lead the r12
-    #      window). ----
+    # ---- 50-entry window boundary (slot 50 = b_stat_corr):
+    #      b_ts_concurrency / b_ts_cumulative_users /
+    #      b_ts_forecast_naive / b_ts_gapfill / b_ts_locf /
+    #      b_ts_rolling_dau above are slots 51-56 (displaced by the
+    #      six r11 head slots, lead the r12 window). ----
     # -- the r10 window (every id below hash-green in r10; b_sql_lake
     #    moved to slot 1 above) --
     "b_lake_iceberg_retype",
