@@ -1424,10 +1424,27 @@ _RT_DOMAIN = "delta.rowTracking"
 
 
 def _rt_enabled(snap: _Snapshot | None) -> bool:
+    """delta.enableRowTracking=true — ids are GUARANTEED STABLE, so
+    reads serve them and row-copying rewrites refuse (no
+    materialization here)."""
     if snap is None or snap.metadata is None:
         return False
     conf = snap.metadata.get("configuration") or {}
     return conf.get("delta.enableRowTracking") == "true"
+
+
+def _rt_supported(snap: _Snapshot | None) -> bool:
+    """The ``rowTracking`` writer feature is declared — per the spec,
+    writers must assign baseRowId/defaultRowCommitVersion and advance
+    the high watermark on every commit EVEN BEFORE
+    ``delta.enableRowTracking`` flips (the supported-not-enabled
+    mid-enablement state delta-spark tables pass through; r11 review
+    finding — gating the obligation on the config skipped it there)."""
+    if snap is None:
+        return False
+    return "rowTracking" in set(
+        snap.protocol.get("writerFeatures") or []
+    )
 
 
 def _rt_hwm(snap: _Snapshot) -> int:
@@ -1469,8 +1486,10 @@ def _apply_row_tracking(
     = this commit's version, and the ``delta.rowTracking`` domain
     metadata advances the high watermark IN THE SAME COMMIT — ids are
     never re-issued, even across a crash, because the watermark and
-    the adds are one atomic action list.  No-op on untracked tables."""
-    if not _rt_enabled(snap):
+    the adds are one atomic action list.  No-op on untracked tables.
+    Gated on the FEATURE (not the config): supported-not-enabled
+    tables still demand fresh ids on every add."""
+    if not _rt_supported(snap):
         return actions
     hwm = _rt_hwm(snap)
     assigned = False
@@ -1984,26 +2003,33 @@ def alter_table_properties_delta(
         str((set_props or {}).get("delta.enableChangeDataFeed", "")).lower()
         == "true"
     )
+    # a commit may carry at most ONE protocol action (spec): both the
+    # CDF and ICT enablements below mutate cur_proto and a single
+    # action is appended at the end (r11 review finding — the earlier
+    # shape appended one protocol per enablement, and the ICT one,
+    # built from the PRE-commit snapshot, dropped the changeDataFeed
+    # feature the first had just added)
+    cur_proto = dict(snap.protocol or {})
+    proto_changed = False
     if cdf_on:
-        proto = snap.protocol or {}
-        writer = int(proto.get("minWriterVersion", 1))
-        feats = proto.get("writerFeatures")
+        writer = int(cur_proto.get("minWriterVersion", 1))
+        feats = cur_proto.get("writerFeatures")
         if writer < 4:
-            actions.append(
-                {"protocol": {
-                    "minReaderVersion": int(proto.get("minReaderVersion", 1)),
-                    "minWriterVersion": 4,
-                }}
-            )
+            cur_proto = {
+                "minReaderVersion": int(
+                    cur_proto.get("minReaderVersion", 1)
+                ),
+                "minWriterVersion": 4,
+            }
+            proto_changed = True
         elif writer == 7 and "changeDataFeed" not in (feats or []):
-            actions.append(
-                {"protocol": {
-                    **proto,
-                    "writerFeatures": sorted(
-                        set(feats or []) | {"changeDataFeed"}
-                    ),
-                }}
-            )
+            cur_proto = {
+                **cur_proto,
+                "writerFeatures": sorted(
+                    set(feats or []) | {"changeDataFeed"}
+                ),
+            }
+            proto_changed = True
     version = latest + 1
     ict_on = (
         str((set_props or {}).get(_ICT_KEY, "")).lower() == "true"
@@ -2023,7 +2049,7 @@ def alter_table_properties_delta(
         conf["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
         md["configuration"] = conf
         actions[0]["commitInfo"]["inCommitTimestamp"] = ict
-        proto = snap.protocol or {}
+        proto = cur_proto  # build on any CDF upgrade from this commit
         writer = int(proto.get("minWriterVersion", 1))
         feats = set(proto.get("writerFeatures") or [])
         if writer == 7:
@@ -2065,7 +2091,10 @@ def alter_table_properties_delta(
             new_proto["readerFeatures"] = sorted(
                 set(proto.get("readerFeatures") or [])
             )
-        actions.append({"protocol": new_proto})
+        cur_proto = new_proto
+        proto_changed = True
+    if proto_changed:
+        actions.append({"protocol": cur_proto})
     actions.append({"metaData": md})
     _commit_mutation(path, version, actions, "SET TBLPROPERTIES", snap=snap)
     return version
@@ -2228,12 +2257,16 @@ def widen_type_delta(
 
 
 def _mint_identity_block(
-    df: DataFrame, column: str, base: int, step: int
+    df: DataFrame, mints: dict[str, tuple[int, int]]
 ) -> DataFrame:
     """Contiguous identity allocation for CREATE/append staging
     (ADVICE r10 — the merge insert frame has its own NULL-fill twin in
     merge_clauses._mint_identity_contiguous): mint EXACTLY
-    ``base .. base+step·(n-1)`` for the batch.
+    ``base .. base+step·(n-1)`` for the batch, for EVERY column in
+    ``mints`` ({column: (base, step)}) over ONE pinned frame — one
+    checkpoint, one count job, one broadcast join regardless of how
+    many identity columns the table declares (r11 review finding: the
+    per-column shape paid the whole pipeline k times).
 
     1. pin the batch with an EAGER localCheckpoint: the count pass and
        the staging pass must observe identical partition layout and
@@ -2249,6 +2282,8 @@ def _mint_identity_block(
        not a window sort."""
     import pandas as pd
 
+    if not mints:
+        return df
     spark = df.sparkSession
     df = df.localCheckpoint(eager=True)
     pid = F.spark_partition_id()
@@ -2259,7 +2294,9 @@ def _mint_identity_block(
         .collect()
     )
     if not counts:
-        return df.withColumn(column, F.lit(None).cast("long"))
+        for column in sorted(mints):
+            df = df.withColumn(column, F.lit(None).cast("long"))
+        return df
     offs, run = [], 0
     for p, n in counts:
         offs.append((p, run))
@@ -2271,19 +2308,20 @@ def _mint_identity_block(
     pos = F.monotonically_increasing_id() - (
         pid.cast("long") * F.lit(1 << 33)
     )
-    return (
+    out = (
         df.withColumn("_id_pid", pid)
         .withColumn("_id_pos", pos)
         .join(F.broadcast(omap), "_id_pid")
-        .withColumn(
+    )
+    for column, (base, step) in sorted(mints.items()):
+        out = out.withColumn(
             column,
             (
                 F.lit(int(base))
                 + F.lit(int(step)) * (F.col("_id_off") + F.col("_id_pos"))
             ).cast("long"),
         )
-        .drop("_id_pid", "_id_pos", "_id_off")
-    )
+    return out.drop("_id_pid", "_id_pos", "_id_off")
 
 
 def _identity_specs(snap: _Snapshot) -> dict[str, dict]:
@@ -2512,7 +2550,7 @@ def create_identity_delta(
         raise ValueError("cannot partition by the identity column")
     if _table_version(path) is not None:
         raise FileExistsError(f"delta table already exists at {path}")
-    df2 = _mint_identity_block(df, column, int(start), int(step))
+    df2 = _mint_identity_block(df, {column: (int(start), int(step))})
     schema = json.loads(df2.schema.json())
     for f in schema["fields"]:
         if f["name"] == column:
@@ -2790,6 +2828,7 @@ def write_delta(
                     "identity columns + merge_schema evolution in one "
                     "write is not implemented"
                 )
+            to_mint: dict[str, tuple[int, int]] = {}
             for name, spec in sorted(id_specs.items()):
                 if name in df.columns:
                     if not spec["allow_explicit"]:
@@ -2805,9 +2844,8 @@ def write_delta(
                     if spec["wm"] is not None
                     else spec["start"]
                 )
-                df = _mint_identity_block(
-                    df, name, int(base), int(spec["step"])
-                )
+                to_mint[name] = (int(base), int(spec["step"]))
+            df = _mint_identity_block(df, to_mint)
             declared_order = [
                 f["name"]
                 for f in json.loads(snap.metadata["schemaString"])["fields"]
@@ -2950,7 +2988,7 @@ def write_delta(
         except FileExistsError:
             if snap is None:
                 raise  # racing CREATE: the table now exists
-            if _rt_enabled(snap):
+            if _rt_supported(snap):
                 # a row-tracked append reads the id high watermark
                 # from its snapshot — a blind rebase onto a
                 # concurrent commit could re-issue ids that commit
@@ -3130,7 +3168,13 @@ def _evolution_refs_guard(snap: _Snapshot, names: set[str], op: str) -> None:
             exprs[f"generation of {f['name']!r}"] = ge
     for where, expr in sorted(exprs.items()):
         for n in sorted(names):
-            if _re.search(rf"(?<![A-Za-z0-9_`]){_re.escape(n)}(?![A-Za-z0-9_])", expr):
+            # NOTE: no backtick in the lookbehind — a backquoted
+            # reference (`price` > 0, normal Spark SQL output) must
+            # still match (r11 review finding: the earlier class
+            # included ` and made quoted references invisible to the
+            # guard; over-matching inside a longer quoted identifier
+            # only over-refuses, the safe direction)
+            if _re.search(rf"(?<![A-Za-z0-9_]){_re.escape(n)}(?![A-Za-z0-9_])", expr):
                 raise ValueError(
                     f"cannot {op} column {n!r}: referenced by {where} "
                     f"({expr!r}) — drop the constraint / generated "
@@ -4602,9 +4646,21 @@ def enable_row_tracking_delta(spark: SparkSession, path: str) -> int:
         {"protocol": proto_action},
         {"metaData": {**snap.metadata, "configuration": conf}},
     ]
-    hwm = -1
+    # start ABOVE anything already issued: a supported-not-enabled
+    # table (mid-enablement by another writer) already carries ids on
+    # some adds and a watermark in domain metadata — backfill only the
+    # files that lack ids, and never re-issue (r11 review finding)
+    hwm = _rt_hwm(snap)
     for rel in sorted(snap.files):
         a = snap.files[rel]
+        if a.get("baseRowId") is not None:
+            hwm = max(
+                hwm, int(a["baseRowId"]) + _add_num_records(path, a) - 1
+            )
+    for rel in sorted(snap.files):
+        a = snap.files[rel]
+        if a.get("baseRowId") is not None:
+            continue  # keeps its issued ids
         n = _add_num_records(path, a)
         rm = {"path": rel, "deletionTimestamp": now, "dataChange": False}
         if a.get("deletionVector"):
@@ -5008,6 +5064,18 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
             }
         a["dataChange"] = True
         actions.append({"add": a})
+    # domain metadata travels with the clone (r11 review finding): a
+    # row-tracked source's delta.rowTracking high watermark MUST ride
+    # along — the cloned adds keep their baseRowIds, so a clone whose
+    # watermark reset to -1 would re-mint those ids on its first
+    # append and serve duplicate _row_id values
+    for domain, config in sorted(snap.domains.items()):
+        actions.append(
+            {"domainMetadata": {
+                "domain": domain, "configuration": config,
+                "removed": False,
+            }}
+        )
     conf = dict(md.get("configuration") or {})
     if conf.get(_ICT_KEY) == "true":
         # the clone is a NEW table: the inherited enablement

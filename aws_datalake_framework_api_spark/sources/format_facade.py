@@ -542,6 +542,22 @@ def register_lake_view(
         raise ValueError(f"unknown lake format {fmt!r}")
 
 
+def _canon_rows(rows) -> list[tuple]:
+    """Engine-neutral row canonicalization for the view-seam
+    cross-checks: the SQL path's ``/ 100.0`` divides BIGINT by a
+    DECIMAL literal (exact decimal out) while the DataFrame truth
+    divides by a double — both canonicalize to the same IEEE double,
+    exactly like the driver's value hash does.  ONE definition shared
+    by both SQL-over-lake queries (r11 review finding: the rule lived
+    in two copies that could silently diverge)."""
+    import decimal
+
+    def cell(x):
+        return float(x) if isinstance(x, decimal.Decimal) else x
+
+    return sorted(tuple(cell(c) for c in r) for r in rows)
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -760,19 +776,7 @@ def sql_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
-    def _canon_cell(x):
-        # the SQL path's `/ 100.0` divides BIGINT by a DECIMAL literal
-        # (exact decimal out); the DataFrame truth divides by a double.
-        # Both canonicalize to the same IEEE double — compare there,
-        # exactly like the driver's value hash does.
-        import decimal
-
-        return float(x) if isinstance(x, decimal.Decimal) else x
-
-    def _canon(rows):
-        return sorted(tuple(_canon_cell(c) for c in r) for r in rows)
-
-    got = via_view.collect()
+    got = via_view.collect()  # cross-check via module _canon_rows
     orders = load_table(spark, sf_dir, "orders")
     truth_df = (
         orders.filter(
@@ -785,8 +789,8 @@ def sql_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice").alias("total_price"),
         )
     )
-    truth = _canon(map(tuple, truth_df.collect()))
-    if _canon(map(tuple, got)) != truth:
+    truth = _canon_rows(map(tuple, truth_df.collect()))
+    if _canon_rows(map(tuple, got)) != truth:
         from .delta import _snapshot
 
         snap, _ = _snapshot(spark, path)
@@ -796,7 +800,7 @@ def sql_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         raise ValueError(
             "b_sql_lake view-seam result diverged from parquet truth: "
-            f"view={_canon(map(tuple, got))} truth={truth} "
+            f"view={_canon_rows(map(tuple, got))} truth={truth} "
             f"dv_census={census}"
         )
     return spark.createDataFrame(got, via_view.schema)
@@ -856,15 +860,7 @@ def sql_lake_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
 
-    def _canon_cell(x):
-        import decimal
-
-        return float(x) if isinstance(x, decimal.Decimal) else x
-
-    def _canon(rows):
-        return sorted(tuple(_canon_cell(c) for c in r) for r in rows)
-
-    got = via_view.collect()
+    got = via_view.collect()  # cross-check via module _canon_rows
     truth_df = (
         orders.filter(
             (F.col("o_orderkey") % 6 == 1)
@@ -878,8 +874,8 @@ def sql_lake_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("o_totalprice").alias("total_price"),
         )
     )
-    truth = _canon(map(tuple, truth_df.collect()))
-    if _canon(map(tuple, got)) != truth:
+    truth = _canon_rows(map(tuple, truth_df.collect()))
+    if _canon_rows(map(tuple, got)) != truth:
         meta = _load_metadata(path)
         census = {
             (s.get("summary") or {}).get("operation"): s.get("snapshot-id")
@@ -887,7 +883,7 @@ def sql_lake_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         raise ValueError(
             "b_sql_lake_iceberg view-seam result diverged from parquet "
-            f"truth: view={_canon(map(tuple, got))} truth={truth} "
+            f"truth: view={_canon_rows(map(tuple, got))} truth={truth} "
             f"snapshots={census}"
         )
     return spark.createDataFrame(got, via_view.schema)

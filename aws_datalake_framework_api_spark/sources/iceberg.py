@@ -1064,6 +1064,11 @@ def _identity_const_plan(
         return None
     id_to_name = {int(f["id"]): f["name"] for f in schema_json["fields"]}
     type_by_name = {f["name"]: f["type"] for f in schema_json["fields"]}
+    props = (meta.get("properties") or {}) if meta is not None else {}
+    injection_required = bool(
+        props.get("converted-from-delta") or props.get("migrated-data-files")
+    )
+    all_ident_sources: set[str] = set()
     per_spec: dict[int, dict[str, str]] = {}
     for sid in {r["spec_id"] for r in data}:
         m: dict[str, str] = {}
@@ -1071,10 +1076,33 @@ def _identity_const_plan(
             if pf.get("transform") != "identity":
                 continue
             src = id_to_name.get(int(pf.get("source-id", -1)))
+            if src is not None:
+                all_ident_sources.add(src)
             if src is None or type_by_name.get(src) not in _CONST_WIRE_TYPES:
                 continue
             m[src] = pf["name"]
         per_spec[sid] = m
+
+    def _refuse_or_none():
+        # conservative fall-back direction depends on provenance
+        # (r11 review finding): a NATIVE table's files contain the
+        # identity source columns, so "read them from the files" is
+        # correct; a converted/migrated table's referenced files LACK
+        # them, and falling back would silently NULL-fill — the exact
+        # misread the r10 refusals prevented.  Batch scans, the
+        # format facade, and the streaming tails all plan through
+        # here, so one refusal covers every surface.
+        if injection_required:
+            raise ValueError(
+                "converted/migrated table needs partition-constant "
+                "injection, but no consistent identity-constant plan "
+                "exists (evolved/mixed specs, an unsupported partition "
+                "source type, or manifest tuples missing the key) — "
+                "rewrite_data_files first, or read through a snapshot "
+                "that predates the evolution"
+            )
+        return None
+
     maps = list(per_spec.values())
     const_cols = sorted(
         c
@@ -1082,18 +1110,21 @@ def _identity_const_plan(
         # the partition-record key must agree across specs
         if len({m[c] for m in maps}) == 1
     ) if maps else []
+    if injection_required and (all_ident_sources - set(const_cols)):
+        # SOME identity source column cannot be served as a constant
+        # (non-wire type / cross-spec disagreement) — the files don't
+        # contain it either; a partial plan would NULL that column
+        return _refuse_or_none()
     if not const_cols:
-        return None
+        return _refuse_or_none() if all_ident_sources else None
     pf_name = {c: maps[0][c] for c in const_cols}
-    props = (meta.get("properties") or {}) if meta is not None else {}
-    injection_required = bool(
-        props.get("converted-from-delta") or props.get("migrated-data-files")
-    )
     files: dict[str, dict] = {}
     for rec in data:
         part = rec.get("partition") or {}
         if any(pf_name[c] not in part for c in const_cols):
-            return None  # conservative: read the columns from files
+            # conservative: read the columns from files (native), or
+            # refuse (converted/migrated — see _refuse_or_none)
+            return _refuse_or_none()
         b = os.path.basename(urllib.parse.unquote(rec["path"]))
         if b in files:
             if not injection_required:

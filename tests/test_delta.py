@@ -4150,3 +4150,144 @@ def test_row_tracking_survives_checkpoint(spark, tmp_path):
         for r in read_delta_row_ids(spark, path).collect()
     }
     assert got == {**{k: k for k in range(6)}, 100: 6}
+
+
+def test_row_tracking_supported_not_enabled_obligations(spark, tmp_path):
+    """Spec: when the rowTracking FEATURE is declared but
+    delta.enableRowTracking is not yet set (mid-enablement by another
+    writer), appends must still assign baseRowId and advance the
+    watermark; a later enable preserves the already-issued ids."""
+    import json as _json
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _commit,
+        _snapshot,
+        enable_row_tracking_delta,
+        read_delta_row_ids,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        _df(spark, [(k, "a", float(k)) for k in range(4)])
+        .coalesce(1).sortWithinPartitions("k"),
+        path, mode="error",
+    )
+    # foreign mid-enablement state: feature present, config absent
+    _commit(
+        path, 1,
+        [{"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["domainMetadata", "rowTracking"],
+        }}],
+    )
+    write_delta(
+        _df(spark, [(10, "b", 10.0), (11, "b", 11.0)])
+        .coalesce(1).sortWithinPartitions("k"),
+        path, mode="append",
+    )
+    snap, _ = _snapshot(spark, path)
+    tracked = [
+        a for a in snap.files.values() if a.get("baseRowId") is not None
+    ]
+    assert len(tracked) == 1 and tracked[0]["baseRowId"] == 0
+    assert _json.loads(snap.domains["delta.rowTracking"]) == {
+        "rowIdHighWaterMark": 1
+    }
+    # enable: backfills ONLY the pre-feature file, above the watermark
+    enable_row_tracking_delta(spark, path)
+    got = {
+        r["k"]: r["_row_id"]
+        for r in read_delta_row_ids(spark, path).collect()
+    }
+    assert got[10] == 0 and got[11] == 1  # issued ids preserved
+    assert sorted(got[k] for k in range(4)) == [2, 3, 4, 5]
+
+
+def test_clone_carries_row_tracking_domain(spark, tmp_path):
+    """r11 review finding: a shallow clone of a row-tracked table must
+    carry the rowIdHighWaterMark domain — otherwise the clone's first
+    append re-mints the cloned files' ids."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        clone_delta,
+        enable_row_tracking_delta,
+        read_delta_row_ids,
+        write_delta,
+    )
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "c")
+    write_delta(
+        _df(spark, [(k, "a", float(k)) for k in range(5)])
+        .coalesce(1).sortWithinPartitions("k"),
+        src, mode="error",
+    )
+    enable_row_tracking_delta(spark, src)
+    clone_delta(spark, src, dst)
+    write_delta(
+        _df(spark, [(100, "b", 100.0)]), dst, mode="append",
+    )
+    ids = [
+        r["_row_id"] for r in read_delta_row_ids(spark, dst).collect()
+    ]
+    assert sorted(ids) == [0, 1, 2, 3, 4, 5]  # no duplicate ids
+
+
+def test_alter_properties_single_protocol_action(spark, tmp_path):
+    """r11 review finding: enabling CDF and ICT in ONE call must emit
+    ONE protocol action carrying BOTH features (the earlier shape
+    emitted two, and the last dropped changeDataFeed)."""
+    import json as _json
+    import os as _os
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _commit,
+        _snapshot,
+        alter_table_properties_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    _commit(
+        path, 1,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                       "writerFeatures": []}}],
+    )
+    alter_table_properties_delta(
+        spark, path,
+        set_props={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableInCommitTimestamps": "true",
+        },
+    )
+    with open(
+        _os.path.join(path, "_delta_log", "00000000000000000002.json")
+    ) as fh:
+        protos = [
+            _json.loads(line)["protocol"]
+            for line in fh
+            if '"protocol"' in line and _json.loads(line).get("protocol")
+        ]
+    assert len(protos) == 1
+    feats = set(protos[0]["writerFeatures"])
+    assert {"changeDataFeed", "inCommitTimestamp"} <= feats
+    snap, _ = _snapshot(spark, path)
+    assert "changeDataFeed" in snap.protocol["writerFeatures"]
+
+
+def test_refs_guard_sees_backquoted_references(spark, tmp_path):
+    """r11 review finding: a CHECK constraint spelling its column
+    reference backquoted must still block the drop."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        add_constraint_delta,
+        drop_column_delta,
+        upgrade_column_mapping_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
+    add_constraint_delta(spark, path, "c1", "`v` > 0")
+    upgrade_column_mapping_delta(spark, path)
+    with pytest.raises(ValueError, match="referenced by"):
+        drop_column_delta(spark, path, "v")

@@ -2647,3 +2647,36 @@ def test_rewrite_data_files_partition_scoped(spark, tmp_path):
     assert len(post["a"]) == 1
     assert sorted(post["b"]) == sorted(pre["b"])  # untouched, same files
     assert _sorted_rows(read_iceberg(spark, path)) == before
+
+
+def test_converted_table_refuses_unservable_constants(spark, tmp_path):
+    """r11 review finding: when a converted/migrated table's identity
+    partition constants can no longer be served consistently (spec
+    evolved away from identity + new-spec files mixed in), reads must
+    REFUSE — the referenced files lack the column, and the earlier
+    conservative fall-back silently NULL-filled it."""
+    from aws_datalake_framework_api_spark.sources.delta import (
+        write_delta,
+    )
+    from aws_datalake_framework_api_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+        evolve_spec_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    src, dst = str(tmp_path / "d"), str(tmp_path / "i")
+    write_delta(
+        _df(spark, [(k, "a" if k % 2 else "b", float(k))
+                    for k in range(6)]),
+        src, mode="error", partition_by=["part"],
+    )
+    convert_delta_to_iceberg(spark, src, dst)
+    assert len(_sorted_rows(read_iceberg(spark, dst))) == 6  # fine
+    evolve_spec_iceberg(dst, ["bucket(4, k)"])  # identity field gone
+    write_iceberg(
+        _df(spark, [(100, "c", 100.0)]), dst, mode="append",
+        partition_by=["bucket(4, k)"],
+    )
+    with pytest.raises(ValueError, match="rewrite_data_files"):
+        read_iceberg(spark, dst).collect()
