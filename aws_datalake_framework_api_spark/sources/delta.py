@@ -1674,6 +1674,11 @@ _SUPPORTED_WRITER_FEATURES = {
     "v2Checkpoint", "checkConstraints", "generatedColumns",
     "changeDataFeed", "typeWidening", "typeWidening-preview",
     "identityColumns", "inCommitTimestamp",
+    # clustering (r11): the clustered-table feature — clustering
+    # columns live in delta.clustering domain metadata and OPTIMIZE
+    # re-clusters on them (alter_cluster_by_delta); per the feature
+    # spec, plain writes on a clustered table are legal as-written.
+    "clustering",
     # rowTracking (r11): fresh base row ids on every commit's adds +
     # high-watermark domain metadata are maintained by
     # _apply_row_tracking on every commit path; operations that COPY
@@ -1750,6 +1755,7 @@ def _check_write_protocol(snap: _Snapshot, operation: str) -> None:
         "append", "overwrite", "update", "delete", "merge", "optimize",
         "rename column", "drop column",  # metadata-only evolutions (r11)
         "enable row tracking",  # metadata-only backfill (r11)
+        "cluster by",  # metadata-only layout intent (r11)
     ):
         raise ValueError(
             f"column-mapped table: {operation} is not implemented "
@@ -4103,6 +4109,11 @@ def optimize_delta(
     snap, latest = _snapshot(spark, path)
     _check_write_protocol(snap, "optimize")  # adds/removes no ROWS —
     # passes the appendOnly gate (pure rearrangement)
+    if zorder_by is None:
+        # a CLUSTERED table (alter_cluster_by_delta) declares its
+        # layout intent in domain metadata — a bare OPTIMIZE honors
+        # it, delta-spark's clustered-table behavior (r11)
+        zorder_by = _clustering_columns(snap) or None
     # stored (physical on mapped tables) partition keys drive grouping;
     # callers filter by LOGICAL name
     _sch, part_stored, _ren, l2p = _resolve_read_schema(snap)
@@ -4575,6 +4586,52 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     return latest
 
 
+def _writer7_protocol_action(snap: _Snapshot, extra_wf: set[str]) -> dict:
+    """Protocol action upgrading to writer 7 with ``extra_wf`` added:
+    existing feature lists are preserved and a legacy bundle expands
+    to the capabilities the table ACTUALLY USES (the
+    ``_dv_protocol_upgrade`` policy — a dormant appendOnly listing
+    would flip this engine's conservative gates for nothing).  Shared
+    by row-tracking enablement and CLUSTER BY (both ride on
+    domainMetadata)."""
+    conf = dict((snap.metadata or {}).get("configuration") or {})
+    proto = snap.protocol
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    reader = int(proto.get("minReaderVersion", 1))
+    wf |= set(extra_wf)
+    schema_str = (snap.metadata or {}).get("schemaString") or ""
+    if "timestamp_ntz" in schema_str:
+        rf.add("timestampNtz")
+        wf.add("timestampNtz")
+    if conf.get("delta.appendOnly") == "true":
+        wf.add("appendOnly")
+    if conf.get("delta.enableChangeDataFeed") == "true":
+        wf.add("changeDataFeed")
+    if _mapping_mode(snap) not in ("none", ""):
+        wf.add("columnMapping")
+        reader = max(reader, 2)
+    if any(k.startswith("delta.constraints.") for k in conf):
+        wf.add("checkConstraints")
+    fields = (json.loads(schema_str) if schema_str else {}).get("fields")
+    if _find_field_metadata_key(fields, ("delta.generationExpression",)):
+        wf.add("generatedColumns")
+    if _find_field_metadata_key(fields, ("delta.identity.",)):
+        wf.add("identityColumns")
+    if "deletionVectors" in wf:
+        rf.add("deletionVectors")
+    if rf:
+        reader = max(reader, 3)
+    action: dict = {
+        "minReaderVersion": reader,
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wf),
+    }
+    if reader >= 3:
+        action["readerFeatures"] = sorted(rf)
+    return action
+
+
 def enable_row_tracking_delta(spark: SparkSession, path: str) -> int:
     """Enable ROW TRACKING (the protocol's ``rowTracking`` writer
     feature + ``delta.rowTracking`` domain metadata): every row gets a
@@ -4598,40 +4655,9 @@ def enable_row_tracking_delta(spark: SparkSession, path: str) -> int:
     conf = dict((snap.metadata or {}).get("configuration") or {})
     if conf.get("delta.enableRowTracking") == "true":
         raise ValueError(f"row tracking already enabled at {path}")
-    proto = snap.protocol
-    rf = set(proto.get("readerFeatures") or [])
-    wf = set(proto.get("writerFeatures") or [])
-    reader = int(proto.get("minReaderVersion", 1))
-    wf |= {"rowTracking", "domainMetadata"}
-    schema_str = (snap.metadata or {}).get("schemaString") or ""
-    if "timestamp_ntz" in schema_str:
-        rf.add("timestampNtz")
-        wf.add("timestampNtz")
-    if conf.get("delta.appendOnly") == "true":
-        wf.add("appendOnly")
-    if conf.get("delta.enableChangeDataFeed") == "true":
-        wf.add("changeDataFeed")
-    if _mapping_mode(snap) not in ("none", ""):
-        wf.add("columnMapping")
-        reader = max(reader, 2)
-    if any(k.startswith("delta.constraints.") for k in conf):
-        wf.add("checkConstraints")
-    fields = (json.loads(schema_str) if schema_str else {}).get("fields")
-    if _find_field_metadata_key(fields, ("delta.generationExpression",)):
-        wf.add("generatedColumns")
-    if _find_field_metadata_key(fields, ("delta.identity.",)):
-        wf.add("identityColumns")
-    if "deletionVectors" in wf:
-        rf.add("deletionVectors")
-    if rf:
-        reader = max(reader, 3)
-    proto_action: dict = {
-        "minReaderVersion": reader,
-        "minWriterVersion": 7,
-        "writerFeatures": sorted(wf),
-    }
-    if reader >= 3:
-        proto_action["readerFeatures"] = sorted(rf)
+    proto_action = _writer7_protocol_action(
+        snap, {"rowTracking", "domainMetadata"}
+    )
     conf["delta.enableRowTracking"] = "true"
     now = int(time.time() * 1000)
     version = latest + 1
@@ -4744,6 +4770,98 @@ def read_delta_row_ids(spark: SparkSession, path: str) -> DataFrame:
         .withColumn("_row_commit_version", F.col("_rt_dcv"))
         .drop("_dl_file", "_dl_dv_pos", "_rt_base", "_rt_dcv")
     )
+
+
+_CLUSTER_DOMAIN = "delta.clustering"
+
+
+def alter_cluster_by_delta(
+    spark: SparkSession, path: str, columns: list[str]
+) -> int:
+    """``ALTER TABLE ... CLUSTER BY`` (delta-spark's clustered-table
+    feature, the OSS face of liquid clustering): record the clustering
+    columns in the ``delta.clustering`` domain metadata —
+    ``{"clusteringColumns": [["col"], ...]}``, physical names on
+    mapped tables, exactly the wire shape delta-spark writes — and
+    declare the ``clustering`` + ``domainMetadata`` writer features.
+    Clustering is a LAYOUT intent, not a write-path constraint:
+    appends land as written, and :func:`optimize_delta` re-clusters —
+    with no explicit ``zorder_by`` it picks the table's clustering
+    columns up from the domain, so ``optimize_delta(spark, path)`` is
+    delta-spark's ``OPTIMIZE`` on a clustered table.  1-4 top-level
+    data columns (the Morton-curve zorder limit); partition columns
+    refuse (they don't vary within a file)."""
+    snap, latest = _snapshot(spark, path)
+    _check_write_protocol(snap, "cluster by")
+    if not 1 <= len(columns) <= 4:
+        raise ValueError("CLUSTER BY takes 1-4 columns")
+    sj = json.loads(snap.metadata["schemaString"])
+    by_name = {f["name"]: f for f in sj.get("fields") or []}
+    parts = set(snap.metadata.get("partitionColumns") or [])
+    l2p = {
+        f["name"]: (f.get("metadata") or {}).get(_CMAP_PHYS_KEY, f["name"])
+        for f in sj.get("fields") or []
+    }
+    for c in columns:
+        if c not in by_name:
+            raise ValueError(f"no such column: {c!r}")
+        if c in parts or l2p[c] in parts:
+            raise ValueError(
+                f"cannot cluster by partition column {c!r}"
+            )
+    version = latest + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "CLUSTER BY",
+                "operationParameters": {
+                    "clusterBy": json.dumps(columns)
+                },
+            }
+        },
+        {"protocol": _writer7_protocol_action(
+            snap, {"clustering", "domainMetadata"}
+        )},
+        {"domainMetadata": {
+            "domain": _CLUSTER_DOMAIN,
+            "configuration": json.dumps(
+                {"clusteringColumns": [[l2p[c]] for c in columns]}
+            ),
+            "removed": False,
+        }},
+    ]
+    _commit_mutation(path, version, actions, "CLUSTER BY", snap=snap)
+    return version
+
+
+def _clustering_columns(snap: _Snapshot) -> list[str]:
+    """LOGICAL clustering column names from the ``delta.clustering``
+    domain (empty when unclustered); nested paths and unknown
+    physical names refuse rather than mis-cluster."""
+    raw = snap.domains.get(_CLUSTER_DOMAIN)
+    if not raw:
+        return []
+    cols = (json.loads(raw) or {}).get("clusteringColumns") or []
+    sj = json.loads(snap.metadata["schemaString"])
+    p2l = {
+        (f.get("metadata") or {}).get(_CMAP_PHYS_KEY, f["name"]): f["name"]
+        for f in sj.get("fields") or []
+    }
+    out = []
+    for path_parts in cols:
+        if len(path_parts) != 1:
+            raise ValueError(
+                "nested clustering columns are not supported by this "
+                "writer's OPTIMIZE"
+            )
+        phys = path_parts[0]
+        if phys not in p2l:
+            raise ValueError(
+                f"clustering column {phys!r} not found in the schema"
+            )
+        out.append(p2l[phys])
+    return out
 
 
 def _prune_snapshot(

@@ -466,17 +466,18 @@ def test_invalid_mode_always_refused(spark, tmp_path):
 
 def test_unsupported_writer_features_refused(spark, tmp_path):
     """Appending to a table that requires a capability this writer
-    lacks (liquid clustering here) would corrupt its semantics —
+    lacks (icebergCompatV2 here) would corrupt its semantics —
     refuse.  A columnMapping feature flag alone no longer refuses:
     the writer handles the logical→physical rename itself.
-    (identityColumns graduated from this list in r9; rowTracking in
-    r11 — see test_row_tracking_lifecycle.)"""
+    (identityColumns graduated from this list in r9; rowTracking and
+    clustering in r11 — see test_row_tracking_lifecycle /
+    test_clustered_table_optimize.)"""
     path = str(tmp_path / "t")
     write_delta(_df(spark, [(1, "a", 1.0)]), path, mode="error")
     _commit(
         path, 1,
         [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
-                       "writerFeatures": ["clustering"]}}],
+                       "writerFeatures": ["icebergCompatV2"]}}],
     )
     with pytest.raises(ValueError, match="writer capabilities"):
         write_delta(_df(spark, [(2, "b", 2.0)]), path, mode="append")
@@ -4291,3 +4292,48 @@ def test_refs_guard_sees_backquoted_references(spark, tmp_path):
     upgrade_column_mapping_delta(spark, path)
     with pytest.raises(ValueError, match="referenced by"):
         drop_column_delta(spark, path, "v")
+
+
+def test_clustered_table_optimize(spark, tmp_path):
+    """r11 clustered tables: CLUSTER BY records the layout intent in
+    delta.clustering domain metadata (physical names, delta-spark's
+    wire shape) and a bare OPTIMIZE re-clusters on those columns —
+    post-optimize footers carry tight per-file bounds on the
+    clustering column so range reads prune."""
+    import json as _json
+
+    from aws_datalake_framework_api_spark.sources.delta import (
+        _snapshot,
+        alter_cluster_by_delta,
+        optimize_delta,
+        prune_files,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    # many small files, k values interleaved so pre-optimize bounds
+    # are wide everywhere
+    for i in range(6):
+        write_delta(
+            _df(spark, [(k, "a", float(k)) for k in range(i, 600, 6)])
+            .coalesce(1),
+            path, mode="error" if i == 0 else "append",
+        )
+    with pytest.raises(ValueError, match="no such column"):
+        alter_cluster_by_delta(spark, path, ["nope"])
+    alter_cluster_by_delta(spark, path, ["k"])
+    snap, _ = _snapshot(spark, path)
+    assert "clustering" in snap.protocol["writerFeatures"]
+    assert _json.loads(snap.domains["delta.clustering"]) == {
+        "clusteringColumns": [["k"]]
+    }
+    before = _sorted_rows(read_delta(spark, path))
+    # no zorder_by: OPTIMIZE picks the domain's clustering columns;
+    # a small target size forces multiple range-clustered outputs so
+    # pruning is observable
+    res = optimize_delta(spark, path, target_file_bytes=2048)
+    assert res["partitions_compacted"] == 1
+    assert _sorted_rows(read_delta(spark, path)) == before
+    # the re-clustered layout prunes a narrow range
+    kept, skipped = prune_files(spark, path, "k", 10, 20)
+    assert skipped  # wide interleaved files could never skip
