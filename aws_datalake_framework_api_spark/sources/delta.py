@@ -3874,6 +3874,15 @@ def merge_delta(
         source, snap, part_cols, skip_null_check=set(gen_ident)
     )
     check_clauses(clauses, cols)
+    # Materialize the merge source ONCE (r11 optimization, guide §5).
+    # The planning below executes it repeatedly — dup check, key-bounds
+    # aggregate, hit-file discovery join, per-clause counts, insert
+    # count, CDC staging, data staging — and delta-spark itself
+    # materializes the merge source for exactly this reason (plus
+    # determinism under non-deterministic sources, which this also
+    # buys).  One micro-batch / merge source is bounded working-set
+    # data; re-deriving it per action is the only alternative.
+    source = source.localCheckpoint(eager=True)
     matched_cl = [c for c in clauses if c["when"] == "matched"]
     dup = (
         source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()

@@ -4552,6 +4552,14 @@ def merge_iceberg(
     types = {f.name: f.dataType for f in spark_schema.fields}
     clauses = [dict(c) for c in (clauses or DEFAULT_CLAUSES)]
     check_clauses(clauses, cols)
+    # Materialize the merge source ONCE (r11 optimization, guide §5):
+    # the planning below executes it repeatedly (dup check, key-bounds
+    # aggregate, clause counts, insert count, staging writes), and in
+    # the CDC-replication path its lineage roots in the Python-
+    # DataSource stream read — a JVM→Python→JVM hop per re-execution.
+    # Mirrors merge_delta; delta-spark materializes its merge source
+    # for the same reason.
+    source = source.localCheckpoint(eager=True)
     matched_cl = [c for c in clauses if c["when"] == "matched"]
     dup = (
         source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()

@@ -137,10 +137,6 @@ def plan_merge_mor(
         case = F.when(c, F.lit(i)) if case is None else case.when(c, F.lit(i))
     action = case.otherwise(F.lit(-1)) if case is not None else F.lit(-1)
     tagged = joined.withColumn("_mg_action", action)
-    counts = {
-        int(r["_mg_action"]): int(r["count"])
-        for r in tagged.groupBy("_mg_action").count().collect()
-    }
     delete_ids = {
         i
         for i, cl in enumerate(clauses)
@@ -154,11 +150,6 @@ def plan_merge_mor(
         and cl["action"] == "update"
     }
     hit_ids = sorted(update_ids | delete_ids)
-    touched = (
-        tagged.filter(F.col("_mg_action").isin(*hit_ids))
-        if hit_ids
-        else tagged.limit(0)
-    ).select(*[F.col(f"t.`{c}`").alias(c) for c in tag_cols])
     out_cols = []
     for c in cols:
         expr = F.col(f"t.`{c}`")
@@ -175,29 +166,67 @@ def plan_merge_mor(
                 val = F.expr(st[c]) if c in st else F.col(f"t.`{c}`")
             expr = F.when(F.col("_mg_action") == i, val).otherwise(expr)
         out_cols.append(expr.cast(types[c]).alias(c))
-    upd_tagged = (
-        tagged.filter(F.col("_mg_action").isin(*sorted(update_ids)))
-        if update_ids
-        else tagged.limit(0)
+    # Resolve the candidate-scan ⋈ source join ONCE, restricted to the
+    # rows an update/delete clause actually hits (r11 optimization,
+    # guide §5): the clause counts, the position-delete staging, and
+    # the CDC projections each re-executed the join otherwise.  The
+    # materialized set is bounded by the CHANGED rows — exactly the
+    # merge-on-read commit contract — never the candidate-file bytes.
+    # Clause counts only ever sum update/delete ids, so counting over
+    # the hit-filtered rows is equivalent to counting over the full
+    # join.
+    wide = None
+    if hit_ids:
+        wide = tagged.filter(F.col("_mg_action").isin(*hit_ids)).select(
+            "_mg_action",
+            *[F.col(f"t.`{c}`").alias(f"_mg_tag_{c}") for c in tag_cols],
+            *[F.col(f"t.`{c}`").alias(f"_mg_old_{c}") for c in cols],
+            *[e.alias(f"_mg_new_{c}") for e, c in zip(out_cols, cols)],
+        ).localCheckpoint(eager=True)
+    counts = (
+        {
+            int(r["_mg_action"]): int(r["count"])
+            for r in wide.groupBy("_mg_action").count().collect()
+        }
+        if wide is not None
+        else {}
     )
-    new_rows = upd_tagged.select(*out_cols)
-    t_cols = [F.col(f"t.`{c}`").alias(c) for c in cols]
+    tag_sel = [F.col(f"_mg_tag_{c}").alias(c) for c in tag_cols]
+    new_sel = [F.col(f"_mg_new_{c}").alias(c) for c in cols]
+    old_sel = [F.col(f"_mg_old_{c}").alias(c) for c in cols]
+    touched = (
+        wide.select(*tag_sel)
+        if wide is not None
+        else tagged.limit(0).select(
+            *[F.col(f"t.`{c}`").alias(c) for c in tag_cols]
+        )
+    )
+    upd_wide = (
+        wide.filter(F.col("_mg_action").isin(*sorted(update_ids)))
+        if wide is not None and update_ids
+        else None
+    )
+    new_rows = (
+        upd_wide.select(*new_sel)
+        if upd_wide is not None
+        else tagged.limit(0).select(*out_cols)
+    )
     change_parts = []
-    if want_changes and update_ids:
+    if want_changes and upd_wide is not None:
         change_parts.append(
-            upd_tagged.select(*t_cols).withColumn(
+            upd_wide.select(*old_sel).withColumn(
                 "_change_type", F.lit("update_preimage")
             )
         )
         change_parts.append(
-            upd_tagged.select(*out_cols).withColumn(
+            upd_wide.select(*new_sel).withColumn(
                 "_change_type", F.lit("update_postimage")
             )
         )
-    if want_changes and delete_ids:
+    if want_changes and delete_ids and wide is not None:
         change_parts.append(
-            tagged.filter(F.col("_mg_action").isin(*sorted(delete_ids)))
-            .select(*t_cols)
+            wide.filter(F.col("_mg_action").isin(*sorted(delete_ids)))
+            .select(*old_sel)
             .withColumn("_change_type", F.lit("delete"))
         )
     n_inserted = 0
@@ -421,10 +450,6 @@ def plan_merge(
         case = F.when(c, F.lit(i)) if case is None else case.when(c, F.lit(i))
     action = case.otherwise(F.lit(-1)) if case is not None else F.lit(-1)
     tagged = joined.withColumn("_mg_action", action)
-    counts = {
-        int(r["_mg_action"]): int(r["count"])
-        for r in tagged.groupBy("_mg_action").count().collect()
-    }
     delete_ids = {
         i
         for i, cl in enumerate(clauses)
@@ -453,28 +478,48 @@ def plan_merge(
                 val = F.expr(st[c]) if c in st else F.col(f"t.`{c}`")
             expr = F.when(F.col("_mg_action") == i, val).otherwise(expr)
         out_cols.append(expr.cast(types[c]).alias(c))
-    kept = tagged
+    # Resolve the hit_rows ⋈ source join ONCE (r11 optimization, guide
+    # §5): the per-clause counts, the rewrite staging, and the three
+    # CDC projections each re-executed this join otherwise — 4-5 full
+    # passes over the rewrite set per merge.  The wide projection
+    # carries pre-image and post-image values side by side, so every
+    # consumer below is a filter+rename over the materialized rows.
+    # Size is the rewrite set the commit writes anyway; it also pins
+    # CDC rows to the exact staged data under any source
+    # nondeterminism (the r10 identity-mint fix closed the same class
+    # of divergence).
+    wide = tagged.select(
+        "_mg_action",
+        *[F.col(f"t.`{c}`").alias(f"_mg_old_{c}") for c in cols],
+        *[e.alias(f"_mg_new_{c}") for e, c in zip(out_cols, cols)],
+    ).localCheckpoint(eager=True)
+    counts = {
+        int(r["_mg_action"]): int(r["count"])
+        for r in wide.groupBy("_mg_action").count().collect()
+    }
+    new_sel = [F.col(f"_mg_new_{c}").alias(c) for c in cols]
+    old_sel = [F.col(f"_mg_old_{c}").alias(c) for c in cols]
+    kept = wide
     if delete_ids:
         kept = kept.filter(~F.col("_mg_action").isin(*sorted(delete_ids)))
-    new_data = kept.select(*out_cols)
-    t_cols = [F.col(f"t.`{c}`").alias(c) for c in cols]
+    new_data = kept.select(*new_sel)
     change_parts = []
     if want_changes and update_ids:
-        upd = tagged.filter(F.col("_mg_action").isin(*sorted(update_ids)))
+        upd = wide.filter(F.col("_mg_action").isin(*sorted(update_ids)))
         change_parts.append(
-            upd.select(*t_cols).withColumn(
+            upd.select(*old_sel).withColumn(
                 "_change_type", F.lit("update_preimage")
             )
         )
         change_parts.append(
-            upd.select(*out_cols).withColumn(
+            upd.select(*new_sel).withColumn(
                 "_change_type", F.lit("update_postimage")
             )
         )
     if want_changes and delete_ids:
         change_parts.append(
-            tagged.filter(F.col("_mg_action").isin(*sorted(delete_ids)))
-            .select(*t_cols)
+            wide.filter(F.col("_mg_action").isin(*sorted(delete_ids)))
+            .select(*old_sel)
             .withColumn("_change_type", F.lit("delete"))
         )
     n_inserted = 0
