@@ -1483,3 +1483,41 @@ def test_exact_substr_hash_shuffle_is_output_equivalent(spark, sf_dir):
         for r in llm_dedup_substr(spark, sf_dir, hash_shuffle=True).collect()
     }
     assert base == hashed
+
+
+def test_jaccard_rerank_array_branch_equals_join_branch(spark, sf_dir):
+    """r11 optimization pin: _jaccard_pairs' candidate-restricted
+    rerank (per-doc shingle arrays + array_intersect) must return
+    exactly what the exact all-pairs join branch returns when EVERY
+    ordered pair is a candidate.  A collect_list/array_intersect
+    semantics drift (duplicate handling, null handling, a lost pair
+    with zero intersection) fails here before it can skew any
+    MinHash/fuzzy/PPJoin output."""
+    from pyspark.sql import functions as F
+
+    from aws_datalake_framework_api_spark.llm.dedup import (
+        _jaccard_pairs,
+        shared_shingle_set,
+    )
+    from aws_datalake_framework_api_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    s = shared_shingle_set(docs)
+    ids = s.select("doc_id").distinct()
+    cand = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in _jaccard_pairs(s, cand=cand).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in _jaccard_pairs(s).collect()
+    }
+    assert got == want
+    assert want, "adversarial corpus produced no pairs — test is vacuous"
