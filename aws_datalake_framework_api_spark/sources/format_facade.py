@@ -768,10 +768,19 @@ def sql_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_lake_view(spark, "lake_orders", path, fmt="delta")
     customer = load_table(spark, sf_dir, "customer")
     customer.createOrReplaceTempView("customer_v")
+    # CAST AS DOUBLE (r12, VERDICT r11 item #1): Spark parses the
+    # ``sum(units)/100.0`` twin as BIGINT / DECIMAL(4,1) and returns
+    # DECIMAL(27,6) — the ONLY decimal-typed money column in the whole
+    # registry (every DataFrame-path id divides by a float literal and
+    # returns DOUBLE, and every one of those is driver-hash-green).
+    # The exact decimal cast to double is the SAME nearest-double the
+    # oracle's IEEE division produces, so the value is unchanged; what
+    # the cast removes is the driver-side Decimal rendering seam
+    # (rows/schema green, value hash red in CORRECTNESS_r10/r11).
     via_view = spark.sql(
         f"""
         SELECT c_mktsegment, count(*) AS n,
-               {sql_money_sum('o_totalprice')} AS total_price
+               CAST({sql_money_sum('o_totalprice')} AS DOUBLE) AS total_price
         FROM lake_orders JOIN customer_v ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         """
@@ -849,10 +858,13 @@ def sql_lake_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders_keys_v"
     )
     customer.createOrReplaceTempView("customer_seg_v")
+    # CAST AS DOUBLE — same driver-hash fix as b_sql_lake above (the
+    # SQL-path money sum was the registry's only other DECIMAL output).
     via_view = spark.sql(
         f"""
         SELECT c_mktsegment, count(*) AS n,
-               {sql_money_sum('lake_orders_ice.o_totalprice')} AS total_price
+               CAST({sql_money_sum('lake_orders_ice.o_totalprice')} AS DOUBLE)
+                 AS total_price
         FROM lake_orders_ice
         JOIN orders_keys_v USING (o_orderkey)
         JOIN customer_seg_v ON o_custkey = c_custkey
