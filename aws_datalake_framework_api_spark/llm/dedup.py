@@ -203,12 +203,18 @@ def _jaccard_pairs(
     single hash-set intersect — no exploded fan-out at all — and each
     pair's count is identical, so the output is unchanged.
 
-    ``sizes`` (optional, ``(doc_id, sz)``): the MinHash callers fold
-    the per-doc count into their signature groupBy — the same rows
-    pass through that aggregation anyway, so accepting it here saves
-    one full recompute of the shingle lineage + its shuffle."""
-    if sizes is None:
-        sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    INVARIANT: ``cand`` must be distinct on ``(doc_a, doc_b)`` — the
+    array rerank emits one output row per candidate row (the pre-r11
+    per-pair groupBy used to merge duplicates, with an inflated
+    count).  Every caller builds ``cand`` with ``.distinct()`` or a
+    distinct-per-pair aggregation.
+
+    ``sizes`` (optional, ``(doc_id, sz)``) is consumed by the exact
+    (no-``cand``) branch only; the candidate branch derives |A|, |B|
+    as ``size()`` of the SAME collected arrays the intersect uses
+    (r12, VERDICT r11 item #5) — one corpus-sized groupBy total,
+    where r11 ran a second sizes lineage and joined it back per side
+    (two more corpus-frame shuffles)."""
     if cand is not None:
         # r11 optimization (guide §2.3/§2.4): intersect per-doc shingle
         # ARRAYS instead of fanning each candidate pair out by A's
@@ -222,36 +228,49 @@ def _jaccard_pairs(
         # size — and `s` is distinct per doc, so the intersect count
         # equals the old join-row count exactly (measured identical
         # output; minhash rerank ~2× faster at sf0.1).
+        # r12 (VERDICT r11 item #5): |A| = size(sh_a) from the same
+        # array — the separate sizes lineage and its two per-side
+        # joins are gone; `size(collect_list(shingle))` equals the old
+        # `count(*)` exactly (shingle is never null).
+        # r12 (VERDICT r11 item #8, guide §3.1): BROADCAST the candidate
+        # pairs — they are the bounded side (LSH-banded / prefix-filtered
+        # (doc_a, doc_b) id pairs, ~16 bytes each), while `arrs` is the
+        # corpus-sized array frame.  Without the hint Spark's estimator
+        # picked the WRONG build side at sf0.1 (BuildRight = arrs: the
+        # whole corpus' shingle arrays collected and broadcast);
+        # interleaved A/B best-of-3: minhash 3.5-3.7 s → 2.3-2.7 s.  At
+        # scale the pair list stays broadcastable (1e8 pairs ≈ 1.6 GB)
+        # long past the point where broadcasting the array frame stops
+        # being possible at all.
         arrs = s.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
-        inter = (
-            cand.join(
-                arrs.select(
-                    F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-                ),
-                "doc_a",
-            )
-            .join(
-                arrs.select(
-                    F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-                ),
-                "doc_b",
-            )
-            .select(
-                "doc_a",
-                "doc_b",
-                F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-            )
-            .filter(F.col("inter") > 0)
+        paired = F.broadcast(cand).join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        ).join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
         )
-    else:
-        a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
-        inter = (
-            a.join(b, "shingle")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+        return (
+            paired.select("doc_a", "doc_b", inter.alias("inter"), jac.alias("jac"))
+            .filter((F.col("inter") > 0) & (F.col("jac") >= threshold))
+            .select("doc_a", "doc_b", F.col("jac").alias("jaccard"))
         )
+    if sizes is None:
+        sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
@@ -333,12 +352,10 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftrightunsigned(F.xxhash64(F.col("shingle")), 32).alias("h1"),
         F.shiftrightunsigned(F.xxhash64(F.lit(1), F.col("shingle")), 32).alias("h2"),
     )
-    # fold the per-doc shingle count into the signature aggregation:
-    # the exact-Jaccard rerank needs |A|,|B|, and these same rows are
-    # already flowing through this groupBy — a separate sizes pass
-    # would recompute the whole shingle lineage once more
+    # (r12) the rerank derives |A|,|B| from its own collected shingle
+    # arrays — no sizes column here, the signature groupBy carries
+    # exactly the 32 minima
     sig = hashed.groupBy("doc_id").agg(
-        F.count("*").alias("sz"),
         *[
             F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
             for i in range(n_hashes)
@@ -364,7 +381,7 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _jaccard_pairs(s, cand, sizes=sig.select("doc_id", "sz"))
+    return _jaccard_pairs(s, cand)
 
 
 # SURVEY.md §2 B11 names this row `b_llm_dedup_fuzzy`: the identical
@@ -465,11 +482,11 @@ def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _md5_sig(s: DataFrame) -> DataFrame:
-    """(doc_id, sz, h0..h31): md5-family minhash signatures over a
-    distinct (doc_id, shingle) frame, with the per-doc shingle count
-    folded into the same groupBy — the rerank's |A|,|B| come for free
-    from rows this aggregation consumes anyway (one fewer recompute of
-    the shingle lineage; same trick as the xxhash64 path)."""
+    """(doc_id, h0..h31): md5-family minhash signatures over a
+    distinct (doc_id, shingle) frame.  (r12: the per-doc shingle
+    count is no longer folded in — the rerank derives |A|,|B| from
+    its own collected arrays, so the signature groupBy carries
+    exactly the 32 minima.)"""
     hashed = s.select(
         "doc_id",
         *[
@@ -478,7 +495,6 @@ def _md5_sig(s: DataFrame) -> DataFrame:
         ],
     )
     return hashed.groupBy("doc_id").agg(
-        F.count("*").alias("sz"),
         *[
             F.min(F.substring(F.col(f"m{_sub(i)[0]}"), _sub(i)[1], 8)).alias(f"h{i}")
             for i in range(_N_HASHES)
@@ -529,7 +545,7 @@ def _fuzzy_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _jaccard_pairs(s, cand, sizes=sig.select("doc_id", "sz"))
+    return _jaccard_pairs(s, cand)
 
 
 # ----------------------------------------------------- incremental dedup
@@ -610,12 +626,13 @@ def llm_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a_side = s.filter(is_arrival)
     b_side = s.filter(~is_arrival)
-    sizes = sig.select("doc_id", "sz")
     # Same r11 rerank shape as _jaccard_pairs: per-side shingle arrays
     # grouped with one shuffle each, candidate pairs joined on bare
     # doc ids, |A∩B| via one hash-set intersect per pair — no exploded
     # candidate fan-out, no (doc, shingle)-keyed re-shuffle.  Counts
-    # are identical (distinct sets per doc).
+    # are identical (distinct sets per doc).  r12 (VERDICT r11 #5):
+    # |A|,|B| come from size() of the SAME arrays — the signature-side
+    # sizes recompute and its two per-side joins are gone.
     a_arr = (
         a_side.groupBy("doc_id")
         .agg(F.collect_list("shingle").alias("sh_a"))
@@ -626,27 +643,14 @@ def llm_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("shingle").alias("sh_b"))
         .withColumnRenamed("doc_id", "doc_b")
     )
-    inter = (
-        cand.join(a_arr, "doc_a")
-        .join(b_arr, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
-        )
-        .filter(F.col("inter") > 0)
-    )
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    # broadcast the bounded candidate-pair side (same §3.1 build-side
+    # fix as _jaccard_pairs — see its comment for the A/B numbers)
     matches = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
-            "doc_b",
-        )
-        .filter(jac >= JACCARD_THRESHOLD)
+        F.broadcast(cand).join(a_arr, "doc_a")
+        .join(b_arr, "doc_b")
+        .filter((inter > 0) & (jac >= JACCARD_THRESHOLD))
         .select("doc_a")
     )
     arrivals = docs.filter(is_arrival).select("doc_id")
@@ -1354,6 +1358,4 @@ def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    return _jaccard_pairs(
-        s, cand=cand, sizes=sizes, threshold=PREFIX_THRESHOLD
-    )
+    return _jaccard_pairs(s, cand=cand, threshold=PREFIX_THRESHOLD)
