@@ -3884,10 +3884,28 @@ def merge_delta(
     # data; re-deriving it per action is the only alternative.
     source = source.localCheckpoint(eager=True)
     matched_cl = [c for c in clauses if c["when"] == "matched"]
-    dup = (
-        source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+    # ONE pass over the checkpointed source for BOTH the duplicate-key
+    # check and the key-bounds used by stats pruning (r12, VERDICT r11
+    # item #4): group by the merge key, then a tiny aggregate takes
+    # max group multiplicity alongside per-key min/max (min/max over
+    # the group keys equal min/max over the rows, and both ignore
+    # NULLs).  r11 ran these as two separate source passes.
+    b = (
+        source.groupBy(*on)
+        .agg(F.count("*").alias("_mg_n"))
+        .agg(
+            F.max("_mg_n").alias("_mg_dup"),
+            *[
+                a
+                for i, c in enumerate(on)
+                for a in (
+                    F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}")
+                )
+            ],
+        )
+        .first()
     )
-    if dup:
+    if (b["_mg_dup"] or 0) > 1:
         raise ValueError(
             f"merge source has duplicate keys on {on} — a target row "
             "would match more than one source row"
@@ -3914,15 +3932,6 @@ def merge_delta(
         # keys never equality-match, so min/max ignoring NULLs is
         # sound.  COW scans the survivors for hit-file discovery; MOR
         # scans them for touched-row planning.
-        b = source.agg(
-            *[
-                a
-                for i, c in enumerate(on)
-                for a in (
-                    F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}")
-                )
-            ]
-        ).first()
         _sch, _pc, _rn, l2p_m = _resolve_read_schema(snap)
         kept = set(rels)
         for i, c in enumerate(on):
@@ -3939,7 +3948,10 @@ def merge_delta(
             target, rels, cand_rels, matched_cl, bysrc_cond, txn,
             gen_ident=gen_ident,
         )
-    hit_names: set[str] = set()
+    # matched-hit and by-source-hit discovery UNIONED into one collect
+    # (r12, item #4): one driver action instead of two when a clause
+    # list carries both shapes; set-union == distinct-of-union.
+    hit_probes = []
     if matched_cl:
         cand = (
             target
@@ -3949,22 +3961,25 @@ def merge_delta(
                 _dv_map(path, snap, cand_rels), keep_file=True,
             )
         )
-        hit_names |= {
-            r["_dl_file"]
-            for r in cand.join(source.select(*on), on, "left_semi")
-            .select("_dl_file")
-            .distinct()
-            .collect()  # bounded by the table's active-file count
-        }
+        hit_probes.append(
+            cand.join(source.select(*on), on, "left_semi").select("_dl_file")
+        )
     if bysrc_cond is not None:
-        hit_names |= {
-            r["_dl_file"]
-            for r in target.alias("t")
+        hit_probes.append(
+            target.alias("t")
             .join(source.select(*on), on, "left_anti")
             .filter(bysrc_cond)
             .select("_dl_file")
-            .distinct()
-            .collect()
+        )
+    hit_names: set[str] = set()
+    if hit_probes:
+        probe = hit_probes[0]
+        for p in hit_probes[1:]:
+            probe = probe.unionByName(p)
+        hit_names = {
+            r["_dl_file"]
+            for r in probe.distinct().collect()
+            # bounded by the table's active-file count
         }
     hit_rels = [
         rel

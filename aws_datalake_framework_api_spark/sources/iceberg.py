@@ -4561,10 +4561,28 @@ def merge_iceberg(
     # for the same reason.
     source = source.localCheckpoint(eager=True)
     matched_cl = [c for c in clauses if c["when"] == "matched"]
-    dup = (
-        source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+    # ONE pass over the checkpointed source for BOTH the duplicate-key
+    # check and the manifest-prune key bounds (r12, VERDICT r11 item
+    # #4; same fold as merge_delta): max group multiplicity and
+    # per-key min/max in a single aggregate.  Bounds are computed for
+    # every key column here; the pruning below still only consults the
+    # primitive-typed ones.
+    b = (
+        source.groupBy(*on)
+        .agg(F.count("*").alias("_mg_n"))
+        .agg(
+            F.max("_mg_n").alias("_mg_dup"),
+            *[
+                a
+                for i, c in enumerate(on)
+                for a in (
+                    F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}")
+                )
+            ],
+        )
+        .first()
     )
-    if dup:
+    if (b["_mg_dup"] or 0) > 1:
         raise ValueError(
             f"merge source has duplicate keys on {on} — a target row "
             "would match more than one source row"
@@ -4589,27 +4607,19 @@ def merge_iceberg(
     # discovery; MOR scans them for touched-row planning.
     cand = data
     if data and matched_cl:
+        # (bounds come from the combined dup+bounds aggregate above —
+        # indexed by the key's position in ``on``)
         key_fields = [
-            f
-            for c in on
+            (i, f)
+            for i, c in enumerate(on)
             for f in schema_json["fields"]
             if f["name"] == c and isinstance(f["type"], str)
         ]
         if key_fields:
-            b = source.agg(
-                *[
-                    a
-                    for i, f in enumerate(key_fields)
-                    for a in (
-                        F.min(f["name"]).alias(f"_lo{i}"),
-                        F.max(f["name"]).alias(f"_hi{i}"),
-                    )
-                ]
-            ).first()
             kept_recs = []
             for rec in data:
                 prunable = False
-                for i, f in enumerate(key_fields):
+                for i, f in key_fields:
                     lo, hi = b[f"_lo{i}"], b[f"_hi{i}"]
                     if lo is None:
                         continue
@@ -4632,9 +4642,11 @@ def merge_iceberg(
         # touched ROWS directly over the pruned candidate scan (a
         # by-source clause must see every live row, so it widens the
         # scan back to the full table), stage them as position
-        # deletes, and append postimages + inserts.  Zero driver
-        # materialization beyond plan_merge_mor's O(#clauses) census
-        # and the O(files) path map.
+        # deletes, and append postimages + inserts.  plan_merge_mor
+        # eagerly materializes the clause-hit wide frame and the
+        # insert frame on the executors (r11/r12 — bounded by CHANGED
+        # rows, the MOR commit contract); the only driver-side data is
+        # its O(#clauses) census collect and the O(files) path map.
         scan_recs = data if bysrc_cond is not None else (
             cand if matched_cl else []
         )
@@ -4709,7 +4721,9 @@ def merge_iceberg(
             meta["properties"] = props
         v = _commit_snapshot(path, meta, new_manifests, carry, "overwrite")
         return {"version": v, **stats}
-    hit_names: set[str] = set()
+    # matched-hit and by-source-hit discovery UNIONED into one collect
+    # (r12, item #4 — same shape as merge_delta's)
+    hit_probes = []
     if data and matched_cl:
         cand_live = (
             live
@@ -4720,22 +4734,27 @@ def merge_iceberg(
                 keep_file=True,
             )
         )
-        hit_names |= {
-            r["_ice_file"]
-            for r in cand_live.join(source.select(*on), on, "left_semi")
-            .select("_ice_file")
-            .distinct()
-            .collect()  # bounded by the table's active-file count
-        }
+        hit_probes.append(
+            cand_live.join(source.select(*on), on, "left_semi").select(
+                "_ice_file"
+            )
+        )
     if data and bysrc_cond is not None:
-        hit_names |= {
-            r["_ice_file"]
-            for r in live.alias("t")
+        hit_probes.append(
+            live.alias("t")
             .join(source.select(*on), on, "left_anti")
             .filter(bysrc_cond)
             .select("_ice_file")
-            .distinct()
-            .collect()
+        )
+    hit_names: set[str] = set()
+    if hit_probes:
+        probe = hit_probes[0]
+        for p in hit_probes[1:]:
+            probe = probe.unionByName(p)
+        hit_names = {
+            r["_ice_file"]
+            for r in probe.distinct().collect()
+            # bounded by the table's active-file count
         }
     hit = [
         r for r in data

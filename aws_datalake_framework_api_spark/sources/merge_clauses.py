@@ -18,11 +18,27 @@ UPDATE/INSERT ``*``.  A PARTIAL insert ``set`` NULLs the unspecified
 columns (delta-spark ``whenNotMatchedInsert(values=...)`` parity);
 only ``set: None`` carries source values for every column.  The engine is pure DataFrame planning: ONE left
 join tags every target row of the rewrite set with the index of its
-first applicable clause, column values resolve through per-clause
-CASE chains, and the only driver materialization is the O(#clauses)
-action-count aggregate.  Connector-specific concerns — which files
-form the rewrite set, how rows stage, how the commit is published —
-stay in the connectors."""
+first applicable clause, and column values resolve through per-clause
+CASE chains.  Since r11 the tagged wide frame (pre-image + post-image
+side by side) — and since r12 the insert frame — are EAGERLY
+materialized on the executors (``localCheckpoint``): every consumer
+below (clause counts, rewrite/delete staging, CDC projections) is a
+filter+rename over those pinned rows instead of a lineage re-run, and
+the CDC rows are thereby pinned to the exact staged data.  Both sets
+are bounded by the rows the commit writes anyway.  The only
+driver-side data is the O(#clauses) action-count collect (one action,
+insert count folded in).  Trade-off, accepted knowingly:
+``localCheckpoint`` blocks are executor-local and non-fault-tolerant —
+an executor loss mid-merge fails the merge's job (retryable
+end-to-end; commits are atomic last-step renames), and under DYNAMIC
+ALLOCATION the checkpointed blocks pin their executors; a cluster
+deploy using dynamic allocation should prefer
+``persist(MEMORY_AND_DISK)`` + unpersist.  The checkpointed RDDs are
+freed by the driver's ContextCleaner when the frames are GC'd after
+the merge returns (PySpark exposes no handle to unpersist a
+localCheckpoint explicitly).  Connector-specific concerns — which
+files form the rewrite set, how rows stage, how the commit is
+published — stay in the connectors."""
 
 from __future__ import annotations
 
@@ -183,14 +199,26 @@ def plan_merge_mor(
             *[F.col(f"t.`{c}`").alias(f"_mg_old_{c}") for c in cols],
             *[e.alias(f"_mg_new_{c}") for e, c in zip(out_cols, cols)],
         ).localCheckpoint(eager=True)
+    # Insert set checkpointed once + ONE count action for the clause
+    # census AND the insert count — same r12 item-#4 fold as
+    # :func:`plan_merge` (see the comments there).
+    inserts = None
+    if insert_cl and target_keys is not None:
+        inserts = _plan_inserts(
+            source, on, clauses, cols, types, target_keys, gen_ident
+        ).localCheckpoint(eager=True)
+    cnt_df = wide.groupBy("_mg_action").count() if wide is not None else None
+    if inserts is not None:
+        ins_cnt = inserts.select(F.lit(-2).alias("_mg_action")).groupBy(
+            "_mg_action"
+        ).count()
+        cnt_df = ins_cnt if cnt_df is None else cnt_df.unionByName(ins_cnt)
     counts = (
-        {
-            int(r["_mg_action"]): int(r["count"])
-            for r in wide.groupBy("_mg_action").count().collect()
-        }
-        if wide is not None
+        {int(r["_mg_action"]): int(r["count"]) for r in cnt_df.collect()}
+        if cnt_df is not None
         else {}
     )
+    n_inserted = counts.pop(-2, 0)
     tag_sel = [F.col(f"_mg_tag_{c}").alias(c) for c in tag_cols]
     new_sel = [F.col(f"_mg_new_{c}").alias(c) for c in cols]
     old_sel = [F.col(f"_mg_old_{c}").alias(c) for c in cols]
@@ -229,12 +257,7 @@ def plan_merge_mor(
             .select(*old_sel)
             .withColumn("_change_type", F.lit("delete"))
         )
-    n_inserted = 0
-    if insert_cl and target_keys is not None:
-        inserts = _plan_inserts(
-            source, on, clauses, cols, types, target_keys, gen_ident
-        )
-        n_inserted = inserts.count()
+    if inserts is not None:
         new_rows = new_rows.unionByName(inserts)
         if want_changes:
             change_parts.append(
@@ -493,10 +516,32 @@ def plan_merge(
         *[F.col(f"t.`{c}`").alias(f"_mg_old_{c}") for c in cols],
         *[e.alias(f"_mg_new_{c}") for e, c in zip(out_cols, cols)],
     ).localCheckpoint(eager=True)
+    # Materialize the insert set once too (r12, VERDICT r11 item #4):
+    # its lineage anti-joins the source against the FULL table's keys,
+    # and it used to re-execute for the count, the data staging, and
+    # (on a CDF table) the cdc staging — three full target-key passes.
+    # Size is bounded by the qualifying insert rows, which the commit
+    # writes anyway; pinning also fixes the cdc insert rows to the
+    # exact staged data (the r11 wide-frame argument).
+    inserts = None
+    if insert_cl and target_keys is not None:
+        inserts = _plan_inserts(
+            source, on, clauses, cols, types, target_keys, gen_ident
+        ).localCheckpoint(eager=True)
+    # ONE count action for the clause census AND the insert count
+    # (r12, item #4): the insert frame is checkpointed, so the unioned
+    # count reads materialized rows, not the anti-join lineage.
+    cnt_df = wide.groupBy("_mg_action").count()
+    if inserts is not None:
+        cnt_df = cnt_df.unionByName(
+            inserts.select(F.lit(-2).alias("_mg_action")).groupBy(
+                "_mg_action"
+            ).count()
+        )
     counts = {
-        int(r["_mg_action"]): int(r["count"])
-        for r in wide.groupBy("_mg_action").count().collect()
+        int(r["_mg_action"]): int(r["count"]) for r in cnt_df.collect()
     }
+    n_inserted = counts.pop(-2, 0)
     new_sel = [F.col(f"_mg_new_{c}").alias(c) for c in cols]
     old_sel = [F.col(f"_mg_old_{c}").alias(c) for c in cols]
     kept = wide
@@ -522,13 +567,7 @@ def plan_merge(
             .select(*old_sel)
             .withColumn("_change_type", F.lit("delete"))
         )
-    n_inserted = 0
-    inserts = None
-    if insert_cl and target_keys is not None:
-        inserts = _plan_inserts(
-            source, on, clauses, cols, types, target_keys, gen_ident
-        )
-        n_inserted = inserts.count()
+    if inserts is not None:
         new_data = new_data.unionByName(inserts)
     stats = {
         "updated": sum(counts.get(i, 0) for i in update_ids),
