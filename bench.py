@@ -18,7 +18,74 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aws_datalake_framework_api_spark.queries_all import QUERIES  # noqa: E402
-from aws_datalake_framework_api_spark.session import get_spark  # noqa: E402
+from aws_datalake_framework_api_spark.session import (  # noqa: E402
+    default_parallelism,
+    get_spark,
+)
+
+
+def _split_layout(sf_dir: str, n_slices: int) -> str:
+    """Re-lay the input tables out as ``n_slices`` contiguous row
+    slices per table (same rows, same order, same schema — a pure
+    LAYOUT change) under a scratch dir, and return that dir.
+
+    Why (r12, VERDICT r11 item #3): every fixture table is ONE parquet
+    file with ONE row group, so every base-table scan is a single task
+    at ANY core count — the driver's 8-vs-32-core ratios measured the
+    serial-scan floor, not the plans' parallelism (PERF_r11 flagged
+    ``suspect_cpus_ignored`` on ratios ≈ 1).  At real scale inputs
+    arrive as many files/row groups and scans parallelize by split;
+    this prep step restores that property to the fixture so the bench
+    measures the same thing the cluster would.  Timing is NOT
+    affected by the prep itself (it runs before the timed region),
+    and the rows are byte-identical, so every query's RESULT is
+    unchanged — the driver's correctness gate still reads the
+    original ``sf_dir``.
+
+    Layout is deterministic (contiguous slices in source row order,
+    slice count a pure function of row count and ``n_slices``) and is
+    rebuilt whenever the source dir changes (mtime+size marker).
+    Tables under 100 rows/slice stay in fewer files — splitting a
+    5-row dim buys nothing.
+    """
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    dst = os.path.join("/tmp", "spark_graft_bench_layout", base)
+    srcs = sorted(
+        f for f in os.listdir(sf_dir) if f.endswith(".parquet")
+    )
+    stamp = "|".join(
+        f"{f}:{os.path.getsize(os.path.join(sf_dir, f))}:"
+        f"{int(os.path.getmtime(os.path.join(sf_dir, f)))}"
+        for f in srcs
+    ) + f"|slices={n_slices}"
+    marker = os.path.join(dst, "_layout_complete")
+    if os.path.isfile(marker) and open(marker).read() == stamp:
+        return dst
+    import shutil
+
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for f in srcs:
+        tbl = pq.read_table(os.path.join(sf_dir, f))
+        outdir = os.path.join(dst, f)  # directory named <table>.parquet
+        os.makedirs(outdir)
+        rows = tbl.num_rows
+        n = max(1, min(n_slices, rows // 100))
+        per = (rows + n - 1) // n
+        off = i = 0
+        while off < rows:
+            pq.write_table(
+                tbl.slice(off, per),
+                os.path.join(outdir, f"part-{i:05d}.parquet"),
+                compression="snappy",
+            )
+            off += per
+            i += 1
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return dst
 
 HEADLINE = [
     # relational core
@@ -56,8 +123,25 @@ HEADLINE = [
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = default_parallelism()
+    # Scan-parallelism floor (guide §6 `spark.sql.files.minPartitionNum`),
+    # derived from $SPARK_GRAFT_CPUS — NOT a local[32] constant: the
+    # same 2×cores floor is the right starting point on a cluster, and
+    # AQE still coalesces the post-shuffle side.  Together with the
+    # multi-slice layout below it makes base scans parallelize the way
+    # multi-file 100 TB inputs do, restoring a real 8-vs-32-core
+    # signal (see _split_layout's docstring).
+    spark = get_spark(
+        "bench",
+        extra_conf={"spark.sql.files.minPartitionNum": str(2 * cpus)},
+    )
+    # Slice count is max(64, 2×cpus) so the LAYOUT is identical across
+    # the driver's core-count configs (the 8-core leg reads the same
+    # 64-slice tables; only its minPartitionNum floor differs) — the
+    # 8-vs-32 ratio then measures compute scaling over fixed bytes,
+    # not two different layouts.
+    sf_dir = _split_layout(src_dir, max(64, 2 * cpus))
     # Warm-up pass: run every headline plan once at the smallest SF
     # before timing it at the target SF.  This triggers JIT + Janino
     # whole-stage-codegen compilation for each plan shape on near-zero
@@ -66,7 +150,7 @@ def main() -> None:
     # over minutes of executor work — instead of first-run compilation
     # latency (measured on this Spark build: b_llm_quality 4.8 s cold
     # vs 0.5 s steady-state at sf0.1; the cold number is ~90% codegen).
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    warm_dir = os.path.join(os.path.dirname(src_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in HEADLINE:
