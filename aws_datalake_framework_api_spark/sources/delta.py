@@ -3847,6 +3847,7 @@ def merge_delta(
         DEFAULT_CLAUSES,
         bysource_hit_condition,
         check_clauses,
+        pin,
         plan_merge,
     )
 
@@ -3882,7 +3883,7 @@ def merge_delta(
     # determinism under non-deterministic sources, which this also
     # buys).  One micro-batch / merge source is bounded working-set
     # data; re-deriving it per action is the only alternative.
-    source = source.localCheckpoint(eager=True)
+    source = pin(source)
     matched_cl = [c for c in clauses if c["when"] == "matched"]
     # ONE pass over the checkpointed source for BOTH the duplicate-key
     # check and the key-bounds used by stats pruning (r12, VERDICT r11

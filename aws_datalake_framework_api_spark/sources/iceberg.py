@@ -4523,6 +4523,7 @@ def merge_iceberg(
         DEFAULT_CLAUSES,
         bysource_hit_condition,
         check_clauses,
+        pin,
         plan_merge,
         plan_merge_mor,
     )
@@ -4559,7 +4560,7 @@ def merge_iceberg(
     # DataSource stream read — a JVM→Python→JVM hop per re-execution.
     # Mirrors merge_delta; delta-spark materializes its merge source
     # for the same reason.
-    source = source.localCheckpoint(eager=True)
+    source = pin(source)
     matched_cl = [c for c in clauses if c["when"] == "matched"]
     # ONE pass over the checkpointed source for BOTH the duplicate-key
     # check and the manifest-prune key bounds (r12, VERDICT r11 item

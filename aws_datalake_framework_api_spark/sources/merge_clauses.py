@@ -42,10 +42,32 @@ published — stay in the connectors."""
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Materialize a merge working set eagerly and return the pinned
+    frame.  Default is ``localCheckpoint(eager=True)`` — blocks live on
+    the executors, lineage truncated, zero extra configuration.  Set
+    ``SPARK_GRAFT_MERGE_PIN=persist`` for clusters running DYNAMIC
+    ALLOCATION: localCheckpoint blocks are non-recoverable when their
+    executor deallocates (the job fails instead of recomputing), so
+    that mode persists MEMORY_AND_DISK with the lineage kept —
+    re-computable after executor loss, at the cost of keeping the
+    lineage alive.  (ADVICE r11: the trade-off is documented in the
+    module docstring; this knob makes the safe mode selectable without
+    a code change.)"""
+    if os.environ.get("SPARK_GRAFT_MERGE_PIN") == "persist":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()  # materialize now, same eager contract
+        return out
+    return df.localCheckpoint(eager=True)
 
 #: The classic unconditional upsert — what both merges default to.
 DEFAULT_CLAUSES = (
@@ -198,15 +220,16 @@ def plan_merge_mor(
             *[F.col(f"t.`{c}`").alias(f"_mg_tag_{c}") for c in tag_cols],
             *[F.col(f"t.`{c}`").alias(f"_mg_old_{c}") for c in cols],
             *[e.alias(f"_mg_new_{c}") for e, c in zip(out_cols, cols)],
-        ).localCheckpoint(eager=True)
+        )
+        wide = pin(wide)
     # Insert set checkpointed once + ONE count action for the clause
     # census AND the insert count — same r12 item-#4 fold as
     # :func:`plan_merge` (see the comments there).
     inserts = None
     if insert_cl and target_keys is not None:
-        inserts = _plan_inserts(
+        inserts = pin(_plan_inserts(
             source, on, clauses, cols, types, target_keys, gen_ident
-        ).localCheckpoint(eager=True)
+        ))
     cnt_df = wide.groupBy("_mg_action").count() if wide is not None else None
     if inserts is not None:
         ins_cnt = inserts.select(F.lit(-2).alias("_mg_action")).groupBy(
@@ -515,7 +538,8 @@ def plan_merge(
         "_mg_action",
         *[F.col(f"t.`{c}`").alias(f"_mg_old_{c}") for c in cols],
         *[e.alias(f"_mg_new_{c}") for e, c in zip(out_cols, cols)],
-    ).localCheckpoint(eager=True)
+    )
+    wide = pin(wide)
     # Materialize the insert set once too (r12, VERDICT r11 item #4):
     # its lineage anti-joins the source against the FULL table's keys,
     # and it used to re-execute for the count, the data staging, and
@@ -525,9 +549,9 @@ def plan_merge(
     # exact staged data (the r11 wide-frame argument).
     inserts = None
     if insert_cl and target_keys is not None:
-        inserts = _plan_inserts(
+        inserts = pin(_plan_inserts(
             source, on, clauses, cols, types, target_keys, gen_ident
-        ).localCheckpoint(eager=True)
+        ))
     # ONE count action for the clause census AND the insert count
     # (r12, item #4): the insert frame is checkpointed, so the unioned
     # count reads materialized rows, not the anti-join lineage.

@@ -84,11 +84,12 @@ def replicate_batch(
         # foreachBatch apply dropped ~2.8× (5.9 s → 2.1 s warm).  The
         # frame is one micro-batch's net changes — bounded by change
         # volume, the same working set the merge stages anyway.
-        net = (
+        from ..sources.merge_clauses import pin
+
+        net = pin(
             batch_df.withColumn("_is_plus", is_plus)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .localCheckpoint(eager=True)
         )
         dead = net.filter(F.col("_is_plus") == 0).select(*on)
         live = net.filter(F.col("_is_plus") == 1).select(*cols)
