@@ -9,19 +9,14 @@ first 50 registration-order entries, leaving every catalog/streaming/
 UDF/landing query without a correctness row.  So the dict is rebuilt
 below with:
 
-Round-11 rotation (VERDICT r10 items #1/#2): the red-row retry round.
-
-1. slot 1: ``b_sql_lake`` — the r10 window's single hash-FAIL, now
-   hardened (deterministic fixture layout + in-query parquet-truth
-   cross-check + pinned verified result) and run FIRST; slots 2-3:
-   ``b_sql_lake_iceberg`` and ``b_lake_delta_rename``, the r11-new
-   ids (new ids are driver-checked the round they ship);
-2. slots 4-50: 47 of the 50 remaining r5-stale ids — the entire
-   stale set except ``b_ts_gapfill``/``b_ts_locf``/
-   ``b_ts_rolling_dau``, displaced to slots 51-53 by the window
-   boundary (they lead the r12 window);
-3. the full r10 window (all hash-green in CORRECTNESS_r10) follows,
-   then everything r6-r10-proved in registration order.
+Round-12 rotation (VERDICT r11 items #1/#9): slots 1-2 re-prove the
+two standing red rows (root-caused and fixed this round — the SQL
+path's DECIMAL money column cast to DOUBLE); slots 3-8 the six ts ids
+the r11 boundary displaced; slots 9-38 every id whose execution path
+changed this round (rerank family + consumers, the 20 ids over the
+folded merge planner); slots 39-50 stale-rotation fill from the
+relational core.  The r11 and r10 window blocks follow (first listing
+wins on duplicates), then everything else in registration order.
 ``tools/verify_local.py`` keeps local coverage of every id every
 round; the round-9 artifacts showed the ENTIRE registry green at
 three configs (LOCAL_SWEEP_r09_final/_full_cpus8/_full_sf0001) and
@@ -81,9 +76,82 @@ from .sources import migrate as _migrate  # noqa: F401  B1 add_files / CONVERT T
 from . import envelope as _envelope  # noqa: F401  A11
 
 #: Explicit export order (see module docstring).  Ids listed here but
-#: not registered are skipped; registered ids not listed append last.
+#: not registered are skipped; registered ids not listed append last;
+#: a duplicate listing keeps its FIRST position (so the r12 head can
+#: simply prepend — displaced r11 ids keep their relative order below
+#: the boundary).
 _ORDER = [
     # ==================================================================
+    # 50-ENTRY DRIVER WINDOW — ROUND 12.
+    # Slots 1-2: the two standing driver-red rows, now root-caused
+    # (DECIMAL money column from the SQL-path sum — the registry's
+    # only decimal outputs — cast to DOUBLE this round; see
+    # format_facade.sql_lake) — they must re-prove green FIRST.
+    # Slots 3-8: the six ts ids displaced by the r11 boundary
+    # (VERDICT r11 item #9's explicit list).
+    # Slots 9-38: every id whose EXECUTION PATH changed this round —
+    # the rerank family (sizes-from-arrays + broadcast cand), its
+    # cluster/curation/sampling consumers, and the 20 merge/CDF/
+    # upsert/replicate ids over the folded merge planner — changed
+    # ids are driver-checked the round they change.
+    # Slots 39-50: stale-rotation fill — the relational core, last
+    # window-proved in the early rounds.
+    # All 50 pre-cleared green at sf0.01 this round (three sweeps) and
+    # the head pair also at sf0.1.
+    "b_sql_lake",
+    "b_sql_lake_iceberg",
+    "b_ts_concurrency",
+    "b_ts_cumulative_users",
+    "b_ts_forecast_naive",
+    "b_ts_gapfill",
+    "b_ts_locf",
+    "b_ts_rolling_dau",
+    "b_llm_dedup_minhash",
+    "b_llm_dedup_fuzzy",
+    "b_llm_dedup_prefix",
+    "b_llm_dedup_incr",
+    "b_llm_dedup_clusters",
+    "b_llm_dup_stats",
+    "b_llm_split_leakage",
+    "b_llm_contrastive",
+    "b_llm_curation",
+    "b_llm_curation_funnel",
+    "b_lake_delta_identity",
+    "b_lake_delta_cdf_fmt",
+    "b_lake_delta_merge",
+    "b_lake_delta_merge_mor",
+    "b_lake_delta_cdf",
+    "b_lake_delta_cdf_rows",
+    "b_stream_delta_cdf",
+    "b_lake_iceberg_upsert",
+    "b_lake_iceberg_merge",
+    "b_lake_iceberg_merge_mor",
+    "b_stream_iceberg_cdf",
+    "b_stream_upsert",
+    "b_stream_delta_sink",
+    "b_stream_iceberg_sink",
+    "b_stream_cdf_mv",
+    "b_stream_replicate",
+    "b_mv_retract",
+    "b_lake_upsert",
+    "b_lake_cdc",
+    "b_mv_incremental",
+    "b_project",
+    "b_filter_pred",
+    "b_case_when",
+    "b_sort",
+    "b_topk",
+    "b_set_union",
+    "b_set_intersect",
+    "b_dedup_exact",
+    "b_set_except_all",
+    "b_set_intersect_all",
+    "b_join_star",
+    "b_join_bcast",
+    # ---- 50-entry window boundary (slot 50 = b_join_bcast). ----
+    # ==================================================================
+    # r11 head (duplicates of r12-window ids above keep their first
+    # position; the rest follow in their r11 order):
     # 50-ENTRY DRIVER WINDOW — ROUND 11 (VERDICT r10 items #1/#2):
     # slot 1 is b_sql_lake — the r10 window's single red row, now
     # hardened (deterministic fixture layout, in-query parquet-truth
