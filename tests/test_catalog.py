@@ -3,6 +3,10 @@ per-call CRUD paths the batch-based oracle queries don't drive)."""
 
 import pytest
 
+#: driver-budget split (r12): deep suite, excluded from the default
+#: run by pytest.ini; runs via  pytest -m slow  in the builder's loop
+pytestmark = pytest.mark.slow
+
 from aws_datalake_framework_api_spark.api import dispatch, health
 from aws_datalake_framework_api_spark.catalog import Catalog, delta_available
 

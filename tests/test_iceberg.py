@@ -10,6 +10,10 @@ import os
 import shutil
 
 import pytest
+
+#: driver-budget split (r12): deep suite, excluded from the default
+#: run by pytest.ini; runs via  pytest -m slow  in the builder's loop
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from aws_datalake_framework_api_spark.sources.avro_codec import (

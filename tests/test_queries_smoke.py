@@ -4,6 +4,10 @@ tools/verify_local.py and the driver's gate at sf0.01)."""
 
 import pytest
 
+#: driver-budget split (r12): deep suite, excluded from the default
+#: run by pytest.ini; runs via  pytest -m slow  in the builder's loop
+pytestmark = pytest.mark.slow
+
 from aws_datalake_framework_api_spark.queries_all import ORACLE, QUERIES
 
 
