@@ -650,8 +650,17 @@ def scan_iceberg_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     done = os.path.join(path, "_fixture_complete")
     if not os.path.exists(done):
         shutil.rmtree(path, ignore_errors=True)
+        # DETERMINISTIC LAYOUT (r12; same rule as the delta twin above,
+        # VERDICT r10 #1a): pin the fixture's file count and row order
+        # so they never inherit the session's parallelism or the INPUT
+        # dir's file layout — the bench's multi-slice input otherwise
+        # fanned this fixture to one file per input slice, and every
+        # MOR read paid a per-file plan for layout that carries no
+        # information.
         write_iceberg(
-            orders.filter(F.col("o_orderkey") % 6 == 1),
+            orders.filter(F.col("o_orderkey") % 6 == 1)
+            .repartition(2, "o_orderkey")
+            .sortWithinPartitions("o_orderkey"),
             path,
             mode="error",
             partition_by=["o_orderpriority"],

@@ -3534,8 +3534,16 @@ def scan_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         complete = False
     if not complete:
         shutil.rmtree(path, ignore_errors=True)
+        # DETERMINISTIC LAYOUT (r12, VERDICT r10 #1a rule): pin the
+        # fixture's file count + row order so they inherit neither the
+        # session's parallelism nor the input dir's file layout (the
+        # bench's multi-slice input otherwise fanned this table to one
+        # file per slice and every read paid a per-file plan for each).
         write_iceberg(
-            orders.filter(F.col("o_orderkey") % 3 == 0), path, mode="error"
+            orders.filter(F.col("o_orderkey") % 3 == 0)
+            .repartition(2, "o_orderkey")
+            .sortWithinPartitions("o_orderkey"),
+            path, mode="error",
         )
         delete_iceberg_rows(spark, path, F.col("o_orderkey") % 30 == 0)
         source = orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
@@ -3617,8 +3625,16 @@ def scan_iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         complete = False
     if not complete:
         shutil.rmtree(path, ignore_errors=True)
+        # DETERMINISTIC LAYOUT (r12, VERDICT r10 #1a rule): pin the
+        # fixture's file count + row order so they inherit neither the
+        # session's parallelism nor the input dir's file layout (the
+        # bench's multi-slice input otherwise fanned this table to one
+        # file per slice and every read paid a per-file plan for each).
         write_iceberg(
-            orders.filter(F.col("o_orderkey") % 3 == 0), path, mode="error"
+            orders.filter(F.col("o_orderkey") % 3 == 0)
+            .repartition(2, "o_orderkey")
+            .sortWithinPartitions("o_orderkey"),
+            path, mode="error",
         )
         delete_iceberg_rows(spark, path, F.col("o_orderkey") % 30 == 0)
         source = orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(

@@ -227,9 +227,17 @@ def plan_merge_mor(
     # :func:`plan_merge` (see the comments there).
     inserts = None
     if insert_cl and target_keys is not None:
+        # AQE-rebalance before the pin (guide §6 output sizing): the
+        # insert lineage is map-only off the merge source, so it
+        # inherits the source's input partitioning — staging would
+        # otherwise emit one (tiny) file per upstream slice.  The
+        # rebalance shuffle is ∝ inserted rows (the write working
+        # set), the same trade delta-spark's optimized write makes;
+        # identity values are already minted (and pinned) upstream,
+        # so placement changes nothing the oracle sees.
         inserts = pin(_plan_inserts(
             source, on, clauses, cols, types, target_keys, gen_ident
-        ))
+        ).hint("rebalance"))
     cnt_df = wide.groupBy("_mg_action").count() if wide is not None else None
     if inserts is not None:
         ins_cnt = inserts.select(F.lit(-2).alias("_mg_action")).groupBy(
@@ -549,9 +557,17 @@ def plan_merge(
     # exact staged data (the r11 wide-frame argument).
     inserts = None
     if insert_cl and target_keys is not None:
+        # AQE-rebalance before the pin (guide §6 output sizing): the
+        # insert lineage is map-only off the merge source, so it
+        # inherits the source's input partitioning — staging would
+        # otherwise emit one (tiny) file per upstream slice.  The
+        # rebalance shuffle is ∝ inserted rows (the write working
+        # set), the same trade delta-spark's optimized write makes;
+        # identity values are already minted (and pinned) upstream,
+        # so placement changes nothing the oracle sees.
         inserts = pin(_plan_inserts(
             source, on, clauses, cols, types, target_keys, gen_ident
-        ))
+        ).hint("rebalance"))
     # ONE count action for the clause census AND the insert count
     # (r12, item #4): the insert frame is checkpointed, so the unioned
     # count reads materialized rows, not the anti-join lineage.

@@ -40,7 +40,9 @@ def _split_layout(sf_dir: str, n_slices: int) -> str:
     affected by the prep itself (it runs before the timed region),
     and the rows are byte-identical, so every query's RESULT is
     unchanged — the driver's correctness gate still reads the
-    original ``sf_dir``.
+    original ``sf_dir``.  (Derived fixture tables do not inherit the
+    slice fan-out: their builders pin layout explicitly —
+    ``repartition(2, key)`` — per the r10 determinism rule.)
 
     Layout is deterministic (contiguous slices in source row order,
     slice count a pure function of row count and ``n_slices``) and is
@@ -125,16 +127,25 @@ HEADLINE = [
 def main() -> None:
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = default_parallelism()
-    # Scan-parallelism floor (guide §6 `spark.sql.files.minPartitionNum`),
-    # derived from $SPARK_GRAFT_CPUS — NOT a local[32] constant: the
-    # same 2×cores floor is the right starting point on a cluster, and
-    # AQE still coalesces the post-shuffle side.  Together with the
-    # multi-slice layout below it makes base scans parallelize the way
-    # multi-file 100 TB inputs do, restoring a real 8-vs-32-core
-    # signal (see _split_layout's docstring).
+    # Make scan task count follow FILE count (guide §6): with
+    # openCostInBytes == maxPartitionBytes, split planning packs one
+    # file per task, so the slice layout below directly controls scan
+    # parallelism — the multi-slice base tables fan out to ~2×cpus
+    # tasks while the engine's few-file internal tables (fixture
+    # tables, staged merge files, logs) keep their few-task plans.
+    # The rejected alternative, a session-wide
+    # `spark.sql.files.minPartitionNum = 2×cpus` floor, forced ≥2×cpus
+    # byte-range tasks onto EVERY scan including one-file internal
+    # reads inside the merge/stream machinery — measured: replicate
+    # 7-10 → 23 s, merge_mor 0.6 → 2.7 s.  At real scale the default
+    # 4 MB open cost is right because files are 128 MB-1 GB; here the
+    # fixture is 17 MB total, so file-granularity tasks ARE the
+    # cluster-shaped plan.
     spark = get_spark(
         "bench",
-        extra_conf={"spark.sql.files.minPartitionNum": str(2 * cpus)},
+        extra_conf={
+            "spark.sql.files.openCostInBytes": str(128 * 1024 * 1024),
+        },
     )
     # Slice count is max(64, 2×cpus) so the LAYOUT is identical across
     # the driver's core-count configs (the 8-core leg reads the same

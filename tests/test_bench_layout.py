@@ -32,11 +32,11 @@ def test_split_layout_same_rows(spark, split_dir):
 
 
 def test_split_layout_parallelizes_scan(spark, split_dir):
-    """With the minPartitionNum floor the bench sets, a big table's
-    scan plans MULTIPLE input partitions (the whole point of the
-    prep); the single-file original plans exactly one."""
-    floor = 16
-    spark.conf.set("spark.sql.files.minPartitionNum", str(floor))
+    """With the one-file-per-task open cost the bench sets
+    (openCostInBytes == maxPartitionBytes), a split table's scan plans
+    one input partition PER SLICE (the whole point of the prep); the
+    single-file original still plans exactly one."""
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024 * 1024))
     try:
         split = spark.read.parquet(
             os.path.join(split_dir, "orders.parquet")
@@ -45,8 +45,8 @@ def test_split_layout_parallelizes_scan(spark, split_dir):
             os.path.join(SF_DIR, "orders.parquet")
         ).rdd.getNumPartitions()
     finally:
-        spark.conf.unset("spark.sql.files.minPartitionNum")
-    assert split >= floor // 2, f"split scan still serial: {split} partitions"
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+    assert split >= 8, f"split scan still serial: {split} partitions"
     assert single <= 2
 
 
