@@ -45,10 +45,18 @@ def _split_layout(sf_dir: str, n_slices: int) -> str:
     ``repartition(2, key)`` — per the r10 determinism rule.)
 
     Layout is deterministic (contiguous slices in source row order,
-    slice count a pure function of row count and ``n_slices``) and is
-    rebuilt whenever the source dir changes (mtime+size marker).
-    Tables under 100 rows/slice stay in fewer files — splitting a
-    5-row dim buys nothing.
+    slice count a pure function of the table's byte size and
+    ``n_slices``) and is rebuilt whenever the source dir changes
+    (mtime+size marker).
+
+    Slice count is BYTE-PROPORTIONAL per table (one slice per ~192 KB
+    of source file, capped at ``n_slices``): task count should follow
+    data volume, exactly as it does for real multi-file inputs.  The
+    rejected flat-64 variant gave every table — including a 180 KB
+    dim — 64 tiny tasks, and the per-task overhead taxed eight
+    sub-second headline ids 1.2-1.7× (same-box interleave vs the r11
+    tree) while only the genuinely large scans won; byte-proportional
+    slices keep the lineitem-class wins and drop the tax.
     """
     import pyarrow.parquet as pq
 
@@ -61,7 +69,7 @@ def _split_layout(sf_dir: str, n_slices: int) -> str:
         f"{f}:{os.path.getsize(os.path.join(sf_dir, f))}:"
         f"{int(os.path.getmtime(os.path.join(sf_dir, f)))}"
         for f in srcs
-    ) + f"|slices={n_slices}"
+    ) + f"|slices={n_slices}|v2-bytes"
     marker = os.path.join(dst, "_layout_complete")
     if os.path.isfile(marker) and open(marker).read() == stamp:
         return dst
@@ -70,11 +78,19 @@ def _split_layout(sf_dir: str, n_slices: int) -> str:
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     for f in srcs:
-        tbl = pq.read_table(os.path.join(sf_dir, f))
+        src_path = os.path.join(sf_dir, f)
+        tbl = pq.read_table(src_path)
         outdir = os.path.join(dst, f)  # directory named <table>.parquet
         os.makedirs(outdir)
         rows = tbl.num_rows
-        n = max(1, min(n_slices, rows // 100))
+        n = max(
+            1,
+            min(
+                n_slices,
+                os.path.getsize(src_path) // (192 * 1024),
+                rows,
+            ),
+        )
         per = (rows + n - 1) // n
         off = i = 0
         while off < rows:

@@ -31,23 +31,33 @@ def test_split_layout_same_rows(spark, split_dir):
         assert b.exceptAll(a).limit(1).count() == 0
 
 
-def test_split_layout_parallelizes_scan(spark, split_dir):
+def test_split_layout_parallelizes_scan(spark, tmp_path):
     """With the one-file-per-task open cost the bench sets
-    (openCostInBytes == maxPartitionBytes), a split table's scan plans
-    one input partition PER SLICE (the whole point of the prep); the
-    single-file original still plans exactly one."""
+    (openCostInBytes == maxPartitionBytes), a BIG split table's scan
+    plans one input partition per ~192 KB slice (the whole point of
+    the prep), while the single-file original plans exactly one.
+    Slicing is byte-proportional, so the big bench SF's lineitem is
+    the meaningful subject (the sf0.001 test tables are under one
+    slice's worth of bytes by design)."""
+    big_sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(big_sf):
+        pytest.skip("sf0.1 fixtures unavailable")
+    split_dir = _split_layout(big_sf, 64)
     spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024 * 1024))
     try:
         split = spark.read.parquet(
-            os.path.join(split_dir, "orders.parquet")
+            os.path.join(split_dir, "lineitem.parquet")
         ).rdd.getNumPartitions()
         single = spark.read.parquet(
-            os.path.join(SF_DIR, "orders.parquet")
+            os.path.join(big_sf, "lineitem.parquet")
         ).rdd.getNumPartitions()
     finally:
         spark.conf.unset("spark.sql.files.openCostInBytes")
-    assert split >= 8, f"split scan still serial: {split} partitions"
+    assert split >= 16, f"split scan still serial: {split} partitions"
     assert single <= 2
+    # byte-proportional: a small dim must NOT fan out
+    small = len(os.listdir(os.path.join(split_dir, "part.parquet")))
+    assert small <= 2, f"tiny dim was sliced into {small} files"
 
 
 def test_split_layout_reuses_marker(split_dir):
