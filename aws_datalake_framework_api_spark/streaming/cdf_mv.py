@@ -102,16 +102,19 @@ def run_cdf_mv_stream(
 ) -> None:
     """Tail the table's change feed from genesis and keep the view
     fresh — one refresh commit per change-carrying micro-batch."""
-    q = (
-        spark.readStream.format("delta_stream")
-        .option("readChangeFeed", "true")
-        .load(table)
-        .writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda df, bid: mv_apply_batch(view, df, bid))
-        .start()
+    from .drive import run_stream_to_completion
+
+    run_stream_to_completion(
+        lambda: (
+            spark.readStream.format("delta_stream")
+            .option("readChangeFeed", "true")
+            .load(table)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(lambda df, bid: mv_apply_batch(view, df, bid))
+            .start()
+        )
     )
-    q.awaitTermination()
 
 
 @query(

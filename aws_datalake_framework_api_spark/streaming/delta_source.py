@@ -698,16 +698,19 @@ def stream_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderkey") % 9 == 1).coalesce(1),
         t, mode="append", partition_by=["o_orderpriority"],
     )
+    from .drive import run_stream_to_completion
+
     out = os.path.join(tmp, "out")
-    q = (
-        spark.readStream.format("delta_stream").load(t)
-        .writeStream.trigger(availableNow=True)
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .start()
+    run_stream_to_completion(
+        lambda: (
+            spark.readStream.format("delta_stream").load(t)
+            .writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
     )
-    q.awaitTermination()
     back = spark.read.parquet(out)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
@@ -767,19 +770,22 @@ def stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"when": "not_matched", "action": "insert"},
         ],
     )                                                            # v2
+    from .drive import run_stream_to_completion
+
     out = os.path.join(tmp, "out")
-    q = (
-        spark.readStream.format("delta_stream")
-        .option("readChangeFeed", "true")
-        .option("startingVersion", 2)
-        .load(t)
-        .writeStream.trigger(availableNow=True)
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .start()
+    run_stream_to_completion(
+        lambda: (
+            spark.readStream.format("delta_stream")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 2)
+            .load(t)
+            .writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
     )
-    q.awaitTermination()
     back = spark.read.parquet(out)
     return back.groupBy("_change_type").agg(
         F.count("*").alias("n"),

@@ -908,16 +908,19 @@ def stream_from_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderkey") % 11 == 1).coalesce(1),
         t, mode="append", partition_by=["o_orderpriority"],
     )
+    from .drive import run_stream_to_completion
+
     out = _os.path.join(tmp, "out")
-    q = (
-        spark.readStream.format("iceberg_stream").load(t)
-        .writeStream.trigger(availableNow=True)
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", _os.path.join(tmp, "ckpt"))
-        .start()
+    run_stream_to_completion(
+        lambda: (
+            spark.readStream.format("iceberg_stream").load(t)
+            .writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", _os.path.join(tmp, "ckpt"))
+            .start()
+        )
     )
-    q.awaitTermination()
     back = spark.read.parquet(out)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
@@ -981,19 +984,22 @@ def stream_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderkey") % 15 == 0)
         .select("o_orderkey").distinct(),
     )
+    from .drive import run_stream_to_completion
+
     out = os.path.join(tmp, "out")
-    q = (
-        spark.readStream.format("iceberg_stream")
-        .option("readChangeFeed", "true")
-        .option("startingPos", 1)
-        .load(t)
-        .writeStream.trigger(availableNow=True)
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .start()
+    run_stream_to_completion(
+        lambda: (
+            spark.readStream.format("iceberg_stream")
+            .option("readChangeFeed", "true")
+            .option("startingPos", 1)
+            .load(t)
+            .writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
     )
-    q.awaitTermination()
     back = spark.read.parquet(out)
     return back.groupBy("_change_type").agg(
         F.count("*").alias("n"),

@@ -81,17 +81,22 @@ def ingest_stream(
     exactly-once checkpointing.  ``availableNow`` processes the
     current backlog then stops — the batch-backfill trigger; a live
     deployment uses the default micro-batch trigger instead."""
-    stream = normalize_event_ts(
-        spark.readStream.schema(landing_schema(spark, landing_dir)).parquet(landing_dir)
+    from .drive import run_stream_to_completion
+
+    run_stream_to_completion(
+        lambda: (
+            normalize_event_ts(
+                spark.readStream.schema(
+                    landing_schema(spark, landing_dir)
+                ).parquet(landing_dir)
+            )
+            .writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
     )
-    q = (
-        stream.writeStream.trigger(availableNow=True)
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
-    q.awaitTermination()
 
 
 @query(

@@ -64,18 +64,19 @@ def run_merge_stream(
     per micro-batch (``maxFilesPerTrigger=1`` keeps the multi-commit
     merge sequence real instead of collapsing the backlog), calling
     ``merge_batch(batch_df, batch_id)`` per micro-batch."""
-    stream = (
-        spark.readStream.schema(feed_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing_dir)
+    from .drive import run_stream_to_completion
+
+    run_stream_to_completion(
+        lambda: (
+            spark.readStream.schema(feed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing_dir)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(merge_batch)
+            .start()
+        )
     )
-    q = (
-        stream.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(merge_batch)
-        .start()
-    )
-    q.awaitTermination()
 
 
 def delta_merge_batch(path: str, on: list[str], app_id: str):

@@ -118,18 +118,20 @@ def run_replication(
     """Tail ``source_table``'s change feed from genesis and converge
     the Iceberg ``replica`` to it."""
     from .delta_source import register
+    from .drive import run_stream_to_completion
 
     register(spark)
-    q = (
-        spark.readStream.format("delta_stream")
-        .option("readChangeFeed", "true")
-        .load(source_table)
-        .writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(replicate_batch(replica, on, app_id))
-        .start()
+    run_stream_to_completion(
+        lambda: (
+            spark.readStream.format("delta_stream")
+            .option("readChangeFeed", "true")
+            .load(source_table)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(replicate_batch(replica, on, app_id))
+            .start()
+        )
     )
-    q.awaitTermination()
 
 
 @query(

@@ -80,18 +80,19 @@ def run_upsert_stream(
     """Drive the stream over the current backlog, one file per
     micro-batch (``maxFilesPerTrigger=1`` makes the multi-batch merge
     sequence real rather than collapsing the backlog into one batch)."""
-    stream = (
-        spark.readStream.schema(FEED_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing_dir)
+    from .drive import run_stream_to_completion
+
+    run_stream_to_completion(
+        lambda: (
+            spark.readStream.schema(FEED_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing_dir)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(lambda df, bid: merge_microbatch(table, df, bid))
+            .start()
+        )
     )
-    q = (
-        stream.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda df, bid: merge_microbatch(table, df, bid))
-        .start()
-    )
-    q.awaitTermination()
 
 
 def _stage_single_file(df: DataFrame, landing: str, name: str) -> None:
